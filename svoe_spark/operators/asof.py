@@ -1,0 +1,280 @@
+"""Point-in-time (as-of) join and lookahead label shift.
+
+Semantics match the reference's point-in-time multi-join: for every left
+(label) row, take each right feature's latest row with
+``right.ts <= left.ts`` (backward as-of, exact matches included)
+(reference: svoe/featurizer/blocks/blocks.py:212-219 pd.merge_asof chain;
+distributed wiring svoe/featurizer/batch/task_graph/tasks.py:222-264).
+The reference stitches previous blocks onto each chunk so boundaries
+don't lose the last value (builder.py:270-293); in Spark that concern
+disappears for the default plan (one windowed sort per key) and is
+handled explicitly by bucket-seed rows in the bucketed scale path.
+
+Two physical strategies, same semantics:
+
+* default: tag sides, UNION, ``last(value, ignorenulls=True)`` over a
+  running window partitioned by key — ONE shuffle, no join explosion.
+* ``time_bucket=...``: additionally partition the sort by coarse time
+  bucket, seeding each bucket with the latest prior right row. Use when
+  a single key's history exceeds one task (hot instruments at 100 TB):
+  parallelism becomes (keys x buckets) instead of (keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from svoe_spark.functions.time import duration_to_seconds, epoch_seconds
+
+_SIDE = "__asof_side"
+_TS = "__asof_ts"
+_BUCKET = "__asof_bucket"
+
+
+def _prep(df: DataFrame, on: str, by: list[str]) -> DataFrame:
+    return df.withColumn(_TS, epoch_seconds(on))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "timestamp",
+    by: list[str] | str | None = None,
+    right_cols: list[str] | None = None,
+    prefix: str = "",
+    time_bucket: str | float | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: latest right row with right.on <= left.on.
+
+    ``by``: equi-key column(s) (e.g. instrument); ``right_cols``: value
+    columns pulled from the right side (default: all non-key, non-ts);
+    ``prefix``: namespace for the pulled columns (reference prefixes
+    feature columns '{feature}-{col}', df_utils.py:172-180);
+    ``tiebreak``: right-side column ordering duplicate-timestamp rows
+    (the greatest wins), making results deterministic under dup ts.
+    """
+    return asof_join_multi(
+        left,
+        {prefix: right},
+        on=on,
+        by=by,
+        right_cols={prefix: right_cols} if right_cols else None,
+        time_bucket=time_bucket,
+        tiebreak=tiebreak,
+    )
+
+
+def asof_join_multi(
+    left: DataFrame,
+    rights: dict[str, DataFrame],
+    on: str = "timestamp",
+    by: list[str] | str | None = None,
+    right_cols: dict[str, list[str]] | None = None,
+    time_bucket: str | float | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """N-way point-in-time join in ONE shuffle.
+
+    All right sides are unioned with the left into a single keyed,
+    time-ordered relation; each feature's value columns are filled with
+    a running ``last(ignorenulls)``; finally only label rows survive.
+    Equivalent to a chain of pd.merge_asof (the reference's
+    merge_asof_multi, blocks.py:205-219) but linear, not N passes.
+    """
+    if isinstance(by, str):
+        by = [by]
+    by = by or []
+
+    left_cols = left.columns
+    # output column name -> (feature tag, source col)
+    val_cols: dict[str, tuple[str, str]] = {}
+    for tag, rdf in rights.items():
+        cols = (right_cols or {}).get(tag) or [
+            c for c in rdf.columns if c != on and c not in by and c != tiebreak
+        ]
+        for c in cols:
+            out = f"{tag}{c}" if tag else c
+            if out in left_cols or out in val_cols:
+                out = f"{tag}_{c}" if tag else f"right_{c}"
+            val_cols[out] = (tag, c)
+
+    tb = f"__tb_{tiebreak}" if tiebreak else None
+
+    # Build the union relation: left rows carry their own columns and
+    # nulls for every feature column; each right df carries nulls for
+    # left-only columns and its own values under the output names.
+    def side_df(df: DataFrame, side: int, tag: str | None) -> DataFrame:
+        exprs: list[Column] = [F.col(on).alias(on)]
+        exprs += [F.col(b).alias(b) for b in by]
+        exprs.append(F.lit(side).alias(_SIDE))
+        for lc in left_cols:
+            if lc == on or lc in by:
+                continue
+            exprs.append(
+                (F.col(lc) if side == 1 else F.lit(None).cast(left.schema[lc].dataType)).alias(lc)
+            )
+        for out, (vtag, src) in val_cols.items():
+            if side == 0 and vtag == tag:
+                exprs.append(F.col(src).alias(out))
+            else:
+                dt = rights[vtag].schema[src].dataType
+                exprs.append(F.lit(None).cast(dt).alias(out))
+        if tb:
+            if side == 0 and tiebreak and tiebreak in df.columns:
+                exprs.append(F.col(tiebreak).cast("double").alias(tb))
+            else:
+                exprs.append(F.lit(None).cast("double").alias(tb))
+        return df.select(*exprs)
+
+    unioned = side_df(left, 1, None)
+    for tag, rdf in rights.items():
+        unioned = unioned.unionByName(side_df(rdf, 0, tag))
+    unioned = unioned.withColumn(_TS, epoch_seconds(on))
+
+    order = [F.col(_TS), F.col(_SIDE)]
+    if tb:
+        order.insert(1, F.col(tb).asc_nulls_first())
+
+    if time_bucket is None:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = unioned.select(
+            *[c for c in unioned.columns if c not in val_cols],
+            *[F.last(c, ignorenulls=True).over(w).alias(c) for c in val_cols],
+        )
+    else:
+        filled = _bucketed_fill(unioned, by, order, list(val_cols), time_bucket, tb)
+
+    out = filled.filter(F.col(_SIDE) == 1).drop(_SIDE, _TS, *( [tb] if tb else [] ), _BUCKET)
+    return out
+
+
+def _bucketed_fill(
+    unioned: DataFrame,
+    by: list[str],
+    order: list[Column],
+    val_cols: list[str],
+    time_bucket: str | float,
+    tb: str | None,
+) -> DataFrame:
+    """Scale path: sort within (key, coarse-time-bucket) partitions.
+
+    Each bucket is seeded with one synthetic row carrying the latest
+    right values from ALL prior buckets, so the per-bucket running
+    ``last`` is globally correct. The seed computation runs over bucket
+    summaries (cardinality keys x buckets), which is tiny relative to
+    the data, so the expensive sort parallelizes across buckets.
+    """
+    secs = duration_to_seconds(time_bucket)
+    unioned = unioned.withColumn(_BUCKET, F.floor(F.col(_TS) / secs))
+
+    # Per (key, bucket): latest NON-NULL value of each feature column
+    # inside it (a null ordering key makes max_by skip the row, so left
+    # rows and other features' rows don't clobber the summary).
+    def last_nonnull(c: str) -> Column:
+        order = F.when(
+            F.col(c).isNotNull(),
+            F.struct(F.col(_TS), *([F.col(tb)] if tb else [])),
+        )
+        return F.max_by(c, order).alias(c)
+
+    summaries = (
+        unioned.filter(F.col(_SIDE) == 0)
+        .groupBy(*by, _BUCKET)
+        .agg(*[last_nonnull(c) for c in val_cols])
+    )
+    # Every bucket that contains ANY row needs a seed (a left-only
+    # bucket must still see values from earlier buckets).
+    buckets = unioned.select(*by, _BUCKET).distinct()
+    per_bucket = buckets.join(summaries, on=[*by, _BUCKET], how="left")
+    # Carry forward across buckets (small relation), shifted one bucket:
+    # seed for bucket b = last non-null at or before end of bucket b-1.
+    wb = Window.partitionBy(*by).orderBy(_BUCKET).rowsBetween(Window.unboundedPreceding, -1)
+    seeds = per_bucket.select(
+        *by,
+        F.col(_BUCKET),
+        *[F.last(c, ignorenulls=True).over(wb).alias(c) for c in val_cols],
+    )
+    # Synthetic seed rows sort before everything in their bucket.
+    seed_rows = seeds.select(
+        *by,
+        F.col(_BUCKET),
+        (F.col(_BUCKET) * secs).alias(_TS),
+        F.lit(-1).alias(_SIDE),
+        *[F.col(c) for c in val_cols],
+    )
+    other_cols = [
+        c for c in unioned.columns if c not in val_cols and c not in by and c not in (_BUCKET, _TS, _SIDE)
+    ]
+    seed_rows = seed_rows.select(
+        *seed_rows.columns,
+        *[F.lit(None).cast(unioned.schema[c].dataType).alias(c) for c in other_cols],
+    )
+    full = unioned.unionByName(seed_rows, allowMissingColumns=True)
+
+    worder = [F.col(_TS), F.col(_SIDE)] + ([F.col(tb).asc_nulls_first()] if tb else [])
+    w = (
+        Window.partitionBy(*by, _BUCKET)
+        .orderBy(*worder)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return full.select(
+        *[c for c in full.columns if c not in val_cols],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in val_cols],
+    )
+
+
+def lookahead_shift(
+    df: DataFrame,
+    lookahead: str | float,
+    on: str = "timestamp",
+    by: list[str] | str | None = None,
+    value_cols: list[str] | None = None,
+    prefix: str = "label_",
+    truncate_tail: bool = True,
+) -> DataFrame:
+    """Future as-of self-join: for each row, the series value as of
+    ``ts + lookahead`` (latest row with ts' <= ts + lookahead).
+
+    Mirrors the reference's label shift (blocks.py:182-202,
+    builder.py:193-226), including tail truncation: rows whose shifted
+    timestamp falls past the end of the series are dropped, so every
+    label is real, never a stale copy.
+    """
+    if isinstance(by, str):
+        by = [by]
+    by = by or []
+    secs = duration_to_seconds(lookahead)
+    value_cols = value_cols or [c for c in df.columns if c != on and c not in by]
+
+    # A right row at ts r matches a left row at ts t iff r <= t + lookahead,
+    # i.e. (r - lookahead) <= t: shift the right side BACK by the lookahead.
+    # Interval arithmetic keeps microsecond exactness (no double round-trip).
+    micros = int(round(secs * 1_000_000))
+    shifted = df.select(
+        *[F.col(b) for b in by],
+        (F.col(on) - F.expr(f"INTERVAL {micros} MICROSECOND")).alias(on),
+        *[F.col(c).alias(f"{prefix}{c}") for c in value_cols],
+    )
+    joined = asof_join(
+        df,
+        shifted,
+        on=on,
+        by=by,
+        right_cols=[f"{prefix}{c}" for c in value_cols],
+    )
+    if truncate_tail:
+        bounds = df.groupBy(*by).agg(F.max(on).alias("__max_ts"))
+        if by:
+            joined = joined.join(F.broadcast(bounds), on=by, how="inner")
+        else:
+            joined = joined.crossJoin(F.broadcast(bounds))
+        joined = joined.filter(
+            F.col(on) + F.expr(f"INTERVAL {micros} MICROSECOND") <= F.col("__max_ts")
+        ).drop("__max_ts")
+    return joined

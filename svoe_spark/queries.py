@@ -1,0 +1,691 @@
+"""Query registry: every implemented operator exposed as a named query
+over the driver's tables, each paired with an ANSI-SQL DuckDB oracle.
+
+Determinism contract (how these hash-match a different engine):
+float ops are IEEE-deterministic given identical inputs and identical
+expression trees, so the only nondeterminism in a distributed engine is
+floating SUM ordering. Every summed aggregate here therefore runs on
+exact integers ("cents": the driver's numeric columns are exact
+2-decimal values, amounts/quantities are integers), and the final
+floating expression is written identically on both sides. Picks
+(min/max/arg-min/arg-max/first/last) are exact by construction and are
+tie-broken by `event_id`/primary key, which is monotone in event time.
+
+Integer-overflow headroom: the largest intermediate here is
+sum(price_cents * (100-d) * (100+t)) ~ 1.1e11/row — safe in int64 to
+~80M rows per group (sf ~10); beyond that, swap the cents columns to
+DECIMAL(38) — semantics unchanged.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from svoe_spark.functions.time import bucket_start, epoch_seconds
+from svoe_spark.operators.asof import asof_join, lookahead_shift
+from svoe_spark.operators.sampling import every_nth, sample_by_bucket
+from svoe_spark.operators.windows import trailing_window
+from svoe_spark.sources.tables import load_table
+
+
+@dataclass
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None -> rows-only check
+    bench: bool = True  # include in bench.py headline set
+
+
+QUERIES: dict[str, QueryDef] = {}
+
+
+def query(name: str, sql: str | None, bench: bool = True):
+    def deco(fn):
+        QUERIES[name] = QueryDef(fn, sql, bench)
+        return fn
+
+    return deco
+
+
+def _cents(c) -> F.Column:
+    return F.round(c * 100, 0).cast("long")
+
+
+def ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `events` table viewed as a trade-tick stream: `event_type` is
+    the instrument key, `value` the price, props.k the traded amount,
+    and a BUY/SELL side derived from the event type. Mirrors the
+    reference's trades schema (cryptotick_trades.py:8-18)."""
+    e = load_table(spark, "events", sf_dir)
+    return e.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        _cents(F.col("value")).alias("value_c"),
+        F.get_json_object("props", "$.k").cast("long").alias("qty"),
+        F.when(F.col("event_type").isin("click", "purchase"), F.lit("BUY"))
+        .otherwise(F.lit("SELL"))
+        .alias("side"),
+    )
+
+
+_TICKS_SQL = """
+WITH ticks AS (
+  SELECT event_id, ts, user_id, event_type, value,
+         CAST(round(value*100, 0) AS BIGINT) AS value_c,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS qty,
+         CASE WHEN event_type IN ('click','purchase') THEN 'BUY' ELSE 'SELL' END AS side
+  FROM events
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational core (scans, filters, aggregations, joins, windows, sorts)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(pc) AS BIGINT) / 100.0 AS sum_base_price,
+           CAST(SUM(pc * (100 - d100)) AS BIGINT) / 10000.0 AS sum_disc_price,
+           CAST(SUM(pc * (100 - d100) * (100 + t100)) AS BIGINT) / 1000000.0 AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) / COUNT(*) AS avg_qty,
+           (CAST(SUM(pc) AS BIGINT) / 100.0) / COUNT(*) AS avg_price,
+           (CAST(SUM(d100) AS BIGINT) / 100.0) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM (
+      SELECT *,
+             CAST(round(l_extendedprice*100, 0) AS BIGINT) AS pc,
+             CAST(round(l_discount*100, 0) AS BIGINT) AS d100,
+             CAST(round(l_tax*100, 0) AS BIGINT) AS t100
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    )
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: full-scan grouped aggregation with pushed-down date
+    filter (reference has no SQL surface; this covers S1/P3/A-class ops
+    and the Spark SQL frontend SURVEY §7.3-10)."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    li = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("long").alias("qty"),
+        _cents(F.col("l_extendedprice")).alias("pc"),
+        _cents(F.col("l_discount")).alias("d100"),
+        _cents(F.col("l_tax")).alias("t100"),
+    )
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty").alias("sum_qty"),
+        F.sum("pc").alias("s_pc"),
+        F.sum(F.col("pc") * (100 - F.col("d100"))).alias("s_disc"),
+        F.sum(F.col("pc") * (100 - F.col("d100")) * (100 + F.col("t100"))).alias("s_chg"),
+        F.sum("d100").alias("s_d100"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        (F.col("s_pc") / 100.0).alias("sum_base_price"),
+        (F.col("s_disc") / 10000.0).alias("sum_disc_price"),
+        (F.col("s_chg") / 1000000.0).alias("sum_charge"),
+        (F.col("sum_qty") / F.col("count_order")).alias("avg_qty"),
+        ((F.col("s_pc") / 100.0) / F.col("count_order")).alias("avg_price"),
+        ((F.col("s_d100") / 100.0) / F.col("count_order")).alias("avg_disc"),
+        "count_order",
+    )
+
+
+@query(
+    "revenue_by_nation",
+    """
+    SELECT n_name,
+           CAST(SUM(pc * (100 - d100)) AS BIGINT) / 10000.0 AS revenue,
+           COUNT(*) AS num_items
+    FROM (
+      SELECT n.n_name,
+             CAST(round(l.l_extendedprice*100, 0) AS BIGINT) AS pc,
+             CAST(round(l.l_discount*100, 0) AS BIGINT) AS d100
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    )
+    GROUP BY n_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-way join. Big-to-big joins (orders x lineitem)
+    shuffle on their keys; the dimension tables (nation, region,
+    supplier) are explicitly broadcast — no shuffle for them at any
+    scale. AQE re-plans the rest at runtime."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    l = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    j = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        j.select(
+            "n_name",
+            _cents(F.col("l_extendedprice")).alias("pc"),
+            _cents(F.col("l_discount")).alias("d100"),
+        )
+        .groupBy("n_name")
+        .agg(
+            (F.sum(F.col("pc") * (100 - F.col("d100"))) / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("num_items"),
+        )
+    )
+
+
+@query(
+    "order_priority_count",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped LEFT SEMI join + group count (no join explosion:
+    semi join short-circuits on first match)."""
+    o = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, "lineitem", sf_dir)
+    j = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return j.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@query(
+    "top_customers_per_nation",
+    """
+    SELECT n_name, c_name, c_acctbal, rnk
+    FROM (
+      SELECT n.n_name, c.c_name, c.c_acctbal,
+             row_number() OVER (
+               PARTITION BY n.n_name ORDER BY c.c_acctbal DESC, c.c_custkey
+             ) AS rnk
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    WHERE rnk <= 3
+    """,
+)
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window function (row_number per group, deterministic
+    tiebreak) — free-with-Spark coverage noted in SURVEY §2.5."""
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", "c_name", "c_acctbal", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "part_type_rollup",
+    """
+    SELECT COALESCE(p_brand, 'ALL') AS brand,
+           COALESCE(p_type, 'ALL') AS type,
+           COUNT(*) AS n_parts,
+           CAST(SUM(CAST(round(p_retailprice*100,0) AS BIGINT)) AS BIGINT) / 100.0
+             AS total_retail
+    FROM part
+    GROUP BY ROLLUP (p_brand, p_type)
+    """,
+)
+def part_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate — a capability the reference lacks entirely
+    (SURVEY §2.4 note) that Spark provides natively."""
+    p = load_table(spark, "part", sf_dir)
+    return (
+        p.select("p_brand", "p_type", _cents(F.col("p_retailprice")).alias("rc"))
+        .rollup("p_brand", "p_type")
+        .agg(F.count(F.lit(1)).alias("n_parts"), (F.sum("rc") / 100.0).alias("total_retail"))
+        .select(
+            F.coalesce("p_brand", F.lit("ALL")).alias("brand"),
+            F.coalesce("p_type", F.lit("ALL")).alias("type"),
+            "n_parts",
+            "total_retail",
+        )
+    )
+
+
+@query(
+    "customer_order_stats",
+    """
+    SELECT c.c_custkey, c.c_name,
+           COUNT(o.o_orderkey) AS num_orders,
+           COALESCE(CAST(SUM(CAST(round(o.o_totalprice*100,0) AS BIGINT)) AS BIGINT), 0) / 100.0
+             AS total_spent,
+           COUNT(DISTINCT o.o_orderpriority) AS distinct_priorities
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join + distinct aggregate."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).withColumn(
+        "tc", _cents(F.col("o_totalprice"))
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey, c.c_name)
+        .agg(
+            F.count("o_orderkey").alias("num_orders"),
+            (F.coalesce(F.sum("tc"), F.lit(0)) / 100.0).alias("total_spent"),
+            F.count_distinct("o_orderpriority").alias("distinct_priorities"),
+        )
+    )
+
+
+@query(
+    "set_ops_order_keys",
+    """
+    SELECT o_orderkey, 'high_value_not_urgent' AS category
+    FROM (
+      SELECT o_orderkey FROM orders WHERE o_totalprice > 150000
+      EXCEPT
+      SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    UNION ALL
+    SELECT o_orderkey, 'urgent_and_open' AS category
+    FROM (
+      SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      INTERSECT
+      SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    """,
+)
+def set_ops_order_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL / INTERSECT / EXCEPT coverage (SURVEY §2.7: reference
+    only has concat; the rest come free)."""
+    o = load_table(spark, "orders", sf_dir)
+    high = o.filter(F.col("o_totalprice") > 150000).select("o_orderkey")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select("o_orderkey")
+    a = high.exceptAll(urgent).distinct().withColumn(
+        "category", F.lit("high_value_not_urgent")
+    )
+    b = urgent.intersect(open_).withColumn("category", F.lit("urgent_and_open"))
+    return a.unionByName(b)
+
+
+# ---------------------------------------------------------------------------
+# Feature-engine domain operators over the event stream
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ohlcv_1m",
+    _TICKS_SQL
+    + """
+    SELECT event_type,
+           time_bucket(INTERVAL '1 minute', ts) AS window_start,
+           arg_min(value, event_id) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, event_id) AS close,
+           CAST(SUM(qty) AS BIGINT) AS volume,
+           CASE WHEN SUM(qty) <> 0
+                THEN CAST(SUM(value_c * qty) AS BIGINT) / (100.0 * CAST(SUM(qty) AS BIGINT))
+                ELSE NULL END AS vwap,
+           COUNT(*) AS num_trades
+    FROM ticks
+    GROUP BY event_type, window_start
+    """,
+)
+def ohlcv_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling OHLCV+vwap per instrument (reference A1,
+    ohlcv_fd.py:28-101). One partial-aggregated shuffle; open/close are
+    arg-picks by event id (monotone with event time)."""
+    t = ticks(spark, sf_dir)
+    return t.groupBy(
+        "event_type", bucket_start("ts", "1m").alias("window_start")
+    ).agg(
+        F.min_by("value", "event_id").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "event_id").alias("close"),
+        F.sum("qty").alias("volume"),
+        F.when(
+            F.sum("qty") != 0,
+            F.sum(F.col("value_c") * F.col("qty")) / (100.0 * F.sum("qty")),
+        ).alias("vwap"),
+        F.count(F.lit(1)).alias("num_trades"),
+    )
+
+
+@query(
+    "volatility_1h",
+    _TICKS_SQL
+    + """
+    SELECT event_id, ts, event_type, value,
+           CASE WHEN n > 1
+                THEN sqrt((n * sx2 - sx * sx) / (n * (n - 1))) / 100.0
+                ELSE NULL END AS volatility
+    FROM (
+      SELECT event_id, ts, event_type, value,
+             COUNT(*) OVER w AS n,
+             CAST(SUM(value_c) OVER w AS BIGINT) AS sx,
+             CAST(SUM(value_c * value_c) OVER w AS BIGINT) AS sx2
+      FROM ticks
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    )
+    """,
+)
+def volatility_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing volatility (reference A2,
+    volatility_stddev_fd.py:30-56) via the generic trailing-window
+    helper. stddev is computed from exact integer moment sums so the
+    result is reproducible to the bit across engines and partitionings."""
+    t = ticks(spark, sf_dir)
+    w = trailing_window("ts", "1h", by="event_type")
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum("value_c").over(w)
+    sx2 = F.sum(F.col("value_c") * F.col("value_c")).over(w)
+    vol = F.when(
+        n > 1, F.sqrt((n * sx2 - sx * sx) / (n * (n - 1))) / 100.0
+    ).otherwise(F.lit(None))
+    return t.select("event_id", "ts", "event_type", "value", vol.alias("volatility"))
+
+
+@query(
+    "tvi_1h",
+    _TICKS_SQL
+    + """
+    SELECT event_id, ts, event_type, side,
+           CASE WHEN buy + sell <> 0
+                THEN 2.0 * (buy - sell) / (buy + sell)
+                ELSE 0.0 END AS tvi
+    FROM (
+      SELECT event_id, ts, event_type, side,
+             CAST(SUM(CASE WHEN side = 'BUY' THEN value_c * qty ELSE 0 END) OVER w AS BIGINT) AS buy,
+             CAST(SUM(CASE WHEN side <> 'BUY' THEN value_c * qty ELSE 0 END) OVER w AS BIGINT) AS sell
+      FROM ticks
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    )
+    """,
+)
+def tvi_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trade-volume-imbalance over trailing notional volume per user
+    (reference A3, trade_volume_imb_fd.py:42-117)."""
+    t = ticks(spark, sf_dir)
+    w = trailing_window("ts", "1h", by="user_id")
+    notional = F.col("value_c") * F.col("qty")
+    buy = F.sum(F.when(F.col("side") == "BUY", notional).otherwise(F.lit(0))).over(w)
+    sell = F.sum(F.when(F.col("side") != "BUY", notional).otherwise(F.lit(0))).over(w)
+    tvi_col = F.when(
+        (buy + sell) != 0, 2.0 * (buy - sell) / (buy + sell)
+    ).otherwise(F.lit(0.0))
+    return t.select("event_id", "ts", "event_type", "side", tvi_col.alias("tvi"))
+
+
+@query(
+    "pct_change_1h",
+    _TICKS_SQL
+    + """
+    SELECT event_id, ts, event_type, value,
+           CASE WHEN first_v <> 0 THEN (last_v - first_v) / first_v ELSE NULL END AS diff
+    FROM (
+      SELECT event_id, ts, event_type, value,
+             arg_min(value, event_id) OVER w AS first_v,
+             arg_max(value, event_id) OVER w AS last_v
+      FROM ticks
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    )
+    """,
+)
+def pct_change_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(last-first)/first over the trailing window (reference A4,
+    transforms/diff/diff.py:29-64)."""
+    t = ticks(spark, sf_dir)
+    w = trailing_window("ts", "1h", by="event_type")
+    first_v = F.min_by("value", "event_id").over(w)
+    last_v = F.max_by("value", "event_id").over(w)
+    d = F.when(first_v != 0, (last_v - first_v) / first_v).otherwise(F.lit(None))
+    return t.select("event_id", "ts", "event_type", "value", d.alias("diff"))
+
+
+@query(
+    "asof_purchase_view",
+    """
+    WITH p AS (
+      SELECT event_id, ts, user_id, value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS last_view_value
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.ts, p.user_id, p.purchase_value, v.last_view_value
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship custom operator (reference J1, blocks.py:212-219):
+    backward as-of join — for each purchase, the user's latest prior
+    view value. Single-shuffle union+last(ignorenulls) plan."""
+    e = load_table(spark, "events", sf_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", F.col("value").alias("purchase_value")
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("last_view_value"))
+    )
+    return asof_join(p, v, on="ts", by="user_id", right_cols=["last_view_value"])
+
+
+@query(
+    "asof_purchase_view_bucketed",
+    """
+    WITH p AS (
+      SELECT event_id, ts, user_id, value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS last_view_value
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.ts, p.user_id, p.purchase_value, v.last_view_value
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    bench=False,
+)
+def asof_purchase_view_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same as-of join via the time-bucketed scale path (parallelism =
+    keys x buckets instead of keys; hot single instruments no longer
+    serialize into one task). Must produce identical results."""
+    e = load_table(spark, "events", sf_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", F.col("value").alias("purchase_value")
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("last_view_value"))
+    )
+    return asof_join(
+        p, v, on="ts", by="user_id", right_cols=["last_view_value"], time_bucket="1d"
+    )
+
+
+@query(
+    "lookahead_label_1h",
+    """
+    WITH e AS (SELECT event_id, ts, event_type, value FROM events),
+    s AS (
+      SELECT event_type, ts - INTERVAL 1 HOUR AS ts2,
+             arg_max(value, event_id) AS label_value
+      FROM events GROUP BY event_type, ts
+    ),
+    m AS (SELECT event_type, max(ts) AS max_ts FROM events GROUP BY event_type)
+    SELECT e.event_id, e.ts, e.event_type, e.value, s.label_value
+    FROM e
+    ASOF LEFT JOIN s ON e.event_type = s.event_type AND e.ts >= s.ts2
+    JOIN m ON e.event_type = m.event_type
+    WHERE e.ts + INTERVAL 1 HOUR <= m.max_ts
+    """,
+)
+def lookahead_label_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lookahead label shift (reference J2, blocks.py:182-202): value of
+    the series 1h in the future (backward-matched), tail truncated."""
+    e = load_table(spark, "events", sf_dir)
+    base = e.groupBy("event_type", "ts").agg(
+        F.max_by("value", "event_id").alias("value0")
+    )
+    # carry event rows through: dedup isn't needed for the left side
+    left = e.select("event_id", "ts", "event_type", "value")
+    shifted = lookahead_shift(
+        base, "1h", on="ts", by="event_type", value_cols=["value0"], prefix="label_"
+    ).withColumnRenamed("label_value0", "label_value")
+    return (
+        asof_join(left, shifted.select("event_type", "ts", "label_value"),
+                  on="ts", by="event_type", right_cols=["label_value"])
+        .join(
+            F.broadcast(e.groupBy("event_type").agg(F.max("ts").alias("max_ts"))),
+            on="event_type",
+        )
+        .filter(F.col("ts") + F.expr("INTERVAL 1 HOUR") <= F.col("max_ts"))
+        .select("event_id", "ts", "event_type", "value", "label_value")
+    )
+
+
+@query(
+    "sample_last_1m",
+    _TICKS_SQL
+    + """
+    SELECT event_type,
+           time_bucket(INTERVAL '1 minute', ts) AS bucket,
+           arg_max(value, event_id) AS value,
+           arg_max(event_id, event_id) AS event_id
+    FROM ticks
+    GROUP BY event_type, bucket
+    """,
+)
+def sample_last_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emission sampling: once per time bucket, last value wins
+    (reference T3, l2_snapshot_fd.py:64-77 / stream_utils.py:12-24)."""
+    t = ticks(spark, sf_dir).select("event_id", "ts", "event_type", "value")
+    out = sample_by_bucket(
+        t, on="ts", by="event_type", every="1m", keep="last", tiebreak="event_id"
+    )
+    return out.select(
+        "event_type",
+        bucket_start("ts", "1m").alias("bucket"),
+        "value",
+        "event_id",
+    )
+
+
+@query(
+    "every_nth_10",
+    """
+    SELECT event_id, ts, event_type, value
+    FROM (
+      SELECT event_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    WHERE (rn - 1) % 10 = 0
+    """,
+)
+def every_nth_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-nth-row decimation per instrument (reference P7,
+    df_utils.py:168-169, runner.py:148-164)."""
+    e = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "event_type", "value"
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") - 1) % 10 == 0)
+        .drop("rn")
+    )
+
+
+@query(
+    "local_extrema",
+    """
+    SELECT event_id, ts, event_type, value, is_local_min, is_local_max
+    FROM (
+      SELECT event_id, ts, event_type, value,
+             lag(value) OVER w AS pv, lead(value) OVER w AS nv,
+             (lag(value) OVER w IS NOT NULL AND lead(value) OVER w IS NOT NULL
+              AND value < lag(value) OVER w AND value < lead(value) OVER w) AS is_local_min,
+             (lag(value) OVER w IS NOT NULL AND lead(value) OVER w IS NOT NULL
+              AND value > lag(value) OVER w AND value > lead(value) OVER w) AS is_local_max
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    """,
+)
+def local_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-point local min/max (reference W4, buy_low_sell_high.py:28-48)."""
+    e = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "event_type", "value"
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    pv, nv = F.lag("value").over(w), F.lead("value").over(w)
+    v = F.col("value")
+    return e.select(
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        (pv.isNotNull() & nv.isNotNull() & (v < pv) & (v < nv)).alias("is_local_min"),
+        (pv.isNotNull() & nv.isNotNull() & (v > pv) & (v > nv)).alias("is_local_max"),
+    )

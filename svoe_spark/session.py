@@ -1,0 +1,54 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+The engine targets large clusters (100 TB-class inputs); these defaults
+encode the settings that matter at that scale and are harmless locally:
+AQE on (runtime re-planning, skew-join splitting, partition coalescing),
+Arrow on (every pandas-UDF operator in this package moves data via Arrow),
+and a shuffle-partition count that callers override per deployment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "svoe_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    On a real cluster, pass ``master=None`` and let spark-submit decide;
+    locally defaults to ``local[N]`` with N from $SPARK_GRAFT_CPUS.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # AQE: coalesce tiny post-shuffle partitions, split skewed ones,
+        # convert to broadcast join at runtime when a side turns out small.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow transfer for every pandas UDF / applyInPandas operator.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Timestamps are event-time; keep them timezone-stable.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

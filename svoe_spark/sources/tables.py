@@ -1,0 +1,78 @@
+"""Loaders for the driver's deterministic parquet tables.
+
+Scans stay fully declarative (``spark.read.parquet``) so Catalyst keeps
+predicate pushdown / column pruning; mirrors the reference's block loader
+(reference: svoe/common/pandas/df_utils.py:15-17) without the pandas hop.
+
+Nanosecond-timestamp parquet columns (which Spark rejects by default)
+are read as raw INT64 nanos and truncated to microsecond TimestampType
+with exact integer division — the same ns->us truncation DuckDB applies,
+so event-time semantics agree across engines.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+)
+ALL_TABLES = TPCH_TABLES + ("events", "documents", "embeddings")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+@lru_cache(maxsize=256)
+def _nanos_columns(path: str) -> tuple[str, ...]:
+    """Columns stored as timestamp[ns] (footer-only read, cached)."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pt
+
+    target = path
+    if os.path.isdir(path):
+        files = [f for f in sorted(os.listdir(path)) if f.endswith(".parquet")]
+        if not files:
+            return ()
+        target = os.path.join(path, files[0])
+    schema = pq.read_schema(target)
+    return tuple(
+        f.name for f in schema if pt.is_timestamp(f.type) and f.type.unit == "ns"
+    )
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """spark.read.parquet with transparent ns-timestamp handling."""
+    ns_cols = _nanos_columns(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        # integer DIV keeps exactness at 1e18 nanos; truncation toward
+        # zero == DuckDB's ns->us cast for post-epoch data
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return df
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load_table(spark, name, sf_dir) for name in ALL_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every table as a temp view so Spark SQL can be used directly."""
+    for name in ALL_TABLES:
+        load_table(spark, name, sf_dir).createOrReplaceTempView(name)
