@@ -16,7 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
-from svoe_spark.queries import QUERIES  # noqa: E402
+from svoe_spark.all_queries import QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,147 @@
+"""Text primitives for the LLM-data-pipeline operators: tokenization,
+character shingles, and portable polynomial hashing.
+
+The polynomial hash (h = h*31 + codepoint mod 1e9+7) is engine-portable:
+it can be expressed with identical integer semantics in Spark and any
+SQL engine, which is what makes the dedup/fingerprint operators
+oracle-verifiable bit-for-bit. At production scale the same operators
+accept `fast=True` to use JVM xxhash64 instead (one codegen'd
+expression, no higher-order functions) — same algorithm shape, faster
+constants, not cross-engine-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+P_HASH = 1_000_000_007  # fits every intermediate in int64 (acc*31+c < 3.2e10)
+SHINGLE_BASE = 256  # text is ASCII; a char trigram packs into < 2^24
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens, empties dropped (split on single space — the
+    fixtures are single-space separated; no regex-engine variance)."""
+    return F.filter(F.split(_col(text), " ", -1), lambda t: F.length(t) > 0)
+
+
+def codepoints(text: Column | str) -> Column:
+    """array<int> of character codepoints."""
+    c = _col(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.length(c)), lambda i: F.ascii(c.substr(i, F.lit(1)))
+    )
+
+
+def poly_hash(text: Column | str) -> Column:
+    """Rolling polynomial hash of a string -> bigint in [0, P_HASH)."""
+    return F.aggregate(
+        codepoints(text),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + ch) % P_HASH,
+    )
+
+
+def char_shingles(text: Column | str, k: int = 3) -> Column:
+    """All k-char shingles packed into ints (ASCII): array<int>, with
+    multiplicity; wrap in array_distinct for set semantics."""
+    c = _col(text)
+    def pack(i: Column) -> Column:
+        out = F.ascii(c.substr(i, F.lit(1)))
+        for off in range(1, k):
+            out = out * SHINGLE_BASE + F.ascii(c.substr(i + off, F.lit(1)))
+        return out
+
+    return F.when(
+        F.length(c) >= k,
+        F.transform(F.sequence(F.lit(1), F.length(c) - (k - 1)), pack),
+    ).otherwise(F.array().cast("array<int>"))
+
+
+# --- SQL (DuckDB) mirrors: generate the oracle-side expressions from the
+# --- same constants so both engines compute identical integers.
+
+
+def token_hashes(text: Column | str) -> Column:
+    """array<bigint>: polynomial hash of each whitespace token."""
+    return F.transform(
+        tokens(text),
+        lambda t: F.aggregate(
+            codepoints(t), F.lit(0).cast("long"), lambda acc, ch: (acc * 31 + ch) % P_HASH
+        ),
+    )
+
+
+def word_shingles_from_hashes(th: Column | str) -> Column:
+    """Word-trigram shingles from a precomputed token-hash array:
+    s_i = ((h_i*31 + h_{i+1}) % P * 31 + h_{i+2}) % P.
+
+    Word trigrams are the right dedup unit for natural-language corpora:
+    the shingle space is effectively unbounded, so unrelated documents
+    share almost none (char trigrams over a small alphabet saturate and
+    turn LSH into an all-pairs join)."""
+    c = _col(th)
+    return F.when(
+        F.size(c) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(c) - 2),
+            lambda i: (
+                (F.element_at(c, i) * 31 + F.element_at(c, i + 1)) % P_HASH * 31
+                + F.element_at(c, i + 2)
+            )
+            % P_HASH,
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def sql_codepoints(expr: str) -> str:
+    return (
+        f"list_transform(range(1, length({expr})+1), i -> ord(substr({expr}, i, 1)))"
+    )
+
+
+def sql_poly_hash(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {sql_codepoints(expr)}), "
+        f"(acc, ch) -> (acc*31 + ch) % {P_HASH})"
+    )
+
+
+def sql_tokens(expr: str) -> str:
+    return f"list_filter(string_split({expr}, ' '), t -> length(t) > 0)"
+
+
+def sql_token_hashes(expr: str) -> str:
+    inner = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(range(1, length(t)+1), i -> ord(substr(t, i, 1)))), "
+        f"(acc, ch) -> (acc*31 + ch) % {P_HASH})"
+    )
+    return f"list_transform({sql_tokens(expr)}, t -> {inner})"
+
+
+def sql_word_shingles_from_hashes(th: str) -> str:
+    return (
+        f"CASE WHEN len({th}) >= 3 "
+        f"THEN list_transform(range(1, len({th})-1), "
+        f"i -> (({th}[i]*31 + {th}[i+1]) % {P_HASH} * 31 + {th}[i+2]) % {P_HASH}) "
+        f"ELSE [] END"
+    )
+
+
+def sql_char_shingles(expr: str, k: int = 3) -> str:
+    parts = []
+    for off in range(k):
+        term = f"ord(substr({expr}, i+{off}, 1))"
+        mult = SHINGLE_BASE ** (k - 1 - off)
+        parts.append(f"{term}*{mult}" if mult > 1 else term)
+    packed = " + ".join(parts)
+    return (
+        f"CASE WHEN length({expr}) >= {k} "
+        f"THEN list_transform(range(1, length({expr})-{k-2}), i -> {packed}) "
+        f"ELSE [] END"
+    )

@@ -1,0 +1,74 @@
+"""Vector math over array<float> embedding columns.
+
+Everything is expressed as fold-left reductions with explicit
+double-casting so the reduction order (and therefore the floating
+result) is identical in Spark and the SQL oracle. All JVM-side —
+no Python UDFs in the hot path; at 100 TB these run inside
+whole-stage codegen next to the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Fold-left dot product in double precision."""
+    prods = F.zip_with(
+        _col(a), _col(b), lambda x, y: x.cast("double") * y.cast("double")
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm_sq(a: Column | str) -> Column:
+    return dot(a, a)
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (F.sqrt(norm_sq(a)) * F.sqrt(norm_sq(b)))
+
+
+def hyperplane_signs(plane: int, dim: int) -> list[int]:
+    """Deterministic pseudo-random ±1 pattern for LSH hyperplane
+    ``plane`` over ``dim`` components. Pure integer formula shared with
+    the SQL oracle generator."""
+    return [
+        1 if ((plane * 73856093 + d * 19349663) % 7919) % 2 == 0 else -1
+        for d in range(dim)
+    ]
+
+
+def signed_projection(v: Column | str, signs: list[int]) -> Column:
+    """Fold-left dot of an embedding with a ±1 hyperplane pattern."""
+    pat = F.array(*[F.lit(s) for s in signs])
+    prods = F.zip_with(_col(v), pat, lambda x, s: x.cast("double") * s)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
+
+
+# --- SQL (DuckDB) mirrors ---------------------------------------------------
+
+
+def sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, len({a})+1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (acc, v) -> acc + v)"
+    )
+
+
+def sql_cosine(a: str, b: str) -> str:
+    return f"{sql_dot(a, b)} / (sqrt({sql_dot(a, a)}) * sqrt({sql_dot(b, b)}))"
+
+
+def sql_signed_projection(v: str, signs: list[int]) -> str:
+    pat = "[" + ", ".join(str(s) for s in signs) + "]"
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, len({v})+1), "
+        f"i -> CAST({v}[i] AS DOUBLE) * ({pat})[i])), (acc, p) -> acc + p)"
+    )

@@ -1,0 +1,318 @@
+"""Deduplication operators for large-scale text corpora: exact,
+MinHash+LSH, SimHash, and n-gram Jaccard.
+
+Scale design: every operator is a hash-shuffle over compact integer
+keys — no driver-side state, no cross-product except within LSH
+buckets/explicit groups (which is the point of LSH: the quadratic blow-
+up is confined to tiny candidate buckets). Portable (oracle-
+verifiable) hashing uses the polynomial hash from functions.text;
+``fast=True`` swaps in JVM xxhash64 for production runs.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from svoe_spark.functions.text import (
+    P_HASH,
+    poly_hash,
+    token_hashes,
+    tokens,
+    word_shingles_from_hashes,
+)
+
+
+from svoe_spark.operators.util import spread as _spread
+
+
+def doc_shingles(text: str = "text"):
+    """Default shingle unit for document dedup: hashed word trigrams.
+
+    Discriminative at corpus scale: the shingle space is effectively
+    unbounded, so unrelated docs share almost none and LSH buckets stay
+    tiny (char trigrams over a small alphabet saturate and degrade LSH
+    into an all-pairs join)."""
+    return word_shingles_from_hashes(token_hashes(text))
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_duplicate_groups(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", fast: bool = False
+) -> DataFrame:
+    """One row per distinct content: (fingerprint, keep_id, n_copies).
+
+    Group key is (hash, length) — a compact shuffle key instead of the
+    full text (at 100 TB you never shuffle document bodies to compare
+    them). keep_id = min id, the survivor under "keep first" policy.
+    """
+    h = F.xxhash64(F.col(text)) if fast else poly_hash(text)
+    return (
+        _spread(df).select(
+            h.alias("fingerprint"),
+            F.length(text).alias("n_chars_key"),
+            F.col(id_col),
+        )
+        .groupBy("fingerprint", "n_chars_key")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .drop("n_chars_key")
+    )
+
+
+def drop_exact_duplicates(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", fast: bool = True
+) -> DataFrame:
+    """Keep the lowest-id row per distinct text (hash-based, no text
+    comparison shuffle)."""
+    h = F.xxhash64(F.col(text)) if fast else poly_hash(text)
+    keep = (
+        df.select(h.alias("__fp"), F.col(id_col).alias("__id"))
+        .groupBy("__fp")
+        .agg(F.min("__id").alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class MinHashParams:
+    """K = bands*rows universal-hash functions (a*x+b mod P), seeded so
+    the Spark implementation and the SQL oracle share constants."""
+
+    bands: int = 8
+    rows: int = 2
+    seed: int = 42
+
+    @property
+    def num_hashes(self) -> int:
+        return self.bands * self.rows
+
+    def coefficients(self) -> list[tuple[int, int]]:
+        rng = random.Random(self.seed)
+        return [
+            (rng.randrange(1, P_HASH), rng.randrange(0, P_HASH))
+            for _ in range(self.num_hashes)
+        ]
+
+
+def minhash_signature(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    params: MinHashParams = MinHashParams(),
+) -> DataFrame:
+    """(id, m0..m{K-1}): MinHash over word-trigram shingles. Entirely
+    JVM higher-order functions; the only movement is the parallelism
+    spread for skinny inputs."""
+    base = _spread(df).select(F.col(id_col), doc_shingles(text).alias("__sh"))
+
+    def hash_fn(a: int, b: int):
+        # real closure: pyspark treats lambda default-args as lambda params;
+        # long cast: a*x exceeds int32 (ANSI mode makes that a hard error)
+        return lambda x: (F.lit(a).cast("long") * x + b) % P_HASH
+
+    cols = [
+        F.array_min(F.transform(F.col("__sh"), hash_fn(a, b))).alias(f"m{i}")
+        for i, (a, b) in enumerate(params.coefficients())
+    ]
+    return base.select(id_col, *cols)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    params: MinHashParams = MinHashParams(),
+) -> DataFrame:
+    """Near-duplicate candidate pairs (id_a < id_b) that collide in at
+    least one LSH band. Shuffle key = (band, band-signature): the join
+    is equi on compact ints; bucket sizes bound the pair blow-up."""
+    # persist: the signature feeds every band AND both join sides;
+    # without it Catalyst re-derives the (expensive) shingling per use
+    sig = minhash_signature(df, text, id_col, params).persist()
+    band_rows = []
+    for b in range(params.bands):
+        key = F.concat_ws(
+            "_", *[F.col(f"m{b * params.rows + r}") for r in range(params.rows)]
+        )
+        band_rows.append(
+            sig.select(
+                F.lit(b).alias("band"), key.alias("bkey"), F.col(id_col)
+            )
+        )
+    bands = band_rows[0]
+    for extra in band_rows[1:]:
+        bands = bands.unionByName(extra)
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    params: MinHashParams = MinHashParams(),
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidates verified by true shingle-set Jaccard >= threshold."""
+    cands = lsh_candidate_pairs(df, text, id_col, params)
+    sets = _spread(df).select(
+        F.col(id_col), F.array_distinct(doc_shingles(text)).alias("__set")
+    ).persist()
+    j = (
+        cands.join(sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("__set", "sa"), "id_a")
+        .join(sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("__set", "sb"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    return (
+        j.select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (exact, within explicit groups)
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    group_cols: list[str] | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact pairwise Jaccard over word-trigram sets via an inverted
+    index: explode shingles, equi-join on the shingle, count matches
+    per pair (|A∩B|), derive the union from the per-doc set sizes.
+
+    This is the 100 TB shape: no all-pairs array comparison — work is
+    proportional to the number of SHARED shingles, shuffled on compact
+    integer keys with map-side partial counting. Pairs sharing nothing
+    never materialize (with threshold > 0 that loses no output).
+    ``group_cols`` further blocks the join. Skew note: a pathological
+    stop-shingle (shared by a large fraction of docs) would hot-key the
+    shuffle; AQE skew-split handles moderate cases, a document-frequency
+    cap is the standard remedy beyond that."""
+    group_cols = group_cols or []
+    sets = _spread(df).select(
+        *group_cols, F.col(id_col), F.array_distinct(doc_shingles(text)).alias("__set")
+    ).persist()
+    ex = sets.select(
+        *group_cols,
+        F.col(id_col),
+        F.size("__set").alias("__sz"),
+        F.explode("__set").alias("__sh"),
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    cond = (F.col("a.__sh") == F.col("b.__sh")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    for g in group_cols:
+        cond = cond & (F.col(f"a.{g}") == F.col(f"b.{g}"))
+    inter = F.count(F.lit(1))
+    return (
+        a.join(b, cond)
+        .groupBy(
+            *[F.col(f"a.{g}").alias(g) for g in group_cols],
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.__sz").alias("__sa"),
+            F.col("b.__sz").alias("__sb"),
+        )
+        .agg(inter.alias("__inter"))
+        .select(
+            *group_cols,
+            "id_a",
+            "id_b",
+            (F.col("__inter") / (F.col("__sa") + F.col("__sb") - F.col("__inter"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 30  # poly_hash yields < 2^30; one bit-vote per hash bit
+
+
+def simhash(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token-level SimHash fingerprint: explode tokens, one bit-vote sum
+    per hash bit, reassemble. Two narrow shuffles (explode + groupBy id),
+    all integer arithmetic."""
+    toks = _spread(df).select(F.col(id_col), F.explode(tokens(text)).alias("tok"))
+    h = poly_hash("tok")
+    votes = toks.select(F.col(id_col), h.alias("h")).groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    fp: Column = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        fp = fp + F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return votes.select(id_col, fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    group_cols: list[str] | None = None,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Pairs within ``group_cols`` blocks whose SimHash fingerprints are
+    within ``max_hamming`` bits."""
+    group_cols = group_cols or []
+    keys = df.select(*group_cols, id_col)
+    fps = simhash(df, text, id_col).join(keys, on=id_col)
+    a, b = fps.alias("a"), fps.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for g in group_cols:
+        cond = cond & (F.col(f"a.{g}") == F.col(f"b.{g}"))
+    dist = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            dist.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,95 @@
+"""Text analysis for training-data pipelines: token statistics, quality
+scoring, language-ID heuristic, and document fingerprinting.
+
+Pure column expressions (no UDFs): at 100 TB these run fused with the
+scan, and column pruning means only `text` is ever read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from svoe_spark.functions.text import poly_hash, tokens
+from svoe_spark.operators.util import spread as _spread
+
+# shared with the SQL oracle generator — keep sorted & lowercase
+EN_STOPWORDS = (
+    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from",
+    "has", "in", "is", "it", "of", "on", "or", "that", "the", "to",
+    "was", "with",
+)
+BPE_CHARS_PER_TOKEN = 4  # crude BPE estimate: ~4 chars/token
+
+
+def token_stats(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token counts: whitespace tokens, distinct tokens, a BPE-ish
+    estimate (ceil(chars/4)), and mean token length."""
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.expr(
+            f"(length({text}) + {BPE_CHARS_PER_TOKEN - 1}) DIV {BPE_CHARS_PER_TOKEN}"
+        ).alias("n_bpe_tokens_est"),
+        F.when(n_tok > 0, sum_len / n_tok).alias("mean_token_len"),
+    )
+
+
+def quality_score(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic quality features + a combined score: length, stopword
+    ratio (fluency proxy), distinct-token ratio (repetition proxy)."""
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    n_distinct = F.size(F.array_distinct(toks))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    distinct_ratio = F.when(n_tok > 0, n_distinct / n_tok).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        F.length(text).alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        (stop_ratio * 0.5 + distinct_ratio * 0.5).alias("quality_score"),
+    )
+
+
+def lang_id(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", threshold: float = 0.05
+) -> DataFrame:
+    """Stopword-density language heuristic: density of English function
+    words over the token stream; >= threshold classifies 'en'. (A real
+    deployment plugs fasttext/cld3 in as a pandas UDF behind the same
+    signature; the heuristic keeps the operator self-contained and
+    oracle-checkable.)"""
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    density = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        density.alias("en_density"),
+        F.when(density >= threshold, F.lit("en")).otherwise(F.lit("other")).alias(
+            "lang_guess"
+        ),
+    )
+
+
+def fingerprint(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", fast: bool = False
+) -> DataFrame:
+    """Whole-document rolling-hash fingerprint (content identity key —
+    reference uses joblib content hashes for block identity,
+    df_utils.py:163-164 / feature_tree.py:76-89)."""
+    h = F.xxhash64(F.col(text)) if fast else poly_hash(text)
+    return _spread(df).select(
+        F.col(id_col), h.alias("fingerprint"), F.length(text).alias("n_chars_fp")
+    )

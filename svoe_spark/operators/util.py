@@ -1,0 +1,16 @@
+"""Shared operator utilities."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the input has fewer partitions than
+    cores. CPU-bound expression work (hashing, shingling) over a corpus
+    that arrives as a few fat files would otherwise serialize onto a
+    handful of tasks; no-op when the scan is already parallel."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -1,0 +1,315 @@
+"""LLM-data-pipeline queries (dedup / similarity / text analysis) with
+code-generated DuckDB oracles.
+
+The oracle SQL is generated from the SAME Python constants (hash
+coefficients, hyperplane patterns, stopword lists) as the Spark
+implementation, and both sides express every floating reduction as the
+same fold-left — so results are bit-identical (see the determinism
+contract in svoe_spark/queries.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from svoe_spark.functions.text import (
+    P_HASH,
+    sql_poly_hash,
+    sql_token_hashes,
+    sql_tokens,
+    sql_word_shingles_from_hashes,
+)
+from svoe_spark.functions.vectors import hyperplane_signs, sql_cosine, sql_signed_projection
+from svoe_spark.operators.dedup import (
+    SIMHASH_BITS,
+    MinHashParams,
+    exact_duplicate_groups,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from svoe_spark.operators.similarity import (
+    DEFAULT_PLANES,
+    ann_lsh_topk,
+    brute_force_topk,
+    embedding_neardup_pairs,
+)
+from svoe_spark.operators.text_analysis import (
+    BPE_CHARS_PER_TOKEN,
+    EN_STOPWORDS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+from svoe_spark.queries import query
+from svoe_spark.sources.tables import load_table
+
+EMB_DIM = 64
+_MH = MinHashParams()
+
+
+@query(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id, {sql_poly_hash('text')} AS fingerprint,
+           length(text) AS n_chars_fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(load_table(spark, "documents", sf_dir))
+
+
+@query(
+    "dedup_exact",
+    f"""
+    SELECT fingerprint, min(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM (
+      SELECT doc_id, {sql_poly_hash('text')} AS fingerprint, length(text) AS lk
+      FROM documents
+    )
+    GROUP BY fingerprint, lk
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicate_groups(load_table(spark, "documents", sf_dir))
+
+
+def _shingle_sql() -> str:
+    """Word-trigram shingles from token hashes (mirrors doc_shingles)."""
+    return sql_word_shingles_from_hashes("th")
+
+
+def _minhash_sql() -> str:
+    """WITH-clause SQL computing the same minhash signature."""
+    ms = ",\n             ".join(
+        f"list_min(list_transform(sh, x -> (CAST({a} AS BIGINT)*x + {b}) % {P_HASH})) AS m{i}"
+        for i, (a, b) in enumerate(_MH.coefficients())
+    )
+    return f"""
+    th AS (SELECT doc_id, {sql_token_hashes('text')} AS th FROM documents),
+    shingled AS (SELECT doc_id, {_shingle_sql()} AS sh FROM th),
+    sets AS (
+      SELECT doc_id, list_distinct(sh) AS sset FROM shingled
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {ms}
+      FROM shingled
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT {b} AS band, CAST(m{b * _MH.rows} AS VARCHAR) || '_' || CAST(m{b * _MH.rows + 1} AS VARCHAR) AS bkey, doc_id FROM sigs"
+        for b in range(_MH.bands)
+      )}
+    ),
+    cands AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+    )
+    """
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_minhash_sql()}
+    SELECT id_a, id_b,
+           len(list_intersect(a.sset, b.sset)) /
+             (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset))) AS jaccard
+    FROM cands
+    JOIN sets a ON cands.id_a = a.doc_id
+    JOIN sets b ON cands.id_b = b.doc_id
+    WHERE len(list_intersect(a.sset, b.sset)) /
+          (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset))) >= 0.5
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 hashes) + banded LSH (8x2) candidate generation,
+    verified by true trigram-set Jaccard >= 0.5."""
+    return minhash_dedup_pairs(load_table(spark, "documents", sf_dir), params=_MH)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH th AS (
+      SELECT doc_id, source, {sql_token_hashes('text')} AS th FROM documents
+    ),
+    sets AS (
+      SELECT doc_id, source, list_distinct({_shingle_sql()}) AS s
+      FROM th
+    )
+    SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.s, b.s)) /
+             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+    FROM sets a JOIN sets b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) /
+          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs, blocked by source."""
+    return ngram_jaccard_pairs(
+        load_table(spark, "documents", sf_dir), group_cols=["source"], threshold=0.5
+    )
+
+
+def _simhash_sql() -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    toks AS (
+      SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM documents
+    ),
+    hashes AS (
+      SELECT doc_id, {sql_poly_hash('tok')} AS h FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, {votes} FROM hashes GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@query("dedup_simhash", "WITH " + _simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level SimHash fingerprints (30-bit)."""
+    return simhash(load_table(spark, "documents", sf_dir))
+
+
+_SW = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+
+@query(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct_tokens,
+           (length(text) + {BPE_CHARS_PER_TOKEN - 1}) // {BPE_CHARS_PER_TOKEN}
+             AS n_bpe_tokens_est,
+           CASE WHEN len(toks) > 0
+                THEN list_reduce(list_prepend(0, list_transform(toks, t -> length(t))),
+                                 (acc, v) -> acc + v) / len(toks)
+                ELSE NULL END AS mean_token_len
+    FROM (SELECT doc_id, text, {sql_tokens('text')} AS toks FROM documents)
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(load_table(spark, "documents", sf_dir))
+
+
+@query(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(toks) AS n_tokens,
+           stop_ratio AS stopword_ratio,
+           distinct_ratio,
+           stop_ratio * 0.5 + distinct_ratio * 0.5 AS quality_score
+    FROM (
+      SELECT doc_id, text, toks,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_filter(toks, t -> t IN ({_SW}))) / len(toks)
+                  ELSE 0.0 END AS stop_ratio,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_distinct(toks)) / len(toks)
+                  ELSE 0.0 END AS distinct_ratio
+      FROM (SELECT doc_id, text, {sql_tokens('text')} AS toks FROM documents)
+    )
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(load_table(spark, "documents", sf_dir))
+
+
+@query(
+    "text_lang_id",
+    f"""
+    SELECT doc_id, en_density,
+           CASE WHEN en_density >= 0.05 THEN 'en' ELSE 'other' END AS lang_guess
+    FROM (
+      SELECT doc_id,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_filter(toks, t -> t IN ({_SW}))) / len(toks)
+                  ELSE 0.0 END AS en_density
+      FROM (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents)
+    )
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(load_table(spark, "documents", sf_dir))
+
+
+@query(
+    "ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, {sql_cosine('embedding', 'qv')} AS cosine
+    FROM embeddings, q
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against the vec_id=0 query vector —
+    the exact ANN baseline."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=10)
+
+
+def _lsh_bucket_sql(vec: str) -> str:
+    bits = []
+    for p in range(DEFAULT_PLANES):
+        proj = sql_signed_projection(vec, hyperplane_signs(p, EMB_DIM))
+        bits.append(f"CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+@query(
+    "ann_lsh_topk",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+    SELECT vec_id, {sql_cosine('embedding', 'qv')} AS cosine
+    FROM b, q
+    WHERE b.bucket = q.qbucket
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN: scores only the query's bucket
+    (~1/2^8 of the corpus)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return ann_lsh_topk(emb, emb.filter(F.col("vec_id") == 0), dim=EMB_DIM, k=10)
+
+
+@query(
+    "embedding_neardup",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+    SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+           {sql_cosine('a.embedding', 'b.embedding')} AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {sql_cosine('a.embedding', 'b.embedding')} >= 0.3
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs blocked by label."""
+    return embedding_neardup_pairs(
+        load_table(spark, "embeddings", sf_dir), group_cols=["label"], threshold=0.3
+    )

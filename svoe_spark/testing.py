@@ -16,7 +16,7 @@ import os
 import duckdb
 from pyspark.sql import SparkSession
 
-from svoe_spark.queries import QUERIES
+from svoe_spark.all_queries import QUERIES
 from svoe_spark.sources.tables import ALL_TABLES
 
 

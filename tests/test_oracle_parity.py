@@ -4,7 +4,7 @@ values) at sf0.001; mark `slow` runs sf0.01 (what the driver uses)."""
 
 import pytest
 
-from svoe_spark.queries import QUERIES
+from svoe_spark.all_queries import QUERIES
 from svoe_spark.testing import run_parity
 
 
