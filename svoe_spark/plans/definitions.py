@@ -1,0 +1,170 @@
+"""Feature-definition registry: the user extension point.
+
+A FeatureDefinition is a typed DataFrame->DataFrame transformation with
+declared upstreams (reference: features/definitions/feature_definition.py:14-67
+— `stream(upstreams, params)` + `dep_upstream_schema`). Here the batch
+and streaming paths share the same transform wherever the expression is
+window/group based; genuinely stateful definitions override
+`transform_stream`.
+
+Contract: every produced DataFrame carries an event-time column `ts`,
+the instrument key columns declared by the source, and the feature's
+value columns. The planner as-of joins on (keys, ts).
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from svoe_spark.operators.windows import ohlcv, pct_change, sliding_stddev, tvi
+
+REGISTRY: dict[str, type["FeatureDefinition"]] = {}
+
+
+def register(cls: type["FeatureDefinition"]) -> type["FeatureDefinition"]:
+    REGISTRY[cls.name] = cls
+    return cls
+
+
+class FeatureDefinition(ABC):
+    name: str = ""
+    # upstream slots: list of (slot_name); deps in config bind by order
+    dep_slots: tuple[str, ...] = ("source",)
+
+    @classmethod
+    @abstractmethod
+    def transform(
+        cls, upstreams: dict[str, DataFrame], params: dict, keys: list[str]
+    ) -> DataFrame:
+        ...
+
+    @classmethod
+    def transform_stream(
+        cls, upstreams: dict[str, DataFrame], params: dict, keys: list[str]
+    ) -> DataFrame:
+        """Streaming variant; default = same expression (valid for
+        stateless/row-local transforms; window-agg definitions override
+        with watermarked groupBy-window forms)."""
+        return cls.transform(upstreams, params, keys)
+
+
+@register
+class MidPrice(FeatureDefinition):
+    """(bid+ask)/2 (reference mid_price_fd.py:25-48); with a single
+    price column upstream it passes it through as mid_price."""
+
+    name = "mid_price"
+
+    @classmethod
+    def transform(cls, upstreams, params, keys):
+        df = upstreams["source"]
+        if "bid" in df.columns and "ask" in df.columns:
+            return df.select(
+                *keys, "ts", ((F.col("bid") + F.col("ask")) / 2).alias("mid_price")
+            )
+        src = params.get("price_col", "value")
+        return df.select(*keys, "ts", F.col(src).alias("mid_price"))
+
+
+@register
+class RelativeSpread(FeatureDefinition):
+    """2*|bid-ask|/(bid+ask) (reference relative_bid_ask_spread_fd.py:27-33)."""
+
+    name = "relative_spread"
+
+    @classmethod
+    def transform(cls, upstreams, params, keys):
+        df = upstreams["source"]
+        return df.select(
+            *keys,
+            "ts",
+            (
+                2.0
+                * F.abs(F.col("bid") - F.col("ask"))
+                / (F.col("bid") + F.col("ask"))
+            ).alias("spread"),
+        )
+
+
+@register
+class VolatilityStddev(FeatureDefinition):
+    """Trailing-window stddev of an upstream value (reference
+    volatility_stddev_fd.py:30-56)."""
+
+    name = "volatility_stddev"
+    dep_slots = ("mid_price",)
+
+    @classmethod
+    def transform(cls, upstreams, params, keys):
+        df = upstreams["mid_price"]
+        value = params.get("value_col", "mid_price")
+        out = sliding_stddev(
+            df, on="ts", value=value, by=keys, window=params.get("window", "1m"),
+            out="volatility",
+        )
+        return out.select(*keys, "ts", "volatility")
+
+
+@register
+class TradeVolumeImbalance(FeatureDefinition):
+    """TVI over trailing notional volume (reference
+    trade_volume_imb_fd.py:42-117)."""
+
+    name = "tvi"
+
+    @classmethod
+    def transform(cls, upstreams, params, keys):
+        df = upstreams["source"]
+        out = tvi(
+            df,
+            on="ts",
+            price=params.get("price_col", "price"),
+            amount=params.get("amount_col", "amount"),
+            side=params.get("side_col", "side"),
+            by=keys,
+            window=params.get("window", "1m"),
+        )
+        return out.select(*keys, "ts", "tvi")
+
+
+@register
+class OHLCV(FeatureDefinition):
+    """Tumbling OHLCV (reference ohlcv_fd.py:28-101). Emits one row per
+    closed bucket at the bucket start."""
+
+    name = "ohlcv"
+
+    @classmethod
+    def transform(cls, upstreams, params, keys):
+        df = upstreams["source"]
+        out = ohlcv(
+            df,
+            on="ts",
+            price=params.get("price_col", "price"),
+            amount=params.get("amount_col", "amount"),
+            by=keys,
+            window=params.get("window", "1m"),
+        )
+        return out.withColumnRenamed("window_start", "ts")
+
+
+@register
+class Diff(FeatureDefinition):
+    """(last-first)/first over a trailing window, generic over any
+    single-value upstream (reference transforms/diff/diff.py:29-64)."""
+
+    name = "diff"
+    dep_slots = ("upstream",)
+
+    @classmethod
+    def transform(cls, upstreams, params, keys):
+        df = upstreams["upstream"]
+        value = params["value_col"]
+        out = pct_change(
+            df, on="ts", value=value, by=keys, window=params.get("window", "1m"),
+            out="diff",
+        )
+        return out.select(*keys, "ts", "diff")
