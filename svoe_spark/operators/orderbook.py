@@ -1,0 +1,263 @@
+"""L2 order-book reconstruction (reference T2 — the hardest stateful
+operator: l2_snapshot_fd.py:35-106 + l2_book/l2_snapshot_fd/utils.py:21-89).
+
+Semantics (cryptotick dialect):
+  * SNAPSHOT resets the book to exactly the rows in the event;
+  * ADD inserts/accumulates size at a level;
+  * SET overwrites size (size 0 deletes);
+  * SUB subtracts size (level removed at <= 0); SUB/SET on a missing
+    level counts an inconsistency and is ignored;
+  * events before the first SNAPSHOT are skipped;
+  * each processed event emits a depth-truncated snapshot.
+
+Physical design: one book per instrument key. Batch = applyInPandas per
+key (Arrow in, Arrow out, book dict in plain Python — this is exactly
+the (b) case from the brief: semantics Spark expressions can't state).
+Streaming = applyInPandasWithState with the book as state. A single hot
+instrument is inherently sequential (same as the reference); depth
+truncation bounds state and output size. The per-event-emission cost the
+reference measured at 300x (l2_snapshot_fd.py:65-66) is controlled the
+same way: `emit_every` bucket-samples emissions inside the operator.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from svoe_spark.functions.time import duration_to_seconds
+
+LEVEL = StructType(
+    [StructField("price", DoubleType()), StructField("size", DoubleType())]
+)
+
+
+def snapshot_schema(key_col: str = "symbol") -> StructType:
+    return StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField("ts", TimestampType()),
+            StructField("bids", ArrayType(LEVEL)),
+            StructField("asks", ArrayType(LEVEL)),
+            StructField("inconsistencies", IntegerType()),
+        ]
+    )
+
+
+class _Book:
+    """Pure-Python book engine shared by the batch and streaming ops."""
+
+    __slots__ = ("bids", "asks", "started", "inconsistencies")
+
+    def __init__(self):
+        self.bids: dict[float, float] = {}
+        self.asks: dict[float, float] = {}
+        self.started = False
+        self.inconsistencies = 0
+
+    def apply(self, update_type: str, orders) -> bool:
+        """orders: iterable of (side, price, size). Returns True if the
+        event was applied (False = pre-snapshot skip)."""
+        if update_type == "SNAPSHOT":
+            self.bids.clear()
+            self.asks.clear()
+            for side, price, size in orders:
+                (self.bids if side == "bid" else self.asks)[price] = size
+            self.started = True
+            return True
+        if not self.started:
+            return False
+        for side, price, size in orders:
+            book = self.bids if side == "bid" else self.asks
+            if update_type == "ADD":
+                book[price] = book.get(price, 0.0) + size
+            elif update_type == "SET":
+                if size == 0.0:
+                    if book.pop(price, None) is None:
+                        self.inconsistencies += 1
+                else:
+                    book[price] = size
+            elif update_type == "SUB":
+                cur = book.get(price)
+                if cur is None:
+                    self.inconsistencies += 1
+                    continue
+                left = cur - size
+                if left <= 0.0:
+                    del book[price]
+                else:
+                    book[price] = left
+        return True
+
+    def top(self, depth: int):
+        bids = sorted(self.bids.items(), key=lambda kv: -kv[0])[:depth]
+        asks = sorted(self.asks.items(), key=lambda kv: kv[0])[:depth]
+        return (
+            [{"price": p, "size": s} for p, s in bids],
+            [{"price": p, "size": s} for p, s in asks],
+        )
+
+
+def _replay(
+    pdf: pd.DataFrame, book: _Book, depth: int, emit_every: float | None, key_val
+) -> pd.DataFrame:
+    rows = []
+    last_bucket = None
+    pdf = pdf.sort_values("ts")
+    for ts, update_type, orders in zip(pdf["ts"], pdf["update_type"], pdf["orders"]):
+        applied = book.apply(
+            update_type, ((o["side"], o["price"], o["size"]) for o in orders)
+        )
+        if not applied:
+            continue
+        if emit_every is not None:
+            bucket = int(ts.timestamp() // emit_every)
+            if bucket == last_bucket:
+                continue
+            last_bucket = bucket
+        bids, asks = book.top(depth)
+        rows.append((key_val, ts, bids, asks, book.inconsistencies))
+    return pd.DataFrame(
+        rows, columns=["__key", "ts", "bids", "asks", "inconsistencies"]
+    )
+
+
+def reconstruct_book(
+    df: DataFrame,
+    key: str = "symbol",
+    depth: int = 20,
+    emit_every: str | float | None = None,
+) -> DataFrame:
+    """Batch reconstruction: df(key, ts, update_type, orders:array<
+    struct<side,price,size>>) -> depth-truncated snapshots per event
+    (or per emit_every bucket)."""
+    every = duration_to_seconds(emit_every) if emit_every is not None else None
+    schema = snapshot_schema(key)
+
+    def fn(key_tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        out = _replay(pdf, _Book(), depth, every, key_tuple[0])
+        return out.rename(columns={"__key": key})
+
+    return df.groupBy(key).applyInPandas(fn, schema=schema)
+
+
+def reconstruct_book_stream(
+    df: DataFrame,
+    key: str = "symbol",
+    depth: int = 20,
+    emit_every: str | float | None = None,
+) -> DataFrame:
+    """Streaming reconstruction: the book lives in GroupState; assumes
+    in-order delivery per key (the reference's invariant, T5)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    every = duration_to_seconds(emit_every) if emit_every is not None else None
+    schema = snapshot_schema(key)
+    state_schema = StructType(
+        [
+            StructField("bid_prices", ArrayType(DoubleType())),
+            StructField("bid_sizes", ArrayType(DoubleType())),
+            StructField("ask_prices", ArrayType(DoubleType())),
+            StructField("ask_sizes", ArrayType(DoubleType())),
+            StructField("started", IntegerType()),
+            StructField("inconsistencies", IntegerType()),
+        ]
+    )
+
+    def fn(
+        key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        book = _Book()
+        if state.exists:
+            bp, bs, ap, asz, started, inc = state.get
+            book.bids = dict(zip(bp, bs))
+            book.asks = dict(zip(ap, asz))
+            book.started = bool(started)
+            book.inconsistencies = inc
+        for pdf in pdfs:
+            out = _replay(pdf, book, depth, every, key_tuple[0])
+            yield out.rename(columns={"__key": key})
+        state.update(
+            (
+                list(book.bids.keys()),
+                list(book.bids.values()),
+                list(book.asks.keys()),
+                list(book.asks.values()),
+                int(book.started),
+                book.inconsistencies,
+            )
+        )
+
+    return df.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def synthetic_l2_updates(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """Derive a deterministic L2 update stream from the driver's events
+    table (the fixtures ship no L2 table): one instrument per user so
+    each stream interleaves all update types — signup -> SNAPSHOT around
+    the event value; click/view -> ADD bid/ask; purchase -> SET (pmod 5
+    size, sometimes 0 = delete); error -> SUB (often on missing levels
+    -> inconsistency path). Used by tests and the rows-only entry."""
+    base = F.col("value")
+    qty = F.get_json_object("props", "$.k").cast("double")
+    mk = lambda side, price, size: F.struct(  # noqa: E731
+        side.alias("side"), price.alias("price"), size.alias("size")
+    )
+    orders = (
+        F.when(
+            F.col("event_type") == "signup",
+            F.array(
+                mk(F.lit("bid"), F.round(base - 1, 2), qty + 1),
+                mk(F.lit("bid"), F.round(base - 2, 2), qty + 2),
+                mk(F.lit("ask"), F.round(base + 1, 2), qty + 1),
+                mk(F.lit("ask"), F.round(base + 2, 2), qty + 2),
+            ),
+        )
+        .when(
+            F.col("event_type").isin("click", "view"),
+            F.array(
+                mk(
+                    F.when(F.col("event_type") == "click", F.lit("bid")).otherwise(
+                        F.lit("ask")
+                    ),
+                    F.round(base, 2),
+                    qty + 1,
+                )
+            ),
+        )
+        .when(
+            F.col("event_type") == "purchase",
+            F.array(mk(F.lit("bid"), F.round(base, 2), F.pmod(qty, F.lit(5.0)))),
+        )
+        .otherwise(F.array(mk(F.lit("ask"), F.round(base, 2), qty + 1)))
+    )
+    update_type = (
+        F.when(F.col("event_type") == "signup", F.lit("SNAPSHOT"))
+        .when(F.col("event_type").isin("click", "view"), F.lit("ADD"))
+        .when(F.col("event_type") == "purchase", F.lit("SET"))
+        .otherwise(F.lit("SUB"))
+    )
+    return events.select(
+        F.col(key).cast("string").alias("symbol"),
+        F.col("ts"),
+        update_type.alias("update_type"),
+        orders.alias("orders"),
+    )

@@ -75,7 +75,7 @@ def ohlcv(
             F.min(price).alias("low"),
             F.max_by(price, epoch_seconds(on)).alias("close"),
             F.sum(amount).alias("volume"),
-            (F.sum(pa) / F.sum(amount)).alias("vwap"),
+            F.when(F.sum(amount) != 0, F.sum(pa) / F.sum(amount)).alias("vwap"),
             F.count(F.lit(1)).alias("num_trades"),
         )
     )

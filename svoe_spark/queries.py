@@ -657,6 +657,30 @@ def every_nth_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("orderbook_snapshots", None, bench=True)
+def orderbook_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 order-book reconstruction (reference T2, the flagship stateful
+    op — l2_snapshot_fd.py:35-106): replays a deterministic update
+    stream derived from `events`, emits depth-truncated snapshots.
+    No SQL oracle — a per-key sequential state machine is exactly the
+    operator class SQL can't express (driver records rows-only); the
+    pytest suite differential-tests it against a single-process replay
+    (tests/test_orderbook.py)."""
+    from svoe_spark.operators.orderbook import reconstruct_book, synthetic_l2_updates
+
+    events = load_table(spark, "events", sf_dir)
+    snaps = reconstruct_book(synthetic_l2_updates(events), depth=10)
+    return snaps.select(
+        "symbol",
+        "ts",
+        F.element_at("bids", 1)["price"].alias("best_bid"),
+        F.element_at("asks", 1)["price"].alias("best_ask"),
+        F.size("bids").alias("bid_depth"),
+        F.size("asks").alias("ask_depth"),
+        "inconsistencies",
+    )
+
+
 @query(
     "local_extrema",
     """

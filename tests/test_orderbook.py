@@ -1,0 +1,109 @@
+"""Order-book reconstruction: hand-computed semantics fixture +
+distributed-vs-sequential differential (the reference's strongest test
+pattern, test_task_graph.py:82)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from svoe_spark.operators.orderbook import (
+    _Book,
+    reconstruct_book,
+    synthetic_l2_updates,
+)
+from svoe_spark.sources.tables import load_table
+
+FIXTURE = [
+    # (ts_offset, update_type, [(side, price, size)])
+    (0, "ADD", [("bid", 99.0, 1.0)]),          # pre-snapshot: skipped
+    (1, "SNAPSHOT", [("bid", 100.0, 2.0), ("ask", 101.0, 3.0)]),
+    (2, "ADD", [("bid", 100.0, 1.0), ("bid", 99.5, 4.0)]),
+    (3, "SET", [("ask", 101.0, 5.0)]),
+    (4, "SUB", [("bid", 99.5, 4.0)]),           # removes the level
+    (5, "SUB", [("bid", 98.0, 1.0)]),           # missing -> inconsistency
+    (6, "SET", [("bid", 100.0, 0.0)]),          # size 0 -> delete
+    (7, "SNAPSHOT", [("bid", 50.0, 1.0), ("ask", 51.0, 1.0)]),  # reset
+]
+
+
+def test_book_engine_semantics():
+    book = _Book()
+    assert not book.apply("ADD", [("bid", 99.0, 1.0)])  # pre-snapshot
+    book.apply("SNAPSHOT", [("bid", 100.0, 2.0), ("ask", 101.0, 3.0)])
+    book.apply("ADD", [("bid", 100.0, 1.0), ("bid", 99.5, 4.0)])
+    assert book.bids == {100.0: 3.0, 99.5: 4.0}
+    book.apply("SET", [("ask", 101.0, 5.0)])
+    assert book.asks == {101.0: 5.0}
+    book.apply("SUB", [("bid", 99.5, 4.0)])
+    assert 99.5 not in book.bids
+    book.apply("SUB", [("bid", 98.0, 1.0)])
+    assert book.inconsistencies == 1
+    book.apply("SET", [("bid", 100.0, 0.0)])
+    assert book.bids == {}
+    book.apply("SNAPSHOT", [("bid", 50.0, 1.0), ("ask", 51.0, 1.0)])
+    assert book.bids == {50.0: 1.0} and book.asks == {51.0: 1.0}
+
+
+def test_reconstruct_batch_fixture(spark):
+    import datetime as dt
+
+    base_ts = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            "X",
+            base_ts + dt.timedelta(seconds=off),
+            ut,
+            [{"side": s, "price": p, "size": z} for s, p, z in orders],
+        )
+        for off, ut, orders in FIXTURE
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, ts timestamp, update_type string, "
+        "orders array<struct<side:string,price:double,size:double>>"
+    )
+    out = {r["ts"].second: r for r in reconstruct_book(df, depth=5).collect()}
+    assert 0 not in out  # pre-snapshot event emitted nothing
+    assert [(b["price"], b["size"]) for b in out[2]["bids"]] == [(100.0, 3.0), (99.5, 4.0)]
+    assert [(a["price"], a["size"]) for a in out[3]["asks"]] == [(101.0, 5.0)]
+    assert [(b["price"], b["size"]) for b in out[4]["bids"]] == [(100.0, 3.0)]
+    assert out[5]["inconsistencies"] == 1
+    assert out[6]["bids"] == []
+    assert [(b["price"], b["size"]) for b in out[7]["bids"]] == [(50.0, 1.0)]
+
+
+def test_distributed_equals_sequential(spark, sf_small):
+    """Spark per-key reconstruction == single-process pandas replay."""
+    events = load_table(spark, "events", sf_small)
+    updates = synthetic_l2_updates(events)
+    got = {
+        (r["symbol"], r["ts"]): (r["bids"], r["asks"], r["inconsistencies"])
+        for r in reconstruct_book(updates, depth=10).collect()
+    }
+
+    pdf = updates.orderBy("symbol", "ts").toPandas()
+    count = 0
+    for sym, grp in pdf.groupby("symbol"):
+        book = _Book()
+        for _, row in grp.sort_values("ts").iterrows():
+            if not book.apply(
+                row["update_type"],
+                [(o["side"], o["price"], o["size"]) for o in row["orders"]],
+            ):
+                continue
+            bids, asks = book.top(10)
+            key = (sym, row["ts"])
+            assert key in got, f"missing emission {key}"
+            gb, ga, ginc = got[key]
+            assert [(b["price"], b["size"]) for b in gb] == [(b["price"], b["size"]) for b in bids]
+            assert [(a["price"], a["size"]) for a in ga] == [(a["price"], a["size"]) for a in asks]
+            assert ginc == book.inconsistencies
+            count += 1
+    assert count == len(got) > 0
+
+
+def test_emit_every_sampling(spark, sf_small):
+    events = load_table(spark, "events", sf_small)
+    updates = synthetic_l2_updates(events)
+    raw = reconstruct_book(updates, depth=5).count()
+    sampled = reconstruct_book(updates, depth=5, emit_every="1d").count()
+    assert 0 < sampled < raw

@@ -1,0 +1,146 @@
+"""Kappa equivalence (reference T6, the framework's core requirement):
+the SAME feature computed over a replayed stream must equal the batch
+computation. Plus stateful streaming ops: trailing stddev, running
+reduce, order-book reconstruction with state across micro-batches."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from svoe_spark.operators.orderbook import (
+    reconstruct_book,
+    reconstruct_book_stream,
+    synthetic_l2_updates,
+)
+from svoe_spark.operators.windows import ohlcv, sliding_stddev
+from svoe_spark.queries import ticks
+from svoe_spark.sources.tables import load_table
+from svoe_spark.streaming.aggregate import running_reduce_stream
+from svoe_spark.streaming.features import ohlcv_stream, trailing_stddev_stream
+from svoe_spark.streaming.sinks import run_available_to_memory
+from svoe_spark.streaming.sources import replay_parquet
+
+
+@pytest.fixture(scope="module")
+def tick_parquet(spark, sf_small, tmp_path_factory):
+    """Ticks written as multiple files so the replay spans micro-batches."""
+    path = str(tmp_path_factory.mktemp("stream") / "ticks")
+    ticks(spark, sf_small).repartitionByRange(4, "ts").write.parquet(path)
+    return path
+
+
+def _rows(df, keycols):
+    return {
+        tuple(r[k] for k in keycols): r.asDict() for r in df.collect()
+    }
+
+
+def test_ohlcv_stream_equals_batch(spark, sf_small, tick_parquet):
+    stream = replay_parquet(spark, tick_parquet)
+    out = run_available_to_memory(
+        ohlcv_stream(stream, on="ts", price="value", amount="qty",
+                     by="event_type", window="1h"),
+        output_mode="complete",  # append would hold back the final open windows
+    )
+    batch = ohlcv(
+        ticks(spark, sf_small), on="ts", price="value", amount="qty",
+        by="event_type", window="1h",
+    )
+    got = _rows(out, ("event_type", "window_start"))
+    want = _rows(batch, ("event_type", "window_start"))
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        for col in ("open", "high", "low", "close", "volume", "num_trades"):
+            assert g[col] == w[col], (k, col)
+        assert g["vwap"] == pytest.approx(w["vwap"], rel=1e-12, abs=1e-12) or (
+            g["vwap"] is None and w["vwap"] is None
+        )
+
+
+def test_trailing_stddev_stream_equals_batch(spark, sf_small, tick_parquet):
+    stream = replay_parquet(spark, tick_parquet).select("event_type", "ts", "value")
+    out = run_available_to_memory(
+        trailing_stddev_stream(stream, on="ts", value="value",
+                               by="event_type", window="1h")
+    )
+    batch = sliding_stddev(
+        ticks(spark, sf_small).select("event_type", "ts", "value"),
+        on="ts", value="value", by="event_type", window="1h",
+    )
+    got = _rows(out, ("event_type", "ts"))
+    want = _rows(batch, ("event_type", "ts"))
+    assert set(got) == set(want)
+    mismatches = 0
+    for k, w in want.items():
+        g, exp = got[k]["volatility"], w["volatility"]
+        if exp is None:
+            ok = g is None or math.isnan(g)
+        else:
+            ok = g == pytest.approx(exp, rel=1e-9)
+        mismatches += 0 if ok else 1
+    assert mismatches == 0
+
+
+def test_orderbook_stream_equals_batch(spark, sf_small, tmp_path):
+    import time
+
+    events = load_table(spark, "events", sf_small)
+    updates = synthetic_l2_updates(events)
+    path = str(tmp_path / "l2")
+    # the stateful op assumes in-order arrival per key (the reference's
+    # invariant, T5): the file source orders micro-batches by mtime, so
+    # write the time-ranges sequentially to model an ordered feed
+    bounds = updates.selectExpr(
+        "min(ts) lo", "max(ts) hi"
+    ).first()
+    step = (bounds["hi"] - bounds["lo"]) / 4
+    for i in range(4):
+        lo = bounds["lo"] + i * step
+        hi = bounds["hi"] if i == 3 else bounds["lo"] + (i + 1) * step
+        chunk = updates.filter(
+            (F.col("ts") >= lo) & (F.col("ts") <= hi if i == 3 else F.col("ts") < hi)
+        )
+        chunk.coalesce(1).write.mode("append").parquet(path)
+        time.sleep(1.1)  # file-source mtime ordering is second-granular
+
+    stream = (
+        spark.readStream.schema(updates.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    got = _rows(
+        run_available_to_memory(reconstruct_book_stream(stream, depth=10)),
+        ("symbol", "ts"),
+    )
+    want = _rows(reconstruct_book(updates, depth=10), ("symbol", "ts"))
+    assert set(got) == set(want)
+    diffs = [
+        k
+        for k in want
+        if (got[k]["bids"], got[k]["asks"], got[k]["inconsistencies"])
+        != (want[k]["bids"], want[k]["asks"], want[k]["inconsistencies"])
+    ]
+    assert diffs == []
+
+
+def test_running_reduce_stream(spark, sf_small, tick_parquet):
+    stream = replay_parquet(spark, tick_parquet).select(
+        F.col("event_type").alias("symbol"), F.col("ts"), F.col("value")
+    )
+    out = run_available_to_memory(
+        running_reduce_stream(stream, value="value", ops=["sum", "count", "max"])
+    )
+    rows = sorted(
+        (r for r in out.collect() if r["symbol"] == "click"), key=lambda r: r["ts"]
+    )
+    vals = [r["value"] for r in rows]
+    assert rows[-1]["sum_value"] == pytest.approx(sum(vals))
+    assert rows[-1]["count_value"] == len(vals)
+    assert rows[-1]["max_value"] == max(vals)
+    # running invariants hold at every prefix
+    run = 0.0
+    for r in rows:
+        run += r["value"]
+        assert r["sum_value"] == pytest.approx(run)
