@@ -657,6 +657,238 @@ def every_nth_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "token_frequencies",
+    """
+    SELECT tok, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS doc_freq
+    FROM (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS tok
+      FROM documents
+    )
+    GROUP BY tok
+    """,
+)
+def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flat_map/explode (reference P2, operator.py:134-146): token
+    inverted-index counts — explode is the UDTF-class op."""
+    from svoe_spark.functions.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.count_distinct("doc_id").alias("doc_freq"),
+        )
+    )
+
+
+@query(
+    "composite_events_by_minute",
+    """
+    SELECT user_id,
+           time_bucket(INTERVAL '1 minute', ts) AS bucket,
+           COUNT(*) AS n_events,
+           list_sort(list(event_type)) AS event_types,
+           CAST(SUM(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+    FROM events
+    GROUP BY user_id, bucket
+    HAVING COUNT(*) > 1
+    """,
+)
+def composite_events_by_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event grouping into composite events (reference W5 — grouping
+    rows that share a time key into one logical event,
+    cryptotick_l2_book_incremental.py:23-26): collect_list + sort."""
+    e = load_table(spark, "events", sf_dir)
+    return (
+        e.groupBy("user_id", bucket_start("ts", "1m").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sort_array(F.collect_list("event_type")).alias("event_types"),
+            (F.sum(_cents(F.col("value"))) / 100.0).alias("total_value"),
+        )
+        .filter(F.col("n_events") > 1)
+    )
+
+
+@query(
+    "combine_latest_vector",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'view' THEN value END AS view_value,
+             CASE WHEN event_type = 'click' THEN value END AS click_value,
+             CASE WHEN event_type = 'purchase' THEN value END AS purchase_value
+      FROM events WHERE event_type IN ('view','click','purchase')
+    )
+    SELECT user_id, ts, event_id,
+           last_value(view_value IGNORE NULLS) OVER w AS view_value,
+           last_value(click_value IGNORE NULLS) OVER w AS click_value,
+           last_value(purchase_value IGNORE NULLS) OVER w AS purchase_value
+    FROM tagged
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def combine_latest_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """combine_latest (reference J5, feature_stream_graph.py:114-119):
+    one row per tick carrying the latest value of every stream — the
+    online inference vector."""
+    e = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    tagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        *[
+            F.when(F.col("event_type") == t, F.col("value")).alias(f"{t}_value")
+            for t in ("view", "click", "purchase")
+        ],
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_seconds("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return tagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        *[
+            F.last(f"{t}_value", ignorenulls=True).over(w).alias(f"{t}_value")
+            for t in ("view", "click", "purchase")
+        ],
+    )
+
+
+@query(
+    "running_reduce_user",
+    """
+    SELECT user_id, ts, event_id,
+           CAST(SUM(vc) OVER w AS BIGINT) / 100.0 AS running_sum,
+           COUNT(*) OVER w AS running_count,
+           MAX(value) OVER w AS running_max
+    FROM (SELECT user_id, ts, event_id, value,
+                 CAST(round(value*100,0) AS BIGINT) AS vc FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def running_reduce_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed running reduce emitting every update (reference A6, v2
+    operator.py:171-191), via the combine.running_reduce library op."""
+    from svoe_spark.operators.combine import running_reduce
+
+    e = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", "value", _cents(F.col("value")).alias("vc")
+    )
+    out = running_reduce(
+        e,
+        {
+            "running_sum_c": F.sum("vc"),
+            "running_count": F.count(F.lit(1)),
+            "running_max": F.max("value"),
+        },
+        on="ts",
+        by="user_id",
+        tiebreak="event_id",
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("running_sum_c") / 100.0).alias("running_sum"),
+        "running_count",
+        "running_max",
+    )
+
+
+@query(
+    "orders_shipped_within_30d",
+    """
+    SELECT o.o_orderkey, o.o_orderdate,
+           COUNT(*) AS items_shipped_30d,
+           CAST(SUM(CAST(round(l.l_extendedprice*100,0) AS BIGINT)) AS BIGINT) / 100.0
+             AS value_shipped_30d
+    FROM orders o
+    JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY o.o_orderkey, o.o_orderdate
+    """,
+)
+def orders_shipped_within_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join (reference J4's data-level analogue:
+    a.start <= x < a.end band join)."""
+    o = load_table(spark, "orders", sf_dir)
+    l = load_table(spark, "lineitem", sf_dir)
+    j = o.join(
+        l,
+        (l.l_orderkey == o.o_orderkey)
+        & (l.l_shipdate >= o.o_orderdate)
+        & (l.l_shipdate < o.o_orderdate + F.expr("INTERVAL 30 DAY")),
+    )
+    return j.groupBy("o_orderkey", "o_orderdate").agg(
+        F.count(F.lit(1)).alias("items_shipped_30d"),
+        (F.sum(_cents(F.col("l_extendedprice"))) / 100.0).alias("value_shipped_30d"),
+    )
+
+
+@query(
+    "events_content_dedup",
+    """
+    SELECT user_id, event_type, value, min(event_id) AS keep_event_id,
+           COUNT(*) AS n_dupes
+    FROM events
+    GROUP BY user_id, event_type, value
+    HAVING COUNT(*) > 0
+    """,
+)
+def events_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-identity dedup of events (reference F6 content hashing,
+    df_utils.py:163-164): group by business content, keep first."""
+    e = load_table(spark, "events", sf_dir)
+    return (
+        e.groupBy("user_id", "event_type", "value")
+        .agg(F.min("event_id").alias("keep_event_id"), F.count(F.lit(1)).alias("n_dupes"))
+    )
+
+
+@query(
+    "sql_frontend_revenue",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT)
+                    * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS BIGINT) / CAST(10000 AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def sql_frontend_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark SQL frontend itself (SURVEY §7.3-10: expose SQL over
+    registered views) — the query text runs verbatim on both engines."""
+    from svoe_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT)
+                        * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS BIGINT) / CAST(10000 AS DOUBLE)
+                 AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_returnflag
+        """
+    )
+
+
 @query("orderbook_snapshots", None, bench=True)
 def orderbook_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 order-book reconstruction (reference T2, the flagship stateful

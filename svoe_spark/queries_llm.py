@@ -15,10 +15,17 @@ from pyspark.sql import functions as F
 
 from svoe_spark.functions.text import (
     P_HASH,
+    sql_codepoints,
     sql_poly_hash,
     sql_token_hashes,
     sql_tokens,
     sql_word_shingles_from_hashes,
+)
+from svoe_spark.operators.multimodal import (
+    HIST_BINS,
+    attach_payload,
+    byte_features,
+    frame_sample,
 )
 from svoe_spark.functions.vectors import hyperplane_signs, sql_cosine, sql_signed_projection
 from svoe_spark.operators.dedup import (
@@ -249,6 +256,55 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(load_table(spark, "documents", sf_dir))
+
+
+@query(
+    "multimodal_byte_features",
+    f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           ord(substr(text, 1, 1)) AS first_byte,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), cp), (a, b) -> a + b) AS checksum,
+           list_transform(range(0, {HIST_BINS}),
+                          bin -> CAST(len(list_filter(cp, c -> c // {256 // HIST_BINS} = bin)) AS BIGINT))
+             AS byte_hist
+    FROM (SELECT doc_id, text, {sql_codepoints('text')} AS cp FROM documents)
+    """,
+)
+def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, oracle-checked end-to-end: text -> BINARY
+    payload column -> Arrow-batched mapInPandas feature extraction
+    (numpy over raw bytes). ASCII fixtures make bytes == codepoints, so
+    DuckDB can verify the byte math exactly."""
+    docs = load_table(spark, "documents", sf_dir)
+    return byte_features(attach_payload(docs))
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id, frame_idx, n_frames,
+           substr(text, frame_idx * 64 + 1, 64) AS frame_text
+    FROM (
+      SELECT doc_id, text,
+             CAST(ceil(length(text) / 64.0) AS INT) AS n_frames,
+             unnest(range(0, CAST(ceil(length(text) / 64.0) AS INT))) AS frame_idx
+      FROM documents
+    )
+    WHERE frame_idx % 2 = 0
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Video' frame sampling over binary payloads: chunk + every-nth
+    sample, pure Spark expressions over the bytes."""
+    docs = load_table(spark, "documents", sf_dir)
+    frames = frame_sample(attach_payload(docs), frame_bytes=64, every_nth=2)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "n_frames",
+        F.decode("frame", "utf-8").alias("frame_text"),
+    )
 
 
 @query(

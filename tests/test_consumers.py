@@ -1,0 +1,77 @@
+"""Backtester + trainer consumers over the sine FeatureLabelSet."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from svoe_spark.consumers.backtest import (
+    SimConfig,
+    run_backtest,
+    run_backtest_time_split,
+)
+from svoe_spark.consumers.trainer import r2, score, time_split, train_regressor
+from svoe_spark.plans.featurizer import Featurizer
+from svoe_spark.sources.synthetic import sine_mid_price
+
+
+@pytest.fixture(scope="module")
+def sine_df(spark):
+    # slow sine (freq in cycles/sec of index time) -> clean local extrema
+    return sine_mid_price(
+        spark, 0.0, 2000.0, step=1.0, amplitude=100.0, mean=1000.0,
+        freq=0.01, keys={"symbol": "SYN"},
+    )
+
+
+def test_backtest_buy_low_sell_high_profits_on_sine(spark, sine_df):
+    res = run_backtest(sine_df, price_col="mid_price", cfg=SimConfig()).collect()
+    assert len(res) == 1
+    r = res[0]
+    assert r["n_events"] == 2000
+    assert r["n_trades"] > 10
+    # buying every trough and selling every crest of a clean sine wave
+    # must beat commissions
+    assert r["final_equity"] > 10_000.0
+    assert r["total_commission"] > 0
+
+
+def test_backtest_time_split(spark, sine_df):
+    res = run_backtest_time_split(sine_df, price_col="mid_price", n_splits=4).collect()
+    assert len(res) == 4
+    assert {r["window"] for r in res} == {0, 1, 2, 3}
+    assert sum(r["n_events"] for r in res) == 2000
+    assert all(r["final_equity"] > 10_000.0 for r in res)
+
+
+def test_trainer_end_to_end(spark):
+    cfg = {
+        "data_source": {
+            "kind": "sine", "start_ts": 0.0, "end_ts": 3000.0, "step": 1.0,
+            "amplitude": 100.0, "mean": 1000.0, "freq": 0.002,
+            "keys": {"symbol": "SYN"},
+        },
+        "keys": ["symbol"],
+        "features": [
+            {"name": "mid", "feature_definition": "mid_price",
+             "params": {"price_col": "mid_price"}},
+            {"name": "mom", "feature_definition": "diff",
+             "deps": ["mid"], "params": {"value_col": "mid_price", "window": "60s"}},
+        ],
+        "label_feature": "mid",
+        "label_lookahead": "10s",
+    }
+    fls = Featurizer(spark).run(cfg)
+    train, valid, test = time_split(fls, (0.7, 0.15, 0.15))
+    n_tr, n_va, n_te = train.count(), valid.count(), test.count()
+    assert n_tr + n_va + n_te == fls.count()
+    assert n_tr > n_va and n_tr > n_te
+    # chronological: max(train.ts) <= min(test.ts)
+    assert (
+        train.agg(F.max("ts")).first()[0] <= test.agg(F.min("ts")).first()[0]
+    )
+
+    feature_cols = ["mid-mid_price", "mom-diff"]
+    label = "label_mid-mid_price"
+    model = train_regressor(train, feature_cols, label)
+    scored = score(model, test.na.drop(subset=feature_cols + [label]))
+    # a smooth sine is highly predictable from level+momentum
+    assert r2(scored, label) > 0.9
