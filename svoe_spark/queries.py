@@ -889,6 +889,48 @@ def sql_frontend_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "session_windows_30m",
+    """
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+    FROM (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+      )
+    )
+    GROUP BY user_id, session_id
+    """,
+)
+def session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30min inactivity gap) — the window type the
+    reference lacks (SURVEY T4 'session windows free extra'), via
+    Spark's native session_window; the oracle derives the same sessions
+    with gaps-and-islands SQL."""
+    e = load_table(spark, "events", sf_dir)
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(_cents(F.col("value"))) / 100.0).alias("total_value"),
+        )
+        .drop("w")
+    )
+
+
 @query("orderbook_snapshots", None, bench=True)
 def orderbook_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 order-book reconstruction (reference T2, the flagship stateful
