@@ -115,11 +115,14 @@ def minhash_signature(
     text: str = "text",
     id_col: str = "doc_id",
     params: MinHashParams = MinHashParams(),
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """(id, m0..m{K-1}): MinHash over word-trigram shingles. Entirely
     JVM higher-order functions; the only movement is the parallelism
     spread for skinny inputs."""
-    base = _spread(df).select(F.col(id_col), doc_shingles(text).alias("__sh"))
+    base = shingled if shingled is not None else _spread(df).select(
+        F.col(id_col), doc_shingles(text).alias("__sh")
+    )
 
     def hash_fn(a: int, b: int):
         # real closure: pyspark treats lambda default-args as lambda params;
@@ -138,13 +141,14 @@ def lsh_candidate_pairs(
     text: str = "text",
     id_col: str = "doc_id",
     params: MinHashParams = MinHashParams(),
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) that collide in at
     least one LSH band. Shuffle key = (band, band-signature): the join
     is equi on compact ints; bucket sizes bound the pair blow-up."""
     # persist: the signature feeds every band AND both join sides;
     # without it Catalyst re-derives the (expensive) shingling per use
-    sig = minhash_signature(df, text, id_col, params).persist()
+    sig = minhash_signature(df, text, id_col, params, shingled=shingled).persist()
     band_rows = []
     for b in range(params.bands):
         key = F.concat_ws(
@@ -181,11 +185,17 @@ def minhash_dedup_pairs(
     params: MinHashParams = MinHashParams(),
     threshold: float = 0.5,
 ) -> DataFrame:
-    """LSH candidates verified by true shingle-set Jaccard >= threshold."""
-    cands = lsh_candidate_pairs(df, text, id_col, params)
-    sets = _spread(df).select(
-        F.col(id_col), F.array_distinct(doc_shingles(text)).alias("__set")
+    """LSH candidates verified by true shingle-set Jaccard >= threshold.
+
+    Shingles are computed ONCE (persisted) and feed both the signature
+    and the verification sets."""
+    shingled = _spread(df).select(
+        F.col(id_col), doc_shingles(text).alias("__sh")
     ).persist()
+    cands = lsh_candidate_pairs(df, text, id_col, params, shingled=shingled)
+    sets = shingled.select(
+        F.col(id_col), F.array_distinct("__sh").alias("__set")
+    )
     j = (
         cands.join(sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("__set", "sa"), "id_a")
         .join(sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("__set", "sb"), "id_b")

@@ -86,6 +86,71 @@ def ann_lsh_topk(
     )
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out: str = "cluster_id",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its max-cosine
+    centroid — a single shuffle-free projection (the argmax is an
+    array_max over K inline struct scores; ties break to the lowest
+    centroid id). `centroids` is the trained codebook; k-means training
+    is a separate (stock pyspark.ml KMeans) step — any fixed list works,
+    and the seeded default in ann_ivf_topk uses the first K vectors.
+    At scale `cluster_id` becomes the partition/cluster key, so probes
+    are partition-pruned scans."""
+    # one norm fold per ROW (not per centroid) and centroid norms as
+    # Python constants — same left-fold, so values are bit-identical to
+    # the naive per-pair cosine
+    import math
+
+    def py_norm(c: list[float]) -> float:
+        acc = 0.0
+        for x in c:
+            acc = acc + float(x) * float(x)
+        return math.sqrt(acc)  # math.sqrt is correctly rounded == SQL sqrt
+
+    withn = vectors.withColumn("__vnorm", F.sqrt(norm_sq(vec_col)))
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+                    / (F.col("__vnorm") * F.lit(py_norm(c)))
+                ).alias("cos"),
+                F.lit(-i).alias("nid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    best = F.array_max(scored)
+    return withn.withColumn(out, -best["nid"]).drop("__vnorm")
+
+
+def ann_ivf_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search, nprobe=1: score only the query's coarse cluster."""
+    assigned = ivf_assign(vectors, centroids, vec_col)
+    q = ivf_assign(query, centroids, vec_col).select(
+        F.col(vec_col).alias("__qv"), F.col("cluster_id").alias("__qc")
+    )
+    cands = assigned.join(F.broadcast(q), F.col("cluster_id") == F.col("__qc"))
+    return (
+        cands.select(
+            F.col(id_col), cosine(F.col(vec_col), F.col("__qv")).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     group_cols: list[str] | None = None,

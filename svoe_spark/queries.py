@@ -890,6 +890,101 @@ def sql_frontend_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "big_spenders_vs_nation",
+    """
+    WITH spend AS (
+      SELECT c.c_custkey, c.c_name, n.n_name,
+             CAST(SUM(CAST(round(o.o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS spend_c,
+             COUNT(*) AS n_orders
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_name, n.n_name
+    )
+    SELECT c_custkey, c_name, n_name,
+           spend_c / 100.0 AS total_spend,
+           nation_avg_c / 100.0 / nation_customers AS nation_avg_spend
+    FROM (
+      SELECT *,
+             CAST(SUM(spend_c) OVER (PARTITION BY n_name) AS BIGINT) AS nation_avg_c,
+             COUNT(*) OVER (PARTITION BY n_name) AS nation_customers
+      FROM spend
+    )
+    WHERE spend_c / 100.0 > 2.0 * (nation_avg_c / 100.0 / nation_customers)
+    """,
+)
+def big_spenders_vs_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate semantics (customer spend vs their nation's
+    average) — the decorrelated window form Catalyst would itself
+    produce for the scalar subquery."""
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    o = load_table(spark, "orders", sf_dir).withColumn("tc", _cents(F.col("o_totalprice")))
+    spend = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum("tc").alias("spend_c"), F.count(F.lit(1)).alias("n_orders"))
+    )
+    wn = Window.partitionBy("n_name")
+    spend = spend.withColumn("nation_avg_c", F.sum("spend_c").over(wn)).withColumn(
+        "nation_customers", F.count(F.lit(1)).over(wn)
+    )
+    return spend.filter(
+        F.col("spend_c") / 100.0
+        > 2.0 * ((F.col("nation_avg_c") / 100.0) / F.col("nation_customers"))
+    ).select(
+        "c_custkey",
+        "c_name",
+        "n_name",
+        (F.col("spend_c") / 100.0).alias("total_spend"),
+        ((F.col("nation_avg_c") / 100.0) / F.col("nation_customers")).alias(
+            "nation_avg_spend"
+        ),
+    )
+
+
+@query(
+    "top_returned_customers",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(round(l.l_extendedprice*100,0) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount*100,0) AS BIGINT))) AS BIGINT) / 10000.0
+             AS returned_revenue,
+           COUNT(*) AS n_returned_items
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY returned_revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def top_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: revenue of returned items per customer, top 20
+    (global top-k after aggregation; cents-exact ordering with key
+    tiebreak keeps the cut deterministic)."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    l = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    rev = F.sum(
+        _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    )
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            (rev / 10000.0).alias("returned_revenue"),
+            F.count(F.lit(1)).alias("n_returned_items"),
+        )
+        .orderBy(F.col("returned_revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
     "session_windows_30m",
     """
     SELECT user_id,

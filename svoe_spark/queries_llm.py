@@ -38,6 +38,7 @@ from svoe_spark.operators.dedup import (
 )
 from svoe_spark.operators.similarity import (
     DEFAULT_PLANES,
+    ann_ivf_topk,
     ann_lsh_topk,
     brute_force_topk,
     embedding_neardup_pairs,
@@ -352,6 +353,45 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~1/2^8 of the corpus)."""
     emb = load_table(spark, "embeddings", sf_dir)
     return ann_lsh_topk(emb, emb.filter(F.col("vec_id") == 0), dim=EMB_DIM, k=10)
+
+
+IVF_K = 16
+
+
+@query(
+    "ann_ivf_topk",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {IVF_K}
+    ),
+    a AS (
+      SELECT e.vec_id, e.embedding, c.cid AS cluster_id
+      FROM embeddings e, cents c
+      QUALIFY row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {sql_cosine('e.embedding', 'c.cv')} DESC, c.cid
+      ) = 1
+    ),
+    q AS (SELECT embedding AS qv, cluster_id AS qc FROM a WHERE vec_id = 0)
+    SELECT a.vec_id, {sql_cosine('a.embedding', 'qv')} AS cosine
+    FROM a, q
+    WHERE a.cluster_id = q.qc
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN, nprobe=1. Deterministic codebook = the first 16 vectors
+    (stand-in for a pyspark.ml KMeans fit — assignment/probe is the
+    operator; training is stock MLlib). Assignment is a shuffle-free
+    argmax expression; the oracle derives the same assignment
+    relationally (arg_max over a centroid cross join)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < IVF_K).orderBy("vec_id").collect()
+    ]
+    return ann_ivf_topk(emb, emb.filter(F.col("vec_id") == 0), cents, k=10)
 
 
 @query(
