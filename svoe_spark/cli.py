@@ -1,0 +1,108 @@
+"""CLI — the reference's command surface (reference: svoe/cli/
+featurizer_cli.py:16-39, trainer_cli.py, backtester_cli.py:14-30):
+
+    python -m svoe_spark.cli featurizer run <config.yaml> [--out PATH]
+    python -m svoe_spark.cli featurizer get-data <config.yaml> [--every-nth N]
+    python -m svoe_spark.cli backtester run <config.yaml> --price-col COL
+    python -m svoe_spark.cli trainer run <config.yaml> --features A B --label L
+    python -m svoe_spark.cli bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark():
+    from svoe_spark.session import get_spark
+
+    s = get_spark("svoe_spark_cli")
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="svoe_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    feat = sub.add_parser("featurizer")
+    fsub = feat.add_subparsers(dest="action", required=True)
+    for action in ("run", "get-data"):
+        fp = fsub.add_parser(action)
+        fp.add_argument("config")
+        fp.add_argument("--out", help="write result parquet here instead of printing")
+        fp.add_argument("--every-nth", type=int, default=1)
+        fp.add_argument("--show", type=int, default=10)
+
+    bt = sub.add_parser("backtester")
+    btsub = bt.add_subparsers(dest="action", required=True)
+    btr = btsub.add_parser("run")
+    btr.add_argument("config")
+    btr.add_argument("--price-col", required=True)
+    btr.add_argument("--key", default="symbol")
+    btr.add_argument("--splits", type=int, default=1)
+
+    tr = sub.add_parser("trainer")
+    trsub = tr.add_subparsers(dest="action", required=True)
+    trr = trsub.add_parser("run")
+    trr.add_argument("config")
+    trr.add_argument("--features", nargs="+", required=True)
+    trr.add_argument("--label", required=True)
+    trr.add_argument("--kind", default="linear", choices=["linear", "gbt"])
+
+    sub.add_parser("bench")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "bench":
+        import bench
+
+        bench.main()
+        return 0
+
+    spark = _spark()
+    from svoe_spark.plans.featurizer import Featurizer
+
+    if args.cmd == "featurizer":
+        fz = Featurizer(spark)
+        df = fz.get_materialized_data(args.config, pick_every_nth_row=args.every_nth)
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"written": args.out, "rows": spark.read.parquet(args.out).count()}))
+        else:
+            df.show(args.show, truncate=False)
+            print(json.dumps({"rows": df.count()}))
+        return 0
+
+    if args.cmd == "backtester":
+        from svoe_spark.consumers.backtest import run_backtest, run_backtest_time_split
+
+        fls = Featurizer(spark).run(args.config)
+        if args.splits > 1:
+            res = run_backtest_time_split(
+                fls, price_col=args.price_col, n_splits=args.splits, by=args.key
+            )
+        else:
+            res = run_backtest(fls, price_col=args.price_col, by=args.key)
+        rows = [r.asDict() for r in res.collect()]
+        print(json.dumps(rows, default=str))
+        return 0
+
+    if args.cmd == "trainer":
+        from svoe_spark.consumers.trainer import r2, score, time_split, train_regressor
+
+        fls = Featurizer(spark).run(args.config)
+        train, valid, test = time_split(fls)
+        model = train_regressor(train, args.features, args.label, kind=args.kind)
+        scored = score(model, test.na.drop(subset=args.features + [args.label]))
+        print(json.dumps({"r2_test": r2(scored, args.label), "n_train": train.count(),
+                          "n_test": test.count()}))
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,89 @@
+"""Fluent DataStream API: the reference v2 e2e pipelines
+(runtime/master/test/test_e2e.py:19-75 — map/keyBy/reduce and join)
+rebuilt on the fluent surface."""
+
+from pyspark.sql import functions as F
+
+from svoe_spark.api import StreamingContext
+
+
+def test_map_keyby_reduce(spark):
+    ctx = StreamingContext(spark)
+    out = (
+        ctx.from_collection(
+            [(i, f"k{i % 3}") for i in range(100)], schema="v long, k string"
+        )
+        .map("k", doubled=F.col("v") * 2)
+        .key_by("k")
+        .reduce(total=F.sum("doubled"), n=F.count(F.lit(1)))
+        .sink_collect()
+    )
+    got = {r["k"]: (r["total"], r["n"]) for r in out}
+    want = {}
+    for i in range(100):
+        t, n = want.get(f"k{i % 3}", (0, 0))
+        want[f"k{i % 3}"] = (t + 2 * i, n + 1)
+    assert got == want
+
+
+def test_flat_map_filter(spark):
+    ctx = StreamingContext(spark)
+    out = (
+        ctx.from_collection([("a b c",), ("d e",)], schema="line string")
+        .flat_map(F.split("line", " "), alias="word")
+        .filter(F.col("word") != "d")
+        .map("word")
+        .sink_collect()
+    )
+    assert sorted(r["word"] for r in out) == ["a", "b", "c", "e"]
+
+
+def test_keyed_join(spark):
+    ctx = StreamingContext(spark)
+    left = ctx.from_collection(
+        [("a", 1), ("b", 2)], schema="k string, lv long"
+    ).key_by("k")
+    right = ctx.from_collection(
+        [("a", 10.0), ("c", 30.0)], schema="k2 string, rv double"
+    ).key_by("k2")
+    rows = left.join(right).map("k", "lv", "rv").sink_collect()
+    assert [tuple(r) for r in rows] == [("a", 1, 10.0)]
+
+
+def test_cli_featurizer_and_backtester(tmp_path, spark):
+    import json
+    import subprocess
+    import sys
+
+    import yaml
+
+    cfg = {
+        "data_source": {
+            "kind": "sine", "start_ts": 0.0, "end_ts": 400.0, "step": 1.0,
+            "amplitude": 100.0, "mean": 1000.0, "freq": 0.01,
+            "keys": {"symbol": "SYN"},
+        },
+        "keys": ["symbol"],
+        "features": [
+            {"name": "mid", "feature_definition": "mid_price",
+             "params": {"price_col": "mid_price"}},
+        ],
+        "label_feature": "mid",
+        "label_lookahead": "5s",
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    env_run = lambda *a: subprocess.run(  # noqa: E731
+        [sys.executable, "-m", "svoe_spark.cli", *a],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    out = env_run("featurizer", "get-data", str(cfg_path), "--out", str(tmp_path / "fls"))
+    assert out.returncode == 0, out.stderr[-2000:]
+    payload = json.loads(out.stdout.strip().splitlines()[-1])
+    assert payload["rows"] == 395
+
+    bt = env_run("backtester", "run", str(cfg_path), "--price-col", "mid-mid_price")
+    assert bt.returncode == 0, bt.stderr[-2000:]
+    res = json.loads(bt.stdout.strip().splitlines()[-1])
+    assert len(res) == 1 and res[0]["n_events"] == 395
