@@ -52,6 +52,10 @@ class FeaturizerConfig:
     keys: list[str] = field(default_factory=list)
     label_feature: str | None = None
     label_lookahead: str | None = None
+    # names of features to materialize into the FeatureStore and reuse
+    # across runs (reference features_to_store, config.py:11-31; the
+    # stored-feature short-circuit builder.py:83-150)
+    features_to_store: list[str] = field(default_factory=list)
 
     @staticmethod
     def load(obj) -> "FeaturizerConfig":
@@ -74,6 +78,7 @@ class FeaturizerConfig:
             keys=list(obj.get("keys", [])),
             label_feature=obj.get("label_feature"),
             label_lookahead=obj.get("label_lookahead"),
+            features_to_store=list(obj.get("features_to_store", [])),
         )
 
 
@@ -81,8 +86,13 @@ class Featurizer:
     """run(config) -> FeatureLabelSet (reference Featurizer.run +
     get_materialized_data, runner.py:28-164)."""
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, store=None):
+        """store: optional svoe_spark.sources.catalog.FeatureStore; when
+        set, features listed in config.features_to_store are read from
+        the lake if already materialized (content-hash keyed), else
+        computed and written."""
         self.spark = spark
+        self.store = store
         self._df_cache: dict[str, DataFrame] = {}
 
     # -- sources ------------------------------------------------------------
@@ -148,7 +158,13 @@ class Featurizer:
                 continue
             upstream_dfs = [by_name[d][1] for d in fc.deps] or [source_df]
             upstreams = dict(zip(defn.dep_slots, upstream_dfs))
-            df = defn.transform(upstreams, fc.params, config.keys)
+            if self.store is not None and fc.name in config.features_to_store:
+                df = self.store.get_or_compute(
+                    f"{fc.name}-{key}",
+                    lambda: defn.transform(upstreams, fc.params, config.keys),
+                )
+            else:
+                df = defn.transform(upstreams, fc.params, config.keys)
             if fanout.get(key, 0) > 1:
                 df = df.persist()
             self._df_cache[key] = df

@@ -1,0 +1,116 @@
+"""Property-based differential tests: the as-of join and lookahead
+shift against the pandas merge_asof oracle on random keyed time series
+(reference pattern: test_task_graph.py:82 res_ray.equals(res_seq);
+hypothesis explores boundary cases — duplicate join instants, empty
+sides, single-row series — that fixed fixtures miss)."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from svoe_spark.operators.asof import asof_join, lookahead_shift
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+def _mk_rows(offsets_by_key, value_start=0.0):
+    rows = []
+    i = 0
+    for key, offsets in offsets_by_key.items():
+        for off in sorted(offsets):
+            rows.append((key, BASE + dt.timedelta(seconds=off), value_start + i, i))
+            i += 1
+    return rows
+
+
+series_strategy = st.dictionaries(
+    st.sampled_from(["A", "B", "C"]),
+    st.lists(
+        st.integers(min_value=0, max_value=3600), min_size=0, max_size=25, unique=True
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left_spec=series_strategy, right_spec=series_strategy)
+def test_asof_join_matches_pandas(spark, left_spec, right_spec):
+    left_rows = _mk_rows(left_spec)
+    right_rows = _mk_rows(right_spec, value_start=1000.0)
+    if not left_rows or not right_rows:
+        return
+    schema = "k string, ts timestamp, v double, rid long"
+    left = spark.createDataFrame(left_rows, schema)
+    right = spark.createDataFrame(
+        [(k, t, v, r) for k, t, v, r in right_rows],
+        "k string, ts timestamp, rv double, rid long",
+    )
+
+    got = asof_join(
+        left, right.select("k", "ts", "rv"), on="ts", by="k", right_cols=["rv"]
+    ).toPandas()
+
+    lp = pd.DataFrame(left_rows, columns=["k", "ts", "v", "rid"]).sort_values("ts")
+    rp = pd.DataFrame(right_rows, columns=["k", "ts", "rv", "rid"]).sort_values("ts")
+    want = pd.merge_asof(lp, rp[["k", "ts", "rv"]], on="ts", by="k", direction="backward")
+
+    g = got.sort_values(["k", "ts"]).reset_index(drop=True)
+    w = want.sort_values(["k", "ts"]).reset_index(drop=True)
+    assert len(g) == len(w)
+    assert (g["k"] == w["k"]).all() and (g["ts"] == w["ts"]).all()
+    pd.testing.assert_series_equal(
+        g["rv"], w["rv"], check_names=False, check_index=False
+    )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=series_strategy, lookahead=st.sampled_from([5, 60, 600]))
+def test_lookahead_matches_pandas(spark, spec, lookahead):
+    rows = _mk_rows(spec)
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double, rid long")
+    got = lookahead_shift(
+        df.select("k", "ts", "v"), lookahead, on="ts", by="k", value_cols=["v"]
+    ).toPandas()
+
+    frames = []
+    for key, grp in pd.DataFrame(rows, columns=["k", "ts", "v", "rid"]).groupby("k"):
+        grp = grp.sort_values("ts").reset_index(drop=True)
+        # reference semantics (blocks.py:182-202): backward match at
+        # ts+lookahead, tail truncated at max_ts - lookahead
+        shifted = grp.copy()
+        shifted["ts_q"] = shifted["ts"] + pd.Timedelta(seconds=lookahead)
+        m = pd.merge_asof(
+            shifted[["k", "ts", "ts_q"]],
+            grp[["ts", "v"]].rename(columns={"v": "label_v"}),
+            left_on="ts_q",
+            right_on="ts",
+            direction="backward",
+            suffixes=("", "_r"),
+        )
+        cutoff = grp["ts"].max() - pd.Timedelta(seconds=lookahead)
+        m = m[m["k"].notna() & (m["ts"] <= cutoff)]
+        frames.append(m[["k", "ts", "label_v"]])
+    want = pd.concat(frames) if frames else pd.DataFrame(columns=["k", "ts", "label_v"])
+
+    g = got.sort_values(["k", "ts"]).reset_index(drop=True)
+    w = want.sort_values(["k", "ts"]).reset_index(drop=True)
+    assert len(g) == len(w)
+    if len(g):
+        assert (g["k"].values == w["k"].values).all()
+        pd.testing.assert_series_equal(
+            g["label_v"], w["label_v"], check_names=False, check_index=False
+        )

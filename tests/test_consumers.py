@@ -75,3 +75,27 @@ def test_trainer_end_to_end(spark):
     scored = score(model, test.na.drop(subset=feature_cols + [label]))
     # a smooth sine is highly predictable from level+momentum
     assert r2(scored, label) > 0.9
+
+
+def test_in_stream_inference(spark, tmp_path):
+    """The reference's online inference loop polls an HTTP-served model
+    (inference_loop.py:16-71); here the fitted model scores INSIDE the
+    stream — train batch, score a replayed stream, compare to batch
+    scoring of the same rows."""
+    from svoe_spark.streaming.sinks import run_available_to_memory
+    from svoe_spark.streaming.sources import replay_parquet
+
+    base = sine_mid_price(
+        spark, 0.0, 500.0, step=1.0, amplitude=100.0, mean=1000.0,
+        freq=0.01, keys={"symbol": "SYN"},
+    ).withColumn("lagged", F.col("mid_price") * 0.5)
+    model = train_regressor(base, ["lagged"], "mid_price")
+
+    path = str(tmp_path / "stream_in")
+    base.write.parquet(path)
+    stream_scored = score(model, replay_parquet(spark, path))
+    got = run_available_to_memory(stream_scored.select("ts", "prediction"))
+    want = score(model, base).select("ts", "prediction")
+    g = {r["ts"]: r["prediction"] for r in got.collect()}
+    w = {r["ts"]: r["prediction"] for r in want.collect()}
+    assert g == w and len(g) == 500

@@ -77,3 +77,22 @@ def test_yaml_roundtrip(spark):
 def test_materialized_decimation(spark):
     out = Featurizer(spark).get_materialized_data(CONFIG, pick_every_nth_row=10)
     assert out.count() == 60  # ceil(595/10)
+
+
+def test_features_to_store_roundtrip(spark, tmp_path):
+    """Stored-feature short-circuit (reference builder.py:83-150): the
+    second run reads the materialization; results identical."""
+    from svoe_spark.sources.catalog import FeatureStore
+
+    cfg = dict(CONFIG)
+    cfg["features_to_store"] = ["vol"]
+    store = FeatureStore(spark, str(tmp_path / "store"))
+
+    a = Featurizer(spark, store=store).run(cfg)
+    a_rows = sorted((r["ts"], r["vol-volatility"]) for r in a.collect())
+    materialized = list((tmp_path / "store").iterdir())
+    assert len(materialized) == 1 and materialized[0].name.startswith("vol-")
+
+    b = Featurizer(spark, store=store).run(cfg)
+    b_rows = sorted((r["ts"], r["vol-volatility"]) for r in b.collect())
+    assert a_rows == b_rows
