@@ -10,6 +10,10 @@ become `applyInPandasWithState` with a bounded per-key lookback buffer
 Watermark policy (T5): the reference assumes strictly ordered input
 (sorted-block invariant); we default to a small configurable watermark
 and document that 0 reproduces reference semantics for ordered feeds.
+Note Spark's watermark lags one micro-batch (the watermark used in
+batch N derives from batch N-1's max event time), so a late row is only
+dropped once its window was finalized in an EARLIER batch — see
+tests/test_skew_combine.py::test_watermark_drops_late_data.
 """
 
 from __future__ import annotations
