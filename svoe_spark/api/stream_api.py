@@ -113,6 +113,23 @@ class DataStream:
             out = out.unionByName(o.df)
         return DataStream(out, self._key)
 
+    # -- partition strategies (reference partition.py:13-68) ---------------
+
+    def rebalance(self, n: int | None = None) -> "DataStream":
+        """RoundRobinPartition -> repartition (an explicit shuffle)."""
+        return DataStream(
+            self.df.repartition(n) if n else self.df.repartition(), self._key
+        )
+
+    def broadcast(self) -> "DataStream":
+        """BroadcastPartition -> broadcast-join hint on this side."""
+        return DataStream(F.broadcast(self.df), self._key)
+
+    def forward(self) -> "DataStream":
+        """ForwardPartition == a narrow dependency — the default for
+        every non-keyed transform; no-op by construction."""
+        return self
+
     # -- sinks --------------------------------------------------------------
 
     def sink_collect(self) -> list:

@@ -5,8 +5,9 @@ Scale design: every operator is a hash-shuffle over compact integer
 keys — no driver-side state, no cross-product except within LSH
 buckets/explicit groups (which is the point of LSH: the quadratic blow-
 up is confined to tiny candidate buckets). Portable (oracle-
-verifiable) hashing uses the polynomial hash from functions.text;
-``fast=True`` swaps in JVM xxhash64 for production runs.
+verifiable) hashing uses functions.text.md5_hash (JVM-native md5, the
+same value in any engine with md5); ``fast=True`` swaps in xxhash64
+where cross-engine verifiability isn't needed.
 """
 
 from __future__ import annotations
@@ -19,7 +20,7 @@ from pyspark.sql import functions as F
 
 from svoe_spark.functions.text import (
     P_HASH,
-    poly_hash,
+    md5_hash,
     token_hashes,
     tokens,
     word_shingles_from_hashes,
@@ -30,13 +31,47 @@ from svoe_spark.operators.util import spread as _spread
 
 
 def doc_shingles(text: str = "text"):
-    """Default shingle unit for document dedup: hashed word trigrams.
-
-    Discriminative at corpus scale: the shingle space is effectively
-    unbounded, so unrelated docs share almost none and LSH buckets stay
-    tiny (char trigrams over a small alphabet saturate and degrade LSH
-    into an all-pairs join)."""
+    """Array form of the word-trigram shingles (kept for API use);
+    the operators below use the EXPLODED row form (_shingle_rows),
+    which computes each token hash exactly once — array-indexing
+    expressions re-evaluate their source array per access once Catalyst
+    inlines the alias, which is quadratic."""
     return word_shingles_from_hashes(token_hashes(text))
+
+
+def _shingle_rows(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """(id, sh): one row per word-trigram shingle (with multiplicity).
+
+    All-codegen pipeline: posexplode tokens -> md5 hash per row ->
+    lead() window combines trigrams. Same shingle values as
+    doc_shingles / the SQL oracle: s = ((h0*31+h1) % P * 31 + h2) % P.
+    """
+    from pyspark.sql import Window
+
+    extra_cols = extra_cols or []
+    tok = _spread(df).select(
+        *extra_cols, F.col(id_col), F.posexplode(tokens(text)).alias("pos", "tok")
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.encode(F.col("tok"), "UTF-8")), 1, 15), 16, 10)
+        .cast("long")
+        % P_HASH
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    t2 = (
+        tok.withColumn("h0", h)
+        .withColumn("h1", F.lead("h0", 1).over(w))
+        .withColumn("h2", F.lead("h0", 2).over(w))
+    )
+    sh = ((F.col("h0") * 31 + F.col("h1")) % P_HASH * 31 + F.col("h2")) % P_HASH
+    return t2.filter(F.col("h2").isNotNull()).select(
+        *extra_cols, F.col(id_col), sh.alias("sh")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -53,7 +88,7 @@ def exact_duplicate_groups(
     full text (at 100 TB you never shuffle document bodies to compare
     them). keep_id = min id, the survivor under "keep first" policy.
     """
-    h = F.xxhash64(F.col(text)) if fast else poly_hash(text)
+    h = F.xxhash64(F.col(text)) if fast else md5_hash(text)
     return (
         _spread(df).select(
             h.alias("fingerprint"),
@@ -74,7 +109,7 @@ def drop_exact_duplicates(
 ) -> DataFrame:
     """Keep the lowest-id row per distinct text (hash-based, no text
     comparison shuffle)."""
-    h = F.xxhash64(F.col(text)) if fast else poly_hash(text)
+    h = F.xxhash64(F.col(text)) if fast else md5_hash(text)
     keep = (
         df.select(h.alias("__fp"), F.col(id_col).alias("__id"))
         .groupBy("__fp")
@@ -116,24 +151,21 @@ def minhash_signature(
     id_col: str = "doc_id",
     params: MinHashParams = MinHashParams(),
     shingled: DataFrame | None = None,
+    with_sets: bool = False,
 ) -> DataFrame:
-    """(id, m0..m{K-1}): MinHash over word-trigram shingles. Entirely
-    JVM higher-order functions; the only movement is the parallelism
-    spread for skinny inputs."""
-    base = shingled if shingled is not None else _spread(df).select(
-        F.col(id_col), doc_shingles(text).alias("__sh")
-    )
-
-    def hash_fn(a: int, b: int):
-        # real closure: pyspark treats lambda default-args as lambda params;
-        # long cast: a*x exceeds int32 (ANSI mode makes that a hard error)
-        return lambda x: (F.lit(a).cast("long") * x + b) % P_HASH
-
-    cols = [
-        F.array_min(F.transform(F.col("__sh"), hash_fn(a, b))).alias(f"m{i}")
+    """(id, m0..m{K-1}): MinHash as a plain aggregation over exploded
+    shingle rows — whole-stage codegen with map-side partial mins, no
+    per-row arrays, no higher-order functions. ``shingled``: optional
+    precomputed _shingle_rows; ``with_sets=True`` adds a '__set' column
+    (distinct shingles) in the SAME aggregate for verification reuse."""
+    rows = shingled if shingled is not None else _shingle_rows(df, text, id_col)
+    # long cast: a*x exceeds int32 (ANSI mode makes that a hard error)
+    mins = [
+        F.min((F.lit(a).cast("long") * F.col("sh") + b) % P_HASH).alias(f"m{i}")
         for i, (a, b) in enumerate(params.coefficients())
     ]
-    return base.select(id_col, *cols)
+    extra = [F.collect_set("sh").alias("__set")] if with_sets else []
+    return rows.groupBy(id_col).agg(*mins, *extra)
 
 
 def lsh_candidate_pairs(
@@ -149,6 +181,12 @@ def lsh_candidate_pairs(
     # persist: the signature feeds every band AND both join sides;
     # without it Catalyst re-derives the (expensive) shingling per use
     sig = minhash_signature(df, text, id_col, params, shingled=shingled).persist()
+    return _band_pairs(sig, id_col, params)
+
+
+def _band_pairs(
+    sig: DataFrame, id_col: str, params: MinHashParams
+) -> DataFrame:
     band_rows = []
     for b in range(params.bands):
         key = F.concat_ws(
@@ -187,15 +225,11 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """LSH candidates verified by true shingle-set Jaccard >= threshold.
 
-    Shingles are computed ONCE (persisted) and feed both the signature
-    and the verification sets."""
-    shingled = _spread(df).select(
-        F.col(id_col), doc_shingles(text).alias("__sh")
-    ).persist()
-    cands = lsh_candidate_pairs(df, text, id_col, params, shingled=shingled)
-    sets = shingled.select(
-        F.col(id_col), F.array_distinct("__sh").alias("__set")
-    )
+    ONE aggregation produces both the signature and the verification
+    sets (persisted); candidates then join back to the sets."""
+    sig = minhash_signature(df, text, id_col, params, with_sets=True).persist()
+    cands = _band_pairs(sig, id_col, params)
+    sets = sig.select(F.col(id_col), "__set")
     j = (
         cands.join(sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("__set", "sa"), "id_a")
         .join(sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("__set", "sb"), "id_b")
@@ -233,14 +267,12 @@ def ngram_jaccard_pairs(
     shuffle; AQE skew-split handles moderate cases, a document-frequency
     cap is the standard remedy beyond that."""
     group_cols = group_cols or []
-    sets = _spread(df).select(
-        *group_cols, F.col(id_col), F.array_distinct(doc_shingles(text)).alias("__set")
-    ).persist()
-    ex = sets.select(
-        *group_cols,
-        F.col(id_col),
-        F.size("__set").alias("__sz"),
-        F.explode("__set").alias("__sh"),
+    rows = _shingle_rows(df, text, id_col, extra_cols=group_cols).dropDuplicates(
+        [id_col, "sh"]
+    )
+    sizes = rows.groupBy(*group_cols, id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    ex = rows.join(sizes, on=[*group_cols, id_col]).select(
+        *group_cols, F.col(id_col), F.col("__sz"), F.col("sh").alias("__sh")
     )
     a, b = ex.alias("a"), ex.alias("b")
     cond = (F.col("a.__sh") == F.col("b.__sh")) & (
@@ -275,7 +307,7 @@ def ngram_jaccard_pairs(
 # SimHash
 # --------------------------------------------------------------------------
 
-SIMHASH_BITS = 30  # poly_hash yields < 2^30; one bit-vote per hash bit
+SIMHASH_BITS = 30  # md5_hash folded mod 2^30; one bit-vote per hash bit
 
 
 def simhash(
@@ -285,7 +317,7 @@ def simhash(
     per hash bit, reassemble. Two narrow shuffles (explode + groupBy id),
     all integer arithmetic."""
     toks = _spread(df).select(F.col(id_col), F.explode(tokens(text)).alias("tok"))
-    h = poly_hash("tok")
+    h = md5_hash("tok") % (1 << SIMHASH_BITS)
     votes = toks.select(F.col(id_col), h.alias("h")).groupBy(id_col).agg(
         *[
             F.sum(

@@ -116,19 +116,28 @@ def _replay(
     rows = []
     last_bucket = None
     pdf = pdf.sort_values("ts")
-    for ts, update_type, orders in zip(pdf["ts"], pdf["update_type"], pdf["orders"]):
-        applied = book.apply(
-            update_type, ((o["side"], o["price"], o["size"]) for o in orders)
+    # numpy object arrays iterate ~3x faster than pandas Series; epoch
+    # bucketing is vectorized up front instead of per-row .timestamp()
+    ts_arr = pdf["ts"].to_numpy()
+    ut_arr = pdf["update_type"].to_numpy()
+    orders_arr = pdf["orders"].to_numpy()
+    if emit_every is not None:
+        bucket_arr = (pdf["ts"].astype("int64").to_numpy() // int(emit_every * 1e9))
+    apply_, top = book.apply, book.top
+    for i in range(len(ts_arr)):
+        orders = orders_arr[i]
+        applied = apply_(
+            ut_arr[i], ((o["side"], o["price"], o["size"]) for o in orders)
         )
         if not applied:
             continue
         if emit_every is not None:
-            bucket = int(ts.timestamp() // emit_every)
+            bucket = bucket_arr[i]
             if bucket == last_bucket:
                 continue
             last_bucket = bucket
-        bids, asks = book.top(depth)
-        rows.append((key_val, ts, bids, asks, book.inconsistencies))
+        bids, asks = top(depth)
+        rows.append((key_val, ts_arr[i], bids, asks, book.inconsistencies))
     return pd.DataFrame(
         rows, columns=["__key", "ts", "bids", "asks", "inconsistencies"]
     )

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from svoe_spark.functions.text import poly_hash, tokens
+from svoe_spark.functions.text import md5_hash, tokens
 from svoe_spark.operators.util import spread as _spread
 
 # shared with the SQL oracle generator — keep sorted & lowercase
@@ -89,7 +89,7 @@ def fingerprint(
     """Whole-document rolling-hash fingerprint (content identity key —
     reference uses joblib content hashes for block identity,
     df_utils.py:163-164 / feature_tree.py:76-89)."""
-    h = F.xxhash64(F.col(text)) if fast else poly_hash(text)
+    h = F.xxhash64(F.col(text)) if fast else md5_hash(text)
     return _spread(df).select(
         F.col(id_col), h.alias("fingerprint"), F.length(text).alias("n_chars_fp")
     )

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from svoe_spark.functions.text import (
     P_HASH,
     sql_codepoints,
-    sql_poly_hash,
+    sql_md5_hash,
     sql_token_hashes,
     sql_tokens,
     sql_word_shingles_from_hashes,
@@ -61,7 +61,7 @@ _MH = MinHashParams()
 @query(
     "doc_fingerprint",
     f"""
-    SELECT doc_id, {sql_poly_hash('text')} AS fingerprint,
+    SELECT doc_id, {sql_md5_hash('text')} AS fingerprint,
            length(text) AS n_chars_fp
     FROM documents
     """,
@@ -75,7 +75,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT fingerprint, min(doc_id) AS keep_id, COUNT(*) AS n_copies
     FROM (
-      SELECT doc_id, {sql_poly_hash('text')} AS fingerprint, length(text) AS lk
+      SELECT doc_id, {sql_md5_hash('text')} AS fingerprint, length(text) AS lk
       FROM documents
     )
     GROUP BY fingerprint, lk
@@ -179,7 +179,7 @@ def _simhash_sql() -> str:
       SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM documents
     ),
     hashes AS (
-      SELECT doc_id, {sql_poly_hash('tok')} AS h FROM toks
+      SELECT doc_id, ({sql_md5_hash('tok')}) % {1 << SIMHASH_BITS} AS h FROM toks
     ),
     votes AS (
       SELECT doc_id, {votes} FROM hashes GROUP BY doc_id
