@@ -22,6 +22,7 @@ same way: `emit_every` bucket-samples emissions inside the operator.
 
 from __future__ import annotations
 
+from bisect import bisect_left, insort
 from typing import Iterable, Iterator
 
 import pandas as pd
@@ -57,15 +58,38 @@ def snapshot_schema(key_col: str = "symbol") -> StructType:
 
 
 class _Book:
-    """Pure-Python book engine shared by the batch and streaming ops."""
+    """Pure-Python book engine shared by the batch and streaming ops.
 
-    __slots__ = ("bids", "asks", "started", "inconsistencies")
+    Price levels live in dicts plus bisect-maintained sorted price
+    lists, so emission (`top`) is an O(depth) slice instead of a full
+    sort per emitted event — the dominant cost under per-event emission
+    (the reference's 300x observation, l2_snapshot_fd.py:65-66)."""
+
+    __slots__ = ("bids", "asks", "_bid_px", "_ask_px", "started", "inconsistencies")
 
     def __init__(self):
         self.bids: dict[float, float] = {}
         self.asks: dict[float, float] = {}
+        self._bid_px: list[float] = []  # ascending; best bid = last
+        self._ask_px: list[float] = []  # ascending; best ask = first
         self.started = False
         self.inconsistencies = 0
+
+    def _set_level(self, is_bid: bool, price: float, size: float) -> None:
+        book = self.bids if is_bid else self.asks
+        px = self._bid_px if is_bid else self._ask_px
+        if price not in book:
+            insort(px, price)
+        book[price] = size
+
+    def _del_level(self, is_bid: bool, price: float) -> bool:
+        book = self.bids if is_bid else self.asks
+        if price not in book:
+            return False
+        del book[price]
+        px = self._bid_px if is_bid else self._ask_px
+        px.pop(bisect_left(px, price))
+        return True
 
     def apply(self, update_type: str, orders) -> bool:
         """orders: iterable of (side, price, size). Returns True if the
@@ -73,22 +97,25 @@ class _Book:
         if update_type == "SNAPSHOT":
             self.bids.clear()
             self.asks.clear()
+            self._bid_px.clear()
+            self._ask_px.clear()
             for side, price, size in orders:
-                (self.bids if side == "bid" else self.asks)[price] = size
+                self._set_level(side == "bid", price, size)
             self.started = True
             return True
         if not self.started:
             return False
         for side, price, size in orders:
-            book = self.bids if side == "bid" else self.asks
+            is_bid = side == "bid"
+            book = self.bids if is_bid else self.asks
             if update_type == "ADD":
-                book[price] = book.get(price, 0.0) + size
+                self._set_level(is_bid, price, book.get(price, 0.0) + size)
             elif update_type == "SET":
                 if size == 0.0:
-                    if book.pop(price, None) is None:
+                    if not self._del_level(is_bid, price):
                         self.inconsistencies += 1
                 else:
-                    book[price] = size
+                    self._set_level(is_bid, price, size)
             elif update_type == "SUB":
                 cur = book.get(price)
                 if cur is None:
@@ -96,17 +123,17 @@ class _Book:
                     continue
                 left = cur - size
                 if left <= 0.0:
-                    del book[price]
+                    self._del_level(is_bid, price)
                 else:
                     book[price] = left
         return True
 
     def top(self, depth: int):
-        bids = sorted(self.bids.items(), key=lambda kv: -kv[0])[:depth]
-        asks = sorted(self.asks.items(), key=lambda kv: kv[0])[:depth]
+        bids = self._bid_px[-depth:][::-1] if depth else []
+        asks = self._ask_px[:depth]
         return (
-            [{"price": p, "size": s} for p, s in bids],
-            [{"price": p, "size": s} for p, s in asks],
+            [{"price": p, "size": self.bids[p]} for p in bids],
+            [{"price": p, "size": self.asks[p]} for p in asks],
         )
 
 
@@ -193,6 +220,8 @@ def reconstruct_book_stream(
             bp, bs, ap, asz, started, inc = state.get
             book.bids = dict(zip(bp, bs))
             book.asks = dict(zip(ap, asz))
+            book._bid_px = sorted(book.bids)
+            book._ask_px = sorted(book.asks)
             book.started = bool(started)
             book.inconsistencies = inc
         for pdf in pdfs:

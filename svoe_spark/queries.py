@@ -890,6 +890,105 @@ def sql_frontend_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(pc * d100) AS BIGINT) / 10000.0 AS revenue,
+           COUNT(*) AS n_items
+    FROM (
+      SELECT CAST(round(l_extendedprice*100,0) AS BIGINT) AS pc,
+             CAST(round(l_discount*100,0) AS BIGINT) AS d100
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount BETWEEN 0.03 AND 0.07
+        AND l_quantity < 24
+    )
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: selective multi-predicate scan + global aggregate —
+    every filter pushes to the parquet reader."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.select(
+        (_cents(F.col("l_extendedprice")) * _cents(F.col("l_discount"))).alias("rc")
+    ).agg(
+        (F.sum("rc") / 10000.0).alias("revenue"), F.count(F.lit(1)).alias("n_items")
+    )
+
+
+@query(
+    "q12_shipmode_priority",
+    """
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+             AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+             AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped conditional-count join (pivot-style CASE sums)."""
+    o = load_table(spark, "orders", sf_dir)
+    l = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q14_promo_share",
+    """
+    SELECT 100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN pc * (100 - d100) ELSE 0 END) AS BIGINT)
+             / CAST(SUM(pc * (100 - d100)) AS BIGINT) AS promo_revenue_pct
+    FROM (
+      SELECT p.p_type,
+             CAST(round(l.l_extendedprice*100,0) AS BIGINT) AS pc,
+             CAST(round(l.l_discount*100,0) AS BIGINT) AS d100
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+    )
+    """,
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promo-revenue share: broadcast dim join +
+    conditional ratio of exact integer sums."""
+    p = load_table(spark, "part", sf_dir)
+    l = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(
+        "p_type",
+        _cents(F.col("l_extendedprice")).alias("pc"),
+        _cents(F.col("l_discount")).alias("d100"),
+    )
+    disc = F.col("pc") * (100 - F.col("d100"))
+    promo = F.sum(F.when(F.col("p_type").like("PROMO%"), disc).otherwise(F.lit(0)))
+    return j.agg(
+        (100.0 * promo / F.sum(disc)).alias("promo_revenue_pct")
+    )
+
+
+@query(
     "big_spenders_vs_nation",
     """
     WITH spend AS (

@@ -77,6 +77,69 @@ def content_hash(df: DataFrame, cols: list[str] | None = None) -> int:
     return hash((row["s"], row["n"]))
 
 
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+    ts_col: str = "ts",
+) -> int:
+    """Compact a day-partitioned lake path to ~target_mb files per
+    partition (reference S11 compaction: memory_based_compactor.py:11-49
+    sizes blocks by estimated memory; here we size by actual on-disk
+    bytes). Returns the new file count. Rewrite is atomic-ish via a
+    staging directory swap."""
+    import shutil
+
+    df = spark.read.parquet(path)
+    total_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, round(total_bytes / (target_mb * 1024 * 1024)))
+    staging = path.rstrip("/") + ".compacting"
+    (
+        df.repartitionByRange(n_files, ts_col)
+        .sortWithinPartitions(ts_col)
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(staging)
+    )
+    backup = path.rstrip("/") + ".old"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    return sum(
+        1
+        for dp, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
+def assert_ts_sorted(
+    df: DataFrame, order_col: str, on: str = "ts", by: list[str] | None = None
+) -> None:
+    """Data-quality assertion (reference's sortedness invariant,
+    df_utils.py:93-105, as an explicit check): event time must be
+    non-decreasing along ``order_col`` (a sequence id / file offset —
+    DataFrames have no inherent row order to check against) per key.
+    Raises ValueError with the violation count."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*(by or [])).orderBy(order_col)
+    bad = (
+        df.withColumn("__prev", F.lag(on).over(w))
+        .filter(F.col("__prev") > F.col(on))
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            f"{bad} rows violate ts-sortedness on {on!r} along {order_col!r}"
+        )
+
+
 class FeatureStore:
     """Materialized-feature cache on the lake.
 

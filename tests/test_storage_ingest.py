@@ -51,6 +51,34 @@ def test_feature_store_short_circuit(spark, sf_small, tmp_path):
     assert store.meta("mid-abc123")["rows"] == 1000
 
 
+def test_compact_and_sortedness(spark, sf_small, tmp_path):
+    from svoe_spark.sources.catalog import assert_ts_sorted, compact
+
+    t = ticks(spark, sf_small)
+    path = str(tmp_path / "lake2")
+    # write fragmented: many small files
+    (
+        t.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .repartition(24)
+        .write.partitionBy("day")
+        .parquet(path)
+    )
+    before = sum(
+        1 for _, _, fs in __import__("os").walk(path) for f in fs if f.endswith(".parquet")
+    )
+    n_after = compact(spark, path, target_mb=128, ts_col="ts")
+    assert n_after < before
+    out = spark.read.parquet(path)
+    assert out.count() == 1000
+    assert set(out.drop("day").columns) == set(t.columns)
+
+    # sortedness invariant holds along event_id; a shuffled order col fails
+    assert_ts_sorted(out, order_col="event_id", on="ts")
+    with pytest.raises(ValueError, match="violate ts-sortedness"):
+        shuffled = out.withColumn("bad_order", F.col("event_id") * -1)
+        assert_ts_sorted(shuffled, order_col="bad_order", on="ts")
+
+
 def test_ingest_csv_normalize_and_ledger(spark, sf_small, tmp_path):
     # fabricate a provider CSV from events (provider-style column names,
     # ISO timestamps, boolean side) — the cryptotick renames shape
