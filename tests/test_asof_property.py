@@ -76,6 +76,38 @@ def test_asof_join_matches_pandas(spark, left_spec, right_spec):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@given(
+    left_spec=series_strategy,
+    right_spec=series_strategy,
+    bucket=st.sampled_from(["30s", "5m", "1h"]),
+)
+def test_bucketed_asof_equals_default(spark, left_spec, right_spec, bucket):
+    """The time-bucketed scale path must be indistinguishable from the
+    single-sort plan for ANY bucket size (seed/carry-forward logic is
+    where boundary bugs live)."""
+    left_rows = _mk_rows(left_spec)
+    right_rows = _mk_rows(right_spec, value_start=1000.0)
+    if not left_rows or not right_rows:
+        return
+    left = spark.createDataFrame(left_rows, "k string, ts timestamp, v double, rid long")
+    right = spark.createDataFrame(
+        right_rows, "k string, ts timestamp, rv double, rid long"
+    ).select("k", "ts", "rv")
+
+    base = asof_join(left, right, on="ts", by="k", right_cols=["rv"])
+    bucketed = asof_join(
+        left, right, on="ts", by="k", right_cols=["rv"], time_bucket=bucket
+    )
+    a = sorted(map(tuple, base.collect()))
+    b = sorted(map(tuple, bucketed.collect()))
+    assert a == b
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
 @given(spec=series_strategy, lookahead=st.sampled_from([5, 60, 600]))
 def test_lookahead_matches_pandas(spark, spec, lookahead):
     rows = _mk_rows(spec)

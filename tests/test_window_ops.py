@@ -1,0 +1,56 @@
+"""Direct unit tests for the window-operator library helpers not
+already covered by oracle queries: trailing_agg (A5), prefix_columns
+(P5), ohlcv on a hand-computed fixture."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from svoe_spark.operators.sampling import prefix_columns
+from svoe_spark.operators.windows import ohlcv, trailing_agg
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    rows = [
+        # (sec offset, price, amount, side)
+        (0, 100.0, 1.0, "BUY"),
+        (10, 101.0, 2.0, "SELL"),
+        (30, 99.0, 1.0, "BUY"),
+        (70, 102.0, 3.0, "SELL"),  # new minute
+        (75, 98.0, 1.0, "BUY"),
+    ]
+    return spark.createDataFrame(
+        [(BASE + dt.timedelta(seconds=o), p, a, s, i) for i, (o, p, a, s) in enumerate(rows)],
+        "ts timestamp, price double, amount double, side string, seq long",
+    )
+
+
+def test_ohlcv_hand_computed(trades):
+    out = {r["window_start"].minute: r for r in ohlcv(trades, on="ts").collect()}
+    m0, m1 = out[0], out[1]
+    assert (m0["open"], m0["high"], m0["low"], m0["close"]) == (100.0, 101.0, 99.0, 99.0)
+    assert m0["volume"] == 4.0 and m0["num_trades"] == 3
+    assert m0["vwap"] == pytest.approx((100 + 2 * 101 + 99) / 4.0)
+    assert (m1["open"], m1["close"], m1["num_trades"]) == (102.0, 98.0, 2)
+
+
+def test_trailing_agg_generic(trades):
+    out = trailing_agg(
+        trades,
+        {"n_30s": F.count(F.lit(1)), "max_30s": F.max("price")},
+        on="ts",
+        window="30s",
+    )
+    by_seq = {r["seq"]: r for r in out.collect()}
+    assert by_seq[0]["n_30s"] == 1
+    assert by_seq[2]["n_30s"] == 3 and by_seq[2]["max_30s"] == 101.0  # 0,10,30 all in [0,30]
+    assert by_seq[4]["n_30s"] == 2 and by_seq[4]["max_30s"] == 102.0  # 70,75
+
+
+def test_prefix_columns(trades):
+    out = prefix_columns(trades.select("ts", "price"), "feat-", exclude=["ts"])
+    assert out.columns == ["ts", "feat-price"]
