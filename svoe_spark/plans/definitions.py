@@ -92,7 +92,9 @@ class RelativeSpread(FeatureDefinition):
 @register
 class VolatilityStddev(FeatureDefinition):
     """Trailing-window stddev of an upstream value (reference
-    volatility_stddev_fd.py:30-56)."""
+    volatility_stddev_fd.py:30-56). Batch = analytic range frame;
+    stream = applyInPandasWithState lookback buffer (T1) — same values,
+    different physical plan, per the Kappa contract."""
 
     name = "volatility_stddev"
     dep_slots = ("mid_price",)
@@ -104,6 +106,19 @@ class VolatilityStddev(FeatureDefinition):
         out = sliding_stddev(
             df, on="ts", value=value, by=keys, window=params.get("window", "1m"),
             out="volatility",
+        )
+        return out.select(*keys, "ts", "volatility")
+
+    @classmethod
+    def transform_stream(cls, upstreams, params, keys):
+        from svoe_spark.streaming.features import trailing_stddev_stream
+
+        if len(keys) != 1:
+            raise ValueError("streaming volatility needs exactly one key column")
+        df = upstreams["mid_price"]
+        value = params.get("value_col", "mid_price")
+        out = trailing_stddev_stream(
+            df, on="ts", value=value, by=keys[0], window=params.get("window", "1m")
         )
         return out.select(*keys, "ts", "volatility")
 
@@ -147,6 +162,21 @@ class OHLCV(FeatureDefinition):
             amount=params.get("amount_col", "amount"),
             by=keys,
             window=params.get("window", "1m"),
+        )
+        return out.withColumnRenamed("window_start", "ts")
+
+    @classmethod
+    def transform_stream(cls, upstreams, params, keys):
+        from svoe_spark.streaming.features import ohlcv_stream
+
+        out = ohlcv_stream(
+            upstreams["source"],
+            on="ts",
+            price=params.get("price_col", "price"),
+            amount=params.get("amount_col", "amount"),
+            by=keys,
+            window=params.get("window", "1m"),
+            watermark=params.get("watermark", "10 seconds"),
         )
         return out.withColumnRenamed("window_start", "ts")
 

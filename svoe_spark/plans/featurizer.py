@@ -28,6 +28,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from svoe_spark.operators.asof import asof_join_multi, lookahead_shift
 from svoe_spark.operators.sampling import every_nth
@@ -205,6 +206,50 @@ class Featurizer:
             f"{name}-": df for name, (node, df) in feats.items()
         }
         return asof_join_multi(labels, rights, on="ts", by=keys)
+
+    def run_stream(self, config, source_stream: DataFrame) -> DataFrame:
+        """The Kappa ONLINE path (reference entry point 2, §3.2): the
+        configured per-event feature graph over a streaming DataFrame,
+        one combined vector row per source event ('{name}_value'
+        columns). Spark permits a single stateful operator per streaming
+        query, so the whole graph runs FUSED in one per-key state
+        machine (streaming.feature_vector) — the same execution shape as
+        the reference's worker actor pushing each event through its
+        streamz graph. Window-bucket features (ohlcv) stream separately
+        via their transform_stream."""
+        from svoe_spark.functions.time import duration_to_seconds
+        from svoe_spark.streaming.feature_vector import feature_vector_stream
+
+        config = config if isinstance(config, FeaturizerConfig) else FeaturizerConfig.load(config)
+        if len(config.keys) != 1:
+            raise ValueError("run_stream needs exactly one key column")
+
+        specs: list[dict] = []
+        for fc in config.features:
+            if fc.feature_definition == "mid_price":
+                specs.append(
+                    {"name": fc.name, "kind": "source",
+                     "col": fc.params.get("price_col", "value")}
+                )
+            elif fc.feature_definition == "volatility_stddev":
+                specs.append(
+                    {"name": fc.name, "kind": "stddev",
+                     "of": fc.deps[0],
+                     "window": duration_to_seconds(fc.params.get("window", "1m"))}
+                )
+            elif fc.feature_definition == "ewma":
+                specs.append(
+                    {"name": fc.name, "kind": "ewma", "of": fc.deps[0],
+                     "alpha": fc.params.get("alpha", 0.1)}
+                )
+            else:
+                raise ValueError(
+                    f"feature {fc.feature_definition!r} has no fused streaming "
+                    f"form; use its transform_stream directly (e.g. ohlcv)"
+                )
+        return feature_vector_stream(
+            source_stream, specs, key=config.keys[0], on="ts"
+        )
 
     def get_materialized_data(
         self, config, pick_every_nth_row: int = 1

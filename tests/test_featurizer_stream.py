@@ -1,0 +1,71 @@
+"""Kappa online path: Featurizer.run_stream (fused per-key feature
+state machine) over a replayed source equals the batch features at
+every event time."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from svoe_spark.plans.featurizer import Featurizer, FeaturizerConfig
+from svoe_spark.sources.tables import load_table
+from svoe_spark.streaming.sinks import run_available_to_memory
+from svoe_spark.streaming.sources import replay_parquet
+
+CFG = {
+    "data_source": {"kind": "table", "table": "events", "sf_dir": "unused"},
+    "keys": ["event_type"],
+    "features": [
+        {"name": "mid", "feature_definition": "mid_price",
+         "params": {"price_col": "value"}},
+        {"name": "vol", "feature_definition": "volatility_stddev",
+         "deps": ["mid"], "params": {"window": "1h"}},
+    ],
+}
+
+
+def test_run_stream_equals_batch(spark, sf_small, tmp_path):
+    src = load_table(spark, "events", sf_small).select("ts", "event_type", "value")
+    path = str(tmp_path / "src")
+    src.write.parquet(path)
+
+    fz = Featurizer(spark)
+    out = run_available_to_memory(fz.run_stream(CFG, replay_parquet(spark, path)))
+    got = {
+        (r["event_type"], r["ts"]): (r["mid_value"], r["vol_value"])
+        for r in out.collect()
+    }
+
+    feats = fz.build_features(
+        FeaturizerConfig.load(
+            {**CFG, "data_source": {"kind": "table", "table": "events",
+                                    "sf_dir": sf_small,
+                                    "select": ["ts", "event_type", "value"]}}
+        )
+    )
+    mid = feats["mid"][1]
+    vol = feats["vol"][1]
+    want = {
+        (r["event_type"], r["ts"]): (r["mid_price"], r["volatility"])
+        for r in mid.join(vol, on=["event_type", "ts"]).collect()
+    }
+
+    assert set(got) == set(want) and len(got) == 1000
+    for k, (gm, gv) in got.items():
+        wm, wv = want[k]
+        assert gm == wm, k
+        if wv is None:
+            assert gv is None or math.isnan(gv), k
+        else:
+            assert gv == pytest.approx(wv, rel=1e-9), k
+
+
+def test_run_stream_rejects_unfusable_feature(spark, sf_small, tmp_path):
+    cfg = {**CFG, "features": CFG["features"] + [
+        {"name": "bars", "feature_definition": "ohlcv", "params": {}}
+    ]}
+    src = load_table(spark, "events", sf_small).select("ts", "event_type", "value")
+    path = str(tmp_path / "src2")
+    src.write.parquet(path)
+    with pytest.raises(ValueError, match="no fused streaming form"):
+        Featurizer(spark).run_stream(cfg, replay_parquet(spark, path))
