@@ -182,6 +182,44 @@ class OHLCV(FeatureDefinition):
 
 
 @register
+class Ewma(FeatureDefinition):
+    """Event-indexed exponential moving average of an upstream value:
+    e_i = alpha*x_i + (1-alpha)*e_{i-1}. Recursive — not expressible as
+    a Spark window function — so batch runs per-key applyInPandas
+    (pandas ewm(adjust=False), the identical recursion); the streaming
+    form is the fused state machine (streaming.feature_vector)."""
+
+    name = "ewma"
+    dep_slots = ("upstream",)
+
+    @classmethod
+    def transform(cls, upstreams, params, keys):
+        import pandas as pd
+
+        from pyspark.sql.types import DoubleType, StructField, StructType, TimestampType
+
+        df = upstreams["upstream"]
+        value = params["value_col"]
+        alpha = float(params.get("alpha", 0.1))
+        schema = StructType(
+            [
+                *[StructField(k, df.schema[k].dataType) for k in keys],
+                StructField("ts", TimestampType()),
+                StructField("ewma", DoubleType()),
+            ]
+        )
+
+        def fn(key_tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("ts")
+            out = pdf[value].ewm(alpha=alpha, adjust=False).mean()
+            data = {k: key_tuple[i] for i, k in enumerate(keys)}
+            data.update({"ts": pdf["ts"], "ewma": out})
+            return pd.DataFrame(data)
+
+        return df.groupBy(*keys).applyInPandas(fn, schema=schema)
+
+
+@register
 class Diff(FeatureDefinition):
     """(last-first)/first over a trailing window, generic over any
     single-value upstream (reference transforms/diff/diff.py:29-64)."""

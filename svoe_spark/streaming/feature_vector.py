@@ -16,7 +16,6 @@ Supported feature kinds (the reference's online set):
 
 from __future__ import annotations
 
-import math
 from typing import Iterable, Iterator
 
 import numpy as np

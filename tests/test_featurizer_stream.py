@@ -60,6 +60,38 @@ def test_run_stream_equals_batch(spark, sf_small, tmp_path):
             assert gv == pytest.approx(wv, rel=1e-9), k
 
 
+def test_ewma_batch_equals_stream(spark, sf_small, tmp_path):
+    """Kappa for EWMA: batch applyInPandas recursion == fused stream."""
+    cfg = {**CFG, "features": CFG["features"][:1] + [
+        {"name": "trend", "feature_definition": "ewma",
+         "deps": ["mid"], "params": {"alpha": 0.25, "value_col": "mid_price"}}
+    ]}
+    src = load_table(spark, "events", sf_small).select("ts", "event_type", "value")
+    path = str(tmp_path / "src3")
+    src.write.parquet(path)
+
+    fz = Featurizer(spark)
+    got = {
+        (r["event_type"], r["ts"]): r["trend_value"]
+        for r in run_available_to_memory(
+            fz.run_stream(cfg, replay_parquet(spark, path))
+        ).collect()
+    }
+    feats = fz.build_features(
+        FeaturizerConfig.load(
+            {**cfg, "data_source": {"kind": "table", "table": "events",
+                                    "sf_dir": sf_small,
+                                    "select": ["ts", "event_type", "value"]}}
+        )
+    )
+    want = {
+        (r["event_type"], r["ts"]): r["ewma"] for r in feats["trend"][1].collect()
+    }
+    assert set(got) == set(want) and len(got) == 1000
+    for k, gv in got.items():
+        assert gv == pytest.approx(want[k], rel=1e-12), k
+
+
 def test_run_stream_rejects_unfusable_feature(spark, sf_small, tmp_path):
     cfg = {**CFG, "features": CFG["features"] + [
         {"name": "bars", "feature_definition": "ohlcv", "params": {}}
