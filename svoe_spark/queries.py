@@ -1181,3 +1181,271 @@ def local_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
         (pv.isNotNull() & nv.isNotNull() & (v < pv) & (v < nv)).alias("is_local_min"),
         (pv.isNotNull() & nv.isNotNull() & (v > pv) & (v > nv)).alias("is_local_max"),
     )
+
+
+@query(
+    "ewma_final_by_type",
+    """
+    SELECT event_type,
+           list_reduce(list(value ORDER BY ts, event_id),
+                       (acc, x) -> acc * 0.75e0 + x * 0.25e0) AS ewma_final,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def ewma_final_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final EWMA state per instrument (alpha=0.25): the exact left fold
+    e_i = (1-a)*e_{i-1} + a*x_i seeded with the first value — the same
+    recursion the Ewma FeatureDefinition and the streaming state machine
+    run (reference stateful-accumulate class, SURVEY T1/A6). Expressed
+    as array_sort + F.aggregate so the fold's float expression tree is
+    IDENTICAL to the DuckDB list_reduce oracle (bit-exact parity).
+
+    Scale note: this query form collects each key's series into one
+    array — fine for bounded per-instrument cardinality; the unbounded
+    production path is the Ewma FeatureDefinition (applyInPandas,
+    Arrow-batched) and the fused streaming operator, both constant
+    memory per batch."""
+    e = load_table(spark, "events", sf_dir)
+    g = e.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("__arr"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    vals = F.transform(F.col("__arr"), lambda s: s["value"])
+    fold = F.aggregate(
+        F.slice(vals, 2, F.size(vals) - 1),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(0.75) + x * F.lit(0.25),
+    )
+    return g.select("event_type", fold.alias("ewma_final"), "n_events")
+
+
+@query("ewma_trend_by_type", None, bench=True)
+def ewma_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row EWMA trend (alpha=0.25) over each instrument's price
+    series via the Ewma FeatureDefinition (applyInPandas recursion).
+    Rows-only for the driver: a per-row recursive prefix fold has no
+    tractable single-pass SQL form; exactness is covered by the
+    batch==stream Kappa test (tests/test_featurizer_stream.py) and the
+    final state by `ewma_final_by_type`'s bit-exact oracle."""
+    from svoe_spark.plans.definitions import REGISTRY
+
+    e = load_table(spark, "events", sf_dir).select("event_type", "ts", "value")
+    return REGISTRY["ewma"].transform(
+        {"upstream": e},
+        {"value_col": "value", "alpha": 0.25},
+        keys=["event_type"],
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT o_orderkey, o_orderdate,
+           CAST(SUM(pc * (100 - d100)) AS BIGINT) / 10000.0 AS revenue
+    FROM (
+      SELECT o.o_orderkey, o.o_orderdate,
+             CAST(round(l.l_extendedprice*100,0) AS BIGINT) AS pc,
+             CAST(round(l.l_discount*100,0) AS BIGINT) AS d100
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+    )
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY CAST(SUM(pc * (100 - d100)) AS BIGINT) DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: two joins narrowing to a top-10. The customer-segment
+    side is a broadcast (dim filter first), orders/lineitem shuffle on
+    the order key; the limit is an exact-integer-ordered top-k (rev_c is
+    a bigint, ties broken by o_orderkey) so Spark's TakeOrdered and the
+    oracle pick identical rows."""
+    c = load_table(spark, "customer", sf_dir).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    l = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    j = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            (_cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))).alias("rc"),
+        )
+    )
+    g = j.groupBy("o_orderkey", "o_orderdate").agg(F.sum("rc").alias("rev_c"))
+    return (
+        g.orderBy(F.col("rev_c").desc(), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "o_orderdate", (F.col("rev_c") / 10000.0).alias("revenue"))
+    )
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT)
+                      * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS BIGINT) AS rev_c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.rev_c / 10000.0 AS total_revenue
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.rev_c = (SELECT MAX(rev_c) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: quarterly revenue per supplier, keep the max. The
+    'view + scalar subquery' becomes one aggregation reused via an
+    unpartitioned window max (exact integer compare, so all engines
+    agree on the winner set)."""
+    l = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = (
+        l.select(
+            "l_suppkey",
+            (_cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))).alias("rc"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("rc").alias("rev_c"))
+    )
+    top = rev.withColumn("__mx", F.max("rev_c").over(Window.partitionBy())).filter(
+        F.col("rev_c") == F.col("__mx")
+    )
+    s = load_table(spark, "supplier", sf_dir)
+    return top.join(F.broadcast(s), top.l_suppkey == s.s_suppkey).select(
+        "s_suppkey", "s_name", (F.col("rev_c") / 10000.0).alias("total_revenue")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    WITH pq AS (
+      SELECT l_partkey, SUM(l_quantity) AS sq, COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(round(l.l_extendedprice*100,0) AS BIGINT)) AS BIGINT)
+             / 100.0 / 7.0 AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pq ON pq.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND l.l_quantity < 0.2e0 * (pq.sq / pq.cnt)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: correlated avg-quantity subquery as a self-aggregate
+    join. Quantities are integer-valued doubles, so sum/count and the
+    0.2x threshold compare identically across engines; the per-part
+    aggregate is a map-side-combinable groupBy reused via join (no
+    per-row subquery execution)."""
+    l = load_table(spark, "lineitem", sf_dir)
+    pq = l.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("sq"), F.count(F.lit(1)).alias("cnt")
+    )
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_brand") == "Brand#3")
+    j = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(pq, l.l_partkey == pq.l_partkey)
+        .filter(F.col("l_quantity") < 0.2 * (F.col("sq") / F.col("cnt")))
+    )
+    return j.agg(
+        (F.sum(_cents(F.col("l_extendedprice"))) / 100.0 / 7.0).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(SUM(l.l_quantity) AS BIGINT) AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds 300 — the IN
+    subquery becomes a left-semi join against the quantity aggregate
+    (broadcast: the qualifying-key set is tiny by construction)."""
+    l = load_table(spark, "lineitem", sf_dir)
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__sq"))
+        .filter(F.col("__sq") > 300)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, "orders", sf_dir).join(
+        F.broadcast(big), F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    c = load_table(spark, "customer", sf_dir)
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(l, F.col("l_orderkey") == o.o_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+    )
+
+
+@query(
+    "q19_discounted_revenue",
+    """
+    SELECT CAST(SUM(CAST(round(l.l_extendedprice*100,0) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount*100,0) AS BIGINT))) AS BIGINT)
+             / 10000.0 AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: disjunctive (OR-of-ANDs) mixed-table predicate over a
+    broadcast part join. Catalyst extracts the common l_quantity bounds
+    where possible; the part-side conjuncts prune the broadcast build."""
+    p = load_table(spark, "part", sf_dir)
+    l = load_table(spark, "lineitem", sf_dir)
+    q, b, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#12") & sz.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#23") & sz.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#4") & sz.between(1, 15) & q.between(20, 30))
+    )
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).filter(cond)
+    return j.agg(
+        (
+            F.sum(_cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount"))))
+            / 10000.0
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
