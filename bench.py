@@ -38,6 +38,17 @@ def main() -> None:
     for df in load_tables(spark, SF_DIR).values():
         df.count()
 
+    # spawn the reusable Python UDF workers up front: otherwise the
+    # first pandas-UDF query is charged ~2s of one-time worker startup
+    def _warm(batches):
+        yield from batches
+
+    _force(
+        spark.range(64)
+        .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        .mapInPandas(_warm, "id long")
+    )
+
     timings: dict[str, float] = {}
     for name, q in QUERIES.items():
         if not q.bench:

@@ -1,0 +1,109 @@
+"""Physical-plan quality gates: the properties that make these queries
+survive a 100 TB scale-up, asserted on the actual Catalyst plans so a
+regression (a lost pushdown, a broadcast that degrades to sort-merge, a
+partial aggregation that disappears) fails CI rather than shipping.
+
+These mirror the brief's checklist: filters reach the parquet scan,
+scans prune columns, small dims broadcast, aggregates combine map-side,
+and expression pipelines stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from svoe_spark.all_queries import QUERIES
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_mid):
+    cache: dict[str, str] = {}
+
+    def get(name: str) -> str:
+        if name not in cache:
+            cache[name] = plan_of(QUERIES[name].fn(spark, sf_mid))
+        return cache[name]
+
+    return get
+
+
+def test_q6_filters_push_to_parquet_scan(plans):
+    p = plans("q6_forecast_revenue")
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert pushed, p
+    line = pushed[0]
+    # every predicate of the WHERE clause reaches the reader
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.03)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in line, line
+
+
+def test_q6_scan_prunes_columns(plans):
+    p = plans("q6_forecast_revenue")
+    schema = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    # 4 needed columns only; the wide rest of lineitem is never read
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"):
+        assert col in schema, schema
+    for col in ("l_orderkey", "l_partkey", "l_returnflag", "l_linestatus"):
+        assert col not in schema, schema
+
+
+def test_dim_joins_broadcast_not_sort_merge(plans):
+    # part (q14), customer (q3): small dims must broadcast — a
+    # sort-merge join here would shuffle the 100 TB fact side
+    for q in ("q14_promo_share", "q3_shipping_priority"):
+        p = plans(q)
+        assert "BroadcastHashJoin" in p, q
+        assert "SortMergeJoin" not in p, q
+
+
+def test_q18_semi_join_is_broadcast(plans):
+    p = plans("q18_large_volume_customers")
+    assert "BroadcastHashJoin LeftSemi" in p, p
+
+
+def test_aggregates_have_map_side_partial(plans):
+    # partial_ aggregate = map-side combine before the shuffle; without
+    # it every input row crosses the network
+    for q in ("q1_pricing_summary", "ohlcv_1m", "dedup_exact", "q6_forecast_revenue"):
+        assert "partial_" in plans(q), q
+
+
+def test_ohlcv_single_shuffle(plans):
+    # tumbling-window agg needs exactly one exchange (hash by window
+    # key); the second Exchange in the plan is AQE's final coalesce read
+    p = plans("ohlcv_1m")
+    assert p.count("Exchange hashpartitioning") <= 1, p
+
+
+def test_scans_stay_in_codegen(spark, sf_mid):
+    # expression pipelines run inside whole-stage codegen spans; AQE
+    # only annotates codegen ids in the FINAL plan, so execute first
+    for q in ("q1_pricing_summary", "q6_forecast_revenue", "tvi_1h"):
+        df = QUERIES[q].fn(spark, sf_mid)
+        df.collect()
+        p = plan_of(df)
+        assert "isFinalPlan=true" in p and "codegen id" in p, q
+
+
+def test_events_scan_prunes_for_projection(spark, sf_mid):
+    from svoe_spark.sources.tables import load_table
+
+    df = load_table(spark, "events", sf_mid).select("event_type", "value")
+    schema = [l for l in plan_of(df).splitlines() if "ReadSchema" in l][0]
+    assert "props" not in schema and "user_id" not in schema, schema
