@@ -94,6 +94,42 @@ def main():
             )
         )
     )
+
+    # order book, 2M updates, one hot instrument carrying 90%: the
+    # sequential plan serializes on the hot key; the bucketed plan's
+    # parallelism is keys x buckets
+    from svoe_spark.operators.orderbook import (  # noqa: E402
+        reconstruct_book,
+        reconstruct_book_bucketed,
+    )
+
+    n_book = 2_000_000
+    base = gen_ticks(spark, n_book)
+    upd = base.select(
+        "symbol",
+        "ts",
+        F.when(F.col("price") < 95.2, F.lit("SNAPSHOT"))
+        .when(F.col("price") < 99.0, F.lit("SET"))
+        .when(F.col("price") < 103.0, F.lit("ADD"))
+        .otherwise(F.lit("SUB"))
+        .alias("update_type"),
+        F.array(
+            F.struct(
+                F.when(F.col("price") < 100.0, F.lit("bid")).otherwise(F.lit("ask")).alias("side"),
+                F.round("price", 1).alias("price"),
+                (F.pmod(F.round(F.col("price") * 10, 0), F.lit(7.0)) + 1).alias("size"),
+            )
+        ).alias("orders"),
+    )
+    results["orderbook_rows"] = n_book
+    results["orderbook_sequential_sec"] = timed(
+        lambda: force(reconstruct_book(upd, depth=10, emit_every="1m"))
+    )
+    results["orderbook_bucketed_sec"] = timed(
+        lambda: force(
+            reconstruct_book_bucketed(upd, depth=10, emit_every="1m", bucket="10m")
+        )
+    )
     print(json.dumps(results))
 
 

@@ -32,6 +32,7 @@ from pyspark.sql.types import (
     ArrayType,
     DoubleType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -138,11 +139,18 @@ class _Book:
 
 
 def _replay(
-    pdf: pd.DataFrame, book: _Book, depth: int, emit_every: float | None, key_val
+    pdf: pd.DataFrame,
+    book: _Book,
+    depth: int,
+    emit_every: float | None,
+    key_val,
+    seq_col: str | None = None,
 ) -> pd.DataFrame:
     rows = []
     last_bucket = None
-    pdf = pdf.sort_values("ts")
+    # seq_col: deterministic tie-break for equal timestamps (sort_values
+    # alone is not stable across input orders)
+    pdf = pdf.sort_values(["ts", seq_col] if seq_col else "ts")
     # numpy object arrays iterate ~3x faster than pandas Series; epoch
     # bucketing is vectorized up front instead of per-row .timestamp()
     ts_arr = pdf["ts"].to_numpy()
@@ -175,18 +183,318 @@ def reconstruct_book(
     key: str = "symbol",
     depth: int = 20,
     emit_every: str | float | None = None,
+    seq_col: str | None = None,
 ) -> DataFrame:
     """Batch reconstruction: df(key, ts, update_type, orders:array<
     struct<side,price,size>>) -> depth-truncated snapshots per event
-    (or per emit_every bucket)."""
+    (or per emit_every bucket). ``seq_col``: optional monotone column
+    breaking equal-timestamp ties deterministically."""
     every = duration_to_seconds(emit_every) if emit_every is not None else None
     schema = snapshot_schema(key)
 
     def fn(key_tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        out = _replay(pdf, _Book(), depth, every, key_tuple[0])
+        out = _replay(pdf, _Book(), depth, every, key_tuple[0], seq_col)
         return out.rename(columns={"__key": key})
 
     return df.groupBy(key).applyInPandas(fn, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# Time-parallel (bucketed) reconstruction
+# --------------------------------------------------------------------------
+#
+# A hot instrument serializes the per-key replay above. But the book
+# update algebra is associative: with all sizes positive (any real
+# book), a level's value is >= 0, "absent" is exactly 0, and each op is
+# a clamped-linear function of the level's prior value v:
+#
+#     ADD a   ->  f(v) = v + a          = max(v + a, a)     (v >= 0)
+#     SUB s   ->  f(v) = max(v - s, 0)                      (<=0 deletes)
+#     SET x   ->  f(v) = x              = max(v - inf, x)
+#     SET 0   ->  f(v) = 0  (delete)
+#
+# The family f(v) = max(v + A, B) is closed under composition:
+#     (A1,B1) then (A2,B2)  =  (A1+A2, max(B1+A2, B2))
+# and SNAPSHOT resets the whole key, making everything before it
+# irrelevant. So reconstruction parallelizes over time like a prefix
+# scan: (1) summarize each (key, time-bucket) independently — either a
+# composed (A,B) per touched level, or, if the bucket contains a
+# SNAPSHOT, the exact end-of-bucket book (seed-independent); (2) fold
+# the summaries per key in bucket order — a sequential pass, but over
+# the tiny summary relation, not the events; (3) replay each bucket in
+# parallel seeded with its exact boundary state. Inconsistency counts
+# are per-bucket deltas in pass 3, made cumulative by an exclusive
+# prefix sum over the (key, bucket) meta relation.
+#
+# Parallelism becomes keys x buckets (the same trick as the bucketed
+# as-of join) at the cost of ~2 passes over the events. Float caveat:
+# composing ADDs sums sizes in a different association order than
+# sequential replay — identical results when sizes are integer-valued
+# (exact in doubles, true of the fixtures), otherwise equal up to fp
+# reassociation (the same caveat as any distributed sum).
+
+_NEG_INF = float("-inf")
+
+
+def _summarize_segment(pdf: pd.DataFrame, seq_col: str | None):
+    """One (key, bucket) segment -> boundary-state transfer summary."""
+    pdf = pdf.sort_values(["ts", seq_col] if seq_col else "ts")
+    snap_book: _Book | None = None
+    levels: dict[tuple[str, float], tuple[float, float]] = {}
+    for ut, orders in zip(pdf["update_type"].to_numpy(), pdf["orders"].to_numpy()):
+        if ut == "SNAPSHOT":
+            snap_book = _Book()
+            snap_book.apply("SNAPSHOT", ((o["side"], o["price"], o["size"]) for o in orders))
+            continue
+        if snap_book is not None:
+            snap_book.apply(ut, ((o["side"], o["price"], o["size"]) for o in orders))
+            continue
+        for o in orders:
+            side, price, size = o["side"], o["price"], o["size"]
+            if ut == "ADD":
+                if size <= 0.0:
+                    raise ValueError(
+                        "bucketed order-book reconstruction requires positive "
+                        "ADD sizes (absent==0 invariant); use reconstruct_book"
+                    )
+                op = (size, size)
+            elif ut == "SET":
+                op = (_NEG_INF, size)  # SET 0 == delete == CONST 0
+            elif ut == "SUB":
+                op = (-size, 0.0)
+            else:
+                continue
+            prev = levels.get((side, price))
+            if prev is None:
+                levels[(side, price)] = op
+            else:
+                a1, b1 = prev
+                a2, b2 = op
+                levels[(side, price)] = (a1 + a2, max(b1 + a2, b2))
+    if snap_book is not None:
+        out = [
+            ("bid" if is_bid else "ask", p, None, sz)
+            for is_bid, book in ((True, snap_book.bids), (False, snap_book.asks))
+            for p, sz in book.items()
+        ]
+        return True, out
+    return False, [
+        (side, price, None if a == _NEG_INF else a, b)
+        for (side, price), (a, b) in levels.items()
+    ]
+
+
+def reconstruct_book_bucketed(
+    df: DataFrame,
+    key: str = "symbol",
+    depth: int = 20,
+    emit_every: str | float | None = None,
+    bucket: str | float = "1h",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Time-parallel reconstruction: identical output to
+    ``reconstruct_book`` (see float caveat above) with parallelism
+    keys x buckets instead of keys. Use when instruments are few or
+    skewed — the same scale regime as ``asof_join(time_bucket=...)``."""
+    every = duration_to_seconds(emit_every) if emit_every is not None else None
+    bucket_s = duration_to_seconds(bucket)
+    in_cols = [key, "ts", "update_type", "orders"] + ([seq_col] if seq_col else [])
+    ev = df.select(*in_cols).withColumn(
+        "__bk", F.floor(F.unix_timestamp("ts") / F.lit(bucket_s)).cast("long")
+    )
+
+    # ---- pass 1 (parallel over key x bucket): segment summaries
+    sum_schema = StructType(
+        [
+            StructField("__key", StringType()),
+            StructField("__bk", LongType()),
+            StructField("has_snapshot", IntegerType()),
+            StructField(
+                "levels",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("side", StringType()),
+                            StructField("price", DoubleType()),
+                            StructField("a", DoubleType()),
+                            StructField("b", DoubleType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+
+    def summarize(key_tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        has_snap, levels = _summarize_segment(pdf, seq_col)
+        return pd.DataFrame(
+            {
+                "__key": [key_tuple[0]],
+                "__bk": [key_tuple[1]],
+                "has_snapshot": [int(has_snap)],
+                "levels": [levels],
+            }
+        )
+
+    summaries = ev.groupBy(
+        F.col(key).cast("string").alias("__k"), "__bk"
+    ).applyInPandas(summarize, schema=sum_schema)
+
+    # ---- pass 2 (per key, sequential over the TINY summary relation):
+    # fold summaries in bucket order, emitting each bucket's seed state
+    sided_level = StructType(
+        [
+            StructField("side", StringType()),
+            StructField("price", DoubleType()),
+            StructField("size", DoubleType()),
+        ]
+    )
+    seed_schema = StructType(
+        [
+            StructField("__key", StringType()),
+            StructField("__bk", LongType()),
+            StructField("update_type", StringType()),
+            StructField("orders", ArrayType(sided_level)),
+        ]
+    )
+
+    def fold_seeds(key_tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__bk")
+        book: dict[tuple[str, float], float] = {}
+        started = False
+        out_bk, out_ut, out_orders = [], [], []
+        for _, row in pdf.iterrows():
+            if started:
+                out_bk.append(row["__bk"])
+                out_ut.append("__SEED__")
+                out_orders.append(
+                    [
+                        {"side": s, "price": p, "size": sz}
+                        for (s, p), sz in book.items()
+                    ]
+                )
+            if row["has_snapshot"]:
+                book = {
+                    (lv["side"], lv["price"]): lv["b"] for lv in row["levels"]
+                }
+                started = True
+            elif started:
+                for lv in row["levels"]:
+                    k2 = (lv["side"], lv["price"])
+                    v = book.get(k2, 0.0)
+                    a = lv["a"]
+                    # Arrow may surface the SET sentinel (null a) as NaN
+                    nv = lv["b"] if (a is None or a != a) else max(v + a, lv["b"])
+                    if nv > 0.0:
+                        book[k2] = nv
+                    elif k2 in book:
+                        del book[k2]
+        return pd.DataFrame(
+            {
+                "__key": key_tuple[0],
+                "__bk": out_bk,
+                "update_type": out_ut,
+                "orders": out_orders,
+            }
+        )
+
+    seeds = summaries.groupBy("__key").applyInPandas(fold_seeds, schema=seed_schema)
+
+    # ---- pass 3 (parallel over key x bucket): seeded replay. Seeds ride
+    # into their group as marker rows (no per-event join duplication).
+    ev2 = ev.select(
+        F.col(key).cast("string").alias("__key"),
+        "__bk",
+        "ts",
+        "update_type",
+        F.transform(
+            "orders",
+            lambda o: F.struct(
+                o["side"].alias("side"),
+                o["price"].alias("price"),
+                o["size"].alias("size"),
+            ),
+        ).alias("orders"),
+        *([F.col(seq_col).cast("double").alias("__seq")] if seq_col else []),
+    )
+    seed_rows = seeds.select(
+        "__key",
+        "__bk",
+        F.lit(None).cast("timestamp").alias("ts"),
+        "update_type",
+        "orders",
+        *([F.lit(None).cast("double").alias("__seq")] if seq_col else []),
+    )
+    union = ev2.unionByName(seed_rows)
+
+    out_schema = StructType(
+        [
+            StructField("__key", StringType()),
+            StructField("__bk", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("bids", ArrayType(LEVEL)),
+            StructField("asks", ArrayType(LEVEL)),
+            StructField("inc_rel", IntegerType()),
+            StructField("is_meta", IntegerType()),
+        ]
+    )
+
+    def replay_bucket(key_tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        book = _Book()
+        seed = pdf[pdf["update_type"] == "__SEED__"]
+        events = pdf[pdf["update_type"] != "__SEED__"]
+        if len(seed):
+            for o in seed.iloc[0]["orders"]:
+                book._set_level(o["side"] == "bid", o["price"], o["size"])
+            book.started = True
+        out = _replay(
+            events, book, depth, every, key_tuple[0], "__seq" if seq_col else None
+        )
+        out = out.rename(columns={"inconsistencies": "inc_rel"})
+        out["__bk"] = key_tuple[1]
+        out["is_meta"] = 0
+        meta = pd.DataFrame(
+            {
+                "__key": [key_tuple[0]],
+                "__bk": [key_tuple[1]],
+                "ts": [pd.NaT],
+                "bids": [[]],
+                "asks": [[]],
+                "inc_rel": [book.inconsistencies],
+                "is_meta": [1],
+            }
+        )
+        return pd.concat([out, meta], ignore_index=True)
+
+    replayed = union.groupBy("__key", "__bk").applyInPandas(
+        replay_bucket, schema=out_schema
+    )
+
+    # ---- cumulative inconsistency offsets from the meta relation
+    from pyspark.sql import Window
+
+    meta = replayed.filter(F.col("is_meta") == 1).select(
+        "__key", "__bk", F.col("inc_rel").alias("__delta")
+    )
+    w = (
+        Window.partitionBy("__key")
+        .orderBy("__bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = meta.select(
+        "__key", "__bk", F.coalesce(F.sum("__delta").over(w), F.lit(0)).alias("__off")
+    )
+    return (
+        replayed.filter(F.col("is_meta") == 0)
+        .join(F.broadcast(offsets), on=["__key", "__bk"])
+        .select(
+            F.col("__key").alias(key),
+            "ts",
+            "bids",
+            "asks",
+            (F.col("inc_rel") + F.col("__off")).cast("int").alias("inconsistencies"),
+        )
+    )
 
 
 def reconstruct_book_stream(
@@ -247,7 +555,9 @@ def reconstruct_book_stream(
     )
 
 
-def synthetic_l2_updates(events: DataFrame, key: str = "user_id") -> DataFrame:
+def synthetic_l2_updates(
+    events: DataFrame, key: str = "user_id", passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """Derive a deterministic L2 update stream from the driver's events
     table (the fixtures ship no L2 table): one instrument per user so
     each stream interleaves all update types — signup -> SNAPSHOT around
@@ -298,4 +608,5 @@ def synthetic_l2_updates(events: DataFrame, key: str = "user_id") -> DataFrame:
         F.col("ts"),
         update_type.alias("update_type"),
         orders.alias("orders"),
+        *passthrough,
     )

@@ -1449,3 +1449,40 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@query("orderbook_snapshots_bucketed", None, bench=True)
+def orderbook_snapshots_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-parallel order-book reconstruction: identical emissions to
+    `orderbook_snapshots` (differential-tested, tests/test_orderbook.py)
+    but parallelism = keys x time-buckets via associative segment
+    summaries — the scale path when instruments are few or hot. To
+    exercise that regime (the sequential form already covers the
+    many-instrument case), users hash onto 8 hot shard-instruments,
+    each carrying a long event history that the sequential engine
+    would replay on a single task. Rows-only for the driver, same as
+    the sequential form."""
+    from svoe_spark.operators.orderbook import (
+        reconstruct_book_bucketed,
+        synthetic_l2_updates,
+    )
+
+    events = load_table(spark, "events", sf_dir)
+    updates = synthetic_l2_updates(events, passthrough=("event_id",)).withColumn(
+        "symbol", F.concat(F.lit("SHARD-"), F.pmod(F.xxhash64("symbol"), F.lit(8)))
+    )
+    snaps = reconstruct_book_bucketed(
+        updates,
+        depth=10,
+        bucket="1d",
+        seq_col="event_id",
+    )
+    return snaps.select(
+        "symbol",
+        "ts",
+        F.element_at("bids", 1)["price"].alias("best_bid"),
+        F.element_at("asks", 1)["price"].alias("best_ask"),
+        F.size("bids").alias("bid_depth"),
+        F.size("asks").alias("ask_depth"),
+        "inconsistencies",
+    )

@@ -107,3 +107,46 @@ def test_emit_every_sampling(spark, sf_small):
     raw = reconstruct_book(updates, depth=5).count()
     sampled = reconstruct_book(updates, depth=5, emit_every="1d").count()
     assert 0 < sampled < raw
+
+
+def _emission_map(df):
+    return {
+        (r["symbol"], r["ts"]): (
+            [(b["price"], b["size"]) for b in r["bids"]],
+            [(a["price"], a["size"]) for a in r["asks"]],
+            r["inconsistencies"],
+        )
+        for r in df.collect()
+    }
+
+
+def test_bucketed_equals_sequential(spark, sf_mid):
+    """Time-parallel reconstruction == per-key sequential replay,
+    emission for emission including cumulative inconsistency counts.
+    sf0.01 interleaves all update types across 1500 keys and many
+    buckets; sizes are integer-valued so the summary composition is
+    float-exact (see the algebra note in operators/orderbook.py)."""
+    from svoe_spark.operators.orderbook import reconstruct_book_bucketed
+
+    events = load_table(spark, "events", sf_mid)
+    updates = synthetic_l2_updates(events, passthrough=("event_id",))
+
+    seq = reconstruct_book(updates, depth=10, seq_col="event_id")
+    par = reconstruct_book_bucketed(
+        updates, depth=10, bucket="6h", seq_col="event_id"
+    )
+    a, b = _emission_map(seq), _emission_map(par)
+    assert len(a) == len(b) > 0
+    assert a == b
+
+
+def test_bucketed_emit_every(spark, sf_small):
+    from svoe_spark.operators.orderbook import reconstruct_book_bucketed
+
+    events = load_table(spark, "events", sf_small)
+    updates = synthetic_l2_updates(events)
+    raw = reconstruct_book_bucketed(updates, depth=5, bucket="12h").count()
+    sampled = reconstruct_book_bucketed(
+        updates, depth=5, bucket="12h", emit_every="1d"
+    ).count()
+    assert 0 < sampled < raw
