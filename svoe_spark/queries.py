@@ -1474,7 +1474,7 @@ def orderbook_snapshots_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     snaps = reconstruct_book_bucketed(
         updates,
         depth=10,
-        bucket="1d",
+        bucket="3d",
         seq_col="event_id",
     )
     return snaps.select(
@@ -1485,4 +1485,382 @@ def orderbook_snapshots_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("bids").alias("bid_depth"),
         F.size("asks").alias("ask_depth"),
         "inconsistencies",
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H joins/aggregations, second batch (adapted to the fixture schema:
+# no partsupp/commitdate/phone columns exist, so Q9 uses p_retailprice as
+# the cost proxy, Q13 filters on o_orderpriority, Q16 counts distinct
+# lineitem suppliers, Q22 keys country on c_nationkey)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(vc) AS BIGINT) / 10000.0 AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS l_year,
+             CAST(round(l.l_extendedprice*100,0) AS BIGINT)
+               * (100 - CAST(round(l.l_discount*100,0) AS BIGINT)) AS vc
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                             AND TIMESTAMP '1997-12-31 00:00:00'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bidirectional nation-pair shipping volume by year. The
+    nation dimension broadcasts twice under two aliases; the pair filter
+    prunes before the fact-side shuffle."""
+    s = load_table(spark, "supplier", sf_dir)
+    l = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit("1997-12-31 00:00:00").cast("timestamp"))
+    )
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    j = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        j.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (_cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))).alias("vc"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("vc").alias("vc_sum"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            (F.col("vc_sum") / 10000.0).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           CASE WHEN CAST(SUM(den) AS BIGINT) <> 0
+                THEN CAST(CAST(SUM(num) AS BIGINT) AS DOUBLE)
+                     / CAST(CAST(SUM(den) AS BIGINT) AS DOUBLE)
+                ELSE 0.0 END AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+             CAST(round(l.l_extendedprice*100,0) AS BIGINT)
+               * (100 - CAST(round(l.l_discount*100,0) AS BIGINT)) AS den,
+             CASE WHEN n2.n_name = 'NATION_5'
+                  THEN CAST(round(l.l_extendedprice*100,0) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount*100,0) AS BIGINT))
+                  ELSE 0 END AS num
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+        AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                              AND TIMESTAMP '1997-12-31 00:00:00'
+    )
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: NATION_5 suppliers' share of PROMO-part revenue sold
+    into ASIA, by order year. Conditional-sum ratio; both sums stay
+    exact integers so the final double division is bit-identical."""
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_type") == "PROMO")
+    l = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31 00:00:00").cast("timestamp"))
+    )
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rk"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation"))
+    s = load_table(spark, "supplier", sf_dir)
+    vc = (_cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount"))))
+    j = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    g = (
+        j.select(
+            F.year("o_orderdate").alias("o_year"),
+            vc.alias("den"),
+            F.when(F.col("supp_nation") == "NATION_5", vc).otherwise(F.lit(0)).alias("num"),
+        )
+        .groupBy("o_year")
+        .agg(F.sum("num").alias("num_sum"), F.sum("den").alias("den_sum"))
+    )
+    return g.select(
+        "o_year",
+        F.when(
+            F.col("den_sum") != 0,
+            F.col("num_sum").cast("double") / F.col("den_sum").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mkt_share"),
+    )
+
+
+@query(
+    "q9_product_profit",
+    """
+    SELECT n_name, o_year, CAST(SUM(amt) AS BIGINT) / 10000.0 AS profit
+    FROM (
+      SELECT n.n_name,
+             CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+             CAST(round(l.l_extendedprice*100,0) AS BIGINT)
+               * (100 - CAST(round(l.l_discount*100,0) AS BIGINT))
+             - CAST(round(p.p_retailprice*100,0) AS BIGINT)
+               * CAST(l.l_quantity AS BIGINT) * 100 AS amt
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%gear%'
+    )
+    GROUP BY n_name, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (cost proxy: p_retailprice — the fixtures ship no
+    partsupp/ps_supplycost): profit per supplier nation per order year
+    over parts matching a name pattern. Exercises a LIKE-filtered
+    broadcast dim + 4-way fact join."""
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_name").like("%gear%"))
+    l = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    amt = (
+        _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+        - _cents(F.col("p_retailprice")) * F.col("l_quantity").cast("long") * 100
+    )
+    j = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    return (
+        j.select("n_name", F.year("o_orderdate").alias("o_year"), amt.alias("amt"))
+        .groupBy("n_name", "o_year")
+        .agg(F.sum("amt").alias("amt_sum"))
+        .select("n_name", "o_year", (F.col("amt_sum") / 10000.0).alias("profit"))
+    )
+
+
+@query(
+    "q10_returned_item",
+    """
+    SELECT c_custkey, c_name, c_acctbal, n_name,
+           CAST(rev_c AS BIGINT) / 10000.0 AS revenue
+    FROM (
+      SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+             CAST(SUM(CAST(round(l.l_extendedprice*100,0) AS BIGINT)
+                      * (100 - CAST(round(l.l_discount*100,0) AS BIGINT))) AS BIGINT) AS rev_c
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        AND l.l_returnflag = 'R'
+      GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    )
+    ORDER BY rev_c DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returns in one
+    quarter. Exact-integer ordering key + custkey tie-break keeps the
+    top-k deterministic across engines."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, "nation", sf_dir)
+    g = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            "n_name",
+            (_cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))).alias("rc"),
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum("rc").alias("rev_c"))
+    )
+    return (
+        g.orderBy(F.col("rev_c").desc(), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            "n_name",
+            (F.col("rev_c") / 10000.0).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q13_order_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (filter adapted to o_orderpriority — no o_comment in
+    the fixtures): customers-per-order-count histogram via left outer
+    join preserving zero-order customers, then a double aggregation."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q16_supplier_count",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (over lineitem — no partsupp in the fixtures): distinct
+    supplier count per (brand, type, size). Spark plans count-distinct
+    as a two-phase expand+partial agg, no driver involvement."""
+    p = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    l = load_table(spark, "lineitem", sf_dir)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q22_global_sales_opportunity",
+    """
+    WITH pool AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(round(c_acctbal*100,0) AS BIGINT) AS ac
+      FROM customer WHERE c_nationkey IN (1, 3, 5, 7)
+    ),
+    avg_pos AS (
+      SELECT CAST(SUM(ac) AS BIGINT) AS s, COUNT(*) AS n
+      FROM pool WHERE ac > 0
+    )
+    SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+           CAST(SUM(ac) AS BIGINT) / 100.0 AS totacctbal
+    FROM pool, avg_pos
+    WHERE pool.ac * avg_pos.n > avg_pos.s
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = pool.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (country code = c_nationkey — no c_phone in the
+    fixtures): wealthy customers per country with no orders since
+    2000-01-01. The average
+    compares as an exact cross-multiplied integer (ac*n > s, never a
+    float mean); the no-orders condition is a left-anti join."""
+    pool = (
+        load_table(spark, "customer", sf_dir)
+        .filter(F.col("c_nationkey").isin(1, 3, 5, 7))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            _cents(F.col("c_acctbal")).alias("ac"),
+        )
+    )
+    avg_pos = pool.filter(F.col("ac") > 0).agg(
+        F.sum("ac").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    o = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    rich = (
+        pool.crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("ac") * F.col("n") > F.col("s"))
+        .join(o, pool.c_custkey == o.o_custkey, "left_anti")
+    )
+    return (
+        rich.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("numcust"), F.sum("ac").alias("ac_sum"))
+        .select(
+            F.col("c_nationkey").alias("cntrycode"),
+            "numcust",
+            (F.col("ac_sum") / 100.0).alias("totacctbal"),
+        )
     )
