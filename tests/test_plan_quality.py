@@ -101,6 +101,34 @@ def test_scans_stay_in_codegen(spark, sf_mid):
         assert "isFinalPlan=true" in p and "codegen id" in p, q
 
 
+def test_tpch_batch2_joins_broadcast_not_sort_merge(plans):
+    # nation/part/customer dims in the second TPC-H batch must all
+    # broadcast; the fact side never shuffles for a dim lookup
+    for q in (
+        "q7_volume_shipping",
+        "q9_product_profit",
+        "q10_returned_item",
+        "q16_supplier_count",
+    ):
+        p = plans(q)
+        assert "BroadcastHashJoin" in p, q
+        assert "SortMergeJoin" not in p, q
+
+
+def test_q22_anti_join_is_broadcast(plans):
+    # NOT EXISTS compiles to a broadcast left-anti, not a shuffle
+    p = plans("q22_global_sales_opportunity")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
+
+
+def test_q13_outer_join_preserves_build_side(plans):
+    # LEFT OUTER must stay an outer hash join (zero-order customers
+    # survive); the two-level aggregation keeps map-side partials
+    p = plans("q13_order_distribution")
+    assert "LeftOuter" in p, p
+    assert "partial_count" in p, p
+
+
 def test_events_scan_prunes_for_projection(spark, sf_mid):
     from svoe_spark.sources.tables import load_table
 
