@@ -1864,3 +1864,154 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ac_sum") / 100.0).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Grid resampling, multidimensional aggregates, ranking, exact median
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "resample_1h_ffill",
+    _TICKS_SQL
+    + """
+    , d AS (
+      SELECT event_type, ts, arg_max(value, event_id) AS value
+      FROM ticks GROUP BY event_type, ts
+    ),
+    b AS (
+      SELECT event_type, date_trunc('hour', MIN(ts)) AS mn, MAX(ts) AS mx
+      FROM d GROUP BY event_type
+    ),
+    g AS (
+      SELECT event_type, unnest(generate_series(mn, mx, INTERVAL 3600 SECOND)) AS ts
+      FROM b
+    )
+    SELECT g.event_type, g.ts, d.value
+    FROM g ASOF LEFT JOIN d
+      ON g.event_type = d.event_type AND g.ts >= d.ts
+    """,
+)
+def resample_1h_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly grid per instrument with last-observation-
+    carried-forward (operators/resample.py): the regular-rate series a
+    training pipeline joins features on. Grid bounds come from one tiny
+    per-key agg; the fill is the library as-of join (one shuffle).
+    Duplicate-ts rows collapse by greatest event_id first so the
+    forward-fill is deterministic on both engines."""
+    from svoe_spark.operators.resample import resample_ffill
+
+    t = ticks(spark, sf_dir)
+    d = t.groupBy("event_type", "ts").agg(
+        F.max_by("value", "event_id").alias("value")
+    )
+    return resample_ffill(
+        d, on="ts", by="event_type", every="1h", value_cols=["value"]
+    )
+
+
+@query(
+    "cube_returnflag_status",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(pc) AS BIGINT) / 100.0 AS gross,
+           COUNT(*) AS n_items
+    FROM (
+      SELECT l_returnflag, l_linestatus,
+             CAST(round(l_extendedprice*100,0) AS BIGINT) AS pc
+      FROM lineitem
+    )
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping levels in
+    one pass via Expand — grand total, both margins, and the full
+    cross, identical null-marker semantics to the oracle. (SURVEY
+    §2.4: the reference has no multidim aggregates; Spark natively.)"""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag",
+        "l_linestatus",
+        _cents(F.col("l_extendedprice")).alias("pc"),
+    )
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        (F.sum("pc") / 100.0).alias("gross"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "supplier_balance_ranks",
+    """
+    SELECT s_nationkey, s_suppkey, s_acctbal,
+           CAST(rank()       OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4)     OVER w AS BIGINT) AS quartile
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+)
+def supplier_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking analytics per nation (rank / dense_rank / ntile). Ties
+    broken by supplier key so every engine assigns identical row order.
+    (SURVEY §2.5: ranking functions absent in the reference, native
+    here — one hash shuffle on the partition key, in-partition sort.)"""
+    s = load_table(spark, "supplier", sf_dir)
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), "s_suppkey"
+    )
+    return s.select(
+        "s_nationkey",
+        "s_suppkey",
+        "s_acctbal",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@query(
+    "median_order_value",
+    """
+    WITH o AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice*100,0) AS BIGINT) AS c
+      FROM orders
+    ),
+    r AS (
+      SELECT o_orderpriority, c,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY c) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM o
+    )
+    SELECT o_orderpriority,
+           (CAST(SUM(c) AS DOUBLE) / COUNT(*)) / 100.0 AS median_value
+    FROM r
+    WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+    GROUP BY o_orderpriority
+    """,
+)
+def median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed median per group — a holistic aggregate
+    computed without any single-node sort: rank within group, keep the
+    middle one/two rows, average them. All arithmetic on exact cents
+    until the final division, so it hash-matches across engines (a
+    percentile_cont call would not: interpolation trees differ)."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderpriority", _cents(F.col("o_totalprice")).alias("c")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("c")
+    r = o.select(
+        "o_orderpriority",
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("o_orderpriority")
+        ).alias("n"),
+    )
+    mid = r.filter(
+        (F.col("rn") == F.expr("(n + 1) div 2")) | (F.col("rn") == F.expr("(n + 2) div 2"))
+    )
+    return mid.groupBy("o_orderpriority").agg(
+        ((F.sum("c").cast("double") / F.count(F.lit(1))) / 100.0).alias("median_value")
+    )
