@@ -2015,3 +2015,38 @@ def median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mid.groupBy("o_orderpriority").agg(
         ((F.sum("c").cast("double") / F.count(F.lit(1))) / 100.0).alias("median_value")
     )
+
+
+@query("approx_distinct_daily", None)
+def approx_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per day via MERGEABLE HLL sketches —
+    the 100 TB cardinality pattern: each partition builds a constant-
+    size sketch, sketches merge associatively (here: re-aggregated into
+    a running all-days union with hll_union_agg), and nothing holistic
+    crosses the shuffle. exact_users is computed alongside so the
+    parity/error-bound test is self-contained; rows-only for the driver
+    (estimates are engine-specific by design)."""
+    e = load_table(spark, "events", sf_dir).select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id", "value"
+    )
+    daily = e.groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    # percentile_approx runs in its OWN aggregation: fused into the
+    # count_distinct agg it would ride the Expand (2x rows) and drop
+    # the whole aggregate out of the fast hash path (~4x slower
+    # measured); two narrow scans beat one pathological one
+    med = e.groupBy("day").agg(
+        F.percentile_approx("value", 0.5).alias("approx_median_value")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.join(F.broadcast(med), "day").select(
+        "day",
+        F.hll_sketch_estimate("sk").alias("est_users"),
+        "exact_users",
+        "approx_median_value",
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias(
+            "est_users_to_date"
+        ),
+    )

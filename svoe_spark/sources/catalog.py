@@ -65,6 +65,39 @@ def read_time_range(
     return df.drop("day")
 
 
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    key: str | list[str],
+    n_buckets: int = 32,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Hash-bucketed (and bucket-sorted) table for CO-LOCATED joins: two
+    tables bucketed on the same key with the same bucket count join with
+    NO exchange — each task reads matching bucket files from both sides.
+    At 100 TB this turns the recurring fact-fact join (orders x
+    lineitem, features x labels) from a full network shuffle per query
+    into a one-time layout cost at write. ``sort`` additionally orders
+    rows within each bucket so the sort-merge join skips its sort step.
+
+    Registered in the session catalog (`spark.table(name)`); a
+    production deployment records the same layout in a shared metastore.
+    Returns the re-read table (carrying the bucket metadata — a plain
+    ``read.parquet`` of the path would not)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    w = (
+        df.write.mode(mode)
+        .option("path", path)
+        .bucketBy(n_buckets, *keys)
+    )
+    if sort:
+        w = w.sortBy(*keys)
+    w.saveAsTable(name)
+    return df.sparkSession.table(name)
+
+
 def content_hash(df: DataFrame, cols: list[str] | None = None) -> int:
     """Order-insensitive content hash of a DataFrame (reference F6,
     df_utils.py:163-164 — joblib hash of the pandas frame): xor-fold of

@@ -118,3 +118,37 @@ def test_ingest_csv_normalize_and_ledger(spark, sf_small, tmp_path):
     # ledger dedup: second ingest of the same file is a no-op
     assert ingest_csv(spark, csv_file, dest, ledger=ledger) == 0
     assert spark.read.parquet(dest).count() == 1000
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_small, tmp_path):
+    """Co-located join: both fact tables bucketed on the join key ->
+    the join plan contains NO Exchange (no shuffle) and agrees with the
+    plain shuffle join's result."""
+    import contextlib
+    import io
+
+    from svoe_spark.sources.catalog import write_bucketed
+    from svoe_spark.sources.tables import load_table
+
+    o = load_table(spark, "orders", sf_small)
+    l = load_table(spark, "lineitem", sf_small)
+    ob = write_bucketed(o, "orders_b", str(tmp_path / "ob"), "o_orderkey", 8)
+    lb = write_bucketed(
+        l, "lineitem_b", str(tmp_path / "lb"), "l_orderkey", 8
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert j.count() == l.join(o, l.l_orderkey == o.o_orderkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")

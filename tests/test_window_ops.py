@@ -54,3 +54,17 @@ def test_trailing_agg_generic(trades):
 def test_prefix_columns(trades):
     out = prefix_columns(trades.select("ts", "price"), "feat-", exclude=["ts"])
     assert out.columns == ["ts", "feat-price"]
+
+
+def test_approx_sketches_error_bound(spark, sf_mid):
+    """HLL estimates stay within 5% of exact counts, and the running
+    union is monotone (sketch merge never loses elements)."""
+    from svoe_spark.all_queries import QUERIES
+
+    rows = QUERIES["approx_distinct_daily"].fn(spark, sf_mid).collect()
+    assert rows
+    prev = 0
+    for r in sorted(rows, key=lambda r: r["day"]):
+        assert abs(r["est_users"] - r["exact_users"]) <= 0.05 * r["exact_users"]
+        assert r["est_users_to_date"] >= prev * 0.95  # estimate jitter only
+        prev = r["est_users_to_date"]
