@@ -2050,3 +2050,229 @@ def approx_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_users_to_date"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H batch 3: the remaining plan shapes — correlated-min subquery (Q2),
+# global-scalar HAVING (Q11), nested semi-join chain (Q20), and the
+# EXISTS/NOT-EXISTS double self-join (Q21) rewritten as one aggregation.
+# partsupp does not exist in the fixtures; lineitem plays its role.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH cand AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             CAST(round(l.l_extendedprice*100,0) AS BIGINT) AS pc,
+             CAST(l.l_quantity AS BIGINT) AS qty
+      FROM lineitem l
+      WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 15)
+    ),
+    best AS (
+      SELECT l_partkey, l_suppkey,
+             ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                ORDER BY CAST(pc AS DOUBLE)/qty, l_suppkey) AS rn
+      FROM cand
+    )
+    SELECT p.p_partkey, p.p_type, s.s_name, n.n_name, s.s_acctbal
+    FROM best b
+    JOIN part p ON p.p_partkey = b.l_partkey
+    JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE b.rn = 1
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier per part; unit price from
+    lineitem since the fixtures have no partsupp). The correlated
+    MIN subquery becomes a row_number window partitioned by part —
+    but only AFTER the broadcast semi-filter on part prunes the fact
+    table ~50x, so the window shuffle carries 2% of lineitem. Ties
+    broken by (unit_price, suppkey): exact and engine-independent
+    (identical IEEE division of identical exact ints on both sides)."""
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_size") == 15)
+    l = load_table(spark, "lineitem", sf_dir)
+    cand = l.join(
+        F.broadcast(p.select("p_partkey")),
+        l.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    ).select(
+        "l_partkey",
+        "l_suppkey",
+        _cents(F.col("l_extendedprice")).alias("pc"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        (F.col("pc").cast("double") / F.col("qty")).asc(), F.col("l_suppkey").asc()
+    )
+    best = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("p_partkey", "p_type", "s_name", "n_name", "s_acctbal")
+    )
+
+
+@query(
+    "q11_valuable_parts",
+    """
+    WITH v AS (
+      SELECT l.l_partkey AS p_partkey,
+             CAST(SUM(CAST(round(l.l_extendedprice*100,0) AS BIGINT)
+                      * CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS val_c
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_nationkey IN (1, 2, 3)
+      GROUP BY l.l_partkey
+    ),
+    t AS (SELECT CAST(SUM(val_c) AS BIGINT) AS total FROM v)
+    SELECT v.p_partkey, v.val_c / 100.0 AS part_value
+    FROM v, t
+    WHERE v.val_c * 1000 > t.total
+    """,
+)
+def q11_valuable_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part inventory value filtered against a
+    fraction of the GLOBAL total. The global scalar is its own tiny
+    aggregate crossJoin-broadcast back onto the grouped rows — no
+    second pass over the fact table, no single-partition shuffle of
+    the grouped set. The comparison cross-multiplies in int64
+    (val*1000 > total) so no float threshold is involved."""
+    s = load_table(spark, "supplier", sf_dir).filter(
+        F.col("s_nationkey").isin(1, 2, 3)
+    )
+    l = load_table(spark, "lineitem", sf_dir)
+    v = (
+        l.join(F.broadcast(s.select("s_suppkey")), l.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (_cents(F.col("l_extendedprice")) * F.col("l_quantity").cast("long")).alias(
+                "x"
+            ),
+        )
+        .groupBy("p_partkey")
+        .agg(F.sum("x").alias("val_c"))
+    )
+    total = v.agg(F.sum("val_c").alias("total"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("val_c") * 1000 > F.col("total"))
+        .select("p_partkey", (F.col("val_c") / 100.0).alias("part_value"))
+    )
+
+
+@query(
+    "q20_part_promotion_suppliers",
+    """
+    WITH heavy AS (
+      SELECT l_suppkey
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > 60
+    )
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM heavy)
+    """,
+)
+def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-join chain. Evaluation order is the
+    scale-critical choice: date filter (parquet-pushed) -> broadcast
+    semi on the part subset -> partial-agg HAVING -> the resulting
+    supplier set is tiny, so IT is broadcast into the supplier scan as
+    a semi join. The fact table is touched once, never shuffled wider
+    than (suppkey, partkey) partial sums."""
+    part_sub = (
+        load_table(spark, "part", sf_dir)
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    l = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    heavy = (
+        l.join(F.broadcast(part_sub), l.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sq"))
+        .filter(F.col("sq") > 60)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    return (
+        s.join(F.broadcast(heavy), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_name", "n_name")
+    )
+
+
+@query(
+    "q21_waiting_supplier",
+    """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 45 DAY)
+    GROUP BY s.s_name
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (commit/receipt dates proxied by shipdate >
+    orderdate+45d). The classic formulation self-joins the fact table
+    twice (EXISTS + NOT EXISTS) — three wide shuffles. Rewritten here
+    as ONE aggregation per order: supplier_count > 1 AND
+    late_supplier_count == 1 identifies orders held up by exactly one
+    supplier; that supplier's late-line count is the Q21 contribution.
+    One shuffle on l_orderkey plus a tiny supplier-level agg — the
+    1x-vs-3x fact-shuffle rewrite that matters at 100 TB. The oracle
+    runs the classic EXISTS form, proving equivalence."""
+    o = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    l = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    j = l.join(o, l.l_orderkey == o.o_orderkey).withColumn(
+        "is_late",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")
+        ).cast("long"),
+    )
+    per_order = j.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+        F.max(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+        F.sum("is_late").alias("late_lines"),
+    )
+    s = load_table(spark, "supplier", sf_dir)
+    return (
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .groupBy("late_supp")
+        .agg(F.sum("late_lines").alias("numwait"))
+        .join(F.broadcast(s), F.col("late_supp") == s.s_suppkey)
+        .select("s_name", F.col("numwait").cast("long").alias("numwait"))
+    )

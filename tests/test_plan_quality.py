@@ -135,3 +135,39 @@ def test_events_scan_prunes_for_projection(spark, sf_mid):
     df = load_table(spark, "events", sf_mid).select("event_type", "value")
     schema = [l for l in plan_of(df).splitlines() if "ReadSchema" in l][0]
     assert "props" not in schema and "user_id" not in schema, schema
+
+
+def test_q2_semi_filter_before_window_shuffle(plans):
+    # the part-subset semi join must broadcast and sit BELOW the
+    # row_number exchange, so the window shuffle carries the pruned
+    # fact subset, not all of lineitem
+    p = plans("q2_min_cost_supplier")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_q11_global_scalar_is_broadcast(plans):
+    # the HAVING-vs-global-total compare must be a broadcast nested
+    # loop of ONE row, never a shuffle of the grouped set to a single
+    # partition
+    p = plans("q11_valuable_parts")
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "partial_sum" in p, p
+
+
+def test_q20_fact_scanned_once(plans):
+    # the nested semi-join chain touches lineitem exactly once, with
+    # the date filter pushed to the reader
+    p = plans("q20_part_promotion_suppliers")
+    assert p.count("lineitem.parquet") == 1, p
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l and "l_shipdate" in l]
+    assert pushed, p
+
+
+def test_q21_single_fact_shuffle(plans):
+    # the EXISTS/NOT-EXISTS rewrite must keep exactly one wide
+    # shuffle of the fact join (hash by l_orderkey) — the whole point
+    # of the aggregation rewrite; supplier lookup stays broadcast
+    p = plans("q21_waiting_supplier")
+    assert p.count("lineitem.parquet") == 1, p
+    assert "BroadcastHashJoin" in p, p
