@@ -42,9 +42,14 @@ def epoch_seconds(ts: Column | str) -> Column:
 
     Used as the numeric ORDER BY for range-frame windows; a timestamp at
     micro precision fits a double exactly (< 2^53).
+
+    TIMESTAMP_NTZ inputs (parquet isAdjustedToUTC=false) are routed
+    through a TIMESTAMP cast first — Spark refuses NTZ->double directly;
+    with the session tz pinned to UTC the two types have identical epoch
+    values, so this is exact.
     """
     c = F.col(ts) if isinstance(ts, str) else ts
-    return c.cast("double")
+    return c.cast("timestamp").cast("double")
 
 
 def bucket_start(ts: Column | str, dur: str | int | float) -> Column:

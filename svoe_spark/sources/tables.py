@@ -50,18 +50,33 @@ def _nanos_columns(path: str) -> tuple[str, ...]:
     )
 
 
+def normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to TIMESTAMP (LTZ).
+
+    The driver's parquet stores event time as isAdjustedToUTC=false; with
+    the session tz pinned to UTC the cast is value-identical, and LTZ is
+    required by watermarks / unix_timestamp / double casts downstream.
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """spark.read.parquet with transparent ns-timestamp handling."""
+    """spark.read.parquet with transparent ns-timestamp and NTZ handling."""
     ns_cols = _nanos_columns(path)
     if not ns_cols:
-        return spark.read.parquet(path)
+        return normalize_ntz(spark.read.parquet(path))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
         # integer DIV keeps exactness at 1e18 nanos; truncation toward
         # zero == DuckDB's ns->us cast for post-epoch data
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
-    return df
+    return normalize_ntz(df)
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
