@@ -31,47 +31,47 @@ from svoe_spark.operators.util import spread as _spread
 
 
 def doc_shingles(text: str = "text"):
-    """Array form of the word-trigram shingles (kept for API use);
-    the operators below use the EXPLODED row form (_shingle_rows),
-    which computes each token hash exactly once — array-indexing
-    expressions re-evaluate their source array per access once Catalyst
-    inlines the alias, which is quadratic."""
+    """Array form of the word-trigram shingles. NOTE: do not index into
+    this expression repeatedly from sibling projections — Catalyst's
+    projection collapse inlines it into every element_at access (one md5
+    pass over the whole document per access, quadratic). The operators
+    below route it through the explode-barrier in _shingle_arrays."""
     return word_shingles_from_hashes(token_hashes(text))
 
 
-def _shingle_rows(
+def _shingle_arrays(
     df: DataFrame,
     text: str = "text",
     id_col: str = "doc_id",
     extra_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, sh): one row per word-trigram shingle (with multiplicity).
+    """(extra..., id, __sh): word-trigram shingle array per document —
+    a fully NARROW pipeline (scan -> generate -> project, NO shuffle).
 
-    All-codegen pipeline: posexplode tokens -> md5 hash per row ->
-    lead() window combines trigrams. Same shingle values as
-    doc_shingles / the SQL oracle: s = ((h0*31+h1) % P * 31 + h2) % P.
+    The single-element explode is a materialization barrier: the token-
+    hash array is computed once per document by the generator, and the
+    shingle transform indexes the materialized attribute. Without it,
+    projection collapse inlines token_hashes(...) into every element_at
+    access — a full md5 pass over the document per shingle (quadratic).
+
+    Docs with <3 tokens (empty shingle array) are dropped — identical
+    to an exploded-row formulation where they produce no rows, and to
+    the SQL oracle where their NULL band keys never equi-join.
+
+    Same shingle values as doc_shingles / the SQL oracle:
+    s = ((h0*31+h1) % P * 31 + h2) % P.
     """
-    from pyspark.sql import Window
-
     extra_cols = extra_cols or []
-    tok = _spread(df).select(
-        *extra_cols, F.col(id_col), F.posexplode(tokens(text)).alias("pos", "tok")
+    t = _spread(df).select(
+        *extra_cols,
+        F.col(id_col),
+        F.explode(F.array(token_hashes(text))).alias("__th"),
     )
-    h = (
-        F.conv(F.substring(F.md5(F.encode(F.col("tok"), "UTF-8")), 1, 15), 16, 10)
-        .cast("long")
-        % P_HASH
-    )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    t2 = (
-        tok.withColumn("h0", h)
-        .withColumn("h1", F.lead("h0", 1).over(w))
-        .withColumn("h2", F.lead("h0", 2).over(w))
-    )
-    sh = ((F.col("h0") * 31 + F.col("h1")) % P_HASH * 31 + F.col("h2")) % P_HASH
-    return t2.filter(F.col("h2").isNotNull()).select(
-        *extra_cols, F.col(id_col), sh.alias("sh")
-    )
+    return t.select(
+        *extra_cols,
+        F.col(id_col),
+        word_shingles_from_hashes(F.col("__th")).alias("__sh"),
+    ).filter(F.size("__sh") > 0)
 
 
 # --------------------------------------------------------------------------
@@ -153,19 +153,24 @@ def minhash_signature(
     shingled: DataFrame | None = None,
     with_sets: bool = False,
 ) -> DataFrame:
-    """(id, m0..m{K-1}): MinHash as a plain aggregation over exploded
-    shingle rows — whole-stage codegen with map-side partial mins, no
-    per-row arrays, no higher-order functions. ``shingled``: optional
-    precomputed _shingle_rows; ``with_sets=True`` adds a '__set' column
-    (distinct shingles) in the SAME aggregate for verification reuse."""
-    rows = shingled if shingled is not None else _shingle_rows(df, text, id_col)
+    """(id, m0..m{K-1}): MinHash computed entirely ARRAY-SIDE —
+    array_min over a transform of the per-document shingle array. ZERO
+    shuffles: every document's signature is derived inside its scan
+    task (the explode+groupBy formulation shuffles every shingle row).
+    Min over the multiset equals min over the distinct set, so shingle
+    multiplicity is irrelevant. ``shingled``: optional precomputed
+    _shingle_arrays; ``with_sets=True`` adds a '__set' column (distinct
+    shingles) in the same narrow pass for verification reuse."""
+    rows = shingled if shingled is not None else _shingle_arrays(df, text, id_col)
     # long cast: a*x exceeds int32 (ANSI mode makes that a hard error)
     mins = [
-        F.min((F.lit(a).cast("long") * F.col("sh") + b) % P_HASH).alias(f"m{i}")
+        F.array_min(
+            F.transform("__sh", lambda s: (F.lit(a).cast("long") * s + b) % P_HASH)
+        ).alias(f"m{i}")
         for i, (a, b) in enumerate(params.coefficients())
     ]
-    extra = [F.collect_set("sh").alias("__set")] if with_sets else []
-    return rows.groupBy(id_col).agg(*mins, *extra)
+    extra = [F.array_distinct("__sh").alias("__set")] if with_sets else []
+    return rows.select(F.col(id_col), *mins, *extra)
 
 
 def lsh_candidate_pairs(
@@ -187,19 +192,23 @@ def lsh_candidate_pairs(
 def _band_pairs(
     sig: DataFrame, id_col: str, params: MinHashParams
 ) -> DataFrame:
-    band_rows = []
-    for b in range(params.bands):
-        key = F.concat_ws(
-            "_", *[F.col(f"m{b * params.rows + r}") for r in range(params.rows)]
-        )
-        band_rows.append(
-            sig.select(
-                F.lit(b).alias("band"), key.alias("bkey"), F.col(id_col)
+    # one generate (explode of `bands` little structs) instead of a
+    # bands-way union: the signature relation is scanned once per side
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[F.col(f"m{b * params.rows + r}") for r in range(params.rows)],
+                ).alias("bkey"),
             )
-        )
-    bands = band_rows[0]
-    for extra in band_rows[1:]:
-        bands = bands.unionByName(extra)
+            for b in range(params.bands)
+        ]
+    )
+    bands = sig.select(F.col(id_col), F.explode(band_structs).alias("__b")).select(
+        F.col("__b.band").alias("band"), F.col("__b.bkey").alias("bkey"), F.col(id_col)
+    )
     left = bands.alias("l")
     right = bands.alias("r")
     return (
@@ -225,7 +234,7 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """LSH candidates verified by true shingle-set Jaccard >= threshold.
 
-    ONE aggregation produces both the signature and the verification
+    ONE narrow pass produces both the signature and the verification
     sets (persisted); candidates then join back to the sets."""
     sig = minhash_signature(df, text, id_col, params, with_sets=True).persist()
     cands = _band_pairs(sig, id_col, params)
@@ -267,12 +276,16 @@ def ngram_jaccard_pairs(
     shuffle; AQE skew-split handles moderate cases, a document-frequency
     cap is the standard remedy beyond that."""
     group_cols = group_cols or []
-    rows = _shingle_rows(df, text, id_col, extra_cols=group_cols).dropDuplicates(
-        [id_col, "sh"]
+    # distinct shingles + set size derived array-side (narrow); the only
+    # shuffles left are the inverted-index join and the pair-count agg
+    sets = _shingle_arrays(df, text, id_col, extra_cols=group_cols).select(
+        *group_cols, F.col(id_col), F.array_distinct("__sh").alias("__ss")
     )
-    sizes = rows.groupBy(*group_cols, id_col).agg(F.count(F.lit(1)).alias("__sz"))
-    ex = rows.join(sizes, on=[*group_cols, id_col]).select(
-        *group_cols, F.col(id_col), F.col("__sz"), F.col("sh").alias("__sh")
+    ex = sets.select(
+        *group_cols,
+        F.col(id_col),
+        F.size("__ss").alias("__sz"),
+        F.explode("__ss").alias("__sh"),
     )
     a, b = ex.alias("a"), ex.alias("b")
     cond = (F.col("a.__sh") == F.col("b.__sh")) & (
@@ -313,23 +326,26 @@ SIMHASH_BITS = 30  # md5_hash folded mod 2^30; one bit-vote per hash bit
 def simhash(
     df: DataFrame, text: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Token-level SimHash fingerprint: explode tokens, one bit-vote sum
-    per hash bit, reassemble. Two narrow shuffles (explode + groupBy id),
-    all integer arithmetic."""
-    toks = _spread(df).select(F.col(id_col), F.explode(tokens(text)).alias("tok"))
-    h = md5_hash("tok") % (1 << SIMHASH_BITS)
-    votes = toks.select(F.col(id_col), h.alias("h")).groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
-            ).alias(f"v{j}")
-            for j in range(SIMHASH_BITS)
-        ]
-    )
+    """Token-level SimHash fingerprint, array-side: the token-hash array
+    is materialized once per document (explode barrier), then all
+    SIMHASH_BITS bit-votes are counted with array filters in the same
+    narrow task — no explode shuffle, no wide 30-sum groupBy. The ±1
+    vote sum is positive iff 2*#set_bits > #tokens. Zero-token docs are
+    dropped (no rows under the exploded formulation either)."""
+    t = _spread(df).select(
+        F.col(id_col),
+        F.explode(
+            F.array(F.transform(tokens(text), lambda tk: md5_hash(tk) % (1 << SIMHASH_BITS)))
+        ).alias("__h"),
+    ).filter(F.size("__h") > 0)
+    n = F.size("__h")
     fp: Column = F.lit(0).cast("long")
     for j in range(SIMHASH_BITS):
-        fp = fp + F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return votes.select(id_col, fp.alias("simhash"))
+        k = F.size(
+            F.filter("__h", lambda h: F.shiftright(h, j).bitwiseAND(1) == 1)
+        )
+        fp = fp + F.when(k * 2 > n, F.lit(1 << j)).otherwise(F.lit(0))
+    return t.select(id_col, fp.alias("simhash"))
 
 
 def simhash_pairs(
