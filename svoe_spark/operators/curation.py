@@ -1,0 +1,193 @@
+"""Dataset-curation operators for training-data pipelines: exact global
+prefix sums / ranks WITHOUT a single-reducer global window,
+deterministic dataset shuffling, hash-based train/valid/test splits,
+and sequence packing to a token budget.
+
+Scale design — the naive formulation of a global running total or a
+global rank is ``Window.orderBy(key)`` with no partitionBy; Spark
+executes that window on ONE task regardless of cluster size (and warns
+so). These operators decompose it:
+
+  1. one scan computes min/max of the (unique) order key;
+  2. a deterministic equi-width bucket expression over [min, max]
+     (monotone in the key, so bucket order == key order) partitions the
+     work; a second scan reduces per-bucket totals — a `buckets`-row
+     relation collected to the driver;
+  3. the final pass runs the running total as a PARALLEL window
+     partitioned by bucket and adds the exclusive prefix of bucket
+     totals as a constant-array lookup.
+
+Three passes over one column + two tiny collects; every stage is
+partition-parallel. Equi-width bucketing is balanced for the two key
+shapes used here (dense surrogate ids; uniform md5 keys) — for skewed
+custom keys pass explicit ``boundaries`` (e.g. from approxQuantile).
+
+Everything is deterministic: bucket boundaries are pure functions of
+data min/max (no sampling, unlike repartitionByRange), and window
+frames are ordered by a unique key (callers must guarantee uniqueness —
+document ids and md5-of-id keys are).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, FloatType
+
+from svoe_spark.functions.text import md5_hash
+
+DEFAULT_BUCKETS = 64
+
+
+def _bucket(key: Column, kmin: int, kmax: int, n: int) -> Column:
+    """Deterministic equi-width bucket id in [0, n): monotone in `key`
+    (double rounding at 2^60 magnitudes can only merge adjacent keys
+    into the same bucket, never reorder them), so bucket order is key
+    order and an exclusive prefix over buckets is exact."""
+    span = float(kmax - kmin) + 1.0
+    raw = F.floor((key - F.lit(kmin)).cast("double") * F.lit(float(n)) / F.lit(span))
+    return F.least(F.lit(n - 1), F.greatest(F.lit(0), raw)).cast("int")
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out: str = "cumsum",
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Inclusive running sum of ``value_col`` in ``order_col`` order.
+
+    ``order_col`` must be unique numeric (document ids, hash keys);
+    integral values sum in int64, fractional in double. See module
+    docstring for the decomposition; per-bucket totals are collected
+    (``buckets`` rows) and re-applied as a constant-array lookup, so no
+    stage is single-task."""
+    lo, hi = df.select(
+        F.min(order_col).cast("long"), F.max(order_col).cast("long")
+    ).first()
+    if lo is None:  # empty input
+        return df.withColumn(out, F.lit(None).cast("double"))
+    fractional = isinstance(df.schema[value_col].dataType, (DoubleType, FloatType))
+    sum_t = "double" if fractional else "long"
+    b = _bucket(F.col(order_col), lo, hi, buckets)
+    totals = dict(
+        df.groupBy(b.alias("__b"))
+        .agg(F.sum(F.col(value_col).cast(sum_t)).alias("__s"))
+        .collect()
+    )
+    # exclusive prefix of bucket totals, as one constant array literal
+    prefix, acc = [], 0
+    for i in range(buckets):
+        prefix.append(acc)
+        acc += totals.get(i, 0)
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("__bkt", b)
+        .withColumn(
+            out,
+            F.sum(F.col(value_col).cast(sum_t)).over(w)
+            + F.element_at(F.lit(prefix).cast(f"array<{sum_t}>"), F.col("__bkt") + 1),
+        )
+        .drop("__bkt")
+    )
+
+
+def global_rank(
+    df: DataFrame,
+    order_col: str,
+    out: str = "rank",
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """0-based dense position of each row under ``order_col`` order
+    (unique numeric key) — row_number within bucket + exclusive prefix
+    of bucket counts; same decomposition as global_cumsum."""
+    lo, hi = df.select(
+        F.min(order_col).cast("long"), F.max(order_col).cast("long")
+    ).first()
+    if lo is None:
+        return df.withColumn(out, F.lit(None).cast("long"))
+    b = _bucket(F.col(order_col), lo, hi, buckets)
+    counts = dict(df.groupBy(b.alias("__b")).count().collect())
+    prefix, acc = [], 0
+    for i in range(buckets):
+        prefix.append(acc)
+        acc += counts.get(i, 0)
+    w = Window.partitionBy("__bkt").orderBy(order_col)
+    return (
+        df.withColumn("__bkt", b)
+        .withColumn(
+            out,
+            F.row_number().over(w).cast("long")
+            + F.element_at(F.lit(prefix).cast("array<long>"), F.col("__bkt") + 1)
+            - 1,
+        )
+        .drop("__bkt")
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    out: str = "shuffle_rank",
+    salt: str = "",
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Deterministic pseudo-random global ordering for SGD-style
+    training: rank rows by md5(salt || id). Reproducible across runs
+    and engines (portable md5 key), re-saltable per epoch, and executed
+    with the parallel rank decomposition — the scalable replacement for
+    ``orderBy(rand())``, whose sample-based sort is neither
+    reproducible nor cheap at 100 TB."""
+    key = md5_hash(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    keyed = df.withColumn("__skey", key)
+    return global_rank(keyed, "__skey", out=out, buckets=buckets).drop("__skey")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    fractions: dict[str, float] | None = None,
+    out: str = "split",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic train/valid/test assignment: md5(salt || id) mod
+    100 thresholded by cumulative percentage. A pure narrow expression
+    — rows keep their split under any reshuffling/re-partitioning of
+    the dataset (unlike randomSplit, whose assignment depends on
+    partition layout), which is the property a reproducible corpus
+    split needs."""
+    fractions = fractions or {"train": 0.8, "valid": 0.1, "test": 0.1}
+    bucket = md5_hash(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % 100
+    expr: Column | None = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name] * 100
+        cond = bucket < F.lit(int(round(acc)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(out, expr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    budget: int = 2048,
+    out: str = "bin_id",
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Sequence packing: concatenate documents (in ``id_col`` order)
+    into training sequences of ~``budget`` tokens — streaming-pack
+    semantics where a document belongs to the bin its first token lands
+    in: bin = floor(tokens_before_doc / budget). One global_cumsum; the
+    order can be a deterministic_shuffle rank to pack a shuffled epoch."""
+    c = global_cumsum(df, id_col, token_col, out="__cum", buckets=buckets)
+    return c.withColumn(
+        out, F.floor((F.col("__cum") - F.col(token_col)) / F.lit(budget)).cast("long")
+    ).drop("__cum")

@@ -409,3 +409,95 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(
         load_table(spark, "embeddings", sf_dir), group_cols=["label"], threshold=0.3
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset curation (training-data pipeline: shuffle / split / packing)
+# ---------------------------------------------------------------------------
+
+_SHUF_KEY_SQL = sql_md5_hash("CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "dataset_shuffle_rank",
+    f"""
+    WITH keyed AS (SELECT doc_id, {_SHUF_KEY_SQL} AS k FROM documents)
+    SELECT doc_id, CAST(row_number() OVER (ORDER BY k) - 1 AS BIGINT) AS shuffle_rank
+    FROM keyed
+    """,
+)
+def dataset_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudo-random epoch ordering (md5-keyed global
+    rank) computed with the parallel bucket-prefix decomposition — no
+    single-task global window (operators/curation.py). The oracle is
+    the single-reducer formulation of the same ordering."""
+    from svoe_spark.operators.curation import deterministic_shuffle
+
+    docs = load_table(spark, "documents", sf_dir)
+    return deterministic_shuffle(docs).select("doc_id", "shuffle_rank")
+
+
+@query(
+    "dataset_hash_split",
+    f"""
+    WITH s AS (
+      SELECT doc_id, length(text) AS n_chars,
+             CASE WHEN ({_SHUF_KEY_SQL}) % 100 < 80 THEN 'train'
+                  WHEN ({_SHUF_KEY_SQL}) % 100 < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, count(*) AS n_docs, sum(n_chars) AS sum_chars
+    FROM s GROUP BY split
+    """,
+)
+def dataset_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test split: md5(id) mod 100
+    thresholds — assignment survives any re-partitioning (randomSplit
+    does not). Aggregated per split for verification."""
+    from svoe_spark.operators.curation import hash_split
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        hash_split(docs)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("sum_chars"),
+        )
+    )
+
+
+PACK_BUDGET = 2048  # power of two: the /budget division is float-exact
+
+
+@query(
+    "sequence_packing",
+    f"""
+    WITH t AS (
+      SELECT doc_id, len({sql_tokens('text')}) AS n_tokens FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT CAST(floor((cum - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS bin_id,
+           count(*) AS n_docs, sum(n_tokens) AS sum_tokens
+    FROM c GROUP BY bin_id
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing to a 2048-token budget (streaming-pack: a doc
+    belongs to the bin its first token lands in), built on the exact
+    parallel prefix sum. Aggregated per bin for verification."""
+    from svoe_spark.functions.text import tokens
+    from svoe_spark.operators.curation import pack_sequences
+
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select("doc_id", F.size(tokens("text")).cast("long").alias("n_tokens"))
+    packed = pack_sequences(t, budget=PACK_BUDGET)
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("sum_tokens")
+    )

@@ -1,0 +1,82 @@
+"""Differential tests for dataset-curation operators: the parallel
+bucket-prefix decomposition must equal the single-reducer global-window
+formulation exactly (the same differential pattern as the as-of join
+suite — distributed result vs sequential oracle)."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from svoe_spark.operators.curation import (
+    deterministic_shuffle,
+    global_cumsum,
+    global_rank,
+    hash_split,
+    pack_sequences,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_small):
+    from svoe_spark.functions.text import tokens
+    from svoe_spark.sources.tables import load_table
+
+    d = load_table(spark, "documents", sf_small)
+    return d.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    ).persist()
+
+
+def test_global_cumsum_equals_single_reducer(spark, docs):
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    expected = {
+        r["doc_id"]: r["c"]
+        for r in docs.withColumn("c", F.sum("n_tokens").over(w)).collect()
+    }
+    got = {
+        r["doc_id"]: r["cumsum"]
+        for r in global_cumsum(docs, "doc_id", "n_tokens", buckets=7).collect()
+    }
+    assert got == expected
+
+
+def test_global_rank_is_exact_permutation(spark, docs):
+    ranked = global_rank(docs, "doc_id", buckets=5).collect()
+    n = len(ranked)
+    assert sorted(r["rank"] for r in ranked) == list(range(n))
+    # rank order must equal key order
+    by_key = sorted(ranked, key=lambda r: r["doc_id"])
+    assert [r["rank"] for r in by_key] == list(range(n))
+
+
+def test_deterministic_shuffle_stable_and_salted(spark, docs):
+    a = {r["doc_id"]: r["shuffle_rank"] for r in deterministic_shuffle(docs).collect()}
+    b = {r["doc_id"]: r["shuffle_rank"] for r in deterministic_shuffle(docs).collect()}
+    assert a == b  # reproducible across runs
+    c = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in deterministic_shuffle(docs, salt="epoch1").collect()
+    }
+    assert c != a  # a different salt is a different permutation
+    assert sorted(c.values()) == sorted(a.values())
+
+
+def test_hash_split_partition_invariant(spark, docs):
+    base = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    reparted = {
+        r["doc_id"]: r["split"] for r in hash_split(docs.repartition(13)).collect()
+    }
+    assert base == reparted
+    fracs = {s: list(base.values()).count(s) / len(base) for s in set(base.values())}
+    assert fracs["train"] == pytest.approx(0.8, abs=0.1)
+
+
+def test_pack_sequences_bins_respect_budget(spark, docs):
+    budget = 256
+    packed = pack_sequences(docs, budget=budget).collect()
+    rows = sorted(packed, key=lambda r: r["doc_id"])
+    # replay sequentially: bin must equal floor(tokens_before / budget)
+    before = 0
+    for r in rows:
+        assert r["bin_id"] == before // budget
+        before += r["n_tokens"]
