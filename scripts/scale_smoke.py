@@ -8,8 +8,12 @@ the hot-key shape that breaks naive per-key plans. Times:
   * as-of join, default plan (per-key sort: the hot key serializes)
   * as-of join, time-bucketed plan (parallelism = keys x buckets)
   * OHLCV tumbling agg, trailing-window volatility, exact dedup
+  * order-book replay, sequential vs time-bucketed
+  * curation (global shuffle rank / sequence packing) at 20M rows
+  * MinHash signatures over 2M synthetic docs (shuffle-free path)
 
-Prints one JSON line; summarized in docs/ARCHITECTURE.md.
+Prints one JSON line (progress per step on stderr); summarized in
+docs/ARCHITECTURE.md.
 """
 
 from __future__ import annotations
@@ -45,10 +49,13 @@ def gen_ticks(spark, n, start=1_700_000_000.0, span=86_400.0):
     )
 
 
-def timed(fn):
+def timed(fn, label: str = ""):
     t0 = time.perf_counter()
     fn()
-    return round(time.perf_counter() - t0, 2)
+    dt = round(time.perf_counter() - t0, 2)
+    if label:
+        print(f"# {label}: {dt}s", file=sys.stderr, flush=True)
+    return dt
 
 
 def main():
@@ -63,7 +70,8 @@ def main():
     results["asof_default_sec"] = timed(
         lambda: force(
             asof_join(left, right, on="ts", by="symbol", right_cols=["ref_price"])
-        )
+        ),
+        "asof_default",
     )
     results["asof_bucketed_sec"] = timed(
         lambda: force(
@@ -71,12 +79,14 @@ def main():
                 left, right, on="ts", by="symbol", right_cols=["ref_price"],
                 time_bucket="10m",
             )
-        )
+        ),
+        "asof_bucketed",
     )
     results["ohlcv_1m_sec"] = timed(
         lambda: force(
             ohlcv(left.withColumn("amount", F.lit(1.0)), on="ts", by="symbol")
-        )
+        ),
+        "ohlcv_1m",
     )
     results["sliding_stddev_frame_2M_sec"] = timed(
         lambda: force(
@@ -84,7 +94,8 @@ def main():
                 gen_ticks(spark, 2_000_000), on="ts", value="price",
                 by="symbol", window="1m", method="frame",
             )
-        )
+        ),
+        "sliding_stddev_frame_2M",
     )
     results["sliding_stddev_prefix_20M_sec"] = timed(
         lambda: force(
@@ -92,7 +103,8 @@ def main():
                 left, on="ts", value="price",
                 by="symbol", window="1m", method="prefix",
             )
-        )
+        ),
+        "sliding_stddev_prefix_20M",
     )
 
     # order book, 2M updates, one hot instrument carrying 90%: the
@@ -123,12 +135,49 @@ def main():
     )
     results["orderbook_rows"] = n_book
     results["orderbook_sequential_sec"] = timed(
-        lambda: force(reconstruct_book(upd, depth=10, emit_every="1m"))
+        lambda: force(reconstruct_book(upd, depth=10, emit_every="1m")),
+        "orderbook_sequential",
     )
     results["orderbook_bucketed_sec"] = timed(
         lambda: force(
             reconstruct_book_bucketed(upd, depth=10, emit_every="1m", bucket="10m")
-        )
+        ),
+        "orderbook_bucketed",
+    )
+
+    # dataset curation at 20M rows: the global rank / prefix sum must
+    # stay partition-parallel (a naive Window.orderBy would put all
+    # 20M rows on one task)
+    from svoe_spark.operators.curation import (  # noqa: E402
+        deterministic_shuffle,
+        pack_sequences,
+    )
+
+    ids = spark.range(N_LEFT).select(F.col("id").alias("doc_id"))
+    results["shuffle_rank_20M_sec"] = timed(
+        lambda: force(deterministic_shuffle(ids, buckets=256)),
+        "shuffle_rank_20M",
+    )
+    sized = ids.withColumn("n_tokens", F.pmod(F.col("doc_id"), F.lit(900)) + 100)
+    results["pack_sequences_20M_sec"] = timed(
+        lambda: force(pack_sequences(sized, budget=2048, buckets=256)),
+        "pack_sequences_20M",
+    )
+
+    # MinHash signatures over 2M synthetic docs — the shuffle-free
+    # array-side path: signature derivation happens inside the scan
+    # stage, so runtime is one pass over the text
+    from svoe_spark.operators.dedup import minhash_signature  # noqa: E402
+
+    docs = spark.range(2_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[F.conv(F.hex(F.xxhash64(F.col("id") * 17 + i)), 16, 36) for i in range(12)],
+        ).alias("text"),
+    )
+    results["minhash_sig_2M_sec"] = timed(
+        lambda: force(minhash_signature(docs)), "minhash_sig_2M"
     )
     print(json.dumps(results))
 

@@ -171,3 +171,38 @@ def test_q21_single_fact_shuffle(plans):
     p = plans("q21_waiting_supplier")
     assert p.count("lineitem.parquet") == 1, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_shingle_arrays_materialize_token_hashes_once(spark, sf_mid):
+    # the explode barrier must keep exactly ONE md5 evaluation site in
+    # the optimized plan; if projection collapse ever inlines the
+    # token-hash array into the per-element shingle accesses, md5 shows
+    # up once per element_at (quadratic per-document work)
+    from svoe_spark.operators.dedup import _shingle_arrays
+    from svoe_spark.sources.tables import load_table
+
+    df = load_table(spark, "documents", sf_mid)
+    plan = _shingle_arrays(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("md5") == 1, plan
+
+
+def test_minhash_signature_is_shuffle_free(spark, sf_mid):
+    # signatures must derive inside the scan stage: no Exchange beyond
+    # the deliberate spread() round-robin of the single local file
+    from svoe_spark.operators.dedup import minhash_signature
+    from svoe_spark.sources.tables import load_table
+
+    df = load_table(spark, "documents", sf_mid)
+    p = minhash_signature(df)._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") == 1 and "roundrobin" in p.lower(), p
+
+
+def test_curation_rank_has_no_single_task_window(spark, sf_mid):
+    # the global rank must never contain a partition-less window sort
+    # (Spark plans those as Exchange SinglePartition)
+    from svoe_spark.operators.curation import deterministic_shuffle
+    from svoe_spark.sources.tables import load_table
+
+    df = load_table(spark, "documents", sf_mid).select("doc_id")
+    p = deterministic_shuffle(df)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in p, p
