@@ -174,6 +174,33 @@ def hash_split(
     return df.withColumn(out, expr)
 
 
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    default: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (domain re-weighting for
+    corpus mixes): keep a row iff md5(salt || id) mod 10000 falls under
+    its stratum's threshold. A pure narrow filter — reproducible,
+    re-saltable, partition-layout-invariant, and pushdown-friendly
+    (unlike sampleBy, whose Bernoulli draw depends on row order)."""
+    bucket = md5_hash(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % 10000
+    expr: Column | None = None
+    for name, frac in fractions.items():
+        cond = F.col(stratum_col) == name
+        val = int(round(frac * 10000))
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    expr = (
+        F.lit(int(round(default * 10000)))
+        if expr is None
+        else expr.otherwise(int(round(default * 10000)))
+    )
+    return df.filter(bucket < expr)
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -119,6 +119,24 @@ def drop_exact_duplicates(
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def drop_exact_duplicates_stream(
+    df: DataFrame,
+    text: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    fast: bool = True,
+) -> DataFrame:
+    """Streaming exact dedup (the Kappa form of drop_exact_duplicates):
+    fingerprint each document, then dropDuplicatesWithinWatermark — the
+    first arrival of each content hash within the watermark horizon
+    survives, and dedup state is evicted past it (bounded, unlike an
+    unbounded seen-set). Use on the ingest stream so near-realtime
+    crawls dedup online with the same fingerprint as the batch path."""
+    h = F.xxhash64(F.col(text)) if fast else md5_hash(text)
+    d = df.withColumn("__fp", h).withWatermark(ts_col, watermark)
+    return d.dropDuplicatesWithinWatermark(["__fp"]).drop("__fp")
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------

@@ -44,6 +44,41 @@ def brute_force_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+def brute_force_topk_batch(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k for a BATCH of queries: broadcast the query
+    set against ONE corpus scan, then rank per query with a window —
+    the shape of offline retrieval-eval / hard-negative mining jobs.
+    One pass over the corpus regardless of |queries|; the window
+    shuffle carries |corpus| x |queries| scored (id, cosine) rows, not
+    embeddings. For query batches too big to broadcast, LSH/IVF
+    blocking (below) bounds the crossing instead."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qv")
+    )
+    scored = vectors.crossJoin(F.broadcast(q)).select(
+        F.col("__qid").alias(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("__qv")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def lsh_bucket(
     vec: Column | str, dim: int, planes: int = DEFAULT_PLANES
 ) -> Column:

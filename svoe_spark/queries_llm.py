@@ -501,3 +501,89 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.groupBy("bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("sum_tokens")
     )
+
+
+@query(
+    "ann_batch_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id, {sql_cosine('e.embedding', 'q.qv')} AS cosine
+      FROM embeddings e CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine FROM ranked WHERE rk <= 5
+    """,
+)
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact top-k (one corpus scan for a broadcast query set,
+    per-query window ranking) — retrieval-eval / hard-negative-mining
+    shape."""
+    from svoe_spark.operators.similarity import brute_force_topk_batch
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk_batch(emb, q, k=5)
+
+
+@query(
+    "embedding_neardup_lsh",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    )
+    SELECT a.bucket AS bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+           {sql_cosine('a.embedding', 'b.embedding')} AS cosine
+    FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {sql_cosine('a.embedding', 'b.embedding')} >= 0.3
+    """,
+)
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with LSH-bucket blocking — the 100 TB path:
+    no explicit label needed, the hyperplane bucket is the blocking
+    (and at scale the partition) key, confining the quadratic step to
+    bucket-local candidate sets."""
+    from svoe_spark.operators.similarity import embedding_neardup_pairs, lsh_bucket
+
+    emb = load_table(spark, "embeddings", sf_dir).withColumn(
+        "bucket", lsh_bucket("embedding", EMB_DIM)
+    )
+    return embedding_neardup_pairs(emb, group_cols=["bucket"], threshold=0.3)
+
+
+_STRATA = {"src0": 0.25, "src1": 0.5, "src2": 0.0}
+
+
+@query(
+    "stratified_sample_counts",
+    f"""
+    WITH kept AS (
+      SELECT source, doc_id, length(text) AS n_chars
+      FROM documents
+      WHERE ({_SHUF_KEY_SQL}) % 10000 <
+            CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 5000
+                        WHEN 'src2' THEN 0 ELSE 10000 END
+    )
+    SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+    FROM kept GROUP BY source
+    """,
+)
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source downsampling (corpus-mix re-weighting):
+    md5-threshold keep decision, reproducible under any partitioning
+    (sampleBy is not). Aggregated per source for verification."""
+    from svoe_spark.operators.curation import stratified_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    kept = stratified_sample(docs, "source", _STRATA)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_chars"),
+    )

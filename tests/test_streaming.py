@@ -181,3 +181,40 @@ def test_running_reduce_stream(spark, sf_small, tick_parquet):
     for r in rows:
         run += r["value"]
         assert r["sum_value"] == pytest.approx(run)
+
+
+def test_stream_exact_dedup_equals_batch(spark, sf_small, tmp_path):
+    """Streaming exact dedup must keep exactly one survivor per distinct
+    content, with the same distinct-content set as the batch hash
+    groupBy (survivor identity differs: first-arrival vs min-id)."""
+    from svoe_spark.operators.dedup import (
+        drop_exact_duplicates,
+        drop_exact_duplicates_stream,
+    )
+
+    docs = (
+        load_table(spark, "documents", sf_small)
+        .limit(200)
+        .select(
+            "doc_id",
+            "text",
+            F.timestamp_seconds(1_700_000_000 + F.col("doc_id")).alias("ts"),
+        )
+    )
+    # duplicate every doc under a new id so the stream sees real dups
+    dupped = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text", "ts")
+    )
+    path = str(tmp_path / "docs")
+    dupped.repartitionByRange(4, "doc_id").write.parquet(path)
+
+    stream = replay_parquet(spark, path)
+    out = run_available_to_memory(
+        drop_exact_duplicates_stream(stream), "dedup_stream"
+    )
+    batch = drop_exact_duplicates(spark.read.parquet(path))
+
+    stream_texts = sorted(r["text"] for r in out.collect())
+    batch_texts = sorted(r["text"] for r in batch.collect())
+    assert stream_texts == batch_texts
+    assert len(stream_texts) == len(set(stream_texts))
