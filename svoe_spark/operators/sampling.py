@@ -76,3 +76,34 @@ def prefix_columns(df: DataFrame, prefix: str, exclude: list[str] | None = None)
             for c in df.columns
         ]
     )
+
+
+def distinct_until_changed(
+    df: DataFrame,
+    value_cols: list[str],
+    key: str | None = None,
+    on: str = "ts",
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Suppress consecutive identical emissions per key — the
+    reference's `unique(maxsize=1)` stage on sampled feature streams
+    (l2_snapshot_fd.py:64-77, stream_utils.py:12-24): a row survives iff
+    any of ``value_cols`` differs from the previous row's (or it is the
+    first). One window pass; null-safe comparison via <=>."""
+    from pyspark.sql import Window
+
+    order = [F.col(on)] + ([F.col(tie_col)] if tie_col else [])
+    # keyless form is a single-task window — fine for one instrument's
+    # emission stream (the reference's shape), use `key` otherwise
+    w = (Window.partitionBy(key) if key else Window.partitionBy()).orderBy(*order)
+    changed = F.lit(False)
+    for c in value_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    # the first row's lags are all null; eqNullSafe(null, null) is true,
+    # so detect it with the row counter
+    rn = F.row_number().over(w)
+    return (
+        df.withColumn("__keep", (rn == 1) | changed)
+        .filter(F.col("__keep"))
+        .drop("__keep")
+    )

@@ -9,7 +9,13 @@ def spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition when the input has fewer partitions than
     cores. CPU-bound expression work (hashing, shingling) over a corpus
     that arrives as a few fat files would otherwise serialize onto a
-    handful of tasks; no-op when the scan is already parallel."""
+    handful of tasks; no-op when the scan is already parallel.
+
+    Streaming DataFrames pass through untouched: partition probing is
+    a batch-only action, and micro-batch parallelism is governed by the
+    source (maxFilesPerTrigger / topic partitions) anyway."""
+    if df.isStreaming:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -2276,3 +2276,29 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("late_supp") == s.s_suppkey)
         .select("s_name", F.col("numwait").cast("long").alias("numwait"))
     )
+
+
+@query(
+    "distinct_until_changed_events",
+    """
+    WITH w AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id, ts, event_type FROM w
+    WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+    """,
+)
+def distinct_until_changed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-emission dedup (reference `unique(maxsize=1)`,
+    l2_snapshot_fd.py:64-77): per user, keep an event only when its
+    type differs from the previous emission."""
+    from svoe_spark.operators.sampling import distinct_until_changed
+
+    e = load_table(spark, "events", sf_dir)
+    out = distinct_until_changed(
+        e, ["event_type"], key="user_id", on="ts", tie_col="event_id"
+    )
+    return out.select("user_id", "ts", "event_type")

@@ -218,3 +218,23 @@ def test_stream_exact_dedup_equals_batch(spark, sf_small, tmp_path):
     batch_texts = sorted(r["text"] for r in batch.collect())
     assert stream_texts == batch_texts
     assert len(stream_texts) == len(set(stream_texts))
+
+
+def test_stateless_minhash_runs_on_stream(spark, sf_small, tmp_path):
+    """The array-side MinHash signature is a narrow projection, so the
+    SAME operator code must run unchanged on a streaming DataFrame
+    (Kappa for the LLM-pipeline layer) and emit identical signatures."""
+    from svoe_spark.operators.dedup import minhash_signature
+
+    docs = load_table(spark, "documents", sf_small).select("doc_id", "text")
+    path = str(tmp_path / "docs")
+    docs.repartitionByRange(3, "doc_id").write.parquet(path)
+
+    stream = spark.readStream.schema(docs.schema).parquet(path)
+    out = run_available_to_memory(minhash_signature(stream), "minhash_stream")
+    batch = minhash_signature(spark.read.parquet(path))
+
+    key = lambda r: r["doc_id"]  # noqa: E731
+    assert sorted(map(tuple, out.collect()), key=lambda t: t[0]) == sorted(
+        map(tuple, batch.collect()), key=lambda t: t[0]
+    )
