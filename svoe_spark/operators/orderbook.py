@@ -488,8 +488,17 @@ def reconstruct_book_bucketed(
         )
         return pd.concat([out, meta], ignore_index=True)
 
-    replayed = union.groupBy("__key", "__bk").applyInPandas(
-        replay_bucket, schema=out_schema
+    # persist: the replay output feeds BOTH the cumulative-offset
+    # subtree (broadcast side) and the main result — without it the
+    # whole summarize/fold/replay pipeline executes twice per action.
+    # Disk-backed: with emit_every sampling the emission relation is a
+    # small fraction of the events; unsampled output spills, not OOMs.
+    from pyspark.storagelevel import StorageLevel
+
+    replayed = (
+        union.groupBy("__key", "__bk")
+        .applyInPandas(replay_bucket, schema=out_schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     # ---- cumulative inconsistency offsets from the meta relation
