@@ -171,6 +171,13 @@ def _bucketed_fill(
     the data, so the expensive sort parallelizes across buckets.
     """
     secs = duration_to_seconds(time_bucket)
+    # NOTE: this relation feeds three subtrees (per-bucket summaries,
+    # the bucket list, the final seeded fill) and is deliberately NOT
+    # persisted: it is a narrow projection of the sources, and
+    # recomputing three cheap scans beats materializing the full union
+    # (measured 10.8s vs 17.7s at 20M rows). Contrast with the
+    # order-book replay, where the recomputed subtree contains the
+    # expensive Python replay and persisting wins.
     unioned = unioned.withColumn(_BUCKET, F.floor(F.col(_TS) / secs))
 
     # Per (key, bucket): latest NON-NULL value of each feature column

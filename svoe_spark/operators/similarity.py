@@ -140,6 +140,27 @@ def ann_lsh_topk(
     )
 
 
+def ivf_train(
+    vectors: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> list[list[float]]:
+    """Train the IVF coarse codebook with stock MLlib KMeans (the
+    training half the seeded default in ann_ivf_topk stands in for).
+    Returns plain Python centroids for ivf_assign's constant-literal
+    plan — training is distributed; the codebook is driver-sized."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = vectors.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(v)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: list[list[float]],
