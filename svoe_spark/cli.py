@@ -46,11 +46,15 @@ def main(argv: list[str] | None = None) -> int:
 
     tr = sub.add_parser("trainer")
     trsub = tr.add_subparsers(dest="action", required=True)
-    trr = trsub.add_parser("run")
-    trr.add_argument("config")
-    trr.add_argument("--features", nargs="+", required=True)
-    trr.add_argument("--label", required=True)
-    trr.add_argument("--kind", default="linear", choices=["linear", "gbt"])
+    for action in ("run", "best-model", "predictions"):
+        trr = trsub.add_parser(action)
+        trr.add_argument("config")
+        trr.add_argument("--features", nargs="+", required=True)
+        trr.add_argument("--label", required=True)
+        trr.add_argument("--kind", default="linear", choices=["linear", "gbt"])
+        if action == "predictions":
+            trr.add_argument("--out", help="write predictions parquet here")
+            trr.add_argument("--show", type=int, default=10)
 
     sub.add_parser("bench")
 
@@ -91,12 +95,36 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "trainer":
-        from svoe_spark.consumers.trainer import r2, score, time_split, train_regressor
+        from svoe_spark.consumers.trainer import (
+            best_model,
+            r2,
+            score,
+            time_split,
+            train_regressor,
+        )
 
         fls = Featurizer(spark).run(args.config)
         train, valid, test = time_split(fls)
+        clean_test = test.na.drop(subset=args.features + [args.label])
+        if args.action == "best-model":
+            model, info = best_model(
+                train, valid, args.features, args.label, kind=args.kind
+            )
+            info["r2_test"] = r2(score(model, clean_test), args.label)
+            print(json.dumps(info))
+            return 0
         model = train_regressor(train, args.features, args.label, kind=args.kind)
-        scored = score(model, test.na.drop(subset=args.features + [args.label]))
+        scored = score(model, clean_test)
+        if args.action == "predictions":
+            out_cols = ["ts", args.label, "prediction"]
+            preds = scored.select(*[c for c in out_cols if c in scored.columns])
+            if args.out:
+                preds.write.mode("overwrite").parquet(args.out)
+                print(json.dumps({"written": args.out, "rows": preds.count()}))
+            else:
+                preds.show(args.show, truncate=False)
+                print(json.dumps({"rows": preds.count()}))
+            return 0
         print(json.dumps({"r2_test": r2(scored, args.label), "n_train": train.count(),
                           "n_test": test.count()}))
         return 0

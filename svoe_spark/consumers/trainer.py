@@ -68,3 +68,42 @@ def r2(scored: DataFrame, label_col: str, pred_col: str = "prediction") -> float
     return RegressionEvaluator(
         labelCol=label_col, predictionCol=pred_col, metricName="r2"
     ).evaluate(scored)
+
+
+def best_model(
+    train: DataFrame,
+    valid: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    kind: str = "linear",
+) -> tuple[PipelineModel, dict]:
+    """Grid search against the chronological validation split — the
+    reference's `trainer best-model` verb (Ray Tune + MLflow picks,
+    trainer_manager.py:39-120) as a plain fit-per-candidate loop over a
+    stock param grid; every fit is itself distributed, the grid is
+    driver-sized. Returns (best fitted pipeline, {params, valid_r2})."""
+    if kind == "gbt":
+        grid: list[dict] = [
+            {"maxDepth": d, "maxIter": it} for d in (3, 5) for it in (10, 20)
+        ]
+    else:
+        grid = [{"regParam": rp, "elasticNetParam": en}
+                for rp in (0.0, 0.01, 0.1) for en in (0.0, 0.5)]
+    best: tuple[float, PipelineModel, dict] | None = None
+    clean_valid = valid.na.drop(subset=feature_cols + [label_col])
+    for params in grid:
+        assembler = VectorAssembler(
+            inputCols=feature_cols, outputCol="features", handleInvalid="skip"
+        )
+        if kind == "gbt":
+            est = GBTRegressor(featuresCol="features", labelCol=label_col, **params)
+        else:
+            est = LinearRegression(featuresCol="features", labelCol=label_col, **params)
+        model = Pipeline(stages=[assembler, est]).fit(
+            train.na.drop(subset=feature_cols + [label_col])
+        )
+        metric = r2(model.transform(clean_valid), label_col)
+        if best is None or metric > best[0]:
+            best = (metric, model, params)
+    assert best is not None, "empty parameter grid"
+    return best[1], {"params": best[2], "valid_r2": best[0]}
