@@ -64,6 +64,14 @@ def main() -> None:
     docs = docs.join(losers, "doc_id", "left_anti")
     stages["neardup_removed"] = docs.count()
 
+    # 3b. benchmark decontamination: drop docs overlapping the held-out
+    # eval subset (stand-in: every 50th doc) by >= 3 shared trigrams
+    from svoe_spark.operators.dedup import decontaminate
+
+    bench = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") % 50 == 0)
+    docs = decontaminate(docs.filter(F.col("doc_id") % 50 != 0), bench, min_shared=3)
+    stages["decontaminated"] = docs.count()
+
     # 4. corpus-mix re-weighting (downsample two sources, drop one)
     docs = stratified_sample(docs, "source", {"src0": 0.5, "src1": 0.25, "src2": 0.0})
     stages["stratified"] = docs.count()

@@ -392,3 +392,51 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-corpus contamination (benchmark decontamination)
+# --------------------------------------------------------------------------
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: (corpus_id, bench_id, n_shared)
+    pairs sharing >= min_shared distinct word-trigram shingles — the
+    standard test-set-overlap scan run before training. Same inverted-
+    index shape as ngram_jaccard_pairs, but across TWO corpora: work is
+    proportional to shared shingles, shuffled on compact integer keys;
+    disjoint documents never meet. At 100 TB the benchmark side is
+    small — Spark broadcast-joins it automatically (or hint it)."""
+    c = _shingle_arrays(corpus, text, id_col).select(
+        F.col(id_col).alias("corpus_id"), F.explode(F.array_distinct("__sh")).alias("__sh")
+    )
+    b = _shingle_arrays(benchmark, text, id_col).select(
+        F.col(id_col).alias("bench_id"), F.explode(F.array_distinct("__sh")).alias("__sh")
+    )
+    return (
+        c.join(b, "__sh")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_shared: int = 1,
+) -> DataFrame:
+    """Drop corpus documents that overlap the benchmark (left-anti on
+    the contamination pairs)."""
+    dirty = contamination_pairs(
+        corpus, benchmark, text, id_col, min_shared
+    ).select(F.col("corpus_id").alias(id_col)).distinct()
+    return corpus.join(dirty, id_col, "left_anti")

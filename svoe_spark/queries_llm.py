@@ -587,3 +587,29 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.length("text")).alias("sum_chars"),
     )
+
+
+@query(
+    "benchmark_contamination",
+    f"""
+    WITH th AS (SELECT doc_id, {sql_token_hashes('text')} AS th FROM documents),
+    sets AS (SELECT doc_id, list_distinct({_shingle_sql()}) AS s FROM th),
+    c AS (SELECT doc_id AS corpus_id, unnest(s) AS sh FROM sets WHERE doc_id % 50 <> 0),
+    b AS (SELECT doc_id AS bench_id, unnest(s) AS sh FROM sets WHERE doc_id % 50 = 0)
+    SELECT corpus_id, bench_id, count(*) AS n_shared
+    FROM c JOIN b USING (sh)
+    GROUP BY corpus_id, bench_id
+    HAVING count(*) >= 3
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination scan: corpus documents sharing >= 3
+    distinct word trigrams with a held-out benchmark subset (every 50th
+    doc) — inverted-index join across two corpora, cost proportional to
+    SHARED shingles."""
+    from svoe_spark.operators.dedup import contamination_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return contamination_pairs(corpus, bench, min_shared=3)
