@@ -2302,3 +2302,66 @@ def distinct_until_changed_events(spark: SparkSession, sf_dir: str) -> DataFrame
         e, ["event_type"], key="user_id", on="ts", tie_col="event_id"
     )
     return out.select("user_id", "ts", "event_type")
+
+
+@query(
+    "asof_multi_feature",
+    """
+    WITH p AS (
+      SELECT event_id, ts, user_id, value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS view_value
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ),
+    c AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    s AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS signup_value
+      FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.ts, p.user_id, p.purchase_value,
+           v.view_value, c.click_value, s.signup_value
+    FROM p
+    ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def asof_multi_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-way point-in-time join (reference J1's true shape: the
+    FeatureLabelSet is a CHAIN of merge_asofs, blocks.py:212-219) in
+    ONE shuffle: all three feature series union with the label series
+    and fill via running last(ignorenulls) — vs the oracle's three
+    sequential ASOF joins (three passes)."""
+    from svoe_spark.operators.asof import asof_join_multi
+
+    e = load_table(spark, "events", sf_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", F.col("value").alias("purchase_value")
+    )
+
+    def series(etype: str, out: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == etype)
+            .groupBy("user_id", "ts")
+            .agg(F.max_by("value", "event_id").alias(out))
+        )
+
+    return asof_join_multi(
+        p,
+        {"": series("view", "view_value"),
+         "c": series("click", "click_value"),
+         "s": series("signup", "signup_value")},
+        on="ts",
+        by="user_id",
+        right_cols={"": ["view_value"], "c": ["click_value"], "s": ["signup_value"]},
+    ).select(
+        "event_id", "ts", "user_id", "purchase_value",
+        "view_value",
+        F.col("cclick_value").alias("click_value"),
+        F.col("ssignup_value").alias("signup_value"),
+    )
