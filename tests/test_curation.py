@@ -80,3 +80,41 @@ def test_pack_sequences_bins_respect_budget(spark, docs):
     for r in rows:
         assert r["bin_id"] == before // budget
         before += r["n_tokens"]
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**9), max_value=10**9),  # key
+            st.integers(min_value=-1000, max_value=1000),      # value (negatives too)
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    buckets=st.integers(min_value=1, max_value=9),
+)
+def test_global_cumsum_property(spark, rows, buckets):
+    """Random unique keys (any sign, any spread) and values: the
+    bucket-prefix decomposition must equal the sequential cumsum."""
+    import pandas as pd
+
+    from svoe_spark.operators.curation import global_cumsum
+
+    pdf = pd.DataFrame(rows, columns=["k", "v"]).sort_values("k")
+    expected = dict(zip(pdf["k"], pdf["v"].cumsum()))
+    df = spark.createDataFrame(pdf)
+    got = {
+        r["k"]: r["cumsum"]
+        for r in global_cumsum(df, "k", "v", buckets=buckets).collect()
+    }
+    assert got == expected
