@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from svoe_spark.functions.text import (
     P_HASH,
+    sql_char_shingles,
     sql_codepoints,
     sql_md5_hash,
     sql_token_hashes,
@@ -613,3 +614,47 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     return contamination_pairs(corpus, bench, min_shared=3)
+
+
+@query(
+    "text_lang_ngram",
+    f"""
+    WITH tri AS (
+      SELECT doc_id, lang, unnest(list_distinct({sql_char_shingles('text')})) AS sh
+      FROM documents
+    ),
+    counts AS (SELECT lang, sh, count(*) AS n FROM tri GROUP BY lang, sh),
+    prof AS (
+      SELECT lang, sh FROM (
+        SELECT lang, sh, row_number() OVER (PARTITION BY lang ORDER BY n DESC, sh) AS rk
+        FROM counts
+      ) WHERE rk <= 20
+    ),
+    doc_tri AS (
+      SELECT doc_id, unnest(list_distinct({sql_char_shingles('text')})) AS sh
+      FROM documents
+    ),
+    overlap AS (
+      SELECT doc_id, lang, count(*) AS o
+      FROM doc_tri JOIN prof USING (sh) GROUP BY doc_id, lang
+    )
+    SELECT doc_id, lang AS pred_lang, o AS n_profile_trigrams
+    FROM (
+      SELECT doc_id, lang, o,
+             row_number() OVER (PARTITION BY doc_id ORDER BY o DESC, lang) AS rk
+      FROM overlap
+    ) WHERE rk = 1
+    """,
+    bench=False,
+)
+def text_lang_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram-profile language classifier: profiles from the
+    labeled table, broadcast-join scoring, per-doc argmax — the n-gram
+    upgrade over the stopword heuristic. NOTE: the fixture's lang
+    labels are random over one shared English vocabulary, so accuracy
+    on THIS data is chance by construction; the gate verifies the
+    relational computation (profiles/overlap/argmax) bit-exactly."""
+    from svoe_spark.operators.text_analysis import lang_id_ngram
+
+    docs = load_table(spark, "documents", sf_dir)
+    return lang_id_ngram(docs, docs)
