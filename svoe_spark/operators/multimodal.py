@@ -169,3 +169,68 @@ def frame_sample(
             F.col("payload"), F.col("frame_idx") * frame_bytes + 1, frame_bytes
         ).alias("frame"),
     )
+
+
+def resize_image(
+    df: DataFrame,
+    width: int = 32,
+    height: int = 32,
+    id_col: str = "doc_id",
+    allow_fake: bool = False,
+) -> DataFrame:
+    """Resize the payload image to (width, height), returning the
+    resized bytes plus output dims — the thumbnail/normalize stage of a
+    multimodal training pipeline, as an Arrow-batched mapInPandas.
+
+    STUB like decode_image: with PIL present, a real decode-resize-
+    reencode; with allow_fake=True, a deterministic byte-level
+    downsample (stride-sampled payload truncated/padded to width*height
+    bytes) that exercises the identical schema, batching and
+    partitioning; otherwise NotImplementedError naming the dependency."""
+    try:
+        from PIL import Image  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    if not have_pil and not allow_fake:
+        raise NotImplementedError(
+            "image resize needs pillow (not installed here); pass "
+            "allow_fake=True for the deterministic stub resizer"
+        )
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("resized", BinaryType()),
+        ]
+    )
+    target = width * height
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf["payload"]):
+                if have_pil:
+                    from PIL import Image
+
+                    img = Image.open(io.BytesIO(payload)).resize((width, height))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    out = buf.getvalue()
+                else:
+                    n = len(payload)
+                    stride = max(1, n // target)
+                    sampled = bytes(payload[::stride])[:target]
+                    out = sampled + b"\x00" * (target - len(sampled))
+                rows.append(
+                    {id_col: i, "width": width, "height": height, "resized": out}
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, "payload").mapInPandas(fn, schema=schema)

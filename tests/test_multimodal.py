@@ -43,3 +43,20 @@ def test_frame_sample_covers_payload(spark, sf_small):
         rows.sort(key=lambda r: r["frame_idx"])
         rebuilt = b"".join(bytes(r["frame"]) for r in rows)
         assert rebuilt.decode() == texts[doc_id]
+
+
+def test_resize_image_fake_path(spark, sf_small):
+    from svoe_spark.operators.multimodal import attach_payload, resize_image
+    from svoe_spark.sources.tables import load_table
+
+    docs = attach_payload(load_table(spark, "documents", sf_small).limit(20))
+    out = resize_image(docs, width=8, height=4, allow_fake=True).collect()
+    assert len(out) == 20
+    for r in out:
+        assert (r["width"], r["height"]) == (8, 4)
+        assert len(r["resized"]) == 32  # exactly width*height bytes
+    # deterministic: same input -> same bytes
+    again = resize_image(docs, width=8, height=4, allow_fake=True).collect()
+    assert {r["doc_id"]: r["resized"] for r in out} == {
+        r["doc_id"]: r["resized"] for r in again
+    }
