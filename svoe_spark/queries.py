@@ -2365,3 +2365,72 @@ def asof_multi_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cclick_value").alias("click_value"),
         F.col("ssignup_value").alias("signup_value"),
     )
+
+
+@query(
+    "unpivot_lineitem_measures",
+    """
+    WITH long AS (
+      SELECT l_returnflag, 'l_quantity' AS measure,
+             CAST(round(l_quantity*100, 0) AS BIGINT) AS value_c FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_extendedprice',
+             CAST(round(l_extendedprice*100, 0) AS BIGINT) FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_discount',
+             CAST(round(l_discount*100, 0) AS BIGINT) FROM lineitem
+    )
+    SELECT l_returnflag, measure, count(*) AS n, sum(value_c) AS sum_c
+    FROM long GROUP BY l_returnflag, measure
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long reshape with the native unpivot operator (an Expand
+    node: no join, no shuffle beyond the final agg) — the melt step
+    feeding any long-format feature store."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag",
+        *[
+            _cents(F.col(c)).alias(c)
+            for c in ("l_quantity", "l_extendedprice", "l_discount")
+        ],
+    )
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value_c",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value_c").alias("sum_c")
+    )
+
+
+@query(
+    "pivot_priority_by_year",
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+           count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+           count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium
+    FROM orders
+    GROUP BY year(o_orderdate)
+    """,
+)
+def pivot_priority_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long->wide reshape with the native pivot operator (map-side
+    partial agg per pivot value; explicit value list avoids the extra
+    distinct-values job)."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.withColumn("order_year", F.year("o_orderdate").cast("long"))
+        .groupBy("order_year")
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH", "3-MEDIUM"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "order_year",
+            F.coalesce(F.col("1-URGENT"), F.lit(0)).alias("urgent"),
+            F.coalesce(F.col("2-HIGH"), F.lit(0)).alias("high"),
+            F.coalesce(F.col("3-MEDIUM"), F.lit(0)).alias("medium"),
+        )
+    )
