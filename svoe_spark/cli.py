@@ -120,10 +120,15 @@ def main(argv: list[str] | None = None) -> int:
             preds = scored.select(*[c for c in out_cols if c in scored.columns])
             if args.out:
                 preds.write.mode("overwrite").parquet(args.out)
-                print(json.dumps({"written": args.out, "rows": preds.count()}))
+                # count from the written files — not a second featurize+score
+                n = spark.read.parquet(args.out).count()
+                print(json.dumps({"written": args.out, "rows": n}))
             else:
+                # two actions (show + count) share the pipeline via persist
+                preds.persist()
                 preds.show(args.show, truncate=False)
                 print(json.dumps({"rows": preds.count()}))
+                preds.unpersist()
             return 0
         print(json.dumps({"r2_test": r2(scored, args.label), "n_train": train.count(),
                           "n_test": test.count()}))

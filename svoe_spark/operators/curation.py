@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, FloatType
+from pyspark.sql.types import DecimalType, DoubleType, FloatType
 
 from svoe_spark.functions.text import md5_hash
 
@@ -59,21 +59,30 @@ def global_cumsum(
     """Inclusive running sum of ``value_col`` in ``order_col`` order.
 
     ``order_col`` must be unique numeric (document ids, hash keys);
-    integral values sum in int64, fractional in double. See module
-    docstring for the decomposition; per-bucket totals are collected
-    (``buckets`` rows) and re-applied as a constant-array lookup, so no
-    stage is single-task."""
+    integral values sum in int64, fractional (double/float/decimal) in
+    double. Caveat: for fractional types the per-bucket partial-sum
+    order differs from a single-reducer left fold, so results are
+    deterministic but not bit-equal to a sequential sum (and decimals
+    go through double). See module docstring for the decomposition;
+    per-bucket totals are collected (``buckets`` rows) and re-applied
+    as a constant-array lookup, so no stage is single-task."""
     lo, hi = df.select(
         F.min(order_col).cast("long"), F.max(order_col).cast("long")
     ).first()
     if lo is None:  # empty input
         return df.withColumn(out, F.lit(None).cast("double"))
-    fractional = isinstance(df.schema[value_col].dataType, (DoubleType, FloatType))
+    fractional = isinstance(
+        df.schema[value_col].dataType, (DoubleType, FloatType, DecimalType)
+    )
     sum_t = "double" if fractional else "long"
     b = _bucket(F.col(order_col), lo, hi, buckets)
     totals = dict(
         df.groupBy(b.alias("__b"))
-        .agg(F.sum(F.col(value_col).cast(sum_t)).alias("__s"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col(value_col).cast(sum_t)), F.lit(0).cast(sum_t)
+            ).alias("__s")
+        )
         .collect()
     )
     # exclusive prefix of bucket totals, as one constant array literal

@@ -103,15 +103,18 @@ def decode_image(
     """Decode the payload as an image -> (width,height,channels,mode).
 
     STUB: PIL/codec libs are absent in this environment. With
-    allow_fake=True a deterministic fake derives dimensions from byte
-    counts (testing the plumbing end-to-end); otherwise raises
-    NotImplementedError naming the missing dependency."""
+    allow_fake=True the deterministic fake decoder is FORCED (even when
+    pillow is importable — the repo's payloads are text bytes, not real
+    images, so the stub is the only path that works on them); with
+    allow_fake=False and pillow present, the real decoder runs;
+    otherwise raises NotImplementedError naming the dependency."""
     try:
         from PIL import Image  # noqa: F401
 
         have_pil = True
     except ImportError:
         have_pil = False
+    have_pil = have_pil and not allow_fake
 
     if not have_pil and not allow_fake:
         raise NotImplementedError(
@@ -182,17 +185,20 @@ def resize_image(
     resized bytes plus output dims — the thumbnail/normalize stage of a
     multimodal training pipeline, as an Arrow-batched mapInPandas.
 
-    STUB like decode_image: with PIL present, a real decode-resize-
-    reencode; with allow_fake=True, a deterministic byte-level
-    downsample (stride-sampled payload truncated/padded to width*height
-    bytes) that exercises the identical schema, batching and
-    partitioning; otherwise NotImplementedError naming the dependency."""
+    STUB like decode_image: with allow_fake=True the deterministic
+    byte-level downsample (stride-sampled payload truncated/padded to
+    width*height bytes) is FORCED, even when pillow is importable —
+    exercising the identical schema, batching and partitioning on
+    non-image payloads; with allow_fake=False and PIL present, a real
+    decode-resize-reencode; otherwise NotImplementedError naming the
+    dependency."""
     try:
         from PIL import Image  # noqa: F401
 
         have_pil = True
     except ImportError:
         have_pil = False
+    have_pil = have_pil and not allow_fake
 
     if not have_pil and not allow_fake:
         raise NotImplementedError(

@@ -317,7 +317,13 @@ def reconstruct_book_bucketed(
     """Time-parallel reconstruction: identical output to
     ``reconstruct_book`` (see float caveat above) with parallelism
     keys x buckets instead of keys. Use when instruments are few or
-    skewed — the same scale regime as ``asof_join(time_bucket=...)``."""
+    skewed — the same scale regime as ``asof_join(time_bucket=...)``.
+
+    Cache note: the replay relation is persisted (MEMORY_AND_DISK)
+    because it feeds two subtrees. The persisted handle is exposed as
+    ``result._svoe_persisted``; long-lived sessions that call this
+    repeatedly should ``result._svoe_persisted.unpersist()`` after the
+    final action to release executor storage."""
     every = duration_to_seconds(emit_every) if emit_every is not None else None
     bucket_s = duration_to_seconds(bucket)
     in_cols = [key, "ts", "update_type", "orders"] + ([seq_col] if seq_col else [])
@@ -515,7 +521,7 @@ def reconstruct_book_bucketed(
     offsets = meta.select(
         "__key", "__bk", F.coalesce(F.sum("__delta").over(w), F.lit(0)).alias("__off")
     )
-    return (
+    result = (
         replayed.filter(F.col("is_meta") == 0)
         .join(F.broadcast(offsets), on=["__key", "__bk"])
         .select(
@@ -526,6 +532,9 @@ def reconstruct_book_bucketed(
             (F.col("inc_rel") + F.col("__off")).cast("int").alias("inconsistencies"),
         )
     )
+    # expose the cached relation so callers can release it (docstring)
+    result._svoe_persisted = replayed
+    return result
 
 
 def reconstruct_book_stream(

@@ -118,3 +118,21 @@ def test_global_cumsum_property(spark, rows, buckets):
         for r in global_cumsum(df, "k", "v", buckets=buckets).collect()
     }
     assert got == expected
+
+
+def test_global_cumsum_all_null_bucket(spark):
+    """A bucket whose values are all NULL must not break the driver-side
+    prefix build (SUM over an all-NULL group returns NULL)."""
+    from svoe_spark.operators.curation import global_cumsum
+
+    rows = [(k, 1 if not 10 <= k < 20 else None) for k in range(30)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r["k"]: r["cumsum"]
+        for r in global_cumsum(df, "k", "v", buckets=3).collect()
+    }
+    # running sum ignoring NULLs: 1..10 for k<10, stays 10 through the
+    # NULL bucket (NULL rows carry the running value), resumes after
+    assert got[9] == 10
+    assert got[29] == 20
+    assert got[25] == 16
