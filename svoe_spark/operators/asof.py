@@ -18,9 +18,19 @@ Two physical strategies, same semantics:
   bucket, seeding each bucket with the latest prior right row. Use when
   a single key's history exceeds one task (hot instruments at 100 TB):
   parallelism becomes (keys x buckets) instead of (keys).
+* ``time_bucket="auto"`` (the default): a cheap per-key profile (one
+  narrow count/span aggregation) picks between the two — below
+  AUTO_TARGET_ROWS_PER_TASK rows on the hottest key the single-window
+  plan runs; above it, a bucket width is derived so the hottest key
+  splits into ~target-sized pieces. The plan a naive user gets is
+  therefore the 100x-safe one without tuning. The profile costs one
+  eager aggregation job at call time; pass ``time_bucket=None`` to
+  force the lazy single-window plan.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -30,6 +40,32 @@ from svoe_spark.functions.time import duration_to_seconds, epoch_seconds
 _SIDE = "__asof_side"
 _TS = "__asof_ts"
 _BUCKET = "__asof_bucket"
+
+#: Above this many rows on the hottest key, the as-of sort is split by
+#: time bucket. One window-sort task of ~2M narrow rows is seconds of
+#: work; far below executor memory at any sane row width.
+AUTO_TARGET_ROWS_PER_TASK = 2_000_000
+
+
+def _auto_bucket(
+    unioned: DataFrame, by: list[str], target: int
+) -> float | None:
+    """Per-key profile -> None (single-window plan) or bucket seconds.
+
+    One narrow aggregation over (by, _TS): max per-key row count and
+    the hottest key's time span. Bucket width splits that key into
+    ~``target``-row pieces."""
+    per_key = unioned.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("__n"),
+        (F.max(_TS) - F.min(_TS)).alias("__span"),
+    )
+    row = per_key.agg(
+        F.max("__n").alias("n"), F.max_by("__span", "__n").alias("span")
+    ).first()
+    if row is None or row["n"] is None or row["n"] <= target:
+        return None
+    pieces = math.ceil(row["n"] / target)
+    return max(1.0, float(row["span"] or 0.0) / pieces)
 
 
 def _prep(df: DataFrame, on: str, by: list[str]) -> DataFrame:
@@ -43,7 +79,7 @@ def asof_join(
     by: list[str] | str | None = None,
     right_cols: list[str] | None = None,
     prefix: str = "",
-    time_bucket: str | float | None = None,
+    time_bucket: str | float | None = "auto",
     tiebreak: str | None = None,
 ) -> DataFrame:
     """Backward as-of join: latest right row with right.on <= left.on.
@@ -72,7 +108,7 @@ def asof_join_multi(
     on: str = "timestamp",
     by: list[str] | str | None = None,
     right_cols: dict[str, list[str]] | None = None,
-    time_bucket: str | float | None = None,
+    time_bucket: str | float | None = "auto",
     tiebreak: str | None = None,
 ) -> DataFrame:
     """N-way point-in-time join in ONE shuffle.
@@ -136,6 +172,9 @@ def asof_join_multi(
     order = [F.col(_TS), F.col(_SIDE)]
     if tb:
         order.insert(1, F.col(tb).asc_nulls_first())
+
+    if time_bucket == "auto":
+        time_bucket = _auto_bucket(unioned, by, AUTO_TARGET_ROWS_PER_TASK)
 
     if time_bucket is None:
         w = (

@@ -1139,11 +1139,19 @@ def orderbook_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     No SQL oracle — a per-key sequential state machine is exactly the
     operator class SQL can't express (driver records rows-only); the
     pytest suite differential-tests it against a single-process replay
-    (tests/test_orderbook.py)."""
-    from svoe_spark.operators.orderbook import reconstruct_book, synthetic_l2_updates
+    (tests/test_orderbook.py).
+
+    Uses the auto-dispatching engine: a per-key profile selects the
+    sequential per-instrument replay here (many cold instruments) and
+    would select the time-parallel keys x buckets plan for hot
+    instruments — the naive call is 100x-safe either way."""
+    from svoe_spark.operators.orderbook import (
+        reconstruct_book_auto,
+        synthetic_l2_updates,
+    )
 
     events = load_table(spark, "events", sf_dir)
-    snaps = reconstruct_book(synthetic_l2_updates(events), depth=10)
+    snaps = reconstruct_book_auto(synthetic_l2_updates(events), depth=10)
     return snaps.select(
         "symbol",
         "ts",

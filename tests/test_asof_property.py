@@ -103,6 +103,37 @@ def test_bucketed_asof_equals_default(spark, left_spec, right_spec, bucket):
     assert a == b
 
 
+def test_auto_dispatch_switches_to_bucketed(spark, monkeypatch):
+    """time_bucket='auto' (the default) must select the keys x buckets
+    plan once the hottest key exceeds the per-task target — and the
+    result must equal the forced single-window plan."""
+    import svoe_spark.operators.asof as asof_mod
+
+    n = 400
+    left = spark.createDataFrame(
+        [("A", BASE + dt.timedelta(seconds=i * 7), float(i)) for i in range(n)],
+        "k string, ts timestamp, v double",
+    )
+    right = spark.createDataFrame(
+        [("A", BASE + dt.timedelta(seconds=i * 11), 1000.0 + i) for i in range(n)],
+        "k string, ts timestamp, rv double",
+    )
+
+    monkeypatch.setattr(asof_mod, "AUTO_TARGET_ROWS_PER_TASK", 100)
+    auto = asof_join(left, right, on="ts", by="k", right_cols=["rv"])
+    # the bucketed plan is visibly different: it sorts within the
+    # synthetic coarse-time-bucket column
+    assert "__asof_bucket" in auto._jdf.queryExecution().toString()
+
+    forced = asof_join(
+        left, right, on="ts", by="k", right_cols=["rv"], time_bucket=None
+    )
+    assert "__asof_bucket" not in forced._jdf.queryExecution().toString()
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, forced.collect())
+    )
+
+
 @settings(
     max_examples=8,
     deadline=None,

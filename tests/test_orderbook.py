@@ -140,6 +140,30 @@ def test_bucketed_equals_sequential(spark, sf_mid):
     assert a == b
 
 
+def test_auto_dispatch_equals_sequential(spark, sf_small):
+    """reconstruct_book_auto must produce identical emissions whichever
+    physical plan its per-key profile selects; a tiny threshold forces
+    the bucketed branch, the default threshold the sequential one."""
+    from svoe_spark.operators.orderbook import reconstruct_book_auto
+
+    events = load_table(spark, "events", sf_small)
+    updates = synthetic_l2_updates(events, passthrough=("event_id",))
+
+    seq = _emission_map(reconstruct_book(updates, depth=10, seq_col="event_id"))
+    # default threshold: hottest key is tiny -> sequential branch
+    auto_seq = _emission_map(
+        reconstruct_book_auto(updates, depth=10, seq_col="event_id")
+    )
+    # threshold of 1 row: every key is "hot" -> bucketed branch
+    auto_par = _emission_map(
+        reconstruct_book_auto(
+            updates, depth=10, seq_col="event_id", max_rows_per_task=1
+        )
+    )
+    assert seq == auto_seq == auto_par
+    assert len(seq) > 0
+
+
 def test_bucketed_emit_every(spark, sf_small):
     from svoe_spark.operators.orderbook import reconstruct_book_bucketed
 
