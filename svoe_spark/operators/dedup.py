@@ -274,37 +274,73 @@ def minhash_dedup_pairs(
 # --------------------------------------------------------------------------
 
 
+#: A shingle appearing in more documents than this is treated as a
+#: stop-shingle and excluded from the Jaccard universe. The inverted-
+#: index join's per-key row count — and so the largest shuffle
+#: partition and the worst-case pair fan-out (df^2) — is bounded by it.
+#: At corpus sizes below the cap the result is exactly the uncapped
+#: Jaccard.
+DEFAULT_MAX_DOC_FREQ = 10_000
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text: str = "text",
     id_col: str = "doc_id",
     group_cols: list[str] | None = None,
     threshold: float = 0.5,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
 ) -> DataFrame:
-    """Exact pairwise Jaccard over word-trigram sets via an inverted
-    index: explode shingles, equi-join on the shingle, count matches
-    per pair (|A∩B|), derive the union from the per-doc set sizes.
+    """Pairwise Jaccard over word-trigram sets via an inverted index:
+    explode shingles, equi-join on the shingle, count matches per pair
+    (|A∩B|), derive the union from the per-doc set sizes.
 
     This is the 100 TB shape: no all-pairs array comparison — work is
     proportional to the number of SHARED shingles, shuffled on compact
     integer keys with map-side partial counting. Pairs sharing nothing
     never materialize (with threshold > 0 that loses no output).
-    ``group_cols`` further blocks the join. Skew note: a pathological
-    stop-shingle (shared by a large fraction of docs) would hot-key the
-    shuffle; AQE skew-split handles moderate cases, a document-frequency
-    cap is the standard remedy beyond that."""
+    ``group_cols`` further blocks the join.
+
+    Skew: a stop-shingle shared by d documents contributes d rows to
+    one shuffle key and O(d^2) candidate pairs — at 100 TB that alone
+    can sink the job. ``max_doc_freq`` (default 10k) excludes such
+    shingles from the universe: Jaccard is computed over the shingles
+    appearing in at most that many documents (per blocking group), the
+    standard stop-shingle remedy. Within-cap corpora get the exact
+    uncapped answer; pass ``max_doc_freq=None`` to force exact
+    semantics at any frequency (and accept the hot key)."""
     group_cols = group_cols or []
     # distinct shingles + set size derived array-side (narrow); the only
     # shuffles left are the inverted-index join and the pair-count agg
+    # (plus, when the doc-frequency cap is active, the df/size windows)
     sets = _shingle_arrays(df, text, id_col, extra_cols=group_cols).select(
         *group_cols, F.col(id_col), F.array_distinct("__sh").alias("__ss")
     )
-    ex = sets.select(
-        *group_cols,
-        F.col(id_col),
-        F.size("__ss").alias("__sz"),
-        F.explode("__ss").alias("__sh"),
-    )
+    if max_doc_freq is None:
+        ex = sets.select(
+            *group_cols,
+            F.col(id_col),
+            F.size("__ss").alias("__sz"),
+            F.explode("__ss").alias("__sh"),
+        )
+    else:
+        from pyspark.sql import Window
+
+        ex = sets.select(
+            *group_cols, F.col(id_col), F.explode("__ss").alias("__sh")
+        )
+        wdf = Window.partitionBy(*group_cols, "__sh")
+        ex = ex.withColumn("__df", F.count(F.lit(1)).over(wdf)).filter(
+            F.col("__df") <= max_doc_freq
+        )
+        # set sizes over the SURVIVING universe (self-consistent Jaccard)
+        wsz = Window.partitionBy(*group_cols, id_col)
+        ex = ex.select(
+            *group_cols,
+            F.col(id_col),
+            F.count(F.lit(1)).over(wsz).cast("int").alias("__sz"),
+            "__sh",
+        )
     a, b = ex.alias("a"), ex.alias("b")
     cond = (F.col("a.__sh") == F.col("b.__sh")) & (
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
@@ -373,13 +409,45 @@ def simhash_pairs(
     group_cols: list[str] | None = None,
     max_hamming: int = 8,
 ) -> DataFrame:
-    """Pairs within ``group_cols`` blocks whose SimHash fingerprints are
-    within ``max_hamming`` bits."""
+    """Pairs whose SimHash fingerprints are within ``max_hamming`` bits.
+
+    Candidate generation is a Hamming pigeonhole band join, never a
+    cross join: the fingerprint splits into ``max_hamming + 1`` bit
+    bands, and any pair within ``max_hamming`` bits must agree EXACTLY
+    on at least one band — so an equi-join on (band index, band value)
+    has perfect recall, and the quadratic step is confined to documents
+    sharing a band value. ``group_cols`` adds explicit blocking on top.
+    This is the same banding idea as MinHash-LSH, exact here because
+    Hamming distance bounds the number of differing bands."""
     group_cols = group_cols or []
+    n_bands = max_hamming + 1
+    width = (SIMHASH_BITS + n_bands - 1) // n_bands
     keys = df.select(*group_cols, id_col)
     fps = simhash(df, text, id_col).join(keys, on=id_col)
-    a, b = fps.alias("a"), fps.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    banded = fps.select(
+        *group_cols,
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("bi"),
+                        F.shiftright("simhash", j * width)
+                        .bitwiseAND((1 << width) - 1)
+                        .alias("bv"),
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("__band"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cond = (
+        (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & (F.col("a.__band.bi") == F.col("b.__band.bi"))
+        & (F.col("a.__band.bv") == F.col("b.__band.bv"))
+    )
     for g in group_cols:
         cond = cond & (F.col(f"a.{g}") == F.col(f"b.{g}"))
     dist = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
@@ -391,6 +459,7 @@ def simhash_pairs(
             dist.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair may agree on several bands
     )
 
 
@@ -405,6 +474,7 @@ def contamination_pairs(
     text: str = "text",
     id_col: str = "doc_id",
     min_shared: int = 1,
+    max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ,
 ) -> DataFrame:
     """Benchmark decontamination: (corpus_id, bench_id, n_shared)
     pairs sharing >= min_shared distinct word-trigram shingles — the
@@ -412,10 +482,25 @@ def contamination_pairs(
     index shape as ngram_jaccard_pairs, but across TWO corpora: work is
     proportional to shared shingles, shuffled on compact integer keys;
     disjoint documents never meet. At 100 TB the benchmark side is
-    small — Spark broadcast-joins it automatically (or hint it)."""
+    small — Spark broadcast-joins it automatically (or hint it).
+
+    ``max_doc_freq`` bounds the CORPUS-side document frequency per
+    shingle (the skewed side; the benchmark is small by construction):
+    a stop-shingle in d corpus docs would meet every benchmark doc
+    containing it, fanning out d x |bench| join rows on one key.
+    Capped shingles don't count toward n_shared — stop-shingles are
+    exactly the ones that carry no contamination signal. Exact below
+    the cap; ``None`` forces uncapped."""
     c = _shingle_arrays(corpus, text, id_col).select(
         F.col(id_col).alias("corpus_id"), F.explode(F.array_distinct("__sh")).alias("__sh")
     )
+    if max_doc_freq is not None:
+        from pyspark.sql import Window
+
+        wdf = Window.partitionBy("__sh")
+        c = c.withColumn("__df", F.count(F.lit(1)).over(wdf)).filter(
+            F.col("__df") <= max_doc_freq
+        ).drop("__df")
     b = _shingle_arrays(benchmark, text, id_col).select(
         F.col(id_col).alias("bench_id"), F.explode(F.array_distinct("__sh")).alias("__sh")
     )

@@ -236,11 +236,32 @@ def embedding_neardup_pairs(
     threshold: float = 0.3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
+    planes: int = DEFAULT_PLANES,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within blocking groups
-    (group_cols) — at scale, block by LSH bucket instead of an explicit
-    label; pass group_cols=['__bucket'] after lsh_bucket()."""
-    group_cols = group_cols or []
+    """Embedding-cosine near-duplicate pairs within blocking groups.
+
+    Default (``group_cols=None``): hyperplane-LSH bucket blocking — the
+    scale-safe path. The bucket id confines the quadratic step to
+    bucket-local candidate sets (~n/2^planes each) and at 100 TB doubles
+    as the partition key; near-dup pairs land in the same bucket with
+    high probability (high cosine => few differing hyperplane signs).
+    ``dim`` (embedding width) is read from the first row if not given.
+
+    Explicit ``group_cols`` blocks by those columns INSTEAD — exact
+    within each block, quadratic in the largest block, so only for
+    bounded block sizes (or pass your own bucket column). An unblocked
+    all-pairs form is deliberately not offered: pass a constant column
+    if you really want O(n^2) on a small input."""
+    auto = not group_cols  # None or [] -> LSH blocking
+    if auto:
+        if dim is None:
+            row = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
+            dim = int(row["d"]) if row else 0
+        vectors = vectors.withColumn(
+            "__lsh_bucket", lsh_bucket(vec_col, dim, planes)
+        )
+        group_cols = ["__lsh_bucket"]
     # precompute each vector's norm ONCE (O(n)) instead of per pair
     # (O(n^2)); the pair expression divides by the same sqrt values, so
     # the floating result is bit-identical to the naive form
@@ -254,7 +275,7 @@ def embedding_neardup_pairs(
     cos = dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
         F.col("a.__norm") * F.col("b.__norm")
     )
-    return (
+    out = (
         a.join(b, cond)
         .select(
             *[F.col(f"a.{g}").alias(g) for g in group_cols],
@@ -264,3 +285,4 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+    return out.drop("__lsh_bucket") if auto else out

@@ -161,9 +161,51 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs, blocked by source."""
+    """Exact n-gram Jaccard near-dup pairs, blocked by source
+    (max_doc_freq=None: the exact, uncapped form)."""
     return ngram_jaccard_pairs(
-        load_table(spark, "documents", sf_dir), group_cols=["source"], threshold=0.5
+        load_table(spark, "documents", sf_dir),
+        group_cols=["source"],
+        threshold=0.5,
+        max_doc_freq=None,
+    )
+
+
+@query(
+    "dedup_ngram_jaccard_capped",
+    f"""
+    WITH th AS (SELECT doc_id, {sql_token_hashes('text')} AS th FROM documents),
+    sets AS (SELECT doc_id, list_distinct({_shingle_sql()}) AS s FROM th),
+    ex AS (SELECT doc_id, unnest(s) AS sh FROM sets),
+    kept AS (
+      SELECT doc_id, sh FROM (
+        SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM ex
+      ) WHERE df <= 10
+    ),
+    sized AS (
+      SELECT doc_id, sh, count(*) OVER (PARTITION BY doc_id) AS sz FROM kept
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sa, b.sz AS sb,
+             count(*) AS inter
+      FROM sized a JOIN sized b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, inter / (sa + sb - inter) AS jaccard
+    FROM pairs
+    WHERE inter / (sa + sb - inter) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard with the stop-shingle document-frequency cap
+    active (df <= 10): Jaccard over the sub-cap shingle universe — the
+    100 TB skew-safe default path of ngram_jaccard_pairs, driven at a
+    cap low enough that the fixtures actually exercise the exclusion.
+    The oracle replicates the cap (windowed doc-frequency filter +
+    post-filter set sizes), so the capped semantics are themselves
+    hash-checked, not just the uncapped form."""
+    return ngram_jaccard_pairs(
+        load_table(spark, "documents", sf_dir), threshold=0.5, max_doc_freq=10
     )
 
 
@@ -406,7 +448,11 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs blocked by label."""
+    """Embedding-cosine near-dup pairs blocked by an explicit label —
+    the EXACT-within-block oracle variant (quadratic in the largest
+    label block, so bounded block sizes only). The operator's default
+    path, and the one to use at scale, is LSH-bucket blocking:
+    `embedding_neardup_lsh` / `embedding_neardup_pairs(group_cols=None)`."""
     return embedding_neardup_pairs(
         load_table(spark, "embeddings", sf_dir), group_cols=["label"], threshold=0.3
     )
