@@ -95,7 +95,13 @@ class _Book:
 
     def apply(self, update_type: str, orders) -> bool:
         """orders: iterable of (side, price, size). Returns True if the
-        event was applied (False = pre-snapshot skip)."""
+        event was applied (False = pre-snapshot skip).
+
+        SNAPSHOT (cryptotick): reset, then set levels verbatim.
+        FULL (cryptofeed non-delta, reference utils.py:73-83): reset,
+        then run each order through the SET logic — so a zero size in a
+        full event counts a missing-level inconsistency instead of
+        storing an empty level, exactly as the reference does."""
         if update_type == "SNAPSHOT":
             self.bids.clear()
             self.asks.clear()
@@ -105,6 +111,13 @@ class _Book:
                 self._set_level(side == "bid", price, size)
             self.started = True
             return True
+        if update_type == "FULL":
+            self.bids.clear()
+            self.asks.clear()
+            self._bid_px.clear()
+            self._ask_px.clear()
+            self.started = True
+            update_type = "SET"  # per-order semantics below
         if not self.started:
             return False
         for side, price, size in orders:
@@ -313,9 +326,9 @@ def _summarize_segment(pdf: pd.DataFrame, seq_col: str | None):
     for ut, orders in zip(
         pdf["update_type"].to_numpy()[order], pdf["orders"].to_numpy()[order]
     ):
-        if ut == "SNAPSHOT":
+        if ut in ("SNAPSHOT", "FULL"):
             snap_book = _Book()
-            snap_book.apply("SNAPSHOT", ((o["side"], o["price"], o["size"]) for o in orders))
+            snap_book.apply(ut, ((o["side"], o["price"], o["size"]) for o in orders))
             continue
         if snap_book is not None:
             snap_book.apply(ut, ((o["side"], o["price"], o["size"]) for o in orders))
@@ -696,6 +709,79 @@ def synthetic_l2_updates(
         F.col(key).cast("string").alias("symbol"),
         F.col("ts"),
         update_type.alias("update_type"),
+        orders.alias("orders"),
+        *passthrough,
+    )
+
+
+# --------------------------------------------------------------------------
+# cryptofeed dialect
+# --------------------------------------------------------------------------
+
+
+def cryptofeed_updates(df: DataFrame, delta_col: str = "delta") -> DataFrame:
+    """Normalize the cryptofeed update dialect into the canonical
+    update stream accepted by every reconstruction engine here.
+
+    The reference handles two dialects (l2_book/l2_snapshot_fd/
+    utils.py): cryptotick ADD/SET/SUB (:21-63) and cryptofeed (:66-89),
+    where each event carries a ``delta`` flag — False means "this is
+    the full book" (reset, then set each level), True means "apply per
+    level: size 0 deletes (missing level counts an inconsistency),
+    any other size overwrites". That is FULL / SET in the canonical
+    vocabulary, so the dialect is a pure relational rename — no new
+    distributed machinery, and the time-parallel bucketed engine works
+    unchanged (a delta stream contains no ADDs, so its positive-ADD
+    invariant holds vacuously). Pre-snapshot deltas are skipped by the
+    engine's ``started`` gate, mirroring the reference's ``inited``
+    check.
+
+    delta=False maps to FULL, not SNAPSHOT: the reference runs every
+    order of a full event through the same size-0-deletes logic after
+    the reset, so a zero size there counts an inconsistency — FULL
+    preserves that; SNAPSHOT would store an empty level instead."""
+    return df.withColumn(
+        "update_type",
+        F.when(F.col(delta_col), F.lit("SET")).otherwise(F.lit("FULL")),
+    ).drop(delta_col)
+
+
+def synthetic_cryptofeed_updates(
+    events: DataFrame, key: str = "user_id", passthrough: tuple[str, ...] = ()
+) -> DataFrame:
+    """Deterministic cryptofeed-dialect stream from the events table:
+    signup -> full-book event (delta=False); every other event ->
+    delta=True with size pmod 4 — 0 sizes exercise the delete and the
+    missing-level inconsistency paths. Mirrors synthetic_l2_updates."""
+    base = F.col("value")
+    qty = F.get_json_object("props", "$.k").cast("double")
+    mk = lambda side, price, size: F.struct(  # noqa: E731
+        side.alias("side"), price.alias("price"), size.alias("size")
+    )
+    full = F.col("event_type") == "signup"
+    orders = F.when(
+        full,
+        F.array(
+            mk(F.lit("bid"), F.round(base - 1, 2), qty + 1),
+            mk(F.lit("bid"), F.round(base - 2, 2), qty + 2),
+            mk(F.lit("ask"), F.round(base + 1, 2), qty + 1),
+            mk(F.lit("ask"), F.round(base + 2, 2), qty + 2),
+        ),
+    ).otherwise(
+        F.array(
+            mk(
+                F.when(F.col("event_type") == "click", F.lit("bid")).otherwise(
+                    F.lit("ask")
+                ),
+                F.round(base, 2),
+                F.pmod(qty, F.lit(4.0)),
+            )
+        )
+    )
+    return events.select(
+        F.col(key).cast("string").alias("symbol"),
+        F.col("ts"),
+        (~full).alias("delta"),
         orders.alias("orders"),
         *passthrough,
     )

@@ -1163,6 +1163,36 @@ def orderbook_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("orderbook_snapshots_cryptofeed", None, bench=True)
+def orderbook_snapshots_cryptofeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 reconstruction, cryptofeed dialect (reference's second update
+    format, l2_snapshot_fd/utils.py:66-89): full-book events reset the
+    state, delta events set/delete levels (size 0 = delete; missing
+    level = inconsistency). Normalized relationally to FULL/SET and
+    replayed by the same engine. Rows-only for the driver, like the
+    cryptotick form; differential-tested against a single-process
+    transcription of the reference state machine
+    (tests/test_orderbook.py)."""
+    from svoe_spark.operators.orderbook import (
+        cryptofeed_updates,
+        reconstruct_book_auto,
+        synthetic_cryptofeed_updates,
+    )
+
+    events = load_table(spark, "events", sf_dir)
+    updates = cryptofeed_updates(synthetic_cryptofeed_updates(events))
+    snaps = reconstruct_book_auto(updates, depth=10)
+    return snaps.select(
+        "symbol",
+        "ts",
+        F.element_at("bids", 1)["price"].alias("best_bid"),
+        F.element_at("asks", 1)["price"].alias("best_ask"),
+        F.size("bids").alias("bid_depth"),
+        F.size("asks").alias("ask_depth"),
+        "inconsistencies",
+    )
+
+
 @query(
     "local_extrema",
     """

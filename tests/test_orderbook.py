@@ -140,6 +140,93 @@ def test_bucketed_equals_sequential(spark, sf_mid):
     assert a == b
 
 
+def _cryptofeed_oracle(pdf, depth):
+    """Direct transcription of the reference's cryptofeed_update_state
+    (l2_book/l2_snapshot_fd/utils.py:66-89): delta=False resets the
+    book, every order then runs size-0-deletes-else-set, missing-level
+    zero counts an inconsistency, pre-init deltas are skipped."""
+    out = {}
+    for sym, grp in pdf.groupby("symbol"):
+        book = {"bid": {}, "ask": {}}
+        inited = False
+        inc = 0
+        for _, row in grp.sort_values("ts").iterrows():
+            if row["delta"] and not inited:
+                continue
+            if not row["delta"]:
+                inited = True
+                book = {"bid": {}, "ask": {}}
+            for o in row["orders"]:
+                side, price, size = o["side"], o["price"], o["size"]
+                if size == 0.0:
+                    if price in book[side]:
+                        del book[side][price]
+                    else:
+                        inc += 1
+                else:
+                    book[side][price] = size
+            bids = sorted(book["bid"].items(), key=lambda kv: -kv[0])[:depth]
+            asks = sorted(book["ask"].items())[:depth]
+            out[(sym, row["ts"])] = (bids, asks, inc)
+    return out
+
+
+def test_cryptofeed_dialect_equals_reference_semantics(spark, sf_small):
+    """cryptofeed_updates + the canonical engine == a single-process
+    replay of the reference's cryptofeed state machine, emission for
+    emission — the second dialect's differential test, mirroring the
+    cryptotick one above."""
+    from svoe_spark.operators.orderbook import (
+        cryptofeed_updates,
+        synthetic_cryptofeed_updates,
+    )
+
+    events = load_table(spark, "events", sf_small)
+    feed = synthetic_cryptofeed_updates(events)
+    got = _emission_map(reconstruct_book(cryptofeed_updates(feed), depth=10))
+
+    want = _cryptofeed_oracle(feed.toPandas(), depth=10)
+    assert len(got) == len(want) > 0
+    assert got == want
+    # the fixtures must actually exercise both special paths
+    assert any(inc > 0 for _, _, inc in want.values())
+
+
+def test_cryptofeed_dialect_bucketed_equals_sequential(spark, sf_small):
+    """The time-parallel engine replays the cryptofeed dialect (FULL +
+    SET only — no ADDs, so its invariant holds) identically."""
+    from svoe_spark.operators.orderbook import (
+        cryptofeed_updates,
+        reconstruct_book_bucketed,
+        synthetic_cryptofeed_updates,
+    )
+
+    events = load_table(spark, "events", sf_small)
+    updates = cryptofeed_updates(
+        synthetic_cryptofeed_updates(events, passthrough=("event_id",))
+    )
+    seq = _emission_map(reconstruct_book(updates, depth=10, seq_col="event_id"))
+    par = _emission_map(
+        reconstruct_book_bucketed(updates, depth=10, bucket="6h", seq_col="event_id")
+    )
+    assert seq == par
+    assert len(seq) > 0
+
+
+def test_full_event_zero_size_counts_inconsistency():
+    """FULL (cryptofeed non-delta) runs orders through SET logic: a
+    zero size on the fresh book is an inconsistency, not a level."""
+    b = _Book()
+    assert b.apply("FULL", [("bid", 100.0, 5.0), ("bid", 99.0, 0.0)])
+    assert b.bids == {100.0: 5.0}
+    assert b.inconsistencies == 1
+    # SNAPSHOT (cryptotick) stores the level verbatim instead
+    b2 = _Book()
+    b2.apply("SNAPSHOT", [("bid", 100.0, 5.0), ("bid", 99.0, 0.0)])
+    assert b2.bids == {100.0: 5.0, 99.0: 0.0}
+    assert b2.inconsistencies == 0
+
+
 def test_auto_dispatch_equals_sequential(spark, sf_small):
     """reconstruct_book_auto must produce identical emissions whichever
     physical plan its per-key profile selects; a tiny threshold forces
