@@ -26,7 +26,12 @@ def combine_latest_stream(
     value_col: str = "value",
 ) -> DataFrame:
     """df: a union'd tagged stream (key, ts, stream, value). Output: one
-    row per event with columns '{stream}_value' = latest per key."""
+    row per event with columns '{stream}_value' = latest per key.
+
+    Events sharing a timestamp apply in the DECLARED ``streams`` order
+    (upstream features first), so the last same-instant row carries the
+    fully-updated vector — matching the batch as-of convention that
+    right-side rows at t are visible to left rows at t."""
     out_schema = StructType(
         [
             StructField(key, df.schema[key].dataType),
@@ -46,10 +51,16 @@ def combine_latest_stream(
         latest = list(state.get) if state.exists else [None] * len(streams)
         latest = [None if v is not None and math.isnan(v) else v for v in latest]
         for pdf in pdfs:
-            pdf = pdf.sort_values(on)
+            pdf = pdf.assign(
+                __prio=pdf[stream_col].map(idx).fillna(len(streams))
+            ).sort_values([on, "__prio"], kind="stable")
             rows = []
             for ts, s, v in zip(pdf[on], pdf[stream_col], pdf[value_col]):
-                if s in idx:
+                # null/NaN ticks don't clobber state: combine_latest is
+                # "latest NON-NULL per stream", the same ignorenulls
+                # fill the batch as-of/combine operators use — sparse
+                # features (e.g. warmup-null volatility) carry forward
+                if s in idx and v is not None and not math.isnan(float(v)):
                     latest[idx[s]] = float(v)
                 rows.append((key_tuple[0], ts, s, *latest))
             yield pd.DataFrame(
