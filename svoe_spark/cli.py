@@ -3,8 +3,10 @@ featurizer_cli.py:16-39, trainer_cli.py, backtester_cli.py:14-30):
 
     python -m svoe_spark.cli featurizer run <config.yaml> [--out PATH]
     python -m svoe_spark.cli featurizer get-data <config.yaml> [--every-nth N]
+    python -m svoe_spark.cli featurizer plot <config.yaml> [--cols A B] [--out f.png]
     python -m svoe_spark.cli backtester run <config.yaml> --price-col COL
     python -m svoe_spark.cli trainer run <config.yaml> --features A B --label L
+    python -m svoe_spark.cli serve [--host H] [--port P]
     python -m svoe_spark.cli bench
 """
 
@@ -29,12 +31,15 @@ def main(argv: list[str] | None = None) -> int:
 
     feat = sub.add_parser("featurizer")
     fsub = feat.add_subparsers(dest="action", required=True)
-    for action in ("run", "get-data"):
+    for action in ("run", "get-data", "plot"):
         fp = fsub.add_parser(action)
         fp.add_argument("config")
-        fp.add_argument("--out", help="write result parquet here instead of printing")
+        fp.add_argument("--out", help="write result parquet (run/get-data) or image (plot) here")
         fp.add_argument("--every-nth", type=int, default=1)
         fp.add_argument("--show", type=int, default=10)
+        if action == "plot":
+            fp.add_argument("--cols", nargs="*", help="columns to plot (default: numeric)")
+            fp.add_argument("--same-fig", action="store_true")
 
     bt = sub.add_parser("backtester")
     btsub = bt.add_subparsers(dest="action", required=True)
@@ -56,6 +61,10 @@ def main(argv: list[str] | None = None) -> int:
             trr.add_argument("--out", help="write predictions parquet here")
             trr.add_argument("--show", type=int, default=10)
 
+    srv = sub.add_parser("serve")
+    srv.add_argument("--host", default="127.0.0.1")
+    srv.add_argument("--port", type=int, default=1228)
+
     sub.add_parser("bench")
 
     args = p.parse_args(argv)
@@ -69,9 +78,33 @@ def main(argv: list[str] | None = None) -> int:
     spark = _spark()
     from svoe_spark.plans.featurizer import Featurizer
 
+    if args.cmd == "serve":
+        from svoe_spark.api.rest import serve
+
+        server = serve(spark, host=args.host, port=args.port)
+        print(json.dumps({"serving": f"http://{args.host}:{server.server_address[1]}"}))
+        try:
+            import threading
+
+            threading.Event().wait()  # serve until interrupted
+        except KeyboardInterrupt:
+            server.shutdown()
+        return 0
+
     if args.cmd == "featurizer":
         fz = Featurizer(spark)
         df = fz.get_materialized_data(args.config, pick_every_nth_row=args.every_nth)
+        if args.action == "plot":
+            from svoe_spark.consumers.viz import plot_multi
+
+            res = plot_multi(
+                df,
+                col_names=args.cols or None,
+                same_fig=args.same_fig,
+                out=args.out,
+            )
+            print(res)
+            return 0
         if args.out:
             df.write.mode("overwrite").parquet(args.out)
             print(json.dumps({"written": args.out, "rows": spark.read.parquet(args.out).count()}))

@@ -219,6 +219,61 @@ class Ewma(FeatureDefinition):
         return df.groupBy(*keys).applyInPandas(fn, schema=schema)
 
 
+def load_definitions_from_file(path: str) -> list[type[FeatureDefinition]]:
+    """Load user FeatureDefinition subclasses from a Python file and
+    register them (reference X5: DefinitionsLoader fetches FD source to
+    a directory and imports it, featurizer_utils/definitions_loader.py
+    — the transport half is storage-specific; the import-and-register
+    half is this).
+
+    The file is imported under a synthetic module name; every
+    module-level FeatureDefinition subclass with a non-empty ``name``
+    is added to REGISTRY (last writer wins, same as @register). The
+    class body runs on the driver only; Spark ships the transform
+    closures to executors like any other, so remote-loaded definitions
+    need no executor-side installation."""
+    import importlib.util
+    import os
+
+    mod_name = f"svoe_spark_userdefs_{abs(hash(os.path.abspath(path))):x}"
+    spec = importlib.util.spec_from_file_location(mod_name, path)
+    if spec is None or spec.loader is None:
+        raise ValueError(f"cannot import feature definitions from {path!r}")
+    module = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(module)
+    return _register_from_module(module)
+
+
+def load_definitions_from_source(source: str, module_name: str = "userdefs") -> list[type[FeatureDefinition]]:
+    """Same as load_definitions_from_file but from a source STRING —
+    the shape a remote fetch hands over (code from an object store or
+    a catalog row)."""
+    import types
+
+    module = types.ModuleType(f"svoe_spark_{module_name}")
+    module.__dict__["__builtins__"] = __builtins__
+    exec(compile(source, f"<{module_name}>", "exec"), module.__dict__)
+    return _register_from_module(module)
+
+
+def _register_from_module(module) -> list[type[FeatureDefinition]]:
+    loaded: list[type[FeatureDefinition]] = []
+    for obj in vars(module).values():
+        if (
+            isinstance(obj, type)
+            and issubclass(obj, FeatureDefinition)
+            and obj is not FeatureDefinition
+            and getattr(obj, "name", "")
+        ):
+            REGISTRY[obj.name] = obj
+            loaded.append(obj)
+    if not loaded:
+        raise ValueError(
+            f"no FeatureDefinition subclasses with a name found in {module!r}"
+        )
+    return loaded
+
+
 @register
 class Diff(FeatureDefinition):
     """(last-first)/first over a trailing window, generic over any

@@ -57,6 +57,10 @@ class FeaturizerConfig:
     # across runs (reference features_to_store, config.py:11-31; the
     # stored-feature short-circuit builder.py:83-150)
     features_to_store: list[str] = field(default_factory=list)
+    # Python files whose FeatureDefinition subclasses are registered
+    # before resolution (reference X5 remote-definition loading,
+    # featurizer_utils/definitions_loader.py — minus the fetch)
+    definition_paths: list[str] = field(default_factory=list)
 
     @staticmethod
     def load(obj) -> "FeaturizerConfig":
@@ -80,6 +84,7 @@ class FeaturizerConfig:
             label_feature=obj.get("label_feature"),
             label_lookahead=obj.get("label_lookahead"),
             features_to_store=list(obj.get("features_to_store", [])),
+            definition_paths=list(obj.get("definition_paths", [])),
         )
 
 
@@ -132,6 +137,11 @@ class Featurizer:
         shared subtrees by content hash and persisting fan-out > 1
         nodes (the reference's ref-count heuristic,
         cache_actor.py:34-35, done declaratively)."""
+        if config.definition_paths:
+            from svoe_spark.plans.definitions import load_definitions_from_file
+
+            for p in config.definition_paths:
+                load_definitions_from_file(p)
         source_df = self._load_source(config.data_source)
         source_feature = Feature.make("__source__", config.data_source)
 
