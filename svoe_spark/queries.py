@@ -1131,15 +1131,160 @@ def session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("orderbook_snapshots", None, bench=True)
+def _orderbook_oracle(ev_sql: str, ops_sql: str) -> str:
+    """Build the DuckDB oracle for an order-book reconstruction query.
+
+    The book state machine IS SQL-expressible: segment each (symbol,
+    side, price) level stream by the running count of full-book events
+    (reset boundary), then prefix-fold the ops of each segment with
+    `list_reduce` over a {present, size, inconsistencies} state struct
+    — absent vs present matters because SUB/SET-0 on a missing level
+    counts an inconsistency instead of mutating (reference
+    l2_snapshot_fd/utils.py:21-89). Per emitted event, the book is the
+    last state of every level in the current segment at or before the
+    event's sequence number; depth/best-of-book aggregate over those,
+    and the cumulative inconsistency counter is a windowed sum of
+    per-op state deltas. ~quadratic in per-segment ops, fine at oracle
+    scale; the distributed engine is the production path.
+    """
+    return f"""
+WITH ev AS ({ev_sql}),
+app AS (
+  SELECT * FROM (
+    SELECT *, COUNT(*) FILTER (WHERE event_type='signup')
+                OVER (PARTITION BY symbol ORDER BY seq) AS snap_id
+    FROM ev)
+  WHERE snap_id >= 1
+),
+ops AS ({ops_sql}),
+lvl AS (
+  SELECT symbol, snap_id, side, price,
+         list(struct_pack(seq := seq, op := op, sz := sz) ORDER BY seq) AS l
+  FROM ops GROUP BY 1,2,3,4
+),
+pf AS (
+  SELECT symbol, snap_id, side, price,
+         list_extract(l, i).seq AS seq,
+         list_reduce(
+           list_prepend(
+             {{'op': 'INIT', 'sz': 0.0e0, 'present': false, 'v': 0.0e0, 'inc': 0}},
+             list_transform(list_slice(l, 1, i),
+               o -> {{'op': o.op, 'sz': o.sz, 'present': false, 'v': 0.0e0, 'inc': 0}})),
+           (acc, x) -> CASE
+             WHEN x.op = 'SNAPSET'
+               THEN {{'op': '', 'sz': 0.0e0, 'present': true, 'v': x.sz, 'inc': acc.inc}}
+             WHEN x.op = 'ADD'
+               THEN {{'op': '', 'sz': 0.0e0, 'present': true,
+                     'v': (CASE WHEN acc.present THEN acc.v ELSE 0.0e0 END) + x.sz,
+                     'inc': acc.inc}}
+             WHEN x.op = 'SET' AND x.sz = 0
+               THEN {{'op': '', 'sz': 0.0e0, 'present': false, 'v': 0.0e0,
+                     'inc': acc.inc + (CASE WHEN acc.present THEN 0 ELSE 1 END)}}
+             WHEN x.op = 'SET'
+               THEN {{'op': '', 'sz': 0.0e0, 'present': true, 'v': x.sz, 'inc': acc.inc}}
+             WHEN NOT acc.present
+               THEN {{'op': '', 'sz': 0.0e0, 'present': false, 'v': 0.0e0, 'inc': acc.inc + 1}}
+             WHEN acc.v - x.sz <= 0
+               THEN {{'op': '', 'sz': 0.0e0, 'present': false, 'v': 0.0e0, 'inc': acc.inc}}
+             ELSE {{'op': '', 'sz': 0.0e0, 'present': true, 'v': acc.v - x.sz, 'inc': acc.inc}}
+           END) AS st
+  FROM (SELECT *, unnest(generate_series(1, len(l))) AS i FROM lvl)
+),
+state_at AS (
+  SELECT e.symbol, e.seq, p.side, p.price,
+         arg_max((p.st).present, p.seq) AS present
+  FROM app e JOIN pf p
+    ON p.symbol = e.symbol AND p.snap_id = e.snap_id AND p.seq <= e.seq
+  GROUP BY 1,2,3,4
+),
+book AS (
+  SELECT symbol, seq,
+         CAST(LEAST(COUNT(*) FILTER (WHERE side='bid' AND present), 10) AS INTEGER) AS bid_depth,
+         CAST(LEAST(COUNT(*) FILTER (WHERE side='ask' AND present), 10) AS INTEGER) AS ask_depth,
+         MAX(price) FILTER (WHERE side='bid' AND present) AS best_bid,
+         MIN(price) FILTER (WHERE side='ask' AND present) AS best_ask
+  FROM state_at GROUP BY 1,2
+),
+incs AS (
+  SELECT symbol, seq,
+         CAST(SUM(delta_sum) OVER (PARTITION BY symbol ORDER BY seq) AS BIGINT)
+           AS inconsistencies
+  FROM (
+    SELECT symbol, seq, SUM(delta) AS delta_sum FROM (
+      SELECT symbol, seq,
+             (st).inc - COALESCE(LAG((st).inc) OVER (
+                   PARTITION BY symbol, snap_id, side, price ORDER BY seq), 0)
+               AS delta
+      FROM pf)
+    GROUP BY symbol, seq)
+)
+SELECT e.symbol, e.ts, b.best_bid, b.best_ask,
+       b.bid_depth, b.ask_depth, i.inconsistencies
+FROM app e
+JOIN book b ON b.symbol = e.symbol AND b.seq = e.seq
+JOIN incs i ON i.symbol = e.symbol AND i.seq = e.seq
+"""
+
+
+_OB_EV = """
+  SELECT CAST(user_id AS VARCHAR) AS symbol, ts, event_type,
+         value AS v, CAST(json_extract_string(props,'$.k') AS DOUBLE) AS k,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS seq
+  FROM events
+"""
+
+_OB_EV_SHARDED = """
+  SELECT 'SHARD-' || CAST(user_id % 8 AS VARCHAR) AS symbol, ts, event_type,
+         value AS v, CAST(json_extract_string(props,'$.k') AS DOUBLE) AS k,
+         ROW_NUMBER() OVER (PARTITION BY user_id % 8 ORDER BY ts, event_id) AS seq
+  FROM events
+"""
+
+_OB_OPS_CRYPTOTICK = """
+  SELECT symbol, seq, snap_id, u.side, u.price, 'SNAPSET' AS op, u.sz
+  FROM app, LATERAL (VALUES ('bid', round(v-1,2), k+1),
+                            ('bid', round(v-2,2), k+2),
+                            ('ask', round(v+1,2), k+1),
+                            ('ask', round(v+2,2), k+2)) AS u(side, price, sz)
+  WHERE event_type='signup'
+  UNION ALL
+  SELECT symbol, seq, snap_id,
+         CASE WHEN event_type='click' THEN 'bid' ELSE 'ask' END,
+         round(v,2), 'ADD', k+1
+  FROM app WHERE event_type IN ('click','view')
+  UNION ALL
+  SELECT symbol, seq, snap_id, 'bid', round(v,2), 'SET', fmod(k,5)
+  FROM app WHERE event_type='purchase'
+  UNION ALL
+  SELECT symbol, seq, snap_id, 'ask', round(v,2), 'SUB', k+1
+  FROM app WHERE event_type='error'
+"""
+
+_OB_OPS_CRYPTOFEED = """
+  SELECT symbol, seq, snap_id, u.side, u.price, 'SET' AS op, u.sz
+  FROM app, LATERAL (VALUES ('bid', round(v-1,2), k+1),
+                            ('bid', round(v-2,2), k+2),
+                            ('ask', round(v+1,2), k+1),
+                            ('ask', round(v+2,2), k+2)) AS u(side, price, sz)
+  WHERE event_type='signup'
+  UNION ALL
+  SELECT symbol, seq, snap_id,
+         CASE WHEN event_type='click' THEN 'bid' ELSE 'ask' END,
+         round(v,2), 'SET', fmod(k,4)
+  FROM app WHERE event_type <> 'signup'
+"""
+
+
+@query("orderbook_snapshots", _orderbook_oracle(_OB_EV, _OB_OPS_CRYPTOTICK), bench=True)
 def orderbook_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 order-book reconstruction (reference T2, the flagship stateful
     op — l2_snapshot_fd.py:35-106): replays a deterministic update
     stream derived from `events`, emits depth-truncated snapshots.
-    No SQL oracle — a per-key sequential state machine is exactly the
-    operator class SQL can't express (driver records rows-only); the
-    pytest suite differential-tests it against a single-process replay
-    (tests/test_orderbook.py).
+    Oracle: see `_orderbook_oracle` — the full per-level fold expressed
+    in DuckDB SQL (list_reduce prefix states + per-event aggregation),
+    hash-exact because all sizes are integer-valued and prices exact
+    2-decimal doubles. The pytest suite additionally differential-tests
+    the engine against a single-process replay (tests/test_orderbook.py).
 
     Uses the auto-dispatching engine: a per-key profile selects the
     sequential per-instrument replay here (many cold instruments) and
@@ -1163,14 +1308,20 @@ def orderbook_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("orderbook_snapshots_cryptofeed", None, bench=True)
+@query(
+    "orderbook_snapshots_cryptofeed",
+    _orderbook_oracle(_OB_EV, _OB_OPS_CRYPTOFEED),
+    bench=True,
+)
 def orderbook_snapshots_cryptofeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 reconstruction, cryptofeed dialect (reference's second update
     format, l2_snapshot_fd/utils.py:66-89): full-book events reset the
     state, delta events set/delete levels (size 0 = delete; missing
     level = inconsistency). Normalized relationally to FULL/SET and
-    replayed by the same engine. Rows-only for the driver, like the
-    cryptotick form; differential-tested against a single-process
+    replayed by the same engine. Oracle: `_orderbook_oracle` with every
+    order running through the SET logic — a full event's levels are SET
+    ops in the fresh segment, exactly the reference's reset-then-set;
+    additionally differential-tested against a single-process
     transcription of the reference state machine
     (tests/test_orderbook.py)."""
     from svoe_spark.operators.orderbook import (
@@ -1515,17 +1666,23 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("orderbook_snapshots_bucketed", None, bench=True)
+@query(
+    "orderbook_snapshots_bucketed",
+    _orderbook_oracle(_OB_EV_SHARDED, _OB_OPS_CRYPTOTICK),
+    bench=True,
+)
 def orderbook_snapshots_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-parallel order-book reconstruction: identical emissions to
     `orderbook_snapshots` (differential-tested, tests/test_orderbook.py)
     but parallelism = keys x time-buckets via associative segment
     summaries — the scale path when instruments are few or hot. To
     exercise that regime (the sequential form already covers the
-    many-instrument case), users hash onto 8 hot shard-instruments,
-    each carrying a long event history that the sequential engine
-    would replay on a single task. Rows-only for the driver, same as
-    the sequential form."""
+    many-instrument case), users shard onto 8 hot shard-instruments
+    (`user_id % 8` — portable to the SQL oracle, unlike a hash), each
+    carrying a long interleaved history that the sequential engine
+    would replay on a single task. Oracle: `_orderbook_oracle` over the
+    sharded stream with `event_id` as the equal-timestamp tie-break,
+    matching the engine's seq_col sort."""
     from svoe_spark.operators.orderbook import (
         reconstruct_book_bucketed,
         synthetic_l2_updates,
@@ -1533,7 +1690,8 @@ def orderbook_snapshots_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, "events", sf_dir)
     updates = synthetic_l2_updates(events, passthrough=("event_id",)).withColumn(
-        "symbol", F.concat(F.lit("SHARD-"), F.pmod(F.xxhash64("symbol"), F.lit(8)))
+        "symbol",
+        F.concat(F.lit("SHARD-"), F.pmod(F.col("symbol").cast("bigint"), F.lit(8))),
     )
     snaps = reconstruct_book_bucketed(
         updates,
