@@ -286,3 +286,37 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
     )
     return out.drop("__lsh_bucket") if auto else out
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column (the storage/
+    serving compression step of an embedding pipeline): per vector,
+    q_i = floor(x_i / scale + 0.5) with scale = max|x| / 127, emitted
+    with the L2 norm and a portable digest (sum + csv of the quantized
+    ints) instead of an array column — scalar outputs keep the result
+    hashable by any downstream harness.
+
+    Pure array-side expressions (zero shuffle, fused with the scan).
+    floor(x + 0.5) is used instead of round() because its IEEE result
+    is identical in every engine, making the operator oracle-checkable
+    bit-for-bit; zero vectors quantize to all-zero with scale 0.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(amax > 0, amax / 127.0).otherwise(F.lit(0.0))
+    q = F.when(
+        amax > 0,
+        F.transform(v, lambda x: F.floor(x / (amax / 127.0) + 0.5).cast("long")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("long")))
+    return df.select(
+        F.col(id_col),
+        norm.alias("l2_norm"),
+        scale.alias("q_scale"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias(
+            "q_csv"
+        ),
+    )

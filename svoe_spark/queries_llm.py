@@ -704,3 +704,207 @@ def text_lang_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return lang_id_ngram(docs, docs)
+
+
+# ---------------------------------------------------------------------------
+# Corpus cleaning (operators/cleaning.py): PII redaction, repetition
+# signals, chunk-level dedup, domain mixture weights
+# ---------------------------------------------------------------------------
+
+# Deterministic PII-bearing augmentation: the fixture corpus is clean
+# word soup, so both engines append the same synthetic spans (presence
+# varies by doc_id residue) and the operator must find & redact them.
+_PII_AUG_SQL = """
+      SELECT doc_id,
+             concat_ws(' ', text,
+               CASE WHEN doc_id % 3 <> 0 THEN
+                 'u' || CAST(doc_id AS VARCHAR) || '@ex'
+                     || CAST(doc_id % 5 AS VARCHAR) || '.org' END,
+               CASE WHEN doc_id % 2 = 0 THEN
+                 CAST(100 + doc_id % 900 AS VARCHAR) || '-555-'
+                     || CAST(1000 + doc_id % 9000 AS VARCHAR) END,
+               CASE WHEN doc_id % 4 = 0 THEN
+                 '192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                     || CAST(doc_id % 254 + 1 AS VARCHAR) END,
+               CASE WHEN doc_id % 5 = 0 THEN
+                 CAST(100000000 + doc_id AS VARCHAR) END) AS text
+      FROM documents
+"""
+
+
+def _pii_aug(df: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    return df.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.when(
+                did % 3 != 0,
+                F.concat(F.lit("u"), s(did), F.lit("@ex"), s(did % 5), F.lit(".org")),
+            ),
+            F.when(
+                did % 2 == 0,
+                F.concat(s(100 + did % 900), F.lit("-555-"), s(1000 + did % 9000)),
+            ),
+            F.when(
+                did % 4 == 0,
+                F.concat(F.lit("192.168."), s(did % 256), F.lit("."), s(did % 254 + 1)),
+            ),
+            F.when(did % 5 == 0, s(100000000 + did)),
+        ).alias("text"),
+    )
+
+
+def _pii_oracle() -> str:
+    from svoe_spark.operators.cleaning import PII_PATTERNS
+
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    red = "text"
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"""
+    SELECT doc_id,
+           {counts},
+           {red} AS redacted
+    FROM ({_PII_AUG_SQL})
+    """
+
+
+@query("pii_redact", _pii_oracle())
+def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a deterministically PII-augmented corpus:
+    regex spans (emails, IPv4, phones, long digit IDs) counted then
+    replaced, scan-fused with zero shuffle. Patterns are chosen to be
+    valid in both Java regex and RE2, which is what makes the redaction
+    oracle-checkable string-for-string."""
+    from svoe_spark.operators.cleaning import pii_redact
+
+    return pii_redact(_pii_aug(load_table(spark, "documents", sf_dir)))
+
+
+@query(
+    "text_repetition_signals",
+    f"""
+    WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks FROM documents),
+    g AS (
+      SELECT doc_id, len(toks) AS n,
+             CASE WHEN len(toks) >= 2 THEN list_transform(
+                    generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i + 1]) ELSE [] END AS g2,
+             CASE WHEN len(toks) >= 3 THEN list_transform(
+                    generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+                  ELSE [] END AS g3
+      FROM t),
+    ex AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    cnt AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY 1, 2),
+    tw AS (SELECT doc_id, max(c) AS topc FROM cnt GROUP BY 1)
+    SELECT g.doc_id, g.n AS n_tokens,
+           CASE WHEN g.n > 0 THEN tw.topc / g.n ELSE 0.0e0 END AS top_word_ratio,
+           CASE WHEN len(g.g2) > 0
+                THEN (len(g.g2) - len(list_distinct(g.g2))) / len(g.g2)
+                ELSE 0.0e0 END AS dup_2gram_ratio,
+           CASE WHEN len(g.g3) > 0
+                THEN (len(g.g3) - len(list_distinct(g.g3))) / len(g.g3)
+                ELSE 0.0e0 END AS dup_3gram_ratio
+    FROM g LEFT JOIN tw ON g.doc_id = tw.doc_id
+    """,
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition heuristics: top-word fraction (explode +
+    two-level agg — the skew-free shape for arbitrarily long docs) and
+    duplicate 2/3-gram fractions (array-side, zero shuffle)."""
+    from svoe_spark.operators.cleaning import repetition_signals
+
+    return repetition_signals(load_table(spark, "documents", sf_dir))
+
+
+@query(
+    "chunk_dedup",
+    f"""
+    WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks FROM documents),
+    e AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t),
+    c AS (SELECT doc_id, CAST((i - 1) // 4 AS BIGINT) AS ci,
+                 string_agg(toks[i], ' ' ORDER BY i) AS chunk
+          FROM e GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, ci) AS rk
+          FROM c)
+    SELECT doc_id,
+           COALESCE(string_agg(chunk, ' ' ORDER BY ci) FILTER (WHERE rk = 1), '')
+             AS text_dedup,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(*) FILTER (WHERE rk > 1) AS BIGINT) AS n_removed
+    FROM r GROUP BY doc_id
+    """,
+)
+def chunk_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide chunk-level exact dedup (paragraph dedup adapted to
+    unstructured text): 4-token chunks, first occurrence corpus-wide
+    wins, survivors reassembled in order. Shuffles on chunk text
+    (uniform content keys) then doc_id — both skew-free at any scale."""
+    from svoe_spark.operators.cleaning import chunk_dedup
+
+    return chunk_dedup(load_table(spark, "documents", sf_dir), width=4)
+
+
+@query(
+    "source_mixture_weights",
+    f"""
+    WITH per AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(SUM(len(list_filter(string_split(text, ' '), t -> length(t) > 0))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source)
+    SELECT source, n_docs, n_tokens,
+           n_tokens / SUM(n_tokens) OVER () AS token_share,
+           CASE WHEN n_tokens / SUM(n_tokens) OVER () > 0
+                THEN (1.0 / COUNT(*) OVER ()) / (n_tokens / SUM(n_tokens) OVER ())
+                ELSE 0.0e0 END AS mixture_weight
+    FROM per
+    """,
+)
+def source_mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixture weighting: per-source token shares and the
+    uniform-target resampling weights (the bookkeeping step of a
+    DoReMi-style mixture). One groupBy over a tiny domain relation."""
+    from svoe_spark.operators.cleaning import source_mixture_weights
+
+    return source_mixture_weights(load_table(spark, "documents", sf_dir))
+
+
+@query(
+    "embedding_quantize",
+    """
+    SELECT vec_id,
+           sqrt(list_reduce(
+             list_prepend(0.0e0, list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+             (a, b) -> a + b)) AS l2_norm,
+           CASE WHEN amax > 0 THEN amax / 127.0 ELSE 0.0e0 END AS q_scale,
+           CAST(list_reduce(list_prepend(0, q), (a, b) -> a + b) AS BIGINT) AS q_sum,
+           array_to_string(q, ',') AS q_csv
+    FROM (
+      SELECT vec_id, embedding, amax,
+             CASE WHEN amax > 0
+                  THEN list_transform(embedding, x ->
+                         CAST(floor(CAST(x AS DOUBLE) / (amax / 127.0) + 0.5)
+                              AS BIGINT))
+                  ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS q
+      FROM (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) AS amax
+        FROM embeddings))
+    """,
+)
+def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization with scalar digests (norm,
+    scale, sum, csv) — array-side expressions only, zero shuffle.
+    floor(x+0.5) instead of round() keeps the result engine-portable."""
+    from svoe_spark.operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(load_table(spark, "embeddings", sf_dir))

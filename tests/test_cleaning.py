@@ -1,0 +1,113 @@
+"""Edge-case tests for the corpus-cleaning operators (operators/
+cleaning.py) — the sf parity suite (test_oracle_parity) covers the
+fixture-scale oracle equality; these pin the semantics on crafted
+inputs."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from svoe_spark.operators.cleaning import (
+    chunk_dedup,
+    pii_redact,
+    repetition_signals,
+    source_mixture_weights,
+)
+from svoe_spark.operators.similarity import quantize_embeddings
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+def test_pii_redact_all_categories(spark):
+    df = _docs(
+        spark,
+        ["mail a.b@site.org ip 10.0.0.1 call 555-123-4567 acct 123456789 end"],
+    )
+    r = pii_redact(df).collect()[0]
+    assert (r.n_email, r.n_ip, r.n_phone, r.n_id) == (1, 1, 1, 1)
+    assert r.redacted == "mail <EMAIL> ip <IP> call <PHONE> acct <ID> end"
+
+
+def test_pii_redact_no_double_count(spark):
+    # digits inside a letter-prefixed email local part must not count
+    # as a long ID (no word boundary after the letter), and the email's
+    # domain dots must not count as an IP
+    r = pii_redact(_docs(spark, ["x u123456789123@dom.com y"])).collect()[0]
+    assert (r.n_email, r.n_id, r.n_ip) == (1, 0, 0)
+    assert r.redacted == "x <EMAIL> y"
+
+
+def test_pii_redact_clean_text_unchanged(spark):
+    r = pii_redact(_docs(spark, ["just plain words here"])).collect()[0]
+    assert r.redacted == "just plain words here"
+    assert (r.n_email, r.n_ip, r.n_phone, r.n_id) == (0, 0, 0, 0)
+
+
+def test_repetition_signals_known_ratios(spark):
+    # "a a a b": top word 3/4; 2-grams [a a, a a, a b] -> 1 dup of 3
+    r = repetition_signals(_docs(spark, ["a a a b"])).collect()[0]
+    assert r.n_tokens == 4
+    assert r.top_word_ratio == pytest.approx(0.75)
+    assert r.dup_2gram_ratio == pytest.approx(1 / 3)
+    assert r.dup_3gram_ratio == pytest.approx(0.0)
+
+
+def test_repetition_signals_single_token(spark):
+    r = repetition_signals(_docs(spark, ["solo"])).collect()[0]
+    assert r.n_tokens == 1
+    assert r.top_word_ratio == pytest.approx(1.0)
+    assert r.dup_2gram_ratio == 0.0 and r.dup_3gram_ratio == 0.0
+
+
+def test_chunk_dedup_first_occurrence_wins(spark):
+    # doc 0 and doc 1 share the chunk "a b"; doc 0 keeps it, doc 1 loses
+    # it; doc 2 is entirely a duplicate of doc 0 -> reassembles to ''
+    df = _docs(spark, ["a b", "a b c d", "a b"])
+    out = {r.doc_id: r for r in chunk_dedup(df, width=2).collect()}
+    assert out[0].text_dedup == "a b" and out[0].n_removed == 0
+    assert out[1].text_dedup == "c d" and out[1].n_removed == 1
+    assert out[2].text_dedup == "" and out[2].n_removed == 1
+    assert out[2].n_chunks == 1
+
+
+def test_chunk_dedup_partial_tail_chunk(spark):
+    # 5 tokens, width 4 -> chunks of 4 and 1; both unique -> intact
+    r = chunk_dedup(_docs(spark, ["v w x y z"]), width=4).collect()[0]
+    assert r.text_dedup == "v w x y z"
+    assert r.n_chunks == 2 and r.n_removed == 0
+
+
+def test_source_mixture_weights_uniform_target(spark):
+    df = spark.createDataFrame(
+        [
+            Row(source="a", text="one two three"),  # 3 tokens
+            Row(source="b", text="one"),  # 1 token
+        ]
+    )
+    out = {r.source: r for r in source_mixture_weights(df).collect()}
+    assert out["a"].token_share == pytest.approx(0.75)
+    # weight = (1/2) / share; under-represented domain gets weight > 1
+    assert out["a"].mixture_weight == pytest.approx(0.5 / 0.75)
+    assert out["b"].mixture_weight == pytest.approx(0.5 / 0.25)
+    shares = sum(r.token_share for r in out.values())
+    assert shares == pytest.approx(1.0)
+
+
+def test_quantize_embeddings_zero_vector_and_extremes(spark):
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[0.0, 0.0]),
+            Row(vec_id=1, embedding=[1.0, -1.0]),
+            Row(vec_id=2, embedding=[0.5, -0.25]),
+        ]
+    )
+    out = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    assert out[0].q_scale == 0.0 and out[0].q_csv == "0,0"
+    # max|x| maps to +/-127 exactly
+    assert out[1].q_csv == "127,-127" and out[1].q_sum == 0
+    assert out[2].q_csv == "127,-63"  # floor(-63.5+0.5) = -63
+    assert out[2].l2_norm == pytest.approx((0.5**2 + 0.25**2) ** 0.5)
