@@ -179,6 +179,25 @@ def main():
     results["minhash_sig_2M_sec"] = timed(
         lambda: force(minhash_signature(docs)), "minhash_sig_2M"
     )
+
+    # corpus cleaning over the same 2M synthetic docs: redaction and
+    # repetition signals are scan-fused single-stage; chunk dedup adds
+    # its two bounded shuffles (chunk text, then doc id)
+    from svoe_spark.operators.cleaning import (  # noqa: E402
+        chunk_dedup,
+        pii_redact,
+        repetition_signals,
+    )
+
+    results["pii_redact_2M_sec"] = timed(
+        lambda: force(pii_redact(docs)), "pii_redact_2M"
+    )
+    results["repetition_signals_2M_sec"] = timed(
+        lambda: force(repetition_signals(docs)), "repetition_signals_2M"
+    )
+    results["chunk_dedup_2M_sec"] = timed(
+        lambda: force(chunk_dedup(docs, width=4)), "chunk_dedup_2M"
+    )
     print(json.dumps(results))
 
 

@@ -7,8 +7,8 @@ keys, no Python row loops — so they fuse with the parquet scan and
 survive a 1000-executor scale-up:
 
 * `pii_redact` is a pure per-row expression chain (zero shuffle).
-* `repetition_signals` shuffles (doc_id, token) pairs once for the
-  top-word mode; n-gram ratios stay array-side (zero shuffle).
+* `repetition_signals` is array-side per row (zero shuffle) — the
+  top-word mode is a sorted run-length fold, not an explode.
 * `chunk_dedup` shuffles on chunk text (uniform hash keys) then on
   doc_id — the same two-shuffle shape as exact dedup + reassembly.
 * `source_mixture_weights` is a groupBy over a tiny domain relation.
@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from svoe_spark.functions.text import tokens
+from svoe_spark.operators.util import spread as _spread
 
 # Redaction patterns, valid in BOTH Java regex (Spark) and RE2 (DuckDB):
 # no lookaround, no backreferences, ASCII word boundaries only. Order
@@ -54,7 +55,7 @@ def pii_redact(
             .alias(f"n_{name}")
         )
         red = F.regexp_replace(red, pat, repl)
-    return df.select(*cols, red.alias("redacted"))
+    return _spread(df).select(*cols, red.alias("redacted"))
 
 
 def repetition_signals(
@@ -64,11 +65,15 @@ def repetition_signals(
     tokens belonging to the single most frequent token (top_word_ratio)
     and duplicate 2-gram / 3-gram fractions.
 
-    n-gram ratios are computed array-side (zip_with + array_distinct —
-    linear, zero shuffle). The top-word mode uses one explode +
-    two-level aggregation: (doc, token) keys are near-unique, so the
-    shuffle is skew-free at any corpus size; an array-side mode would
-    be O(tokens^2) per document and die on a 100k-token document.
+    Everything is computed array-side in ONE scan stage — zero
+    shuffles. The top-word mode is a sorted run-length fold
+    (array_sort + aggregate, O(n log n) per doc), NOT the naive
+    O(n^2) count-each-distinct-token form; a document only has to fit
+    in a task, which any row-based engine requires anyway. n-gram
+    ratios are zip_with + array_distinct, built directly from the
+    token array (not nested through the 2-gram expression — repeated
+    higher-order subtrees are interpreted, not codegen'd, so nesting
+    multiplies evaluation cost).
     """
     toks = tokens(text)
     n = F.size(toks)
@@ -80,7 +85,11 @@ def repetition_signals(
         lambda a, b: F.concat_ws(" ", a, b),
     )
     three = F.zip_with(
-        F.slice(two, 1, n2),
+        F.zip_with(
+            F.slice(toks, 1, n2),
+            F.slice(toks, 2, n2),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
         F.slice(toks, 3, n2),
         lambda a, b: F.concat_ws(" ", a, b),
     )
@@ -91,29 +100,30 @@ def repetition_signals(
             m > 0, (m - F.size(F.array_distinct(grams))) / m
         ).otherwise(F.lit(0.0))
 
-    arrays = df.select(
-        F.col(id_col),
-        n.alias("n_tokens"),
-        dup_ratio(two).alias("dup_2gram_ratio"),
-        dup_ratio(three).alias("dup_3gram_ratio"),
+    # most-frequent-token count as a run-length fold over the sorted
+    # token array: acc = (prev token, current run, best run)
+    top_count = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("cur"), F.lit(0).alias("best")
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1)).alias("cur"),
+            F.greatest(
+                acc["best"],
+                F.when(t == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
 
-    per_tok = df.select(F.col(id_col), F.explode(toks).alias("__tok"))
-    counts = per_tok.groupBy(id_col, "__tok").agg(F.count(F.lit(1)).alias("__c"))
-    top = counts.groupBy(id_col).agg(F.max("__c").alias("__top"))
-    return (
-        arrays.join(top, id_col, "left")
-        .select(
-            id_col,
-            "n_tokens",
-            F.when(
-                F.col("n_tokens") > 0, F.col("__top") / F.col("n_tokens")
-            )
-            .otherwise(F.lit(0.0))
-            .alias("top_word_ratio"),
-            "dup_2gram_ratio",
-            "dup_3gram_ratio",
-        )
+    return _spread(df).select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.when(n > 0, top_count / n).otherwise(F.lit(0.0)).alias("top_word_ratio"),
+        dup_ratio(two).alias("dup_2gram_ratio"),
+        dup_ratio(three).alias("dup_3gram_ratio"),
     )
 
 
@@ -126,26 +136,28 @@ def chunk_dedup(
     occurrence of each chunk text corpus-wide (ordered by doc id then
     chunk position), and reassemble the surviving chunks in order.
 
-    Returns (id, text_dedup, n_chunks, n_removed). Scale shape: one
-    shuffle on chunk text (uniform content-hash keys — no skew), one
-    on doc id for reassembly; both linear. The first-occurrence rule
-    makes the output deterministic and order-independent.
+    Returns (id, text_dedup, n_chunks, n_removed). Scale shape: chunks
+    are built ARRAY-SIDE (slice + array_join over the token array —
+    no explode/collect_list round trip, which would add a full shuffle
+    plus an object-hash aggregation), then exploded once; one shuffle
+    on chunk text (uniform content-hash keys — no skew), one on doc id
+    for reassembly; both linear. The first-occurrence rule makes the
+    output deterministic and order-independent.
     """
     toks = tokens(text)
-    ex = df.select(F.col(id_col), F.posexplode(toks).alias("__pos", "__tok"))
-    chunks = ex.groupBy(
-        id_col, F.floor(F.col("__pos") / width).alias("__ci")
-    ).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
-                lambda s: s["__tok"],
-            ),
-            " ",
-        ).alias("__chunk")
+    n = F.size(toks)
+    chunk_arr = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.ceil(n / width) - 1),
+            lambda i: F.array_join(F.slice(toks, i * width + 1, width), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = _spread(df).select(
+        F.col(id_col), F.posexplode(chunk_arr).alias("__ci", "__chunk")
     )
     w = Window.partitionBy("__chunk").orderBy(id_col, "__ci")
-    ranked = chunks.withColumn("__keep", F.row_number().over(w) == 1)
+    ranked = ex.withColumn("__keep", F.row_number().over(w) == 1)
     return ranked.groupBy(id_col).agg(
         F.array_join(
             F.transform(

@@ -206,3 +206,33 @@ def test_curation_rank_has_no_single_task_window(spark, sf_mid):
     df = load_table(spark, "documents", sf_mid).select("doc_id")
     p = deterministic_shuffle(df)._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in p, p
+
+
+def test_repetition_signals_is_single_scan_stage(plans):
+    # everything array-side: the only Exchange allowed is the
+    # round-robin spread of the single-partition fixture file — no
+    # hash shuffle, no join in the plan
+    p = plans("text_repetition_signals")
+    assert "hashpartitioning" not in p, p
+    assert "Join" not in p, p
+
+
+def test_pii_redact_zero_shuffle_and_column_pruning(plans):
+    p = plans("pii_redact")
+    assert "hashpartitioning" not in p, p
+    # only doc_id + text are read from the documents scan
+    schema = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert schema and "lang" not in schema[0] and "source" not in schema[0], p
+
+
+def test_chunk_dedup_shuffles_are_bounded(plans):
+    # exactly the two semantic shuffles (chunk text, then doc id) plus
+    # the round-robin spread — anything more is a plan regression
+    p = plans("chunk_dedup")
+    n_hash = p.count("hashpartitioning")
+    assert 1 <= n_hash <= 3, f"unexpected shuffle count {n_hash}\n{p}"
+
+
+def test_quantize_embeddings_zero_shuffle(plans):
+    p = plans("embedding_quantize")
+    assert "Exchange" not in p, p

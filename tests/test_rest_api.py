@@ -35,7 +35,9 @@ def test_health_and_listings(server):
 
     qs = _get(f"{server}/queries")["result"]
     assert "q1_pricing_summary" in qs and qs["q1_pricing_summary"]["has_oracle"]
-    assert "orderbook_snapshots" in qs and not qs["orderbook_snapshots"]["has_oracle"]
+    # the one deliberately rows-only query (HLL): oracle flag must be false
+    assert "approx_distinct_daily" in qs
+    assert not qs["approx_distinct_daily"]["has_oracle"]
 
     fds = _get(f"{server}/feature_definitions")["result"]
     assert "mid_price" in fds and "volatility_stddev" in fds

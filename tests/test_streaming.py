@@ -238,3 +238,24 @@ def test_stateless_minhash_runs_on_stream(spark, sf_small, tmp_path):
     assert sorted(map(tuple, out.collect()), key=lambda t: t[0]) == sorted(
         map(tuple, batch.collect()), key=lambda t: t[0]
     )
+
+
+def test_stateless_cleaning_runs_on_stream(spark, sf_small, tmp_path):
+    """pii_redact and repetition_signals are narrow projections (spread
+    passes streams through untouched), so the SAME operator code runs
+    unchanged on a streaming DataFrame and emits identical rows —
+    Kappa for the corpus-cleaning layer."""
+    from svoe_spark.operators.cleaning import pii_redact, repetition_signals
+
+    docs = load_table(spark, "documents", sf_small).select("doc_id", "text")
+    path = str(tmp_path / "docs")
+    docs.repartitionByRange(3, "doc_id").write.parquet(path)
+
+    stream = spark.readStream.schema(docs.schema).parquet(path)
+    batch = spark.read.parquet(path)
+    for op, name in ((pii_redact, "pii_stream"), (repetition_signals, "rep_stream")):
+        out = run_available_to_memory(op(stream), name)
+        k = lambda t: t[0]  # noqa: E731
+        assert sorted(map(tuple, out.collect()), key=k) == sorted(
+            map(tuple, op(batch).collect()), key=k
+        )
