@@ -58,6 +58,27 @@ def pii_redact(
     return _spread(df).select(*cols, red.alias("redacted"))
 
 
+def _top_token_count(toks):
+    """Count of the most frequent token, as a run-length fold over the
+    sorted token array: acc = (prev token, current run, best run).
+    O(n log n) per doc, array-side — no explode, no shuffle."""
+    return F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("cur"), F.lit(0).alias("best")
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1)).alias("cur"),
+            F.greatest(
+                acc["best"],
+                F.when(t == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
 def repetition_signals(
     df: DataFrame, text: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -100,23 +121,7 @@ def repetition_signals(
             m > 0, (m - F.size(F.array_distinct(grams))) / m
         ).otherwise(F.lit(0.0))
 
-    # most-frequent-token count as a run-length fold over the sorted
-    # token array: acc = (prev token, current run, best run)
-    top_count = F.aggregate(
-        F.array_sort(toks),
-        F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("cur"), F.lit(0).alias("best")
-        ),
-        lambda acc, t: F.struct(
-            t.alias("prev"),
-            F.when(t == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1)).alias("cur"),
-            F.greatest(
-                acc["best"],
-                F.when(t == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1)),
-            ).alias("best"),
-        ),
-        lambda acc: acc["best"],
-    )
+    top_count = _top_token_count(toks)
 
     return _spread(df).select(
         F.col(id_col),
@@ -124,6 +129,55 @@ def repetition_signals(
         F.when(n > 0, top_count / n).otherwise(F.lit(0.0)).alias("top_word_ratio"),
         dup_ratio(two).alias("dup_2gram_ratio"),
         dup_ratio(three).alias("dup_3gram_ratio"),
+    )
+
+
+def corpus_filter(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_distinct_ratio: float = 0.4,
+    max_top_word_ratio: float = 0.12,
+    max_dup_2gram_ratio: float = 0.06,
+) -> DataFrame:
+    """C4/Gopher-style composed keep/drop decision: length bounds,
+    vocabulary diversity, and repetition caps evaluated in ONE
+    zero-shuffle scan (signals recomputed inline rather than joined
+    from the per-signal operators — three array expressions beat two
+    shuffles at any corpus size). Emits the signals plus the boolean,
+    so downstream can audit why a document was dropped;
+    `filter(keep)` is the pipeline step."""
+    toks = tokens(text)
+    n = F.size(toks)
+    n1 = F.greatest(n - 1, F.lit(0))
+    two = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    m = F.size(two)
+    dup2 = F.when(m > 0, (m - F.size(F.array_distinct(two))) / m).otherwise(
+        F.lit(0.0)
+    )
+    distinct_ratio = F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(
+        F.lit(0.0)
+    )
+    top_ratio = F.when(n > 0, _top_token_count(toks) / n).otherwise(F.lit(0.0))
+    return _spread(df).select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        distinct_ratio.alias("distinct_ratio"),
+        top_ratio.alias("top_word_ratio"),
+        dup2.alias("dup_2gram_ratio"),
+        (
+            (n >= min_tokens)
+            & (n <= max_tokens)
+            & (distinct_ratio >= min_distinct_ratio)
+            & (top_ratio <= max_top_word_ratio)
+            & (dup2 <= max_dup_2gram_ratio)
+        ).alias("keep"),
     )
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from svoe_spark.operators.util import spread as _spread
 from svoe_spark.functions.vectors import (
     cosine,
     dot,
@@ -302,21 +303,57 @@ def quantize_embeddings(
     floor(x + 0.5) is used instead of round() because its IEEE result
     is identical in every engine, making the operator oracle-checkable
     bit-for-bit; zero vectors quantize to all-zero with scale 0.
+
+    Built as CHAINED projections with named intermediates (__v, __amax,
+    q_scale, __q), not one nested expression: higher-order lambdas are
+    interpreted, so a subtree referenced inside a lambda re-evaluates
+    per ELEMENT — inlining amax into the quantize lambda measured
+    O(dim^2) per row (43 s for 50k x 64 vectors vs ~1 s). Catalyst's
+    CollapseProject keeps multiply-referenced non-trivial aliases
+    un-inlined, so each intermediate computes once per row.
     """
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
-    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = F.when(amax > 0, amax / 127.0).otherwise(F.lit(0.0))
-    q = F.when(
-        amax > 0,
-        F.transform(v, lambda x: F.floor(x / (amax / 127.0) + 0.5).cast("long")),
-    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("long")))
-    return df.select(
+    s1 = _spread(df).select(
         F.col(id_col),
-        norm.alias("l2_norm"),
-        scale.alias("q_scale"),
-        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
-        F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    s2 = s1.select(
+        id_col,
+        "__v",
+        F.sqrt(
+            F.aggregate("__v", F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("l2_norm"),
+        F.array_max(F.transform("__v", lambda x: F.abs(x))).alias("__amax"),
+    )
+    s3 = s2.select(
+        id_col,
+        "__v",
+        "l2_norm",
+        F.when(F.col("__amax") > 0, F.col("__amax") / 127.0)
+        .otherwise(F.lit(0.0))
+        .alias("q_scale"),
+    )
+    s4 = s3.select(
+        id_col,
+        "l2_norm",
+        "q_scale",
+        F.when(
+            F.col("q_scale") > 0,
+            F.transform(
+                "__v",
+                lambda x: F.floor(x / F.col("q_scale") + 0.5).cast("long"),
+            ),
+        )
+        .otherwise(F.transform("__v", lambda x: F.lit(0).cast("long")))
+        .alias("__q"),
+    )
+    return s4.select(
+        F.col(id_col),
+        "l2_norm",
+        "q_scale",
+        F.aggregate("__q", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "q_sum"
+        ),
+        F.array_join(F.transform("__q", lambda x: x.cast("string")), ",").alias(
             "q_csv"
         ),
     )

@@ -908,3 +908,85 @@ def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from svoe_spark.operators.similarity import quantize_embeddings
 
     return quantize_embeddings(load_table(spark, "embeddings", sf_dir))
+
+
+@query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_minhash_sql()},
+    vpairs AS (
+      SELECT id_a, id_b
+      FROM cands
+      JOIN sets a ON cands.id_a = a.doc_id
+      JOIN sets b ON cands.id_b = b.doc_id
+      WHERE len(list_intersect(a.sset, b.sset)) /
+            (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset)))
+            >= 0.5),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM vpairs
+              UNION SELECT id_b, id_a FROM vpairs),
+    walk(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, w.r FROM edges e JOIN walk w ON w.id = e.dst),
+    comp AS (SELECT id, MIN(r) AS comp FROM walk GROUP BY id),
+    lab AS (
+      SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+    sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+           FROM lab GROUP BY 1)
+    SELECT lab.doc_id, lab.cluster_id, sz.cluster_size,
+           lab.doc_id = lab.cluster_id AS is_canonical
+    FROM lab JOIN sz USING (cluster_id)
+    """,
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash+LSH verified pairs -> connected
+    components (iterative min-label propagation, one shuffle join per
+    round, diameter-bounded) -> per-doc cluster id / size / canonical
+    flag. The transitive-closure step every corpus dedup needs between
+    pair generation and the keep/drop decision; oracle = DuckDB
+    recursive-CTE reachability over the identical verified pair set."""
+    from svoe_spark.operators.graph import dedup_clusters
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = minhash_dedup_pairs(docs, params=_MH).select("id_a", "id_b")
+    return dedup_clusters(docs, pairs)
+
+
+@query(
+    "corpus_filter",
+    f"""
+    WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks FROM documents),
+    g AS (
+      SELECT doc_id, len(toks) AS n,
+             CASE WHEN len(toks) >= 2 THEN list_transform(
+                    generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i + 1]) ELSE [] END AS g2,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_distinct(toks)) / len(toks) ELSE 0.0e0 END
+               AS distinct_ratio
+      FROM t),
+    ex AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    cnt AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY 1, 2),
+    tw AS (SELECT doc_id, max(c) AS topc FROM cnt GROUP BY 1),
+    sig AS (
+      SELECT g.doc_id, g.n, g.distinct_ratio,
+             CASE WHEN g.n > 0 THEN tw.topc / g.n ELSE 0.0e0 END AS topr,
+             CASE WHEN len(g.g2) > 0
+                  THEN (len(g.g2) - len(list_distinct(g.g2))) / len(g.g2)
+                  ELSE 0.0e0 END AS dup2
+      FROM g LEFT JOIN tw ON g.doc_id = tw.doc_id)
+    SELECT doc_id, n AS n_tokens, distinct_ratio,
+           topr AS top_word_ratio, dup2 AS dup_2gram_ratio,
+           (n >= 20 AND n <= 100000 AND distinct_ratio >= 0.4
+            AND topr <= 0.12 AND dup2 <= 0.06) AS keep
+    FROM sig
+    """,
+)
+def corpus_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed C4/Gopher-style quality gate: length bounds + diversity
+    + repetition caps in one zero-shuffle scan, emitting the signals
+    and the keep/drop boolean."""
+    from svoe_spark.operators.cleaning import corpus_filter
+
+    return corpus_filter(load_table(spark, "documents", sf_dir))

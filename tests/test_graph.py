@@ -1,0 +1,53 @@
+"""connected_components / dedup_clusters semantics on crafted graphs
+(the parity suite covers the fixture-scale recursive-CTE oracle)."""
+
+from pyspark.sql import Row
+
+from svoe_spark.operators.graph import connected_components, dedup_clusters
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame([Row(id_a=a, id_b=b) for a, b in edges])
+
+
+def test_cc_two_components_and_chain(spark):
+    # component {1,2,3,4} as a chain, component {10,11} as an edge
+    comp = {
+        r.id: r.comp
+        for r in connected_components(
+            _pairs(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+        ).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_cc_long_chain_converges(spark):
+    n = 12
+    comp = {
+        r.id: r.comp
+        for r in connected_components(
+            _pairs(spark, [(i, i + 1) for i in range(n)])
+        ).collect()
+    }
+    assert set(comp.values()) == {0} and len(comp) == n + 1
+
+
+def test_cc_edge_order_irrelevant(spark):
+    # same component regardless of which side the smaller id is on
+    comp = {
+        r.id: r.comp
+        for r in connected_components(_pairs(spark, [(5, 2), (2, 9)])).collect()
+    }
+    assert comp == {2: 2, 5: 2, 9: 2}
+
+
+def test_dedup_clusters_singletons_and_sizes(spark):
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(6)])
+    out = {
+        r.doc_id: r
+        for r in dedup_clusters(docs, _pairs(spark, [(0, 1), (1, 2)])).collect()
+    }
+    assert [out[i].cluster_id for i in range(6)] == [0, 0, 0, 3, 4, 5]
+    assert out[0].cluster_size == 3 and out[3].cluster_size == 1
+    assert out[0].is_canonical and not out[1].is_canonical
+    assert out[5].is_canonical

@@ -234,5 +234,8 @@ def test_chunk_dedup_shuffles_are_bounded(plans):
 
 
 def test_quantize_embeddings_zero_shuffle(plans):
+    # no hash shuffle and no join — the only Exchange allowed is the
+    # round-robin spread of the single-partition fixture file
     p = plans("embedding_quantize")
-    assert "Exchange" not in p, p
+    assert "hashpartitioning" not in p, p
+    assert "Join" not in p, p
