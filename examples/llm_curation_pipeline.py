@@ -1,9 +1,11 @@
 #!/usr/bin/env python
 """End-to-end training-data curation pipeline over the documents table:
 
-    quality filter -> exact dedup -> MinHash near-dup removal ->
-    stratified source re-weighting -> hash train/valid/test split ->
-    deterministic epoch shuffle -> sequence packing
+    PII redaction -> composed quality gate -> exact dedup ->
+    chunk-level dedup -> MinHash near-dup clustering (canonical
+    survivors) -> benchmark decontamination -> stratified source
+    re-weighting -> hash train/valid/test split -> deterministic
+    epoch shuffle -> sequence packing
 
 Every stage is one of the library's partition-parallel operators; the
 whole pipeline is deterministic (re-running it, or re-partitioning the
@@ -47,22 +49,47 @@ def main() -> None:
     docs = load_table(spark, "documents", sf_dir)
     stages: dict[str, int] = {"input": docs.count()}
 
-    # 1. quality floor: enough tokens, not too repetitive
-    q = quality_score(docs).filter(
-        (F.col("n_tokens") >= 5) & (F.col("distinct_ratio") >= 0.3)
+    # 0. PII redaction (zero-shuffle rewrite of the text column)
+    from svoe_spark.operators.cleaning import corpus_filter, pii_redact
+
+    red = pii_redact(docs)
+    docs = docs.drop("text").join(
+        red.select("doc_id", F.col("redacted").alias("text")), "doc_id"
     )
-    docs = docs.join(q.select("doc_id"), "doc_id", "left_semi")
+    stages["pii_redacted"] = docs.count()
+
+    # 1. composed quality gate: length + diversity + repetition caps
+    keep = corpus_filter(docs, min_tokens=5, min_distinct_ratio=0.3,
+                         max_top_word_ratio=0.5, max_dup_2gram_ratio=0.5)
+    docs = docs.join(keep.filter("keep").select("doc_id"), "doc_id", "left_semi")
     stages["quality_filtered"] = docs.count()
 
     # 2. exact dedup (hash groupBy, lowest id survives)
     docs = drop_exact_duplicates(docs)
     stages["exact_deduped"] = docs.count()
 
-    # 3. near-dup removal: drop the higher id of each MinHash-verified pair
-    pairs = minhash_dedup_pairs(docs, threshold=0.5)
-    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    docs = docs.join(losers, "doc_id", "left_anti")
-    stages["neardup_removed"] = docs.count()
+    # 2b. near-dup CLUSTERING: MinHash-verified pairs -> connected
+    # components -> keep each cluster's canonical (smallest-id) doc
+    from svoe_spark.operators.graph import dedup_clusters
+
+    pairs = minhash_dedup_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    clusters = dedup_clusters(docs, pairs)
+    docs = docs.join(
+        clusters.filter("is_canonical").select("doc_id"), "doc_id", "left_semi"
+    )
+    stages["neardup_canonical"] = docs.count()
+
+    # 3. chunk-level dedup: rewrite texts with corpus-wide first-
+    # occurrence chunks (drops boilerplate without dropping docs)
+    from svoe_spark.operators.cleaning import chunk_dedup
+
+    cd = chunk_dedup(docs, width=4)
+    docs = docs.drop("text").join(
+        cd.filter(F.length("text_dedup") > 0)
+          .select("doc_id", F.col("text_dedup").alias("text")),
+        "doc_id",
+    )
+    stages["chunk_deduped"] = docs.count()
 
     # 3b. benchmark decontamination: drop docs overlapping the held-out
     # eval subset (stand-in: every 50th doc) by >= 3 shared trigrams

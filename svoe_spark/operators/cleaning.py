@@ -240,7 +240,7 @@ def source_mixture_weights(
     One groupBy over a tiny domain relation; the weights are then
     applied corpus-side as a broadcast join + bernoulli/repeat sample.
     """
-    per = df.groupBy(group_col).agg(
+    per = _spread(df).groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(tokens(text))).alias("n_tokens"),
     )
