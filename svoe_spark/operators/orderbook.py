@@ -157,9 +157,12 @@ def _new_acc() -> dict:
 
 
 def _acc_frame(acc: dict, key: str) -> pd.DataFrame:
+    # every column carries an explicit dtype: a ZERO-row frame built
+    # from plain lists defaults to float64 columns, which Arrow cannot
+    # convert to string/array<struct> schema fields
     return pd.DataFrame(
         {
-            key: acc["__key"],
+            key: pd.Series(acc["__key"], dtype="object"),
             "ts": pd.Series(acc["ts"], dtype="datetime64[ns]"),
             "bids": pd.Series(acc["bids"], dtype="object"),
             "asks": pd.Series(acc["asks"], dtype="object"),
@@ -521,12 +524,15 @@ def reconstruct_book_bucketed(
                         book[k2] = nv
                     elif k2 in book:
                         del book[k2]
+        # explicit dtypes: a key with a single bucket emits ZERO seed
+        # rows, and empty plain-list columns default to float64, which
+        # Arrow cannot convert to string/array<struct> schema fields
         return pd.DataFrame(
             {
-                "__key": key_tuple[0],
-                "__bk": out_bk,
-                "update_type": out_ut,
-                "orders": out_orders,
+                "__key": pd.Series([key_tuple[0]] * len(out_bk), dtype="object"),
+                "__bk": pd.Series(out_bk, dtype="int64"),
+                "update_type": pd.Series(out_ut, dtype="object"),
+                "orders": pd.Series(out_orders, dtype="object"),
             }
         )
 
