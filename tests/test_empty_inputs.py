@@ -1,0 +1,166 @@
+"""Degenerate-input sweep: every operator must return an empty result
+(same schema, no exception) on an empty input — the failure mode the
+orderbook property test exposed (zero-row pandas frames with wrong
+Arrow dtypes) generalized across the operator surface."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def _empty(spark, schema):
+    return spark.createDataFrame([], schema)
+
+
+DOC = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+    ]
+)
+
+TICK = StructType(
+    [
+        StructField("symbol", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("price", DoubleType()),
+        StructField("amount", DoubleType()),
+    ]
+)
+
+EMB = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+
+UPD = StructType(
+    [
+        StructField("symbol", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("update_type", StringType()),
+        StructField(
+            "orders",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("side", StringType()),
+                        StructField("price", DoubleType()),
+                        StructField("size", DoubleType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+PAIR = StructType(
+    [StructField("id_a", LongType()), StructField("id_b", LongType())]
+)
+
+
+def test_cleaning_ops_on_empty(spark):
+    from svoe_spark.operators.cleaning import (
+        chunk_dedup,
+        corpus_filter,
+        pii_redact,
+        repetition_signals,
+        source_mixture_weights,
+    )
+
+    d = _empty(spark, DOC)
+    assert pii_redact(d).collect() == []
+    assert repetition_signals(d).collect() == []
+    assert chunk_dedup(d).collect() == []
+    assert corpus_filter(d).collect() == []
+    assert source_mixture_weights(d).collect() == []
+
+
+def test_dedup_ops_on_empty(spark):
+    from svoe_spark.operators.dedup import (
+        drop_exact_duplicates,
+        minhash_dedup_pairs,
+        minhash_signature,
+        simhash,
+    )
+
+    d = _empty(spark, DOC)
+    assert drop_exact_duplicates(d).collect() == []
+    assert minhash_signature(d).collect() == []
+    assert minhash_dedup_pairs(d).collect() == []
+    assert simhash(d).collect() == []
+
+
+def test_graph_ops_on_empty(spark):
+    from svoe_spark.operators.graph import connected_components, dedup_clusters
+
+    p = _empty(spark, PAIR)
+    assert connected_components(p).collect() == []
+    docs = _empty(spark, DOC)
+    assert dedup_clusters(docs, p).collect() == []
+
+
+def test_similarity_ops_on_empty(spark):
+    from svoe_spark.operators.similarity import quantize_embeddings
+
+    assert quantize_embeddings(_empty(spark, EMB)).collect() == []
+
+
+def test_window_ops_on_empty(spark):
+    from svoe_spark.operators.windows import ohlcv, sliding_stddev
+
+    t = _empty(spark, TICK)
+    assert ohlcv(t, on="ts", by="symbol").collect() == []
+    assert (
+        sliding_stddev(t, on="ts", value="price", by="symbol", window="1m").collect()
+        == []
+    )
+
+
+def test_asof_on_empty_sides(spark):
+    from svoe_spark.operators.asof import asof_join
+
+    t = _empty(spark, TICK)
+    full = spark.createDataFrame(
+        [("A", __import__("datetime").datetime(2024, 1, 1), 1.0, 1.0)], TICK
+    )
+    # empty left -> empty; empty right -> left rows with null fill
+    assert asof_join(t, full, on="ts", by="symbol", right_cols=["price"]).collect() == []
+    out = asof_join(
+        full,
+        t.withColumnRenamed("price", "ref"),
+        on="ts",
+        by="symbol",
+        right_cols=["ref"],
+    ).collect()
+    assert len(out) == 1 and out[0]["ref"] is None
+
+
+def test_orderbook_on_empty_and_presnapshot_only(spark):
+    import datetime as dt
+
+    from svoe_spark.operators.orderbook import (
+        reconstruct_book,
+        reconstruct_book_bucketed,
+    )
+
+    u = _empty(spark, UPD)
+    assert reconstruct_book(u, depth=5).collect() == []
+    # a stream with ONLY pre-snapshot events: zero emissions, no crash
+    rows = [("K", dt.datetime(2024, 1, 1), "ADD",
+             [{"side": "bid", "price": 1.0, "size": 1.0}])]
+    pre = spark.createDataFrame(rows, UPD)
+    assert reconstruct_book(pre, depth=5).collect() == []
+    assert reconstruct_book_bucketed(pre, depth=5, bucket="1m").collect() == []
