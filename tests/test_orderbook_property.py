@@ -18,7 +18,7 @@ BASE = dt.datetime(2024, 1, 1)
 
 # tiny domains force collisions: few prices, few sizes, mixed sides
 op_strategy = st.tuples(
-    st.sampled_from(["SNAPSHOT", "ADD", "SET", "SUB"]),
+    st.sampled_from(["SNAPSHOT", "FULL", "ADD", "SET", "SUB"]),
     st.lists(
         st.tuples(
             st.sampled_from(["bid", "ask"]),
@@ -44,6 +44,19 @@ def _simulate(stream, depth):
             for side, price, size in orders:
                 book[side][price] = size
             started = True
+        elif ut == "FULL":
+            # cryptofeed full event: reset, then each order through the
+            # SET logic (size 0 on the fresh book -> inconsistency)
+            book = {"bid": {}, "ask": {}}
+            started = True
+            for side, price, size in orders:
+                if size == 0.0:
+                    if price in book[side]:
+                        del book[side][price]
+                    else:
+                        inc += 1
+                else:
+                    book[side][price] = size
         elif not started:
             continue
         else:
