@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""End-to-end embedding pipeline over the embeddings table:
+
+    int8 quantization (storage) -> LSH-blocked near-dup removal ->
+    ANN retrieval (LSH-bucket and IVF) with measured recall@k
+    against the exact brute-force baseline
+
+"Measure, don't guess": the approximate methods' recall is computed
+here, not assumed — at 100 TB you tune `planes` / `k_clusters` against
+exactly this number. Prints one JSON line.
+
+    python examples/embedding_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from svoe_spark.operators.similarity import (  # noqa: E402
+    ann_ivf_topk,
+    ann_lsh_topk,
+    brute_force_topk,
+    embedding_neardup_pairs,
+    ivf_train,
+    quantize_embeddings,
+)
+from svoe_spark.session import get_spark  # noqa: E402
+from svoe_spark.sources.tables import load_table  # noqa: E402
+
+K = 10
+N_QUERIES = 20
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("embedding_pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    out: dict = {"vectors": emb.count()}
+    dim = len(emb.select("embedding").first()["embedding"])
+
+    # 1. storage quantization: digest stats prove the transform ran
+    q = quantize_embeddings(emb)
+    row = q.agg(
+        F.avg("q_scale").alias("avg_scale"), F.avg("l2_norm").alias("avg_norm")
+    ).first()
+    out["quantized_avg_scale"] = round(row["avg_scale"], 6)
+    out["quantized_avg_norm"] = round(row["avg_norm"], 4)
+
+    # 2. near-dup removal, LSH-bucket-blocked (the scale-safe default)
+    pairs = embedding_neardup_pairs(emb, threshold=0.98, dim=dim)
+    losers = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    kept = emb.join(losers, "vec_id", "left_anti")
+    out["neardup_pairs"] = pairs.count()
+    out["kept_vectors"] = kept.count()
+
+    # 3. retrieval quality: recall@K of the approximate indexes vs the
+    # exact scan, averaged over N_QUERIES held-out queries
+    queries = [r for r in emb.orderBy("vec_id").limit(N_QUERIES).collect()]
+    centroids = ivf_train(kept, k=16)
+    hits = {"lsh": 0, "lsh_mp": 0, "ivf": 0, "ivf_np4": 0}
+    for qr in queries:
+        qdf = spark.createDataFrame([(qr["vec_id"], qr["embedding"])],
+                                    "vec_id long, embedding array<float>")
+        exact = {r["vec_id"] for r in brute_force_topk(kept, qdf, k=K).collect()}
+
+        def recall(df):
+            return len(exact & {r["vec_id"] for r in df.collect()})
+
+        hits["lsh"] += recall(ann_lsh_topk(kept, qdf, dim=dim, k=K))
+        hits["lsh_mp"] += recall(
+            ann_lsh_topk(kept, qdf, dim=dim, k=K, probe_bits=1)
+        )
+        hits["ivf"] += recall(ann_ivf_topk(kept, qdf, centroids=centroids, k=K))
+        hits["ivf_np4"] += recall(
+            ann_ivf_topk(kept, qdf, centroids=centroids, k=K, nprobe=4)
+        )
+    for name, h in hits.items():
+        out[f"recall_at_{K}_{name}"] = round(h / (K * len(queries)), 3)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -120,14 +120,30 @@ def ann_lsh_topk(
     planes: int = DEFAULT_PLANES,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    probe_bits: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: only vectors in the query's LSH bucket are
+    """Approximate top-k: only vectors in the query's LSH bucket(s) are
     scored. At 100 TB the bucket id is a partition/cluster key, so the
-    candidate read is a partition-pruned scan, not a full pass."""
+    candidate read is a partition-pruned scan, not a full pass.
+
+    ``probe_bits=1`` enables multi-probe: the query also probes every
+    bucket at Hamming distance 1 (one flipped hyperplane sign) —
+    planes+1 buckets instead of 1, the standard recall lever when a
+    neighbor sits just across one hyperplane. The probe set is a small
+    IN-list of bucket keys, so it partition-prunes exactly like the
+    single bucket."""
     q = query.select(
         F.col(vec_col).alias("__qv"),
-        lsh_bucket(vec_col, dim, planes).alias("__qbucket"),
+        lsh_bucket(vec_col, dim, planes).alias("__qb"),
     )
+    if probe_bits >= 1:
+        probes = F.array(
+            F.col("__qb"),
+            *[F.col("__qb").bitwiseXOR(F.lit(1 << p)) for p in range(planes)],
+        )
+        q = q.select("__qv", F.explode(probes).alias("__qbucket"))
+    else:
+        q = q.select("__qv", F.col("__qb").alias("__qbucket"))
     bucketed = vectors.withColumn("__bucket", lsh_bucket(vec_col, dim, planes))
     cands = bucketed.join(
         F.broadcast(q), F.col("__bucket") == F.col("__qbucket")
@@ -194,18 +210,47 @@ def ivf_assign(
     cb = F.lit([[float(x) for x in c] for c in centroids])
     cn = F.lit([py_norm(c) for c in centroids])
     withn = vectors.withColumn("__vnorm", F.sqrt(norm_sq(vec_col)))
-    scored = F.transform(
-        F.sequence(F.lit(1), F.lit(len(centroids))),
+    scored = _ivf_scored_expr(cb, cn, len(centroids), vec_col)
+    best = F.array_max(scored)
+    return withn.withColumn(out, -best["nid"]).drop("__vnorm")
+
+
+def _ivf_scored_expr(cb, cn, n_cent: int, vec_col: str):
+    """array<struct<cos, nid>> of centroid scores; nid = 1-i so that
+    struct max (and descending sort) tie-breaks to the LOWEST id."""
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(n_cent)),
         lambda i: F.struct(
             (
                 dot(F.col(vec_col), F.element_at(cb, i))
                 / (F.col("__vnorm") * F.element_at(cn, i))
             ).alias("cos"),
-            (1 - i).alias("nid"),  # max tie-breaks to the LOWEST centroid id
+            (1 - i).alias("nid"),
         ),
     )
-    best = F.array_max(scored)
-    return withn.withColumn(out, -best["nid"]).drop("__vnorm")
+
+
+def _ivf_sorted_scores(
+    df: DataFrame, centroids: list[list[float]], vec_col: str
+) -> DataFrame:
+    """Per row, all centroid scores sorted best-first (`__scored_desc`)
+    — used on the tiny query side for nprobe > 1; the corpus side keeps
+    the cheaper argmax."""
+    import math
+
+    def py_norm(c):
+        acc = 0.0
+        for x in c:
+            acc = acc + float(x) * float(x)
+        return math.sqrt(acc)
+
+    cb = F.lit([[float(x) for x in c] for c in centroids])
+    cn = F.lit([py_norm(c) for c in centroids])
+    withn = df.withColumn("__vnorm", F.sqrt(norm_sq(vec_col)))
+    scored = _ivf_scored_expr(cb, cn, len(centroids), vec_col)
+    return withn.withColumn(
+        "__scored_desc", F.reverse(F.array_sort(scored))
+    ).drop("__vnorm")
 
 
 def ann_ivf_topk(
@@ -215,12 +260,29 @@ def ann_ivf_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF search, nprobe=1: score only the query's coarse cluster."""
+    """IVF search: score the query's ``nprobe`` nearest coarse clusters
+    (nprobe=1 reproduces classic single-cluster IVF; raising it is the
+    standard recall/latency dial). Probing stays a small IN-list of
+    cluster keys — a partition-pruned scan at 100 TB, never a full
+    pass. Only the (tiny, broadcast) query side pays the top-P sort;
+    corpus assignment remains the shuffle-free argmax."""
     assigned = ivf_assign(vectors, centroids, vec_col)
-    q = ivf_assign(query, centroids, vec_col).select(
-        F.col(vec_col).alias("__qv"), F.col("cluster_id").alias("__qc")
-    )
+    if nprobe <= 1:
+        q = ivf_assign(query, centroids, vec_col).select(
+            F.col(vec_col).alias("__qv"), F.col("cluster_id").alias("__qc")
+        )
+    else:
+        scored = _ivf_sorted_scores(query, centroids, vec_col)
+        q = scored.select(
+            F.col(vec_col).alias("__qv"),
+            F.explode(
+                F.transform(
+                    F.slice("__scored_desc", 1, nprobe), lambda s: -s["nid"]
+                )
+            ).alias("__qc"),
+        )
     cands = assigned.join(F.broadcast(q), F.col("cluster_id") == F.col("__qc"))
     return (
         cands.select(

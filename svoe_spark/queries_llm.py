@@ -990,3 +990,76 @@ def corpus_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from svoe_spark.operators.cleaning import corpus_filter
 
     return corpus_filter(load_table(spark, "documents", sf_dir))
+
+
+@query(
+    "ann_lsh_multiprobe",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = 0),
+    probes AS (
+      SELECT xor(qbucket, m) AS pb, qv
+      FROM q, (VALUES {", ".join(f"({m})" for m in [0] + [1 << p for p in range(DEFAULT_PLANES)])}) t(m)
+    )
+    SELECT vec_id, {sql_cosine('embedding', 'qv')} AS cosine
+    FROM b JOIN probes ON b.bucket = probes.pb
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def ann_lsh_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: the query probes its own bucket plus every
+    Hamming-distance-1 bucket (one flipped hyperplane) — planes+1
+    probes, the standard recall lever; the probe set stays a small
+    IN-list of bucket keys (partition-prunable at scale)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return ann_lsh_topk(
+        emb, emb.filter(F.col("vec_id") == 0), dim=EMB_DIM, k=10, probe_bits=1
+    )
+
+
+IVF_NPROBE = 4
+
+
+@query(
+    "ann_ivf_multiprobe",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {IVF_K}
+    ),
+    a AS (
+      SELECT e.vec_id, e.embedding, c.cid AS cluster_id
+      FROM embeddings e, cents c
+      QUALIFY row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {sql_cosine('e.embedding', 'c.cv')} DESC, c.cid
+      ) = 1
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT c.cid FROM cents c, q
+      QUALIFY row_number() OVER (
+        ORDER BY {sql_cosine('qv', 'c.cv')} DESC, c.cid
+      ) <= {IVF_NPROBE}
+    )
+    SELECT a.vec_id, {sql_cosine('a.embedding', 'qv')} AS cosine
+    FROM a JOIN probe ON a.cluster_id = probe.cid, q
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def ann_ivf_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe=4: the query's four nearest coarse clusters
+    are scanned instead of one. Same deterministic first-16 codebook as
+    `ann_ivf_topk`; only the broadcast query side pays the top-P sort."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < IVF_K).orderBy("vec_id").collect()
+    ]
+    return ann_ivf_topk(
+        emb, emb.filter(F.col("vec_id") == 0), cents, k=10, nprobe=IVF_NPROBE
+    )
