@@ -148,3 +148,57 @@ def lang_id_ngram(
             F.col("o").alias("n_profile_trigrams"),
         )
     )
+
+
+def token_rarity(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    rare_max: int = 2,
+) -> DataFrame:
+    """Corpus-statistics rarity signals per document (the CCNet-style
+    LM-scoring stage, with exact arithmetic instead of a log-prob:
+    `ln` differs by 1 ulp across engines, division does not):
+
+    * mean_inv_prob — arithmetic mean over the document's tokens of
+      1/p(token) under the corpus unigram distribution (= N_total /
+      count(token)); high values = rare-token-heavy documents (the
+      proxy for high perplexity).
+    * n_rare_tokens — tokens whose corpus count is <= ``rare_max``.
+
+    Deterministic bit-for-bit: the per-token inverse probabilities are
+    folded IN DOCUMENT ORDER (collect_list(struct(pos, val)) +
+    array_sort + fold), so the float sum has one defined association
+    order on any partitioning and in any engine.
+
+    Scale shape: one explode shuffle to count tokens, one join of
+    occurrences to the (vocab-sized, usually broadcastable) count
+    relation, one doc-id groupBy. All keys narrow; stop-token skew
+    lands on the count join's build side, not on a hot shuffle key.
+    """
+    from pyspark.sql import Window
+
+    ex = _spread(df).select(
+        F.col(id_col), F.posexplode(tokens(text)).alias("__pos", "__tok")
+    )
+    cnt = ex.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    total = cnt.agg(F.sum("__c").alias("__n")).select(
+        F.col("__n").cast("double").alias("__n")
+    )
+    scored = (
+        ex.join(cnt, "__tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            "__pos",
+            (F.col("__n") / F.col("__c")).alias("__inv"),
+            (F.col("__c") <= rare_max).cast("int").alias("__rare"),
+        )
+    )
+    arr = F.array_sort(F.collect_list(F.struct("__pos", "__inv")))
+    fold = F.aggregate(arr, F.lit(0.0), lambda a, s: a + s["__inv"])
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (fold / F.count(F.lit(1))).alias("mean_inv_prob"),
+        F.sum("__rare").alias("n_rare_tokens"),
+    )

@@ -1063,3 +1063,34 @@ def ann_ivf_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(
         emb, emb.filter(F.col("vec_id") == 0), cents, k=10, nprobe=IVF_NPROBE
     )
+
+
+@query(
+    "token_rarity",
+    f"""
+    WITH ex AS (
+      SELECT doc_id, i AS pos, toks[i] AS tok
+      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+            FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks FROM documents))),
+    cnt AS (SELECT tok, count(*) AS c FROM ex GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cnt),
+    scored AS (
+      SELECT ex.doc_id, ex.pos, tot.n / cnt.c AS inv,
+             CASE WHEN cnt.c <= 2 THEN 1 ELSE 0 END AS rare
+      FROM ex JOIN cnt USING (tok), tot)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           list_reduce(list_prepend(0.0e0, list(inv ORDER BY pos)),
+                       (a, b) -> a + b) / count(*) AS mean_inv_prob,
+           CAST(SUM(rare) AS BIGINT) AS n_rare_tokens
+    FROM scored GROUP BY doc_id
+    """,
+)
+def token_rarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics rarity scoring: mean inverse unigram
+    probability + rare-token counts, folded in document order so the
+    float sum is bit-identical on any partitioning and engine (the
+    exact-arithmetic stand-in for CCNet's LM perplexity stage)."""
+    from svoe_spark.operators.text_analysis import token_rarity
+
+    return token_rarity(load_table(spark, "documents", sf_dir))

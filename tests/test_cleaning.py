@@ -111,3 +111,18 @@ def test_quantize_embeddings_zero_vector_and_extremes(spark):
     assert out[1].q_csv == "127,-127" and out[1].q_sum == 0
     assert out[2].q_csv == "127,-63"  # floor(-63.5+0.5) = -63
     assert out[2].l2_norm == pytest.approx((0.5**2 + 0.25**2) ** 0.5)
+
+
+def test_token_rarity_hand_computed(spark):
+    from svoe_spark.operators.text_analysis import token_rarity
+
+    # corpus: "a a b" + "c" -> N=4; counts a:2 b:1 c:1
+    df = _docs(spark, ["a a b", "c"])
+    out = {r.doc_id: r for r in token_rarity(df, rare_max=1).collect()}
+    # doc0: invs = [4/2, 4/2, 4/1] -> mean = 8/3; rare (c<=1): only b
+    assert out[0].n_tokens == 3
+    assert out[0].mean_inv_prob == pytest.approx(8 / 3)
+    assert out[0].n_rare_tokens == 1
+    # doc1: inv = 4/1 -> mean 4; c is rare
+    assert out[1].mean_inv_prob == pytest.approx(4.0)
+    assert out[1].n_rare_tokens == 1
