@@ -256,3 +256,25 @@ def source_mixture_weights(
             "mixture_weight"
         ),
     )
+
+
+def normalize_text(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonical text normalization (the pre-dedup step of every corpus
+    pipeline): lowercase, strip non-alphanumeric punctuation to spaces,
+    collapse whitespace runs, trim. Pure regexp/lower expressions —
+    zero shuffle, scan-fused, and portable (same RE2/Java semantics)
+    so normalized-form dedup keys match across engines."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text)), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return _spread(df).select(
+        F.col(id_col),
+        norm.alias("text_norm"),
+        F.length(norm).alias("n_chars_norm"),
+    )

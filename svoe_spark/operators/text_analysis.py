@@ -202,3 +202,40 @@ def token_rarity(
         (fold / F.count(F.lit(1))).alias("mean_inv_prob"),
         F.sum("__rare").alias("n_rare_tokens"),
     )
+
+
+def bigram_model(
+    df: DataFrame, text: str = "text", top: int = 50
+) -> DataFrame:
+    """Corpus bigram model: the ``top`` most frequent token bigrams with
+    exact conditional probability p(b|a) = count(a,b)/count(a) — the
+    training step of an n-gram LM as two aggregations (bigram counts,
+    unigram counts) and a broadcast-sized join. Ties rank by bigram
+    text so the cut is deterministic. Exact integer/real arithmetic
+    only (oracle-portable). The top-k cut is a distributed
+    orderBy+limit (TakeOrdered — per-partition heaps, never a global
+    single-task window), so it survives a vocab^2-sized bigram
+    relation."""
+    toks = tokens(text)
+    n = F.size(toks)
+    n1 = F.greatest(n - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    ex = _spread(df).select(F.explode(grams).alias("g")).select("g.a", "g.b")
+    bg = ex.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    ug = bg.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+    return (
+        bg.join(ug, "a")
+        .orderBy(F.col("n_ab").desc(), F.col("a"), F.col("b"))
+        .limit(top)
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            "n_a",
+            (F.col("n_ab") / F.col("n_a")).alias("p_b_given_a"),
+        )
+    )

@@ -1094,3 +1094,46 @@ def token_rarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from svoe_spark.operators.text_analysis import token_rarity
 
     return token_rarity(load_table(spark, "documents", sf_dir))
+
+
+@query(
+    "normalize_text",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g')) AS text_norm,
+           length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                      ' +', ' ', 'g'))) AS n_chars_norm
+    FROM documents
+    """,
+)
+def normalize_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical pre-dedup normalization: lowercase, punctuation to
+    spaces, whitespace collapse, trim — zero-shuffle regexp chain."""
+    from svoe_spark.operators.cleaning import normalize_text
+
+    return normalize_text(load_table(spark, "documents", sf_dir))
+
+
+@query(
+    "bigram_model",
+    f"""
+    WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks FROM documents),
+    ex AS (
+      SELECT toks[i] AS a, toks[i + 1] AS b
+      FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM t WHERE len(toks) >= 2)),
+    bg AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab FROM ex GROUP BY a, b),
+    ug AS (SELECT a, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM bg GROUP BY a)
+    SELECT bg.a, bg.b, bg.n_ab, ug.n_a, bg.n_ab / ug.n_a AS p_b_given_a
+    FROM bg JOIN ug USING (a)
+    ORDER BY bg.n_ab DESC, bg.a, bg.b
+    LIMIT 50
+    """,
+)
+def bigram_model_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram LM table: top-50 bigrams with exact conditional
+    probability — two aggregations + a join, distributed top-k cut."""
+    from svoe_spark.operators.text_analysis import bigram_model
+
+    return bigram_model(load_table(spark, "documents", sf_dir), top=50)
