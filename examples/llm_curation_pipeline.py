@@ -80,16 +80,19 @@ def main() -> None:
     stages["neardup_canonical"] = docs.count()
 
     # 3. chunk-level dedup: rewrite texts with corpus-wide first-
-    # occurrence chunks (drops boilerplate without dropping docs)
+    # occurrence chunks. Rewrite-only: a doc whose every chunk was seen
+    # before keeps an empty text (left join + coalesce) rather than
+    # silently vanishing from the corpus — emptied docs are then
+    # dropped EXPLICITLY, as their own counted stage.
     from svoe_spark.operators.cleaning import chunk_dedup
 
     cd = chunk_dedup(docs, width=4)
     docs = docs.drop("text").join(
-        cd.filter(F.length("text_dedup") > 0)
-          .select("doc_id", F.col("text_dedup").alias("text")),
-        "doc_id",
-    )
+        cd.select("doc_id", F.col("text_dedup").alias("text")), "doc_id", "left"
+    ).withColumn("text", F.coalesce("text", F.lit("")))
     stages["chunk_deduped"] = docs.count()
+    docs = docs.filter(F.length("text") > 0)
+    stages["nonempty_after_chunk_dedup"] = docs.count()
 
     # 3b. benchmark decontamination: drop docs overlapping the held-out
     # eval subset (stand-in: every 50th doc) by >= 3 shared trigrams

@@ -199,17 +199,16 @@ def main():
         lambda: force(chunk_dedup(docs, width=4)), "chunk_dedup_2M"
     )
 
-    # connected components at 2M nodes: plant duplicate clusters of 4
-    # (id // 4 buckets over 10% of docs) -> ~100k edges; propagation is
-    # one shuffle join per round over narrow keys
+    # connected components over 100k planted 4-clusters (400k nodes,
+    # 300k star edges: node -> its cluster head); propagation is one
+    # shuffle join per round over narrow keys
     from svoe_spark.operators.graph import connected_components  # noqa: E402
 
-    dup_ids = spark.range(200_000).select((F.col("id") * 10).alias("base"))
-    edges = dup_ids.select(
-        (F.col("base") - F.col("base") % 4).alias("id_a"),
-        F.col("base").alias("id_b"),
-    ).filter(F.col("id_a") != F.col("id_b"))
-    results["connected_components_100k_edges_sec"] = timed(
+    members = spark.range(400_000).filter(F.col("id") % 4 != 0)
+    edges = members.select(
+        (F.col("id") - F.col("id") % 4).alias("id_a"), F.col("id").alias("id_b")
+    )
+    results["connected_components_300k_edges_sec"] = timed(
         lambda: force(connected_components(edges)), "connected_components"
     )
     print(json.dumps(results))

@@ -57,8 +57,6 @@ def plot_multi(
     Returns the written image path (matplotlib available) or the text
     rendering (fallback — also what the CLI prints). Mirrors the
     reference's column selection: all columns minus the timestamp(s)."""
-    from svoe_spark.operators.sampling import every_nth
-
     if col_names is None:
         col_names = [
             c
@@ -71,11 +69,16 @@ def plot_multi(
 
     n_rows = df.count()
     nth = max(1, math.ceil(n_rows / max_points))
-    pdf = (
-        every_nth(df.select(ts_col, *col_names), nth, on=ts_col)
-        .orderBy(ts_col)
-        .toPandas()
-    )
+    # decimate with a deterministic hash-mod filter, NOT every_nth with
+    # no keys: a global event-time rank is a single-task window — the
+    # exact anti-pattern the curation module exists to avoid. Hash
+    # selection keeps ~n/nth rows, is partition-parallel, and is a pure
+    # function of the timestamp (rerun-stable); for a plot, hash-uniform
+    # thinning is indistinguishable from exact every-nth.
+    sel = df.select(ts_col, *col_names)
+    if nth > 1:
+        sel = sel.filter(F.pmod(F.xxhash64(F.col(ts_col)), F.lit(nth)) == 0)
+    pdf = sel.orderBy(ts_col).toPandas()
 
     try:
         import matplotlib

@@ -72,6 +72,26 @@ def _prep(df: DataFrame, on: str, by: list[str]) -> DataFrame:
     return df.withColumn(_TS, epoch_seconds(on))
 
 
+#: Analyzed-plan node names that mark a Python evaluation stage —
+#: column pruning cannot reach through these, so an eager profile
+#: aggregation would re-execute the whole Python subtree.
+_PY_STAGES = (
+    "FlatMapGroupsInPandas",
+    "MapInPandas",
+    "FlatMapCoGroupsInPandas",
+    "ArrowEvalPython",
+    "BatchEvalPython",
+)
+
+
+def _has_python_stage(df: DataFrame) -> bool:
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # pragma: no cover - defensive: profile anyway
+        return False
+    return any(s in plan for s in _PY_STAGES)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -174,7 +194,18 @@ def asof_join_multi(
         order.insert(1, F.col(tb).asc_nulls_first())
 
     if time_bucket == "auto":
-        time_bucket = _auto_bucket(unioned, by, AUTO_TARGET_ROWS_PER_TASK)
+        # the profile is an eager aggregation over the union: cheap for
+        # scan-rooted inputs (column pruning reduces it to (by, ts)),
+        # but a lineage containing a Python stage (applyInPandas /
+        # mapInPandas feature graphs) cannot be pruned through — the
+        # profile would execute the whole Python subtree a second time.
+        # For those, skip profiling and take the lazy single-window
+        # plan; callers with genuinely hot keys behind Python stages
+        # pass an explicit time_bucket.
+        if _has_python_stage(unioned):
+            time_bucket = None
+        else:
+            time_bucket = _auto_bucket(unioned, by, AUTO_TARGET_ROWS_PER_TASK)
 
     if time_bucket is None:
         w = (

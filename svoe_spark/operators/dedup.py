@@ -420,8 +420,20 @@ def simhash_pairs(
     This is the same banding idea as MinHash-LSH, exact here because
     Hamming distance bounds the number of differing bands."""
     group_cols = group_cols or []
+    if max_hamming >= SIMHASH_BITS:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= {SIMHASH_BITS} fingerprint bits: "
+            "every pair qualifies — that is an all-pairs join, not a "
+            "similarity query"
+        )
     n_bands = max_hamming + 1
-    width = (SIMHASH_BITS + n_bands - 1) // n_bands
+    # partition the REAL bits into n_bands contiguous bands of balanced
+    # width. A uniform ceil-width grid would place high bands past bit
+    # SIMHASH_BITS, where every fingerprint is 0 — one degenerate band
+    # key shared by ALL documents, i.e. a silent all-pairs join.
+    base, rem = divmod(SIMHASH_BITS, n_bands)
+    widths = [base + 1] * rem + [base] * (n_bands - rem)
+    offsets = [sum(widths[:j]) for j in range(n_bands)]
     keys = df.select(*group_cols, id_col)
     fps = simhash(df, text, id_col).join(keys, on=id_col)
     banded = fps.select(
@@ -433,8 +445,8 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(j).alias("bi"),
-                        F.shiftright("simhash", j * width)
-                        .bitwiseAND((1 << width) - 1)
+                        F.shiftright("simhash", offsets[j])
+                        .bitwiseAND((1 << widths[j]) - 1)
                         .alias("bv"),
                     )
                     for j in range(n_bands)

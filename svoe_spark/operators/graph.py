@@ -21,6 +21,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    strict: bool = True,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation:
     every node starts labeled with itself; each round every node takes
@@ -58,6 +59,7 @@ def connected_components(
         return row["s"]
 
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         prop = edges.join(labels, edges["dst"] == labels["id"]).select(
             edges["src"].alias("id"), "comp"
@@ -69,10 +71,25 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         cur = label_sum(labels)
-        if prev_sum is not None and cur == prev_sum:
+        if cur is None or cur == prev_sum:  # None = empty graph
+            converged = True
             break
         prev_sum = cur
     edges.unpersist()
+    if not converged:
+        # a silently-partial labeling would split true clusters and let
+        # duplicates survive the dedup decision downstream
+        msg = (
+            f"connected_components did not reach fixpoint in {max_iter} "
+            "rounds (graph diameter exceeds max_iter — e.g. a long "
+            "near-dup chain). Raise max_iter, or pass strict=False to "
+            "accept the partial labeling."
+        )
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning)
     return labels
 
 

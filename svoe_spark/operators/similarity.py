@@ -192,34 +192,37 @@ def ivf_assign(
     and the seeded default in ann_ivf_topk uses the first K vectors.
     At scale `cluster_id` becomes the partition/cluster key, so probes
     are partition-pruned scans."""
-    # one norm fold per ROW (not per centroid) and centroid norms as
-    # Python constants — same left-fold, so values are bit-identical to
-    # the naive per-pair cosine
+    withn = vectors.withColumn("__vnorm", F.sqrt(norm_sq(vec_col)))
+    scored = _ivf_scored_expr(centroids, vec_col)
+    best = F.array_max(scored)
+    return withn.withColumn(out, -best["nid"]).drop("__vnorm")
+
+
+def _ivf_scored_expr(centroids: list[list[float]], vec_col: str):
+    """array<struct<cos, nid>> of centroid scores against `vec_col`
+    (requires a `__vnorm` column); nid = 1-i so that struct max (and
+    descending sort) tie-breaks to the LOWEST centroid id.
+
+    One norm fold per ROW (not per centroid), centroid norms as Python
+    constants (math.sqrt is correctly rounded == SQL sqrt), and the
+    codebook + norms as TWO nested-array literals indexed by transform
+    — not K inlined dim-literal arrays, whose py4j construction alone
+    measured 3.6 s at K=16, dim=64. Same dot fold, same division, so
+    scores (and the argmax assignment) are bit-identical to the naive
+    per-pair cosine. Shared by the corpus argmax (ivf_assign) and the
+    query-side top-P sort so the two paths can never diverge."""
     import math
 
     def py_norm(c: list[float]) -> float:
         acc = 0.0
         for x in c:
             acc = acc + float(x) * float(x)
-        return math.sqrt(acc)  # math.sqrt is correctly rounded == SQL sqrt
+        return math.sqrt(acc)
 
-    # codebook + norms as TWO nested-array literals and a transform —
-    # not K inlined dim-literal arrays, whose py4j construction alone
-    # measured 3.6 s at K=16, dim=64. Same dot fold, same division, so
-    # scores (and the argmax assignment) are bit-identical.
     cb = F.lit([[float(x) for x in c] for c in centroids])
     cn = F.lit([py_norm(c) for c in centroids])
-    withn = vectors.withColumn("__vnorm", F.sqrt(norm_sq(vec_col)))
-    scored = _ivf_scored_expr(cb, cn, len(centroids), vec_col)
-    best = F.array_max(scored)
-    return withn.withColumn(out, -best["nid"]).drop("__vnorm")
-
-
-def _ivf_scored_expr(cb, cn, n_cent: int, vec_col: str):
-    """array<struct<cos, nid>> of centroid scores; nid = 1-i so that
-    struct max (and descending sort) tie-breaks to the LOWEST id."""
     return F.transform(
-        F.sequence(F.lit(1), F.lit(n_cent)),
+        F.sequence(F.lit(1), F.lit(len(centroids))),
         lambda i: F.struct(
             (
                 dot(F.col(vec_col), F.element_at(cb, i))
@@ -236,18 +239,8 @@ def _ivf_sorted_scores(
     """Per row, all centroid scores sorted best-first (`__scored_desc`)
     — used on the tiny query side for nprobe > 1; the corpus side keeps
     the cheaper argmax."""
-    import math
-
-    def py_norm(c):
-        acc = 0.0
-        for x in c:
-            acc = acc + float(x) * float(x)
-        return math.sqrt(acc)
-
-    cb = F.lit([[float(x) for x in c] for c in centroids])
-    cn = F.lit([py_norm(c) for c in centroids])
     withn = df.withColumn("__vnorm", F.sqrt(norm_sq(vec_col)))
-    scored = _ivf_scored_expr(cb, cn, len(centroids), vec_col)
+    scored = _ivf_scored_expr(centroids, vec_col)
     return withn.withColumn(
         "__scored_desc", F.reverse(F.array_sort(scored))
     ).drop("__vnorm")

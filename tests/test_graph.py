@@ -51,3 +51,21 @@ def test_dedup_clusters_singletons_and_sizes(spark):
     assert out[0].cluster_size == 3 and out[3].cluster_size == 1
     assert out[0].is_canonical and not out[1].is_canonical
     assert out[5].is_canonical
+
+
+def test_cc_nonconvergence_raises_in_strict_mode(spark):
+    import pytest as _pytest
+
+    # a chain of diameter 6 cannot converge in 2 rounds of min-label
+    # propagation: strict mode must refuse a partial labeling
+    edges = _pairs(spark, [(i, i + 1) for i in range(6)])
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(edges, max_iter=2)
+    # non-strict mode returns the partial labels with a warning
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = connected_components(edges, max_iter=2, strict=False).collect()
+    assert len(out) == 7
+    assert any("fixpoint" in str(x.message) for x in w)
