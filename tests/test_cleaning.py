@@ -126,3 +126,39 @@ def test_token_rarity_hand_computed(spark):
     # doc1: inv = 4/1 -> mean 4; c is rare
     assert out[1].mean_inv_prob == pytest.approx(4.0)
     assert out[1].n_rare_tokens == 1
+
+
+def test_text_ops_survive_unicode(spark):
+    """The fixtures are ASCII, but operators must not crash (and must
+    stay deterministic) on unicode input: multibyte tokens, emoji,
+    combining marks, RTL text."""
+    from svoe_spark.operators.cleaning import (
+        chunk_dedup,
+        corpus_filter,
+        normalize_text,
+    )
+    from svoe_spark.operators.dedup import minhash_signature
+    from svoe_spark.operators.text_analysis import token_rarity
+
+    texts = [
+        "héllo wörld héllo",
+        "日本語 テキスト 処理 日本語",
+        "مرحبا بالعالم",
+        "emoji 🚀 mixed ascii",
+        "á combining á",  # a + combining acute
+    ]
+    df = _docs(spark, texts)
+    assert len(pii_redact(df).collect()) == len(texts)
+    assert len(repetition_signals(df).collect()) == len(texts)
+    assert len(chunk_dedup(df).collect()) == len(texts)
+    assert len(corpus_filter(df).collect()) == len(texts)
+    assert len(token_rarity(df).collect()) == len(texts)
+    # docs with < 3 tokens have no trigram shingles -> no signature row
+    n_shingled = sum(1 for t in texts if len(t.split()) >= 3)
+    assert len(minhash_signature(df).collect()) == n_shingled
+    norm = {r.doc_id: r.text_norm for r in normalize_text(df).collect()}
+    # normalization strips non [a-z0-9 ] — unicode letters become spaces
+    assert norm[3] == "emoji mixed ascii"
+    # determinism: identical unicode tokens hash identically
+    sig = minhash_signature(_docs(spark, ["日本語 日本語 日本語 日本語"] * 2)).collect()
+    assert sig[0]["m0"] == sig[1]["m0"]
