@@ -30,7 +30,12 @@ def norm_sq(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (F.sqrt(norm_sq(a)) * F.sqrt(norm_sq(b)))
+    """Cosine similarity; zero-norm vectors score 0.0 instead of
+    dividing by zero (ANSI mode aborts the job on 0/0, and non-ANSI
+    NaN sorts ABOVE every number, so an unguarded zero vector would
+    top every top-k and pass every threshold)."""
+    den = F.sqrt(norm_sq(a)) * F.sqrt(norm_sq(b))
+    return F.when(den != 0.0, dot(a, b) / den).otherwise(F.lit(0.0))
 
 
 def hyperplane_signs(plane: int, dim: int) -> list[int]:
@@ -62,7 +67,10 @@ def sql_dot(a: str, b: str) -> str:
 
 
 def sql_cosine(a: str, b: str) -> str:
-    return f"{sql_dot(a, b)} / (sqrt({sql_dot(a, a)}) * sqrt({sql_dot(b, b)}))"
+    den = f"(sqrt({sql_dot(a, a)}) * sqrt({sql_dot(b, b)}))"
+    return (
+        f"CASE WHEN {den} <> 0.0 THEN {sql_dot(a, b)} / {den} ELSE 0.0e0 END"
+    )
 
 
 def sql_signed_projection(v: str, signs: list[int]) -> str:

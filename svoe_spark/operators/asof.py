@@ -189,9 +189,16 @@ def asof_join_multi(
         unioned = unioned.unionByName(side_df(rdf, 0, tag))
     unioned = unioned.withColumn(_TS, epoch_seconds(on))
 
-    order = [F.col(_TS), F.col(_SIDE)]
-    if tb:
-        order.insert(1, F.col(tb).asc_nulls_first())
+    # order: ts, then SIDE (right=0 before left=1 — exact-timestamp
+    # right rows must be visible to the left row: the contract is
+    # right.ts <= left.ts INCLUSIVE), then tiebreak among right rows
+    # (ascending: the greatest wins under running `last`). Putting the
+    # tiebreak before SIDE would sort the left row (null tiebreak)
+    # ahead of same-instant right rows and silently exclude exact
+    # matches; the bucketed path below always used the correct order.
+    order = [F.col(_TS), F.col(_SIDE)] + (
+        [F.col(tb).asc_nulls_first()] if tb else []
+    )
 
     if time_bucket == "auto":
         # the profile is an eager aggregation over the union: cheap for

@@ -40,8 +40,10 @@ def pii_redact(
     """Redact PII-shaped spans (emails, IPv4s, phone numbers, long
     digit IDs) and count matches per category.
 
-    Counts are taken on the ORIGINAL text, replacements applied in
-    fixed pattern order. A production deployment swaps in NER-based
+    Each category is counted on the PROGRESSIVELY redacted text (after
+    the previous categories were replaced), so one span is attributed
+    to exactly one category — an email's digit run is n_email only,
+    never also n_id. A production deployment swaps in NER-based
     detection as a pandas UDF behind the same signature; the regex
     core keeps the operator self-contained, scan-fused (zero shuffle,
     whole-stage codegen) and oracle-checkable.
@@ -50,7 +52,7 @@ def pii_redact(
     red = F.col(text)
     for name, pat, repl in PII_PATTERNS:
         cols.append(
-            F.size(F.regexp_extract_all(F.col(text), F.lit(pat), F.lit(0)))
+            F.size(F.regexp_extract_all(red, F.lit(pat), F.lit(0)))
             .cast("long")
             .alias(f"n_{name}")
         )

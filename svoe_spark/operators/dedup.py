@@ -108,11 +108,20 @@ def drop_exact_duplicates(
     df: DataFrame, text: str = "text", id_col: str = "doc_id", fast: bool = True
 ) -> DataFrame:
     """Keep the lowest-id row per distinct text (hash-based, no text
-    comparison shuffle)."""
+    comparison shuffle). The dedup key is (hash, length) — same
+    hardening as exact_duplicate_groups: a bare 64-bit hash collides
+    with ~50% probability around 5B documents (birthday bound), and a
+    collision here silently DELETES a non-duplicate; requiring equal
+    length too pushes the false-drop probability far past corpus
+    scale for near-zero extra cost."""
     h = F.xxhash64(F.col(text)) if fast else md5_hash(text)
     keep = (
-        df.select(h.alias("__fp"), F.col(id_col).alias("__id"))
-        .groupBy("__fp")
+        df.select(
+            h.alias("__fp"),
+            F.length(text).alias("__len"),
+            F.col(id_col).alias("__id"),
+        )
+        .groupBy("__fp", "__len")
         .agg(F.min("__id").alias(id_col))
         .select(id_col)
     )
@@ -202,9 +211,14 @@ def lsh_candidate_pairs(
     least one LSH band. Shuffle key = (band, band-signature): the join
     is equi on compact ints; bucket sizes bound the pair blow-up."""
     # persist: the signature feeds every band AND both join sides;
-    # without it Catalyst re-derives the (expensive) shingling per use
+    # without it Catalyst re-derives the (expensive) shingling per use.
+    # The handle is exposed as result._svoe_persisted so long-lived
+    # sessions can release executor storage after the final action
+    # (same convention as reconstruct_book_bucketed).
     sig = minhash_signature(df, text, id_col, params, shingled=shingled).persist()
-    return _band_pairs(sig, id_col, params)
+    out = _band_pairs(sig, id_col, params)
+    out._svoe_persisted = sig
+    return out
 
 
 def _band_pairs(
@@ -263,10 +277,12 @@ def minhash_dedup_pairs(
     )
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size("sa") + F.size("sb") - inter
-    return (
-        j.select("id_a", "id_b", (inter / union).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    out = j.select("id_a", "id_b", (inter / union).alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
+    # cached-signature handle for callers to release (docstring note)
+    out._svoe_persisted = sig
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -50,12 +50,20 @@ def connected_components(
     labels = edges.select("src").distinct().select(
         F.col("src").alias("id"), F.col("src").alias("comp")
     )
-    # convergence check: per-node labels only ever decrease, so the
-    # label sum strictly decreases until fixpoint — one cheap scalar
-    # aggregation per round instead of a labels-vs-labels join.
-    # decimal(38) because a sum of 64-bit ids can overflow int64.
+    # convergence check: per-node labels only ever decrease (numeric or
+    # lexicographic min), so the LABELING as a multiset changes every
+    # non-converged round — compare a content digest: sum of per-row
+    # (id, comp) hashes. One cheap scalar aggregation per round instead
+    # of a labels-vs-labels join; id-type-agnostic (string doc ids are
+    # legal — a numeric cast would crash under ANSI or, worse, return
+    # NULL and fake convergence); decimal(38) so the hash sum cannot
+    # overflow int64.
     def label_sum(lb):
-        row = lb.agg(F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")).first()
+        row = lb.agg(
+            F.sum(
+                F.xxhash64(F.col("id"), F.col("comp")).cast("decimal(38,0)")
+            ).alias("s")
+        ).first()
         return row["s"]
 
     prev_sum = None

@@ -162,7 +162,12 @@ def frame_sample(
     keep every n-th — pure Spark expressions (no Python loop), the
     chunking pattern any real frame extractor plugs into."""
     n_frames = F.ceil(F.octet_length("payload") / frame_bytes).cast("int")
-    idx = F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx")
+    # guard: sequence(0, -1) is a DESCENDING [0, -1], not empty — an
+    # empty payload must yield zero frame rows, not phantom frames
+    frame_ids = F.when(
+        n_frames > 0, F.sequence(F.lit(0), n_frames - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    idx = F.explode(frame_ids).alias("frame_idx")
     framed = df.select(id_col, "payload", n_frames.alias("n_frames"), idx)
     return framed.filter(F.col("frame_idx") % every_nth == 0).select(
         id_col,

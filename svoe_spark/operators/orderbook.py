@@ -642,6 +642,24 @@ def reconstruct_book_bucketed(
             (F.col("inc_rel") + F.col("__off")).cast("int").alias("inconsistencies"),
         )
     )
+    if every is not None:
+        # per-time-bucket replay restarts emission-bucket dedup at each
+        # bucket boundary, so an emit_every bucket straddling a time
+        # bucket would emit twice (once per side of the boundary) when
+        # the bucket width is not a multiple of emit_every. Keep only
+        # the FIRST emission per (key, emit bucket) — exactly the row
+        # the sequential engine emits — via a window over the already-
+        # sampled (small) emission relation.
+        emicros = int(round(every * 1_000_000))
+        ew = Window.partitionBy(
+            key,
+            F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(emicros)),
+        ).orderBy("ts", "inconsistencies")
+        result = (
+            result.withColumn("__ernk", F.row_number().over(ew))
+            .filter(F.col("__ernk") == 1)
+            .drop("__ernk")
+        )
     # expose the cached relation so callers can release it (docstring)
     result._svoe_persisted = replayed
     return result

@@ -224,10 +224,13 @@ def _ivf_scored_expr(centroids: list[list[float]], vec_col: str):
     return F.transform(
         F.sequence(F.lit(1), F.lit(len(centroids))),
         lambda i: F.struct(
-            (
+            F.when(
+                (F.col("__vnorm") * F.element_at(cn, i)) != 0.0,
                 dot(F.col(vec_col), F.element_at(cb, i))
-                / (F.col("__vnorm") * F.element_at(cn, i))
-            ).alias("cos"),
+                / (F.col("__vnorm") * F.element_at(cn, i)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("cos"),
             (1 - i).alias("nid"),
         ),
     )
@@ -328,9 +331,11 @@ def embedding_neardup_pairs(
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     for g in group_cols:
         cond = cond & (F.col(f"a.{g}") == F.col(f"b.{g}"))
-    cos = dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
-        F.col("a.__norm") * F.col("b.__norm")
-    )
+    den = F.col("a.__norm") * F.col("b.__norm")
+    cos = F.when(
+        den != 0.0,
+        dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / den,
+    ).otherwise(F.lit(0.0))
     out = (
         a.join(b, cond)
         .select(

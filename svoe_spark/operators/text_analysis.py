@@ -181,7 +181,13 @@ def token_rarity(
     ex = _spread(df).select(
         F.col(id_col), F.posexplode(tokens(text)).alias("__pos", "__tok")
     )
-    cnt = ex.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    # persist the (vocab-sized, aggregated) count relation: it feeds
+    # both the total-token aggregate and the occurrence join — without
+    # it the scan+tokenize+explode subtree re-executes per use. The
+    # exploded occurrences themselves stay uncached (caching them
+    # would pin the whole tokenized corpus); handle exposed as
+    # result._svoe_persisted per the library convention.
+    cnt = ex.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c")).persist()
     total = cnt.agg(F.sum("__c").alias("__n")).select(
         F.col("__n").cast("double").alias("__n")
     )
@@ -197,11 +203,13 @@ def token_rarity(
     )
     arr = F.array_sort(F.collect_list(F.struct("__pos", "__inv")))
     fold = F.aggregate(arr, F.lit(0.0), lambda a, s: a + s["__inv"])
-    return scored.groupBy(id_col).agg(
+    out = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         (fold / F.count(F.lit(1))).alias("mean_inv_prob"),
         F.sum("__rare").alias("n_rare_tokens"),
     )
+    out._svoe_persisted = cnt
+    return out
 
 
 def bigram_model(

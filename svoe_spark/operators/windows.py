@@ -37,14 +37,19 @@ def trailing_window(
     """Trailing closed range frame [ts - window, ts], per key.
 
     The backbone of every trailing feature (reference lookback_apply,
-    stream_utils.py:31-39): ORDER BY epoch-seconds RANGE BETWEEN
-    -window AND CURRENT ROW.
+    stream_utils.py:31-39): ORDER BY epoch-MICROS RANGE BETWEEN
+    -window AND CURRENT ROW. The frame orders by integer microseconds,
+    not float seconds: `rangeBetween` accepts only long bounds, so a
+    float-seconds frame made every sub-second window ('500ms') a py4j
+    signature error; micros keep the same instants (timestamps are
+    micro-precision) with exact integer arithmetic at any granularity.
     """
-    secs = duration_to_seconds(window)
+    micros = int(round(duration_to_seconds(window) * 1_000_000))
+    c = F.col(on) if isinstance(on, str) else on
     return (
         Window.partitionBy(*_by(by))
-        .orderBy(epoch_seconds(on))
-        .rangeBetween(-int(secs) if float(secs).is_integer() else -secs, 0)
+        .orderBy(F.unix_micros(c.cast("timestamp")))
+        .rangeBetween(-micros, 0)
     )
 
 

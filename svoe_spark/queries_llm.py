@@ -758,18 +758,21 @@ def _pii_aug(df: DataFrame) -> DataFrame:
 
 
 def _pii_oracle() -> str:
+    # mirrors the operator: each category counted on the PROGRESSIVELY
+    # redacted text, so one span -> exactly one category
     from svoe_spark.operators.cleaning import PII_PATTERNS
 
-    counts = ",\n           ".join(
-        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
-        for name, pat, _ in PII_PATTERNS
-    )
+    counts = []
     red = "text"
-    for _, pat, repl in PII_PATTERNS:
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all({red}, '{pat}')) AS BIGINT) AS n_{name}"
+        )
         red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    counts_sql = ",\n           ".join(counts)
     return f"""
     SELECT doc_id,
-           {counts},
+           {counts_sql},
            {red} AS redacted
     FROM ({_PII_AUG_SQL})
     """

@@ -177,3 +177,30 @@ def test_lookahead_matches_pandas(spark, spec, lookahead):
         pd.testing.assert_series_equal(
             g["label_v"], w["label_v"], check_names=False, check_index=False
         )
+
+
+def test_asof_tiebreak_keeps_exact_timestamp_inclusive(spark):
+    """Regression: with a tiebreak column the default plan sorted left
+    rows (null tiebreak) BEFORE same-instant right rows, silently
+    turning the documented inclusive `right.ts <= left.ts` into an
+    exclusive match. Exact-timestamp rows must be visible, and among
+    same-instant right rows the greatest tiebreak must win."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 5)
+    t1 = dt.datetime(2024, 1, 1, 10, 0, 10)
+    left = spark.createDataFrame([Row(k="A", ts=t1)])
+    right = spark.createDataFrame(
+        [
+            Row(k="A", ts=t0, px=3.0, seq=1),
+            Row(k="A", ts=t1, px=5.0, seq=2),
+            Row(k="A", ts=t1, px=7.0, seq=3),  # same instant, larger seq
+        ]
+    )
+    out = asof_join(
+        left, right, on="ts", by="k", right_cols=["px"], tiebreak="seq"
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["px"] == 7.0  # inclusive + greatest tiebreak wins

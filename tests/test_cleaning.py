@@ -41,6 +41,15 @@ def test_pii_redact_no_double_count(spark):
     assert r.redacted == "x <EMAIL> y"
 
 
+def test_pii_redact_digit_local_part_counts_once(spark):
+    # a digit-only email local part is n_email only — progressive
+    # counting runs the ID pattern on the already-redacted text, so
+    # the address's digit run is attributed to exactly one category
+    r = pii_redact(_docs(spark, ["m 123456789@dom.com t"])).collect()[0]
+    assert (r.n_email, r.n_id) == (1, 0)
+    assert r.redacted == "m <EMAIL> t"
+
+
 def test_pii_redact_clean_text_unchanged(spark):
     r = pii_redact(_docs(spark, ["just plain words here"])).collect()[0]
     assert r.redacted == "just plain words here"

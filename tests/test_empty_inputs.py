@@ -164,3 +164,32 @@ def test_orderbook_on_empty_and_presnapshot_only(spark):
     pre = spark.createDataFrame(rows, UPD)
     assert reconstruct_book(pre, depth=5).collect() == []
     assert reconstruct_book_bucketed(pre, depth=5, bucket="1m").collect() == []
+
+
+def test_zero_norm_embeddings_do_not_poison_similarity(spark):
+    """Zero vectors (a realistic encoder output for empty input) must
+    score cosine 0.0 — not divide by zero (ANSI abort) and not NaN
+    (which sorts above every number and would top every top-k)."""
+    from pyspark.sql import Row
+
+    from svoe_spark.operators.similarity import (
+        brute_force_topk,
+        embedding_neardup_pairs,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0]),
+            Row(vec_id=1, embedding=[0.9, 0.1]),
+            Row(vec_id=2, embedding=[0.0, 0.0]),
+            Row(vec_id=3, embedding=[0.0, 0.0]),
+        ]
+    )
+    q = vecs.filter("vec_id = 0")
+    top = brute_force_topk(vecs, q, k=4).collect()
+    by_id = {r.vec_id: r.cosine for r in top}
+    assert by_id[2] == 0.0 and by_id[3] == 0.0
+    assert top[0].vec_id == 0  # the zero vectors must NOT rank first
+    pairs = embedding_neardup_pairs(vecs, threshold=0.5, dim=2).collect()
+    ids = {(r.id_a, r.id_b) for r in pairs}
+    assert (2, 3) not in ids  # zero-zero pair scores 0, below threshold

@@ -69,3 +69,13 @@ def test_cc_nonconvergence_raises_in_strict_mode(spark):
         out = connected_components(edges, max_iter=2, strict=False).collect()
     assert len(out) == 7
     assert any("fixpoint" in str(x.message) for x in w)
+
+
+def test_cc_string_ids(spark):
+    from pyspark.sql import Row
+
+    pairs = spark.createDataFrame(
+        [Row(id_a="docA", id_b="docB"), Row(id_a="docB", id_b="docC")]
+    )
+    comp = {r.id: r.comp for r in connected_components(pairs).collect()}
+    assert comp == {"docA": "docA", "docB": "docA", "docC": "docA"}

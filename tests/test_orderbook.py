@@ -261,3 +261,24 @@ def test_bucketed_emit_every(spark, sf_small):
         updates, depth=5, bucket="12h", emit_every="1d"
     ).count()
     assert 0 < sampled < raw
+
+
+def test_bucketed_emit_every_across_bucket_boundaries(spark, sf_small):
+    """Regression: with emit_every set, the per-time-bucket replay
+    restarted emission dedup at every bucket boundary — a bucket width
+    that is NOT a multiple of emit_every emitted extra rows. The
+    bucketed output must equal the sequential engine's exactly."""
+    from svoe_spark.operators.orderbook import reconstruct_book_bucketed
+
+    events = load_table(spark, "events", sf_small)
+    updates = synthetic_l2_updates(events)
+    seq = reconstruct_book(updates, depth=5, emit_every="1d").collect()
+    # 7h buckets deliberately misaligned with the 1d emission grid
+    buck = reconstruct_book_bucketed(
+        updates, depth=5, emit_every="1d", bucket="7h"
+    ).collect()
+    key = lambda r: (r["symbol"], r["ts"])  # noqa: E731
+    assert sorted(map(key, buck)) == sorted(map(key, seq))
+    s = {key(r): (r["bids"], r["asks"], r["inconsistencies"]) for r in seq}
+    b = {key(r): (r["bids"], r["asks"], r["inconsistencies"]) for r in buck}
+    assert s == b

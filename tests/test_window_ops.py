@@ -68,3 +68,31 @@ def test_approx_sketches_error_bound(spark, sf_mid):
         assert abs(r["est_users"] - r["exact_users"]) <= 0.05 * r["exact_users"]
         assert r["est_users_to_date"] >= prev * 0.95  # estimate jitter only
         prev = r["est_users_to_date"]
+
+
+def test_subsecond_trailing_window(spark):
+    """Regression: float-seconds rangeBetween bounds crashed py4j for
+    any sub-second window; the micros frame must work at '500ms'."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from svoe_spark.operators.windows import trailing_window
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(k="A", ts=base + dt.timedelta(milliseconds=m), v=float(i))
+        for i, m in enumerate([0, 300, 600, 1200])
+    ]
+    df = spark.createDataFrame(rows)
+    w = trailing_window("ts", "500ms", by="k")
+    out = {
+        int((r["ts"] - base).total_seconds() * 1000): r["s"]
+        for r in df.select("ts", F.sum("v").over(w).alias("s")).collect()
+    }
+    # 0ms: {0}; 300ms: {0,1}; 600ms: {1,2} (0 is 600ms away, excluded
+    # only if > 500ms — inclusive frame keeps 300ms row); 1200ms: {3}
+    assert out[0] == 0.0
+    assert out[300] == 1.0  # 0+1
+    assert out[600] == 3.0  # 1+2
+    assert out[1200] == 3.0  # just row 3
