@@ -139,6 +139,7 @@ class TradeVolumeImbalance(FeatureDefinition):
             price=params.get("price_col", "price"),
             amount=params.get("amount_col", "amount"),
             side=params.get("side_col", "side"),
+            buy_value=params.get("buy_value", "BUY"),
             by=keys,
             window=params.get("window", "1m"),
         )

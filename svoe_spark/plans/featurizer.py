@@ -106,7 +106,11 @@ class Featurizer:
     def _load_source(self, cfg: dict) -> DataFrame:
         kind = cfg.get("kind", "table")
         if kind == "table":
-            df = load_table(self.spark, cfg["table"], cfg["sf_dir"])
+            df = (
+                load_table(self.spark, cfg["table"], cfg["sf_dir"])
+                if "sf_dir" in cfg
+                else load_table(self.spark, cfg["table"])
+            )
             if "select" in cfg:
                 df = df.selectExpr(*cfg["select"])
             return df
@@ -146,11 +150,13 @@ class Featurizer:
         source_feature = Feature.make("__source__", config.data_source)
 
         by_name: dict[str, tuple[Feature, DataFrame]] = {}
+        # fan-out is counted AND looked up by feature NAME: deps refer
+        # to names, and by_name is empty at counting time, so a
+        # content-key lookup here would never match (dead persist)
         fanout: dict[str, int] = {}
         for fc in config.features:
             for d in fc.deps:
-                dep_key = by_name[d][0].key() if d in by_name else d
-                fanout[dep_key] = fanout.get(dep_key, 0) + 1
+                fanout[d] = fanout.get(d, 0) + 1
 
         for fc in config.features:
             defn = REGISTRY.get(fc.feature_definition)
@@ -176,7 +182,7 @@ class Featurizer:
                 )
             else:
                 df = defn.transform(upstreams, fc.params, config.keys)
-            if fanout.get(key, 0) > 1:
+            if fanout.get(fc.name, 0) > 1:
                 df = df.persist()
             self._df_cache[key] = df
             by_name[fc.name] = (node, df)
@@ -234,22 +240,55 @@ class Featurizer:
         if len(config.keys) != 1:
             raise ValueError("run_stream needs exactly one key column")
 
+        from pyspark.sql import functions as F
+
+        stream = source_stream
         specs: list[dict] = []
+        implicit_src: str | None = None
+
+        def source_fallback(fc) -> str:
+            # dep-less stddev/ewma: the batch path binds the raw source
+            # into the upstream slot; mirror it with one implicit
+            # passthrough spec of the source price column
+            nonlocal implicit_src
+            if fc.deps:
+                return fc.deps[0]
+            if implicit_src is None:
+                implicit_src = "__source__"
+                specs.append(
+                    {"name": implicit_src, "kind": "source",
+                     "col": fc.params.get("value_col", fc.params.get("price_col", "value"))}
+                )
+            return implicit_src
+
         for fc in config.features:
             if fc.feature_definition == "mid_price":
-                specs.append(
-                    {"name": fc.name, "kind": "source",
-                     "col": fc.params.get("price_col", "value")}
-                )
+                # mirror the batch MidPrice definition: with bid/ask on
+                # the source, the feature is (bid+ask)/2 — a raw-column
+                # passthrough here would silently stream a different
+                # series than the batch path computes
+                if "bid" in stream.columns and "ask" in stream.columns:
+                    col = f"__mid_{fc.name}"
+                    stream = stream.withColumn(
+                        col, (F.col("bid") + F.col("ask")) / 2
+                    )
+                else:
+                    col = fc.params.get("price_col", "value")
+                    if col not in stream.columns:
+                        raise ValueError(
+                            f"mid_price {fc.name!r}: source column {col!r} "
+                            f"not in stream columns {stream.columns}"
+                        )
+                specs.append({"name": fc.name, "kind": "source", "col": col})
             elif fc.feature_definition == "volatility_stddev":
                 specs.append(
                     {"name": fc.name, "kind": "stddev",
-                     "of": fc.deps[0],
+                     "of": source_fallback(fc),
                      "window": duration_to_seconds(fc.params.get("window", "1m"))}
                 )
             elif fc.feature_definition == "ewma":
                 specs.append(
-                    {"name": fc.name, "kind": "ewma", "of": fc.deps[0],
+                    {"name": fc.name, "kind": "ewma", "of": source_fallback(fc),
                      "alpha": fc.params.get("alpha", 0.1)}
                 )
             else:
@@ -257,9 +296,12 @@ class Featurizer:
                     f"feature {fc.feature_definition!r} has no fused streaming "
                     f"form; use its transform_stream directly (e.g. ohlcv)"
                 )
-        return feature_vector_stream(
-            source_stream, specs, key=config.keys[0], on="ts"
-        )
+        # drop the helper spec's column from the OUTPUT if it was only
+        # an implicit upstream (feature_vector_stream emits every spec)
+        out = feature_vector_stream(stream, specs, key=config.keys[0], on="ts")
+        if implicit_src is not None:
+            out = out.drop(f"{implicit_src}_value")
+        return out
 
     def get_materialized_data(
         self, config, pick_every_nth_row: int = 1

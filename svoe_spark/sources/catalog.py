@@ -104,10 +104,13 @@ def content_hash(df: DataFrame, cols: list[str] | None = None) -> int:
     per-row xxhash64. Distributed, one aggregate, no collect of data."""
     cols = cols or df.columns
     hashed = df.select(F.xxhash64(*cols).alias("h"))
+    # bit_xor, not sum: a sum of uniform 64-bit hashes overflows long
+    # almost immediately, which ANSI mode turns into a hard error (and
+    # xor is what the docstring promises — order-insensitive, lossless)
     row = hashed.agg(
-        F.sum("h").alias("s"), F.count(F.lit(1)).alias("n")
+        F.expr("bit_xor(h)").alias("x"), F.count(F.lit(1)).alias("n")
     ).first()
-    return hash((row["s"], row["n"]))
+    return hash((row["x"], row["n"]))
 
 
 def compact(

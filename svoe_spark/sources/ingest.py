@@ -26,10 +26,17 @@ def normalize(
     ts_format: str | None = None,
     side_col: str | None = None,
     drop: list[str] | None = None,
+    side_values: tuple[str, str] = ("bid", "ask"),
 ) -> DataFrame:
     """Provider normalization (reference P8): column renames, ISO/epoch
-    timestamp parsing, is_buy -> 'bid'/'ask' side decoding, column
-    drops."""
+    timestamp parsing, truthy-side decoding, column drops.
+
+    ``side_values``: (buy_side, sell_side) labels. Default ('bid',
+    'ask') matches the reference's L2 convention; pass ('BUY', 'SELL')
+    for trade streams feeding `operators.windows.tvi` (whose
+    ``buy_value`` defaults to 'BUY'), or set the tvi feature's
+    ``buy_value`` param to the label used here — a mismatch makes buy
+    volume silently zero."""
     for old, new in (renames or {}).items():
         df = df.withColumnRenamed(old, new)
     if ts_format:
@@ -39,12 +46,13 @@ def normalize(
     else:
         df = df.withColumn(ts_col, F.to_timestamp(ts_col))
     if side_col:
+        buy_side, sell_side = side_values
         df = df.withColumn(
             side_col,
             F.when(
                 F.col(side_col).cast("string").isin("1", "true", "True", "BUY", "buy"),
-                F.lit("bid"),
-            ).otherwise(F.lit("ask")),
+                F.lit(buy_side),
+            ).otherwise(F.lit(sell_side)),
         )
     for c in drop or []:
         df = df.drop(c)

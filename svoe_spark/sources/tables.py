@@ -40,13 +40,32 @@ def _nanos_columns(path: str) -> tuple[str, ...]:
 
     target = path
     if os.path.isdir(path):
-        files = [f for f in sorted(os.listdir(path)) if f.endswith(".parquet")]
-        if not files:
+        # recurse: partitioned datasets keep every file under
+        # day=*/... subdirectories with no top-level .parquet
+        target = None
+        for root, dirs, files in os.walk(path):
+            dirs.sort()
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    target = os.path.join(root, f)
+                    break
+            if target:
+                break
+        if target is None:
             return ()
-        target = os.path.join(path, files[0])
     schema = pq.read_schema(target)
+    # physical check: pyarrow surfaces Spark-written INT96 timestamps
+    # as timestamp[ns] too, but Spark reads those natively — only
+    # INT64 TIMESTAMP(NANOS) columns need the nanosAsLong route
+    physical = {
+        c.name: c.physical_type for c in pq.ParquetFile(target).schema
+    }
     return tuple(
-        f.name for f in schema if pt.is_timestamp(f.type) and f.type.unit == "ns"
+        f.name
+        for f in schema
+        if pt.is_timestamp(f.type)
+        and f.type.unit == "ns"
+        and physical.get(f.name) == "INT64"
     )
 
 
@@ -66,7 +85,13 @@ def normalize_ntz(df: DataFrame) -> DataFrame:
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """spark.read.parquet with transparent ns-timestamp and NTZ handling."""
+    """spark.read.parquet with transparent ns-timestamp and NTZ handling.
+
+    NOTE: reading an ns dataset sets spark.sql.legacy.parquet.nanosAsLong
+    for the SESSION (it must stay set while the returned lazy DataFrame
+    executes) — after that, a plain spark.read.parquet of another ns
+    dataset returns bigint nanos instead of erroring. Always read
+    parquet through this function."""
     ns_cols = _nanos_columns(path)
     if not ns_cols:
         return normalize_ntz(spark.read.parquet(path))

@@ -53,6 +53,21 @@ def feature_vector_stream(
     ewmas = [s for s in specs if s["kind"] == "ewma"]
     source_cols = sorted({s["col"] for s in specs if s["kind"] == "source"})
 
+    if not stateful and not ewmas:
+        # source-only graph: no state to carry — a plain projection
+        # (an applyInPandasWithState with an EMPTY state struct is
+        # rejected by the engine: 'head of empty list')
+        from pyspark.sql import functions as F
+
+        return src.select(
+            key,
+            on,
+            *[
+                F.col(s["col"]).cast("double").alias(f"{s['name']}_value")
+                for s in specs
+            ],
+        )
+
     out_schema = StructType(
         [
             StructField(key, src.schema[key].dataType),
@@ -107,11 +122,13 @@ def feature_vector_stream(
                     all_ts = np.concatenate([tbuf, ts])
                     all_v = np.concatenate([vbuf, up])
                     out = np.full(len(ts), np.nan)
-                    off = len(tbuf)
                     win = float(s["window"])
                     for i in range(len(ts)):
                         lo = np.searchsorted(all_ts, ts[i] - win, side="left")
-                        seg = all_v[lo : off + i + 1]
+                        # peers included: the batch RANGE frame covers
+                        # ALL rows with equal ts, not just earlier ones
+                        hi = np.searchsorted(all_ts, ts[i], side="right")
+                        seg = all_v[lo:hi]
                         if len(seg) > 1:
                             out[i] = seg.std(ddof=1)
                     keep = all_ts >= (all_ts[-1] - win) if len(all_ts) else slice(0, 0)

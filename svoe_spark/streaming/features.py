@@ -146,10 +146,12 @@ def trailing_stddev_stream(
             all_ts = np.concatenate([ts_buf, ts])
             all_v = np.concatenate([v_buf, vals])
             out = np.full(len(ts), np.nan)
-            offset = len(ts_buf)
             for i in range(len(ts)):
                 lo = np.searchsorted(all_ts, ts[i] - win_s, side="left")
-                seg = all_v[lo : offset + i + 1]
+                # peers included: the batch RANGE frame covers ALL rows
+                # with equal ts, not just the ones that arrived earlier
+                hi = np.searchsorted(all_ts, ts[i], side="right")
+                seg = all_v[lo:hi]
                 if len(seg) > 1:
                     out[i] = seg.std(ddof=1)
             ts_buf, v_buf = all_ts, all_v

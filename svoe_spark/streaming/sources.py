@@ -49,6 +49,15 @@ def replay_parquet(
     """Replay a stored parquet dataset as a bounded stream (use
     .trigger(availableNow=True) on the writer). Replaces the
     reference's threaded block loader + heap merge."""
+    from svoe_spark.sources.tables import _nanos_columns
+
+    if _nanos_columns(path):
+        raise ValueError(
+            "replay_parquet cannot stream a nanosecond-timestamp parquet "
+            "dataset (structured streaming has no ns conversion path); "
+            "materialize a microsecond copy first: "
+            "sources.tables.read_parquet(spark, path).write.parquet(...)"
+        )
     reader = spark.readStream
     if schema is None:
         schema = spark.read.parquet(path).schema
