@@ -53,7 +53,7 @@ def _rows_json(df: DataFrame, limit: int) -> list[dict[str, Any]]:
     return out
 
 
-def make_handler(spark: SparkSession):
+def make_handler(spark: SparkSession, token: str | None = None):
     from svoe_spark.all_queries import QUERIES
     from svoe_spark.plans.definitions import (
         REGISTRY,
@@ -62,6 +62,10 @@ def make_handler(spark: SparkSession):
     from svoe_spark.plans.featurizer import Featurizer
 
     class Handler(BaseHTTPRequestHandler):
+        #: POST endpoints execute code (uploaded FeatureDefinitions,
+        #: configured definition_paths) — when a token is configured,
+        #: every POST must carry it; without one, bind localhost only.
+        _token = token
         def log_message(self, *args) -> None:  # quiet test output
             pass
 
@@ -101,6 +105,11 @@ def make_handler(spark: SparkSession):
 
         def do_POST(self) -> None:  # noqa: N802
             try:
+                if self._token and (
+                    self.headers.get("X-Api-Token") != self._token
+                ):
+                    self._send(error="missing or invalid X-Api-Token", code=403)
+                    return
                 body = self._body()
                 if self.path.startswith("/query/"):
                     name = self.path[len("/query/"):]
@@ -127,12 +136,26 @@ def make_handler(spark: SparkSession):
 
 
 def serve(
-    spark: SparkSession, host: str = "127.0.0.1", port: int = 1228
+    spark: SparkSession,
+    host: str = "127.0.0.1",
+    port: int = 1228,
+    token: str | None = None,
 ) -> ThreadingHTTPServer:
     """Start the API server on a daemon thread and return it (call
     ``.shutdown()`` to stop). Port 1228 mirrors the reference default
-    (apiserver.py:135)."""
-    server = ThreadingHTTPServer((host, port), make_handler(spark))
+    (apiserver.py:135).
+
+    SECURITY: POST /feature_definition executes uploaded Python on the
+    driver (the reference's X5 definition upload). Binding beyond
+    localhost REQUIRES a ``token`` — clients then send it as the
+    X-Api-Token header on every POST."""
+    if host not in ("127.0.0.1", "localhost", "::1") and not token:
+        raise ValueError(
+            f"refusing to bind {host!r} without a token: the definition-"
+            "upload endpoint executes code; pass token=... (clients send "
+            "X-Api-Token) or bind localhost"
+        )
+    server = ThreadingHTTPServer((host, port), make_handler(spark, token))
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     return server

@@ -73,9 +73,15 @@ class DataStream:
 
     def flat_map(self, col: Column | str, alias: str = "value") -> "DataStream":
         """1->N on an array expression (reference flat_map,
-        operator.py:134-146) — explode, not a Python generator."""
+        operator.py:134-146) — explode, not a Python generator. A
+        source column with the same name as ``alias`` is replaced (the
+        reference replaces the element too); keeping both would emit an
+        ambiguous duplicate column."""
         c = F.expr(col) if isinstance(col, str) else col
-        return DataStream(self.df.select("*", F.explode(c).alias(alias)), self._key)
+        keep = [k for k in self.df.columns if k != alias]
+        return DataStream(
+            self.df.select(*keep, F.explode(c).alias(alias)), self._key
+        )
 
     def filter(self, predicate: Column | str) -> "DataStream":
         p = F.expr(predicate) if isinstance(predicate, str) else predicate
@@ -93,10 +99,14 @@ class DataStream:
         svoe_spark.streaming.aggregate for per-update emission."""
         if not self._key:
             raise ValueError("reduce requires key_by first")
+        # the key column survives the groupBy, so the stream STAYS
+        # keyed (Flink's KeyedStream semantics) — dropping the key here
+        # made every subsequent keyed verb demand a redundant key_by
         return DataStream(
             self.df.groupBy(self._key).agg(
                 *[c.alias(name) for name, c in aggs.items()]
-            )
+            ),
+            self._key,
         )
 
     def join(self, other: "DataStream", how: str = "inner") -> "DataStream":
@@ -104,6 +114,13 @@ class DataStream:
         data_stream.py:65-109): both sides must be key_by'd."""
         if not self._key or not other._key:
             raise ValueError("join requires key_by on both streams")
+        if self._key == other._key:
+            # same key name: join on the name so ONE key column
+            # survives — a column-equality condition keeps both and
+            # every later reference to the key is ambiguous
+            return DataStream(
+                self.df.join(other.df, on=self._key, how=how), self._key
+            )
         cond = self.df[self._key] == other.df[other._key]
         return DataStream(self.df.join(other.df, cond, how), self._key)
 

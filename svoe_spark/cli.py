@@ -64,6 +64,12 @@ def main(argv: list[str] | None = None) -> int:
     srv = sub.add_parser("serve")
     srv.add_argument("--host", default="127.0.0.1")
     srv.add_argument("--port", type=int, default=1228)
+    srv.add_argument(
+        "--token",
+        default=None,
+        help="required when binding beyond localhost: POST endpoints "
+        "execute uploaded definitions; clients send X-Api-Token",
+    )
 
     sub.add_parser("bench")
 
@@ -81,7 +87,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "serve":
         from svoe_spark.api.rest import serve
 
-        server = serve(spark, host=args.host, port=args.port)
+        server = serve(spark, host=args.host, port=args.port, token=args.token)
         print(json.dumps({"serving": f"http://{args.host}:{server.server_address[1]}"}))
         try:
             import threading
@@ -137,6 +143,10 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         fls = Featurizer(spark).run(args.config)
+        # every downstream action (quantile split, fit, evaluate,
+        # counts) re-executes the full featurize pipeline otherwise —
+        # persist once, release at the end
+        fls = fls.persist()
         train, valid, test = time_split(fls)
         clean_test = test.na.drop(subset=args.features + [args.label])
         if args.action == "best-model":
@@ -145,6 +155,7 @@ def main(argv: list[str] | None = None) -> int:
             )
             info["r2_test"] = r2(score(model, clean_test), args.label)
             print(json.dumps(info))
+            fls.unpersist()
             return 0
         model = train_regressor(train, args.features, args.label, kind=args.kind)
         scored = score(model, clean_test)
@@ -162,9 +173,11 @@ def main(argv: list[str] | None = None) -> int:
                 preds.show(args.show, truncate=False)
                 print(json.dumps({"rows": preds.count()}))
                 preds.unpersist()
+            fls.unpersist()
             return 0
         print(json.dumps({"r2_test": r2(scored, args.label), "n_train": train.count(),
                           "n_test": test.count()}))
+        fls.unpersist()
         return 0
 
     return 1

@@ -136,6 +136,14 @@ def run_backtest_time_split(
         F.min("ts").alias("lo"), F.max("ts").alias("hi")
     ).first()
     lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None or hi is None:
+        # zero feature rows: an empty result, like run_backtest —
+        # not a TypeError on None arithmetic
+        empty_schema = StructType(
+            [RESULT_SCHEMA[0], StructField("window", LongType())]
+            + RESULT_SCHEMA.fields[1:]
+        )
+        return features.sparkSession.createDataFrame([], empty_schema)
     total = (hi - lo).total_seconds() or 1.0
     bucket = F.least(
         F.lit(n_splits - 1),

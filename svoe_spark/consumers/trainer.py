@@ -28,6 +28,11 @@ def time_split(
     q = df.select(F.col(on).cast("double").alias("e")).approxQuantile(
         "e", [lo_frac, mid_frac], 0.001
     )
+    if len(q) < 2:
+        raise ValueError(
+            "time_split: input has no (non-null) event timestamps — "
+            "nothing to split; check the featurizer config/time range"
+        )
     t1, t2 = q
     e = F.col(on).cast("double")
     return (

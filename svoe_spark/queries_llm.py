@@ -110,7 +110,9 @@ def _minhash_sql() -> str:
     ),
     bands AS (
       {" UNION ALL ".join(
-        f"SELECT {b} AS band, CAST(m{b * _MH.rows} AS VARCHAR) || '_' || CAST(m{b * _MH.rows + 1} AS VARCHAR) AS bkey, doc_id FROM sigs"
+        "SELECT %d AS band, %s AS bkey, doc_id FROM sigs"
+        % (b, " || '_' || ".join(
+            f"CAST(m{b * _MH.rows + r} AS VARCHAR)" for r in range(_MH.rows)))
         for b in range(_MH.bands)
       )}
     ),
