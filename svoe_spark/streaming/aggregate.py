@@ -20,6 +20,17 @@ from pyspark.sql.types import DoubleType, StructField, StructType, TimestampType
 _INITS = {"sum": 0.0, "count": 0.0, "min": float("inf"), "max": float("-inf"), "last": float("nan")}
 
 
+def tws_available() -> bool:
+    """transformWithStateInPandas requires protobuf for its state-server
+    protocol (import-try gate, like the optional image dependencies)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def running_reduce_stream(
     df: DataFrame,
     value: str,
@@ -83,5 +94,106 @@ def running_reduce_stream(
             stateStructType=state_schema,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def running_reduce_tws(
+    df: DataFrame,
+    value: str,
+    ops: list[str],
+    key: str = "symbol",
+    on: str = "ts",
+) -> DataFrame:
+    """The same per-update keyed reduce on Spark 4's
+    ``transformWithStateInPandas`` — the successor API to
+    applyInPandasWithState (explicit named state variables with
+    server-side encoding, optional TTL, timers, and RocksDB-backed
+    state). Semantics are identical to ``running_reduce_stream``; the
+    two share the accumulator definitions, and the equivalence test
+    drives both against the same batch oracle. New pipelines should
+    prefer this form — the legacy variant stays for Spark 3.x parity.
+
+    Environment gate: the tWS driver worker speaks protobuf to the
+    state server; without the google.protobuf package this raises a
+    clear error naming ``running_reduce_stream`` as the fallback.
+    """
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs the google.protobuf package "
+            "(its state-server protocol); not available in this "
+            "environment — use running_reduce_stream (identical "
+            "semantics on the legacy applyInPandasWithState API)"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    for op in ops:
+        if op not in _INITS:
+            raise ValueError(f"unsupported reduce op: {op}; use {sorted(_INITS)}")
+
+    out_schema = StructType(
+        [
+            StructField(key, df.schema[key].dataType),
+            StructField(on, TimestampType()),
+            StructField(value, DoubleType()),
+            *[StructField(f"{op}_{value}", DoubleType()) for op in ops],
+        ]
+    )
+    acc_schema = StructType(
+        [StructField(f"acc_{op}", DoubleType()) for op in ops]
+    )
+
+    class Reduce(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._acc = handle.getValueState("acc", acc_schema)
+
+        def handleInputRows(self, key_tuple, rows, timerValues):
+            accs = (
+                list(self._acc.get())
+                if self._acc.exists()
+                else [_INITS[op] for op in ops]
+            )
+            for pdf in rows:
+                pdf = pdf.sort_values(on)
+                vals = pdf[value].astype(float)
+                out = {key: key_tuple[0], on: pdf[on], value: vals}
+                for i, op in enumerate(ops):
+                    if op == "sum":
+                        series = vals.cumsum() + accs[i]
+                    elif op == "count":
+                        series = (
+                            pd.Series(
+                                range(1, len(vals) + 1),
+                                index=vals.index,
+                                dtype=float,
+                            )
+                            + accs[i]
+                        )
+                    elif op == "min":
+                        series = vals.cummin().clip(upper=accs[i])
+                    elif op == "max":
+                        series = vals.cummax().clip(lower=accs[i])
+                    else:  # last
+                        series = vals
+                    if len(series):
+                        accs[i] = float(series.iloc[-1])
+                    out[f"{op}_{value}"] = series
+                yield pd.DataFrame(out)
+            self._acc.update(tuple(accs))
+
+        def close(self) -> None:
+            pass
+
+    return (
+        df.select(key, on, value)
+        .groupBy(key)
+        .transformWithStateInPandas(
+            Reduce(),
+            outputStructType=out_schema,
+            outputMode="append",
+            timeMode="none",
         )
     )

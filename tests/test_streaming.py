@@ -259,3 +259,40 @@ def test_stateless_cleaning_runs_on_stream(spark, sf_small, tmp_path):
         assert sorted(map(tuple, out.collect()), key=k) == sorted(
             map(tuple, op(batch).collect()), key=k
         )
+
+
+def test_running_reduce_tws_equals_legacy(spark, sf_small, tick_parquet):
+    """Spark 4 transformWithStateInPandas form: identical per-update
+    emissions to the legacy applyInPandasWithState operator. Skipped
+    where the tWS protobuf dependency is absent (this container); the
+    gate itself must then raise a clear error."""
+    from svoe_spark.streaming.aggregate import running_reduce_tws, tws_available
+
+    if not tws_available():
+        with pytest.raises(RuntimeError, match="running_reduce_stream"):
+            running_reduce_tws(
+                replay_parquet(spark, tick_parquet).select(
+                    F.col("event_type").alias("symbol"), F.col("ts"), F.col("value")
+                ),
+                value="value",
+                ops=["sum"],
+            )
+        pytest.skip("google.protobuf absent: transformWithState gated off")
+
+    def src():
+        return replay_parquet(spark, tick_parquet).select(
+            F.col("event_type").alias("symbol"), F.col("ts"), F.col("value")
+        )
+
+    new = run_available_to_memory(
+        running_reduce_tws(src(), value="value", ops=["sum", "count", "max"]),
+        "tws_reduce",
+    )
+    old = run_available_to_memory(
+        running_reduce_stream(src(), value="value", ops=["sum", "count", "max"]),
+        "legacy_reduce",
+    )
+    k = lambda r: (r["symbol"], r["ts"])  # noqa: E731
+    a = sorted(map(tuple, new.collect()), key=lambda t: (t[0], t[1]))
+    b = sorted(map(tuple, old.collect()), key=lambda t: (t[0], t[1]))
+    assert a == b and len(a) > 0
