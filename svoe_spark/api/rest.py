@@ -27,6 +27,7 @@ reference's single apiserver process."""
 
 from __future__ import annotations
 
+import hmac
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -105,8 +106,8 @@ def make_handler(spark: SparkSession, token: str | None = None):
 
         def do_POST(self) -> None:  # noqa: N802
             try:
-                if self._token and (
-                    self.headers.get("X-Api-Token") != self._token
+                if self._token and not hmac.compare_digest(
+                    self.headers.get("X-Api-Token") or "", self._token
                 ):
                     self._send(error="missing or invalid X-Api-Token", code=403)
                     return

@@ -237,6 +237,19 @@ def _replay(
     return _acc_frame(acc, "__key")
 
 
+def _default_bundles(df: DataFrame) -> int:
+    """Session parallelism as the default bundle count, falling back to
+    the shuffle-partitions conf when the session has no sparkContext
+    (Spark Connect — same guard pattern as asof._has_python_stage)."""
+    try:
+        return df.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # noqa: BLE001 — Connect sessions lack sparkContext
+        try:
+            return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:  # noqa: BLE001
+            return 32
+
+
 def reconstruct_book(
     df: DataFrame,
     key: str = "symbol",
@@ -259,7 +272,7 @@ def reconstruct_book(
     identical — the bundle is only a scheduling unit."""
     every = duration_to_seconds(emit_every) if emit_every is not None else None
     schema = snapshot_schema(key)
-    nb = bundles or df.sparkSession.sparkContext.defaultParallelism
+    nb = bundles or _default_bundles(df)
 
     def fn(_, pdf: pd.DataFrame) -> pd.DataFrame:
         acc = _new_acc()

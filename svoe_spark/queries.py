@@ -1229,7 +1229,7 @@ JOIN incs i ON i.symbol = e.symbol AND i.seq = e.seq
 _OB_EV = """
   SELECT CAST(user_id AS VARCHAR) AS symbol, ts, event_type,
          value AS v, CAST(json_extract_string(props,'$.k') AS DOUBLE) AS k,
-         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS seq
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
   FROM events
 """
 
@@ -1296,7 +1296,13 @@ def orderbook_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     events = load_table(spark, "events", sf_dir)
-    snaps = reconstruct_book_auto(synthetic_l2_updates(events), depth=10)
+    # event_id as seq tie-break: rows with equal (symbol, ts) would make
+    # both engine and oracle independently nondeterministic otherwise.
+    snaps = reconstruct_book_auto(
+        synthetic_l2_updates(events, passthrough=("event_id",)),
+        depth=10,
+        seq_col="event_id",
+    )
     return snaps.select(
         "symbol",
         "ts",
@@ -1331,8 +1337,10 @@ def orderbook_snapshots_cryptofeed(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     events = load_table(spark, "events", sf_dir)
-    updates = cryptofeed_updates(synthetic_cryptofeed_updates(events))
-    snaps = reconstruct_book_auto(updates, depth=10)
+    updates = cryptofeed_updates(
+        synthetic_cryptofeed_updates(events, passthrough=("event_id",))
+    )
+    snaps = reconstruct_book_auto(updates, depth=10, seq_col="event_id")
     return snaps.select(
         "symbol",
         "ts",

@@ -954,8 +954,14 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from svoe_spark.operators.graph import dedup_clusters
 
     docs = load_table(spark, "documents", sf_dir)
-    pairs = minhash_dedup_pairs(docs, params=_MH).select("id_a", "id_b")
-    return dedup_clusters(docs, pairs)
+    p = minhash_dedup_pairs(docs, params=_MH)
+    pairs = p.select("id_a", "id_b")
+    out = dedup_clusters(docs, pairs)
+    # propagate the persisted-signature handle the select above would
+    # otherwise drop, so long-lived sessions can unpersist it
+    if hasattr(p, "_svoe_persisted"):
+        out._svoe_persisted = p._svoe_persisted
+    return out
 
 
 @query(

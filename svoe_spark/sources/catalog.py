@@ -104,13 +104,16 @@ def content_hash(df: DataFrame, cols: list[str] | None = None) -> int:
     per-row xxhash64. Distributed, one aggregate, no collect of data."""
     cols = cols or df.columns
     hashed = df.select(F.xxhash64(*cols).alias("h"))
-    # bit_xor, not sum: a sum of uniform 64-bit hashes overflows long
-    # almost immediately, which ANSI mode turns into a hard error (and
-    # xor is what the docstring promises — order-insensitive, lossless)
+    # xor alone cancels even-multiplicity rows ({A,A,B} == {C,C,B}), so
+    # combine it with a multiset-sensitive sum; decimal(38,0) keeps the
+    # sum ANSI-safe (a plain long sum of uniform 64-bit hashes overflows
+    # immediately, which ANSI mode turns into a hard error).
     row = hashed.agg(
-        F.expr("bit_xor(h)").alias("x"), F.count(F.lit(1)).alias("n")
+        F.expr("bit_xor(h)").alias("x"),
+        F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
     ).first()
-    return hash((row["x"], row["n"]))
+    return hash((row["x"], str(row["s"]), row["n"]))
 
 
 def compact(
