@@ -16,31 +16,53 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
+def _digest(df: DataFrame, *cols: str):
+    """Content digest of a relation: decimal(38,0) sum of per-row
+    hashes. One cheap scalar aggregation; id-type-agnostic (string doc
+    ids are legal — a numeric cast would crash under ANSI or, worse,
+    return NULL and fake convergence); decimal(38) so the hash sum
+    cannot overflow int64. Run against a lazily-localCheckpointed
+    relation this is ALSO the materializing action — one job per round
+    covers both lineage truncation and the convergence check."""
+    row = df.agg(
+        F.sum(F.xxhash64(*[F.col(c) for c in cols]).cast("decimal(38,0)")).alias("s")
+    ).first()
+    return row["s"]
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
     strict: bool = True,
+    switch_after: int = 5,
 ) -> DataFrame:
-    """Connected components by iterative min-label propagation:
-    every node starts labeled with itself; each round every node takes
-    the minimum label among itself and its neighbors; fixpoint = each
-    component labeled by its smallest member. Returns (id, comp) for
+    """Connected components with automatic algorithm selection:
+    min-label propagation for the common low-diameter case, switching
+    to alternating large-star/small-star when propagation hasn't
+    converged after ``switch_after`` rounds. Returns (id, comp) for
     every node appearing in ``pairs`` (isolated ids never appear —
-    callers union singletons back, see `dedup_clusters`).
+    callers union singletons back, see `dedup_clusters`); ``comp`` is
+    the smallest member of the node's component.
 
-    Scale shape: each round is one shuffle join (edges x labels) plus a
-    min-aggregation — all narrow keys, no skew beyond the graph's own
-    degree distribution. Rounds needed = graph diameter, and near-dup
+    Min-label propagation: every node starts labeled with itself; each
+    round every node takes the minimum label among itself and its
+    neighbors; fixpoint = each component labeled by its smallest
+    member. Each round is one shuffle join (edges x labels) plus a
+    min-aggregation — narrow keys, no skew beyond the graph's own
+    degree distribution. Rounds needed = graph diameter. Near-dup
     clusters are low-diameter by construction (LSH buckets create
-    near-cliques), so convergence is a handful of rounds; `max_iter`
-    bounds adversarial chains. Lineage is truncated per round with an
-    eager localCheckpoint (the standard Spark iterative-algorithm
-    pattern — without it the plan doubles every round). For graphs with
-    huge skewed components, the alternating large-star/small-star
-    variant halves round count; the propagation core is the same join.
-    """
+    near-cliques), so this converges in a handful of rounds and never
+    triggers the switch; long chains (diameter > switch_after) restart
+    on the two-star variant, which converges in O(log^2 n) rounds
+    regardless of diameter (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14). ``switch_after=None`` disables
+    the switch (plain propagation up to ``max_iter``).
+
+    Lineage is truncated per round with a lazy localCheckpoint whose
+    materializing action IS the convergence digest — one job per round
+    (the eager-checkpoint + separate digest form ran two)."""
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -50,25 +72,13 @@ def connected_components(
     labels = edges.select("src").distinct().select(
         F.col("src").alias("id"), F.col("src").alias("comp")
     )
-    # convergence check: per-node labels only ever decrease (numeric or
-    # lexicographic min), so the LABELING as a multiset changes every
-    # non-converged round — compare a content digest: sum of per-row
-    # (id, comp) hashes. One cheap scalar aggregation per round instead
-    # of a labels-vs-labels join; id-type-agnostic (string doc ids are
-    # legal — a numeric cast would crash under ANSI or, worse, return
-    # NULL and fake convergence); decimal(38) so the hash sum cannot
-    # overflow int64.
-    def label_sum(lb):
-        row = lb.agg(
-            F.sum(
-                F.xxhash64(F.col("id"), F.col("comp")).cast("decimal(38,0)")
-            ).alias("s")
-        ).first()
-        return row["s"]
-
+    # per-node labels only ever decrease (numeric or lexicographic min),
+    # so the labeling as a multiset changes every non-converged round —
+    # digest equality = fixpoint.
+    rounds = max_iter if switch_after is None else min(switch_after, max_iter)
     prev_sum = None
     converged = False
-    for _ in range(max_iter):
+    for _ in range(rounds):
         prop = edges.join(labels, edges["dst"] == labels["id"]).select(
             edges["src"].alias("id"), "comp"
         )
@@ -76,13 +86,19 @@ def connected_components(
             labels.unionByName(prop)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        cur = label_sum(labels)
+        cur = _digest(labels, "id", "comp")
         if cur is None or cur == prev_sum:  # None = empty graph
             converged = True
             break
         prev_sum = cur
+    if not converged and switch_after is not None and switch_after < max_iter:
+        # diameter exceeds the propagation budget — restart on the
+        # logarithmic-round algorithm using the still-persisted edges
+        out = _two_star(edges, max_iter=max_iter, strict=strict)
+        edges.unpersist()
+        return out
     edges.unpersist()
     if not converged:
         # a silently-partial labeling would split true clusters and let
@@ -101,14 +117,129 @@ def connected_components(
     return labels
 
 
+def connected_components_twostar(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 40,
+    strict: bool = True,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    rounds (Kiveris et al., SoCC'14): O(log^2 n) rounds independent of
+    graph diameter, the scale path for adversarial chains and huge
+    skewed components. Same (id, comp) contract as
+    `connected_components`."""
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    out = _two_star(edges, max_iter=max_iter, strict=strict)
+    edges.unpersist()
+    return out
+
+
+def _two_star(edges: DataFrame, max_iter: int, strict: bool) -> DataFrame:
+    """Alternating large-star/small-star over a symmetrized, distinct
+    edge set until the edge relation reaches a fixpoint (a star per
+    component centered at its minimum node), then read labels off the
+    stars. ``edges`` must have columns (src, dst), both directions.
+
+    Each star round is one aggregation (per-node min over neighbors and
+    self) plus one join back to the edges — the same shuffle shape as a
+    propagation round, but the relabeling contracts long chains
+    geometrically instead of one hop per round.
+
+    large-star(u): connect every neighbor v > u to m(u) = min(N(u)+u).
+    small-star(u): connect every neighbor v <= u, and u itself, to m(u).
+    (Formulation from the paper; both preserve connectivity, and the
+    composition strictly shrinks the potential unless at fixpoint.)"""
+    nodes = edges.select(F.col("src").alias("id")).distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _digest(nodes, "id")  # materialize before edges mutate
+
+    def star(ed: DataFrame, large: bool) -> DataFrame:
+        mins = ed.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        j = ed.join(mins, "src")
+        cond = F.col("dst") > F.col("src") if large else F.col("dst") <= F.col("src")
+        new = j.where(cond).select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        if not large:
+            # small-star also links u itself to m(u)
+            new = new.unionByName(
+                mins.select(F.col("src"), F.col("m").alias("dst"))
+            )
+        # drop self-loops, re-symmetrize, dedup: keeps the relation a
+        # simple undirected graph and bounds growth
+        new = new.where(F.col("src") != F.col("dst"))
+        return (
+            new.unionByName(
+                new.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+
+    prev_sum = object()
+    converged = False
+    cur_edges = edges
+    for _ in range(max_iter):
+        cur_edges = star(star(cur_edges, large=True), large=False)
+        cur = _digest(cur_edges, "src", "dst")
+        if cur == prev_sum:
+            converged = True
+            break
+        prev_sum = cur
+    if not converged:
+        msg = (
+            f"two-star connected components did not converge in {max_iter} "
+            "large/small rounds — raise max_iter or pass strict=False."
+        )
+        if strict:
+            nodes.unpersist()
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning)
+    # at fixpoint every component is a star centered at its min node:
+    # non-center nodes appear as (v, center) with center < v; centers
+    # (and isolated-by-contraction nodes) label themselves.
+    centers = cur_edges.where(F.col("dst") < F.col("src")).select(
+        F.col("src").alias("id"), F.col("dst").alias("comp")
+    )
+    labels = (
+        nodes.join(centers, "id", "left")
+        .select("id", F.coalesce("comp", "id").alias("comp"))
+        .localCheckpoint(eager=False)
+    )
+    _digest(labels, "id", "comp")
+    nodes.unpersist()
+    return labels
+
+
 def dedup_clusters(
-    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Assign every document a duplicate-cluster id (the smallest doc
     id in its component; singletons cluster with themselves) plus the
     cluster size and a canonical flag — the keep/drop decision of a
-    near-dedup pipeline is then `filter(is_canonical)`."""
-    comp = connected_components(pairs)
+    near-dedup pipeline is then `filter(is_canonical)`.
+
+    ``algorithm``: 'auto' (min-label propagation, two-star fallback) or
+    'twostar' (straight to the logarithmic-round algorithm — right when
+    the pair graph is known to have long chains or huge components)."""
+    if algorithm == "twostar":
+        comp = connected_components_twostar(pairs)
+    elif algorithm == "auto":
+        comp = connected_components(pairs)
+    else:
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     lab = (
         docs.select(id_col)
         .join(comp, docs[id_col] == comp["id"], "left")

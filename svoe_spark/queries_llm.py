@@ -915,9 +915,7 @@ def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_embeddings(load_table(spark, "embeddings", sf_dir))
 
 
-@query(
-    "dedup_clusters",
-    f"""
+_DEDUP_CLUSTERS_SQL = f"""
     WITH RECURSIVE {_minhash_sql()},
     vpairs AS (
       SELECT id_a, id_b
@@ -942,26 +940,45 @@ def embedding_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lab.doc_id, lab.cluster_id, sz.cluster_size,
            lab.doc_id = lab.cluster_id AS is_canonical
     FROM lab JOIN sz USING (cluster_id)
-    """,
-)
-def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clustering: MinHash+LSH verified pairs -> connected
-    components (iterative min-label propagation, one shuffle join per
-    round, diameter-bounded) -> per-doc cluster id / size / canonical
-    flag. The transitive-closure step every corpus dedup needs between
-    pair generation and the keep/drop decision; oracle = DuckDB
-    recursive-CTE reachability over the identical verified pair set."""
+    """
+
+
+def _dedup_clusters_impl(
+    spark: SparkSession, sf_dir: str, algorithm: str
+) -> DataFrame:
     from svoe_spark.operators.graph import dedup_clusters
 
     docs = load_table(spark, "documents", sf_dir)
     p = minhash_dedup_pairs(docs, params=_MH)
     pairs = p.select("id_a", "id_b")
-    out = dedup_clusters(docs, pairs)
+    out = dedup_clusters(docs, pairs, algorithm=algorithm)
     # propagate the persisted-signature handle the select above would
     # otherwise drop, so long-lived sessions can unpersist it
     if hasattr(p, "_svoe_persisted"):
         out._svoe_persisted = p._svoe_persisted
     return out
+
+
+@query("dedup_clusters", _DEDUP_CLUSTERS_SQL)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash+LSH verified pairs -> connected
+    components (min-label propagation with automatic two-star fallback,
+    one shuffle join per round) -> per-doc cluster id / size /
+    canonical flag. The transitive-closure step every corpus dedup
+    needs between pair generation and the keep/drop decision; oracle =
+    DuckDB recursive-CTE reachability over the identical verified pair
+    set."""
+    return _dedup_clusters_impl(spark, sf_dir, "auto")
+
+
+@query("dedup_clusters_twostar", _DEDUP_CLUSTERS_SQL, bench=False)
+def dedup_clusters_twostar_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering through the alternating large-star/small-star
+    algorithm (Kiveris et al., SoCC'14 — O(log^2 n) rounds independent
+    of diameter, the scale path for long-chain / skewed-component pair
+    graphs); identical recursive-CTE oracle, so the driver hash-checks
+    that both algorithms produce the same clustering."""
+    return _dedup_clusters_impl(spark, sf_dir, "twostar")
 
 
 @query(

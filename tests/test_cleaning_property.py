@@ -51,6 +51,16 @@ def test_connected_components_matches_union_find(spark, edges):
     assert got == _union_find_components(edges)
 
 
+@_slow
+@given(edges=edges_strategy)
+def test_twostar_components_match_union_find(spark, edges):
+    from svoe_spark.operators.graph import connected_components_twostar
+
+    pairs = spark.createDataFrame([Row(id_a=a, id_b=b) for a, b in edges])
+    got = {r.id: r.comp for r in connected_components_twostar(pairs).collect()}
+    assert got == _union_find_components(edges)
+
+
 docs_strategy = st.lists(
     st.lists(
         st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12
