@@ -197,3 +197,31 @@ def running_reduce_tws(
             timeMode="none",
         )
     )
+
+
+def keyed_reduce_stream(
+    df: DataFrame,
+    value: str,
+    ops: list[str],
+    key: str = "symbol",
+    on: str = "ts",
+    impl: str = "auto",
+) -> DataFrame:
+    """THE public entry point for the keyed running reduce (reference
+    A6): callers never choose a state API. ``impl='auto'`` dispatches
+    to transformWithStateInPandas when its protobuf dependency is
+    importable (Spark 4's successor state API: named state variables,
+    TTL, timers, RocksDB backend) and to the legacy
+    applyInPandasWithState form otherwise — the two are
+    semantics-identical and equivalence-tested against the same batch
+    oracle (tests/test_streaming.py). ``impl='legacy'``/``'tws'``
+    force a specific backend (the forced tws path raises a clear error
+    where protobuf is absent — in this build environment the gate is
+    permanent, so 'auto' always resolves to legacy here)."""
+    if impl == "auto":
+        impl = "tws" if tws_available() else "legacy"
+    if impl == "tws":
+        return running_reduce_tws(df, value, ops, key=key, on=on)
+    if impl == "legacy":
+        return running_reduce_stream(df, value, ops, key=key, on=on)
+    raise ValueError(f"unknown impl: {impl!r}; use 'auto', 'legacy' or 'tws'")

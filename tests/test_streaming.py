@@ -163,11 +163,15 @@ def test_stream_equi_join_equals_batch(spark, sf_small, tick_parquet):
 
 
 def test_running_reduce_stream(spark, sf_small, tick_parquet):
+    # drive through the unified dispatcher — resolves to whichever
+    # state API the environment supports
+    from svoe_spark.streaming.aggregate import keyed_reduce_stream
+
     stream = replay_parquet(spark, tick_parquet).select(
         F.col("event_type").alias("symbol"), F.col("ts"), F.col("value")
     )
     out = run_available_to_memory(
-        running_reduce_stream(stream, value="value", ops=["sum", "count", "max"])
+        keyed_reduce_stream(stream, value="value", ops=["sum", "count", "max"])
     )
     rows = sorted(
         (r for r in out.collect() if r["symbol"] == "click"), key=lambda r: r["ts"]
@@ -296,3 +300,20 @@ def test_running_reduce_tws_equals_legacy(spark, sf_small, tick_parquet):
     a = sorted(map(tuple, new.collect()), key=lambda t: (t[0], t[1]))
     b = sorted(map(tuple, old.collect()), key=lambda t: (t[0], t[1]))
     assert a == b and len(a) > 0
+
+
+def test_keyed_reduce_dispatch(spark):
+    from svoe_spark.streaming.aggregate import keyed_reduce_stream, tws_available
+
+    df = spark.readStream.format("rate").load().selectExpr(
+        "'k' AS symbol", "timestamp AS ts", "CAST(value AS DOUBLE) AS value"
+    )
+    # auto picks a backend without raising in either environment
+    q = keyed_reduce_stream(df, value="value", ops=["sum"])
+    assert q.isStreaming
+    # forcing tws where protobuf is absent must raise the documented gate
+    if not tws_available():
+        with pytest.raises(RuntimeError, match="protobuf"):
+            keyed_reduce_stream(df, value="value", ops=["sum"], impl="tws")
+    with pytest.raises(ValueError, match="unknown impl"):
+        keyed_reduce_stream(df, value="value", ops=["sum"], impl="nope")
