@@ -1353,6 +1353,43 @@ def orderbook_snapshots_cryptofeed(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "live_book_features",
+    f"""
+    SELECT symbol, ts, best_bid, best_ask,
+           (best_bid + best_ask) / 2.0 AS mid_price,
+           best_ask - best_bid AS spread,
+           bid_depth, ask_depth, inconsistencies
+    FROM ({_orderbook_oracle(_OB_EV, _OB_OPS_CRYPTOFEED)})
+    """,
+    bench=False,
+)
+def live_book_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch shape of the live ingest pipeline (S6): cryptofeed
+    dialect -> book reconstruction -> top-of-book feature projection
+    (mid price / spread / depths — the reference's A7 scalars read off
+    the live book). The SAME projection runs on the streaming leg over
+    a TCP NDJSON feed consumed by the socket source
+    (streaming/live.py; stream==batch equality in
+    tests/test_live_source.py) — this row hash-verifies the shared
+    lineage against the SQL book oracle extended with the feature
+    expressions."""
+    from svoe_spark.operators.orderbook import (
+        cryptofeed_updates,
+        reconstruct_book_auto,
+        synthetic_cryptofeed_updates,
+    )
+    from svoe_spark.streaming.live import book_feature_stream
+
+    events = load_table(spark, "events", sf_dir)
+    updates = cryptofeed_updates(
+        synthetic_cryptofeed_updates(events, passthrough=("event_id",))
+    )
+    return book_feature_stream(
+        reconstruct_book_auto(updates, depth=10, seq_col="event_id")
+    )
+
+
+@query(
     "local_extrema",
     """
     SELECT event_id, ts, event_type, value, is_local_min, is_local_max
