@@ -163,18 +163,32 @@ def ivf_train(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 10,
+    distance_measure: str = "cosine",
 ) -> list[list[float]]:
     """Train the IVF coarse codebook with stock MLlib KMeans (the
     training half the seeded default in ann_ivf_topk stands in for).
     Returns plain Python centroids for ivf_assign's constant-literal
-    plan — training is distributed; the codebook is driver-sized."""
+    plan — training is distributed; the codebook is driver-sized.
+
+    distance_measure defaults to 'cosine' because `ivf_assign` routes
+    by cosine: Euclidean-trained centroids are coordinate means whose
+    directions misalign with the cosine argmax (measured: recall@10
+    0.32 vs 0.84 for the same k at nprobe=1 on the sf0.1 fixture —
+    worse than seeding with raw data vectors). Zero vectors are
+    excluded from training (cosine distance is undefined on them;
+    MLlib throws)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    v = vectors.select(
+    v = vectors
+    if distance_measure == "cosine":
+        v = v.where(norm_sq(vec_col) > 0)
+    v = v.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
-    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(v)
+    model = KMeans(
+        k=k, seed=seed, maxIter=max_iter, distanceMeasure=distance_measure
+    ).fit(v)
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
 

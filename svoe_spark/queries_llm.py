@@ -1093,6 +1093,27 @@ def ann_ivf_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_ivf_trained", None)
+def ann_ivf_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the TRAINED coarse codebook: a stock MLlib KMeans
+    fit (fixed seed, distributed training, driver-sized codebook)
+    instead of the deterministic first-16 seed the oracled IVF queries
+    use. Assignment/probe is the identical constant-literal argmax plan
+    (`ivf_assign`), so this row exercises the production training half
+    end-to-end. rows-only BY DESIGN: KMeans centroids are not
+    SQL-derivable, so no DuckDB oracle can exist; correctness is pinned
+    instead by the recall assertions (trained recall >= seeded recall
+    at sf0.1, tests/test_similarity_train.py) and by every oracled IVF
+    sibling sharing the assignment plan."""
+    from svoe_spark.operators.similarity import ivf_train
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = ivf_train(emb, k=IVF_K, seed=42, max_iter=5)
+    return ann_ivf_topk(
+        emb, emb.filter(F.col("vec_id") == 0), cents, k=10, nprobe=2
+    )
+
+
 @query(
     "token_rarity",
     f"""
