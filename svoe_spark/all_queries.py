@@ -79,7 +79,6 @@ _PRIORITY_EXTRA = [
     "backtest_param_grid",
     "dedup_clusters_twostar",
     "live_book_features",
-    "catalog_content_digest",
 ]
 
 

@@ -163,3 +163,77 @@ def run_backtest_time_split(
         [RESULT_SCHEMA[0], StructField("window", LongType())] + RESULT_SCHEMA.fields[1:]
     )
     return bucketed.groupBy(by, "__window").applyInPandas(fn, schema=schema)
+
+
+GRID_SCHEMA = StructType(
+    [
+        StructField("config_id", LongType()),
+        StructField("initial_balance", DoubleType()),
+        StructField("commission", DoubleType()),
+        StructField("position_size", DoubleType()),
+    ]
+    + RESULT_SCHEMA.fields
+)
+
+
+def run_backtest_grid(
+    features: DataFrame,
+    price_col: str,
+    grid: list[SimConfig],
+    by: str = "symbol",
+    signal_fn: Callable[[pd.Series], pd.Series] = buy_low_sell_high,
+    mode: str = "replicate",
+) -> DataFrame:
+    """Distributed strategy-parameter sweep: every config in ``grid``
+    is simulated over every instrument, returning one PnL row per
+    (config, instrument) — the reference's config fan-out across Ray
+    actors (backtester/runner.py:132-180) as a single Spark job.
+
+    ``mode='replicate'`` explodes a config-id array onto the feature
+    rows so each (instrument, config) pair is its own task — maximum
+    parallelism, at the cost of shuffling |grid| copies of the data
+    (exactly the reference's one-actor-per-config data duplication).
+    ``mode='loop'`` keeps one task per instrument and loops the grid
+    pandas-side — one copy of the data, the right trade when |grid| is
+    small relative to available tasks or the feature set is huge.
+    Results are identical; the equivalence test drives both against
+    sequential per-config runs."""
+    if not grid:
+        raise ValueError("empty parameter grid")
+    cfgs = list(grid)
+
+    if mode == "replicate":
+        ids = F.array(*[F.lit(i) for i in range(len(cfgs))])
+        rep = features.withColumn("__cfg", F.explode(ids))
+
+        def fn_rep(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            cid = int(key[1])
+            cfg = cfgs[cid]
+            out = _simulate(pdf, key[0], price_col, signal_fn, cfg)
+            return _with_cfg(out, cid, cfg)
+
+        return rep.groupBy(by, "__cfg").applyInPandas(fn_rep, schema=GRID_SCHEMA)
+
+    if mode == "loop":
+
+        def fn_loop(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            outs = [
+                _with_cfg(
+                    _simulate(pdf, key[0], price_col, signal_fn, cfg), cid, cfg
+                )
+                for cid, cfg in enumerate(cfgs)
+            ]
+            return pd.concat(outs, ignore_index=True)
+
+        return features.groupBy(by).applyInPandas(fn_loop, schema=GRID_SCHEMA)
+
+    raise ValueError(f"unknown mode: {mode!r}; use 'replicate' or 'loop'")
+
+
+def _with_cfg(out: pd.DataFrame, cid: int, cfg: SimConfig) -> pd.DataFrame:
+    out = out.copy()
+    out.insert(0, "config_id", pd.Series([cid] * len(out), dtype="int64"))
+    out.insert(1, "initial_balance", float(cfg.initial_balance))
+    out.insert(2, "commission", float(cfg.commission))
+    out.insert(3, "position_size", float(cfg.position_size))
+    return out

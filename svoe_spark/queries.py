@@ -2701,3 +2701,28 @@ def pivot_priority_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("3-MEDIUM"), F.lit(0)).alias("medium"),
         )
     )
+
+
+@query("backtest_param_grid", None, bench=False)
+def backtest_param_grid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed strategy-parameter sweep (reference X4 fan-out,
+    backtester/runner.py:132-180): 4 SimConfigs x every tick instrument
+    in one Spark job, one PnL row per (config, instrument). rows-only
+    BY DESIGN: the fill/wallet simulation is a per-event conditional
+    state machine with a balance-gated branch — not expressible as a
+    finite SQL query; correctness is pinned by the equivalence test
+    against N independent sequential runs (both physical modes,
+    tests/test_consumers.py::test_backtest_param_grid_equals_sequential_runs)
+    and the profits-on-sine semantics tests."""
+    from svoe_spark.consumers.backtest import SimConfig, run_backtest_grid
+
+    t = ticks(spark, sf_dir).select(
+        F.col("event_type").alias("symbol"), "ts", F.col("value").alias("px")
+    )
+    grid = [
+        SimConfig(commission=0.001, position_size=1.0),
+        SimConfig(commission=0.005, position_size=1.0),
+        SimConfig(commission=0.001, position_size=2.0),
+        SimConfig(initial_balance=5000.0, commission=0.0, position_size=1.0),
+    ]
+    return run_backtest_grid(t, price_col="px", grid=grid)

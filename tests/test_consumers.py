@@ -42,6 +42,60 @@ def test_backtest_time_split(spark, sine_df):
     assert all(r["final_equity"] > 10_000.0 for r in res)
 
 
+def test_backtest_param_grid_equals_sequential_runs(spark, sine_df):
+    """Grid fan-out (both physical modes) == N independent sequential
+    runs, config for config — the reference's actor-per-config sweep
+    (backtester/runner.py:132-180) without the approximation drift."""
+    from svoe_spark.consumers.backtest import run_backtest_grid
+
+    grid = [
+        SimConfig(commission=0.001, position_size=1.0),
+        SimConfig(commission=0.01, position_size=1.0),
+        SimConfig(commission=0.001, position_size=3.0),
+        SimConfig(initial_balance=5000.0, commission=0.0, position_size=2.0),
+    ]
+    # two symbols so the grid crosses instruments too
+    two = sine_df.unionByName(
+        sine_df.withColumn("symbol", F.lit("SYN2")).withColumn(
+            "mid_price", F.col("mid_price") * 1.5
+        )
+    )
+
+    want = {}
+    for cid, cfg in enumerate(grid):
+        for r in run_backtest(two, price_col="mid_price", cfg=cfg).collect():
+            want[(cid, r["symbol"])] = (
+                r["n_trades"],
+                r["final_balance"],
+                r["final_equity"],
+                r["total_commission"],
+            )
+
+    for mode in ("replicate", "loop"):
+        got = {
+            (r["config_id"], r["symbol"]): (
+                r["n_trades"],
+                r["final_balance"],
+                r["final_equity"],
+                r["total_commission"],
+            )
+            for r in run_backtest_grid(
+                two, price_col="mid_price", grid=grid, mode=mode
+            ).collect()
+        }
+        assert got == want, mode
+        assert len(got) == len(grid) * 2
+
+    # param columns ride along for downstream best-config selection
+    row = run_backtest_grid(two, "mid_price", grid=grid).filter(
+        F.col("config_id") == 3
+    ).first()
+    assert row["initial_balance"] == 5000.0 and row["position_size"] == 2.0
+
+    with pytest.raises(ValueError, match="empty"):
+        run_backtest_grid(two, "mid_price", grid=[])
+
+
 def test_trainer_end_to_end(spark):
     cfg = {
         "data_source": {
