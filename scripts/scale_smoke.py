@@ -58,10 +58,108 @@ def timed(fn, label: str = ""):
     return dt
 
 
+def dedup_clusters_10m(spark, results, force, n_docs=10_000_000):
+    """Full near-dup pipeline at 10M docs: MinHash/LSH pairs -> verified
+    edges -> connected components -> canonical pick. Planted structure:
+    ids {i, i+1, i+2} for i % 5 == 0 form a near-dup trio (members share
+    11 of 12 tokens) — 60% of the corpus in 2M clusters of 3; the rest
+    unique. Reports wall time per stage, CC round count (asserted — a
+    near-clique pair graph must converge in a handful of propagation
+    rounds, never hitting the two-star fallback), and edge skew."""
+    from svoe_spark.operators.dedup import minhash_dedup_pairs
+    from svoe_spark.operators.graph import dedup_clusters
+
+    grp = F.col("id") - F.pmod(F.col("id"), F.lit(5))
+    in_trio = F.pmod(F.col("id"), F.lit(5)) < 3
+    # 11 shared tokens keyed by the trio head (or the doc id when
+    # unique) + 1 member-distinct token -> within-trio Jaccard
+    # |11| / |13| = 0.846 >= threshold, cross-trio ~0
+    base_key = F.when(in_trio, grp).otherwise(F.col("id") + 1_000_000_000)
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.conv(F.hex(F.xxhash64(base_key * 31 + i)), 16, 36)
+                for i in range(11)
+            ],
+            F.conv(F.hex(F.xxhash64(F.col("id") + 7_000_000_000)), 16, 36),
+        ).alias("text"),
+    )
+
+    t0 = time.perf_counter()
+    pairs = minhash_dedup_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    pairs = pairs.persist()
+    n_pairs = pairs.count()
+    results["dedup10m_pairs_sec"] = round(time.perf_counter() - t0, 2)
+    results["dedup10m_n_pairs"] = n_pairs
+    print(f"# dedup10m pairs: {n_pairs} in {results['dedup10m_pairs_sec']}s",
+          file=sys.stderr, flush=True)
+
+    # edge skew: degree distribution of the pair graph
+    deg = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionAll(pairs.select(F.col("id_b").alias("id")))
+        .groupBy("id")
+        .count()
+    )
+    sk = deg.agg(
+        F.max("count").alias("mx"),
+        F.expr("percentile_approx(count, 0.99)").alias("p99"),
+        F.avg("count").alias("avg"),
+    ).first()
+    results["dedup10m_edge_skew"] = {
+        "max_degree": int(sk["mx"]),
+        "p99_degree": int(sk["p99"]),
+        "avg_degree": round(float(sk["avg"]), 3),
+    }
+
+    t0 = time.perf_counter()
+    from svoe_spark.operators.graph import connected_components
+
+    comp = connected_components(pairs)
+    force(comp)
+    results["dedup10m_cc_sec"] = round(time.perf_counter() - t0, 2)
+    results["dedup10m_cc_rounds"] = comp._svoe_cc_rounds
+    results["dedup10m_cc_algorithm"] = comp._svoe_cc_algorithm
+    # round-count assertion: near-clique LSH graphs are diameter <= 2 —
+    # propagation must finish (incl. its +1 fixpoint-confirm round)
+    # well before the two-star switch
+    assert comp._svoe_cc_algorithm == "propagation", comp._svoe_cc_algorithm
+    assert comp._svoe_cc_rounds <= 4, comp._svoe_cc_rounds
+    print(f"# dedup10m CC: {results['dedup10m_cc_sec']}s in "
+          f"{comp._svoe_cc_rounds} rounds", file=sys.stderr, flush=True)
+
+    t0 = time.perf_counter()
+    clustered = dedup_clusters(docs, pairs)
+    kept = clustered.filter(F.col("is_canonical"))
+    n_kept = kept.count()
+    results["dedup10m_canonical_sec"] = round(time.perf_counter() - t0, 2)
+    results["dedup10m_n_docs"] = n_docs
+    results["dedup10m_n_canonical"] = n_kept
+    # trios collapse to 1 survivor each: n - 2*(n//5) expected. Exact
+    # from below (Jaccard-verified pairs can never over-merge); a tiny
+    # overshoot is legal — LSH banding is probabilistic, and a trio
+    # splits iff 2 of its 3 pairs miss every band (measured ~2 per 1M
+    # docs at these params)
+    expected = n_docs - 2 * (n_docs // 5)
+    assert expected <= n_kept <= expected + max(10, n_docs // 50_000), n_kept
+    pairs.unpersist()
+    print(f"# dedup10m canonical pick: {results['dedup10m_canonical_sec']}s, "
+          f"{n_kept} survivors", file=sys.stderr, flush=True)
+
+
 def main():
     spark = get_spark("scale_smoke")
     spark.sparkContext.setLogLevel("ERROR")
     force = lambda df: df.write.format("noop").mode("overwrite").save()  # noqa: E731
+
+    only = os.environ.get("SMOKE_ONLY")
+    if only == "dedup_clusters_10m":
+        results = {}
+        dedup_clusters_10m(spark, results, force)
+        print(json.dumps(results))
+        return
 
     left = gen_ticks(spark, N_LEFT)
     right = gen_ticks(spark, N_RIGHT).withColumnRenamed("price", "ref_price")

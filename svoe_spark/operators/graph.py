@@ -78,7 +78,9 @@ def connected_components(
     rounds = max_iter if switch_after is None else min(switch_after, max_iter)
     prev_sum = None
     converged = False
+    rounds_run = 0
     for _ in range(rounds):
+        rounds_run += 1
         prop = edges.join(labels, edges["dst"] == labels["id"]).select(
             edges["src"].alias("id"), "comp"
         )
@@ -97,6 +99,8 @@ def connected_components(
         # diameter exceeds the propagation budget — restart on the
         # logarithmic-round algorithm using the still-persisted edges
         out = _two_star(edges, max_iter=max_iter, strict=strict)
+        out._svoe_cc_rounds = rounds_run + out._svoe_cc_rounds
+        out._svoe_cc_algorithm = "propagation+twostar"
         edges.unpersist()
         return out
     edges.unpersist()
@@ -114,6 +118,8 @@ def connected_components(
         import warnings
 
         warnings.warn(msg, RuntimeWarning)
+    labels._svoe_cc_rounds = rounds_run
+    labels._svoe_cc_algorithm = "propagation"
     return labels
 
 
@@ -185,8 +191,10 @@ def _two_star(edges: DataFrame, max_iter: int, strict: bool) -> DataFrame:
 
     prev_sum = object()
     converged = False
+    rounds_run = 0
     cur_edges = edges
     for _ in range(max_iter):
+        rounds_run += 1
         cur_edges = star(star(cur_edges, large=True), large=False)
         cur = _digest(cur_edges, "src", "dst")
         if cur == prev_sum:
@@ -217,6 +225,8 @@ def _two_star(edges: DataFrame, max_iter: int, strict: bool) -> DataFrame:
     )
     _digest(labels, "id", "comp")
     nodes.unpersist()
+    labels._svoe_cc_rounds = rounds_run
+    labels._svoe_cc_algorithm = "twostar"
     return labels
 
 

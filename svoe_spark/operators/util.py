@@ -16,7 +16,13 @@ def spread(df: DataFrame) -> DataFrame:
     source (maxFilesPerTrigger / topic partitions) anyway."""
     if df.isStreaming:
         return df
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        # no sparkContext/rdd under Spark Connect — same guard as
+        # orderbook._default_bundles; pass through rather than probe
+        target = df.sparkSession.sparkContext.defaultParallelism
+        n = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001
+        return df
+    if n < target:
         return df.repartition(target)
     return df
