@@ -97,11 +97,15 @@ def connected_components(
         prev_sum = cur
     if not converged and switch_after is not None and switch_after < max_iter:
         # diameter exceeds the propagation budget — restart on the
-        # logarithmic-round algorithm using the still-persisted edges
-        out = _two_star(edges, max_iter=max_iter, strict=strict)
+        # logarithmic-round algorithm using the still-persisted edges;
+        # unpersist in finally so a strict non-convergence raise does
+        # not leak the MEMORY_AND_DISK edge set in long-lived sessions
+        try:
+            out = _two_star(edges, max_iter=max_iter, strict=strict)
+        finally:
+            edges.unpersist()
         out._svoe_cc_rounds = rounds_run + out._svoe_cc_rounds
         out._svoe_cc_algorithm = "propagation+twostar"
-        edges.unpersist()
         return out
     edges.unpersist()
     if not converged:
@@ -141,8 +145,10 @@ def connected_components_twostar(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    out = _two_star(edges, max_iter=max_iter, strict=strict)
-    edges.unpersist()
+    try:
+        out = _two_star(edges, max_iter=max_iter, strict=strict)
+    finally:
+        edges.unpersist()
     return out
 
 
@@ -214,9 +220,16 @@ def _two_star(edges: DataFrame, max_iter: int, strict: bool) -> DataFrame:
         warnings.warn(msg, RuntimeWarning)
     # at fixpoint every component is a star centered at its min node:
     # non-center nodes appear as (v, center) with center < v; centers
-    # (and isolated-by-contraction nodes) label themselves.
-    centers = cur_edges.where(F.col("dst") < F.col("src")).select(
-        F.col("src").alias("id"), F.col("dst").alias("comp")
+    # (and isolated-by-contraction nodes) label themselves. The min-agg
+    # is a fixpoint no-op, but with strict=False and no convergence a
+    # node can still have several smaller neighbors — without it the
+    # left join would emit duplicate (id, comp) rows and downstream
+    # dedup_clusters would double-count docs instead of returning the
+    # one-row-per-node partial labeling the warning promises.
+    centers = (
+        cur_edges.where(F.col("dst") < F.col("src"))
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("comp"))
     )
     labels = (
         nodes.join(centers, "id", "left")

@@ -170,12 +170,18 @@ def ivf_train(
     Returns plain Python centroids for ivf_assign's constant-literal
     plan — training is distributed; the codebook is driver-sized.
 
-    distance_measure defaults to 'cosine' because `ivf_assign` routes
-    by cosine: Euclidean-trained centroids are coordinate means whose
-    directions misalign with the cosine argmax (measured: recall@10
-    0.32 vs 0.84 for the same k at nprobe=1 on the sf0.1 fixture —
-    worse than seeding with raw data vectors). Zero vectors are
-    excluded from training (cosine distance is undefined on them;
+    distance_measure defaults to 'cosine' so training and `ivf_assign`
+    routing agree on the metric. Measured on the sf0.1 fixture
+    (k=16, seed=42, maxIter=10, unbiased queries vec_id 100-119,
+    scripts/measure_ivf_recall.py): recall@10 euclidean vs cosine =
+    0.28 vs 0.28 at nprobe=1 and 0.41 vs 0.44 at nprobe=2 — near-tied
+    because the synthetic embeddings are near-uniform (the hardest
+    regime for any coarse codebook); cosine stays the default on
+    metric-consistency grounds, not a large measured win. (An earlier
+    docstring cited 0.84: that came from evaluating on the codebook's
+    own seed vectors, a biased query set — see
+    tests/test_similarity_train.py for the bias note.) Zero vectors
+    are excluded from training (cosine distance is undefined on them;
     MLlib throws)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector

@@ -2647,7 +2647,8 @@ def asof_multi_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_returnflag, 'l_discount',
              CAST(round(l_discount*100, 0) AS BIGINT) FROM lineitem
     )
-    SELECT l_returnflag, measure, count(*) AS n, sum(value_c) AS sum_c
+    SELECT l_returnflag, measure, count(*) AS n,
+           CAST(sum(value_c) AS BIGINT) AS sum_c
     FROM long GROUP BY l_returnflag, measure
     """,
 )

@@ -311,9 +311,10 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(length(text) AS BIGINT) AS n_bytes,
            ord(substr(text, 1, 1)) AS first_byte,
            list_reduce(list_prepend(CAST(0 AS BIGINT), cp), (a, b) -> a + b) AS checksum,
-           list_transform(range(0, {HIST_BINS}),
-                          bin -> CAST(len(list_filter(cp, c -> c // {256 // HIST_BINS} = bin)) AS BIGINT))
-             AS byte_hist
+           array_to_string(
+             list_transform(range(0, {HIST_BINS}),
+                            bin -> CAST(len(list_filter(cp, c -> c // {256 // HIST_BINS} = bin)) AS BIGINT)),
+             ',') AS byte_hist
     FROM (SELECT doc_id, text, {sql_codepoints('text')} AS cp FROM documents)
     """,
 )
@@ -321,9 +322,21 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing, oracle-checked end-to-end: text -> BINARY
     payload column -> Arrow-batched mapInPandas feature extraction
     (numpy over raw bytes). ASCII fixtures make bytes == codepoints, so
-    DuckDB can verify the byte math exactly."""
+    DuckDB can verify the byte math exactly. The histogram is serialized
+    to a CSV string for the comparison: the driver's canonicalizer sorts
+    result columns through pandas, which cannot hash list-typed cells
+    (CORRECTNESS_r03's crash on this query)."""
     docs = load_table(spark, "documents", sf_dir)
-    return byte_features(attach_payload(docs))
+    feats = byte_features(attach_payload(docs))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "first_byte",
+        "checksum",
+        F.array_join(F.col("byte_hist").cast("array<string>"), ",").alias(
+            "byte_hist"
+        ),
+    )
 
 
 @query(
@@ -496,7 +509,8 @@ def dataset_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE 'test' END AS split
       FROM documents
     )
-    SELECT split, count(*) AS n_docs, sum(n_chars) AS sum_chars
+    SELECT split, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
     FROM s GROUP BY split
     """,
 )
@@ -533,7 +547,7 @@ PACK_BUDGET = 2048  # power of two: the /budget division is float-exact
       FROM t
     )
     SELECT CAST(floor((cum - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS bin_id,
-           count(*) AS n_docs, sum(n_tokens) AS sum_tokens
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
     FROM c GROUP BY bin_id
     """,
 )
@@ -620,7 +634,8 @@ _STRATA = {"src0": 0.25, "src1": 0.5, "src2": 0.0}
             CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 5000
                         WHEN 'src2' THEN 0 ELSE 10000 END
     )
-    SELECT source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
     FROM kept GROUP BY source
     """,
 )

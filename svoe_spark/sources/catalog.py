@@ -113,7 +113,10 @@ def content_hash(df: DataFrame, cols: list[str] | None = None) -> int:
         F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
         F.count(F.lit(1)).alias("n"),
     ).first()
-    return hash((row["x"], str(row["s"]), row["n"]))
+    # hash only numbers: str hashing is salted per process
+    # (PYTHONHASHSEED), which would make the digest useless for any
+    # cross-session change detection; int hashing is not salted.
+    return hash((row["x"], int(row["s"] or 0), row["n"]))
 
 
 def compact(

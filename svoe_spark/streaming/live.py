@@ -156,9 +156,16 @@ def book_feature_stream(
     snapshot relation: best bid/ask, mid price, spread, depth — the
     scalars the reference's mid-price/spread FDs read off the book
     (A7). Works identically on both legs, so stream==batch equality is
-    testable row-for-row."""
-    best_bid = F.element_at("bids", 1)["price"]
-    best_ask = F.element_at("asks", 1)["price"]
+    testable row-for-row.
+
+    A one-sided book is a legal live-feed state (full-book message with
+    one side, or deltas deleting the last level); under Spark 4's ANSI
+    mode a plain element_at(.., 1) would throw
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT on the empty side and kill the
+    streaming query, so the lookups use try_element_at and the derived
+    scalars go NULL instead."""
+    best_bid = F.try_element_at("bids", F.lit(1))["price"]
+    best_ask = F.try_element_at("asks", F.lit(1))["price"]
     return snapshots.select(
         "symbol",
         "ts",

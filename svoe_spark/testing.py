@@ -48,18 +48,51 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _driver_traps(sdf, con, sql) -> list[str]:
+    """Schema-level checks mirroring the driver's pandas canonicalizer,
+    which (a) cannot hash complex-typed cells (CORRECTNESS_r03:
+    multimodal_byte_features crashed on a list column) and (b) converts
+    DuckDB HUGEINT — the result type of sum(BIGINT) — to float64,
+    hash-mismatching Spark's int64 even when values are equal
+    (CORRECTNESS_r03: 4 queries). Oracles must CAST(sum(..) AS BIGINT)."""
+    from pyspark.sql import types as T
+
+    issues = []
+    for f in sdf.schema.fields:
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+            issues.append(f"spark col {f.name!r} complex-typed "
+                          f"({f.dataType.simpleString()}) — driver cannot hash it")
+    if sql is not None:
+        for c, tname, *_ in con.execute(f"DESCRIBE {sql}").fetchall():
+            base = tname.split("(")[0].strip().upper()
+            if base in ("HUGEINT", "UHUGEINT") or base.startswith("DECIMAL"):
+                issues.append(f"oracle col {c!r} is {tname} — pandas converts "
+                              "to float64; CAST(... AS BIGINT/DOUBLE) in the SQL")
+    return issues
+
+
 def run_parity(
     spark: SparkSession, name: str, sf_dir: str
 ) -> tuple[bool, str]:
     q = QUERIES[name]
     sdf = q.fn(spark, sf_dir)
     s_cols = sorted(sdf.columns)
+
+    con = duck_connection(sf_dir)
+    try:
+        traps = _driver_traps(sdf, con, q.sql)
+    except Exception:  # noqa: BLE001 — the describe is advisory only
+        traps = []
+    if traps:
+        con.close()
+        return False, f"{name}: DRIVER TRAP {traps}"
+
     s_rows = [tuple(_canon(r[c]) for c in s_cols) for r in sdf.collect()]
 
     if q.sql is None:
+        con.close()
         return True, f"{name}: rows-only ({len(s_rows)} rows)"
 
-    con = duck_connection(sf_dir)
     cur = con.execute(q.sql)
     d_cols_raw = [d[0] for d in cur.description]
     d_rows_raw = cur.fetchall()

@@ -141,3 +141,22 @@ def test_auto_switch_long_chain(spark):
         ).collect()
     }
     assert len(comp) == 61 and set(comp.values()) == {0}
+
+
+def test_twostar_nonstrict_partial_is_one_row_per_node(spark):
+    """Non-converged non-strict two-star must still emit exactly one
+    (id, comp) row per node (round-3 ADVICE: un-aggregated centers
+    duplicated rows, double-counting docs in dedup_clusters)."""
+    import warnings
+
+    from svoe_spark.operators.graph import connected_components_twostar
+
+    edges = _pairs(spark, [(i, i + 1) for i in range(40)])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = connected_components_twostar(
+            edges, max_iter=1, strict=False
+        ).collect()
+    assert any("converge" in str(x.message) for x in w)
+    ids = [r.id for r in out]
+    assert len(ids) == len(set(ids)) == 41

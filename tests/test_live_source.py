@@ -99,6 +99,28 @@ def test_live_socket_book_features_equal_batch(spark, sf_small):
             assert g[col] == w[col], (k, col)
 
 
+def test_one_sided_book_yields_null_features(spark):
+    """A FULL message carrying only bids (a legal live-feed state) must
+    produce NULL best_ask/mid/spread, not an ANSI
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT crash (round-3 ADVICE, live.py)."""
+    lines = spark.createDataFrame(
+        [
+            ('{"symbol":"S","ts":"2024-01-01 00:00:00.000001","delta":false,'
+             '"orders":[{"side":"bid","price":1.0,"size":2.0}]}',),
+        ],
+        "value string",
+    )
+    snaps = reconstruct_book(parse_book_messages(lines), depth=10)
+    out = book_feature_stream(snaps).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["best_bid"] == pytest.approx(1.0)
+    assert r["best_ask"] is None
+    assert r["mid_price"] is None
+    assert r["spread"] is None
+    assert r["bid_depth"] == 1 and r["ask_depth"] == 0
+
+
 def test_parse_book_messages_drops_garbage(spark):
     lines = spark.createDataFrame(
         [

@@ -152,3 +152,51 @@ def test_bucketed_join_has_no_exchange(spark, sf_small, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_content_hash_deterministic_and_order_insensitive(spark):
+    """The digest must survive re-partitioning/row order AND be stable
+    across processes: it folds only unsalted numeric hashes (round-3
+    ADVICE — a str in the tuple made it PYTHONHASHSEED-dependent)."""
+    from svoe_spark.sources.catalog import content_hash
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "x int, s string"
+    )
+    h1 = content_hash(df)
+    h2 = content_hash(df.orderBy(F.desc("x")).repartition(7))
+    assert h1 == h2
+    assert h1 != content_hash(df.where(F.col("x") < 3))
+    # xor alone would cancel the duplicated pair; the multiset-sum leg
+    # must keep {A,A,B} != {B}
+    dup = df.unionAll(df.where(F.col("x") == 1))
+    assert content_hash(dup) != content_hash(df)
+    # cross-process stability: recompute what content_hash hashes with
+    # a fresh interpreter under a different hash seed
+    import json
+    import subprocess
+    import sys
+
+    row = (
+        df.selectExpr("xxhash64(x, s) as h")
+        .groupBy()
+        .agg(
+            F.expr("bit_xor(h)").alias("x"),
+            F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .first()
+    )
+    code = (
+        "import sys,json; x,s,n=json.load(sys.stdin); "
+        "print(hash((x,int(s),n)))"
+    )
+    for seed in ("0", "12345"):
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            input=json.dumps([row["x"], str(row["s"]), row["n"]]),
+            capture_output=True,
+            text=True,
+            env={"PYTHONHASHSEED": seed, "PATH": "/usr/bin:/bin"},
+        )
+        assert int(out.stdout.strip()) == h1, (seed, out.stderr)
