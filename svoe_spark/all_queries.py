@@ -6,11 +6,15 @@ needed — decorator registration only happens on module import.
 Registry ORDER matters: the correctness driver hash-checks the FIRST
 50 entries only. Rounds 1-2 driver-verified the relational core
 (q1..supplier_balance_ranks, 50 green rows in CORRECTNESS_r01/r02);
-round 3 rotates the never-driver-checked tail — the entire LLM-data
-layer plus the post-50 relational queries — to the FRONT so the
-window finally hash-checks them. The previously-green rows rotate
-out; their twice-green history is the documented justification
-(README "Registry order" section).
+round 3 rotated the never-driver-checked tail — the entire LLM-data
+layer plus the post-50 relational queries — into the window (45 of 50
+hash-green in CORRECTNESS_r03; the 5 non-green had driver-
+canonicalizer traps, fixed since). Round 4 fronts (a) those 5 fixed
+queries so their repair is driver-witnessed, (b) the new round-4
+queries, then (c) refills with the relational core in its r2 order —
+every query in the registry now has at least one hash-green driver
+row, and the window rotates toward whatever is least recently
+checked (README "Registry order" section).
 """
 
 import svoe_spark.queries  # noqa: F401
@@ -18,67 +22,68 @@ import svoe_spark.queries_llm  # noqa: F401
 from svoe_spark.queries import QUERIES  # noqa: F401
 
 # Names to surface into the driver's 50-entry window, in check order.
-# First: the 45 queries with no driver row in any prior round
-# (CORRECTNESS_r01/r02), then any round-3 additions appended by
-# _PRIORITY_EXTRA below. Everything else keeps its original relative
-# order after these.
+# Round 4: (a) the 5 queries red in CORRECTNESS_r03 (driver-
+# canonicalizer traps — HUGEINT sums / array output — fixed this
+# round), (b) the new round-4 queries, (c) refill with the relational
+# core in its r1/r2 order (out of the window since r2). The r3-green
+# LLM layer rotates out on its fresh green row.
 _DRIVER_PRIORITY = [
-    # LLM-data layer (queries_llm.py) — zero driver rows through r2.
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_capped",
-    "dedup_simhash",
-    "dedup_clusters",
-    "chunk_dedup",
-    "benchmark_contamination",
-    "text_token_stats",
-    "text_quality",
-    "text_lang_id",
-    "text_lang_ngram",
-    "text_repetition_signals",
-    "token_rarity",
-    "normalize_text",
-    "bigram_model",
-    "pii_redact",
-    "corpus_filter",
-    "doc_fingerprint",
-    "multimodal_byte_features",
-    "multimodal_frame_sample",
-    "ann_cosine_topk",
-    "ann_batch_topk",
-    "ann_lsh_topk",
-    "ann_lsh_multiprobe",
-    "ann_ivf_topk",
-    "ann_ivf_multiprobe",
-    "embedding_neardup",
-    "embedding_neardup_lsh",
-    "embedding_quantize",
-    "dataset_shuffle_rank",
+    # (a) red in r3, fixed: the repair must be driver-witnessed.
     "dataset_hash_split",
     "stratified_sample_counts",
     "sequence_packing",
-    "source_mixture_weights",
-    # Post-50 relational tail (queries.py) — also never driver-checked.
-    "median_order_value",
-    "approx_distinct_daily",
-    "q2_min_cost_supplier",
-    "q11_valuable_parts",
-    "q20_part_promotion_suppliers",
-    "q21_waiting_supplier",
-    "distinct_until_changed_events",
-    "asof_multi_feature",
     "unpivot_lineitem_measures",
-    "pivot_priority_by_year",
+    "multimodal_byte_features",
+    # (b) new in round 4.
+    "repeated_ngram_spans",
+    "semantic_dedup",
+    "per_source_topk",
+    "ohlcv_1h_rollup",
 ]
 
-# Round-3 additions that should also land inside the window (appended
-# as they are registered; keep this list short — 50 - 45 = 5 slots).
+# (c) refill: relational core in CORRECTNESS_r02 order (last green r2).
 _PRIORITY_EXTRA = [
-    "ann_ivf_trained",
-    "backtest_param_grid",
-    "dedup_clusters_twostar",
-    "live_book_features",
+    "q1_pricing_summary",
+    "revenue_by_nation",
+    "order_priority_count",
+    "top_customers_per_nation",
+    "part_type_rollup",
+    "customer_order_stats",
+    "set_ops_order_keys",
+    "ohlcv_1m",
+    "volatility_1h",
+    "tvi_1h",
+    "pct_change_1h",
+    "asof_purchase_view",
+    "asof_purchase_view_bucketed",
+    "lookahead_label_1h",
+    "sample_last_1m",
+    "every_nth_10",
+    "token_frequencies",
+    "composite_events_by_minute",
+    "combine_latest_vector",
+    "running_reduce_user",
+    "orders_shipped_within_30d",
+    "events_content_dedup",
+    "sql_frontend_revenue",
+    "q6_forecast_revenue",
+    "q12_shipmode_priority",
+    "q14_promo_share",
+    "big_spenders_vs_nation",
+    "top_returned_customers",
+    "session_windows_30m",
+    "orderbook_snapshots",
+    "orderbook_snapshots_cryptofeed",
+    "local_extrema",
+    "ewma_final_by_type",
+    "ewma_trend_by_type",
+    "q3_shipping_priority",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "orderbook_snapshots_bucketed",
+    "q7_volume_shipping",
 ]
 
 

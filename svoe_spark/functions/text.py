@@ -77,9 +77,15 @@ def char_shingles(text: Column | str, k: int = 3) -> Column:
 # --- same constants so both engines compute identical integers.
 
 
-def token_hashes(text: Column | str) -> Column:
+def token_hashes(text: Column | str, fast: bool = False) -> Column:
     """array<bigint>: md5-based hash of each whitespace token, reduced
-    mod P_HASH so downstream shingle combining stays in int64."""
+    mod P_HASH so downstream shingle combining stays in int64.
+    ``fast=True`` uses JVM xxhash64 (pmod to stay non-negative) —
+    cheaper, not cross-engine-reproducible."""
+    if fast:
+        return F.transform(
+            tokens(text), lambda t: F.pmod(F.xxhash64(t), F.lit(P_HASH))
+        )
     return F.transform(
         tokens(text),
         lambda t: F.conv(F.substring(F.md5(F.encode(t, "UTF-8")), 1, 15), 16, 10)
@@ -108,6 +114,39 @@ def word_shingles_from_hashes(th: Column | str) -> Column:
             % P_HASH,
         ),
     ).otherwise(F.array().cast("array<bigint>"))
+
+
+def kgram_hashes(th: Column | str, k: int) -> Column:
+    """k-token rolling hashes from a precomputed token-hash array:
+    the word-shingle fold generalized to any k (k=3 is bit-identical to
+    `word_shingles_from_hashes`). Positions are 0-based gram starts
+    when paired with posexplode. The fold is unrolled at plan-build
+    time (k is a literal), so the per-gram cost is k element_at reads —
+    no nested aggregate per element."""
+    c = _col(th)
+
+    def fold(i: Column) -> Column:
+        e = F.element_at(c, i)
+        for j in range(1, k):
+            e = (e * 31 + F.element_at(c, i + j)) % P_HASH
+        return e
+
+    return F.when(
+        F.size(c) >= k,
+        F.transform(F.sequence(F.lit(1), F.size(c) - (k - 1)), fold),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def sql_kgram_hashes(th: str, k: int) -> str:
+    """DuckDB mirror of `kgram_hashes` (same unrolled fold)."""
+    expr = f"{th}[i]"
+    for j in range(1, k):
+        expr = f"(({expr})*31 + {th}[i+{j}]) % {P_HASH}"
+    return (
+        f"CASE WHEN len({th}) >= {k} "
+        f"THEN list_transform(range(1, len({th})-{k-2}), i -> {expr}) "
+        f"ELSE [] END"
+    )
 
 
 def sql_codepoints(expr: str) -> str:

@@ -227,3 +227,30 @@ def pack_sequences(
     return c.withColumn(
         out, F.floor((F.col("__cum") - F.col(token_col)) / F.lit(budget)).cast("long")
     ).drop("__cum")
+
+
+def per_group_topk(
+    df: DataFrame,
+    group_col: str,
+    k: int = 5,
+    id_col: str = "doc_id",
+    salt: str = "",
+    out: str = "rk",
+) -> DataFrame:
+    """Deterministic k-per-group sample: rank rows inside each group by
+    md5(salt || id) (id as the tie-break — md5 keys are unique in
+    practice but the determinism contract wants a total order) and keep
+    the first k. The reproducible replacement for per-group reservoir
+    sampling: assignment survives any re-partitioning and is re-saltable
+    per epoch. The window is partitioned by the group key — per-group
+    sort only, no single-task global window; at 100 TB the groups
+    (sources/domains) are the natural partition key. Returns
+    (group_col, id_col, rk)."""
+    key = md5_hash(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.select(group_col, id_col, F.row_number().over(w).cast("long").alias(out))
+        .filter(F.col(out) <= k)
+    )

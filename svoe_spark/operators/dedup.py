@@ -553,3 +553,91 @@ def decontaminate(
         corpus, benchmark, text, id_col, min_shared
     ).select(F.col("corpus_id").alias(id_col)).distinct()
     return corpus.join(dirty, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# Exact-substring (repeated k-gram span) detection
+# --------------------------------------------------------------------------
+
+
+def repeated_ngram_spans(
+    docs: DataFrame,
+    k: int = 5,
+    min_count: int = 2,
+    text: str = "text",
+    id_col: str = "doc_id",
+    fast: bool = False,
+) -> DataFrame:
+    """Corpus-wide repeated-substring detection in the style of
+    suffix-array dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL 2022): every maximal token span whose
+    k-token grams each occur >= ``min_count`` times in the whole corpus.
+    Training pipelines cut these spans out of documents (boilerplate,
+    licenses, templated text) instead of dropping whole docs — the
+    substring-level complement of document-level MinHash dedup. The
+    reference stops at whole-block content hashes
+    (common/pandas/df_utils.py:163-164); substring dedup is new surface.
+
+    A suffix array is a single-machine construction; the distributed
+    equivalent is this sliding-gram formulation:
+
+    1. per document (narrow): token hashes -> k-gram rolling hashes
+       with 0-based positions (posexplode);
+    2. corpus gram frequency: groupBy gram (ONE shuffle on compact
+       int64 keys, map-side partial counts) -> grams with
+       count >= min_count;
+    3. join positions back on gram (shuffle join; output bounded by the
+       original position count, so a stop-phrase gram occurring
+       everywhere cannot blow up the join — every position emits at
+       most once);
+    4. per-document gaps-and-islands merge: positions p1 < p2 whose
+       spans [p, p+k-1] overlap or touch (p2 - p1 <= k) fuse into one
+       maximal span. Per-doc window functions only — partitioned by
+       doc, never a single-task global window.
+
+    Rows: (id, span_start, span_end, span_tokens, n_gram_hits) with
+    token-index bounds inclusive. Docs with < k tokens emit nothing.
+
+    ``fast=True`` swaps the portable md5 token hash for xxhash64
+    (not oracle-reproducible)."""
+    from pyspark.sql import Window
+
+    from svoe_spark.functions.text import kgram_hashes
+
+    t = _spread(docs).select(
+        F.col(id_col),
+        F.explode(F.array(token_hashes(text, fast=fast))).alias("__th"),
+    )
+    grams = t.select(
+        F.col(id_col),
+        F.posexplode(kgram_hashes(F.col("__th"), k)).alias("pos", "gram"),
+    ).select(id_col, F.col("pos").cast("long").alias("pos"), "gram")
+    freq = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__n_occ"))
+        .filter(F.col("__n_occ") >= min_count)
+    )
+    hits = grams.join(freq, "gram").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = hits.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.when(F.col("pos") - F.lag("pos", 1).over(w) <= k, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("__new_island"),
+    ).withColumn("__island", F.sum("__new_island").over(w))
+    return (
+        islands.groupBy(id_col, "__island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_gram_hits"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_gram_hits",
+        )
+    )

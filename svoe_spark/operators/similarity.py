@@ -437,3 +437,51 @@ def quantize_embeddings(
             "q_csv"
         ),
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication", arXiv:2303.09540): coarse-cluster the embeddings
+    with a codebook, then inside each cluster drop every vector that
+    has a more-canonical (smaller-id) neighbor with cosine >=
+    ``threshold``. One labeled row per input vector:
+    (id, cluster_id, dropped).
+
+    Scale shape: the assignment is `ivf_assign`'s shuffle-free argmax
+    projection; the pair step is `embedding_neardup_pairs` blocked by
+    cluster_id, so the quadratic work is confined to cluster-local
+    candidate sets (the SemDeDup design point — cluster sizes are
+    controlled by the codebook size k ~ n/target_cluster_size). At
+    100 TB cluster_id doubles as the partition key.
+
+    Keep policy: a vector is dropped iff SOME smaller-id in-cluster
+    vector is within the threshold — the relational form of "keep one
+    representative per duplicate set" that needs no iteration. For
+    transitive-closure clustering of the pair graph, feed the pairs to
+    `operators.graph.dedup_clusters` instead."""
+    assigned = ivf_assign(vectors, centroids, vec_col=vec_col)
+    pairs = embedding_neardup_pairs(
+        assigned,
+        group_cols=["cluster_id"],
+        threshold=threshold,
+        vec_col=vec_col,
+        id_col=id_col,
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return (
+        assigned.join(
+            dropped.withColumn("__drop", F.lit(True)), id_col, "left"
+        )
+        .select(
+            id_col,
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.coalesce("__drop", F.lit(False)).alias("dropped"),
+        )
+    )

@@ -2727,3 +2727,40 @@ def backtest_param_grid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         SimConfig(initial_balance=5000.0, commission=0.0, position_size=1.0),
     ]
     return run_backtest_grid(t, price_col="px", grid=grid)
+
+
+@query(
+    "ohlcv_1h_rollup",
+    _TICKS_SQL
+    + """
+    SELECT event_type,
+           time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           arg_min(value, event_id) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, event_id) AS close,
+           CAST(SUM(qty) AS BIGINT) AS volume,
+           CAST(count(*) AS BIGINT) AS num_trades,
+           CASE WHEN SUM(qty) <> 0
+                THEN CAST(SUM(value_c * qty) AS BIGINT) / (100.0 * CAST(SUM(qty) AS BIGINT))
+                ELSE NULL END AS vwap
+    FROM ticks
+    GROUP BY event_type, window_start
+    """,
+)
+def ohlcv_1h_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style two-level rollup: ticks -> associative 1m bars
+    -> 1h bars (operators/rollup.py), finished with the exact-integer
+    vwap. The oracle aggregates the ticks at 1h DIRECTLY, so the green
+    row proves the rollup algebra (min_by/max_by over arg keys +
+    additive sums) is lossless — the property that makes incremental
+    refresh (RollupStore) safe at any batching."""
+    from svoe_spark.operators.rollup import (
+        bars_from_ticks,
+        finish_bars,
+        rollup_bars,
+    )
+
+    t = ticks(spark, sf_dir)
+    h1 = rollup_bars(bars_from_ticks(t, window="1m"), window="1h")
+    return finish_bars(h1)

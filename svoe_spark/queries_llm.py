@@ -17,6 +17,7 @@ from svoe_spark.functions.text import (
     P_HASH,
     sql_char_shingles,
     sql_codepoints,
+    sql_kgram_hashes,
     sql_md5_hash,
     sql_token_hashes,
     sql_tokens,
@@ -1201,3 +1202,121 @@ def bigram_model_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from svoe_spark.operators.text_analysis import bigram_model
 
     return bigram_model(load_table(spark, "documents", sf_dir), top=50)
+
+
+# ---------------------------------------------------------------------------
+# Round 4: substring-level dedup, semantic dedup, per-source sampling
+# ---------------------------------------------------------------------------
+
+NGRAM_SPAN_K = 5
+
+
+@query(
+    "repeated_ngram_spans",
+    f"""
+    WITH th AS (SELECT doc_id, {sql_token_hashes('text')} AS th FROM documents),
+    gr AS (SELECT doc_id, {sql_kgram_hashes('th', NGRAM_SPAN_K)} AS g FROM th),
+    pos AS (
+      SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, g[i] AS gram
+      FROM (SELECT doc_id, g, unnest(range(1, len(g)+1)) AS i FROM gr)
+    ),
+    freq AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
+    hits AS (SELECT p.doc_id, p.pos FROM pos p JOIN freq USING (gram)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= {NGRAM_SPAN_K}
+                  THEN 0 ELSE 1 END AS new_island
+      FROM hits
+    ),
+    isl2 AS (
+      SELECT doc_id, pos,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM isl
+    )
+    SELECT doc_id,
+           min(pos) AS span_start,
+           max(pos) + {NGRAM_SPAN_K - 1} AS span_end,
+           max(pos) + {NGRAM_SPAN_K} - min(pos) AS span_tokens,
+           count(*) AS n_gram_hits
+    FROM isl2 GROUP BY doc_id, island
+    """,
+)
+def repeated_ngram_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup spans (Lee et al., ACL 2022): maximal
+    token spans covered by corpus-repeated 5-grams — the distributed
+    sliding-gram equivalent of suffix-array dedup. One compact-key
+    shuffle + per-doc windows; see operators/dedup.py."""
+    from svoe_spark.operators.dedup import repeated_ngram_spans
+
+    docs = load_table(spark, "documents", sf_dir)
+    return repeated_ngram_spans(docs, k=NGRAM_SPAN_K, min_count=2)
+
+
+SEMDEDUP_THRESHOLD = 0.3
+
+
+@query(
+    "semantic_dedup",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {IVF_K}
+    ),
+    a AS (
+      SELECT e.vec_id, e.embedding, c.cid AS cluster_id
+      FROM embeddings e, cents c
+      QUALIFY row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {sql_cosine('e.embedding', 'c.cv')} DESC, c.cid
+      ) = 1
+    ),
+    p AS (
+      SELECT b.vec_id
+      FROM a x JOIN a b ON x.cluster_id = b.cluster_id AND x.vec_id < b.vec_id
+      WHERE {sql_cosine('x.embedding', 'b.embedding')} >= {SEMDEDUP_THRESHOLD}
+      GROUP BY b.vec_id
+    )
+    SELECT a.vec_id, a.cluster_id, (p.vec_id IS NOT NULL) AS dropped
+    FROM a LEFT JOIN p ON a.vec_id = p.vec_id
+    """,
+)
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster-blocked keep-lowest-id
+    semantic dedup over the embedding table; deterministic first-16
+    codebook (the trained-KMeans codebook drives the same operator —
+    see ann_ivf_trained)."""
+    from svoe_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < IVF_K).orderBy("vec_id").collect()
+    ]
+    return semantic_dedup(emb, cents, threshold=SEMDEDUP_THRESHOLD)
+
+
+PER_SOURCE_K = 5
+
+
+@query(
+    "per_source_topk",
+    f"""
+    SELECT source, doc_id, rk FROM (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_SHUF_KEY_SQL}, doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= {PER_SOURCE_K}
+    """,
+)
+def per_source_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sample (reservoir-style, but
+    reproducible under any partitioning): md5-keyed row_number within
+    each source. The per-group window is partitioned by the group key —
+    no single-task global window."""
+    from svoe_spark.operators.curation import per_group_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    return per_group_topk(docs, "source", k=PER_SOURCE_K)

@@ -136,3 +136,30 @@ def test_global_cumsum_all_null_bucket(spark):
     assert got[9] == 10
     assert got[29] == 20
     assert got[25] == 16
+
+
+def test_per_group_topk_bound_and_deterministic(spark):
+    from svoe_spark.operators.curation import per_group_topk
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(60)], "doc_id long, source string"
+    )
+    out = per_group_topk(df, "source", k=4).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append((r["rk"], r["doc_id"]))
+    assert set(by_src) == {"src0", "src1", "src2"}
+    for s, rows in by_src.items():
+        assert sorted(rk for rk, _ in rows) == [1, 2, 3, 4], s
+    # identical selection under different partitioning and row order
+    out2 = per_group_topk(
+        df.orderBy(F.desc("doc_id")).repartition(13), "source", k=4
+    ).collect()
+    assert {(r["source"], r["doc_id"], r["rk"]) for r in out} == {
+        (r["source"], r["doc_id"], r["rk"]) for r in out2
+    }
+    # different salt -> (almost surely) different sample
+    out3 = per_group_topk(df, "source", k=4, salt="epoch1").collect()
+    assert {(r["source"], r["doc_id"]) for r in out3} != {
+        (r["source"], r["doc_id"]) for r in out
+    }

@@ -71,3 +71,29 @@ def test_ivf_trained_recall_geq_seeded_sf01(spark):
     # embeddings are near-uniform (exact top-10 cosines ~0.3-0.4), the
     # hardest regime for any IVF codebook
     assert r_train >= 0.3
+
+
+def test_semantic_dedup_drops_higher_id_twin(spark):
+    """An exact duplicate pair in the same cluster keeps the lower id
+    and drops the higher; singleton-ish vectors stay kept."""
+    from svoe_spark.operators.similarity import semantic_dedup
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    other = [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (0, base),
+        (1, base),          # exact twin of 0 -> dropped
+        (2, other),
+        (3, [0.0, -1.0, 0.0, 0.0]),  # anti-parallel to 2: cosine -1, kept
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [base, other]
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(emb, cents, threshold=0.9).collect()
+    }
+    assert not out[0]["dropped"]
+    assert out[1]["dropped"]
+    assert out[0]["cluster_id"] == out[1]["cluster_id"]
+    assert not out[2]["dropped"]
+    assert not out[3]["dropped"]
