@@ -64,6 +64,24 @@ def main() -> None:
     docs = docs.join(keep.filter("keep").select("doc_id"), "doc_id", "left_semi")
     stages["quality_filtered"] = docs.count()
 
+    # 1b. model-based quality filter (fastText-shaped linear scorer;
+    # swap default_classifier_weights for trained weights in prod)
+    from svoe_spark.operators.text_analysis import quality_classifier
+
+    qc = quality_classifier(docs, threshold=-0.25)
+    docs = docs.join(qc.filter("keep").select("doc_id"), "doc_id", "left_semi")
+    stages["classifier_filtered"] = docs.count()
+
+    # 1c. substring-level dedup: cut corpus-repeated 5-gram spans out
+    # of the surviving texts (suffix-array-style boilerplate removal)
+    from svoe_spark.operators.dedup import remove_repeated_spans
+
+    cleaned = remove_repeated_spans(docs, k=5, min_count=4)
+    docs = docs.drop("text").join(
+        cleaned.select("doc_id", F.col("clean_text").alias("text")), "doc_id"
+    ).filter(F.length("text") > 0)
+    stages["substring_cleaned"] = docs.count()
+
     # 2. exact dedup (hash groupBy, lowest id survives)
     docs = drop_exact_duplicates(docs)
     stages["exact_deduped"] = docs.count()

@@ -36,7 +36,9 @@ _DRIVER_PRIORITY = [
     "multimodal_byte_features",
     # (b) new in round 4.
     "repeated_ngram_spans",
+    "substring_dedup_clean",
     "semantic_dedup",
+    "quality_classifier_scores",
     "per_source_topk",
     "ohlcv_1h_rollup",
 ]
@@ -82,8 +84,6 @@ _PRIORITY_EXTRA = [
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
     "q19_discounted_revenue",
-    "orderbook_snapshots_bucketed",
-    "q7_volume_shipping",
 ]
 
 

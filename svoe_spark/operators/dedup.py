@@ -641,3 +641,66 @@ def repeated_ngram_spans(
             "n_gram_hits",
         )
     )
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    spans: DataFrame | None = None,
+    k: int = 5,
+    min_count: int = 2,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut corpus-repeated spans OUT of the documents — the second half
+    of substring-level dedup (Lee et al., ACL 2022 drop one copy of
+    every duplicated substring; here every occurrence of a
+    corpus-repeated region is removed, the conservative boilerplate-
+    strip variant). Returns (id, clean_text, n_tokens, n_tokens_removed).
+
+    ``spans`` defaults to `repeated_ngram_spans(docs, k, min_count)`;
+    pass a precomputed/filtered span set (e.g. only spans above a
+    length threshold) to control aggressiveness.
+
+    Shape: spans collapse to one small array per document (groupBy on
+    the doc key), ONE equi-join back to the docs, then a pure
+    array-side filter — the per-token span scan is bounded by the
+    handful of spans a document has. No shuffle beyond the span
+    aggregation + join, both on the document key."""
+    if spans is None:
+        spans = repeated_ngram_spans(
+            docs, k=k, min_count=min_count, text=text, id_col=id_col
+        )
+    agg = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    joined = docs.join(agg, id_col, "left")
+    toks = tokens(text)
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("__spans"),
+        lambda s: (s["span_start"] <= i) & (i <= s["span_end"]),
+    )
+    with_tok = joined.select(
+        id_col,
+        F.coalesce("__spans", F.array().cast(
+            "array<struct<span_start:bigint,span_end:bigint>>"
+        )).alias("__spans"),
+        F.explode(F.array(toks)).alias("__toks"),
+    )
+    # name the filtered array before deriving from it twice: HOFs are
+    # interpreted with no CSE, so an inlined `kept` would run the whole
+    # span scan once per consuming expression (see quantize_embeddings)
+    with_kept = with_tok.select(
+        id_col,
+        F.col("__toks"),
+        F.filter(
+            F.col("__toks"), lambda t, i: ~covered(i.cast("long"))
+        ).alias("__kept"),
+    )
+    return with_kept.select(
+        id_col,
+        F.array_join("__kept", " ").alias("clean_text"),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        (F.size("__toks") - F.size("__kept")).cast("long").alias(
+            "n_tokens_removed"
+        ),
+    )

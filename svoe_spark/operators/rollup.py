@@ -192,3 +192,46 @@ class RollupStore:
     def read(self) -> DataFrame:
         """Finished (vwap-derived) view of the store."""
         return finish_bars(self.spark.read.parquet(self.path).drop("day"))
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> bool:
+        """Idempotent refresh for at-least-once callers (foreachBatch):
+        a batch id already recorded in ``<path>._commits`` is a no-op,
+        so a replayed micro-batch cannot double-count its ticks.
+        Returns whether the batch was applied."""
+        commits = self.path + "._commits"
+        if os.path.exists(commits):
+            with open(commits) as f:
+                if batch_id in {int(x) for x in f.read().split() if x}:
+                    return False
+        self.refresh(batch_df)
+        with open(commits, "a") as f:
+            f.write(f"{batch_id}\n")
+        return True
+
+
+def maintain_rollup_stream(
+    store: RollupStore, tick_stream: DataFrame, checkpoint: str
+):
+    """Keep a RollupStore continuously refreshed from a tick stream
+    (the streaming leg of the hypertable-style continuous aggregate):
+    foreachBatch -> incremental refresh, so each micro-batch costs the
+    touched partitions only.
+
+    foreachBatch offers at-least-once delivery — a failed/restarted
+    batch re-runs with the SAME batch id. A blind re-merge would
+    double-count its ticks, so refresh is made idempotent with the
+    standard batch-id commit log: a batch already recorded in
+    ``<path>._commits`` is skipped. (Single concurrent writer per
+    store path, same as any dynamic-partition-overwrite maintainer.)
+
+    Returns the StreamingQuery; use .trigger(availableNow=True)
+    semantics via `streaming.sinks.foreach_batch` for bounded replays.
+    """
+    from svoe_spark.streaming.sinks import foreach_batch
+
+    return foreach_batch(
+        tick_stream,
+        store.apply_batch,
+        checkpoint,
+        trigger={"availableNow": True},
+    )

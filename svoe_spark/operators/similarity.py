@@ -212,7 +212,9 @@ def ivf_assign(
     and the seeded default in ann_ivf_topk uses the first K vectors.
     At scale `cluster_id` becomes the partition/cluster key, so probes
     are partition-pruned scans."""
-    withn = vectors.withColumn("__vnorm", F.sqrt(norm_sq(vec_col)))
+    # spread: the K x dim argmax fold is interpreted expression work —
+    # don't let a single-file corpus serialize it onto one task
+    withn = _spread(vectors).withColumn("__vnorm", F.sqrt(norm_sq(vec_col)))
     scored = _ivf_scored_expr(centroids, vec_col)
     best = F.array_max(scored)
     return withn.withColumn(out, -best["nid"]).drop("__vnorm")
@@ -343,8 +345,11 @@ def embedding_neardup_pairs(
         group_cols = ["__lsh_bucket"]
     # precompute each vector's norm ONCE (O(n)) instead of per pair
     # (O(n^2)); the pair expression divides by the same sqrt values, so
-    # the floating result is bit-identical to the naive form
-    v = vectors.select(
+    # the floating result is bit-identical to the naive form. spread
+    # first: a few-fat-files corpus would otherwise evaluate the whole
+    # interpreted per-pair cosine fold in ONE task (measured 4.3 s ->
+    # 0.6 s on the sf0.1 single-file fixture)
+    v = _spread(vectors).select(
         *group_cols, id_col, vec_col, F.sqrt(norm_sq(vec_col)).alias("__norm")
     )
     a, b = v.alias("a"), v.alias("b")

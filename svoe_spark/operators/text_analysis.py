@@ -247,3 +247,75 @@ def bigram_model(
             (F.col("n_ab") / F.col("n_a")).alias("p_b_given_a"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Linear quality classifier (fastText-style hashed bag-of-words)
+# --------------------------------------------------------------------------
+
+QC_BUCKETS = 64
+
+
+def default_classifier_weights(buckets: int = QC_BUCKETS) -> list[float]:
+    """Deterministic stand-in weight vector (dyadic rationals, so the
+    decimal literals parse to EXACTLY the same doubles in any engine):
+    w_i = ((i * 2654435761) mod 2048 - 1024) / 1024. A production
+    pipeline drops in trained weights (e.g. from a logistic fit);
+    the operator's value is the distributed scoring plumbing, which is
+    identical either way."""
+    return [
+        ((i * 2654435761) % 2048 - 1024) / 1024.0 for i in range(buckets)
+    ]
+
+
+def quality_classifier(
+    docs: DataFrame,
+    weights: list[float] | None = None,
+    bias: float = 0.0,
+    threshold: float = 0.0,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-based quality scoring, fastText-shaped (Joulin et al.,
+    "Bag of Tricks for Efficient Text Classification", EACL 2017 — the
+    architecture behind the GPT-3/CCNet-style quality filters): hashed
+    bag-of-words features, mean-pooled, dotted with a weight vector.
+
+    Instead of materializing the histogram, the dot product folds
+    directly over the token hashes — score = bias + (1/n) * sum_t
+    w[hash(t) mod B] — O(tokens) per doc, one array fold inside the
+    scan, ZERO shuffle. The weight table is a broadcast literal; at
+    100 TB this is a map-only pass. The fold order is document order
+    on both engines, so scores are bit-identical (the squash stays
+    linear — no exp/sigmoid, which is not bit-portable; thresholding a
+    logit is equivalent to thresholding the sigmoid).
+
+    Returns (id, n_tokens, logit, keep)."""
+    w = weights or default_classifier_weights()
+    warr = F.lit([float(x) for x in w])
+    b = len(w)
+    from svoe_spark.functions.text import token_hashes
+
+    t = _spread(docs).select(
+        F.col(id_col), F.explode(F.array(token_hashes(text))).alias("__th")
+    )
+    dot = F.aggregate(
+        F.col("__th"),
+        F.lit(0.0),
+        lambda acc, h: acc + F.element_at(warr, (h % b + 1).cast("int")),
+    )
+    scored = t.select(
+        id_col,
+        F.size("__th").cast("long").alias("n_tokens"),
+        dot.alias("__dot"),
+    ).select(
+        id_col,
+        "n_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.lit(float(bias)) + F.col("__dot") / F.col("n_tokens"),
+        )
+        .otherwise(F.lit(float(bias)))
+        .alias("logit"),
+    )
+    return scored.withColumn("keep", F.col("logit") >= F.lit(float(threshold)))

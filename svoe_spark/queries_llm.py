@@ -1320,3 +1320,96 @@ def per_source_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return per_group_topk(docs, "source", k=PER_SOURCE_K)
+
+
+@query(
+    "substring_dedup_clean",
+    f"""
+    WITH th AS (SELECT doc_id, {sql_token_hashes('text')} AS th FROM documents),
+    gr AS (SELECT doc_id, {sql_kgram_hashes('th', NGRAM_SPAN_K)} AS g FROM th),
+    pos AS (
+      SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, g[i] AS gram
+      FROM (SELECT doc_id, g, unnest(range(1, len(g)+1)) AS i FROM gr)
+    ),
+    freq AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
+    hits AS (SELECT p.doc_id, p.pos FROM pos p JOIN freq USING (gram)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= {NGRAM_SPAN_K}
+                  THEN 0 ELSE 1 END AS new_island
+      FROM hits
+    ),
+    isl2 AS (
+      SELECT doc_id, pos,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + {NGRAM_SPAN_K - 1} AS e
+      FROM isl2 GROUP BY doc_id, island
+    ),
+    sp AS (
+      SELECT doc_id, list({{'s': s, 'e': e}}) AS spans FROM spans GROUP BY doc_id
+    ),
+    toks AS (SELECT doc_id, {sql_tokens('text')} AS t FROM documents),
+    cut AS (
+      SELECT toks.doc_id, t,
+             list_filter(t, (x, i) ->
+               len(list_filter(COALESCE(spans, []),
+                               s -> s.s <= i - 1 AND i - 1 <= s.e)) = 0) AS kept
+      FROM toks LEFT JOIN sp ON toks.doc_id = sp.doc_id
+    )
+    SELECT doc_id,
+           -- DuckDB array_to_string([]) is NULL; Spark array_join is ''
+           COALESCE(array_to_string(kept, ' '), '') AS clean_text,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(t) - len(kept) AS BIGINT) AS n_tokens_removed
+    FROM cut
+    """,
+)
+def substring_dedup_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup cleanup: cut every corpus-repeated 5-gram span
+    out of the text (the removal half of Lee et al. ACL 2022;
+    operators/dedup.py::remove_repeated_spans)."""
+    from svoe_spark.operators.dedup import remove_repeated_spans
+
+    docs = load_table(spark, "documents", sf_dir)
+    return remove_repeated_spans(docs, k=NGRAM_SPAN_K, min_count=2)
+
+
+def _qc_weights_sql() -> str:
+    from svoe_spark.operators.text_analysis import (
+        QC_BUCKETS,
+        default_classifier_weights,
+    )
+
+    w = default_classifier_weights(QC_BUCKETS)
+    return "[" + ", ".join(repr(x) for x in w) + "]"
+
+
+@query(
+    "quality_classifier_scores",
+    f"""
+    WITH th AS (SELECT doc_id, {sql_token_hashes('text')} AS th FROM documents),
+    s AS (
+      SELECT doc_id,
+             CAST(len(th) AS BIGINT) AS n_tokens,
+             CASE WHEN len(th) > 0
+                  THEN 0.0 + list_reduce(
+                         list_prepend(CAST(0.0 AS DOUBLE),
+                           list_transform(th, h -> ({_qc_weights_sql()})[(h % 64) + 1])),
+                         (a, b) -> a + b) / len(th)
+                  ELSE 0.0 END AS logit
+      FROM th
+    )
+    SELECT doc_id, n_tokens, logit, logit >= 0.0 AS keep FROM s
+    """,
+)
+def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped linear quality classifier: hashed bag-of-words
+    mean-pooled dot product, folded in document order (bit-portable —
+    no exp), thresholded keep flag (operators/text_analysis.py)."""
+    from svoe_spark.operators.text_analysis import quality_classifier
+
+    return quality_classifier(load_table(spark, "documents", sf_dir))

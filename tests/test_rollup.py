@@ -74,3 +74,38 @@ def test_combine_bars_associative_batching(spark, sf_small):
     ]
     merged = combine_bars(combine_bars(thirds[0], thirds[1]), thirds[2])
     assert _sorted_rows(merged) == _sorted_rows(b)
+
+
+def test_streaming_maintenance_equals_batch(spark, sf_small, tmp_path):
+    """Replayed tick stream -> foreachBatch incremental refresh ==
+    one-shot batch rollup (the Kappa property for the rollup store)."""
+    from svoe_spark.operators.rollup import maintain_rollup_stream
+    from svoe_spark.streaming.sources import replay_parquet
+
+    t = ticks(spark, sf_small)
+    src = str(tmp_path / "ticks_src")
+    # several files -> several micro-batches per availableNow pass
+    t.repartition(4).write.parquet(src)
+    store = RollupStore(spark, str(tmp_path / "bars_stream"))
+    q = maintain_rollup_stream(
+        store, replay_parquet(spark, src), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    full = finish_bars(
+        rollup_bars(bars_from_ticks(t, window="1m"), window="1h")
+    )
+    assert _sorted_rows(store.read()) == _sorted_rows(full)
+
+
+def test_apply_batch_idempotent_on_replayed_batch_id(spark, sf_small, tmp_path):
+    t = ticks(spark, sf_small).limit(500)
+    store = RollupStore(spark, str(tmp_path / "bars"))
+    assert store.apply_batch(t, 0) is True
+    snap = _sorted_rows(store.read())
+    # same batch id re-delivered (foreachBatch at-least-once): no-op
+    assert store.apply_batch(t, 0) is False
+    assert _sorted_rows(store.read()) == snap
+    # a new batch id with the same data DOES merge (double volume)
+    assert store.apply_batch(t, 1) is True
+    assert _sorted_rows(store.read()) != snap

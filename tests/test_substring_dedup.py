@@ -94,3 +94,31 @@ def test_min_count_threshold(spark):
         (1, 0, 3),
         (2, 0, 3),
     }
+
+
+def test_remove_repeated_spans_cuts_shared_region(spark):
+    from svoe_spark.operators.dedup import remove_repeated_spans
+
+    docs = _docs(
+        spark,
+        [
+            "a0 b0 q w e r t y c0 d0",
+            "a1 q w e r t y b1",
+            "zz yy xx ww vv uu",
+        ],
+    )
+    out = {r["doc_id"]: r for r in remove_repeated_spans(docs, k=3).collect()}
+    assert out[0]["clean_text"] == "a0 b0 c0 d0"
+    assert out[0]["n_tokens"] == 10 and out[0]["n_tokens_removed"] == 6
+    assert out[1]["clean_text"] == "a1 b1"
+    # untouched doc passes through whole
+    assert out[2]["clean_text"] == "zz yy xx ww vv uu"
+    assert out[2]["n_tokens_removed"] == 0
+
+
+def test_remove_repeated_spans_full_removal_empty_string(spark):
+    from svoe_spark.operators.dedup import remove_repeated_spans
+
+    docs = _docs(spark, ["s t u", "s t u"])
+    out = remove_repeated_spans(docs, k=3).collect()
+    assert all(r["clean_text"] == "" and r["n_tokens_removed"] == 3 for r in out)
