@@ -142,9 +142,11 @@ def sql_kgram_hashes(th: str, k: int) -> str:
     expr = f"{th}[i]"
     for j in range(1, k):
         expr = f"(({expr})*31 + {th}[i+{j}]) % {P_HASH}"
+    # parenthesize the offset: k=1 would otherwise format as
+    # "len(th)--1", which DuckDB parses as a line comment
     return (
         f"CASE WHEN len({th}) >= {k} "
-        f"THEN list_transform(range(1, len({th})-{k-2}), i -> {expr}) "
+        f"THEN list_transform(range(1, len({th}) - ({k - 2})), i -> {expr}) "
         f"ELSE [] END"
     )
 

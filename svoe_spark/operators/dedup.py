@@ -612,12 +612,16 @@ def repeated_ngram_spans(
         F.col(id_col),
         F.posexplode(kgram_hashes(F.col("__th"), k)).alias("pos", "gram"),
     ).select(id_col, F.col("pos").cast("long").alias("pos"), "gram")
-    freq = (
-        grams.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("__n_occ"))
+    # corpus frequency as a window over the gram-shuffled relation, not
+    # a groupBy + self-join: ONE shuffle and ONE evaluation of the
+    # expensive tokenize+hash lineage (the groupBy/join form recomputed
+    # it for each branch)
+    wg = Window.partitionBy("gram")
+    hits = (
+        grams.withColumn("__n_occ", F.count(F.lit(1)).over(wg))
         .filter(F.col("__n_occ") >= min_count)
+        .select(id_col, "pos")
     )
-    hits = grams.join(freq, "gram").select(id_col, "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
     islands = hits.select(
         F.col(id_col),

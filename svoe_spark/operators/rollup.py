@@ -154,9 +154,22 @@ class RollupStore:
     def _with_day(self, bars: DataFrame) -> DataFrame:
         return bars.withColumn("day", F.to_date("window_start"))
 
-    def refresh(self, new_ticks: DataFrame) -> list[str]:
+    def refresh(
+        self, new_ticks: DataFrame, batch_id: int | None = None
+    ) -> list[str]:
         """Incorporate a batch of raw ticks; returns the ISO days
-        rewritten."""
+        rewritten.
+
+        With ``batch_id`` set, the refresh is idempotent PER PARTITION:
+        every rewritten day partition is stamped with the batch id
+        (``last_batch`` column), and a replayed batch skips any day
+        whose stamp already equals it. A crash mid-write can leave some
+        touched days swapped and others not (the directory swap is the
+        atomic unit, the multi-partition write is not) — on replay the
+        swapped days are recognized by their stamp and NOT re-merged,
+        the rest merge normally, so at-least-once delivery never
+        double-counts. Without ``batch_id`` the merge is blind (caller
+        guarantees each tick arrives once)."""
         delta = self._with_day(
             rollup_bars(
                 bars_from_ticks(new_ticks, window="1m", key=self.key),
@@ -164,46 +177,82 @@ class RollupStore:
                 key=self.key,
             )
         )
-        day_vals = [r["day"] for r in delta.select("day").distinct().collect()]
-        if not day_vals:
-            return []
-        if os.path.exists(self.path):
-            # date literals (not strings) keep the partition filter
-            # type-exact so the read prunes to the touched days
-            existing = self.spark.read.parquet(self.path).where(
-                F.col("day").isin(day_vals)
-            )
-            merged = self._with_day(
-                combine_bars(
-                    existing.drop("day"), delta.drop("day"), key=self.key
+        # the delta is consumed by the day-discovery collect AND the
+        # merge/write below — persist so the double aggregation over
+        # the batch runs once
+        delta = delta.persist()
+        try:
+            day_vals = [
+                r["day"] for r in delta.select("day").distinct().collect()
+            ]
+            if not day_vals:
+                return []
+            exists = os.path.exists(self.path)
+            if exists and batch_id is not None:
+                # days already stamped with this batch id were swapped
+                # by a previous (crashed) attempt: their content already
+                # includes the delta — exclude them entirely
+                stamped = self.spark.read.parquet(self.path).where(
+                    F.col("day").isin(day_vals)
+                    & (F.col("last_batch") == batch_id)
                 )
+                done_days = {r["day"] for r in stamped.select("day").distinct().collect()}
+                day_vals = [d for d in day_vals if d not in done_days]
+                if not day_vals:
+                    return []
+                delta_part = delta.where(F.col("day").isin(day_vals))
+            else:
+                delta_part = delta
+            if exists:
+                # date literals (not strings) keep the partition filter
+                # type-exact so the read prunes to the touched days
+                existing = self.spark.read.parquet(self.path).where(
+                    F.col("day").isin(day_vals)
+                )
+                merged = self._with_day(
+                    combine_bars(
+                        existing.drop("day", "last_batch"),
+                        delta_part.drop("day", "last_batch"),
+                        key=self.key,
+                    )
+                )
+            else:
+                merged = delta_part
+            (
+                merged.withColumn(
+                    "last_batch",
+                    F.lit(-1 if batch_id is None else batch_id).cast("long"),
+                )
+                .repartition("day")
+                .write.partitionBy("day")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(self.path)
             )
-        else:
-            merged = delta
-        (
-            merged.repartition("day")
-            .write.partitionBy("day")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(self.path)
-        )
-        return sorted(str(d) for d in day_vals)
+            return sorted(str(d) for d in day_vals)
+        finally:
+            delta.unpersist()
 
     def read(self) -> DataFrame:
         """Finished (vwap-derived) view of the store."""
-        return finish_bars(self.spark.read.parquet(self.path).drop("day"))
+        return finish_bars(
+            self.spark.read.parquet(self.path).drop("day", "last_batch")
+        )
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> bool:
-        """Idempotent refresh for at-least-once callers (foreachBatch):
-        a batch id already recorded in ``<path>._commits`` is a no-op,
-        so a replayed micro-batch cannot double-count its ticks.
-        Returns whether the batch was applied."""
+        """Idempotent refresh for at-least-once callers (foreachBatch).
+        Two guards layered: the ``<path>._commits`` log short-circuits
+        batches known complete (fast path), and `refresh`'s per-
+        partition batch stamp closes the crash window BETWEEN the data
+        write and the log append — a replayed batch re-merges only the
+        days the crashed attempt had not yet swapped. Returns whether
+        any data work was done."""
         commits = self.path + "._commits"
         if os.path.exists(commits):
             with open(commits) as f:
                 if batch_id in {int(x) for x in f.read().split() if x}:
                     return False
-        self.refresh(batch_df)
+        self.refresh(batch_df, batch_id=batch_id)
         with open(commits, "a") as f:
             f.write(f"{batch_id}\n")
         return True
@@ -219,10 +268,12 @@ def maintain_rollup_stream(
 
     foreachBatch offers at-least-once delivery — a failed/restarted
     batch re-runs with the SAME batch id. A blind re-merge would
-    double-count its ticks, so refresh is made idempotent with the
-    standard batch-id commit log: a batch already recorded in
-    ``<path>._commits`` is skipped. (Single concurrent writer per
-    store path, same as any dynamic-partition-overwrite maintainer.)
+    double-count its ticks, so `RollupStore.apply_batch` layers two
+    idempotency guards: the ``<path>._commits`` log (fast path) and a
+    per-day-partition batch stamp inside the data that survives a
+    crash BETWEEN the partition swap and the log append (see
+    `RollupStore.refresh`). (Single concurrent writer per store path,
+    same as any dynamic-partition-overwrite maintainer.)
 
     Returns the StreamingQuery; use .trigger(availableNow=True)
     semantics via `streaming.sinks.foreach_batch` for bounded replays.

@@ -291,7 +291,9 @@ def quality_classifier(
     logit is equivalent to thresholding the sigmoid).
 
     Returns (id, n_tokens, logit, keep)."""
-    w = weights or default_classifier_weights()
+    w = weights if weights is not None else default_classifier_weights()
+    if not w:
+        raise ValueError("quality_classifier: empty weight vector")
     warr = F.lit([float(x) for x in w])
     b = len(w)
     from svoe_spark.functions.text import token_hashes

@@ -1388,6 +1388,12 @@ def _qc_weights_sql() -> str:
     return "[" + ", ".join(repr(x) for x in w) + "]"
 
 
+def _qc_buckets() -> int:
+    from svoe_spark.operators.text_analysis import QC_BUCKETS
+
+    return QC_BUCKETS
+
+
 @query(
     "quality_classifier_scores",
     f"""
@@ -1398,7 +1404,7 @@ def _qc_weights_sql() -> str:
              CASE WHEN len(th) > 0
                   THEN 0.0 + list_reduce(
                          list_prepend(CAST(0.0 AS DOUBLE),
-                           list_transform(th, h -> ({_qc_weights_sql()})[(h % 64) + 1])),
+                           list_transform(th, h -> ({_qc_weights_sql()})[(h % {_qc_buckets()}) + 1])),
                          (a, b) -> a + b) / len(th)
                   ELSE 0.0 END AS logit
       FROM th

@@ -115,8 +115,10 @@ def content_hash(df: DataFrame, cols: list[str] | None = None) -> int:
     ).first()
     # hash only numbers: str hashing is salted per process
     # (PYTHONHASHSEED), which would make the digest useless for any
-    # cross-session change detection; int hashing is not salted.
-    return hash((row["x"], int(row["s"] or 0), row["n"]))
+    # cross-session change detection; int hashing is not salted. On an
+    # empty relation the aggregates are NULL — substitute constants
+    # (hash(None) is id-based on CPython < 3.12, process-dependent).
+    return hash((int(row["x"] or 0), int(row["s"] or 0), row["n"]))
 
 
 def compact(

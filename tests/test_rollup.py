@@ -109,3 +109,48 @@ def test_apply_batch_idempotent_on_replayed_batch_id(spark, sf_small, tmp_path):
     # a new batch id with the same data DOES merge (double volume)
     assert store.apply_batch(t, 1) is True
     assert _sorted_rows(store.read()) != snap
+
+
+def test_crash_between_write_and_commit_log_not_double_counted(
+    spark, sf_small, tmp_path
+):
+    """Simulate the at-least-once crash window: the batch's data write
+    completed (partitions stamped with the batch id) but the commit log
+    append did not. The replayed batch must skip the stamped days."""
+    t = ticks(spark, sf_small)
+    store = RollupStore(spark, str(tmp_path / "bars"))
+    # crashed attempt: data fully written, _commits never appended
+    store.refresh(t, batch_id=7)
+    assert not os.path.exists(store.path + "._commits")
+    snap = _sorted_rows(store.read())
+    # streaming replay of the same batch id
+    assert store.apply_batch(t, 7) is True  # log was empty -> work ran
+    assert _sorted_rows(store.read()) == snap  # ...but nothing re-merged
+
+
+def test_partial_crash_merges_only_unswapped_days(spark, sf_small, tmp_path):
+    """A crash mid-write can leave SOME touched days swapped: replay
+    must merge only the days the crashed attempt did not stamp."""
+    t = ticks(spark, sf_small)
+    days = sorted(
+        str(r["d"])
+        for r in t.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    assert len(days) >= 2
+    d0 = days[0]
+    base = t.where(F.to_date("ts") == F.lit(d0).cast("date") - 99999)  # empty
+    store = RollupStore(spark, str(tmp_path / "bars"))
+    # prior state: batch 0 applied cleanly over all days
+    store.apply_batch(t, 0)
+    # crashed batch 1: only day d0's partition got swapped (stamped 1)
+    store.refresh(
+        t.where(F.to_date("ts") == F.lit(d0).cast("date")), batch_id=1
+    )
+    # replay of the FULL batch 1
+    store.apply_batch(t, 1)
+    # reference: clean store with batch 0 then batch 1 applied once each
+    ref = RollupStore(spark, str(tmp_path / "ref"))
+    ref.apply_batch(t, 0)
+    ref.apply_batch(t, 1)
+    assert _sorted_rows(store.read()) == _sorted_rows(ref.read())
+    del base
