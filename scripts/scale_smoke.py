@@ -149,12 +149,113 @@ def dedup_clusters_10m(spark, results, force, n_docs=10_000_000):
           f"{n_kept} survivors", file=sys.stderr, flush=True)
 
 
+
+
+def round4_smoke(spark, results, force, n_docs=2_000_000, n_ticks=20_000_000):
+    """Round-4 operators at scale: substring-span dedup + model-based
+    quality scoring over 2M synthetic docs, and the incremental rollup
+    store at 20M ticks (full build vs one-day incremental refresh).
+
+    Docs: 60 pseudo-random tokens from an effectively unbounded vocab
+    (xxhash64-derived), with an 8-token boilerplate phrase planted in
+    10% of docs — the exact shape repeated_ngram_spans exists to find:
+    corpus-frequent grams are RARE (one phrase), so the hits relation
+    is ~0.8M positions, not the full 120M gram stream."""
+    from svoe_spark.operators.dedup import remove_repeated_spans, repeated_ngram_spans
+    from svoe_spark.operators.text_analysis import quality_classifier
+
+    tok = lambda e: F.concat(F.lit("t"), F.abs(F.xxhash64(e)).cast("string"))  # noqa: E731
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(60)),
+            lambda j: tok(F.col("id") * 1000 + j),
+        ),
+        " ",
+    )
+    phrase = " ".join(f"boiler{i}" for i in range(8))
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 10 == 0, F.concat(body, F.lit(" " + phrase))
+        ).otherwise(body).alias("text"),
+    )
+    spans = None
+
+    def run_spans():
+        nonlocal spans
+        spans = repeated_ngram_spans(docs, k=5, min_count=2)
+        force(spans)
+
+    results[f"ngram_spans_{n_docs//1_000_000}M_docs_sec"] = timed(
+        run_spans, "repeated_ngram_spans"
+    )
+    n_span_docs = spans.select("doc_id").distinct().count()
+    results["ngram_span_docs"] = n_span_docs
+    # exactly the planted 10% (plus negligible joint-hash collisions):
+    # the upper bound is the regression guard — a single 1e9-sized gram
+    # hash key flagged ~100% of docs via birthday collisions
+    assert n_docs // 10 * 9 // 10 <= n_span_docs <= n_docs // 9, n_span_docs
+
+    results[f"substring_clean_{n_docs//1_000_000}M_docs_sec"] = timed(
+        lambda: force(remove_repeated_spans(docs, k=5, min_count=2)),
+        "remove_repeated_spans",
+    )
+    results[f"quality_classifier_{n_docs//1_000_000}M_docs_sec"] = timed(
+        lambda: force(quality_classifier(docs)), "quality_classifier"
+    )
+
+    # rollup store: full 20M-tick build vs a 2M-tick single-day refresh
+    import shutil
+    import tempfile
+
+    from svoe_spark.operators.rollup import RollupStore
+
+    tmp = tempfile.mkdtemp(prefix="rollup_smoke_")
+    try:
+        span_days = 10
+        ticks = spark.range(n_ticks).select(
+            (F.lit(1_700_000_000.0) + (F.col("id") / n_ticks) * 86_400.0 * span_days)
+            .cast("timestamp").alias("ts"),
+            F.concat(F.lit("S"), (F.col("id") % 8).cast("string")).alias("event_type"),
+            (100.0 + F.sin(F.col("id") / 1000.0) * 5.0).alias("value"),
+            F.round((100.0 + F.sin(F.col("id") / 1000.0) * 5.0) * 100, 0)
+            .cast("long").alias("value_c"),
+            (F.col("id") % 5 + 1).alias("qty"),
+            F.col("id").alias("event_id"),
+        )
+        store = RollupStore(spark, tmp + "/bars")
+        results["rollup_full_20M_sec"] = timed(
+            lambda: store.refresh(ticks), "rollup_full_build"
+        )
+        delta = spark.range(n_ticks, n_ticks + n_ticks // 10).select(
+            (F.lit(1_700_000_000.0) + 86_400.0 * span_days
+             + ((F.col("id") - n_ticks) / (n_ticks // 10)) * 86_400.0)
+            .cast("timestamp").alias("ts"),
+            F.concat(F.lit("S"), (F.col("id") % 8).cast("string")).alias("event_type"),
+            (100.0 + F.sin(F.col("id") / 1000.0) * 5.0).alias("value"),
+            F.round((100.0 + F.sin(F.col("id") / 1000.0) * 5.0) * 100, 0)
+            .cast("long").alias("value_c"),
+            (F.col("id") % 5 + 1).alias("qty"),
+            F.col("id").alias("event_id"),
+        )
+        results["rollup_incr_2M_1day_sec"] = timed(
+            lambda: store.refresh(delta), "rollup_incremental_refresh"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main():
     spark = get_spark("scale_smoke")
     spark.sparkContext.setLogLevel("ERROR")
     force = lambda df: df.write.format("noop").mode("overwrite").save()  # noqa: E731
 
     only = os.environ.get("SMOKE_ONLY")
+    if only == "round4":
+        results = {}
+        round4_smoke(spark, results, force)
+        print(json.dumps(results))
+        return
     if only == "dedup_clusters_10m":
         results = {}
         dedup_clusters_10m(spark, results, force)

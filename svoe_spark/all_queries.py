@@ -38,6 +38,7 @@ _DRIVER_PRIORITY = [
     "repeated_ngram_spans",
     "substring_dedup_clean",
     "semantic_dedup",
+    "semantic_dedup_hier",
     "quality_classifier_scores",
     "per_source_topk",
     "ohlcv_1h_rollup",
@@ -83,7 +84,6 @@ _PRIORITY_EXTRA = [
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
-    "q19_discounted_revenue",
 ]
 
 

@@ -116,19 +116,27 @@ def word_shingles_from_hashes(th: Column | str) -> Column:
     ).otherwise(F.array().cast("array<bigint>"))
 
 
-def kgram_hashes(th: Column | str, k: int) -> Column:
+def kgram_hashes(th: Column | str, k: int, mult: int = 31) -> Column:
     """k-token rolling hashes from a precomputed token-hash array:
-    the word-shingle fold generalized to any k (k=3 is bit-identical to
-    `word_shingles_from_hashes`). Positions are 0-based gram starts
-    when paired with posexplode. The fold is unrolled at plan-build
-    time (k is a literal), so the per-gram cost is k element_at reads —
-    no nested aggregate per element."""
+    the word-shingle fold generalized to any k (k=3 at the default
+    multiplier is bit-identical to `word_shingles_from_hashes`).
+    Positions are 0-based gram starts when paired with posexplode. The
+    fold is unrolled at plan-build time (k is a literal), so the
+    per-gram cost is k element_at reads — no nested aggregate per
+    element.
+
+    A single fold lives in [0, 1e9): at 1e8+ corpus grams, birthday
+    collisions produce false "repeats" by the million (measured: a 2M-doc
+    smoke flagged ~100% of docs instead of the planted 10%). Callers
+    that key on gram identity at scale must pair two independent folds
+    (``mult=31`` and e.g. ``mult=37``) for an effective 2^60 key —
+    see `operators.dedup.repeated_ngram_spans`."""
     c = _col(th)
 
     def fold(i: Column) -> Column:
         e = F.element_at(c, i)
         for j in range(1, k):
-            e = (e * 31 + F.element_at(c, i + j)) % P_HASH
+            e = (e * mult + F.element_at(c, i + j)) % P_HASH
         return e
 
     return F.when(
@@ -137,11 +145,11 @@ def kgram_hashes(th: Column | str, k: int) -> Column:
     ).otherwise(F.array().cast("array<bigint>"))
 
 
-def sql_kgram_hashes(th: str, k: int) -> str:
+def sql_kgram_hashes(th: str, k: int, mult: int = 31) -> str:
     """DuckDB mirror of `kgram_hashes` (same unrolled fold)."""
     expr = f"{th}[i]"
     for j in range(1, k):
-        expr = f"(({expr})*31 + {th}[i+{j}]) % {P_HASH}"
+        expr = f"(({expr})*{mult} + {th}[i+{j}]) % {P_HASH}"
     # parenthesize the offset: k=1 would otherwise format as
     # "len(th)--1", which DuckDB parses as a line comment
     return (

@@ -608,15 +608,30 @@ def repeated_ngram_spans(
         F.col(id_col),
         F.explode(F.array(token_hashes(text, fast=fast))).alias("__th"),
     )
+    # gram identity = TWO independent rolling hashes (bases 31 and 37):
+    # one 1e9-sized fold suffers birthday collisions by the million at
+    # 1e8+ corpus grams — a 2M-doc smoke flagged ~100% of docs as
+    # containing "repeats" instead of the planted 10% before the second
+    # key was added (joint space ~2^60, collisions negligible)
     grams = t.select(
         F.col(id_col),
-        F.posexplode(kgram_hashes(F.col("__th"), k)).alias("pos", "gram"),
-    ).select(id_col, F.col("pos").cast("long").alias("pos"), "gram")
+        F.posexplode(
+            F.arrays_zip(
+                kgram_hashes(F.col("__th"), k, mult=31).alias("g1"),
+                kgram_hashes(F.col("__th"), k, mult=37).alias("g2"),
+            )
+        ).alias("pos", "gram"),
+    ).select(
+        id_col,
+        F.col("pos").cast("long").alias("pos"),
+        F.col("gram.g1").alias("g1"),
+        F.col("gram.g2").alias("g2"),
+    )
     # corpus frequency as a window over the gram-shuffled relation, not
     # a groupBy + self-join: ONE shuffle and ONE evaluation of the
     # expensive tokenize+hash lineage (the groupBy/join form recomputed
     # it for each branch)
-    wg = Window.partitionBy("gram")
+    wg = Window.partitionBy("g1", "g2")
     hits = (
         grams.withColumn("__n_occ", F.count(F.lit(1)).over(wg))
         .filter(F.col("__n_occ") >= min_count)

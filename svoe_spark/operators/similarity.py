@@ -472,9 +472,23 @@ def semantic_dedup(
     transitive-closure clustering of the pair graph, feed the pairs to
     `operators.graph.dedup_clusters` instead."""
     assigned = ivf_assign(vectors, centroids, vec_col=vec_col)
+    return semantic_prune(assigned, threshold, vec_col=vec_col, id_col=id_col)
+
+
+def semantic_prune(
+    assigned: DataFrame,
+    threshold: float = 0.3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """The prune half of SemDeDup over any cluster assignment (flat
+    `ivf_assign`, hierarchical `ivf_assign_2level`, or an external
+    clustering): drop every vector with a smaller-id in-cluster
+    neighbor at cosine >= threshold. (id, cluster_id, dropped)."""
     pairs = embedding_neardup_pairs(
         assigned,
-        group_cols=["cluster_id"],
+        group_cols=[cluster_col],
         threshold=threshold,
         vec_col=vec_col,
         id_col=id_col,
@@ -486,7 +500,73 @@ def semantic_dedup(
         )
         .select(
             id_col,
-            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col(cluster_col).cast("long").alias("cluster_id"),
             F.coalesce("__drop", F.lit(False)).alias("dropped"),
         )
+    )
+
+
+def ivf_assign_2level(
+    vectors: DataFrame,
+    coarse: list[list[float]],
+    sub: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out: str = "cluster_id",
+) -> DataFrame:
+    """Two-level (hierarchical) IVF assignment: argmax-cosine over k1
+    coarse centroids, then argmax over that cell's k2 sub-centroids;
+    cluster_id = coarse*k2 + sub.
+
+    This is the scale path for LARGE codebooks (SemDeDup wants cluster
+    sizes of a few hundred, i.e. k ~ n/300): a flat constant-literal
+    argmax caps out at a few hundred centroids (plan-size and per-row
+    k x dim fold), while two nested levels give k1*k2 effective cells
+    for k1+k2 fold cost per row — 32x32 = 1024 cells at 64-fold cost.
+    Still a single shuffle-free projection; both codebook levels are
+    broadcast literals. Same IVF-tree shape as FAISS's IVF + residual
+    quantizers (Johnson et al., "Billion-scale similarity search with
+    GPUs", 2017), minus the residual encoding.
+
+    ``sub[c]`` is the k2-centroid codebook of coarse cell ``c``. The
+    deterministic seeded layout used by the registered query takes
+    coarse = vectors[0..k1), sub[c] = vectors[k1 + c*k2 .. k1 + (c+1)*k2)
+    — trained codebooks from `ivf_train` (applied per coarse cell) drop
+    in identically."""
+    import math
+
+    k1, k2 = len(coarse), len(sub[0])
+    assert len(sub) == k1 and all(len(s) == k2 for s in sub)
+
+    def py_norm(c: list[float]) -> float:
+        acc = 0.0
+        for x in c:
+            acc = acc + float(x) * float(x)
+        return math.sqrt(acc)
+
+    withn = _spread(vectors).withColumn("__vnorm", F.sqrt(norm_sq(vec_col)))
+    coarse_best = F.array_max(_ivf_scored_expr(coarse, vec_col))
+    withc = withn.withColumn("__cid", -coarse_best["nid"])
+
+    subcb = F.lit([[[float(x) for x in c] for c in cell] for cell in sub])
+    subn = F.lit([[py_norm(c) for c in cell] for cell in sub])
+    cell = F.element_at(subcb, F.col("__cid") + 1)
+    celln = F.element_at(subn, F.col("__cid") + 1)
+    sub_scores = F.transform(
+        F.sequence(F.lit(1), F.lit(k2)),
+        lambda j: F.struct(
+            F.when(
+                (F.col("__vnorm") * F.element_at(celln, j)) != 0.0,
+                dot(F.col(vec_col), F.element_at(cell, j))
+                / (F.col("__vnorm") * F.element_at(celln, j)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("cos"),
+            (1 - j).alias("nid"),
+        ),
+    )
+    sub_best = F.array_max(sub_scores)
+    return (
+        withc.withColumn("__sid", -sub_best["nid"])
+        .withColumn(out, F.col("__cid") * k2 + F.col("__sid"))
+        .drop("__vnorm", "__cid", "__sid")
     )

@@ -1215,13 +1215,14 @@ NGRAM_SPAN_K = 5
     "repeated_ngram_spans",
     f"""
     WITH th AS (SELECT doc_id, {sql_token_hashes('text')} AS th FROM documents),
-    gr AS (SELECT doc_id, {sql_kgram_hashes('th', NGRAM_SPAN_K)} AS g FROM th),
+    gr AS (SELECT doc_id, {sql_kgram_hashes('th', NGRAM_SPAN_K)} AS g,
+                  {sql_kgram_hashes('th', NGRAM_SPAN_K, 37)} AS g2 FROM th),
     pos AS (
-      SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, g[i] AS gram
-      FROM (SELECT doc_id, g, unnest(range(1, len(g)+1)) AS i FROM gr)
+      SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, g[i] AS gram, g2[i] AS gram2
+      FROM (SELECT doc_id, g, g2, unnest(range(1, len(g)+1)) AS i FROM gr)
     ),
-    freq AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
-    hits AS (SELECT p.doc_id, p.pos FROM pos p JOIN freq USING (gram)),
+    freq AS (SELECT gram, gram2 FROM pos GROUP BY gram, gram2 HAVING count(*) >= 2),
+    hits AS (SELECT p.doc_id, p.pos FROM pos p JOIN freq USING (gram, gram2)),
     isl AS (
       SELECT doc_id, pos,
              CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
@@ -1326,13 +1327,14 @@ def per_source_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "substring_dedup_clean",
     f"""
     WITH th AS (SELECT doc_id, {sql_token_hashes('text')} AS th FROM documents),
-    gr AS (SELECT doc_id, {sql_kgram_hashes('th', NGRAM_SPAN_K)} AS g FROM th),
+    gr AS (SELECT doc_id, {sql_kgram_hashes('th', NGRAM_SPAN_K)} AS g,
+                  {sql_kgram_hashes('th', NGRAM_SPAN_K, 37)} AS g2 FROM th),
     pos AS (
-      SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, g[i] AS gram
-      FROM (SELECT doc_id, g, unnest(range(1, len(g)+1)) AS i FROM gr)
+      SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, g[i] AS gram, g2[i] AS gram2
+      FROM (SELECT doc_id, g, g2, unnest(range(1, len(g)+1)) AS i FROM gr)
     ),
-    freq AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
-    hits AS (SELECT p.doc_id, p.pos FROM pos p JOIN freq USING (gram)),
+    freq AS (SELECT gram, gram2 FROM pos GROUP BY gram, gram2 HAVING count(*) >= 2),
+    hits AS (SELECT p.doc_id, p.pos FROM pos p JOIN freq USING (gram, gram2)),
     isl AS (
       SELECT doc_id, pos,
              CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
@@ -1419,3 +1421,74 @@ def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from svoe_spark.operators.text_analysis import quality_classifier
 
     return quality_classifier(load_table(spark, "documents", sf_dir))
+
+
+IVF2_K1 = 8
+IVF2_K2 = 8
+
+
+@query(
+    "semantic_dedup_hier",
+    f"""
+    WITH coarse AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {IVF2_K1}
+    ),
+    sub AS (
+      SELECT CAST((vec_id - {IVF2_K1}) // {IVF2_K2} AS BIGINT) AS cid,
+             CAST((vec_id - {IVF2_K1}) % {IVF2_K2} AS BIGINT) AS sid,
+             embedding AS sv
+      FROM embeddings
+      WHERE vec_id >= {IVF2_K1} AND vec_id < {IVF2_K1 + IVF2_K1 * IVF2_K2}
+    ),
+    a1 AS (
+      SELECT e.vec_id, e.embedding, c.cid
+      FROM embeddings e, coarse c
+      QUALIFY row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {sql_cosine('e.embedding', 'c.cv')} DESC, c.cid
+      ) = 1
+    ),
+    a2 AS (
+      SELECT a1.vec_id, a1.embedding,
+             a1.cid * {IVF2_K2} + s.sid AS cluster_id
+      FROM a1 JOIN sub s ON a1.cid = s.cid
+      QUALIFY row_number() OVER (
+        PARTITION BY a1.vec_id
+        ORDER BY {sql_cosine('a1.embedding', 's.sv')} DESC, s.sid
+      ) = 1
+    ),
+    p AS (
+      SELECT b.vec_id
+      FROM a2 x JOIN a2 b ON x.cluster_id = b.cluster_id AND x.vec_id < b.vec_id
+      WHERE {sql_cosine('x.embedding', 'b.embedding')} >= {SEMDEDUP_THRESHOLD}
+      GROUP BY b.vec_id
+    )
+    SELECT a2.vec_id, a2.cluster_id, (p.vec_id IS NOT NULL) AS dropped
+    FROM a2 LEFT JOIN p ON a2.vec_id = p.vec_id
+    """,
+)
+def semantic_dedup_hier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the HIERARCHICAL codebook (ivf_assign_2level):
+    8x8 = 64 effective cells for 8+8 argmax cost per row — the scale
+    path to the few-hundred-per-cluster codebook sizes the SemDeDup
+    design wants, where a flat constant-literal argmax caps out.
+    Seeded layout: coarse = vectors[0..8), sub[c] = vectors[8+8c..8+8c+8)."""
+    from svoe_spark.operators.similarity import (
+        ivf_assign_2level,
+        semantic_prune,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    seeds = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < IVF2_K1 + IVF2_K1 * IVF2_K2)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    coarse = seeds[:IVF2_K1]
+    sub = [
+        seeds[IVF2_K1 + c * IVF2_K2 : IVF2_K1 + (c + 1) * IVF2_K2]
+        for c in range(IVF2_K1)
+    ]
+    assigned = ivf_assign_2level(emb, coarse, sub)
+    return semantic_prune(assigned, threshold=SEMDEDUP_THRESHOLD)

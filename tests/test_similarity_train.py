@@ -97,3 +97,35 @@ def test_semantic_dedup_drops_higher_id_twin(spark):
     assert out[0]["cluster_id"] == out[1]["cluster_id"]
     assert not out[2]["dropped"]
     assert not out[3]["dropped"]
+
+
+def test_ivf_assign_2level_routes_to_expected_cell(spark):
+    """Crafted codebooks: 2 coarse axes, 2 sub-centroids per cell at
+    distinguishable tilts — a vector near sub (c, s) must land in
+    cluster c*k2+s; zero vector routes deterministically to cell 0."""
+    from svoe_spark.operators.similarity import ivf_assign_2level
+
+    ex = [1.0, 0.0, 0.0, 0.0]
+    ey = [0.0, 1.0, 0.0, 0.0]
+    ez = [0.0, 0.0, 1.0, 0.0]
+    ew = [0.0, 0.0, 0.0, 1.0]
+    coarse = [ex, ey]
+    # sub-cells tilt toward z (s=0) or w (s=1) within each coarse cone
+    sub = [
+        [[1.0, 0.0, 0.5, 0.0], [1.0, 0.0, 0.0, 0.5]],
+        [[0.0, 1.0, 0.5, 0.0], [0.0, 1.0, 0.0, 0.5]],
+    ]
+    rows = [
+        (0, [1.0, 0.1, 0.4, 0.0]),   # coarse x, sub z  -> 0*2+0 = 0
+        (1, [1.0, 0.1, 0.0, 0.4]),   # coarse x, sub w  -> 1
+        (2, [0.1, 1.0, 0.4, 0.0]),   # coarse y, sub z  -> 2
+        (3, [0.1, 1.0, 0.0, 0.4]),   # coarse y, sub w  -> 3
+        (4, [0.0, 0.0, 0.0, 0.0]),   # zero vector -> all cos 0 -> cell 0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r["cluster_id"]
+        for r in ivf_assign_2level(emb, coarse, sub).collect()
+    }
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3, 4: 0}
+    del ez, ew
