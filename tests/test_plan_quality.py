@@ -239,3 +239,78 @@ def test_quantize_embeddings_zero_shuffle(plans):
     p = plans("embedding_quantize")
     assert "hashpartitioning" not in p, p
     assert "Join" not in p, p
+
+
+def test_quality_classifier_zero_shuffle_and_pruned_scan(plans):
+    # hashed-BoW fold runs inside the scan: no hash shuffle, no join,
+    # and only doc_id + text read from the documents table
+    p = plans("quality_classifier_scores")
+    assert "hashpartitioning" not in p, p
+    assert "Join" not in p, p
+    schema = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert schema and "lang" not in schema[0] and "source" not in schema[0], p
+
+
+def test_repeated_ngram_spans_single_gram_shuffle(plans):
+    # one hash shuffle on the gram key (the window), one on the doc key
+    # (per-doc islands + span agg may share); no join in the plan —
+    # the groupBy+self-join formulation this replaced had both
+    p = plans("repeated_ngram_spans")
+    assert "Join" not in p, p
+    n_hash = p.count("hashpartitioning")
+    assert 1 <= n_hash <= 3, f"unexpected shuffle count {n_hash}\n{p}"
+
+
+def test_semantic_dedup_assignment_is_shuffle_free(spark, sf_mid):
+    # the argmax cluster assignment must stay a projection: no
+    # exchange, no join before the pair step
+    from pyspark.sql import functions as F
+
+    from svoe_spark.operators.similarity import ivf_assign, ivf_assign_2level
+    from svoe_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_mid)
+    cents = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    p = plan_of(ivf_assign(emb, cents))
+    assert "hashpartitioning" not in p and "Join" not in p, p
+    sub = [cents for _ in range(4)]
+    p2 = plan_of(ivf_assign_2level(emb, cents, sub))
+    assert "hashpartitioning" not in p2 and "Join" not in p2, p2
+
+
+def test_rollup_1h_two_partial_aggregations(plans):
+    # ticks -> 1m bars -> 1h bars: exactly two hash shuffles, each with
+    # a map-side partial aggregate before it
+    p = plans("ohlcv_1h_rollup")
+    n_hash = p.count("hashpartitioning")
+    assert n_hash == 2, f"unexpected shuffle count {n_hash}\n{p}"
+    assert "partial_" in p.lower() or "HashAggregate" in p, p
+
+
+def test_rollup_store_refresh_read_prunes_to_touched_days(spark, tmp_path):
+    # the incremental read must carry a day partition filter, not scan
+    # the whole store
+    from pyspark.sql import functions as F
+
+    from svoe_spark.operators.rollup import RollupStore
+    from svoe_spark.queries import ticks
+
+    t = ticks(spark, "/root/testdata/sf0.001")
+    store = RollupStore(spark, str(tmp_path / "bars"))
+    store.refresh(t)
+    days = [
+        r["d"] for r in t.select(F.to_date("ts").alias("d")).distinct().limit(1).collect()
+    ]
+    pruned = spark.read.parquet(store.path).where(F.col("day").isin(days))
+    p = plan_of(pruned)
+    assert "PartitionFilters" in p and "day" in p, p
+
+
+def test_per_source_topk_window_partitioned_by_group(plans):
+    # the rank window must be partitioned by source — a SinglePartition
+    # exchange here would serialize the corpus through one task
+    p = plans("per_source_topk")
+    assert "SinglePartition" not in p, p
