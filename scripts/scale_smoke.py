@@ -183,13 +183,15 @@ def round4_smoke(spark, results, force, n_docs=2_000_000, n_ticks=20_000_000):
 
     def run_spans():
         nonlocal spans
-        spans = repeated_ngram_spans(docs, k=5, min_count=2)
+        # persist: the count below must not re-run the 120M-gram pass
+        spans = repeated_ngram_spans(docs, k=5, min_count=2).persist()
         force(spans)
 
     results[f"ngram_spans_{n_docs//1_000_000}M_docs_sec"] = timed(
         run_spans, "repeated_ngram_spans"
     )
     n_span_docs = spans.select("doc_id").distinct().count()
+    spans.unpersist()
     results["ngram_span_docs"] = n_span_docs
     # exactly the planted 10% (plus negligible joint-hash collisions):
     # the upper bound is the regression guard — a single 1e9-sized gram
@@ -213,8 +215,11 @@ def round4_smoke(spark, results, force, n_docs=2_000_000, n_ticks=20_000_000):
     tmp = tempfile.mkdtemp(prefix="rollup_smoke_")
     try:
         span_days = 10
+        # midnight-aligned base epoch (19675 * 86400) so the follow-up
+        # delta below touches exactly ONE new day partition
+        base_epoch = 19_675 * 86_400.0
         ticks = spark.range(n_ticks).select(
-            (F.lit(1_700_000_000.0) + (F.col("id") / n_ticks) * 86_400.0 * span_days)
+            (F.lit(base_epoch) + (F.col("id") / n_ticks) * 86_400.0 * span_days)
             .cast("timestamp").alias("ts"),
             F.concat(F.lit("S"), (F.col("id") % 8).cast("string")).alias("event_type"),
             (100.0 + F.sin(F.col("id") / 1000.0) * 5.0).alias("value"),
@@ -228,7 +233,7 @@ def round4_smoke(spark, results, force, n_docs=2_000_000, n_ticks=20_000_000):
             lambda: store.refresh(ticks), "rollup_full_build"
         )
         delta = spark.range(n_ticks, n_ticks + n_ticks // 10).select(
-            (F.lit(1_700_000_000.0) + 86_400.0 * span_days
+            (F.lit(base_epoch) + 86_400.0 * span_days
              + ((F.col("id") - n_ticks) / (n_ticks // 10)) * 86_400.0)
             .cast("timestamp").alias("ts"),
             F.concat(F.lit("S"), (F.col("id") % 8).cast("string")).alias("event_type"),
@@ -238,9 +243,12 @@ def round4_smoke(spark, results, force, n_docs=2_000_000, n_ticks=20_000_000):
             (F.col("id") % 5 + 1).alias("qty"),
             F.col("id").alias("event_id"),
         )
+        touched = []
         results["rollup_incr_2M_1day_sec"] = timed(
-            lambda: store.refresh(delta), "rollup_incremental_refresh"
+            lambda: touched.extend(store.refresh(delta)),
+            "rollup_incremental_refresh",
         )
+        assert len(touched) == 1, touched  # exactly one new day partition
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -128,9 +128,12 @@ def kgram_hashes(th: Column | str, k: int, mult: int = 31) -> Column:
     A single fold lives in [0, 1e9): at 1e8+ corpus grams, birthday
     collisions produce false "repeats" by the million (measured: a 2M-doc
     smoke flagged ~100% of docs instead of the planted 10%). Callers
-    that key on gram identity at scale must pair two independent folds
-    (``mult=31`` and e.g. ``mult=37``) for an effective 2^60 key —
-    see `operators.dedup.repeated_ngram_spans`."""
+    that key on gram identity at scale must pair folds over two
+    INDEPENDENT token-hash families (`token_hashes_from_digests` start=1
+    and start=16 — disjoint md5 bits) for an effective ~2^60 key; two
+    bases over the SAME token hashes are NOT enough (single-token-diff
+    grams collide in both folds at ~2^-30) — see
+    `operators.dedup.repeated_ngram_spans`."""
     c = _col(th)
 
     def fold(i: Column) -> Column:
@@ -176,9 +179,11 @@ def sql_tokens(expr: str) -> str:
     return f"list_filter(string_split({expr}, ' '), t -> length(t) > 0)"
 
 
-def sql_hex15_to_int(h: str) -> str:
-    """DuckDB: integer value of the first 15 hex chars of expression
-    ``h`` (a lowercase hex string) — the md5_hash mirror."""
+def sql_hex15_to_int(h: str, start: int = 1) -> str:
+    """DuckDB: integer value of the 15 hex chars of expression ``h``
+    (a lowercase hex string) beginning at 1-based ``start`` — the
+    md5_hash mirror (start=1) and the independent second token hash
+    (start=16: disjoint md5 bits)."""
     digit = (
         f"CASE WHEN ord(substr({h}, i, 1)) >= 97 "
         f"THEN ord(substr({h}, i, 1)) - 87 "
@@ -186,12 +191,47 @@ def sql_hex15_to_int(h: str) -> str:
     )
     return (
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(range(1, 16), i -> {digit})), (acc, d) -> acc*16 + d)"
+        f"list_transform(range({start}, {start + 15}), i -> {digit})), "
+        f"(acc, d) -> acc*16 + d)"
     )
 
 
 def sql_md5_hash(expr: str) -> str:
     return sql_hex15_to_int(f"md5({expr})")
+
+
+def md5_tokens(text: Column | str) -> Column:
+    """array<string>: the md5 hex digest of each whitespace token — the
+    shared base both independent token-hash families read from.
+    Materialize this ONCE (explode barrier) when deriving more than one
+    hash family, so md5 runs once per token, not once per family."""
+    return F.transform(tokens(text), lambda t: F.md5(F.encode(t, "UTF-8")))
+
+
+def token_hashes_from_digests(d: Column | str, start: int = 1) -> Column:
+    """array<bigint> from an `md5_tokens` array: hex chars
+    [start, start+15) read base-16, mod P_HASH. start=1 reproduces
+    `token_hashes`; start=16 is an INDEPENDENT second hash family
+    (disjoint md5 bits) — required when keying on gram identity at
+    1e8+ scale: two folds over the SAME token hashes collide together
+    whenever a single token-hash pair collides (~2^-30), while
+    independent families push the joint collision to ~2^-60."""
+    c = _col(d)
+    return F.transform(
+        c,
+        lambda h: F.conv(F.substring(h, start, 15), 16, 10).cast("long")
+        % P_HASH,
+    )
+
+
+def sql_md5_tokens(expr: str) -> str:
+    return f"list_transform({sql_tokens(expr)}, t -> md5(t))"
+
+
+def sql_token_hashes_from_digests(d: str, start: int = 1) -> str:
+    return (
+        f"list_transform({d}, h -> {sql_hex15_to_int('h', start)} % {P_HASH})"
+    )
 
 
 def sql_token_hashes(expr: str) -> str:

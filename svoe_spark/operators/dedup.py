@@ -602,23 +602,62 @@ def repeated_ngram_spans(
     (not oracle-reproducible)."""
     from pyspark.sql import Window
 
-    from svoe_spark.functions.text import kgram_hashes
-
-    t = _spread(docs).select(
-        F.col(id_col),
-        F.explode(F.array(token_hashes(text, fast=fast))).alias("__th"),
+    from svoe_spark.functions.text import (
+        kgram_hashes,
+        md5_tokens,
+        token_hashes_from_digests,
     )
-    # gram identity = TWO independent rolling hashes (bases 31 and 37):
-    # one 1e9-sized fold suffers birthday collisions by the million at
-    # 1e8+ corpus grams — a 2M-doc smoke flagged ~100% of docs as
-    # containing "repeats" instead of the planted 10% before the second
-    # key was added (joint space ~2^60, collisions negligible)
+
+    # gram identity = TWO rolling hashes over INDEPENDENT token-hash
+    # families (disjoint md5 bits, start=1 and start=16): one 1e9-sized
+    # fold suffers birthday collisions by the million at 1e8+ corpus
+    # grams — a 2M-doc smoke flagged ~100% of docs as containing
+    # "repeats" instead of the planted 10%. Two folds over the SAME
+    # token hashes are NOT enough: grams differing in one token collide
+    # in both folds whenever that token-hash pair collides (~2^-30);
+    # independent families push the joint collision to ~2^-60. The md5
+    # digest array is materialized once (explode barrier) and both
+    # families read substrings of it — one md5 pass per token total.
+    if fast:
+        from svoe_spark.functions.text import P_HASH
+
+        t = (
+            _spread(docs)
+            .select(
+                F.col(id_col),
+                F.explode(F.array(tokens(text))).alias("__toks"),
+            )
+            .select(
+                F.col(id_col),
+                F.transform(
+                    F.col("__toks"),
+                    lambda x: F.pmod(F.xxhash64(x), F.lit(P_HASH)),
+                ).alias("__h1"),
+                F.transform(
+                    F.col("__toks"),
+                    lambda x: F.pmod(F.xxhash64(x, F.lit(1)), F.lit(P_HASH)),
+                ).alias("__h2"),
+            )
+        )
+    else:
+        t = (
+            _spread(docs)
+            .select(
+                F.col(id_col),
+                F.explode(F.array(md5_tokens(text))).alias("__md"),
+            )
+            .select(
+                F.col(id_col),
+                token_hashes_from_digests("__md", start=1).alias("__h1"),
+                token_hashes_from_digests("__md", start=16).alias("__h2"),
+            )
+        )
     grams = t.select(
         F.col(id_col),
         F.posexplode(
             F.arrays_zip(
-                kgram_hashes(F.col("__th"), k, mult=31).alias("g1"),
-                kgram_hashes(F.col("__th"), k, mult=37).alias("g2"),
+                kgram_hashes(F.col("__h1"), k, mult=31).alias("g1"),
+                kgram_hashes(F.col("__h2"), k, mult=37).alias("g2"),
             )
         ).alias("pos", "gram"),
     ).select(

@@ -154,6 +154,16 @@ class RollupStore:
     def _with_day(self, bars: DataFrame) -> DataFrame:
         return bars.withColumn("day", F.to_date("window_start"))
 
+    def _read_days(self, day_vals: list) -> DataFrame:
+        """Partition-pruned read of the touched day partitions — date
+        literals (not strings) keep the filter type-exact so the scan
+        prunes instead of reading the whole store. This is THE
+        incremental read refresh() uses; the plan gate asserts its
+        PartitionFilters directly."""
+        return self.spark.read.parquet(self.path).where(
+            F.col("day").isin(day_vals)
+        )
+
     def refresh(
         self, new_ticks: DataFrame, batch_id: int | None = None
     ) -> list[str]:
@@ -192,9 +202,8 @@ class RollupStore:
                 # days already stamped with this batch id were swapped
                 # by a previous (crashed) attempt: their content already
                 # includes the delta — exclude them entirely
-                stamped = self.spark.read.parquet(self.path).where(
-                    F.col("day").isin(day_vals)
-                    & (F.col("last_batch") == batch_id)
+                stamped = self._read_days(day_vals).where(
+                    F.col("last_batch") == batch_id
                 )
                 done_days = {r["day"] for r in stamped.select("day").distinct().collect()}
                 day_vals = [d for d in day_vals if d not in done_days]
@@ -204,11 +213,7 @@ class RollupStore:
             else:
                 delta_part = delta
             if exists:
-                # date literals (not strings) keep the partition filter
-                # type-exact so the read prunes to the touched days
-                existing = self.spark.read.parquet(self.path).where(
-                    F.col("day").isin(day_vals)
-                )
+                existing = self._read_days(day_vals)
                 merged = self._with_day(
                     combine_bars(
                         existing.drop("day", "last_batch"),

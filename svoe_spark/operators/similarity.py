@@ -24,6 +24,19 @@ from svoe_spark.functions.vectors import (
 DEFAULT_PLANES = 8
 
 
+def _py_norm(c: list[float]) -> float:
+    """Exact-rounding L2 norm of a Python vector (same fold order as
+    the SQL/Spark norm expressions; math.sqrt is correctly rounded ==
+    SQL sqrt) — the bit-parity-critical constant both codebook
+    assignment paths share."""
+    import math
+
+    acc = 0.0
+    for x in c:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
 def brute_force_topk(
     vectors: DataFrame,
     query: DataFrame,
@@ -233,16 +246,8 @@ def _ivf_scored_expr(centroids: list[list[float]], vec_col: str):
     scores (and the argmax assignment) are bit-identical to the naive
     per-pair cosine. Shared by the corpus argmax (ivf_assign) and the
     query-side top-P sort so the two paths can never diverge."""
-    import math
-
-    def py_norm(c: list[float]) -> float:
-        acc = 0.0
-        for x in c:
-            acc = acc + float(x) * float(x)
-        return math.sqrt(acc)
-
     cb = F.lit([[float(x) for x in c] for c in centroids])
-    cn = F.lit([py_norm(c) for c in centroids])
+    cn = F.lit([_py_norm(c) for c in centroids])
     return F.transform(
         F.sequence(F.lit(1), F.lit(len(centroids))),
         lambda i: F.struct(
@@ -532,23 +537,17 @@ def ivf_assign_2level(
     coarse = vectors[0..k1), sub[c] = vectors[k1 + c*k2 .. k1 + (c+1)*k2)
     — trained codebooks from `ivf_train` (applied per coarse cell) drop
     in identically."""
-    import math
-
-    k1, k2 = len(coarse), len(sub[0])
-    assert len(sub) == k1 and all(len(s) == k2 for s in sub)
-
-    def py_norm(c: list[float]) -> float:
-        acc = 0.0
-        for x in c:
-            acc = acc + float(x) * float(x)
-        return math.sqrt(acc)
+    k1 = len(coarse)
+    assert k1 > 0 and len(sub) == k1, (k1, len(sub))
+    k2 = len(sub[0])
+    assert all(len(s) == k2 for s in sub)
 
     withn = _spread(vectors).withColumn("__vnorm", F.sqrt(norm_sq(vec_col)))
     coarse_best = F.array_max(_ivf_scored_expr(coarse, vec_col))
     withc = withn.withColumn("__cid", -coarse_best["nid"])
 
     subcb = F.lit([[[float(x) for x in c] for c in cell] for cell in sub])
-    subn = F.lit([[py_norm(c) for c in cell] for cell in sub])
+    subn = F.lit([[_py_norm(c) for c in cell] for cell in sub])
     cell = F.element_at(subcb, F.col("__cid") + 1)
     celln = F.element_at(subn, F.col("__cid") + 1)
     sub_scores = F.transform(

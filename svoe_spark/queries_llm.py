@@ -19,6 +19,8 @@ from svoe_spark.functions.text import (
     sql_codepoints,
     sql_kgram_hashes,
     sql_md5_hash,
+    sql_md5_tokens,
+    sql_token_hashes_from_digests,
     sql_token_hashes,
     sql_tokens,
     sql_word_shingles_from_hashes,
@@ -1214,9 +1216,11 @@ NGRAM_SPAN_K = 5
 @query(
     "repeated_ngram_spans",
     f"""
-    WITH th AS (SELECT doc_id, {sql_token_hashes('text')} AS th FROM documents),
-    gr AS (SELECT doc_id, {sql_kgram_hashes('th', NGRAM_SPAN_K)} AS g,
-                  {sql_kgram_hashes('th', NGRAM_SPAN_K, 37)} AS g2 FROM th),
+    WITH md AS (SELECT doc_id, {sql_md5_tokens('text')} AS md FROM documents),
+    th AS (SELECT doc_id, {sql_token_hashes_from_digests('md', 1)} AS h1,
+                  {sql_token_hashes_from_digests('md', 16)} AS h2 FROM md),
+    gr AS (SELECT doc_id, {sql_kgram_hashes('h1', NGRAM_SPAN_K)} AS g,
+                  {sql_kgram_hashes('h2', NGRAM_SPAN_K, 37)} AS g2 FROM th),
     pos AS (
       SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, g[i] AS gram, g2[i] AS gram2
       FROM (SELECT doc_id, g, g2, unnest(range(1, len(g)+1)) AS i FROM gr)
@@ -1326,9 +1330,11 @@ def per_source_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "substring_dedup_clean",
     f"""
-    WITH th AS (SELECT doc_id, {sql_token_hashes('text')} AS th FROM documents),
-    gr AS (SELECT doc_id, {sql_kgram_hashes('th', NGRAM_SPAN_K)} AS g,
-                  {sql_kgram_hashes('th', NGRAM_SPAN_K, 37)} AS g2 FROM th),
+    WITH md AS (SELECT doc_id, {sql_md5_tokens('text')} AS md FROM documents),
+    th AS (SELECT doc_id, {sql_token_hashes_from_digests('md', 1)} AS h1,
+                  {sql_token_hashes_from_digests('md', 16)} AS h2 FROM md),
+    gr AS (SELECT doc_id, {sql_kgram_hashes('h1', NGRAM_SPAN_K)} AS g,
+                  {sql_kgram_hashes('h2', NGRAM_SPAN_K, 37)} AS g2 FROM th),
     pos AS (
       SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, g[i] AS gram, g2[i] AS gram2
       FROM (SELECT doc_id, g, g2, unnest(range(1, len(g)+1)) AS i FROM gr)

@@ -290,23 +290,28 @@ def test_rollup_1h_two_partial_aggregations(plans):
     assert "partial_" in p.lower() or "HashAggregate" in p, p
 
 
-def test_rollup_store_refresh_read_prunes_to_touched_days(spark, tmp_path):
-    # the incremental read must carry a day partition filter, not scan
-    # the whole store
+def test_rollup_store_refresh_read_prunes_to_touched_days(
+    spark, sf_small, tmp_path
+):
+    # the store's OWN incremental read path (RollupStore._read_days,
+    # the one refresh() merges against) must carry a day partition
+    # filter — asserting a hand-built read here would keep passing even
+    # if refresh regressed to a full scan
     from pyspark.sql import functions as F
 
     from svoe_spark.operators.rollup import RollupStore
     from svoe_spark.queries import ticks
 
-    t = ticks(spark, "/root/testdata/sf0.001")
+    t = ticks(spark, sf_small)
     store = RollupStore(spark, str(tmp_path / "bars"))
     store.refresh(t)
     days = [
-        r["d"] for r in t.select(F.to_date("ts").alias("d")).distinct().limit(1).collect()
+        r["d"]
+        for r in t.select(F.to_date("ts").alias("d")).distinct().limit(1).collect()
     ]
-    pruned = spark.read.parquet(store.path).where(F.col("day").isin(days))
-    p = plan_of(pruned)
-    assert "PartitionFilters" in p and "day" in p, p
+    p = plan_of(store._read_days(days))
+    pf = [l for l in p.splitlines() if "PartitionFilters" in l]
+    assert pf and "day" in pf[0] and "PartitionFilters: []" not in pf[0], p
 
 
 def test_per_source_topk_window_partitioned_by_group(plans):

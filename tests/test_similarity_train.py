@@ -107,8 +107,6 @@ def test_ivf_assign_2level_routes_to_expected_cell(spark):
 
     ex = [1.0, 0.0, 0.0, 0.0]
     ey = [0.0, 1.0, 0.0, 0.0]
-    ez = [0.0, 0.0, 1.0, 0.0]
-    ew = [0.0, 0.0, 0.0, 1.0]
     coarse = [ex, ey]
     # sub-cells tilt toward z (s=0) or w (s=1) within each coarse cone
     sub = [
@@ -128,4 +126,3 @@ def test_ivf_assign_2level_routes_to_expected_cell(spark):
         for r in ivf_assign_2level(emb, coarse, sub).collect()
     }
     assert out == {0: 0, 1: 1, 2: 2, 3: 3, 4: 0}
-    del ez, ew
