@@ -42,6 +42,8 @@ _DRIVER_PRIORITY = [
     "quality_classifier_scores",
     "per_source_topk",
     "ohlcv_1h_rollup",
+    "bigram_surprise",
+    "cluster_balanced_sample",
 ]
 
 # (c) refill: relational core in CORRECTNESS_r02 order (last green r2).
@@ -82,8 +84,6 @@ _PRIORITY_EXTRA = [
     "ewma_trend_by_type",
     "q3_shipping_priority",
     "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
 ]
 
 

@@ -321,3 +321,58 @@ def quality_classifier(
         .alias("logit"),
     )
     return scored.withColumn("keep", F.col("logit") >= F.lit(float(threshold)))
+
+
+def bigram_surprise(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean inverse CONDITIONAL bigram probability — the
+    bigram upgrade of `token_rarity`'s unigram perplexity proxy (the
+    CCNet-style LM filter, exact arithmetic: 1/p(b|a) = n_a/n_ab needs
+    only division, which is bit-portable where ln is not). High values
+    = documents whose word TRANSITIONS are unusual for the corpus —
+    catches shuffled/templated text that unigram rarity cannot.
+
+    Folded in document order (collect_list + array_sort + fold, the
+    token_rarity pattern), so the float sum has one defined association
+    order on any partitioning and in any engine.
+
+    Scale shape: one explode shuffle for the pair stream, two narrow
+    aggregations for the bigram/head-count relations, one join of
+    occurrences to the (bigram-vocab-sized) count relation, one doc-id
+    groupBy. Docs with < 2 tokens emit nothing (no bigrams)."""
+    from pyspark.sql import Window
+
+    t = _spread(df).select(F.col(id_col), tokens(text).alias("__t")).where(
+        F.size("__t") >= 2
+    )
+    pairs = t.select(
+        F.col(id_col),
+        F.posexplode(
+            F.arrays_zip(
+                F.slice(F.col("__t"), 1, F.size("__t") - 1).alias("a"),
+                F.slice(F.col("__t"), 2, F.size("__t") - 1).alias("b"),
+            )
+        ).alias("__pos", "__ab"),
+    ).select(
+        id_col, "__pos", F.col("__ab.a").alias("__a"), F.col("__ab.b").alias("__b")
+    )
+    bg = pairs.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("__nab")).persist()
+    ug = bg.groupBy("__a").agg(F.sum("__nab").alias("__na"))
+    scored = (
+        pairs.join(bg, ["__a", "__b"])
+        .join(ug, "__a")
+        .select(
+            id_col,
+            "__pos",
+            (F.col("__na").cast("double") / F.col("__nab")).alias("__inv"),
+        )
+    )
+    arr = F.array_sort(F.collect_list(F.struct("__pos", "__inv")))
+    fold = F.aggregate(arr, F.lit(0.0), lambda a, s: a + s["__inv"])
+    out = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (fold / F.count(F.lit(1))).alias("mean_inv_cond_prob"),
+    )
+    out._svoe_persisted = bg
+    return out

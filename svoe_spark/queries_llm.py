@@ -1498,3 +1498,85 @@ def semantic_dedup_hier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     assigned = ivf_assign_2level(emb, coarse, sub)
     return semantic_prune(assigned, threshold=SEMDEDUP_THRESHOLD)
+
+
+@query(
+    "bigram_surprise",
+    f"""
+    WITH t AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+    ex AS (
+      SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, toks[i] AS a, toks[i + 1] AS b
+      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM t WHERE len(toks) >= 2)
+    ),
+    bg AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab FROM ex GROUP BY a, b),
+    ug AS (SELECT a, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM bg GROUP BY a),
+    sc AS (
+      SELECT doc_id, pos, CAST(ug.n_a AS DOUBLE) / bg.n_ab AS inv
+      FROM ex JOIN bg USING (a, b) JOIN ug USING (a)
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_bigrams,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(list_sort(list({{'pos': pos, 'inv': inv}})),
+                                s -> s.inv)),
+               (x, y) -> x + y) AS s
+      FROM sc GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, s / n_bigrams AS mean_inv_cond_prob FROM agg
+    """,
+)
+def bigram_surprise_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean inverse conditional bigram probability per document — the
+    transition-level LM filter (exact arithmetic, folded in document
+    order; operators/text_analysis.py::bigram_surprise)."""
+    from svoe_spark.operators.text_analysis import bigram_surprise
+
+    return bigram_surprise(load_table(spark, "documents", sf_dir))
+
+
+@query(
+    "cluster_balanced_sample",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {IVF_K}
+    ),
+    a AS (
+      SELECT e.vec_id, c.cid AS cluster_id
+      FROM embeddings e, cents c
+      QUALIFY row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {sql_cosine('e.embedding', 'c.cv')} DESC, c.cid
+      ) = 1
+    )
+    SELECT cluster_id, vec_id, rk FROM (
+      SELECT cluster_id, vec_id,
+             row_number() OVER (
+               PARTITION BY cluster_id
+               ORDER BY {sql_md5_hash("CAST(vec_id AS VARCHAR)")}, vec_id
+             ) AS rk
+      FROM a
+    ) WHERE rk <= 3
+    """,
+)
+def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware subsampling: deterministic k-per-embedding-
+    cluster sample (ivf_assign blocking + per_group_topk) — the
+    cluster-balanced selection step of coverage-preserving corpus
+    pruning (cf. SemDeDup's keep-one-per-neighborhood, generalized to
+    a quota per semantic cell). Pure composition of existing operators;
+    at 100 TB cluster_id is the partition key and each group's window
+    sorts locally."""
+    from svoe_spark.operators.curation import per_group_topk
+    from svoe_spark.operators.similarity import ivf_assign
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < IVF_K).orderBy("vec_id").collect()
+    ]
+    assigned = ivf_assign(emb, cents).select(
+        F.col("cluster_id").cast("long").alias("cluster_id"), "vec_id"
+    )
+    return per_group_topk(assigned, "cluster_id", k=3, id_col="vec_id")

@@ -171,3 +171,21 @@ def test_text_ops_survive_unicode(spark):
     # determinism: identical unicode tokens hash identically
     sig = minhash_signature(_docs(spark, ["日本語 日本語 日本語 日本語"] * 2)).collect()
     assert sig[0]["m0"] == sig[1]["m0"]
+
+
+def test_bigram_surprise_known_counts(spark):
+    from pyspark.sql import Row
+
+    from svoe_spark.operators.text_analysis import bigram_surprise
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text="a b c"), Row(doc_id=1, text="a b a"),
+         Row(doc_id=2, text="z"), Row(doc_id=3, text="")]
+    )
+    out = {r["doc_id"]: r for r in bigram_surprise(docs).collect()}
+    # corpus bigrams: (a,b):2 (b,c):1 (b,a):1; head counts a:2 b:2
+    # doc0: inv = [2/2, 2/1] -> mean 1.5 ; doc1: inv = [2/2, 2/1]
+    assert set(out) == {0, 1}  # <2-token docs emit nothing
+    for d in (0, 1):
+        assert out[d]["n_bigrams"] == 2
+        assert out[d]["mean_inv_cond_prob"] == 1.5
