@@ -24,6 +24,23 @@ from svoe_spark.functions.vectors import (
 DEFAULT_PLANES = 8
 
 
+def _lit_nested(arr) -> Column:
+    """Nested double-array literal built as ONE parsed SQL expression.
+    F.lit on a nested Python list recurses element-wise through py4j —
+    measured 3.6 s of pure plan construction for an 8x8x64 codebook —
+    while parsing a single array(array(...)) string is one JVM call.
+    repr() round-trips doubles exactly and Spark's decimal literal
+    parse is correctly rounded, so the values are bit-identical to the
+    F.lit form."""
+
+    def fmt(x) -> str:
+        if isinstance(x, (list, tuple)):
+            return "array(" + ",".join(fmt(y) for y in x) + ")"
+        return repr(float(x)) + "D"
+
+    return F.expr(fmt(arr))
+
+
 def _py_norm(c: list[float]) -> float:
     """Exact-rounding L2 norm of a Python vector (same fold order as
     the SQL/Spark norm expressions; math.sqrt is correctly rounded ==
@@ -246,8 +263,8 @@ def _ivf_scored_expr(centroids: list[list[float]], vec_col: str):
     scores (and the argmax assignment) are bit-identical to the naive
     per-pair cosine. Shared by the corpus argmax (ivf_assign) and the
     query-side top-P sort so the two paths can never diverge."""
-    cb = F.lit([[float(x) for x in c] for c in centroids])
-    cn = F.lit([_py_norm(c) for c in centroids])
+    cb = _lit_nested([[float(x) for x in c] for c in centroids])
+    cn = _lit_nested([_py_norm(c) for c in centroids])
     return F.transform(
         F.sequence(F.lit(1), F.lit(len(centroids))),
         lambda i: F.struct(
@@ -546,17 +563,23 @@ def ivf_assign_2level(
     coarse_best = F.array_max(_ivf_scored_expr(coarse, vec_col))
     withc = withn.withColumn("__cid", -coarse_best["nid"])
 
-    subcb = F.lit([[[float(x) for x in c] for c in cell] for cell in sub])
-    subn = F.lit([[_py_norm(c) for c in cell] for cell in sub])
-    cell = F.element_at(subcb, F.col("__cid") + 1)
-    celln = F.element_at(subn, F.col("__cid") + 1)
+    subcb = _lit_nested([[[float(x) for x in c] for c in cell] for cell in sub])
+    subn = _lit_nested([[_py_norm(c) for c in cell] for cell in sub])
+    # materialize the CHOSEN cell's codebook/norms as named columns
+    # before the scoring lambdas: HOF lambdas are interpreted with no
+    # CSE, so an inlined element_at(subcb, cid+1) re-slices the whole
+    # k1 x k2 x dim literal per evaluated element (measured 11.4 s ->
+    # ~2 s for the registered query at sf0.1)
+    withcell = withc.withColumn(
+        "__cell", F.element_at(subcb, F.col("__cid") + 1)
+    ).withColumn("__celln", F.element_at(subn, F.col("__cid") + 1))
     sub_scores = F.transform(
         F.sequence(F.lit(1), F.lit(k2)),
         lambda j: F.struct(
             F.when(
-                (F.col("__vnorm") * F.element_at(celln, j)) != 0.0,
-                dot(F.col(vec_col), F.element_at(cell, j))
-                / (F.col("__vnorm") * F.element_at(celln, j)),
+                (F.col("__vnorm") * F.element_at("__celln", j)) != 0.0,
+                dot(F.col(vec_col), F.element_at("__cell", j))
+                / (F.col("__vnorm") * F.element_at("__celln", j)),
             )
             .otherwise(F.lit(0.0))
             .alias("cos"),
@@ -565,7 +588,7 @@ def ivf_assign_2level(
     )
     sub_best = F.array_max(sub_scores)
     return (
-        withc.withColumn("__sid", -sub_best["nid"])
+        withcell.withColumn("__sid", -sub_best["nid"])
         .withColumn(out, F.col("__cid") * k2 + F.col("__sid"))
-        .drop("__vnorm", "__cid", "__sid")
+        .drop("__vnorm", "__cid", "__sid", "__cell", "__celln")
     )

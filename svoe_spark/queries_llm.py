@@ -1496,8 +1496,14 @@ def semantic_dedup_hier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         seeds[IVF2_K1 + c * IVF2_K2 : IVF2_K1 + (c + 1) * IVF2_K2]
         for c in range(IVF2_K1)
     ]
-    assigned = ivf_assign_2level(emb, coarse, sub)
-    return semantic_prune(assigned, threshold=SEMDEDUP_THRESHOLD)
+    # persist the assignment: the prune self-join would otherwise embed
+    # the k1*k2*dim-literal argmax plan on BOTH join sides plus the
+    # output side — analysis/optimization of three copies of that tree
+    # dominated the query (9 s -> ~4 s at sf0.1)
+    assigned = ivf_assign_2level(emb, coarse, sub).persist()
+    out = semantic_prune(assigned, threshold=SEMDEDUP_THRESHOLD)
+    out._svoe_persisted = assigned
+    return out
 
 
 @query(
