@@ -85,6 +85,28 @@ def main() -> None:
     for name, h in hits.items():
         out[f"recall_at_{K}_{name}"] = round(h / (K * len(queries)), 3)
 
+    # 4. SemDeDup pass over the survivors: flat codebook for the
+    # cluster blocking here; ivf_assign_2level drops in for the
+    # SemDeDup-scale codebook sizes a flat literal argmax cannot reach
+    from svoe_spark.operators.similarity import semantic_dedup
+
+    sd = semantic_dedup(kept, centroids, threshold=0.5)
+    out["semdedup_dropped"] = sd.filter("dropped").count()
+
+    # 5. cluster-balanced sample of what remains: a fixed quota per
+    # semantic cell — coverage-preserving corpus pruning
+    from svoe_spark.operators.curation import per_group_topk
+    from svoe_spark.operators.similarity import ivf_assign
+
+    survivors = kept.join(
+        sd.filter("NOT dropped").select("vec_id"), "vec_id", "left_semi"
+    )
+    sample = per_group_topk(
+        ivf_assign(survivors, centroids), "cluster_id", k=5, id_col="vec_id"
+    )
+    out["balanced_sample"] = sample.count()
+    out["cells_covered"] = sample.select("cluster_id").distinct().count()
+
     print(json.dumps(out))
 
 

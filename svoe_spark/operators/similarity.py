@@ -123,7 +123,10 @@ def lsh_bucket(
     zip_with/aggregate expression as signed_projection, so bucket ids
     are bit-for-bit unchanged."""
     v = F.col(vec) if isinstance(vec, str) else vec
-    pats = F.lit([hyperplane_signs(p, dim) for p in range(planes)])
+    # one parsed literal, not planes*dim py4j calls; ±1 signs are exact
+    # as doubles and the projection fold already multiplies doubles, so
+    # bucket ids are bit-identical (oracle-gated)
+    pats = _lit_nested([hyperplane_signs(p, dim) for p in range(planes)])
     powers = F.lit([1 << p for p in range(planes)])
     bits = F.transform(
         F.sequence(F.lit(1), F.lit(planes)),
