@@ -94,15 +94,12 @@ def main() -> None:
     out["semdedup_dropped"] = sd.filter("dropped").count()
 
     # 5. cluster-balanced sample of what remains: a fixed quota per
-    # semantic cell — coverage-preserving corpus pruning
+    # semantic cell — coverage-preserving corpus pruning. sd already
+    # carries each survivor's cluster_id, so no second assignment pass.
     from svoe_spark.operators.curation import per_group_topk
-    from svoe_spark.operators.similarity import ivf_assign
 
-    survivors = kept.join(
-        sd.filter("NOT dropped").select("vec_id"), "vec_id", "left_semi"
-    )
     sample = per_group_topk(
-        ivf_assign(survivors, centroids), "cluster_id", k=5, id_col="vec_id"
+        sd.filter("NOT dropped"), "cluster_id", k=5, id_col="vec_id"
     )
     out["balanced_sample"] = sample.count()
     out["cells_covered"] = sample.select("cluster_id").distinct().count()

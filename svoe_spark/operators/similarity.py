@@ -33,10 +33,18 @@ def _lit_nested(arr) -> Column:
     parse is correctly rounded, so the values are bit-identical to the
     F.lit form."""
 
+    import math
+
     def fmt(x) -> str:
         if isinstance(x, (list, tuple)):
             return "array(" + ",".join(fmt(y) for y in x) + ")"
-        return repr(float(x)) + "D"
+        v = float(x)
+        if math.isnan(v):
+            return "CAST('NaN' AS DOUBLE)"
+        if math.isinf(v):
+            sign = "-" if v < 0 else ""
+            return f"CAST('{sign}Infinity' AS DOUBLE)"
+        return repr(v) + "D"
 
     return F.expr(fmt(arr))
 

@@ -341,8 +341,6 @@ def bigram_surprise(
     aggregations for the bigram/head-count relations, one join of
     occurrences to the (bigram-vocab-sized) count relation, one doc-id
     groupBy. Docs with < 2 tokens emit nothing (no bigrams)."""
-    from pyspark.sql import Window
-
     t = _spread(df).select(F.col(id_col), tokens(text).alias("__t")).where(
         F.size("__t") >= 2
     )
