@@ -275,6 +275,7 @@ def quality_classifier(
     threshold: float = 0.0,
     text: str = "text",
     id_col: str = "doc_id",
+    passthrough: bool = False,
 ) -> DataFrame:
     """Model-based quality scoring, fastText-shaped (Joulin et al.,
     "Bag of Tricks for Efficient Text Classification", EACL 2017 — the
@@ -290,7 +291,10 @@ def quality_classifier(
     linear — no exp/sigmoid, which is not bit-portable; thresholding a
     logit is equivalent to thresholding the sigmoid).
 
-    Returns (id, n_tokens, logit, keep)."""
+    Returns (id, n_tokens, logit, keep); with ``passthrough=True`` the
+    input columns ride along instead (the streaming-composable form —
+    a pure projection needs no post-hoc join, which a stream could not
+    do without watermarked join keys)."""
     w = weights if weights is not None else default_classifier_weights()
     if not w:
         raise ValueError("quality_classifier: empty weight vector")
@@ -298,8 +302,11 @@ def quality_classifier(
     b = len(w)
     from svoe_spark.functions.text import token_hashes
 
+    carry = [c for c in docs.columns if c != id_col] if passthrough else []
     t = _spread(docs).select(
-        F.col(id_col), F.explode(F.array(token_hashes(text))).alias("__th")
+        F.col(id_col),
+        *carry,
+        F.explode(F.array(token_hashes(text))).alias("__th"),
     )
     dot = F.aggregate(
         F.col("__th"),
@@ -308,10 +315,12 @@ def quality_classifier(
     )
     scored = t.select(
         id_col,
+        *carry,
         F.size("__th").cast("long").alias("n_tokens"),
         dot.alias("__dot"),
     ).select(
         id_col,
+        *carry,
         "n_tokens",
         F.when(
             F.col("n_tokens") > 0,

@@ -317,3 +317,46 @@ def test_keyed_reduce_dispatch(spark):
             keyed_reduce_stream(df, value="value", ops=["sum"], impl="tws")
     with pytest.raises(ValueError, match="unknown impl"):
         keyed_reduce_stream(df, value="value", ops=["sum"], impl="nope")
+
+
+def test_stream_curation_chain_equals_batch(spark, sf_small, tmp_path):
+    """Kappa for the curation layer: the SAME operator code — linear
+    quality classifier (stateless projection) -> keep-filter ->
+    streaming exact dedup — over a replayed document stream keeps
+    exactly the batch chain's distinct surviving contents."""
+    from svoe_spark.operators.dedup import (
+        drop_exact_duplicates,
+        drop_exact_duplicates_stream,
+    )
+    from svoe_spark.operators.text_analysis import quality_classifier
+
+    docs = (
+        load_table(spark, "documents", sf_small)
+        .limit(200)
+        .select(
+            "doc_id",
+            "text",
+            F.timestamp_seconds(1_700_000_000 + F.col("doc_id")).alias("ts"),
+        )
+    )
+    dupped = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text", "ts")
+    )
+    path = str(tmp_path / "docs")
+    dupped.repartitionByRange(4, "doc_id").write.parquet(path)
+
+    def chain(df, dedup):
+        scored = quality_classifier(df, threshold=-0.25, passthrough=True)
+        kept = scored.where("keep").select("doc_id", "text", "ts")
+        return dedup(kept)
+
+    stream_out = run_available_to_memory(
+        chain(replay_parquet(spark, path), drop_exact_duplicates_stream),
+        "curation_stream",
+    )
+    batch_out = chain(spark.read.parquet(path), drop_exact_duplicates)
+
+    s_texts = sorted(r["text"] for r in stream_out.collect())
+    b_texts = sorted(r["text"] for r in batch_out.collect())
+    assert s_texts == b_texts
+    assert 0 < len(s_texts) < 200  # classifier filtered some, dedup halved
