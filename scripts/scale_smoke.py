@@ -151,6 +151,76 @@ def dedup_clusters_10m(spark, results, force, n_docs=10_000_000):
 
 
 
+def semdedup_smoke(spark, results, force, n_vec=2_000_000, dim=64):
+    """Hierarchical SemDeDup at scale: 2M x 64 vectors assigned into a
+    32x32 = 1024-cell codebook (two 32-wide interpreted argmax folds
+    per row — the stage that must stay a map-only projection), then the
+    cluster-blocked prune on a 200k planted-twin subset (vectors 2i and
+    2i+1 identical => same cell, cosine 1, odd id dropped). Asserts the
+    prune recall is exact on the planted structure."""
+    import math
+
+    from svoe_spark.operators.similarity import (
+        ivf_assign_2level,
+        semantic_prune,
+    )
+
+    K1 = K2 = 32
+    coarse = [
+        [math.sin(0.7 * (c * dim + d + 1)) for d in range(dim)]
+        for c in range(K1)
+    ]
+    sub = [
+        [
+            [math.sin(0.3 * ((c * K2 + s) * dim + d + 1)) for d in range(dim)]
+            for s in range(K2)
+        ]
+        for c in range(K1)
+    ]
+    # pair-planted vectors: 2i and 2i+1 share the seed i
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda j: F.sin((F.col("id") / 2).cast("bigint") * 131 + j * 17),
+    )
+    emb = spark.range(n_vec).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+
+    results[f"ivf2_assign_{n_vec//1_000_000}M_sec"] = timed(
+        lambda: force(ivf_assign_2level(emb, coarse, sub)),
+        "ivf_assign_2level",
+    )
+
+    n_sub = 200_000
+    small = emb.where(F.col("vec_id") < n_sub)
+    assigned = ivf_assign_2level(small, coarse, sub).persist()
+    pruned = None
+
+    def run_prune():
+        nonlocal pruned
+        pruned = semantic_prune(
+            assigned, threshold=0.999, method="numpy"
+        ).persist()
+        force(pruned)
+
+    results["semdedup_prune_200k_sec"] = timed(run_prune, "semantic_prune")
+    # expr-path reference on a 20k subset: the interpreted fold measured
+    # 782 s for the full 200k (the motivation for the numpy path)
+    sub20 = assigned.where(F.col("vec_id") < 20_000)
+    results["semdedup_prune_expr_20k_sec"] = timed(
+        lambda: force(semantic_prune(sub20, threshold=0.999)),
+        "semantic_prune_expr_20k",
+    )
+    dropped = {r["vec_id"] for r in pruned.where("dropped").collect()}
+    # every odd id must drop (its even twin is identical, same cell,
+    # smaller id); no even id may drop unless a cross-pair collision
+    # also hit — assert exact on the planted structure
+    n_odd = sum(1 for v in dropped if v % 2 == 1)
+    results["semdedup_dropped"] = len(dropped)
+    assert n_odd == n_sub // 2, (n_odd, len(dropped))
+    pruned.unpersist()
+    assigned.unpersist()
+
+
+
 def round4_smoke(spark, results, force, n_docs=2_000_000, n_ticks=20_000_000):
     """Round-4 operators at scale: substring-span dedup + model-based
     quality scoring over 2M synthetic docs, and the incremental rollup
@@ -259,6 +329,11 @@ def main():
     force = lambda df: df.write.format("noop").mode("overwrite").save()  # noqa: E731
 
     only = os.environ.get("SMOKE_ONLY")
+    if only == "semdedup":
+        results = {}
+        semdedup_smoke(spark, results, force)
+        print(json.dumps(results))
+        return
     if only == "round4":
         results = {}
         round4_smoke(spark, results, force)

@@ -514,18 +514,34 @@ def semantic_prune(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cluster_col: str = "cluster_id",
+    method: str = "expr",
 ) -> DataFrame:
     """The prune half of SemDeDup over any cluster assignment (flat
     `ivf_assign`, hierarchical `ivf_assign_2level`, or an external
     clustering): drop every vector with a smaller-id in-cluster
-    neighbor at cosine >= threshold. (id, cluster_id, dropped)."""
-    pairs = embedding_neardup_pairs(
-        assigned,
-        group_cols=[cluster_col],
-        threshold=threshold,
-        vec_col=vec_col,
-        id_col=id_col,
-    )
+    neighbor at cosine >= threshold. (id, cluster_id, dropped).
+
+    ``method="expr"`` (default) scores pairs with the oracle-
+    bit-identical expression fold; ``method="numpy"`` uses the Arrow +
+    matrix-multiply path (`embedding_neardup_pairs_numpy`, ~30x at
+    hundreds of vectors per cell) — same drop decisions except for
+    pairs landing exactly AT the threshold (BLAS reassociation)."""
+    if method == "numpy":
+        pairs = embedding_neardup_pairs_numpy(
+            assigned,
+            group_cols=[cluster_col],
+            threshold=threshold,
+            vec_col=vec_col,
+            id_col=id_col,
+        )
+    else:
+        pairs = embedding_neardup_pairs(
+            assigned,
+            group_cols=[cluster_col],
+            threshold=threshold,
+            vec_col=vec_col,
+            id_col=id_col,
+        )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return (
         assigned.join(
@@ -603,3 +619,67 @@ def ivf_assign_2level(
         .withColumn(out, F.col("__cid") * k2 + F.col("__sid"))
         .drop("__vnorm", "__cid", "__sid", "__cell", "__celln")
     )
+
+
+def embedding_neardup_pairs_numpy(
+    vectors: DataFrame,
+    group_cols: list[str],
+    threshold: float = 0.3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Vectorized (Arrow + numpy) form of the blocked pair scan: per
+    block, one C = (E @ E.T) / outer(norms) matrix multiply instead of
+    an interpreted 64-wide fold per pair — measured ~30x on the 200k
+    planted-twin smoke (782 s -> 26 s, same pairs). The throughput path
+    once blocks hold more than a few hundred vectors; the expression
+    form stays the default because its fold order is bit-identical to
+    the DuckDB oracle, while BLAS reassociates the dot sums (values
+    differ in the last ulp — pair SETS agree except exactly AT the
+    threshold; differential-tested in tests/test_pair_blocking.py).
+
+    Same contract as `embedding_neardup_pairs(group_cols=...)`:
+    (group_cols..., id_a, id_b, cosine) with id_a < id_b, zero-norm
+    vectors never pair (cosine treated as 0)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    in_fields = vectors.select(*group_cols, id_col, vec_col).schema.fields
+    out_schema = T.StructType(
+        [f for f in in_fields if f.name in group_cols]
+        + [
+            T.StructField("id_a", next(f.dataType for f in in_fields if f.name == id_col)),
+            T.StructField("id_b", next(f.dataType for f in in_fields if f.name == id_col)),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        E = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        norms = np.sqrt((E * E).sum(axis=1))
+        safe = np.where(norms == 0.0, 1.0, norms)
+        C = (E @ E.T) / np.outer(safe, safe)
+        C[norms == 0.0, :] = 0.0
+        C[:, norms == 0.0] = 0.0
+        iu, ju = np.triu_indices(n, k=1)
+        keep = C[iu, ju] >= threshold
+        ia, jb = iu[keep], ju[keep]
+        out = pd.DataFrame(
+            {
+                "id_a": pdf[id_col].values[ia],
+                "id_b": pdf[id_col].values[jb],
+                "cosine": C[ia, jb],
+            }
+        )
+        for g in group_cols:
+            out[g] = pdf[g].iloc[0]
+        return out[[*group_cols, "id_a", "id_b", "cosine"]]
+
+    v = _spread(vectors).select(*group_cols, id_col, vec_col)
+    return v.groupBy(*group_cols).applyInPandas(fn, schema=out_schema)

@@ -178,3 +178,42 @@ def test_simhash_pairs_rejects_degenerate_threshold(spark):
     df = spark.createDataFrame([Row(doc_id=0, text="a b c")])
     with _pytest.raises(ValueError):
         simhash_pairs(df, max_hamming=SIMHASH_BITS)
+
+
+def test_numpy_pairs_match_expr_pairs(spark, sf_small):
+    """The Arrow/matmul pair scan must produce the same pair SET and
+    near-identical cosines as the oracle-bit-exact expression path
+    (BLAS reassociates the dot sums, so values may differ in the last
+    ulps — the fixture thresholds sit far from any pair's cosine)."""
+    from svoe_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_numpy,
+    )
+    from svoe_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_small)
+    a = embedding_neardup_pairs(emb, group_cols=["label"], threshold=0.3)
+    b = embedding_neardup_pairs_numpy(emb, group_cols=["label"], threshold=0.3)
+    ra = {(r["label"], r["id_a"], r["id_b"]): r["cosine"] for r in a.collect()}
+    rb = {(r["label"], r["id_a"], r["id_b"]): r["cosine"] for r in b.collect()}
+    assert set(ra) == set(rb) and len(ra) > 0
+    for k, v in ra.items():
+        assert abs(v - rb[k]) < 1e-9, k
+
+
+def test_numpy_pairs_zero_norm_never_pairs(spark):
+    from svoe_spark.operators.similarity import embedding_neardup_pairs_numpy
+
+    rows = [
+        (0, 0, [1.0, 0.0]),
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [0.0, 0.0]),   # zero vector: cosine treated as 0
+        (3, 0, [0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, g int, embedding array<double>"
+    )
+    out = embedding_neardup_pairs_numpy(
+        emb, group_cols=["g"], threshold=0.5
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(0, 1)}
