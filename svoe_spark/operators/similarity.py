@@ -352,6 +352,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     dim: int | None = None,
     planes: int = DEFAULT_PLANES,
+    method: str = "expr",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocking groups.
 
@@ -376,6 +377,17 @@ def embedding_neardup_pairs(
             "__lsh_bucket", lsh_bucket(vec_col, dim, planes)
         )
         group_cols = ["__lsh_bucket"]
+    if method == "numpy":
+        # vectorized per-block matmul (~9x at hundreds of vectors per
+        # block; last-ulp cosine differences vs the oracle-exact fold)
+        out = embedding_neardup_pairs_numpy(
+            vectors,
+            group_cols=group_cols,
+            threshold=threshold,
+            vec_col=vec_col,
+            id_col=id_col,
+        )
+        return out.drop("__lsh_bucket") if auto else out
     # precompute each vector's norm ONCE (O(n)) instead of per pair
     # (O(n^2)); the pair expression divides by the same sqrt values, so
     # the floating result is bit-identical to the naive form. spread
