@@ -225,3 +225,38 @@ class FeatureStore:
         with open(os.path.join(path, "_meta.json"), "w") as f:
             json.dump(meta, f)
         return out.drop("day")
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str] | str,
+    ts_col: str = "ts",
+    mode: str = "overwrite",
+) -> None:
+    """Key-clustered day-partitioned lake write (the z-order-lite layout
+    lever): co-locate each cluster key's rows with a repartition on the
+    key, then sort row groups by (key..., ts).
+
+    Parquet keeps min/max statistics per row group; once rows are
+    key-sorted, a per-key predicate prunes whole row groups at scan
+    time (and the time sort inside each key keeps `write_partitioned`'s
+    time-range skipping). At 100 TB this is the difference between
+    reading a symbol's slice and reading every block of every day it
+    appears in — same idea as Delta/Iceberg data clustering, with plain
+    parquet stats. Verified structurally in
+    tests/test_storage_ingest.py::test_write_clustered_row_group_stats.
+    """
+    if isinstance(cluster_cols, str):
+        cluster_cols = [cluster_cols]
+    (
+        df.withColumn("day", F.date_format(ts_col, "yyyy-MM-dd"))
+        .repartition(
+            max(df.sparkSession.sparkContext.defaultParallelism, 1),
+            *[F.col(c) for c in cluster_cols],
+        )
+        .sortWithinPartitions(*cluster_cols, ts_col)
+        .write.mode(mode)
+        .partitionBy("day")
+        .parquet(path)
+    )

@@ -200,3 +200,51 @@ def test_content_hash_deterministic_and_order_insensitive(spark):
             env={"PYTHONHASHSEED": seed, "PATH": "/usr/bin:/bin"},
         )
         assert int(out.stdout.strip()) == h1, (seed, out.stderr)
+
+
+def test_write_clustered_row_group_stats(spark, sf_small, tmp_path):
+    """The clustered layout must produce parquet row groups whose
+    min/max key statistics are narrow (skippable): with a small
+    row-group size, most row groups cover a single key, so a per-key
+    filter can prune them — and the key filter reaches the scan
+    (PushedFilters)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from svoe_spark.queries import ticks
+    from svoe_spark.sources.catalog import write_clustered
+
+    t = ticks(spark, sf_small).select("event_type", "ts", "value")
+    path = str(tmp_path / "clustered")
+    spark.conf.set("spark.hadoop.parquet.block.size", 64 * 1024)
+    try:
+        write_clustered(t, path, cluster_cols="event_type")
+    finally:
+        spark.conf.unset("spark.hadoop.parquet.block.size")
+
+    single_key = 0
+    total = 0
+    for f in glob.glob(path + "/day=*/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.row_group(rg).num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "event_type"
+            )
+            total += 1
+            if col.statistics.min == col.statistics.max:
+                single_key += 1
+    assert total > 4, total
+    # most row groups are single-key => a per-key predicate skips them
+    assert single_key / total >= 0.6, (single_key, total)
+
+    p_lines = (
+        spark.read.parquet(path)
+        .where(F.col("event_type") == "purchase")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in p_lines and "event_type" in p_lines, p_lines
