@@ -346,10 +346,13 @@ def bigram_surprise(
     token_rarity pattern), so the float sum has one defined association
     order on any partitioning and in any engine.
 
-    Scale shape: one explode shuffle for the pair stream, two narrow
-    aggregations for the bigram/head-count relations, one join of
-    occurrences to the (bigram-vocab-sized) count relation, one doc-id
-    groupBy. Docs with < 2 tokens emit nothing (no bigrams)."""
+    Scale shape: ONE tokenize pass — the corpus counts are window
+    counts over the exploded pair stream itself (count over (a,b) =
+    n_ab; count over (a) = n_a, since every occurrence with head `a`
+    is one pair), so unlike an aggregate-then-join form the expensive
+    tokenize+explode lineage is never recomputed. Three narrow-key
+    shuffles total ((a,b), (a), doc id). Docs with < 2 tokens emit
+    nothing (no bigrams)."""
     t = _spread(df).select(F.col(id_col), tokens(text).alias("__t")).where(
         F.size("__t") >= 2
     )
@@ -364,11 +367,13 @@ def bigram_surprise(
     ).select(
         id_col, "__pos", F.col("__ab.a").alias("__a"), F.col("__ab.b").alias("__b")
     )
-    bg = pairs.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("__nab")).persist()
-    ug = bg.groupBy("__a").agg(F.sum("__nab").alias("__na"))
+    from pyspark.sql import Window
+
+    w_ab = Window.partitionBy("__a", "__b")
+    w_a = Window.partitionBy("__a")
     scored = (
-        pairs.join(bg, ["__a", "__b"])
-        .join(ug, "__a")
+        pairs.withColumn("__nab", F.count(F.lit(1)).over(w_ab))
+        .withColumn("__na", F.count(F.lit(1)).over(w_a))
         .select(
             id_col,
             "__pos",
@@ -377,9 +382,7 @@ def bigram_surprise(
     )
     arr = F.array_sort(F.collect_list(F.struct("__pos", "__inv")))
     fold = F.aggregate(arr, F.lit(0.0), lambda a, s: a + s["__inv"])
-    out = scored.groupBy(id_col).agg(
+    return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         (fold / F.count(F.lit(1))).alias("mean_inv_cond_prob"),
     )
-    out._svoe_persisted = bg
-    return out
