@@ -44,6 +44,7 @@ _DRIVER_PRIORITY = [
     "ohlcv_1h_rollup",
     "bigram_surprise",
     "cluster_balanced_sample",
+    "contamination_spans",
 ]
 
 # (c) refill: relational core in CORRECTNESS_r02 order (last green r2).

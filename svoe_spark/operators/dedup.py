@@ -602,12 +602,6 @@ def repeated_ngram_spans(
     (not oracle-reproducible)."""
     from pyspark.sql import Window
 
-    from svoe_spark.functions.text import (
-        kgram_hashes,
-        md5_tokens,
-        token_hashes_from_digests,
-    )
-
     # gram identity = TWO rolling hashes over INDEPENDENT token-hash
     # families (disjoint md5 bits, start=1 and start=16): one 1e9-sized
     # fold suffers birthday collisions by the million at 1e8+ corpus
@@ -615,9 +609,64 @@ def repeated_ngram_spans(
     # "repeats" instead of the planted 10%. Two folds over the SAME
     # token hashes are NOT enough: grams differing in one token collide
     # in both folds whenever that token-hash pair collides (~2^-30);
-    # independent families push the joint collision to ~2^-60. The md5
-    # digest array is materialized once (explode barrier) and both
-    # families read substrings of it — one md5 pass per token total.
+    # independent families push the joint collision to ~2^-60. One md5
+    # digest pass per token; both families read substrings of it
+    # (see _doc_grams).
+    grams = _doc_grams(docs, k, text, id_col, fast)
+    # corpus frequency as a window over the gram-shuffled relation, not
+    # a groupBy + self-join: ONE shuffle and ONE evaluation of the
+    # expensive tokenize+hash lineage (the groupBy/join form recomputed
+    # it for each branch)
+    wg = Window.partitionBy("g1", "g2")
+    hits = (
+        grams.withColumn("__n_occ", F.count(F.lit(1)).over(wg))
+        .filter(F.col("__n_occ") >= min_count)
+        .select(id_col, "pos")
+    )
+    return _merge_spans(hits, id_col, k)
+
+
+def _merge_spans(hits, id_col: str, k: int):
+    """Gaps-and-islands merge of gram-start positions into maximal
+    spans: starts p1 < p2 whose [p, p+k-1] windows overlap or touch
+    (p2 - p1 <= k) fuse. Per-doc windows only."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = hits.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.when(F.col("pos") - F.lag("pos", 1).over(w) <= k, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("__new_island"),
+    ).withColumn("__island", F.sum("__new_island").over(w))
+    return (
+        islands.groupBy(id_col, "__island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_gram_hits"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_gram_hits",
+        )
+    )
+
+
+def _doc_grams(docs, k: int, text: str, id_col: str, fast: bool = False):
+    """(id, pos, g1, g2): dual-family k-gram stream per document (the
+    shared front end of repeated_ngram_spans / contamination_spans)."""
+    from svoe_spark.functions.text import (
+        kgram_hashes,
+        md5_tokens,
+        token_hashes_from_digests,
+        tokens as _tokens,
+    )
+
     if fast:
         from svoe_spark.functions.text import P_HASH
 
@@ -625,7 +674,7 @@ def repeated_ngram_spans(
             _spread(docs)
             .select(
                 F.col(id_col),
-                F.explode(F.array(tokens(text))).alias("__toks"),
+                F.explode(F.array(_tokens(text))).alias("__toks"),
             )
             .select(
                 F.col(id_col),
@@ -652,7 +701,7 @@ def repeated_ngram_spans(
                 token_hashes_from_digests("__md", start=16).alias("__h2"),
             )
         )
-    grams = t.select(
+    return t.select(
         F.col(id_col),
         F.posexplode(
             F.arrays_zip(
@@ -666,39 +715,40 @@ def repeated_ngram_spans(
         F.col("gram.g1").alias("g1"),
         F.col("gram.g2").alias("g2"),
     )
-    # corpus frequency as a window over the gram-shuffled relation, not
-    # a groupBy + self-join: ONE shuffle and ONE evaluation of the
-    # expensive tokenize+hash lineage (the groupBy/join form recomputed
-    # it for each branch)
-    wg = Window.partitionBy("g1", "g2")
+
+
+def contamination_spans(
+    corpus,
+    benchmark,
+    k: int = 5,
+    text: str = "text",
+    id_col: str = "doc_id",
+    fast: bool = False,
+):
+    """Span-level benchmark decontamination (the GPT-3 recipe — Brown
+    et al. 2020, Appendix C, removed 13-gram collisions with eval sets
+    rather than whole documents): every maximal corpus-doc span whose
+    k-grams all occur ANYWHERE in the benchmark corpus. Feed the spans
+    to `remove_repeated_spans(corpus, spans=...)` to surgically cut the
+    contaminated text while keeping the rest of the document —
+    `decontaminate` (whole-doc drop) is the blunter sibling.
+
+    Shape: the benchmark gram set is distinct-aggregated (benchmark-
+    sized, usually broadcastable — Spark picks the broadcast join
+    automatically under the threshold) and semi-joined against the
+    corpus gram stream; then the shared per-doc gaps-and-islands merge.
+    One corpus tokenize pass, one shuffle-or-broadcast join."""
+    bench = (
+        _doc_grams(benchmark, k, text, id_col, fast)
+        .select("g1", "g2")
+        .distinct()
+    )
     hits = (
-        grams.withColumn("__n_occ", F.count(F.lit(1)).over(wg))
-        .filter(F.col("__n_occ") >= min_count)
+        _doc_grams(corpus, k, text, id_col, fast)
+        .join(bench, ["g1", "g2"], "left_semi")
         .select(id_col, "pos")
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    islands = hits.select(
-        F.col(id_col),
-        F.col("pos"),
-        F.when(F.col("pos") - F.lag("pos", 1).over(w) <= k, F.lit(0))
-        .otherwise(F.lit(1))
-        .alias("__new_island"),
-    ).withColumn("__island", F.sum("__new_island").over(w))
-    return (
-        islands.groupBy(id_col, "__island")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
-            F.count(F.lit(1)).alias("n_gram_hits"),
-        )
-        .select(
-            id_col,
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
-            "n_gram_hits",
-        )
-    )
+    return _merge_spans(hits, id_col, k)
 
 
 def remove_repeated_spans(

@@ -1586,3 +1586,61 @@ def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id").cast("long").alias("cluster_id"), "vec_id"
     )
     return per_group_topk(assigned, "cluster_id", k=3, id_col="vec_id")
+
+
+NGRAM_CONTAM_K = 3
+
+
+@query(
+    "contamination_spans",
+    f"""
+    WITH md AS (SELECT doc_id, {sql_md5_tokens('text')} AS md FROM documents),
+    th AS (SELECT doc_id, {sql_token_hashes_from_digests('md', 1)} AS h1,
+                  {sql_token_hashes_from_digests('md', 16)} AS h2 FROM md),
+    gr AS (SELECT doc_id, {sql_kgram_hashes('h1', NGRAM_CONTAM_K)} AS g,
+                  {sql_kgram_hashes('h2', NGRAM_CONTAM_K, 37)} AS g2 FROM th),
+    pos AS (
+      SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, g[i] AS gram, g2[i] AS gram2
+      FROM (SELECT doc_id, g, g2, unnest(range(1, len(g)+1)) AS i FROM gr)
+    ),
+    bgrams AS (
+      SELECT DISTINCT gram, gram2 FROM pos WHERE doc_id % 50 = 0
+    ),
+    hits AS (
+      SELECT p.doc_id, p.pos FROM pos p
+      JOIN bgrams USING (gram, gram2)
+      WHERE p.doc_id % 50 <> 0
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= {NGRAM_CONTAM_K}
+                  THEN 0 ELSE 1 END AS new_island
+      FROM hits
+    ),
+    isl2 AS (
+      SELECT doc_id, pos,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM isl
+    )
+    SELECT doc_id,
+           min(pos) AS span_start,
+           max(pos) + {NGRAM_CONTAM_K - 1} AS span_end,
+           max(pos) + {NGRAM_CONTAM_K} - min(pos) AS span_tokens,
+           count(*) AS n_gram_hits
+    FROM isl2 GROUP BY doc_id, island
+    """,
+)
+def contamination_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination (GPT-3's n-gram collision
+    removal, Brown et al. 2020 Appendix C): maximal corpus-doc spans
+    whose trigrams all occur in the held-out benchmark subset (every
+    50th doc). Feed to remove_repeated_spans(spans=...) to cut the
+    contaminated text; `benchmark_contamination` is the whole-doc
+    scoring sibling."""
+    from svoe_spark.operators.dedup import contamination_spans
+
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return contamination_spans(corpus, bench, k=NGRAM_CONTAM_K)

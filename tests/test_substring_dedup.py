@@ -122,3 +122,21 @@ def test_remove_repeated_spans_full_removal_empty_string(spark):
     docs = _docs(spark, ["s t u", "s t u"])
     out = remove_repeated_spans(docs, k=3).collect()
     assert all(r["clean_text"] == "" and r["n_tokens_removed"] == 3 for r in out)
+
+
+def test_contamination_spans_marks_benchmark_overlap(spark):
+    from svoe_spark.operators.dedup import contamination_spans
+
+    bench = _docs(spark, ["secret eval question one two"])
+    corpus = spark.createDataFrame(
+        [
+            # doc 10 embeds a 5-token benchmark run at positions 2..6
+            (10, "c0 c1 secret eval question one two c2"),
+            # doc 11 shares only 2 benchmark tokens (no full 3-gram)
+            (11, "secret eval x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = contamination_spans(corpus, bench, k=3).collect()
+    got = {(r["doc_id"], r["span_start"], r["span_end"]) for r in spans}
+    assert got == {(10, 2, 6)}
