@@ -45,6 +45,7 @@ _DRIVER_PRIORITY = [
     "bigram_surprise",
     "cluster_balanced_sample",
     "contamination_spans",
+    "bm25_search",
 ]
 
 # (c) refill: relational core in CORRECTNESS_r02 order (last green r2).

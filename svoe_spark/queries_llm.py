@@ -1644,3 +1644,69 @@ def contamination_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     return contamination_spans(corpus, bench, k=NGRAM_CONTAM_K)
+
+
+BM25_QUERIES = [
+    (0, "spark join stream"),
+    (1, "customer query vector"),
+    (2, "window merge sort"),
+]
+
+
+def _bm25_oracle() -> str:
+    from svoe_spark.operators.retrieval import sql_bm25_contrib
+
+    vals = ", ".join(f"({qid}, '{qs}')" for qid, qs in BM25_QUERIES)
+    contrib = sql_bm25_contrib("p.tf", "p.df", "p.dlen", "n_docs", "total_len")
+    return f"""
+    WITH d AS (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents),
+    stats AS (SELECT count(*) AS n_docs, sum(len(toks)) AS total_len FROM d),
+    post AS (
+      SELECT term, doc_id, count(*) AS tf, any_value(dlen) AS dlen
+      FROM (SELECT doc_id, len(toks) AS dlen, unnest(toks) AS term FROM d)
+      GROUP BY term, doc_id
+    ),
+    pdf AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM post),
+    q(query_id, query_text) AS (VALUES {vals}),
+    qt AS (
+      SELECT CAST(query_id AS BIGINT) AS query_id,
+             unnest(list_distinct({sql_tokens('query_text')})) AS term
+      FROM q
+    ),
+    m AS (
+      SELECT qt.query_id, p.doc_id, p.term, {contrib} AS contrib
+      FROM pdf p JOIN qt USING (term), stats
+    ),
+    s AS (
+      SELECT query_id, doc_id,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE), list(contrib ORDER BY term)),
+               (acc, v) -> acc + v) AS score
+      FROM m GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, score, rank FROM (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      FROM s
+    ) WHERE rank <= 10
+    """
+
+
+@query("bm25_search", _bm25_oracle())
+def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 over the documents corpus for a fixed 3-query
+    workload (rational-idf bit-portable form; see
+    operators/retrieval.py module docstring). The query side is
+    broadcast; the oracle rebuilds the identical inverted index and
+    term-sorted fold in DuckDB."""
+    from svoe_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    queries = spark.createDataFrame(
+        BM25_QUERIES, "query_id long, query_text string"
+    )
+    out = bm25_topk(docs, queries, k=10)
+    return out.select(
+        "query_id", "doc_id", "score", F.col("rank").cast("long").alias("rank")
+    )
