@@ -46,6 +46,7 @@ _DRIVER_PRIORITY = [
     "cluster_balanced_sample",
     "contamination_spans",
     "bm25_search",
+    "dsir_importance",
 ]
 
 # (c) refill: relational core in CORRECTNESS_r02 order (last green r2).

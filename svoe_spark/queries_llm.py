@@ -1710,3 +1710,55 @@ def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "doc_id", "score", F.col("rank").cast("long").alias("rank")
     )
+
+
+DSIR_B = 512
+
+
+@query(
+    "dsir_importance",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, {sql_token_hashes('text')} AS th
+                  FROM documents),
+    tgt AS (
+      SELECT h % {DSIR_B} AS b, count(*) AS c
+      FROM (SELECT unnest(th) AS h FROM toks WHERE lang = 'en')
+      GROUP BY 1
+    ),
+    raw AS (
+      SELECT h % {DSIR_B} AS b, count(*) AS c
+      FROM (SELECT unnest(th) AS h FROM toks) GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST((SELECT sum(c) FROM tgt) AS BIGINT) AS t_total,
+             CAST((SELECT sum(c) FROM raw) AS BIGINT) AS r_total
+    ),
+    rl AS (
+      SELECT list(
+               CAST((coalesce(t.c, 0) + 1) * (r_total + {DSIR_B}) AS DOUBLE)
+               / ((coalesce(rw.c, 0) + 1) * (t_total + {DSIR_B}))
+               ORDER BY g.range) AS ratios
+      FROM range({DSIR_B}) g
+      LEFT JOIN tgt t ON t.b = g.range
+      LEFT JOIN raw rw ON rw.b = g.range, tot
+    )
+    SELECT doc_id, CAST(len(th) AS BIGINT) AS n_tokens,
+           CASE WHEN len(th) > 0 THEN
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(th, h -> ratios[(h % {DSIR_B}) + 1])),
+               (acc, v) -> acc + v) / len(th)
+           ELSE 0.0e0 END AS importance
+    FROM toks, rl
+    """,
+)
+def dsir_importance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023) of every document
+    toward the English subset as the target distribution — log-free
+    mean probability-ratio form (see operators/selection.py). The
+    oracle rebuilds the hashed-unigram distributions and the identical
+    doc-order fold relationally."""
+    from svoe_spark.operators.selection import dsir_importance
+
+    docs = load_table(spark, "documents", sf_dir)
+    return dsir_importance(docs, docs.filter(F.col("lang") == "en"), buckets=DSIR_B)
