@@ -47,6 +47,8 @@ _DRIVER_PRIORITY = [
     "contamination_spans",
     "bm25_search",
     "dsir_importance",
+    "pq_codes",
+    "pq_adc_topk",
 ]
 
 # (c) refill: relational core in CORRECTNESS_r02 order (last green r2).

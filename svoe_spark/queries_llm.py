@@ -1762,3 +1762,101 @@ def dsir_importance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return dsir_importance(docs, docs.filter(F.col("lang") == "en"), buckets=DSIR_B)
+
+
+PQ_M_Q = 8
+PQ_KSUB_Q = 16
+_PQ_D = EMB_DIM // PQ_M_Q
+
+
+def _sql_sub_dist2(a: str, b: str, d: int = 8) -> str:
+    sq = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {d + 1}), i -> {sq} * {sq})), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def _pq_prelude() -> str:
+    """Shared CTE chain: subspace slices, seeded codebook, encoding."""
+    return f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    sub AS (
+      SELECT e.vec_id, sp.s,
+             list_transform(range(sp.s * {_PQ_D} + 1, sp.s * {_PQ_D} + {_PQ_D + 1}),
+                            i -> embedding[i]) AS sv
+      FROM e, (SELECT unnest(range(0, {PQ_M_Q})) AS s) sp
+    ),
+    cb AS (SELECT vec_id AS c, s, sv AS cv FROM sub WHERE vec_id < {PQ_KSUB_Q}),
+    enc AS (
+      SELECT v.vec_id, v.s, cb.c
+      FROM sub v JOIN cb USING (s)
+      QUALIFY row_number() OVER (
+        PARTITION BY v.vec_id, v.s
+        ORDER BY {_sql_sub_dist2('v.sv', 'cb.cv', _PQ_D)}, cb.c) = 1
+    )
+    """
+
+
+@query(
+    "pq_codes",
+    _pq_prelude()
+    + """
+    SELECT vec_id,
+           array_to_string(list(CAST(c AS VARCHAR) ORDER BY s), ',') AS codes_csv
+    FROM enc GROUP BY vec_id
+    """,
+)
+def pq_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011) of every
+    embedding: 8 subspaces x 16 codes (seeded codebook = subvectors of
+    the first 16 vectors), 64 floats -> 8 bytes. Codes serialized to
+    CSV for the driver's scalar-only canonicalizer."""
+    from svoe_spark.operators.similarity import pq_encode, pq_train
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cbs = pq_train(emb, m=PQ_M_Q, ksub=PQ_KSUB_Q, method="seed")
+    coded = pq_encode(emb, cbs)
+    return coded.select(
+        "vec_id",
+        F.array_join(
+            F.transform("codes", lambda c: c.cast("string")), ","
+        ).alias("codes_csv"),
+    )
+
+
+@query(
+    "pq_adc_topk",
+    _pq_prelude()
+    + f""",
+    q AS (SELECT s, sv AS qv FROM sub WHERE vec_id = 0),
+    lut AS (
+      SELECT cb.s, cb.c, {_sql_sub_dist2('qv', 'cb.cv', _PQ_D)} AS qd
+      FROM cb JOIN q USING (s)
+    ),
+    adc AS (
+      SELECT enc.vec_id,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE), list(l.qd ORDER BY enc.s)),
+               (acc, v) -> acc + v) AS adc_dist
+      FROM enc JOIN lut l ON l.s = enc.s AND l.c = enc.c
+      GROUP BY enc.vec_id
+    )
+    SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 10
+    """,
+)
+def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-10 for query vec_id=0: the query
+    stays unquantized, per-subspace distance lookup tables ride as a
+    plan literal, each row's distance is m table lookups over its
+    8-byte code — the memory-scale ANN path (32x smaller scan than raw
+    embeddings). Oracle re-derives codebook, encoding, LUT and the
+    subspace-order fold relationally."""
+    from svoe_spark.operators.similarity import pq_encode, pq_topk, pq_train
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cbs = pq_train(emb, m=PQ_M_Q, ksub=PQ_KSUB_Q, method="seed")
+    coded = pq_encode(emb, cbs)
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return pq_topk(coded, qv, cbs, k=10)
