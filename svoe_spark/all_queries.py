@@ -19,6 +19,7 @@ checked (README "Registry order" section).
 
 import svoe_spark.queries  # noqa: F401
 import svoe_spark.queries_llm  # noqa: F401
+import svoe_spark.queries_profile  # noqa: F401
 from svoe_spark.queries import QUERIES  # noqa: F401
 
 # Names to surface into the driver's 50-entry window, in check order.
@@ -49,6 +50,10 @@ _DRIVER_PRIORITY = [
     "dsir_importance",
     "pq_codes",
     "pq_adc_topk",
+    "dataset_profile",
+    "key_skew_events",
+    "value_histogram",
+    "ann_ivfpq_topk",
 ]
 
 # (c) refill: relational core in CORRECTNESS_r02 order (last green r2).

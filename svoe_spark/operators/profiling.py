@@ -1,0 +1,234 @@
+"""Dataset profiling for training-data pipelines: one-pass per-column
+statistics (the deequ/Great-Expectations "profiler" step), key-skew
+reports for shuffle planning, and deterministic equi-width histograms.
+
+Why this lives in the engine: before any 100 TB curation run you
+profile the corpus (null rates, distinctness, value ranges, per-key
+volume) to pick partition keys, spot skew that would stall a shuffle,
+and validate schema assumptions. The reference exposes dataset
+metadata through its catalog/apiserver (svoe/featurizer/api.py,
+data_catalog table); here profiling is a first-class relational
+operator so the same answers come from one Spark pass instead of a
+metadata side-channel.
+
+Scale design:
+  - ``profile_columns`` is ONE aggregate over the table. With
+    ``distinct="approx"`` (the 100 TB default) distinct counts use
+    HyperLogLog (``approx_count_distinct``) so the whole profile is a
+    single scan + a partial-aggregated single-row reduce — no Expand,
+    no second pass. ``distinct="exact"`` uses ``count(DISTINCT col)``
+    per column, which Spark plans as an Expand multiplying the scan by
+    the number of profiled columns — acceptable at test scale and for
+    the DuckDB oracle, documented as the expensive mode.
+  - ``key_skew_report`` is one shuffle on the key (partial-aggregated
+    counts, so the shuffle carries one row per key per mapper), then a
+    single-row reduce plus a TakeOrdered top-k — no global window, no
+    collect of the key relation.
+  - ``numeric_histogram`` is two aggregate passes (min/max, then the
+    binned counts); the bin expression is a pure function of data
+    min/max so the histogram is deterministic (no sampling, unlike
+    ``repartitionByRange``'s internal sketch).
+
+Determinism contract (shared with the rest of the repo): every value
+the DuckDB oracle hash-checks is either exact integer arithmetic or a
+SINGLE floating division/multiply of exactly-computed operands —
+never an order-dependent float accumulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _is_string(dt: str) -> bool:
+    return dt == "string"
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    distinct: str = "approx",
+) -> DataFrame:
+    """Per-column profile in one aggregate pass.
+
+    Output (one row per profiled column, in ``cols`` order):
+      col_name     column name
+      n_rows       total rows (same for every row)
+      n_null       NULL count
+      n_distinct   distinct non-NULL count (HLL estimate when
+                   ``distinct="approx"``, exact when ``"exact"``)
+      min_value    CAST(min(col) AS STRING)  (NULL on all-NULL)
+      max_value    CAST(max(col) AS STRING)
+      len_sum      string columns: sum(length(col)); else NULL
+      num_sum      integral columns: sum(col) AS BIGINT; else NULL
+                   (float sums are order-dependent across engines, so
+                   they are deliberately not profiled here)
+
+    ``distinct="approx"`` keeps the profile a single scan at any
+    scale; ``"exact"`` is bit-reproducible (and what the registered
+    oracle query uses) at the cost of an Expand of width len(cols).
+    """
+    if distinct not in ("approx", "exact"):
+        raise ValueError(f"distinct must be 'approx' or 'exact', got {distinct!r}")
+    dtypes = dict(df.dtypes)
+    if cols is None:
+        cols = [c for c, _ in df.dtypes]
+    missing = [c for c in cols if c not in dtypes]
+    if missing:
+        raise ValueError(f"columns not in DataFrame: {missing}")
+
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in cols:
+        col = F.col(c)
+        nd = F.count_distinct(col) if distinct == "exact" else F.approx_count_distinct(col)
+        aggs += [
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).cast("bigint").alias(f"__{c}__nulls"),
+            nd.cast("bigint").alias(f"__{c}__nd"),
+            F.min(col).cast("string").alias(f"__{c}__min"),
+            F.max(col).cast("string").alias(f"__{c}__max"),
+        ]
+        if _is_string(dtypes[c]):
+            aggs.append(F.sum(F.length(col)).cast("bigint").alias(f"__{c}__lsum"))
+        if dtypes[c] in _INTEGRAL:
+            aggs.append(F.sum(col).cast("bigint").alias(f"__{c}__nsum"))
+
+    row = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__n_rows").alias("n_rows"),
+                F.col(f"__{c}__nulls").alias("n_null"),
+                F.col(f"__{c}__nd").alias("n_distinct"),
+                F.col(f"__{c}__min").alias("min_value"),
+                F.col(f"__{c}__max").alias("max_value"),
+                (
+                    F.col(f"__{c}__lsum")
+                    if _is_string(dtypes[c])
+                    else F.lit(None).cast("bigint")
+                ).alias("len_sum"),
+                (
+                    F.col(f"__{c}__nsum")
+                    if dtypes[c] in _INTEGRAL
+                    else F.lit(None).cast("bigint")
+                ).alias("num_sum"),
+            )
+            for c in cols
+        ]
+    )
+    return row.select(F.inline(entries))
+
+
+def key_skew_report(
+    df: DataFrame, key: str, top_k: int = 10
+) -> DataFrame:
+    """Key-volume skew summary for shuffle planning: would a
+    groupBy/join on ``key`` hot-spot one reducer?
+
+    Output is ONE row:
+      n_rows, n_keys, max_count, min_count   exact integers
+      max_share    max_count / n_rows (one division — deterministic)
+      topk_csv     "key:count,..." — top ``top_k`` keys by count desc,
+                   key asc (total order, so the CSV is reproducible)
+
+    Scale shape: one partial-aggregated shuffle on ``key`` (the only
+    pass over the data), a single-row reduce over the per-key counts,
+    and a TakeOrdered top-k — the per-key relation is never collected
+    or globally sorted.
+    """
+    k = F.col(key).cast("string")
+    counts = df.groupBy(k.alias("__key")).agg(F.count(F.lit(1)).alias("__cnt"))
+    summary = counts.agg(
+        F.sum("__cnt").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("__cnt").cast("bigint").alias("max_count"),
+        F.min("__cnt").cast("bigint").alias("min_count"),
+    )
+    top = (
+        counts.orderBy(F.desc("__cnt"), F.asc("__key"))
+        .limit(top_k)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("__cnt")).alias("nc"),
+                                F.col("__key").alias("k"),
+                                F.col("__cnt").alias("c"),
+                            )
+                        )
+                    ),
+                    lambda s: F.concat_ws(":", s["k"], s["c"].cast("string")),
+                ),
+                ",",
+            ).alias("topk_csv")
+        )
+    )
+    return summary.crossJoin(top).select(
+        "n_rows",
+        "n_keys",
+        "max_count",
+        "min_count",
+        (F.col("max_count").cast("double") / F.col("n_rows").cast("double")).alias(
+            "max_share"
+        ),
+        "topk_csv",
+    )
+
+
+def numeric_histogram(df: DataFrame, col: str, bins: int = 16) -> DataFrame:
+    """Deterministic equi-width histogram of a numeric column.
+
+    Bin edges are a pure function of the data min/max (no sampling):
+    ``bin = least(bins-1, floor((x - min) * bins / (max - min)))``,
+    every arithmetic step a single IEEE double op so the DuckDB oracle
+    reproduces the binning bit-exactly. Empty bins are emitted with
+    count 0 (the output always has ``bins`` rows when the column is
+    non-empty and min < max; a constant column lands in bin 0).
+
+    Two passes: a min/max aggregate (two scalars to the driver — the
+    same trade as curation.py's bucket boundaries) and one binned
+    count aggregate. NULLs are excluded.
+    """
+    stats = df.agg(
+        F.min(F.col(col).cast("double")).alias("lo"),
+        F.max(F.col(col).cast("double")).alias("hi"),
+    ).first()
+    lo, hi = stats["lo"], stats["hi"]
+    if lo is None:
+        return df.sparkSession.createDataFrame(
+            [], "bin_id int, bin_lo double, bin_hi double, n_rows bigint"
+        )
+    x = F.col(col).cast("double")
+    if hi == lo:
+        binned = F.lit(0)
+    else:
+        binned = F.least(
+            F.lit(bins - 1),
+            F.floor((x - F.lit(lo)) * F.lit(float(bins)) / (F.lit(hi) - F.lit(lo))),
+        ).cast("int")
+    got = (
+        df.where(x.isNotNull())
+        .groupBy(binned.alias("bin_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+    width = (hi - lo) / float(bins)
+    grid = df.sparkSession.range(bins).select(
+        F.col("id").cast("int").alias("bin_id"),
+        (F.lit(lo) + F.col("id").cast("double") * F.lit(width)).alias("bin_lo"),
+        (F.lit(lo) + (F.col("id") + 1).cast("double") * F.lit(width)).alias("bin_hi"),
+    )
+    return (
+        grid.join(got, "bin_id", "left")
+        .select(
+            "bin_id",
+            "bin_lo",
+            "bin_hi",
+            F.coalesce("n_rows", F.lit(0)).cast("bigint").alias("n_rows"),
+        )
+        .orderBy("bin_id")
+    )

@@ -713,17 +713,24 @@ def pq_train(
     method: str = "seed",
     seed: int = 42,
     max_iter: int = 10,
+    seed_start: int = 0,
 ) -> list[list[list[float]]]:
     """Per-subspace codebooks `cb[s][c] = sub-centroid` (m subspaces of
-    dim/m components, ksub codes each). method='seed' takes the first
-    ksub vectors' subvectors (the deterministic stand-in, mirroring
-    ann_ivf_topk's seeded codebook — oracle-derivable relationally);
-    method='kmeans' runs stock MLlib KMeans per subspace on the sliced
-    corpus (euclidean — PQ quantizes residual geometry, not direction).
-    The codebook is driver-sized (m*ksub*(dim/m) floats)."""
+    dim/m components, ksub codes each). method='seed' takes the ksub
+    vectors with ``seed_start <= id < seed_start + ksub`` as subvector
+    entries (the deterministic stand-in, mirroring ann_ivf_topk's
+    seeded codebook — oracle-derivable relationally; ``seed_start``
+    lets IVF-PQ skip the ids already consumed as coarse centroids,
+    whose residuals are identically zero); method='kmeans' runs stock
+    MLlib KMeans per subspace on the sliced corpus (euclidean — PQ
+    quantizes residual geometry, not direction). The codebook is
+    driver-sized (m*ksub*(dim/m) floats)."""
     if method == "seed":
         rows = (
-            vectors.where(F.col(id_col) < ksub)
+            vectors.where(
+                (F.col(id_col) >= seed_start)
+                & (F.col(id_col) < seed_start + ksub)
+            )
             .orderBy(id_col)
             .select(vec_col)
             .collect()
@@ -844,6 +851,145 @@ def pq_topk(
     )
     return (
         coded.select(F.col(id_col), adc.alias("adc_dist"))
+        .orderBy("adc_dist", id_col)
+        .limit(k)
+    )
+
+
+def ivf_residuals(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster_id",
+    out: str = "residual",
+) -> DataFrame:
+    """Coarse-assign each vector (``ivf_assign``'s shuffle-free argmax)
+    and attach its residual ``x - centroid[cluster]`` — the quantity
+    IVF-PQ encodes (FAISS IVFADC: PQ on residuals, not raw vectors,
+    because residual magnitudes are much smaller than vector
+    magnitudes, so the same code budget quantizes finer). The centroid
+    lookup is element_at into the codebook plan literal; the subtract
+    is a zip_with — still zero shuffles."""
+    assigned = ivf_assign(vectors, centroids, vec_col, out=cluster_col)
+    cb = _lit_nested([[float(x) for x in c] for c in centroids])
+    res = F.zip_with(
+        F.col(vec_col),
+        F.element_at(cb, F.col(cluster_col) + 1),
+        lambda x, y: x.cast("double") - y,
+    )
+    return assigned.withColumn(out, res)
+
+
+def ivfpq_train(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    method: str = "seed",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> list[list[list[float]]]:
+    """Residual PQ codebooks for IVF-PQ: ``pq_train`` run on the
+    residual column. method='seed' takes the RESIDUALS of the ksub
+    vectors AFTER the coarse seed block (ids ``len(centroids) ..
+    len(centroids)+ksub-1``): the first ``len(centroids)`` ids are the
+    coarse centroids themselves, so their residuals are identically
+    zero — seeding from them would collapse the codebook to ksub zero
+    vectors (every code 0, ADC constant within a cell). Residuals are
+    computed through the same Spark expressions as encoding, so seed
+    entries and encoded rows can never diverge. method='kmeans' fits
+    per-subspace MLlib KMeans on the distributed residuals."""
+    res = ivf_residuals(vectors, centroids, vec_col)
+    return pq_train(
+        res, m=m, ksub=ksub, vec_col="residual", id_col=id_col,
+        method=method, seed=seed, max_iter=max_iter,
+        seed_start=len(centroids),
+    )
+
+
+def ivfpq_encode(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """IVF-PQ encode: (cluster_id, m one-byte codes) per vector — the
+    FAISS IVFADC layout. At 100 TB the table is written partitioned /
+    clustered by ``cluster_id`` (sources.catalog.write_clustered), so a
+    probe reads only the probed cells' row groups and scans m bytes a
+    row instead of dim floats. Both steps are shuffle-free
+    projections."""
+    res = ivf_residuals(vectors, centroids, vec_col, cluster_col)
+    return pq_encode(res, codebooks, vec_col="residual", out=codes_col).drop(
+        "residual"
+    )
+
+
+def ann_ivfpq_topk(
+    coded: DataFrame,
+    query: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """IVF-PQ search (asymmetric distance): probe the query's
+    ``nprobe`` best coarse cells; within each probed cell, distance is
+    the m-lookup ADC fold against that CELL's lookup table (the query
+    residual differs per cell, so each probe carries its own m x ksub
+    table — all driver-computed from plan constants, ``nprobe * m *
+    ksub`` doubles riding as one literal).
+
+    Scale shape: candidate selection is an IN-list on ``cluster_col``
+    (partition-pruned scan over the codes-only table — m bytes/row),
+    the per-row work is m array lookups + a fold, and the top-k is a
+    TakeOrdered. No shuffle, no Python, no raw-embedding read.
+
+    The probe ranking reuses ``_ivf_sorted_scores`` (the expression
+    the oracled multiprobe IVF queries already hash-match), so probe
+    selection is bit-consistent with every other IVF path."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    qrow = _ivf_sorted_scores(query, centroids, vec_col).select(
+        F.col(vec_col).alias("qv"),
+        F.transform(
+            F.slice("__scored_desc", 1, nprobe), lambda s: -s["nid"]
+        ).alias("cells"),
+    ).first()
+    qv = [float(x) for x in qrow["qv"]]
+    cells = [int(c) for c in qrow["cells"]]
+    luts = []
+    for cell in cells:
+        qr = [qv[i] - float(centroids[cell][i]) for i in range(len(qv))]
+        luts.append(
+            [
+                [_py_sub_dist2(qr[s * d : (s + 1) * d], c) for c in codebooks[s]]
+                for s in range(m)
+            ]
+        )
+    lut = _lit_nested(luts)  # nprobe x m x ksub
+    cells_arr = F.expr("array(" + ",".join(str(c) for c in cells) + ")")
+    p = F.array_position(cells_arr, F.col(cluster_col))
+    adc = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.element_at(lut, p.cast("int")), s),
+            F.element_at(F.col(codes_col), s) + 1,
+        ),
+    )
+    return (
+        coded.where(F.col(cluster_col).isin(cells))
+        .select(F.col(id_col), adc.alias("adc_dist"))
         .orderBy("adc_dist", id_col)
         .limit(k)
     )

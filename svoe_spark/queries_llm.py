@@ -1860,3 +1860,111 @@ def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     coded = pq_encode(emb, cbs)
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
     return pq_topk(coded, qv, cbs, k=10)
+
+
+IVFPQ_NPROBE = 2
+
+
+@query(
+    "ann_ivfpq_topk",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {IVF_K}
+    ),
+    a AS (
+      SELECT e.vec_id, e.embedding, c.cid AS cluster_id, c.cv
+      FROM embeddings e, cents c
+      QUALIFY row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {sql_cosine('e.embedding', 'c.cv')} DESC, c.cid) = 1
+    ),
+    res AS (
+      SELECT vec_id, cluster_id,
+             list_transform(range(1, {EMB_DIM + 1}),
+                            i -> CAST(embedding[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE)) AS r
+      FROM a
+    ),
+    sub AS (
+      SELECT res.vec_id, res.cluster_id, sp.s,
+             list_transform(range(sp.s * {_PQ_D} + 1, sp.s * {_PQ_D} + {_PQ_D + 1}),
+                            i -> r[i]) AS sv
+      FROM res, (SELECT unnest(range(0, {PQ_M_Q})) AS s) sp
+    ),
+    cbr AS (
+      SELECT vec_id - {IVF_K} AS c, s, sv AS cv FROM sub
+      WHERE vec_id >= {IVF_K} AND vec_id < {IVF_K + PQ_KSUB_Q}
+    ),
+    enc AS (
+      SELECT v.vec_id, v.cluster_id, v.s, cbr.c
+      FROM sub v JOIN cbr USING (s)
+      QUALIFY row_number() OVER (
+        PARTITION BY v.vec_id, v.s
+        ORDER BY {_sql_sub_dist2('v.sv', 'cbr.cv', _PQ_D)}, cbr.c) = 1
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    probes AS (
+      SELECT c.cid AS pcell, c.cv AS pcv FROM cents c, q
+      QUALIFY row_number() OVER (
+        ORDER BY {sql_cosine('qv', 'c.cv')} DESC, c.cid) <= {IVFPQ_NPROBE}
+    ),
+    qres AS (
+      SELECT pcell,
+             list_transform(range(1, {EMB_DIM + 1}),
+                            i -> CAST(qv[i] AS DOUBLE) - CAST(pcv[i] AS DOUBLE)) AS qr
+      FROM probes, q
+    ),
+    qsub AS (
+      SELECT pcell, sp.s,
+             list_transform(range(sp.s * {_PQ_D} + 1, sp.s * {_PQ_D} + {_PQ_D + 1}),
+                            i -> qr[i]) AS qsv
+      FROM qres, (SELECT unnest(range(0, {PQ_M_Q})) AS s) sp
+    ),
+    lut AS (
+      SELECT qsub.pcell, qsub.s, cbr.c,
+             {_sql_sub_dist2('qsub.qsv', 'cbr.cv', _PQ_D)} AS qd
+      FROM qsub JOIN cbr USING (s)
+    ),
+    adc AS (
+      SELECT enc.vec_id,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE), list(l.qd ORDER BY enc.s)),
+               (acc, v) -> acc + v) AS adc_dist
+      FROM enc JOIN lut l
+        ON l.pcell = enc.cluster_id AND l.s = enc.s AND l.c = enc.c
+      GROUP BY enc.vec_id
+    )
+    SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 10
+    """,
+)
+def ann_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (FAISS IVFADC) search, nprobe=2: coarse cells from the
+    deterministic first-16 codebook, residual PQ codes (8 subspaces x
+    16 codes seeded from the residuals of ids 16-31 — the first 16 ARE
+    the centroids, so their residuals are zero), per-probed-cell ADC lookup
+    tables as one plan literal. The scan reads only (vec_id,
+    cluster_id, 8 codes) inside the 2 probed cells — the compounding
+    of partition pruning (IVF) and 32x column compression (PQ) that
+    makes ANN viable at 100 TB. Oracle re-derives assignment,
+    residuals, codebooks, encoding, probes, per-cell LUTs and the
+    subspace-order fold relationally."""
+    from svoe_spark.operators.similarity import (
+        ann_ivfpq_topk,
+        ivfpq_encode,
+        ivfpq_train,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < IVF_K).orderBy("vec_id").collect()
+    ]
+    cbs = ivfpq_train(emb, cents, m=PQ_M_Q, ksub=PQ_KSUB_Q, method="seed")
+    coded = ivfpq_encode(emb, cents, cbs)
+    return ann_ivfpq_topk(
+        coded,
+        emb.filter(F.col("vec_id") == 0),
+        cents,
+        cbs,
+        k=10,
+        nprobe=IVFPQ_NPROBE,
+    )

@@ -1,0 +1,145 @@
+"""Registered queries for the dataset-profiling operators, with
+code-generated DuckDB oracles (same determinism contract as
+svoe_spark/queries_llm.py: exact integers, or one float op over
+exactly-computed operands).
+
+Reference parity note: the reference surfaces dataset metadata through
+its catalog tables and API (svoe/featurizer/api.py, data_catalog);
+these queries compute the same shape of answers as a single relational
+pass, which is the Spark-first form of that capability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from svoe_spark.queries import query
+from svoe_spark.sources.tables import load_table
+
+_DOC_COLS = [
+    # (name, is_string, is_integral)
+    ("doc_id", False, True),
+    ("text", True, False),
+    ("lang", True, False),
+    ("source", True, False),
+    ("n_chars", False, True),
+]
+
+
+def _profile_sql() -> str:
+    parts = []
+    for name, is_str, is_int in _DOC_COLS:
+        len_sum = (
+            f"CAST(sum(length({name})) AS BIGINT)" if is_str else "CAST(NULL AS BIGINT)"
+        )
+        num_sum = (
+            f"CAST(sum({name}) AS BIGINT)" if is_int else "CAST(NULL AS BIGINT)"
+        )
+        parts.append(
+            f"""
+    SELECT '{name}' AS col_name,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT {name}) AS BIGINT) AS n_distinct,
+           CAST(min({name}) AS VARCHAR) AS min_value,
+           CAST(max({name}) AS VARCHAR) AS max_value,
+           {len_sum} AS len_sum,
+           {num_sum} AS num_sum
+    FROM documents"""
+        )
+    return "\n    UNION ALL\n".join(parts)
+
+
+@query("dataset_profile", _profile_sql())
+def dataset_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column profile of the documents corpus (null
+    counts, exact distincts, min/max, length and integral sums) — the
+    pre-curation sanity scan. ``distinct="exact"`` here so the DuckDB
+    oracle hash-matches; the 100 TB default is ``"approx"`` (HLL,
+    single scan, no Expand)."""
+    from svoe_spark.operators.profiling import profile_columns
+
+    docs = load_table(spark, "documents", sf_dir)
+    return profile_columns(docs, [c for c, _, _ in _DOC_COLS], distinct="exact")
+
+
+_SKEW_TOPK = 5
+
+_SKEW_SQL = f"""
+    WITH c AS (
+      SELECT CAST(event_type AS VARCHAR) AS k, count(*) AS cnt
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+             count(*) AS n_keys,
+             CAST(max(cnt) AS BIGINT) AS max_count,
+             CAST(min(cnt) AS BIGINT) AS min_count
+      FROM c
+    ),
+    t AS (SELECT k, cnt FROM c ORDER BY cnt DESC, k LIMIT {_SKEW_TOPK}),
+    tc AS (
+      SELECT string_agg(k || ':' || CAST(cnt AS VARCHAR), ','
+                        ORDER BY cnt DESC, k) AS topk_csv
+      FROM t
+    )
+    SELECT n_rows, n_keys, max_count, min_count,
+           CAST(max_count AS DOUBLE) / CAST(n_rows AS DOUBLE) AS max_share,
+           topk_csv
+    FROM s, tc
+"""
+
+
+@query("key_skew_events", _SKEW_SQL)
+def key_skew_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew report over events.event_type: the one-shuffle summary
+    (n_keys, max/min per-key volume, hottest-key share, top-5 CSV)
+    used to decide whether a join/groupBy on this key needs salting."""
+    from svoe_spark.operators.profiling import key_skew_report
+
+    events = load_table(spark, "events", sf_dir)
+    return key_skew_report(events, "event_type", top_k=_SKEW_TOPK)
+
+
+_HIST_BINS = 16
+
+_HIST_SQL = f"""
+    WITH st AS (
+      SELECT min(CAST(value AS DOUBLE)) AS lo, max(CAST(value AS DOUBLE)) AS hi
+      FROM events
+    ),
+    b AS (
+      SELECT CAST(least(CAST({_HIST_BINS - 1} AS BIGINT),
+                        CAST(floor(((CAST(value AS DOUBLE) - lo)
+                                    * CAST({_HIST_BINS} AS DOUBLE))
+                                   / (hi - lo)) AS BIGINT)) AS INT) AS bin_id,
+             count(*) AS cnt
+      FROM events, st
+      WHERE value IS NOT NULL
+      GROUP BY 1
+    ),
+    grid AS (
+      SELECT CAST(i AS INT) AS bin_id,
+             lo + CAST(i AS DOUBLE) * ((hi - lo) / CAST({_HIST_BINS} AS DOUBLE))
+               AS bin_lo,
+             lo + CAST(i + 1 AS DOUBLE) * ((hi - lo) / CAST({_HIST_BINS} AS DOUBLE))
+               AS bin_hi
+      FROM range({_HIST_BINS}) t(i), st
+    )
+    SELECT g.bin_id, g.bin_lo, g.bin_hi,
+           CAST(coalesce(b.cnt, 0) AS BIGINT) AS n_rows
+    FROM grid g LEFT JOIN b USING (bin_id)
+    ORDER BY g.bin_id
+"""
+
+
+@query("value_histogram", _HIST_SQL)
+def value_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 16-bin equi-width histogram of events.value.
+    Bin edges are pure functions of data min/max; the bin expression
+    is the identical IEEE double sequence on both engines, so the
+    oracle hash-matches bin ids, edges, and counts."""
+    from svoe_spark.operators.profiling import numeric_histogram
+
+    events = load_table(spark, "events", sf_dir)
+    return numeric_histogram(events, "value", bins=_HIST_BINS)

@@ -1,0 +1,129 @@
+"""Dataset-profiling operators: values vs a pandas-computed reference,
+plus the plan property that makes the profiler viable at 100 TB —
+approx mode is ONE scan with no Expand (exact mode's Expand is the
+documented trade for bit-reproducibility)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import math
+
+import pandas as pd
+import pytest
+
+from svoe_spark.operators.profiling import (
+    key_skew_report,
+    numeric_histogram,
+    profile_columns,
+)
+from svoe_spark.sources.tables import load_table
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def docs_pd(spark, sf_small):
+    return load_table(spark, "documents", sf_small).toPandas()
+
+
+def test_profile_exact_matches_pandas(spark, sf_small, docs_pd):
+    docs = load_table(spark, "documents", sf_small)
+    got = {
+        r["col_name"]: r.asDict()
+        for r in profile_columns(docs, distinct="exact").collect()
+    }
+    assert set(got) == set(docs_pd.columns)
+    for c in docs_pd.columns:
+        s = docs_pd[c]
+        row = got[c]
+        assert row["n_rows"] == len(s)
+        assert row["n_null"] == int(s.isna().sum())
+        assert row["n_distinct"] == int(s.dropna().nunique())
+        assert row["min_value"] == str(s.dropna().min())
+        assert row["max_value"] == str(s.dropna().max())
+        if s.dtype == object:
+            assert row["len_sum"] == int(s.dropna().str.len().sum())
+            assert row["num_sum"] is None
+        else:
+            assert row["len_sum"] is None
+            assert row["num_sum"] == int(s.dropna().sum())
+
+
+def test_profile_handles_nulls_and_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (None, "a")], "x bigint, s string"
+    )
+    got = {r["col_name"]: r.asDict() for r in profile_columns(df, distinct="exact").collect()}
+    assert got["x"]["n_null"] == 1 and got["x"]["n_distinct"] == 2
+    assert got["s"]["n_null"] == 1 and got["s"]["n_distinct"] == 1
+    assert got["s"]["len_sum"] == 2  # nulls excluded
+    empty = spark.createDataFrame([], "x bigint, s string")
+    er = {r["col_name"]: r.asDict() for r in profile_columns(empty, distinct="exact").collect()}
+    assert er["x"]["n_rows"] == 0 and er["x"]["min_value"] is None
+
+
+def test_profile_approx_is_single_scan_no_expand(spark, sf_small):
+    docs = load_table(spark, "documents", sf_small)
+    plan = _plan(profile_columns(docs, distinct="approx"))
+    assert "Expand" not in plan
+    # one scan of the parquet relation (one file index in the details),
+    # partial+final aggregate only
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_profile_rejects_bad_args(spark, sf_small):
+    docs = load_table(spark, "documents", sf_small)
+    with pytest.raises(ValueError):
+        profile_columns(docs, ["nope"])
+    with pytest.raises(ValueError):
+        profile_columns(docs, distinct="maybe")
+
+
+def test_key_skew_matches_pandas(spark, sf_small):
+    events = load_table(spark, "events", sf_small)
+    pdf = events.toPandas()
+    counts = pdf.groupby(pdf["event_type"].astype(str)).size()
+    row = key_skew_report(events, "event_type", top_k=3).collect()[0]
+    assert row["n_rows"] == len(pdf)
+    assert row["n_keys"] == counts.size
+    assert row["max_count"] == int(counts.max())
+    assert row["min_count"] == int(counts.min())
+    assert row["max_share"] == counts.max() / float(len(pdf))
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert row["topk_csv"] == ",".join(f"{k}:{v}" for k, v in want)
+
+
+def test_histogram_matches_pandas(spark, sf_small):
+    events = load_table(spark, "events", sf_small)
+    pdf = events.toPandas()
+    vals = pdf["value"].astype(float).dropna()
+    lo, hi = vals.min(), vals.max()
+    bins = 8
+    binned = ((vals - lo) * float(bins) / (hi - lo)).apply(math.floor).clip(upper=bins - 1)
+    want = binned.value_counts().to_dict()
+    got = numeric_histogram(events, "value", bins=bins).collect()
+    assert len(got) == bins
+    assert sum(r["n_rows"] for r in got) == len(vals)
+    for r in got:
+        assert r["n_rows"] == want.get(r["bin_id"], 0)
+        assert r["bin_lo"] == lo + r["bin_id"] * ((hi - lo) / bins)
+    # edges tile [lo, hi]
+    assert got[0]["bin_lo"] == lo and got[-1]["bin_hi"] == pytest.approx(hi)
+
+
+def test_histogram_degenerate_inputs(spark):
+    const = spark.createDataFrame([(5.0,), (5.0,)], "v double")
+    rows = numeric_histogram(const, "v", bins=4).collect()
+    assert [r["n_rows"] for r in rows] == [2, 0, 0, 0]
+    empty = spark.createDataFrame([], "v double")
+    assert numeric_histogram(empty, "v", bins=4).count() == 0
+    withnull = spark.createDataFrame([(1.0,), (None,), (3.0,)], "v double")
+    rows = numeric_histogram(withnull, "v", bins=2).collect()
+    assert sum(r["n_rows"] for r in rows) == 2
