@@ -54,6 +54,8 @@ _DRIVER_PRIORITY = [
     "key_skew_events",
     "value_histogram",
     "ann_ivfpq_topk",
+    "dedup_index_probe",
+    "bpe_tokens",
 ]
 
 # (c) refill: relational core in CORRECTNESS_r02 order (last green r2).

@@ -1968,3 +1968,140 @@ def ann_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         nprobe=IVFPQ_NPROBE,
     )
+
+
+_IDX_JACC = (
+    "len(list_intersect(a.sset, b.sset)) / "
+    "(len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset)))"
+)
+
+
+@query(
+    "dedup_index_probe",
+    f"""
+    WITH {_minhash_sql()},
+    probe AS (
+      SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old
+      FROM bands n JOIN bands o
+        ON n.band = o.band AND n.bkey = o.bkey
+      WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0
+    )
+    SELECT id_new, id_old, {_IDX_JACC} AS jaccard
+    FROM probe
+    JOIN sets a ON probe.id_new = a.doc_id
+    JOIN sets b ON probe.id_old = b.doc_id
+    WHERE {_IDX_JACC} >= 0.5
+    """,
+)
+def dedup_index_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: docs with id % 5 == 0 play the role of
+    today's crawl batch, the rest are the already-indexed corpus. The
+    batch's LSH band keys are broadcast against the stored postings
+    (the corpus side is never shuffled or re-shingled), candidates are
+    verified by exact Jaccard over the stored shingle sets. The oracle
+    re-derives postings + sets for both sides from the shared MinHash
+    constants and applies the same split."""
+    from svoe_spark.operators.dedup_index import index_tables, probe_index
+
+    docs = load_table(spark, "documents", sf_dir)
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    bands, sets = index_tables(old, params=_MH)
+    return probe_index(new, bands, sets, params=_MH, threshold=0.5)
+
+
+# Frozen BPE merge table: bpe_train(word_frequencies(documents@sf0.001),
+# num_merges=64, top_words=100000) — a tokenizer is a train-once
+# artifact applied to any corpus, which is exactly what makes the
+# encoding oracle-checkable (the oracle applies the same constant
+# merges via a recursive CTE). tests/test_tokenizer.py asserts this
+# list is reproduced bit-for-bit from the fixture.
+BPE_FIXED_MERGES: list[tuple[str, str]] = [
+    ('e', 'r'), ('o', 'r'), ('i', 'n'), ('o', 'w'), ('s', 't'),
+    ('l', 'u'), ('a', 'r'), ('p', 'ar'), ('m', 'er'), ('a', 't'),
+    ('a', 'n'), ('c', 'an'), ('s', 'can'), ('c', 'o'), ('co', 'lu'),
+    ('colu', 'm'), ('colum', 'n'), ('d', 'ow'), ('in', 'dow'),
+    ('w', 'indow'), ('d', 'er'), ('or', 'der'), ('or', 't'),
+    ('s', 'ort'), ('par', 't'), ('u', 'p'), ('a', 'g'), ('ag', 'g'),
+    ('a', 'lu'), ('alu', 'e'), ('v', 'alue'), ('in', 'e'),
+    ('l', 'ine'), ('e', 'y'), ('k', 'ey'), ('j', 'o'), ('jo', 'in'),
+    ('g', 'e'), ('mer', 'ge'), ('er', 'y'), ('g', 'r'), ('gr', 'o'),
+    ('gro', 'up'), ('q', 'u'), ('qu', 'ery'), ('c', 't'),
+    ('ct', 'or'), ('e', 'ctor'), ('v', 'ector'), ('a', 's'),
+    ('as', 'h'), ('h', 'ash'), ('l', 'ow'), ('s', 'low'),
+    ('a', 'm'), ('e', 'am'), ('r', 'eam'), ('st', 'ream'),
+    ('f', 'i'), ('fi', 'l'), ('fil', 't'), ('filt', 'er'),
+    ('a', 'st'), ('f', 'ast'),
+]
+
+
+def _bpe_sql() -> str:
+    from svoe_spark.operators.tokenizer import WORD_RE
+
+    mlist = "[" + ",".join(f"'{a} {b}'" for a, b in BPE_FIXED_MERGES) + "]"
+    best = (
+        "list_sort(list_filter("
+        "list_transform(range(1, len(seq)), i -> "
+        f"{{'r': list_position({mlist}, seq[i] || ' ' || seq[i + 1]), 'i': i}}), "
+        "x -> x.r IS NOT NULL AND x.r > 0))[1]"
+    )
+    return f"""
+    WITH RECURSIVE words AS (
+      SELECT DISTINCT u.w AS word FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS w
+        FROM documents
+      ) u
+    ),
+    enc(word, seq) AS (
+      SELECT word, list_transform(range(1, length(word) + 1), i -> word[i])
+      FROM words
+      UNION ALL
+      SELECT word,
+             seq[1:(best.i - 1)] || [seq[best.i] || seq[best.i + 1]]
+               || seq[(best.i + 2):len(seq)]
+      FROM (SELECT word, seq, {best} AS best FROM enc) WHERE best IS NOT NULL
+    ),
+    done AS (
+      SELECT word, seq
+      FROM (SELECT word, seq, {best} AS best FROM enc) WHERE best IS NULL
+    ),
+    d AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{WORD_RE}') AS ws
+      FROM documents
+    ),
+    dw AS (
+      SELECT doc_id, u.p AS pos, u.w AS word
+      FROM d,
+           unnest(list_transform(range(1, len(ws) + 1),
+                                 i -> {{'p': i, 'w': ws[i]}})) AS t(u)
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(sum(len(done.seq)), 0) AS BIGINT) AS n_tokens,
+           coalesce(string_agg(array_to_string(done.seq, ','), ','
+                               ORDER BY dw.pos), '') AS tokens_csv
+    FROM d
+    LEFT JOIN dw USING (doc_id)
+    LEFT JOIN done ON dw.word = done.word
+    GROUP BY d.doc_id
+    """
+
+
+@query("bpe_tokens", _bpe_sql())
+def bpe_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-encode every document under the frozen 64-merge table
+    (trained once on the sf0.001 fixture — a tokenizer is a fixed
+    artifact applied to new corpora). Spark side: Arrow-batched pandas
+    UDF with a per-executor word cache, zero shuffles (the merge loop
+    is inherently iterative — the justified-Python case). Oracle:
+    a recursive CTE applies the same constant merges (lowest rank,
+    leftmost) per distinct word and reassembles documents in word
+    order — full procedure equivalence, not just counts."""
+    from svoe_spark.operators.tokenizer import bpe_encode
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = bpe_encode(docs, BPE_FIXED_MERGES)
+    return out.select(
+        "doc_id",
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+        F.array_join("tokens", ",").alias("tokens_csv"),
+    )
