@@ -323,12 +323,133 @@ def round4_smoke(spark, results, force, n_docs=2_000_000, n_ticks=20_000_000):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def round4b_smoke(spark, results, force, n_docs=2_000_000, n_prof=100_000_000):
+    """Round-4 tail-session operators at scale.
+
+    - profiler: approx-distinct per-column profile over 100M rows —
+      must stay ONE scan (no Expand) whatever the width.
+    - incremental dedup index: 1.8M docs indexed, a 200k batch probed
+      against the postings with 5% planted cross-split duplicates
+      (batch doc 20i duplicates indexed doc 20i+1 — same seed).
+    - BPE encode over 2M docs with the frozen 64-merge table (pandas
+      UDF + per-executor word cache).
+    - chunk_freq_dedup over 2M docs (two content-keyed shuffles).
+    - IVF-PQ: encode 2M x 64 vectors to (cell, 8 codes), then one
+      nprobe=2 ADC top-10 probe over the codes-only relation.
+    """
+    import math
+
+    from svoe_spark.operators.cleaning import chunk_freq_dedup
+    from svoe_spark.operators.dedup_index import index_tables, probe_index
+    from svoe_spark.operators.profiling import profile_columns
+    from svoe_spark.operators.similarity import (
+        ann_ivfpq_topk,
+        ivfpq_encode,
+        ivfpq_train,
+    )
+    from svoe_spark.operators.tokenizer import bpe_encode
+    from svoe_spark.queries_llm import BPE_FIXED_MERGES
+
+    prof_src = spark.range(n_prof).select(
+        F.col("id"),
+        F.concat(F.lit("k"), (F.col("id") % 1000).cast("string")).alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    results[f"profile_{n_prof//1_000_000}M_rows_sec"] = timed(
+        lambda: force(profile_columns(prof_src, distinct="approx")),
+        "profile_approx",
+    )
+
+    # docs: 5% of batch docs (id % 20 == 0) share their token seed with
+    # the NEXT id (indexed, since 20i+1 % 10 != 0) -> planted cross-
+    # split near-duplicates for the probe to find
+    seed = F.when(F.col("id") % 20 == 0, F.col("id") + 1).otherwise(F.col("id"))
+    tok = lambda e: F.concat(F.lit("t"), F.abs(F.xxhash64(e)).cast("string"))  # noqa: E731
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(60)), lambda j: tok(seed * 1000 + j)
+        ),
+        " ",
+    )
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), body.alias("text")
+    )
+    old = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    bands = sets = None
+
+    def build():
+        nonlocal bands, sets
+        b, s = index_tables(old)
+        bands, sets = b.persist(), s.persist()
+        force(bands)
+        force(sets)
+
+    results[f"dedup_index_build_{n_docs//1_000_000}M_sec"] = timed(
+        build, "dedup_index_build"
+    )
+    probe = probe_index(batch, bands, sets, threshold=0.5).persist()
+    results["dedup_index_probe_200k_batch_sec"] = timed(
+        lambda: force(probe), "dedup_index_probe"
+    )
+    n_dup = probe.count()
+    assert n_dup == n_docs // 20, n_dup  # every planted pair found
+    probe.unpersist()
+    bands.unpersist()
+    sets.unpersist()
+
+    results[f"bpe_encode_{n_docs//1_000_000}M_docs_sec"] = timed(
+        lambda: force(
+            bpe_encode(docs, BPE_FIXED_MERGES).select(F.size("tokens"))
+        ),
+        "bpe_encode",
+    )
+    results[f"chunk_freq_dedup_{n_docs//1_000_000}M_docs_sec"] = timed(
+        lambda: force(chunk_freq_dedup(docs)), "chunk_freq_dedup"
+    )
+
+    dim = 64
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda j: F.sin(F.col("id") * 131 + j * 17),
+    )
+    emb = spark.range(n_docs).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    )
+    cents = [
+        [math.sin(c * 131 + (j + 1) * 17) for j in range(dim)] for c in range(16)
+    ]
+    cbs = ivfpq_train(emb, cents, method="seed")
+    coded = None
+
+    def enc():
+        nonlocal coded
+        coded = ivfpq_encode(emb, cents, cbs).persist()
+        force(coded)
+
+    results[f"ivfpq_encode_{n_docs//1_000_000}M_sec"] = timed(enc, "ivfpq_encode")
+    results["ivfpq_probe_sec"] = timed(
+        lambda: force(
+            ann_ivfpq_topk(
+                coded, emb.where(F.col("vec_id") == 0), cents, cbs, nprobe=2
+            )
+        ),
+        "ivfpq_probe",
+    )
+    coded.unpersist()
+
+
 def main():
     spark = get_spark("scale_smoke")
     spark.sparkContext.setLogLevel("ERROR")
     force = lambda df: df.write.format("noop").mode("overwrite").save()  # noqa: E731
 
     only = os.environ.get("SMOKE_ONLY")
+    if only == "round4b":
+        results = {}
+        round4b_smoke(spark, results, force)
+        print(json.dumps(results))
+        return
     if only == "semdedup":
         results = {}
         semdedup_smoke(spark, results, force)

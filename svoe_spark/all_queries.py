@@ -56,6 +56,7 @@ _DRIVER_PRIORITY = [
     "ann_ivfpq_topk",
     "dedup_index_probe",
     "bpe_tokens",
+    "chunk_freq_dedup",
 ]
 
 # (c) refill: relational core in CORRECTNESS_r02 order (last green r2).

@@ -183,23 +183,14 @@ def corpus_filter(
     )
 
 
-def chunk_dedup(
-    df: DataFrame, text: str = "text", id_col: str = "doc_id", width: int = 4
+def _chunk_explode(
+    df: DataFrame, text: str, id_col: str, width: int
 ) -> DataFrame:
-    """Corpus-wide chunk-level exact dedup (the paragraph-dedup of
-    C4/RefinedWeb, adapted to unstructured text): split each document
-    into consecutive ``width``-token chunks, keep only the FIRST
-    occurrence of each chunk text corpus-wide (ordered by doc id then
-    chunk position), and reassemble the surviving chunks in order.
-
-    Returns (id, text_dedup, n_chunks, n_removed). Scale shape: chunks
-    are built ARRAY-SIDE (slice + array_join over the token array —
-    no explode/collect_list round trip, which would add a full shuffle
-    plus an object-hash aggregation), then exploded once; one shuffle
-    on chunk text (uniform content-hash keys — no skew), one on doc id
-    for reassembly; both linear. The first-occurrence rule makes the
-    output deterministic and order-independent.
-    """
+    """(id, __ci, __chunk): consecutive ``width``-token chunks, built
+    ARRAY-SIDE (slice + array_join over the token array — no
+    explode/collect_list round trip, which would add a full shuffle
+    plus an object-hash aggregation), then exploded once. Shared by
+    both chunk-dedup rules so their chunking can never diverge."""
     toks = tokens(text)
     n = F.size(toks)
     chunk_arr = F.when(
@@ -209,11 +200,14 @@ def chunk_dedup(
             lambda i: F.array_join(F.slice(toks, i * width + 1, width), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    ex = _spread(df).select(
+    return _spread(df).select(
         F.col(id_col), F.posexplode(chunk_arr).alias("__ci", "__chunk")
     )
-    w = Window.partitionBy("__chunk").orderBy(id_col, "__ci")
-    ranked = ex.withColumn("__keep", F.row_number().over(w) == 1)
+
+
+def _chunk_reassemble(ranked: DataFrame, id_col: str, out_col: str) -> DataFrame:
+    """Reassemble the chunks flagged ``__keep`` in document order;
+    (id, out_col, n_chunks, n_removed)."""
     return ranked.groupBy(id_col).agg(
         F.array_join(
             F.transform(
@@ -225,10 +219,30 @@ def chunk_dedup(
                 lambda s: s["__chunk"],
             ),
             " ",
-        ).alias("text_dedup"),
+        ).alias(out_col),
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum(F.when(~F.col("__keep"), 1).otherwise(0)).alias("n_removed"),
     )
+
+
+def chunk_dedup(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", width: int = 4
+) -> DataFrame:
+    """Corpus-wide chunk-level exact dedup (the paragraph-dedup of
+    C4/RefinedWeb, adapted to unstructured text): split each document
+    into consecutive ``width``-token chunks, keep only the FIRST
+    occurrence of each chunk text corpus-wide (ordered by doc id then
+    chunk position), and reassemble the surviving chunks in order.
+
+    Returns (id, text_dedup, n_chunks, n_removed). Scale shape: one
+    shuffle on chunk text (uniform content-hash keys — no skew), one
+    on doc id for reassembly; both linear. The first-occurrence rule
+    makes the output deterministic and order-independent.
+    """
+    ex = _chunk_explode(df, text, id_col, width)
+    w = Window.partitionBy("__chunk").orderBy(id_col, "__ci")
+    ranked = ex.withColumn("__keep", F.row_number().over(w) == 1)
+    return _chunk_reassemble(ranked, id_col, "text_dedup")
 
 
 def source_mixture_weights(
@@ -280,3 +294,28 @@ def normalize_text(
         norm.alias("text_norm"),
         F.length(norm).alias("n_chars_norm"),
     )
+
+
+def chunk_freq_dedup(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    width: int = 4,
+    max_df: int = 1,
+) -> DataFrame:
+    """Frequency-thresholded chunk removal — the RefinedWeb/MassiveText
+    line-dedup rule adapted to unstructured text: a chunk occurring
+    more than ``max_df`` times corpus-wide is boilerplate (cookie
+    banners, navigation, license headers) and EVERY copy is removed —
+    unlike ``chunk_dedup``, which keeps the first occurrence. With
+    ``max_df=1`` any repeated chunk disappears entirely.
+
+    Same scale shape as chunk_dedup (shared _chunk_explode /
+    _chunk_reassemble): one shuffle on chunk text for the corpus-wide
+    count, one on doc id for reassembly. The keep rule is a windowed
+    count (no ordering — a frame-less count over the chunk partition),
+    so the decision is order-independent and deterministic."""
+    ex = _chunk_explode(df, text, id_col, width)
+    w = Window.partitionBy("__chunk")
+    ranked = ex.withColumn("__keep", F.count(F.lit(1)).over(w) <= max_df)
+    return _chunk_reassemble(ranked, id_col, "text_clean")

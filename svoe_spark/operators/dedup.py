@@ -221,11 +221,14 @@ def lsh_candidate_pairs(
     return out
 
 
-def _band_pairs(
+def band_postings(
     sig: DataFrame, id_col: str, params: MinHashParams
 ) -> DataFrame:
-    # one generate (explode of `bands` little structs) instead of a
-    # bands-way union: the signature relation is scanned once per side
+    """(band, bkey, id) LSH postings from a signature relation — one
+    generate (explode of `bands` little structs) instead of a bands-way
+    union, so the signature is scanned once. THE banding expression:
+    shared by the in-corpus pair join below and the persistent index
+    (operators/dedup_index.py), which must agree bit-for-bit."""
     band_structs = F.array(
         *[
             F.struct(
@@ -238,9 +241,15 @@ def _band_pairs(
             for b in range(params.bands)
         ]
     )
-    bands = sig.select(F.col(id_col), F.explode(band_structs).alias("__b")).select(
+    return sig.select(F.col(id_col), F.explode(band_structs).alias("__b")).select(
         F.col("__b.band").alias("band"), F.col("__b.bkey").alias("bkey"), F.col(id_col)
     )
+
+
+def _band_pairs(
+    sig: DataFrame, id_col: str, params: MinHashParams
+) -> DataFrame:
+    bands = band_postings(sig, id_col, params)
     left = bands.alias("l")
     right = bands.alias("r")
     return (

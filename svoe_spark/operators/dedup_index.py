@@ -24,10 +24,11 @@ inverted-index maintenance loop, expressed relationally.
 
 Verification modes: ``verify="sets"`` (exact Jaccard over stored
 shingle sets — what the DuckDB oracle checks); ``verify="signature"``
-(the fraction of agreeing minhash components — an unbiased Jaccard
-estimator needing only the K-int signature, for deployments that skip
-the sets table: storage drops from O(total shingles) to O(K) per doc
-at the cost of probabilistic verification).
+(the fraction of AGREEING BANDS — a step-quantized estimate of the
+~Jaccard^rows band-collision probability, NOT of Jaccard itself; see
+``probe_index`` for the threshold semantics — for deployments that
+skip the sets table: storage drops from O(total shingles) to O(K) per
+doc at the cost of coarser, differently-scaled verification).
 
 Hash/shingle/band constants are shared with operators/dedup.py
 (MinHashParams), so an index built here agrees bit-for-bit with the
@@ -45,8 +46,8 @@ from pyspark.sql import functions as F
 
 from svoe_spark.operators.dedup import (
     MinHashParams,
-    _band_pairs,
-    _shingle_arrays,
+    band_postings,
+    minhash_dedup_pairs,
     minhash_signature,
 )
 
@@ -62,26 +63,7 @@ def index_tables(
     bands explode is a Generate, not a union — the batch is scanned
     once)."""
     sig = minhash_signature(docs, text, id_col, params, with_sets=True)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "_",
-                    *[
-                        F.col(f"m{b * params.rows + r}")
-                        for r in range(params.rows)
-                    ],
-                ).alias("bkey"),
-            )
-            for b in range(params.bands)
-        ]
-    )
-    bands = sig.select(F.col(id_col), F.explode(band_structs).alias("__b")).select(
-        F.col("__b.band").alias("band"),
-        F.col("__b.bkey").alias("bkey"),
-        F.col(id_col),
-    )
+    bands = band_postings(sig, id_col, params)
     sets = sig.select(F.col(id_col), F.col("__set").alias("sset"))
     return bands, sets
 
@@ -92,33 +74,51 @@ def write_index(
     text: str = "text",
     id_col: str = "doc_id",
     params: MinHashParams = MinHashParams(),
-    mode: str = "overwrite",
+    batch_id: int = 0,
 ) -> None:
-    """Materialize the index at ``path`` (``bands/`` parquet
-    partitioned by band — a probe for one band key reads one
-    partition's row groups; ``sets/`` plain parquet). ``mode="append"``
-    is the incremental maintenance step — call it with each day's
-    surviving batch."""
+    """Materialize one batch of the index at ``path``: postings land in
+    ``bands/batch=<id>/band=<b>/`` (band partitioning => a probe for
+    one band key reads one partition's row groups), sets in
+    ``sets/batch=<id>/``. Batch-scoped directories make every write
+    IDEMPOTENT — a replayed batch overwrites its own subtree instead of
+    appending duplicate postings — which is what lets the streaming
+    maintainer run exactly-once on top of foreachBatch's
+    at-least-once delivery."""
     bands, sets = index_tables(docs, text, id_col, params)
-    bands.write.mode(mode).partitionBy("band").parquet(f"{path}/bands")
-    sets.write.mode(mode).parquet(f"{path}/sets")
+    bands.write.mode("overwrite").partitionBy("band").parquet(
+        f"{path}/bands/batch={batch_id}"
+    )
+    sets.write.mode("overwrite").parquet(f"{path}/sets/batch={batch_id}")
 
 
 def append_index(
     docs: DataFrame,
     path: str,
+    batch_id: int,
     text: str = "text",
     id_col: str = "doc_id",
     params: MinHashParams = MinHashParams(),
 ) -> None:
-    write_index(docs, path, text, id_col, params, mode="append")
+    """Incremental maintenance: add a (deduped) batch under its own
+    ``batch=<id>`` subtree. Re-running the same batch id overwrites in
+    place — idempotent by construction."""
+    write_index(docs, path, text, id_col, params, batch_id=batch_id)
 
 
-def read_index(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
-    return (
-        spark.read.parquet(f"{path}/bands"),
-        spark.read.parquet(f"{path}/sets"),
-    )
+def read_index(
+    spark: SparkSession, path: str, exclude_batch: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(bands, sets) across every ingested batch. ``exclude_batch``
+    partition-prunes one batch subtree away — the streaming maintainer
+    uses it so a REPLAYED batch never probes against its own crashed
+    attempt's partial writes (which would make every document match
+    itself and drop the whole batch)."""
+    bands = spark.read.parquet(f"{path}/bands")
+    sets = spark.read.parquet(f"{path}/sets")
+    if exclude_batch is not None:
+        bands = bands.where(F.col("batch") != exclude_batch)
+        sets = sets.where(F.col("batch") != exclude_batch)
+    return bands.drop("batch"), sets.drop("batch")
 
 
 def probe_index(
@@ -198,10 +198,12 @@ def dedup_against_index(
     broadcast_batch: bool = True,
 ) -> DataFrame:
     """The new documents that SURVIVE incremental dedup: no verified
-    match in the index, and (``within_batch=True``) not a verified
-    duplicate of a lower-id survivor inside the batch itself (the
-    keep-lowest-id rule of the batch dedup operators). The survivors
-    are what ``append_index`` should ingest."""
+    match in the index, and (``within_batch=True``) no verified
+    LOWER-ID duplicate inside the batch. The within-batch rule is
+    transitive in effect — in a chain 1~2, 2~3 (1!~3), both 2 and 3
+    are dropped, matching ``dedup_clusters``' keep-the-canonical-min
+    semantics rather than a greedy keep-if-your-duplicate-also-died
+    rule. The survivors are what ``append_index`` should ingest."""
     dup_vs_index = probe_index(
         new_docs, index_bands, index_sets, text, id_col, params,
         threshold, "sets" if index_sets is not None else "signature",
@@ -210,32 +212,83 @@ def dedup_against_index(
     kept = new_docs.join(dup_vs_index, id_col, "left_anti")
     if not within_batch:
         return kept
-    sig = minhash_signature(kept, text, id_col, params, with_sets=True).persist()
-    cands = _band_pairs(sig, id_col, params)
-    sets = sig.select(F.col(id_col), "__set")
-    verified = (
-        cands.join(
-            sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("__set", "sa"),
-            "id_a",
-        )
-        .join(
-            sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("__set", "sb"),
-            "id_b",
-        )
-        .filter(
-            (
-                F.size(F.array_intersect("sa", "sb"))
-                / (
-                    F.size("sa")
-                    + F.size("sb")
-                    - F.size(F.array_intersect("sa", "sb"))
-                )
-            )
-            >= threshold
-        )
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
-    )
-    out = kept.join(verified, id_col, "left_anti")
-    out._svoe_persisted = sig
+    pairs = minhash_dedup_pairs(kept, text, id_col, params, threshold)
+    dup_b = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    out = kept.join(dup_b, id_col, "left_anti")
+    out._svoe_persisted = pairs._svoe_persisted
     return out
+
+
+def apply_index_batch(
+    path: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    text: str = "text",
+    id_col: str = "doc_id",
+    params: MinHashParams = MinHashParams(),
+    threshold: float = 0.5,
+) -> bool:
+    """Idempotent ingest of one micro-batch into the index: dedup the
+    batch against every PRIOR batch (and within itself), then write the
+    survivors under ``batch=<batch_id>``. Exactly-once on top of
+    at-least-once foreachBatch, by the same two guards as
+    ``rollup.RollupStore.apply_batch``: a ``<path>._commits`` log
+    short-circuits known-complete batches, and because each batch owns
+    its directory subtree (and the probe excludes the batch's OWN
+    subtree via partition pruning), a replay of a half-written batch
+    recomputes the same survivor set and overwrites in place. Returns
+    whether data work was done."""
+    import os
+
+    commits = path + "._commits"
+    if os.path.exists(commits):
+        with open(commits) as f:
+            if batch_id in {int(x) for x in f.read().split() if x}:
+                return False
+    spark = batch_df.sparkSession
+    if os.path.exists(f"{path}/bands"):
+        bands, sets = read_index(spark, path, exclude_batch=batch_id)
+        survivors = dedup_against_index(
+            batch_df, bands, sets, text, id_col, params, threshold
+        )
+    else:
+        # first batch: only within-batch dedup applies
+        pairs = minhash_dedup_pairs(batch_df, text, id_col, params, threshold)
+        dup_b = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        survivors = batch_df.join(dup_b, id_col, "left_anti")
+        survivors._svoe_persisted = pairs._svoe_persisted
+    write_index(survivors, path, text, id_col, params, batch_id=batch_id)
+    handle = getattr(survivors, "_svoe_persisted", None)
+    if handle is not None:
+        handle.unpersist()
+    with open(commits, "a") as f:
+        f.write(f"{batch_id}\n")
+    return True
+
+
+def maintain_dedup_index_stream(
+    doc_stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    text: str = "text",
+    id_col: str = "doc_id",
+    params: MinHashParams = MinHashParams(),
+    threshold: float = 0.5,
+):
+    """Keep the near-dup index continuously ingesting from a document
+    stream (the streaming leg of incremental dedup): each micro-batch
+    is deduped against everything already indexed, survivors become
+    the next batch subtree. Single concurrent writer per path, like
+    any partition-overwrite maintainer. Returns the StreamingQuery
+    (availableNow trigger — bounded replay semantics, same as
+    maintain_rollup_stream)."""
+    from svoe_spark.streaming.sinks import foreach_batch
+
+    return foreach_batch(
+        doc_stream,
+        lambda bdf, bid: apply_index_batch(
+            path, bdf, bid, text, id_col, params, threshold
+        ),
+        checkpoint,
+        trigger={"availableNow": True},
+    )

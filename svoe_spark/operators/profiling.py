@@ -132,14 +132,17 @@ def key_skew_report(
       n_rows, n_keys, max_count, min_count   exact integers
       max_share    max_count / n_rows (one division — deterministic)
       topk_csv     "key:count,..." — top ``top_k`` keys by count desc,
-                   key asc (total order, so the CSV is reproducible)
+                   key asc (total order, so the CSV is reproducible).
+                   NULL keys count as the literal key "<NULL>" so they
+                   participate in (and sort within) the report
+                   identically across engines
 
     Scale shape: one partial-aggregated shuffle on ``key`` (the only
     pass over the data), a single-row reduce over the per-key counts,
     and a TakeOrdered top-k — the per-key relation is never collected
     or globally sorted.
     """
-    k = F.col(key).cast("string")
+    k = F.coalesce(F.col(key).cast("string"), F.lit("<NULL>"))
     counts = df.groupBy(k.alias("__key")).agg(F.count(F.lit(1)).alias("__cnt"))
     summary = counts.agg(
         F.sum("__cnt").cast("bigint").alias("n_rows"),

@@ -735,6 +735,13 @@ def pq_train(
             .select(vec_col)
             .collect()
         )
+        if len(rows) != ksub:
+            raise ValueError(
+                f"seed codebook needs exactly {ksub} rows with "
+                f"{seed_start} <= {id_col} < {seed_start + ksub}; "
+                f"found {len(rows)} (sparse or short id range — pass a "
+                f"different seed_start or use method='kmeans')"
+            )
         dim = len(rows[0][0])
         d = dim // m
         return [
@@ -964,6 +971,8 @@ def ann_ivfpq_topk(
             F.slice("__scored_desc", 1, nprobe), lambda s: -s["nid"]
         ).alias("cells"),
     ).first()
+    if qrow is None:
+        raise ValueError("ann_ivfpq_topk: query DataFrame is empty")
     qv = [float(x) for x in qrow["qv"]]
     cells = [int(c) for c in qrow["cells"]]
     luts = []

@@ -153,11 +153,13 @@ def bpe_encode(
     import re
 
     rx = re.compile(WORD_RE)
+    # hoisted OUTSIDE the UDF body: the closure (and this dict) is
+    # deserialized once per python worker, so the cache persists across
+    # Arrow batches — a per-executor-process cache, not per-batch
+    cache: dict[str, list[str]] = {}
 
     @pandas_udf("array<string>")
     def _enc(col: pd.Series) -> pd.Series:
-        cache: dict[str, list[str]] = {}
-
         def enc_doc(t: str) -> list[str]:
             if t is None:
                 return []

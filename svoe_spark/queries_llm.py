@@ -2105,3 +2105,31 @@ def bpe_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("tokens").cast("bigint").alias("n_tokens"),
         F.array_join("tokens", ",").alias("tokens_csv"),
     )
+
+
+@query(
+    "chunk_freq_dedup",
+    f"""
+    WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks FROM documents),
+    e AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t),
+    c AS (SELECT doc_id, CAST((i - 1) // 4 AS BIGINT) AS ci,
+                 string_agg(toks[i], ' ' ORDER BY i) AS chunk
+          FROM e GROUP BY 1, 2),
+    r AS (SELECT *, count(*) OVER (PARTITION BY chunk) AS df FROM c)
+    SELECT doc_id,
+           COALESCE(string_agg(chunk, ' ' ORDER BY ci) FILTER (WHERE df <= 1), '')
+             AS text_clean,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(*) FILTER (WHERE df > 1) AS BIGINT) AS n_removed
+    FROM r GROUP BY doc_id
+    """,
+)
+def chunk_freq_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal by chunk document frequency (the RefinedWeb
+    line-dedup rule): EVERY copy of a chunk repeated corpus-wide is cut
+    (max_df=1), unlike chunk_dedup's keep-first. Same two bounded
+    shuffles; the keep rule is a frame-less windowed count on uniform
+    content keys."""
+    from svoe_spark.operators.cleaning import chunk_freq_dedup
+
+    return chunk_freq_dedup(load_table(spark, "documents", sf_dir), width=4, max_df=1)

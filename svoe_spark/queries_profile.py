@@ -67,7 +67,8 @@ _SKEW_TOPK = 5
 
 _SKEW_SQL = f"""
     WITH c AS (
-      SELECT CAST(event_type AS VARCHAR) AS k, count(*) AS cnt
+      SELECT coalesce(CAST(event_type AS VARCHAR), '<NULL>') AS k,
+             count(*) AS cnt
       FROM events GROUP BY 1
     ),
     s AS (
@@ -109,10 +110,11 @@ _HIST_SQL = f"""
       FROM events
     ),
     b AS (
-      SELECT CAST(least(CAST({_HIST_BINS - 1} AS BIGINT),
-                        CAST(floor(((CAST(value AS DOUBLE) - lo)
-                                    * CAST({_HIST_BINS} AS DOUBLE))
-                                   / (hi - lo)) AS BIGINT)) AS INT) AS bin_id,
+      SELECT CAST(CASE WHEN hi = lo THEN 0 ELSE
+               least(CAST({_HIST_BINS - 1} AS BIGINT),
+                     CAST(floor(((CAST(value AS DOUBLE) - lo)
+                                 * CAST({_HIST_BINS} AS DOUBLE))
+                                / (hi - lo)) AS BIGINT)) END AS INT) AS bin_id,
              count(*) AS cnt
       FROM events, st
       WHERE value IS NOT NULL

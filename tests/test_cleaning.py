@@ -189,3 +189,28 @@ def test_bigram_surprise_known_counts(spark):
     for d in (0, 1):
         assert out[d]["n_bigrams"] == 2
         assert out[d]["mean_inv_cond_prob"] == 1.5
+
+
+def test_chunk_freq_dedup_removes_every_copy(spark):
+    from svoe_spark.operators.cleaning import chunk_freq_dedup
+
+    # "a b" appears in docs 0, 1 and 2 -> ALL copies cut (unlike
+    # chunk_dedup, which keeps doc 0's); "c d" is unique -> survives
+    df = _docs(spark, ["a b", "a b c d", "a b"])
+    out = {r.doc_id: r for r in chunk_freq_dedup(df, width=2).collect()}
+    assert out[0].text_clean == "" and out[0].n_removed == 1
+    assert out[1].text_clean == "c d" and out[1].n_removed == 1
+    assert out[2].text_clean == "" and out[2].n_removed == 1
+
+
+def test_chunk_freq_dedup_max_df_threshold(spark):
+    from svoe_spark.operators.cleaning import chunk_freq_dedup
+
+    # "a b" occurs twice: max_df=2 keeps both copies, max_df=1 cuts both
+    df = _docs(spark, ["a b x y", "a b"])
+    keep2 = {r.doc_id: r for r in chunk_freq_dedup(df, width=2, max_df=2).collect()}
+    assert keep2[0].text_clean == "a b x y" and keep2[0].n_removed == 0
+    assert keep2[1].text_clean == "a b"
+    cut1 = {r.doc_id: r for r in chunk_freq_dedup(df, width=2, max_df=1).collect()}
+    assert cut1[0].text_clean == "x y" and cut1[0].n_removed == 1
+    assert cut1[1].text_clean == "" and cut1[1].n_removed == 1

@@ -127,3 +127,12 @@ def test_histogram_degenerate_inputs(spark):
     withnull = spark.createDataFrame([(1.0,), (None,), (3.0,)], "v double")
     rows = numeric_histogram(withnull, "v", bins=2).collect()
     assert sum(r["n_rows"] for r in rows) == 2
+
+
+def test_key_skew_null_keys_counted_as_sentinel(spark):
+    df = spark.createDataFrame(
+        [("a",), (None,), (None,), ("b",)], "k string"
+    )
+    row = key_skew_report(df, "k", top_k=3).collect()[0]
+    assert row["n_keys"] == 3 and row["max_count"] == 2
+    assert row["topk_csv"] == "<NULL>:2,a:1,b:1"
