@@ -437,6 +437,12 @@ def round4b_smoke(spark, results, force, n_docs=2_000_000, n_prof=100_000_000):
         "ivfpq_probe",
     )
     coded.unpersist()
+    from svoe_spark.operators.similarity import ivfpq_encode_numpy
+
+    results[f"ivfpq_encode_numpy_{n_docs//1_000_000}M_sec"] = timed(
+        lambda: force(ivfpq_encode_numpy(emb, cents, cbs)),
+        "ivfpq_encode_numpy",
+    )
 
 
 def main():

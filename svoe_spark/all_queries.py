@@ -57,6 +57,8 @@ _DRIVER_PRIORITY = [
     "dedup_index_probe",
     "bpe_tokens",
     "chunk_freq_dedup",
+    "hard_negatives_lsh",
+    "duplication_report",
 ]
 
 # (c) refill: relational core in CORRECTNESS_r02 order (last green r2).

@@ -1002,3 +1002,213 @@ def ann_ivfpq_topk(
         .orderBy("adc_dist", id_col)
         .limit(k)
     )
+
+
+def _pq_codes_numpy(E, cbs_np):
+    """n x m int32 codes for row-major float64 subvectors: per
+    subspace, squared distances accumulated COLUMN BY COLUMN (the same
+    left-fold order as _sub_dist2, so every sum is the bit-identical
+    IEEE sequence — no BLAS reassociation), argmin ties to the first
+    (= lowest) code like the expression path's struct min."""
+    import numpy as np
+
+    n = E.shape[0]
+    m = len(cbs_np)
+    ksub, d = cbs_np[0].shape
+    codes = np.empty((n, m), dtype=np.int32)
+    for s in range(m):
+        sub = E[:, s * d : (s + 1) * d]
+        acc = np.zeros((n, ksub), dtype=np.float64)
+        for j in range(d):
+            diff = sub[:, j : j + 1] - cbs_np[s][:, j][None, :]
+            acc += diff * diff
+        codes[:, s] = np.argmin(acc, axis=1)
+    return codes
+
+
+def pq_encode_numpy(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out: str = "codes",
+) -> DataFrame:
+    """Vectorized (Arrow + numpy) form of pq_encode — the throughput
+    path for corpus-scale encoding (measured ~5x at 2M x 64; see
+    ARCHITECTURE.md). BIT-IDENTICAL to the expression path, not just
+    approximately equal: distances accumulate in the same left-fold
+    column order (no np.sum/BLAS reassociation) and argmin ties break
+    to the lowest code, so the differential test asserts exact code
+    equality. The expression path stays the default (and the oracle
+    form); this one earns its pandas round trip only when encoding is
+    the bottleneck."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cbs_np = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    out_schema = T.StructType(
+        list(vectors.schema.fields)
+        + [T.StructField(out, T.ArrayType(T.IntegerType()))]
+    )
+
+    def fn(it):
+        for pdf in it:
+            if len(pdf):
+                E = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+                pdf = pdf.assign(**{out: _pq_codes_numpy(E, cbs_np).tolist()})
+            else:
+                pdf = pdf.assign(**{out: pd.Series([], dtype=object)})
+            yield pdf
+
+    return _spread(vectors).mapInPandas(fn, schema=out_schema)
+
+
+def ivfpq_encode_numpy(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """One-pass vectorized IVF-PQ encode: coarse cosine argmax,
+    residual subtraction, and residual PQ codes all inside a single
+    mapInPandas batch — no second scan, no expression-tree fold per
+    element. Bit-identical to ivfpq_encode by the same fold-order
+    discipline: cosine numerator/denominator accumulate column by
+    column, centroid norms reuse _py_norm, ties break to the lowest
+    centroid id (np.argmax -> first maximum; zero-norm rows score 0
+    against every centroid, landing in cell 0 like the expression
+    path's 'otherwise 0.0'). Output schema: (input columns...,
+    cluster_id int, codes array<int>)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    C = np.asarray([[float(x) for x in c] for c in centroids], dtype=np.float64)
+    cn = np.asarray([_py_norm(c) for c in centroids], dtype=np.float64)
+    cbs_np = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    k, dim = C.shape
+    out_schema = T.StructType(
+        list(vectors.schema.fields)
+        + [
+            T.StructField(cluster_col, T.IntegerType()),
+            T.StructField(codes_col, T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                yield pdf.assign(
+                    **{
+                        cluster_col: pd.Series([], dtype="int32"),
+                        codes_col: pd.Series([], dtype=object),
+                    }
+                )
+                continue
+            E = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            n = E.shape[0]
+            # dot and row norms, column-by-column left fold (bit-order)
+            dots = np.zeros((n, k), dtype=np.float64)
+            nsq = np.zeros(n, dtype=np.float64)
+            for j in range(dim):
+                dots += E[:, j : j + 1] * C[:, j][None, :]
+                nsq += E[:, j] * E[:, j]
+            vnorm = np.sqrt(nsq)
+            den = vnorm[:, None] * cn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(den != 0.0, dots / den, 0.0)
+            cells = np.argmax(cos, axis=1).astype(np.int32)
+            R = E - C[cells]
+            codes = _pq_codes_numpy(R, cbs_np)
+            yield pdf.assign(
+                **{cluster_col: cells, codes_col: codes.tolist()}
+            )
+
+    return _spread(vectors).mapInPandas(fn, schema=out_schema)
+
+
+def hard_negatives(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    (anchor), the k most-cosine-similar corpus vectors with a
+    DIFFERENT label. One corpus scan against the broadcast anchor
+    batch; the window shuffle carries scored (id, cosine) rows only.
+    Right for an anchor batch small enough to broadcast — for mining
+    over the whole corpus use ``hard_negatives_lsh``."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("__qv"),
+        F.col(label_col).alias("__qlabel"),
+    )
+    scored = (
+        vectors.crossJoin(F.broadcast(q))
+        .where(F.col(label_col) != F.col("__qlabel"))
+        .select(
+            "anchor_id",
+            F.col(id_col).alias("neg_id"),
+            cosine(F.col(vec_col), F.col("__qv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("neg_id")
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def hard_negatives_lsh(
+    vectors: DataFrame,
+    dim: int,
+    k: int = 1,
+    planes: int = DEFAULT_PLANES,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Corpus-wide hard-negative mining, LSH-blocked: every vector is
+    an anchor, candidates are the OTHER-label vectors sharing its
+    hyperplane bucket — the standard way to make all-pairs mining
+    tractable (candidates shrink ~2^planes; the bucket id is the
+    shuffle key, uniform by construction). Near-misses across one
+    hyperplane are the price of blocking — the recall dial is fewer
+    planes or multi-probe, same as ann_lsh_topk. Output: (anchor_id,
+    neg_id, cosine), top-k per anchor by (cosine desc, neg_id)."""
+    from pyspark.sql import Window
+
+    b = vectors.select(
+        F.col(id_col), F.col(label_col), F.col(vec_col),
+        lsh_bucket(vec_col, dim, planes).alias("__bucket"),
+    )
+    left = b.alias("a")
+    right = b.alias("n")
+    pairs = left.join(
+        right,
+        (F.col("a.__bucket") == F.col("n.__bucket"))
+        & (F.col(f"a.{label_col}") != F.col(f"n.{label_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("anchor_id"),
+        F.col(f"n.{id_col}").alias("neg_id"),
+        cosine(F.col(f"a.{vec_col}"), F.col(f"n.{vec_col}")).alias("cosine"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("neg_id")
+    )
+    return (
+        pairs.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

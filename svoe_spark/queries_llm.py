@@ -2133,3 +2133,88 @@ def chunk_freq_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from svoe_spark.operators.cleaning import chunk_freq_dedup
 
     return chunk_freq_dedup(load_table(spark, "documents", sf_dir), width=4, max_df=1)
+
+
+@query(
+    "hard_negatives_lsh",
+    f"""
+    WITH b AS (
+      SELECT vec_id, label, embedding, {_lsh_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS anchor_id, n.vec_id AS neg_id,
+           {sql_cosine('a.embedding', 'n.embedding')} AS cosine
+    FROM b a JOIN b n
+      ON a.bucket = n.bucket AND a.label <> n.label
+    QUALIFY row_number() OVER (
+      PARTITION BY a.vec_id
+      ORDER BY {sql_cosine('a.embedding', 'n.embedding')} DESC, n.vec_id) = 1
+    """,
+)
+def hard_negatives_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide hard-negative mining for contrastive training:
+    every vector is an anchor; its hardest negative is the
+    most-similar OTHER-label vector inside its hyperplane-LSH bucket
+    (the blocking that makes all-pairs mining tractable — candidates
+    shrink ~2^planes, bucket id is a uniform shuffle key). Top-1 per
+    anchor by (cosine desc, neg_id)."""
+    from svoe_spark.operators.similarity import hard_negatives_lsh
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return hard_negatives_lsh(emb, dim=EMB_DIM, k=1)
+
+
+@query(
+    "duplication_report",
+    f"""
+    WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks FROM documents),
+    e AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t),
+    c AS (SELECT doc_id, CAST((i - 1) // 4 AS BIGINT) AS ci,
+                 string_agg(toks[i], ' ' ORDER BY i) AS chunk
+          FROM e GROUP BY 1, 2),
+    r AS (SELECT *, count(*) OVER (PARTITION BY chunk) AS df FROM c),
+    pd AS (
+      SELECT doc_id, count(*) AS n_chunks,
+             CAST(count(*) FILTER (WHERE df > 1) AS BIGINT) AS n_dup
+      FROM r GROUP BY doc_id
+    )
+    SELECT d.source, count(*) AS n_docs,
+           CAST(sum(pd.n_chunks) AS BIGINT) AS n_chunks,
+           CAST(sum(pd.n_dup) AS BIGINT) AS n_dup_chunks,
+           CAST(sum(pd.n_dup) AS DOUBLE) / CAST(sum(pd.n_chunks) AS DOUBLE)
+             AS dup_ratio
+    FROM pd JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def duplication_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication health report (what you look at BEFORE
+    choosing dedup thresholds): chunk counts, corpus-duplicated chunk
+    counts, and the duplication ratio per source. Same two bounded
+    shuffles as the chunk-dedup operators (content-keyed count, doc
+    reassembly->source rollup); the ratio is one division of two exact
+    integers. Docs with zero chunks (empty text) are excluded on both
+    engines."""
+    from pyspark.sql import Window
+
+    from svoe_spark.operators.cleaning import _chunk_explode
+
+    docs = load_table(spark, "documents", sf_dir)
+    ex = _chunk_explode(docs, "text", "doc_id", 4)
+    w = Window.partitionBy("__chunk")
+    flagged = ex.withColumn("__df", F.count(F.lit(1)).over(w))
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("__df") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup"),
+    )
+    joined = per_doc.join(docs.select("doc_id", "source"), "doc_id")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chunks").cast("bigint").alias("n_chunks"),
+        F.sum("n_dup").cast("bigint").alias("n_dup_chunks"),
+        (
+            F.sum("n_dup").cast("double") / F.sum("n_chunks").cast("double")
+        ).alias("dup_ratio"),
+    )

@@ -191,3 +191,40 @@ def test_ivfpq_probe_scan_is_shuffle_free_with_cell_filter(emb, cents, ivfpq):
     # candidate selection is an IN-list on the cluster key (the
     # partition-prunable predicate at scale)
     assert "cluster_id" in p and (" IN " in p or "isin" in p.lower()), p
+
+
+def test_pq_encode_numpy_bit_identical(emb, cbs):
+    from svoe_spark.operators.similarity import pq_encode_numpy
+
+    a = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, cbs).collect()}
+    b = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode_numpy(emb, cbs).collect()
+    }
+    assert a == b  # exact: same fold order, same tie-break
+
+
+def test_ivfpq_encode_numpy_bit_identical(emb, cents, ivfpq):
+    from svoe_spark.operators.similarity import ivfpq_encode_numpy
+
+    cbs, coded = ivfpq
+    a = {
+        r["vec_id"]: (r["cluster_id"], list(r["codes"]))
+        for r in coded.collect()
+    }
+    b = {
+        r["vec_id"]: (r["cluster_id"], list(r["codes"]))
+        for r in ivfpq_encode_numpy(emb, cents, cbs).collect()
+    }
+    assert a == b
+
+
+def test_ivfpq_encode_numpy_zero_vector_lands_in_cell_zero(spark, cents, ivfpq):
+    from svoe_spark.operators.similarity import ivfpq_encode_numpy
+
+    cbs, _ = ivfpq
+    z = spark.createDataFrame(
+        [(999999, [0.0] * 64)], "vec_id bigint, embedding array<double>"
+    )
+    r = ivfpq_encode_numpy(z, cents, cbs).collect()[0]
+    assert r["cluster_id"] == 0 and len(r["codes"]) == 8
