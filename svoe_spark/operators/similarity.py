@@ -1189,7 +1189,9 @@ def hard_negatives_lsh(
     neg_id, cosine), top-k per anchor by (cosine desc, neg_id)."""
     from pyspark.sql import Window
 
-    b = vectors.select(
+    # spread: the planes x dim bucket fold is interpreted HOF work —
+    # don't let a single-file corpus serialize it onto one task
+    b = _spread(vectors).select(
         F.col(id_col), F.col(label_col), F.col(vec_col),
         lsh_bucket(vec_col, dim, planes).alias("__bucket"),
     )
@@ -1212,3 +1214,16 @@ def hard_negatives_lsh(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def write_ivfpq(
+    coded: DataFrame, path: str, cluster_col: str = "cluster_id",
+    mode: str = "overwrite",
+) -> None:
+    """Lake layout for the IVF-PQ relation: parquet partitioned by
+    coarse cell. A probe's IN-list on ``cluster_col`` then becomes
+    DIRECTORY-level partition pruning (PartitionFilters in the scan) —
+    at 100 TB an nprobe=2 search reads 2 of k directories of an
+    8-bytes-per-row table and nothing else. Plan-gated in
+    tests/test_pq.py::test_ivfpq_parquet_probe_partition_prunes."""
+    coded.write.mode(mode).partitionBy(cluster_col).parquet(path)

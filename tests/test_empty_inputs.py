@@ -193,3 +193,40 @@ def test_zero_norm_embeddings_do_not_poison_similarity(spark):
     pairs = embedding_neardup_pairs(vecs, threshold=0.5, dim=2).collect()
     ids = {(r.id_a, r.id_b) for r in pairs}
     assert (2, 3) not in ids  # zero-zero pair scores 0, below threshold
+
+
+def test_round4_tail_ops_on_empty(spark):
+    from svoe_spark.operators.cleaning import chunk_freq_dedup
+    from svoe_spark.operators.dedup_index import index_tables, probe_index
+    from svoe_spark.operators.profiling import (
+        key_skew_report,
+        numeric_histogram,
+        profile_columns,
+    )
+    from svoe_spark.operators.similarity import hard_negatives, hard_negatives_lsh
+    from svoe_spark.operators.tokenizer import bpe_encode, word_frequencies
+
+    doc = _empty(spark, DOC)
+    prof = profile_columns(doc, distinct="exact").collect()
+    assert len(prof) == 4 and all(r["n_rows"] == 0 for r in prof)
+    skew = key_skew_report(doc, "source").collect()[0]
+    # empty input: one row of NULL aggregates (sum over zero rows), not
+    # a crash — callers branch on n_keys/n_rows being NULL
+    assert skew["n_rows"] is None and skew["n_keys"] == 0
+    assert numeric_histogram(doc, "doc_id").collect() == []
+    assert chunk_freq_dedup(doc).collect() == []
+    assert word_frequencies(doc).collect() == []
+    assert bpe_encode(doc, [("a", "b")]).collect() == []
+    bands, sets = index_tables(doc)
+    assert bands.collect() == [] and sets.collect() == []
+    assert probe_index(doc, bands, sets).collect() == []
+    emb_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("label", StringType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    emb = _empty(spark, emb_schema)
+    assert hard_negatives(emb, emb, k=1).collect() == []
+    assert hard_negatives_lsh(emb, dim=4, k=1).collect() == []

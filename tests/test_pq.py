@@ -228,3 +228,26 @@ def test_ivfpq_encode_numpy_zero_vector_lands_in_cell_zero(spark, cents, ivfpq):
     )
     r = ivfpq_encode_numpy(z, cents, cbs).collect()[0]
     assert r["cluster_id"] == 0 and len(r["codes"]) == 8
+
+
+def test_ivfpq_parquet_probe_partition_prunes(spark, emb, cents, ivfpq, tmp_path):
+    from svoe_spark.operators.similarity import ann_ivfpq_topk, write_ivfpq
+
+    cbs, coded = ivfpq
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq(coded, path)
+    stored = spark.read.parquet(path)
+    df = ann_ivfpq_topk(
+        stored, emb.where(F.col("vec_id") == 0), cents, cbs, k=10, nprobe=2
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    # the IN-list must reach PartitionFilters (directory pruning), and
+    # results must match the in-memory relation exactly
+    assert "PartitionFilters: [" in p and "cluster_id" in p.split("PartitionFilters:")[1].split("]")[0], p
+    mem = ann_ivfpq_topk(
+        coded, emb.where(F.col("vec_id") == 0), cents, cbs, k=10, nprobe=2
+    )
+    assert [tuple(r) for r in df.collect()] == [tuple(r) for r in mem.collect()]
