@@ -59,6 +59,7 @@ _DRIVER_PRIORITY = [
     "chunk_freq_dedup",
     "hard_negatives_lsh",
     "duplication_report",
+    "cms_user_counts",
 ]
 
 # (c) refill: relational core in CORRECTNESS_r02 order (last green r2).

@@ -145,3 +145,38 @@ def value_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, "events", sf_dir)
     return numeric_histogram(events, "value", bins=_HIST_BINS)
+
+
+from svoe_spark.operators.sketches import CMSParams, cms_sql  # noqa: E402
+
+_CMS = CMSParams(width=256, depth=4)
+
+
+@query(
+    "cms_user_counts",
+    f"""
+    WITH {cms_sql('events', 'user_id', _CMS)},
+    tru AS (SELECT user_id, count(*) AS true_count FROM events GROUP BY user_id)
+    SELECT tru.user_id, est.est_count, CAST(tru.true_count AS BIGINT) AS true_count
+    FROM est JOIN tru ON est.key = tru.user_id
+    """,
+)
+def cms_user_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch demo at its natural task — per-key frequency
+    estimates from a depth x width counter relation that never grows
+    with key cardinality. Output pairs every user's CMS estimate with
+    its true count (the data exhibits the CMS guarantee est >= true;
+    tests assert it). The oracle re-derives the identical counters from
+    the shared seeded hash family, so even the sketch's collisions are
+    bit-reproduced."""
+    from pyspark.sql import functions as F
+
+    from svoe_spark.operators.sketches import cms_build, cms_lookup
+
+    events = load_table(spark, "events", sf_dir)
+    sketch = cms_build(events, "user_id", _CMS)
+    est = cms_lookup(sketch, events.select("user_id").distinct(), "user_id", _CMS)
+    tru = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_count")
+    )
+    return est.join(tru, "user_id").select("user_id", "est_count", "true_count")
