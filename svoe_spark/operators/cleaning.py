@@ -319,3 +319,37 @@ def chunk_freq_dedup(
     w = Window.partitionBy("__chunk")
     ranked = ex.withColumn("__keep", F.count(F.lit(1)).over(w) <= max_df)
     return _chunk_reassemble(ranked, id_col, "text_clean")
+
+
+def duplication_report(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    width: int = 4,
+) -> DataFrame:
+    """Per-group duplication health report — the scan you read BEFORE
+    choosing dedup thresholds: per ``group_col``, document count, chunk
+    count, corpus-duplicated chunk count (df > 1 anywhere, not just
+    within the group) and their ratio. Same two bounded shuffles as the
+    chunk-dedup operators (content-keyed frame-less count, doc->group
+    rollup); the ratio is one division of exact integers. Documents
+    with zero chunks (empty text) are excluded."""
+    ex = _chunk_explode(df, text, id_col, width)
+    w = Window.partitionBy("__chunk")
+    flagged = ex.withColumn("__df", F.count(F.lit(1)).over(w))
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("__df") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup"),
+    )
+    joined = per_doc.join(df.select(id_col, group_col), id_col)
+    return joined.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chunks").cast("bigint").alias("n_chunks"),
+        F.sum("n_dup").cast("bigint").alias("n_dup_chunks"),
+        (
+            F.sum("n_dup").cast("double") / F.sum("n_chunks").cast("double")
+        ).alias("dup_ratio"),
+    )

@@ -925,11 +925,12 @@ def ivfpq_encode(
     codes_col: str = "codes",
 ) -> DataFrame:
     """IVF-PQ encode: (cluster_id, m one-byte codes) per vector — the
-    FAISS IVFADC layout. At 100 TB the table is written partitioned /
-    clustered by ``cluster_id`` (sources.catalog.write_clustered), so a
-    probe reads only the probed cells' row groups and scans m bytes a
-    row instead of dim floats. Both steps are shuffle-free
-    projections."""
+    FAISS IVFADC layout. At 100 TB the table is written parquet-
+    PARTITIONED by ``cluster_id`` (``write_ivfpq`` below — the probe's
+    IN-list then prunes whole directories, plan-gated in
+    tests/test_pq.py), so a search reads only the probed cells and
+    scans m bytes a row instead of dim floats. Both steps are
+    shuffle-free projections."""
     res = ivf_residuals(vectors, centroids, vec_col, cluster_col)
     return pq_encode(res, codebooks, vec_col="residual", out=codes_col).drop(
         "residual"
@@ -1150,14 +1151,23 @@ def hard_negatives(
         F.col(id_col).alias("anchor_id"),
         F.col(vec_col).alias("__qv"),
         F.col(label_col).alias("__qlabel"),
+        F.sqrt(norm_sq(vec_col)).alias("__qnorm"),
     )
+    # norms once per ROW/anchor, not once per (row, anchor) pair — the
+    # stored-norm division is bit-identical to the per-pair cosine()
+    # (same sqrt values, same divide; embedding_neardup_pairs precedent)
+    v = vectors.withColumn("__n", F.sqrt(norm_sq(vec_col)))
+    den = F.col("__n") * F.col("__qnorm")
+    cos = F.when(
+        den != 0.0, dot(F.col(vec_col), F.col("__qv")) / den
+    ).otherwise(F.lit(0.0))
     scored = (
-        vectors.crossJoin(F.broadcast(q))
+        v.crossJoin(F.broadcast(q))
         .where(F.col(label_col) != F.col("__qlabel"))
         .select(
             "anchor_id",
             F.col(id_col).alias("neg_id"),
-            cosine(F.col(vec_col), F.col("__qv")).alias("cosine"),
+            cos.alias("cosine"),
         )
     )
     w = Window.partitionBy("anchor_id").orderBy(
@@ -1190,13 +1200,24 @@ def hard_negatives_lsh(
     from pyspark.sql import Window
 
     # spread: the planes x dim bucket fold is interpreted HOF work —
-    # don't let a single-file corpus serialize it onto one task
+    # don't let a single-file corpus serialize it onto one task.
+    # persist: b feeds BOTH self-join sides — without it a broadcast
+    # plan would re-run the full scan + bucket fold per side (same
+    # rationale as lsh_candidate_pairs' persisted signature; handle
+    # exposed as result._svoe_persisted). Norms stored once per row —
+    # the stored-norm division is bit-identical to per-pair cosine()
     b = _spread(vectors).select(
         F.col(id_col), F.col(label_col), F.col(vec_col),
         lsh_bucket(vec_col, dim, planes).alias("__bucket"),
-    )
+        F.sqrt(norm_sq(vec_col)).alias("__norm"),
+    ).persist()
     left = b.alias("a")
     right = b.alias("n")
+    den = F.col("a.__norm") * F.col("n.__norm")
+    cos = F.when(
+        den != 0.0,
+        dot(F.col(f"a.{vec_col}"), F.col(f"n.{vec_col}")) / den,
+    ).otherwise(F.lit(0.0))
     pairs = left.join(
         right,
         (F.col("a.__bucket") == F.col("n.__bucket"))
@@ -1204,16 +1225,18 @@ def hard_negatives_lsh(
     ).select(
         F.col(f"a.{id_col}").alias("anchor_id"),
         F.col(f"n.{id_col}").alias("neg_id"),
-        cosine(F.col(f"a.{vec_col}"), F.col(f"n.{vec_col}")).alias("cosine"),
+        cos.alias("cosine"),
     )
     w = Window.partitionBy("anchor_id").orderBy(
         F.col("cosine").desc(), F.col("neg_id")
     )
-    return (
+    out = (
         pairs.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+    out._svoe_persisted = b
+    return out
 
 
 def write_ivfpq(

@@ -58,18 +58,15 @@ def _sql_bucket(xs: str, a: int, b: int, width: int) -> str:
     return f"(((CAST({a} AS BIGINT) * {xs} + {b}) % {P_HASH}) % {width})"
 
 
-def cms_build(
-    df: DataFrame, key: str, params: CMSParams = CMSParams()
-) -> DataFrame:
-    """(row, bucket, cnt) counters — at most depth*width rows. One
-    narrow explode of ``depth`` little structs per input row, one
-    partial-aggregated shuffle on the uniform (row, bucket) key. NULL
-    keys count under the '<NULL>' sentinel (consistent with
-    profiling.key_skew_report)."""
+def _cms_entries(key: str, params: CMSParams) -> Column:
+    """array<struct<row,bucket>> of the depth (row, bucket) slots a key
+    hashes to — THE hash family, shared by build and lookup so the two
+    can never diverge. NULL keys hash under the '<NULL>' sentinel
+    (consistent with profiling.key_skew_report)."""
     x = md5_hash(
         F.coalesce(F.col(key).cast("string"), F.lit("<NULL>"))
     ) % P_HASH
-    entries = F.array(
+    return F.array(
         *[
             F.struct(
                 F.lit(i).alias("row"),
@@ -78,7 +75,15 @@ def cms_build(
             for i, (a, b) in enumerate(params.coefficients())
         ]
     )
-    ex = df.select(F.explode(entries).alias("__e")).select(
+
+
+def cms_build(
+    df: DataFrame, key: str, params: CMSParams = CMSParams()
+) -> DataFrame:
+    """(row, bucket, cnt) counters — at most depth*width rows. One
+    narrow explode of ``depth`` little structs per input row, one
+    partial-aggregated shuffle on the uniform (row, bucket) key."""
+    ex = df.select(F.explode(_cms_entries(key, params)).alias("__e")).select(
         F.col("__e.row").alias("row"), F.col("__e.bucket").alias("bucket")
     )
     return ex.groupBy("row", "bucket").agg(
@@ -105,24 +110,14 @@ def cms_lookup(
     params: CMSParams = CMSParams(),
     out: str = "est_count",
 ) -> DataFrame:
-    """Point estimates for every row of ``keys``: min over the depth
-    counters each key hashes to. The sketch side is tiny and broadcast;
-    a missing counter means no key ever hashed there, i.e. count 0.
-    Adds ``out`` to the keys relation."""
-    x = md5_hash(
-        F.coalesce(F.col(key).cast("string"), F.lit("<NULL>"))
-    ) % P_HASH
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("row"),
-                _bucket_expr(x, a, b, params.width).alias("bucket"),
-            )
-            for i, (a, b) in enumerate(params.coefficients())
-        ]
-    )
+    """Point estimates per DISTINCT key value of ``keys``: min over the
+    depth counters each key hashes to. The sketch side is tiny and
+    broadcast; a missing counter means no key ever hashed there, i.e.
+    count 0. Returns (key, out) with ONE ROW PER DISTINCT KEY — other
+    columns of ``keys`` are not carried through (join the result back
+    if you need them)."""
     probes = keys.select(
-        F.col(key), F.explode(entries).alias("__e")
+        F.col(key), F.explode(_cms_entries(key, params)).alias("__e")
     ).select(
         F.col(key),
         F.col("__e.row").alias("row"),

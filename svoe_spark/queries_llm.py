@@ -2191,30 +2191,9 @@ def duplication_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source duplication health report (what you look at BEFORE
     choosing dedup thresholds): chunk counts, corpus-duplicated chunk
     counts, and the duplication ratio per source. Same two bounded
-    shuffles as the chunk-dedup operators (content-keyed count, doc
-    reassembly->source rollup); the ratio is one division of two exact
-    integers. Docs with zero chunks (empty text) are excluded on both
-    engines."""
-    from pyspark.sql import Window
+    shuffles as the chunk-dedup operators; the ratio is one division
+    of two exact integers. Docs with zero chunks (empty text) are
+    excluded on both engines."""
+    from svoe_spark.operators.cleaning import duplication_report
 
-    from svoe_spark.operators.cleaning import _chunk_explode
-
-    docs = load_table(spark, "documents", sf_dir)
-    ex = _chunk_explode(docs, "text", "doc_id", 4)
-    w = Window.partitionBy("__chunk")
-    flagged = ex.withColumn("__df", F.count(F.lit(1)).over(w))
-    per_doc = flagged.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_chunks"),
-        F.sum(F.when(F.col("__df") > 1, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_dup"),
-    )
-    joined = per_doc.join(docs.select("doc_id", "source"), "doc_id")
-    return joined.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chunks").cast("bigint").alias("n_chunks"),
-        F.sum("n_dup").cast("bigint").alias("n_dup_chunks"),
-        (
-            F.sum("n_dup").cast("double") / F.sum("n_chunks").cast("double")
-        ).alias("dup_ratio"),
-    )
+    return duplication_report(load_table(spark, "documents", sf_dir), width=4)

@@ -46,15 +46,37 @@ def test_hard_negatives_never_returns_same_label(spark, sf_mid):
         assert labels[r["anchor_id"]] != labels[r["neg_id"]]
 
 
-def test_hard_negatives_lsh_subset_of_exact_and_label_safe(spark, sf_mid):
+def test_hard_negatives_lsh_matches_exact_when_truth_shares_bucket(spark, sf_mid):
+    from svoe_spark.operators.similarity import lsh_bucket
+
     emb = load_table(spark, "embeddings", sf_mid)
     labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
-    out = hard_negatives_lsh(emb, dim=64, k=1).collect()
-    # every anchor with a cross-label bucket-mate appears exactly once
-    anchors = [r["anchor_id"] for r in out]
-    assert len(anchors) == len(set(anchors)) and len(anchors) > 0
-    for r in out:
+    buckets = {
+        r["vec_id"]: r["b"]
+        for r in emb.select(
+            "vec_id", lsh_bucket("embedding", 64).alias("b")
+        ).collect()
+    }
+    out = {r["anchor_id"]: r for r in hard_negatives_lsh(emb, dim=64, k=1).collect()}
+    anchors = list(out)
+    assert len(anchors) > 0
+    for r in out.values():
         assert labels[r["anchor_id"]] != labels[r["neg_id"]]
+    # the REAL check: for anchors whose exact (unblocked) hard negative
+    # happens to share their bucket, the LSH pick must equal the exact
+    # pick (same cosine expression, same tie-break)
+    probe = emb.where(F.col("vec_id") < 40)
+    exact = {
+        r["anchor_id"]: r
+        for r in hard_negatives(emb, probe, k=1).collect()
+    }
+    compared = 0
+    for aid, er in exact.items():
+        if buckets[er["neg_id"]] == buckets[aid]:
+            compared += 1
+            assert out[aid]["neg_id"] == er["neg_id"], aid
+            assert out[aid]["cosine"] == er["cosine"], aid
+    assert compared >= 3  # the fixture provides in-bucket truths
 
 
 def test_hard_negatives_plan_broadcasts_anchors(spark, sf_mid):
