@@ -60,6 +60,7 @@ _DRIVER_PRIORITY = [
     "hard_negatives_lsh",
     "duplication_report",
     "cms_user_counts",
+    "bloom_customer_orders",
 ]
 
 # (c) refill: relational core in CORRECTNESS_r02 order (last green r2).

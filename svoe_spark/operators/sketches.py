@@ -163,3 +163,95 @@ def cms_sql(table: str, key: str, params: CMSParams = CMSParams()) -> str:
       GROUP BY dkb.key
     )
     """
+
+
+def bloom_build(
+    df: DataFrame, key: str, params: CMSParams = CMSParams()
+) -> DataFrame:
+    """Bloom filter as a relation: the DISTINCT (row, bucket) slots any
+    key hashed to — at most depth*width rows of two ints (the set bits,
+    stored sparse). Same seeded hash family as the CMS, so build and
+    membership probes can never diverge. One partial-aggregated
+    distinct; merge two filters with plain union+distinct.
+
+    The classic engine use is JOIN PRUNING: build over the build side's
+    join keys, semi-join the probe side's candidate slots against it
+    (``bloom_filter_keys``) and skip rows that cannot match — false
+    positives only (a key testing positive may still be absent; a key
+    testing negative is DEFINITELY absent)."""
+    ex = df.select(F.explode(_cms_entries(key, params)).alias("__e")).select(
+        F.col("__e.row").alias("row"), F.col("__e.bucket").alias("bucket")
+    )
+    return ex.distinct()
+
+
+def bloom_filter_keys(
+    bloom: DataFrame,
+    keys: DataFrame,
+    key: str,
+    params: CMSParams = CMSParams(),
+    out: str = "might_contain",
+) -> DataFrame:
+    """Membership verdict per DISTINCT key of ``keys``: true iff ALL
+    depth slots are set (the Bloom rule — no false negatives, bounded
+    false positives ~ (fill_ratio)^depth). The filter relation is tiny
+    and broadcast; returns (key, out)."""
+    probes = keys.select(
+        F.col(key), F.explode(_cms_entries(key, params)).alias("__e")
+    ).select(
+        F.col(key),
+        F.col("__e.row").alias("row"),
+        F.col("__e.bucket").alias("bucket"),
+    )
+    marked = probes.join(
+        F.broadcast(bloom.withColumn("__hit", F.lit(1))),
+        ["row", "bucket"],
+        "left",
+    )
+    return marked.groupBy(key).agg(
+        (F.count(F.lit(1)) == F.sum(F.coalesce(F.col("__hit"), F.lit(0))))
+        .alias(out)
+    )
+
+
+def bloom_sql(
+    build_table: str,
+    build_key: str,
+    probe_table: str,
+    probe_key: str,
+    params: CMSParams = CMSParams(),
+) -> str:
+    """DuckDB CTE chain re-deriving the Bloom bit set from
+    ``build_table.build_key`` and the per-distinct-probe-key membership
+    verdicts — the oracle for the registered query. Emits CTEs
+    ``bloom`` (row, bucket) and ``verdict`` (key, might_contain)."""
+    sentinel = "'<NULL>'"
+
+    def xs(key: str) -> str:
+        return (
+            f"({sql_md5_hash(f'coalesce(CAST({key} AS VARCHAR), {sentinel})')}"
+            f" % {P_HASH})"
+        )
+
+    def arms(src: str, extra: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT {i} AS row, {_sql_bucket('x', a, b, params.width)}"
+            f" AS bucket{extra} FROM {src}"
+            for i, (a, b) in enumerate(params.coefficients())
+        )
+
+    return f"""
+    bx AS (SELECT {xs(build_key)} AS x FROM {build_table}),
+    bb AS ({arms('bx', '')}),
+    bloom AS (SELECT DISTINCT row, bucket FROM bb),
+    px AS (SELECT DISTINCT {probe_key} AS key, {xs(probe_key)} AS x
+           FROM {probe_table}),
+    pb AS ({arms('px', ', key')}),
+    verdict AS (
+      SELECT pb.key,
+             count(*) = sum(CASE WHEN bloom.bucket IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS might_contain
+      FROM pb LEFT JOIN bloom USING (row, bucket)
+      GROUP BY pb.key
+    )
+    """

@@ -180,3 +180,59 @@ def cms_user_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("true_count")
     )
     return est.join(tru, "user_id").select("user_id", "est_count", "true_count")
+
+
+from svoe_spark.operators.sketches import bloom_sql  # noqa: E402
+
+# Width sized so the filter still prunes at sf0.1 (~9.5k distinct
+# build keys -> fill ~0.69, FP ~0.22); the relation stays <= 32k rows
+# of two ints — trivially broadcastable. The build side is the
+# HIGH-VALUE order subset: this testdata's every customer has orders
+# (no q22 orderless population), so a selective predicate is what
+# creates a real absent class to prune.
+_BLOOM = CMSParams(width=8192, depth=4)
+_BLOOM_MIN_PRICE = 450000
+
+
+@query(
+    "bloom_customer_orders",
+    f"""
+    WITH {bloom_sql(
+        f'(SELECT * FROM orders WHERE o_totalprice > {_BLOOM_MIN_PRICE})',
+        'o_custkey', 'customer', 'c_custkey', _BLOOM)},
+    tru AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+            WHERE o_totalprice > {_BLOOM_MIN_PRICE})
+    SELECT v.key AS c_custkey, v.might_contain,
+           (tru.c_custkey IS NOT NULL) AS has_big_order
+    FROM verdict v LEFT JOIN tru ON v.key = tru.c_custkey
+    """,
+)
+def bloom_customer_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning at its classic task: a sparse bit-set
+    relation built over the custkeys of high-value orders answers
+    'might this customer have a big order?' for every customer without
+    touching the orders table again — no false negatives (every
+    has_big_order customer tests positive — the invariant the oracle
+    hash pins), bounded false positives (~fill^depth). The value
+    predicate creates both verdict classes at every SF (this fixture
+    has no orderless customers)."""
+    from pyspark.sql import functions as F
+
+    from svoe_spark.operators.sketches import bloom_build, bloom_filter_keys
+
+    big = load_table(spark, "orders", sf_dir).where(
+        F.col("o_totalprice") > _BLOOM_MIN_PRICE
+    )
+    cust = load_table(spark, "customer", sf_dir)
+    bloom = bloom_build(big, "o_custkey", _BLOOM)
+    verdict = bloom_filter_keys(
+        bloom, cust.select("c_custkey"), "c_custkey", _BLOOM
+    )
+    tru = big.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    return verdict.join(
+        tru.withColumn("__h", F.lit(True)), "c_custkey", "left"
+    ).select(
+        "c_custkey",
+        "might_contain",
+        F.coalesce(F.col("__h"), F.lit(False)).alias("has_big_order"),
+    )

@@ -26,7 +26,13 @@ _MH = MinHashParams()
 
 @pytest.fixture(scope="module")
 def docs(spark, sf_mid):
-    return load_table(spark, "documents", sf_mid).persist()
+    # yield + unpersist: a cached load_table relation would otherwise
+    # substitute (InMemoryTableScan) into OTHER test modules' plans —
+    # the session is shared, and the plan-quality gates assert on the
+    # parquet scan shape
+    df = load_table(spark, "documents", sf_mid).persist()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")

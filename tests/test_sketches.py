@@ -13,7 +13,11 @@ from svoe_spark.sources.tables import load_table
 
 @pytest.fixture(scope="module")
 def events(spark, sf_mid):
-    return load_table(spark, "events", sf_mid).persist()
+    # yield + unpersist: a cached load_table relation substitutes into
+    # other modules' plans (shared session) and breaks plan-shape gates
+    df = load_table(spark, "events", sf_mid).persist()
+    yield df
+    df.unpersist()
 
 
 def _est_vs_true(events, params):
@@ -82,3 +86,54 @@ def test_cms_absent_key_estimates_small(spark, events):
     # an absent key can only pick up collision mass; with width 1024
     # over ~1e4 events the min across 4 rows is almost surely small
     assert est["est_count"] < 200
+
+
+def test_bloom_no_false_negatives_and_some_pruning(spark, sf_mid):
+    from svoe_spark.operators.sketches import bloom_build, bloom_filter_keys
+
+    params = CMSParams(width=8192, depth=4)
+    # every customer in this fixture has orders, so build over the
+    # high-value subset to create a genuine absent class to prune
+    big = load_table(spark, "orders", sf_mid).where(
+        F.col("o_totalprice") > 450000
+    )
+    cust = load_table(spark, "customer", sf_mid)
+    bloom = bloom_build(big, "o_custkey", params)
+    verdict = {
+        r["c_custkey"]: r["might_contain"]
+        for r in bloom_filter_keys(
+            bloom, cust.select("c_custkey"), "c_custkey", params
+        ).collect()
+    }
+    present = {
+        r["o_custkey"] for r in big.select("o_custkey").distinct().collect()
+    }
+    assert 0 < len(present) < len(verdict)  # both classes exist
+    # Bloom law: every present key tests positive
+    for ck in present:
+        assert verdict[ck] is True, ck
+    # and the filter actually prunes: some absent customer tests negative
+    negatives = [ck for ck, v in verdict.items() if not v]
+    assert len(negatives) > 0
+    assert all(ck not in present for ck in negatives)
+
+
+def test_bloom_tiny_width_saturates_but_never_false_negative(spark, sf_mid):
+    from svoe_spark.operators.sketches import bloom_build, bloom_filter_keys
+
+    params = CMSParams(width=8, depth=2)
+    orders = load_table(spark, "orders", sf_mid)
+    cust = load_table(spark, "customer", sf_mid)
+    bloom = bloom_build(orders, "o_custkey", params)
+    rows = bloom.collect()
+    assert len(rows) <= params.width * params.depth
+    verdict = bloom_filter_keys(
+        bloom, cust.select("c_custkey"), "c_custkey", params
+    )
+    with_orders = orders.select(
+        F.col("o_custkey").alias("c_custkey")
+    ).distinct()
+    missed = verdict.join(with_orders, "c_custkey", "left_semi").where(
+        ~F.col("might_contain")
+    )
+    assert missed.count() == 0  # no false negatives even saturated
