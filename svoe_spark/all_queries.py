@@ -61,6 +61,8 @@ _DRIVER_PRIORITY = [
     "duplication_report",
     "cms_user_counts",
     "bloom_customer_orders",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
 ]
 
 # (c) refill: relational core in CORRECTNESS_r02 order (last green r2).

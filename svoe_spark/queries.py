@@ -2553,6 +2553,117 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (commit/receipt lateness proxied by shipdate >
+    orderdate+45d, the same proxy as q21 — this fixture's lineitem has
+    no commit/receipt dates). The EXISTS becomes a LEFT SEMI join with
+    the lateness predicate in the join condition, so the fact table is
+    touched once and only the quarter's orders shuffle; the count per
+    priority is a 5-group aggregate."""
+    o = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (l.l_orderkey == o.o_orderkey)
+        & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 45 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(round(l.l_extendedprice*100,0) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount*100,0) AS BIGINT)))
+                AS BIGINT) / 10000.0 AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: the six-table local-supplier-volume join. Plan shape
+    for scale: region->nation is folded driver-free into one broadcast
+    dim (nation keys of the region), customer and supplier broadcast
+    with their nationkeys, and the only wide shuffle is
+    orders><lineitem on the order key; the c_nationkey = s_nationkey
+    'local' constraint is a post-join filter on two small attached
+    columns. Revenue uses the exact-cents pattern so the 5-row result
+    hashes identically on both engines."""
+    asia_nations = (
+        load_table(spark, "nation", sf_dir)
+        .join(
+            F.broadcast(
+                load_table(spark, "region", sf_dir).filter(
+                    F.col("r_name") == "ASIA"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    c = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    s = (
+        load_table(spark, "supplier", sf_dir)
+        .join(
+            F.broadcast(asia_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    o = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    l = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    j = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .select(
+            "n_name",
+            (
+                _cents(F.col("l_extendedprice"))
+                * (100 - _cents(F.col("l_discount")))
+            ).alias("rc"),
+        )
+    )
+    return j.groupBy("n_name").agg(
+        (F.sum("rc") / 10000.0).alias("revenue")
+    )
+
+
+@query(
     "distinct_until_changed_events",
     """
     WITH w AS (
