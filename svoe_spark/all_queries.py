@@ -63,6 +63,8 @@ _DRIVER_PRIORITY = [
     "bloom_customer_orders",
     "q4_order_priority",
     "q5_local_supplier_volume",
+    "kmv_distinct_daily",
+    "hll_distinct_daily",
 ]
 
 # (c) refill: relational core in CORRECTNESS_r02 order (last green r2).

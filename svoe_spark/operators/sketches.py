@@ -25,10 +25,16 @@ from __future__ import annotations
 import random
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from svoe_spark.functions.text import P_HASH, md5_hash, sql_md5_hash
+
+#: md5_hash yields a uniform bigint in [0, 2^60) — the hash space every
+#: distinct-count estimator below divides by. 2^60 is exactly
+#: representable as a double, so the Python-precomputed numerator
+#: literals embed bit-identically in both engines.
+HASH_SPACE = 1 << 60
 
 
 @dataclass(frozen=True)
@@ -253,5 +259,280 @@ def bloom_sql(
                                  THEN 1 ELSE 0 END) AS might_contain
       FROM pb LEFT JOIN bloom USING (row, bucket)
       GROUP BY pb.key
+    )
+    """
+
+
+def _key_hash(key: str) -> Column:
+    """The shared uniform [0, 2^60) key hash (NULL under the '<NULL>'
+    sentinel, consistent with the CMS family)."""
+    return md5_hash(F.coalesce(F.col(key).cast("string"), F.lit("<NULL>")))
+
+
+def _sql_key_hash(key: str) -> str:
+    return sql_md5_hash(f"coalesce(CAST({key} AS VARCHAR), '<NULL>')")
+
+
+def kmv_build(
+    df: DataFrame,
+    key: str,
+    k: int = 128,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """K-minimum-values sketch (Bar-Yossef et al. 2002; the theta-sketch
+    family): per group, the k SMALLEST distinct key hashes — at most k
+    rows of one bigint per group, whatever the key cardinality.
+
+    Scale shape: the only data-sized shuffle is the distinct on
+    (group, h) — uniform keys, partial-aggregated map-side. The
+    rank<=k filter then compiles to WindowGroupLimit, which Spark
+    applies PER TASK BEFORE the group exchange (plan-verified), so the
+    final per-group task merges at most tasks*k rows — no whole-group
+    sort anywhere. Merging two sketches is union -> distinct ->
+    bottom-k again, and equals the sketch of the unioned data EXACTLY
+    (the property tests pin this).
+    """
+    groups = list(group_cols or [])
+    d = df.select(*groups, _key_hash(key).alias("h")).distinct()
+    if groups:
+        w = Window.partitionBy(*groups).orderBy("h")
+        return (
+            d.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+    # global sketch: TakeOrderedAndProject (per-partition top-k + merge)
+    return d.orderBy("h").limit(k)
+
+
+def kmv_estimate(
+    sketch: DataFrame,
+    k: int,
+    group_cols: list[str] | None = None,
+    out: str = "est_distinct",
+) -> DataFrame:
+    """Distinct-count estimate per group: EXACT count when the sketch
+    holds fewer than k hashes (every distinct value is present), else
+    (k-1) * 2^60 / h_k — the classic KMV estimator, relative error
+    ~ 1/sqrt(k-2). Pure integer inputs into ONE double division, so any
+    engine reproduces the estimate bit-for-bit."""
+    groups = list(group_cols or [])
+    num = float((k - 1) * HASH_SPACE)  # exact: (k-1) has < 53 mantissa bits
+    agg = sketch.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("__n"), F.max("h").alias("__hk")
+    )
+    est = F.when(
+        F.col("__n") < k, F.col("__n").cast("double")
+    ).otherwise(F.lit(num) / F.col("__hk").cast("double"))
+    return agg.select(*groups, est.alias(out))
+
+
+def kmv_merge(
+    sketches: list[DataFrame],
+    k: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """union -> distinct -> bottom-k: identical to the sketch built
+    over the unioned raw data (KMV's lossless mergeability)."""
+    from functools import reduce
+
+    groups = list(group_cols or [])
+    u = reduce(lambda a, b: a.unionByName(b), sketches).distinct()
+    if groups:
+        w = Window.partitionBy(*groups).orderBy("h")
+        return (
+            u.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+    return u.orderBy("h").limit(k)
+
+
+def kmv_sql(
+    table: str,
+    key: str,
+    k: int,
+    group_expr: str | None = None,
+    out: str = "est_distinct",
+) -> str:
+    """DuckDB CTE chain re-deriving the bottom-k hash set and the
+    estimate — emits CTE ``kmv_est`` (g?, est_distinct). group_expr is
+    a SQL expression aliased ``g`` when present."""
+    num = float((k - 1) * HASH_SPACE)
+    g_sel = f"{group_expr} AS g, " if group_expr else ""
+    g_cols = "g, " if group_expr else ""
+    g_grp = "GROUP BY g" if group_expr else ""
+    g_part = "PARTITION BY g" if group_expr else ""
+    return f"""
+    kmv_dx AS (SELECT DISTINCT {g_sel}{_sql_key_hash(key)} AS h FROM {table}),
+    kmv_rk AS (SELECT {g_cols}h,
+                      row_number() OVER ({g_part} ORDER BY h) AS rn
+               FROM kmv_dx),
+    kmv_sk AS (SELECT * FROM kmv_rk WHERE rn <= {k}),
+    kmv_est AS (
+      SELECT {g_cols}
+             CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+                  ELSE {num!r} / CAST(max(h) AS DOUBLE) END AS {out}
+      FROM kmv_sk {g_grp}
+    )
+    """
+
+
+@dataclass(frozen=True)
+class HLLParams:
+    """2^p registers over the shared 60-bit key hash: bucket = low p
+    bits' residue (h % m), rho = leading-zero rank of the remaining
+    (60-p)-bit word. Deterministic — no seeds, no engine RNG — so the
+    registers (and hence the estimate) are oracle-reproducible."""
+
+    p: int = 4
+
+    @property
+    def m(self) -> int:
+        return 1 << self.p
+
+    @property
+    def w_bits(self) -> int:
+        return 60 - self.p
+
+    @property
+    def alpha(self) -> float:
+        # Flajolet et al. 2007 bias constant; computed HERE in Python
+        # and embedded as one literal on both engines, so no
+        # cross-engine float expression divergence is possible.
+        m = self.m
+        if m == 16:
+            return 0.673
+        if m == 32:
+            return 0.697
+        if m == 64:
+            return 0.709
+        return 0.7213 / (1.0 + 1.079 / m)
+
+    @property
+    def numerator(self) -> float:
+        # alpha * m^2 * 2^62 (the 2^62 scale makes the register-mass
+        # sum S exact in int64/decimal arithmetic: each bucket
+        # contributes 2^(62-rho) <= 2^62, m buckets fit decimal(38,0))
+        return self.alpha * self.m * self.m * float(1 << 62)
+
+
+def hll_build(
+    df: DataFrame,
+    key: str,
+    params: HLLParams = HLLParams(),
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """HyperLogLog registers as a relation: (group..., bucket, rho) with
+    at most m rows per group — one partial-aggregated max per bucket,
+    no matter the cardinality. rho uses the binary-string length of the
+    word (pure integer -> string, portable) instead of floor(log2)
+    floats. Merge sketches with register-wise max (``hll_merge``)."""
+    groups = list(group_cols or [])
+    h = _key_hash(key)
+    m, wb = params.m, params.w_bits
+    d = df.select(
+        *groups,
+        (h % m).alias("bucket"),
+        (h / F.lit(m)).cast("long").alias("__w"),  # h >= 0: floor == trunc
+    )
+    rho = F.when(F.col("__w") == 0, F.lit(wb + 1)).otherwise(
+        F.lit(wb) + 1 - F.length(F.conv(F.col("__w"), 10, 2))
+    )
+    return d.select(*groups, "bucket", rho.alias("rho")).groupBy(
+        *groups, "bucket"
+    ).agg(F.max("rho").cast("int").alias("rho"))
+
+
+def hll_merge(
+    sketches: list[DataFrame],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Register-wise max — hll(A ∪ B) == merge(hll(A), hll(B))
+    exactly."""
+    from functools import reduce
+
+    groups = list(group_cols or [])
+    u = reduce(lambda a, b: a.unionByName(b), sketches)
+    return u.groupBy(*groups, "bucket").agg(
+        F.max("rho").cast("int").alias("rho")
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    params: HLLParams = HLLParams(),
+    group_cols: list[str] | None = None,
+    out: str = "est_distinct",
+) -> DataFrame:
+    """Raw HLL estimate per group: alpha*m^2 / sum_j 2^-M_j, with
+    absent buckets counting as register 0. The register-mass sum S is
+    EXACT integer arithmetic (2^(62-rho) per bucket, decimal-summed),
+    the numerator is a Python-precomputed literal, and the single
+    double division is IEEE-identical on every engine — which is what
+    lets the ORACLE reproduce an approximate estimator bit-for-bit.
+
+    Raw estimate only: below n ~ 2.5m the classic linear-counting
+    correction (m*ln(m/V)) would apply, but ln() is the one operation
+    whose last ulp differs across engines; callers needing small-range
+    accuracy should size p so n >> m (or read zero_registers and apply
+    the correction driver-side). Relative error ~ 1.04/sqrt(m)."""
+    groups = list(group_cols or [])
+    m = params.m
+    mass = F.expr("shiftleft(CAST(1 AS BIGINT), 62 - rho)").cast(
+        "decimal(38,0)"
+    )
+    agg = registers.groupBy(*groups).agg(
+        F.sum(mass).alias("__s_present"),
+        F.count(F.lit(1)).alias("__nb"),
+    )
+    # absent buckets are zero registers: add (m - nb) * 2^62
+    s = (
+        F.col("__s_present")
+        + (F.lit(m) - F.col("__nb")).cast("decimal(38,0)")
+        * F.lit(1 << 62).cast("decimal(38,0)")
+    )
+    return agg.select(
+        *groups,
+        (F.lit(params.numerator) / s.cast("double")).alias(out),
+        (F.lit(m) - F.col("__nb")).cast("int").alias("zero_registers"),
+    )
+
+
+def hll_sql(
+    table: str,
+    key: str,
+    params: HLLParams = HLLParams(),
+    group_expr: str | None = None,
+    out: str = "est_distinct",
+) -> str:
+    """DuckDB CTE chain re-deriving registers and the raw estimate —
+    emits CTEs ``hll_reg`` (g?, bucket, rho) and ``hll_est``
+    (g?, est_distinct, zero_registers). bin() strips leading zeros in
+    DuckDB exactly as Spark's conv(w, 10, 2) does, so the rho ranks
+    agree bit-for-bit."""
+    m, wb = params.m, params.w_bits
+    g_sel = f"{group_expr} AS g, " if group_expr else ""
+    g_cols = "g, " if group_expr else ""
+    g_grp_b = "GROUP BY g, bucket" if group_expr else "GROUP BY bucket"
+    g_grp = "GROUP BY g" if group_expr else ""
+    return f"""
+    hll_h AS (SELECT {g_sel}{_sql_key_hash(key)} AS h FROM {table}),
+    hll_w AS (SELECT {g_cols}h % {m} AS bucket, h // {m} AS w FROM hll_h),
+    hll_reg AS (
+      SELECT {g_cols}bucket,
+             CAST(max(CASE WHEN w = 0 THEN {wb + 1}
+                           ELSE {wb} + 1 - length(bin(w)) END) AS INTEGER)
+               AS rho
+      FROM hll_w {g_grp_b}
+    ),
+    hll_est AS (
+      SELECT {g_cols}
+             {params.numerator!r} / CAST(
+               sum(CAST(1 AS BIGINT) << (62 - rho))
+               + ({m} - count(*)) * CAST(1 AS HUGEINT) * (CAST(1 AS BIGINT) << 62)
+               AS DOUBLE) AS {out},
+             CAST({m} - count(*) AS INTEGER) AS zero_registers
+      FROM hll_reg {g_grp}
     )
     """

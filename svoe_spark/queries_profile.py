@@ -236,3 +236,87 @@ def bloom_customer_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "might_contain",
         F.coalesce(F.col("__h"), F.lit(False)).alias("has_big_order"),
     )
+
+
+from svoe_spark.operators.sketches import (  # noqa: E402
+    HLLParams,
+    hll_sql,
+    kmv_sql,
+)
+
+_KMV_K = 128
+_HLL = HLLParams(p=6)
+
+
+@query(
+    "kmv_distinct_daily",
+    f"""
+    WITH {kmv_sql('events', 'event_id', _KMV_K,
+                  group_expr="strftime(ts, '%Y-%m-%d')")},
+    tru AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(count(DISTINCT event_id) AS BIGINT) AS true_distinct
+            FROM events GROUP BY 1)
+    SELECT tru.day, k.est_distinct, tru.true_distinct
+    FROM kmv_est k JOIN tru ON k.g = tru.day
+    """,
+)
+def kmv_distinct_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch per day — the mergeable
+    cardinality estimator whose ESTIMATE the oracle reproduces
+    bit-for-bit (unlike engine HLLs, whose internals are
+    implementation-defined — cf. the rows-only approx_distinct_daily).
+    Exact below k, (k-1)*2^60/h_k above; integer inputs into one IEEE
+    double division. The sketch is <= k bigints per day regardless of
+    cardinality, and at sf0.001 (~33 ids/day) the exact branch is the
+    one exercised while sf0.01+ exercises the estimator branch."""
+    from pyspark.sql import functions as F
+
+    from svoe_spark.operators.sketches import kmv_build, kmv_estimate
+
+    e = load_table(spark, "events", sf_dir).select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_id"
+    )
+    sk = kmv_build(e, "event_id", k=_KMV_K, group_cols=["day"])
+    est = kmv_estimate(sk, k=_KMV_K, group_cols=["day"])
+    tru = e.groupBy("day").agg(
+        F.count_distinct("event_id").cast("bigint").alias("true_distinct")
+    )
+    return est.join(tru, "day").select("day", "est_distinct", "true_distinct")
+
+
+@query(
+    "hll_distinct_daily",
+    f"""
+    WITH {hll_sql('events', 'event_id', _HLL,
+                  group_expr="strftime(ts, '%Y-%m-%d')")},
+    tru AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(count(DISTINCT event_id) AS BIGINT) AS true_distinct
+            FROM events GROUP BY 1)
+    SELECT tru.day, h.est_distinct, h.zero_registers, tru.true_distinct
+    FROM hll_est h JOIN tru ON h.g = tru.day
+    """,
+)
+def hll_distinct_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog with RELATIONAL registers (bucket -> max leading-zero
+    rank) over the shared 60-bit hash — m rows per day however many
+    ids, register-wise-max mergeable, and deterministic end-to-end: the
+    register-mass sum is exact integer arithmetic and the bias constant
+    is one Python-precomputed literal, so the DuckDB oracle reproduces
+    the raw estimate bit-for-bit. Raw (uncorrected) estimator, sized so
+    the fixtures sit outside the linear-counting regime at sf >= 0.01;
+    zero_registers is emitted for driver-side correction at tiny n."""
+    from pyspark.sql import functions as F
+
+    from svoe_spark.operators.sketches import hll_build, hll_estimate
+
+    e = load_table(spark, "events", sf_dir).select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_id"
+    )
+    reg = hll_build(e, "event_id", _HLL, group_cols=["day"])
+    est = hll_estimate(reg, _HLL, group_cols=["day"])
+    tru = e.groupBy("day").agg(
+        F.count_distinct("event_id").cast("bigint").alias("true_distinct")
+    )
+    return est.join(tru, "day").select(
+        "day", "est_distinct", "zero_registers", "true_distinct"
+    )

@@ -137,3 +137,96 @@ def test_bloom_tiny_width_saturates_but_never_false_negative(spark, sf_mid):
         ~F.col("might_contain")
     )
     assert missed.count() == 0  # no false negatives even saturated
+
+
+def test_kmv_exact_below_k(spark, events):
+    from svoe_spark.operators.sketches import kmv_build, kmv_estimate
+
+    from pyspark.sql import functions as F
+
+    e = events.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_id"
+    )
+    sk = kmv_build(e, "event_id", k=100000, group_cols=["day"])
+    est = {
+        r["day"]: r["est_distinct"]
+        for r in kmv_estimate(sk, k=100000, group_cols=["day"]).collect()
+    }
+    tru = {
+        r["day"]: r["t"]
+        for r in e.groupBy("day")
+        .agg(F.count_distinct("event_id").alias("t"))
+        .collect()
+    }
+    # below k the sketch holds every distinct hash: estimate is EXACT
+    assert est == {d: float(t) for d, t in tru.items()}
+
+
+def test_kmv_merge_is_lossless(spark, events):
+    from svoe_spark.operators.sketches import kmv_build, kmv_merge
+
+    k = 64
+    a = kmv_build(events.where(F.col("event_id") % 2 == 0), "event_id", k=k)
+    b = kmv_build(events.where(F.col("event_id") % 2 == 1), "event_id", k=k)
+    merged = sorted(r["h"] for r in kmv_merge([a, b], k=k).collect())
+    whole = sorted(r["h"] for r in kmv_build(events, "event_id", k=k).collect())
+    assert merged == whole  # KMV mergeability is exact, not approximate
+
+
+def test_kmv_global_accuracy(spark, events):
+    from svoe_spark.operators.sketches import kmv_build, kmv_estimate
+
+    k = 256
+    sk = kmv_build(events, "event_id", k=k)
+    est = kmv_estimate(sk, k=k).collect()[0]["est_distinct"]
+    true = events.select("event_id").distinct().count()
+    assert abs(est - true) / true < 3.0 / (k - 2) ** 0.5  # ~19% at k=256
+
+
+def test_hll_merge_is_registerwise_max(spark, events):
+    from svoe_spark.operators.sketches import HLLParams, hll_build, hll_merge
+
+    p = HLLParams(p=6)
+    a = hll_build(events.where(F.col("event_id") % 2 == 0), "event_id", p)
+    b = hll_build(events.where(F.col("event_id") % 2 == 1), "event_id", p)
+    merged = sorted(
+        (r["bucket"], r["rho"]) for r in hll_merge([a, b]).collect()
+    )
+    whole = sorted(
+        (r["bucket"], r["rho"]) for r in hll_build(events, "event_id", p).collect()
+    )
+    assert merged == whole
+
+
+def test_hll_global_accuracy_and_register_bound(spark, events):
+    from svoe_spark.operators.sketches import HLLParams, hll_build, hll_estimate
+
+    p = HLLParams(p=6)
+    reg = hll_build(events, "event_id", p)
+    assert reg.count() <= p.m  # constant-size state, any cardinality
+    est = hll_estimate(reg, p).collect()[0]["est_distinct"]
+    true = events.select("event_id").distinct().count()
+    # deterministic estimator, ~1.04/sqrt(64) std error; 10k distinct
+    # ids is far outside the linear-counting regime at m=64
+    assert abs(est - true) / true < 0.35
+
+
+def test_kmv_plan_prunes_before_group_exchange(spark, events):
+    """The rank<=k must compile to WindowGroupLimit applied map-side
+    BEFORE the per-group exchange — the property that keeps any single
+    task from sorting a whole group's distinct hashes at scale."""
+    from svoe_spark.operators.sketches import kmv_build
+
+    e = events.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_id"
+    )
+    plan = (
+        kmv_build(e, "event_id", k=32, group_cols=["day"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one map-side + one reduce-side WindowGroupLimit; only the
+    # distinct and the group exchange — no third shuffle
+    assert plan.count("WindowGroupLimit") == 2, plan
+    assert plan.count("Exchange") == 2, plan
