@@ -65,6 +65,9 @@ _DRIVER_PRIORITY = [
     "q5_local_supplier_volume",
     "kmv_distinct_daily",
     "hll_distinct_daily",
+    "sampled_quantiles_by_type",
+    "bottom_k_sample_docs",
+    "grouped_split_sources",
 ]
 
 # (c) refill: relational core in CORRECTNESS_r02 order (last green r2).

@@ -254,3 +254,76 @@ def per_group_topk(
         df.select(group_col, id_col, F.row_number().over(w).cast("long").alias(out))
         .filter(F.col(out) <= k)
     )
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    p: float = 0.1,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic Bernoulli(p) sample: keep a row iff
+    md5(salt || id) < p * 2^60. A pure narrow filter (pushdown-
+    friendly, partition-layout-invariant, re-saltable), and MERGEABLE
+    the way reservoir sampling is not: sample(A) ∪ sample(B) ==
+    sample(A ∪ B) exactly, because membership depends only on the id.
+    The scalable replacement for df.sample(), whose draw depends on
+    partition layout and seed plumbing."""
+    threshold = int(p * (1 << 60))
+    key = md5_hash(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    return df.filter(key < F.lit(threshold))
+
+
+def bottom_k_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 10,
+    group_cols: list[str] | None = None,
+    salt: str = "",
+    out: str = "sample_rank",
+) -> DataFrame:
+    """Deterministic uniform k-row sample (without replacement) per
+    group: the k rows with the SMALLEST md5(salt || id) — the KMV
+    bottom-k idea applied to whole rows. Unlike LIMIT k (scan-order
+    biased) or sample() (layout-dependent), this is reproducible,
+    uniform over the group, and re-saltable per draw. The rank<=k
+    compiles to a map-side WindowGroupLimit before the group exchange,
+    so no task ever sorts a whole group."""
+    groups = list(group_cols or [])
+    key = md5_hash(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    keyed = df.withColumn("__skey", key)
+    if not groups:
+        # TakeOrderedAndProject: per-partition bottom-k + driver merge
+        return (
+            keyed.orderBy("__skey")
+            .limit(k)
+            .withColumn(
+                out,
+                F.row_number().over(Window.partitionBy().orderBy("__skey")),
+            )
+            .drop("__skey")
+        )
+    w = Window.partitionBy(*groups).orderBy("__skey")
+    return (
+        keyed.withColumn(out, F.row_number().over(w))
+        .where(F.col(out) <= k)
+        .drop("__skey")
+    )
+
+
+def grouped_split(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict[str, float] | None = None,
+    out: str = "split",
+    salt: str = "",
+) -> DataFrame:
+    """Leakage-safe train/valid/test assignment: hash the GROUP key
+    (url, domain, source, near-dup cluster id) instead of the row id,
+    so every row of a group lands in the SAME split. Splitting
+    training corpora by document id leaks — near-duplicates and
+    same-source pages straddle the train/test boundary and inflate
+    eval; grouping by provenance (or by dedup_clusters output) is the
+    standard fix. Same narrow md5-threshold expression as
+    ``hash_split``, so assignment survives any repartitioning."""
+    return hash_split(df, id_col=group_col, fractions=fractions, out=out, salt=salt)

@@ -37,7 +37,7 @@ never an order-dependent float accumulation.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
@@ -235,3 +235,98 @@ def numeric_histogram(df: DataFrame, col: str, bins: int = 16) -> DataFrame:
         )
         .orderBy("bin_id")
     )
+
+
+def order_statistics(
+    df: DataFrame,
+    value_col: str,
+    qs: list[float],
+    group_cols: list[str] | None = None,
+    out: str = "value",
+) -> DataFrame:
+    """Exact empirical quantiles as ORDER STATISTICS: per group, the
+    k-th smallest value with k = floor((n-1)*q) + 1 (type-1 / lower
+    empirical quantile — always an actual data value, never an
+    interpolation). Engine-independent by construction: integer rank
+    selection plus a value copied from the data, with none of the
+    interpolation/float-accumulation variance of percentile() or the
+    sketch internals of percentile_approx. Ties are safe — row_number
+    among equal values is arbitrary, but the k-th smallest VALUE is
+    unique.
+
+    Returns long format: (group..., q, out). Scale shape: one count
+    aggregate plus one ranked pass; the target-rank relation is one
+    row per (group, q) and broadcast into the rank filter. The ranked
+    pass is a per-group window — bounded when the input is (as in the
+    intended composition: run it over a ``hash_sample`` of the corpus,
+    whose quantiles converge at 1/sqrt(pn); or over per-group data you
+    know fits). For exact GLOBAL quantiles over unbounded data compose
+    ``curation.global_rank`` + this rank arithmetic instead.
+    """
+    groups = list(group_cols or [])
+    counts = df.groupBy(*groups).agg(F.count(F.lit(1)).alias("__n"))
+    targets = counts.select(
+        *groups,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(q)).alias("q"),
+                        (
+                            F.floor(
+                                (F.col("__n") - 1) * F.lit(float(q))
+                            ).cast("long")
+                            + 1
+                        ).alias("__rk"),
+                    )
+                    for q in qs
+                ]
+            )
+        ).alias("__t"),
+    ).select(*groups, F.col("__t.q").alias("q"), F.col("__t.__rk").alias("__rk"))
+    if groups:
+        w = Window.partitionBy(*groups).orderBy(value_col)
+    else:
+        w = Window.partitionBy(F.lit(1)).orderBy(value_col)
+    ranked = df.select(*groups, value_col).withColumn(
+        "__rn", F.row_number().over(w)
+    )
+    on = groups + ["__rk"] if groups else ["__rk"]
+    return (
+        ranked.withColumnRenamed("__rn", "__rk")
+        .join(F.broadcast(targets), on)
+        .select(*groups, "q", F.col(value_col).alias(out))
+    )
+
+
+def order_statistics_sql(
+    table: str,
+    value_col: str,
+    qs: list[float],
+    group_expr: str | None = None,
+    out: str = "value",
+) -> str:
+    """DuckDB CTE chain re-deriving the same type-1 order statistics —
+    emits CTE ``ostat`` (g?, q, <out>). group_expr is aliased ``g``."""
+    g_sel = f"{group_expr} AS g, " if group_expr else ""
+    g_cols = "g, " if group_expr else ""
+    g_grp = "GROUP BY g" if group_expr else ""
+    g_part = "PARTITION BY g" if group_expr else ""
+    g_join = "USING (g, __rk)" if group_expr else "USING (__rk)"
+    # bare decimal literals parse as DECIMAL in DuckDB (pandas would
+    # then coerce differently than Spark's double) — cast explicitly
+    q_arms = " UNION ALL ".join(
+        f"SELECT CAST({float(q)!r} AS DOUBLE) AS q" for q in qs
+    )
+    return f"""
+    ostat_n AS (SELECT {g_sel}count(*) AS n FROM {table} {g_grp}),
+    ostat_t AS (SELECT {g_cols}qq.q,
+                       CAST(floor((n - 1) * qq.q) AS BIGINT) + 1 AS __rk
+                FROM ostat_n CROSS JOIN ({q_arms}) qq),
+    ostat_r AS (SELECT {g_sel}{value_col} AS __v,
+                       row_number() OVER ({g_part} ORDER BY {value_col})
+                         AS __rk
+                FROM {table}),
+    ostat AS (SELECT {g_cols}q, __v AS {out}
+              FROM ostat_r JOIN ostat_t {g_join})
+    """

@@ -320,3 +320,110 @@ def hll_distinct_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(tru, "day").select(
         "day", "est_distinct", "zero_registers", "true_distinct"
     )
+
+
+from svoe_spark.functions.text import sql_md5_hash  # noqa: E402
+from svoe_spark.operators.profiling import order_statistics_sql  # noqa: E402
+
+_QS = [0.1, 0.5, 0.9, 0.99]
+_SAMPLE_P = 0.25
+_SAMPLE_THR = int(_SAMPLE_P * (1 << 60))  # exact: 2^58
+_EVENT_KEY_SQL = sql_md5_hash("CAST(event_id AS VARCHAR)")
+
+
+@query(
+    "sampled_quantiles_by_type",
+    f"""
+    WITH samp AS (
+      SELECT event_type, value FROM events
+      WHERE ({_EVENT_KEY_SQL}) < {_SAMPLE_THR}
+    ),
+    {order_statistics_sql('samp', 'value', _QS, group_expr='event_type')}
+    SELECT g AS event_type, q, value FROM ostat
+    """,
+)
+def sampled_quantiles_by_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed quantiles the deterministic way: a mergeable
+    hash-sample (membership depends only on the id — sample(A∪B) ==
+    sample(A)∪sample(B)) feeds exact type-1 order statistics (k-th
+    smallest value, k = floor((n-1)q)+1 — an actual data value, no
+    interpolation). Engine-independent end-to-end, hence hash-green —
+    unlike percentile_approx, whose sketch is implementation-defined.
+    Sample-quantile error converges at ~1/sqrt(pn), and the per-group
+    ranked pass is bounded by the sample rate at any corpus size."""
+    from svoe_spark.operators.curation import hash_sample
+    from svoe_spark.operators.profiling import order_statistics
+
+    e = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    s = hash_sample(e, id_col="event_id", p=_SAMPLE_P)
+    return order_statistics(s, "value", _QS, group_cols=["event_type"])
+
+
+_DOC_KEY_SQL = sql_md5_hash("CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "bottom_k_sample_docs",
+    f"""
+    WITH r AS (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY ({_DOC_KEY_SQL})) AS rn
+      FROM documents
+    )
+    SELECT source, doc_id, CAST(rn AS BIGINT) AS sample_rank
+    FROM r WHERE rn <= 5
+    """,
+)
+def bottom_k_sample_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform 5-doc sample per source via bottom-k-by-hash — the
+    reproducible replacement for LIMIT (scan-order biased) and
+    sample() (partition-layout-dependent). Same rank<=k plan shape as
+    the KMV sketch: map-side WindowGroupLimit before the group
+    exchange, so sampling a petabyte group never sorts it."""
+    from pyspark.sql import functions as F
+
+    from svoe_spark.operators.curation import bottom_k_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bottom_k_sample(
+        docs, id_col="doc_id", k=5, group_cols=["source"]
+    ).select("source", "doc_id", F.col("sample_rank").cast("long").alias("sample_rank"))
+
+
+_SRC_KEY_SQL = sql_md5_hash("CAST(source AS VARCHAR)")
+
+
+@query(
+    "grouped_split_sources",
+    f"""
+    WITH s AS (
+      SELECT source,
+             CASE WHEN ({_SRC_KEY_SQL}) % 100 < 80 THEN 'train'
+                  WHEN ({_SRC_KEY_SQL}) % 100 < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT source, split, count(*) AS n_docs
+    FROM s GROUP BY source, split
+    """,
+)
+def grouped_split_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe splitting: hash the PROVENANCE key (source) rather
+    than the document id, so same-source pages — the classic
+    train/test contamination vector — can never straddle the split
+    boundary. The output is structurally one row per source (the
+    no-leakage property; tests assert it); splitting on doc_id instead
+    puts ~10% of every source's near-duplicates in eval."""
+    from pyspark.sql import functions as F
+
+    from svoe_spark.operators.curation import grouped_split
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        grouped_split(docs, "source")
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -27,6 +27,17 @@ def docs(spark, sf_small):
     ).persist()
 
 
+@pytest.fixture(scope="module")
+def docs_full(spark, sf_small):
+    from svoe_spark.sources.tables import load_table
+
+    # yield + unpersist: a cached load_table relation substitutes into
+    # other modules' plans (shared session) and breaks plan-shape gates
+    d = load_table(spark, "documents", sf_small).persist()
+    yield d
+    d.unpersist()
+
+
 def test_global_cumsum_equals_single_reducer(spark, docs):
     w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
     expected = {
@@ -163,3 +174,94 @@ def test_per_group_topk_bound_and_deterministic(spark):
     assert {(r["source"], r["doc_id"]) for r in out3} != {
         (r["source"], r["doc_id"]) for r in out
     }
+
+
+def test_hash_sample_is_mergeable_and_layout_invariant(spark, docs_full):
+    from svoe_spark.operators.curation import hash_sample
+
+    whole = {
+        r["doc_id"]
+        for r in hash_sample(docs_full, p=0.3).select("doc_id").collect()
+    }
+    # sample(A) ∪ sample(B) == sample(A ∪ B): membership is id-only
+    a = hash_sample(docs_full.where(F.col("doc_id") % 2 == 0), p=0.3)
+    b = hash_sample(docs_full.where(F.col("doc_id") % 2 == 1), p=0.3)
+    parts = {r["doc_id"] for r in a.unionByName(b).select("doc_id").collect()}
+    assert parts == whole
+    # repartitioning does not change membership
+    re = {
+        r["doc_id"]
+        for r in hash_sample(docs_full.repartition(13), p=0.3)
+        .select("doc_id")
+        .collect()
+    }
+    assert re == whole
+    n = docs_full.count()
+    assert 0.15 * n < len(whole) < 0.45 * n  # ~Binomial(n, .3)
+
+
+def test_bottom_k_sample_uniform_and_deterministic(spark, docs_full):
+    from svoe_spark.operators.curation import bottom_k_sample
+
+    s1 = bottom_k_sample(docs_full, k=7, group_cols=["source"])
+    rows = s1.groupBy("source").count().collect()
+    assert all(r["count"] <= 7 for r in rows)
+    # deterministic: same draw twice; different under a new salt
+    ids = lambda df: sorted(r["doc_id"] for r in df.select("doc_id").collect())
+    assert ids(s1) == ids(
+        bottom_k_sample(docs_full, k=7, group_cols=["source"])
+    )
+    assert ids(s1) != ids(
+        bottom_k_sample(docs_full, k=7, group_cols=["source"], salt="epoch2")
+    )
+    # global (ungrouped) form: exactly k rows, ranked 1..k
+    g = bottom_k_sample(docs_full, k=9).collect()
+    assert sorted(r["sample_rank"] for r in g) == list(range(1, 10))
+
+
+def test_grouped_split_never_leaks(spark, docs_full):
+    from svoe_spark.operators.curation import grouped_split
+
+    per_source = (
+        grouped_split(docs_full, "source")
+        .groupBy("source")
+        .agg(F.count_distinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert all(r["n_splits"] == 1 for r in per_source)  # no straddling
+
+
+def test_order_statistics_match_numpy(spark, docs_full):
+    import numpy as np
+
+    from svoe_spark.operators.profiling import order_statistics
+
+    qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    got = {
+        (r["source"], r["q"]): r["value"]
+        for r in order_statistics(
+            docs_full.select("source", F.length("text").alias("v")),
+            "v",
+            qs,
+            group_cols=["source"],
+        ).collect()
+    }
+    pdf = docs_full.select("source", F.length("text").alias("v")).toPandas()
+    for src, grp in pdf.groupby("source"):
+        vals = np.sort(grp["v"].to_numpy())
+        for q in qs:
+            k = int(np.floor((len(vals) - 1) * q))  # type-1 lower quantile
+            assert got[(src, q)] == vals[k], (src, q)
+
+
+def test_order_statistics_global_no_group(spark, docs_full):
+    from svoe_spark.operators.profiling import order_statistics
+
+    got = order_statistics(
+        docs_full.select(F.length("text").alias("v")), "v", [0.5]
+    ).collect()
+    assert len(got) == 1
+    vals = sorted(
+        r["v"] for r in docs_full.select(F.length("text").alias("v")).collect()
+    )
+    assert got[0]["value"] == vals[(len(vals) - 1) // 2]
