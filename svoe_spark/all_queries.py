@@ -68,6 +68,8 @@ _DRIVER_PRIORITY = [
     "sampled_quantiles_by_type",
     "bottom_k_sample_docs",
     "grouped_split_sources",
+    "snapshot_diff_daily",
+    "pps_token_sample",
 ]
 
 # (c) refill: relational core in CORRECTNESS_r02 order (last green r2).

@@ -327,3 +327,55 @@ def grouped_split(
     standard fix. Same narrow md5-threshold expression as
     ``hash_split``, so assignment survives any repartitioning."""
     return hash_split(df, id_col=group_col, fractions=fractions, out=out, salt=salt)
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+    out: str = "pick_no",
+) -> DataFrame:
+    """Deterministic probability-proportional-to-size sampling —
+    systematic (Madow) selection over an exact distributed prefix sum
+    of INTEGER weights: order rows by md5(salt || id) (decorrelates
+    the stride from any data ordering), compute the inclusive running
+    weight `cum`, and keep a row iff it crosses a selection boundary:
+
+        (cum * k) DIV W  >  ((cum - w) * k) DIV W      (W = total weight)
+
+    Pure integer arithmetic end-to-end — no transcendental key like
+    Efraimidis-Spirakis u^(1/w), whose pow() is not bit-portable
+    across engines — so the draw is reproducible anywhere and
+    oracle-checkable. Selects ≤ k rows (exactly k unless a single row
+    carries more than W/k weight, in which case that row is selected
+    once with certainty — standard PPS behavior); inclusion
+    probability of row i is ~ k*w_i/W. Zero-weight rows are never
+    selected. `out` is the 0-based index of the last boundary the row
+    crossed.
+
+    This is how you sample a training mixture by token count rather
+    than by document count. Scale shape: one md5 projection, the
+    bucket-decomposed `global_cumsum` (no single-reducer window), one
+    broadcast of the scalar total, one narrow filter. Overflow bound:
+    needs cum * k < 2^63 — at W=1e14 total tokens, safe for k up to
+    ~9e4; beyond that cast the product to decimal(38,0) upstream.
+    """
+    key = md5_hash(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    keyed = df.withColumn("__okey", key)
+    cum = global_cumsum(keyed, "__okey", weight_col, out="__cum")
+    total = keyed.agg(
+        F.sum(F.col(weight_col).cast("long")).alias("__w_total")
+    )
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .where(
+            F.expr(f"(__cum * {k}) DIV __w_total")
+            > F.expr(f"((__cum - CAST({weight_col} AS BIGINT)) * {k}) DIV __w_total")
+        )
+        .withColumn(
+            out, (F.expr(f"(__cum * {k}) DIV __w_total") - F.lit(1)).cast("long")
+        )
+        .drop("__okey", "__cum", "__w_total")
+    )

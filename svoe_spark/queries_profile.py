@@ -427,3 +427,107 @@ def grouped_split_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+_SNAP_AGG = """
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  WHERE ts >= TIMESTAMP '{lo}' AND ts < TIMESTAMP '{hi}'{extra}
+  GROUP BY 1, 2
+"""
+
+
+@query(
+    "snapshot_diff_daily",
+    f"""
+    WITH old_s AS ({_SNAP_AGG.format(lo='2024-01-01', hi='2024-01-16', extra='')}),
+    new_s AS ({_SNAP_AGG.format(lo='2024-01-08', hi='2024-01-23',
+                                extra=" AND event_type <> 'click'")})
+    SELECT coalesce(o.user_id, n.user_id) AS user_id,
+           coalesce(o.day, n.day) AS day,
+           CASE WHEN o.day IS NULL THEN 'added'
+                WHEN n.day IS NULL THEN 'removed'
+                ELSE 'changed' END AS change,
+           o.n AS old_n, o.cents AS old_cents,
+           n.n AS new_n, n.cents AS new_cents
+    FROM old_s o FULL JOIN new_s n
+      ON o.user_id = n.user_id AND o.day = n.day
+    WHERE o.day IS NULL OR n.day IS NULL
+       OR (o.n IS DISTINCT FROM n.n) OR (o.cents IS DISTINCT FROM n.cents)
+    """,
+)
+def snapshot_diff_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What changed between two rollup snapshots: the old snapshot is
+    the per-(user, day) daily aggregate over an early ingest window;
+    the new one shifts the window AND fixes the aggregation logic
+    (v2 excludes 'click' events) — the classic backfill-diff question.
+    One full-outer sort-merge join on the key; unchanged keys are
+    pruned before anything downstream, so the changeset is sized by
+    churn, not by the table. All three change classes occur: early
+    days are removed, late days added, overlap days changed wherever
+    the logic fix bites."""
+    from pyspark.sql import functions as F
+
+    from svoe_spark.operators.diff import snapshot_diff
+
+    e = load_table(spark, "events", sf_dir)
+    day = F.to_date("ts").alias("day")
+    cents = F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents")
+    n = F.count(F.lit(1)).alias("n")
+
+    def snap(lo: str, hi: str, df: DataFrame) -> DataFrame:
+        return (
+            df.where(
+                (F.col("ts") >= F.lit(lo).cast("timestamp"))
+                & (F.col("ts") < F.lit(hi).cast("timestamp"))
+            )
+            .groupBy("user_id", day)
+            .agg(n, cents)
+        )
+
+    old = snap("2024-01-01", "2024-01-16", e)
+    new = snap("2024-01-08", "2024-01-23", e.where(F.col("event_type") != "click"))
+    return snapshot_diff(old, new, ["user_id", "day"])
+
+
+_PPS_K = 50
+_DOCKEY = sql_md5_hash("CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "pps_token_sample",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars, ({_DOCKEY}) AS okey FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_chars,
+             CAST(sum(n_chars) OVER (ORDER BY okey) AS BIGINT) AS cum
+      FROM keyed
+    ),
+    t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS W FROM documents)
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+           CAST((cum * {_PPS_K}) // W - 1 AS BIGINT) AS pick_no
+    FROM c, t
+    WHERE (cum * {_PPS_K}) // W > ((cum - n_chars) * {_PPS_K}) // W
+    """,
+)
+def pps_token_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample documents proportional to SIZE (n_chars as the token
+    proxy) — the way training mixtures are actually drawn — via
+    deterministic systematic PPS: md5-ordered exact prefix sum,
+    integer boundary-crossing test, zero transcendental ops, so the
+    identical draw reproduces in any engine. The prefix sum is the
+    bucket-decomposed global_cumsum (no single-reducer window); the
+    scalar total joins in as a broadcast."""
+    from pyspark.sql import functions as F
+
+    from svoe_spark.operators.curation import pps_systematic_sample
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    s = pps_systematic_sample(docs, "n_chars", _PPS_K)
+    return s.select(
+        "doc_id", F.col("n_chars").cast("long").alias("weight"), "pick_no"
+    )

@@ -265,3 +265,47 @@ def test_order_statistics_global_no_group(spark, docs_full):
         r["v"] for r in docs_full.select(F.length("text").alias("v")).collect()
     )
     assert got[0]["value"] == vals[(len(vals) - 1) // 2]
+
+
+def test_pps_sample_exact_k_and_deterministic(spark, docs_full):
+    from svoe_spark.operators.curation import pps_systematic_sample
+
+    d = docs_full.select("doc_id", "n_chars")
+    s = pps_systematic_sample(d, "n_chars", 20)
+    got = sorted(r["doc_id"] for r in s.collect())
+    # no doc holds > W/20 of the mass in this corpus -> exactly k rows
+    assert len(got) == 20
+    # layout-invariant: same draw after repartitioning
+    re = pps_systematic_sample(d.repartition(17), "n_chars", 20)
+    assert sorted(r["doc_id"] for r in re.collect()) == got
+    # a different salt is a fresh draw
+    alt = pps_systematic_sample(d, "n_chars", 20, salt="epoch2")
+    assert sorted(r["doc_id"] for r in alt.collect()) != got
+
+
+def test_pps_sample_heavy_row_certainty_zero_never(spark):
+    from svoe_spark.operators.curation import pps_systematic_sample
+
+    rows = [(1, 1000)] + [(i, 1) for i in range(2, 42)] + [(99, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = {r["doc_id"] for r in pps_systematic_sample(df, "w", 5).collect()}
+    assert 1 in got      # w > W/k -> certainty selection, exactly once
+    assert 99 not in got  # zero weight is never selected
+    assert len(got) <= 5
+
+
+def test_pps_sample_inclusion_proportional_to_weight(spark):
+    import collections
+
+    from svoe_spark.operators.curation import pps_systematic_sample
+
+    rows = [(i, 10 if i % 10 == 0 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w long").persist()
+    hits = collections.Counter()
+    for salt in ("a", "b", "c", "d", "e", "f", "g", "h"):
+        for r in pps_systematic_sample(df, "w", 20, salt=salt).collect():
+            hits[r["doc_id"] % 10 == 0] += 1
+    df.unpersist()
+    # heavy rows are 10x likelier per row: 20 heavy vs 180 light rows
+    # carry 200 vs 180 weight -> roughly equal total hits
+    assert 0.5 < hits[True] / hits[False] < 2.0
