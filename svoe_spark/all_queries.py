@@ -70,6 +70,7 @@ _DRIVER_PRIORITY = [
     "grouped_split_sources",
     "snapshot_diff_daily",
     "pps_token_sample",
+    "hybrid_search_rrf",
 ]
 
 # (c) refill: relational core in CORRECTNESS_r02 order (last green r2).

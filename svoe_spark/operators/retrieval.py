@@ -200,3 +200,51 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select(qid_col, id_col, "score", "rank")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    c: int = 60,
+    qid_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    out: str = "rrf_score",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of N ranked
+    lists: score(d) = Σ_i 1/(c + rank_i(d)), summed in LIST ORDER over
+    the lists that retrieved d — the standard way to combine lexical
+    (BM25) and dense (ANN) retrieval without score calibration, since
+    it reads only ranks, never incomparable raw scores.
+
+    Returns (query_id, doc_id, rrf_score, rank) with rank 1-based,
+    ties broken by ascending id. Determinism: each term is a single
+    IEEE division by an integer and the N-term sum is one fixed
+    left-to-right expression tree (no SUM aggregate whose order could
+    float), so the fused score is bit-portable. Scale shape: ranked
+    lists are k-bounded per query, so the N-1 full-outer joins and the
+    per-query ranking window all run on relations of size
+    |queries| * k — negligible next to retrieval itself.
+    """
+    sides = [
+        r.select(
+            qid_col, id_col, F.col(rank_col).alias(f"__r{i}")
+        )
+        for i, r in enumerate(rankings)
+    ]
+    fused = sides[0]
+    for s in sides[1:]:
+        fused = fused.join(s, [qid_col, id_col], "full_outer")
+    score = None
+    for i in range(len(sides)):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(c)) + F.col(f"__r{i}")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    w = Window.partitionBy(qid_col).orderBy(F.desc(out), F.asc(id_col))
+    return (
+        fused.withColumn(out, score)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(qid_col, id_col, out, "rank")
+    )

@@ -2197,3 +2197,72 @@ def duplication_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from svoe_spark.operators.cleaning import duplication_report
 
     return duplication_report(load_table(spark, "documents", sf_dir), width=4)
+
+
+def _hybrid_rrf_oracle() -> str:
+    term_l = "coalesce(CAST(1 AS DOUBLE)/(CAST(60 AS DOUBLE) + l.rank), CAST(0 AS DOUBLE))"
+    term_d = "coalesce(CAST(1 AS DOUBLE)/(CAST(60 AS DOUBLE) + d.rank), CAST(0 AS DOUBLE))"
+    return f"""
+    WITH lex AS (SELECT * FROM ({_bm25_oracle()}) bm),
+    dense AS (
+      SELECT query_id, doc_id, rank FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {sql_cosine('e.embedding', 'q.embedding')} DESC,
+                          e.vec_id) AS rank
+        FROM embeddings e,
+             (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id IN (0, 1, 2)) q
+      ) WHERE rank <= 10
+    ),
+    f AS (
+      SELECT coalesce(l.query_id, d.query_id) AS query_id,
+             coalesce(l.doc_id, d.doc_id) AS doc_id,
+             {term_l} + {term_d} AS rrf_score
+      FROM lex l FULL JOIN dense d
+        ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+    )
+    SELECT query_id, doc_id, rrf_score, CAST(rnk AS BIGINT) AS rank FROM (
+      SELECT query_id, doc_id, rrf_score,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY rrf_score DESC, doc_id) AS rnk
+      FROM f
+    ) WHERE rnk <= 10
+    """
+
+
+@query("hybrid_search_rrf", _hybrid_rrf_oracle())
+def hybrid_search_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-10 fused with brute-force
+    dense top-10 by reciprocal-rank fusion (rank-only, so the two
+    incomparable score scales never touch). The dense query for
+    query_id q is the vec_id=q embedding — doc_id and vec_id are
+    aligned in the fixtures. Both input lists are k-bounded per query,
+    so fusion is a toy-sized full-outer join regardless of corpus
+    size; the fused score is a fixed two-term expression tree,
+    bit-identical across engines."""
+    from pyspark.sql import Window
+
+    from svoe_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from svoe_spark.operators.similarity import brute_force_topk_batch
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = spark.createDataFrame(
+        BM25_QUERIES, "query_id long, query_text string"
+    )
+    lex = bm25_topk(docs, queries, k=10).select("query_id", "doc_id", "rank")
+    qv = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dw = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    dense = (
+        brute_force_topk_batch(emb, qv, k=10)
+        .withColumn("rank", F.row_number().over(dw))
+        .select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+    )
+    return rrf_fuse([lex, dense], k=10)

@@ -115,3 +115,37 @@ def test_bm25_query_side_joins_broadcast(spark, sf_mid):
     p = buf.getvalue()
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_rrf_fuse_semantics(spark):
+    from svoe_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id long, doc_id long, rank long",
+    )
+    dense = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2)],
+        "query_id long, doc_id long, rank long",
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse([lex, dense], k=10).collect()}
+    # doc 11 is in both lists: 1/62 + 1/61; doc 10 lexical-only: 1/61
+    assert out[11]["rrf_score"] == 1.0 / 62 + 1.0 / 61
+    assert out[10]["rrf_score"] == 1.0 / 61
+    assert out[13]["rrf_score"] == 1.0 / 62
+    # consensus doc outranks either single-list doc
+    assert out[11]["rank"] == 1
+    # ties (10 vs none) broken by ascending doc_id
+    ranks = sorted((r["rank"], d) for d, r in out.items())
+    assert [d for _, d in ranks] == [11, 10, 13, 12]
+
+
+def test_rrf_fuse_respects_k_and_c(spark):
+    from svoe_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(0, i, i) for i in range(1, 8)], "query_id long, doc_id long, rank long"
+    )
+    out = rrf_fuse([lex], k=3, c=0).collect()
+    assert len(out) == 3
+    assert out[0]["rrf_score"] == 1.0  # 1/(0+1)
