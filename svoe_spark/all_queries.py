@@ -71,6 +71,7 @@ _DRIVER_PRIORITY = [
     "snapshot_diff_daily",
     "pps_token_sample",
     "hybrid_search_rrf",
+    "adaptive_quality_filter",
 ]
 
 # (c) refill: relational core in CORRECTNESS_r02 order (last green r2).

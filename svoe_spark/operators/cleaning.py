@@ -353,3 +353,43 @@ def duplication_report(
             F.sum("n_dup").cast("double") / F.sum("n_chunks").cast("double")
         ).alias("dup_ratio"),
     )
+
+
+def adaptive_threshold_filter(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    q: float = 0.25,
+    p: float = 0.25,
+    id_col: str = "doc_id",
+    salt: str = "",
+    thr_out: str | None = None,
+) -> DataFrame:
+    """Percentile-adaptive corpus gate: per group, drop rows whose
+    ``value_col`` falls below the group's q-quantile — thresholds that
+    FOLLOW each source's own score distribution instead of one global
+    magic number (a web source and a books source have incomparable
+    quality scales; a fixed cut over- or under-prunes one of them).
+
+    The quantile is an exact type-1 order statistic computed over a
+    mergeable ``hash_sample`` of rate ``p`` (error ~1/sqrt(p·n) per
+    group), NOT over the full corpus — so the only per-group window
+    runs on the sample, and the thresholds relation (one row per
+    group) joins back as a broadcast feeding a narrow filter. Fully
+    deterministic end-to-end: hash-membership sample + rank-selected
+    data value + one comparison. ``thr_out`` keeps the applied
+    threshold as an output column."""
+    from svoe_spark.operators.curation import hash_sample
+    from svoe_spark.operators.profiling import order_statistics
+
+    s = hash_sample(df, id_col=id_col, p=p, salt=salt)
+    thr = order_statistics(
+        s, value_col, [q], group_cols=group_cols, out="__thr"
+    ).drop("q")
+    out = (
+        df.join(F.broadcast(thr), group_cols)
+        .where(F.col(value_col) >= F.col("__thr"))
+    )
+    if thr_out is not None:
+        return out.withColumnRenamed("__thr", thr_out)
+    return out.drop("__thr")

@@ -2266,3 +2266,58 @@ def hybrid_search_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("doc_id"), "rank")
     )
     return rrf_fuse([lex, dense], k=10)
+
+
+_AQF_THR = int(0.5 * (1 << 60))
+_AQF_KEY = sql_md5_hash("CAST(doc_id AS VARCHAR)")
+
+
+def _adaptive_filter_oracle() -> str:
+    from svoe_spark.operators.profiling import order_statistics_sql
+
+    return f"""
+    WITH q0 AS (
+      SELECT doc_id, source,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_filter(toks, t -> t IN ({_SW}))) / len(toks)
+                  ELSE 0.0 END AS stop_ratio,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_distinct(toks)) / len(toks)
+                  ELSE 0.0 END AS distinct_ratio
+      FROM (SELECT doc_id, source, text, {sql_tokens('text')} AS toks
+            FROM documents)
+    ),
+    qd AS (SELECT doc_id, source,
+                  stop_ratio * 0.5 + distinct_ratio * 0.5 AS quality_score
+           FROM q0),
+    samp AS (SELECT * FROM qd WHERE ({_AQF_KEY}) < {_AQF_THR}),
+    {order_statistics_sql('samp', 'quality_score', [0.25],
+                          group_expr='source', out='thr')}
+    SELECT qd.doc_id, qd.source, qd.quality_score, o.thr AS threshold
+    FROM qd JOIN ostat o ON qd.source = o.g
+    WHERE qd.quality_score >= o.thr
+    """
+
+
+@query("adaptive_quality_filter", _adaptive_filter_oracle())
+def adaptive_quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-adaptive quality gate: each source keeps its own top
+    75% by quality score — thresholds follow per-source score
+    distributions instead of one global cut (web vs books quality
+    scales are incomparable). The threshold is an exact order
+    statistic over a 50% hash-sample, so the only per-group window
+    runs on the sample and the one-row-per-source thresholds relation
+    broadcasts into a narrow filter over the full corpus."""
+    from svoe_spark.operators.cleaning import adaptive_threshold_filter
+    from svoe_spark.operators.text_analysis import quality_score
+
+    docs = load_table(spark, "documents", sf_dir)
+    qd = (
+        quality_score(docs)
+        .select("doc_id", "quality_score")
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    out = adaptive_threshold_filter(
+        qd, "quality_score", ["source"], q=0.25, p=0.5, thr_out="threshold"
+    )
+    return out.select("doc_id", "source", "quality_score", "threshold")

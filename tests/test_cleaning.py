@@ -214,3 +214,44 @@ def test_chunk_freq_dedup_max_df_threshold(spark):
     cut1 = {r.doc_id: r for r in chunk_freq_dedup(df, width=2, max_df=1).collect()}
     assert cut1[0].text_clean == "x y" and cut1[0].n_removed == 1
     assert cut1[1].text_clean == "" and cut1[1].n_removed == 1
+
+
+def test_adaptive_threshold_filter_per_group(spark):
+    from svoe_spark.operators.cleaning import adaptive_threshold_filter
+
+    rows = [(i, "a", float(i)) for i in range(100)] + [
+        (100 + i, "b", float(1000 + i)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, score double")
+    out = adaptive_threshold_filter(
+        df, "score", ["src"], q=0.5, p=1.0, thr_out="thr"
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["src"], []).append(r)
+    # p=1.0: thresholds are the exact per-group medians; each group
+    # keeps its own top half — a global cut would keep all of 'b' and
+    # none of 'a'
+    for src, kept in by_src.items():
+        assert len(kept) == 51  # type-1 median of 100 = 50th value
+        assert all(r["score"] >= r["thr"] for r in kept)
+    assert min(r["score"] for r in by_src["a"]) == 49.0
+    assert min(r["score"] for r in by_src["b"]) == 1049.0
+
+
+def test_adaptive_threshold_filter_deterministic_sample(spark):
+    from svoe_spark.operators.cleaning import adaptive_threshold_filter
+
+    rows = [(i, "a", float(i % 37)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, score double")
+    a = sorted(
+        r["doc_id"]
+        for r in adaptive_threshold_filter(df, "score", ["src"], p=0.3).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in adaptive_threshold_filter(
+            df.repartition(11), "score", ["src"], p=0.3
+        ).collect()
+    )
+    assert a == b and len(a) > 0
