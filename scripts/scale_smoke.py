@@ -445,12 +445,89 @@ def round4b_smoke(spark, results, force, n_docs=2_000_000, n_prof=100_000_000):
     )
 
 
+def round4c_smoke(spark, results, force, n_big=100_000_000, n_snap=20_000_000):
+    """Round-4 third-session operators at scale.
+
+    - PPS systematic sample: k=10k draw over 100M weighted rows (three
+      passes: min/max scan, bucket totals, windowed prefix + filter).
+    - snapshot_diff: two 20M-key snapshots with 1% churn on each edge
+      (200k removed, 200k added, 200k changed) — changeset must be
+      churn-sized, and the full-outer join is the only shuffle pair.
+    - adaptive_threshold_filter: per-group p25 gate over 100M rows /
+      20 groups from a 1% hash-sample.
+    - bottom_k_sample: k=10 per group over 100M rows / 1000 groups —
+      the map-side WindowGroupLimit path.
+    """
+    from svoe_spark.operators.cleaning import adaptive_threshold_filter
+    from svoe_spark.operators.curation import (
+        bottom_k_sample,
+        pps_systematic_sample,
+    )
+    from svoe_spark.operators.diff import snapshot_diff
+
+    big = spark.range(n_big).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 97 + 1).cast("long").alias("w"),
+        F.concat(F.lit("g"), (F.col("id") % 20).cast("string")).alias("grp"),
+        (F.col("id") % 1009).cast("double").alias("score"),
+    )
+    pps = pps_systematic_sample(big, "w", 10_000)
+    results[f"pps_sample_{n_big//1_000_000}M_sec"] = timed(
+        lambda: force(pps), "pps_sample"
+    )
+    n_sel = pps.count()
+    assert n_sel == 10_000, n_sel  # no row holds > W/k weight
+
+    churn = 200_000
+    val = F.when(
+        F.col("id") % 100 == 0, F.col("id") * 3 + 1
+    ).otherwise(F.col("id") * 3)
+    old = spark.range(n_snap).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    new = spark.range(churn, n_snap + churn).select(
+        F.col("id").alias("k"), val.alias("v")
+    )
+    d = snapshot_diff(old, new, ["k"]).persist()
+    results[f"snapshot_diff_{n_snap//1_000_000}M_sec"] = timed(
+        lambda: force(d), "snapshot_diff"
+    )
+    by = {r["change"]: r["n"] for r in d.groupBy("change").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    d.unpersist()
+    assert by["removed"] == churn and by["added"] == churn, by
+    # changed = every 100th id in the [churn, n_snap) overlap
+    assert by["changed"] == (n_snap - churn) // 100, by
+
+    results[f"adaptive_filter_{n_big//1_000_000}M_sec"] = timed(
+        lambda: force(
+            adaptive_threshold_filter(
+                big, "score", ["grp"], q=0.25, p=0.01, id_col="doc_id"
+            )
+        ),
+        "adaptive_filter",
+    )
+
+    bk = big.withColumn(
+        "grp1k", F.concat(F.lit("g"), (F.col("doc_id") % 1000).cast("string"))
+    )
+    results[f"bottom_k_sample_{n_big//1_000_000}M_sec"] = timed(
+        lambda: force(bottom_k_sample(bk, k=10, group_cols=["grp1k"])),
+        "bottom_k_sample",
+    )
+
+
 def main():
     spark = get_spark("scale_smoke")
     spark.sparkContext.setLogLevel("ERROR")
     force = lambda df: df.write.format("noop").mode("overwrite").save()  # noqa: E731
 
     only = os.environ.get("SMOKE_ONLY")
+    if only == "round4c":
+        results = {}
+        round4c_smoke(spark, results, force)
+        print(json.dumps(results))
+        return
     if only == "round4b":
         results = {}
         round4b_smoke(spark, results, force)
