@@ -18,6 +18,7 @@ checked (README "Registry order" section).
 """
 
 import svoe_spark.queries  # noqa: F401
+import svoe_spark.queries_analytics  # noqa: F401
 import svoe_spark.queries_llm  # noqa: F401
 import svoe_spark.queries_profile  # noqa: F401
 from svoe_spark.queries import QUERIES  # noqa: F401
@@ -72,6 +73,15 @@ _DRIVER_PRIORITY = [
     "pps_token_sample",
     "hybrid_search_rrf",
     "adaptive_quality_filter",
+    # (b') added in the round-4 third session.
+    "funnel_view_click_purchase",
+    "retention_day_cohorts",
+    "concurrent_open_orders",
+    "gapfill_linear_6h",
+    "rolling_corr_price_qty",
+    "pairwise_corr_types",
+    "temperature_mixture_langs",
+    "max_drawdown_by_type",
 ]
 
 # (c) refill: relational core in CORRECTNESS_r02 order (last green r2).

@@ -379,3 +379,65 @@ def pps_systematic_sample(
         )
         .drop("__okey", "__cum", "__w_total")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    target_n: int = 1000,
+    tau: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based source rebalancing (the multilingual-corpus
+    mixing rule, tau-scaled sampling): draw a deterministic sample
+    whose EXPECTED source mix follows n_i^tau — tau=1 keeps the natural
+    distribution, tau=0 targets a uniform source mix, tau=0.5 the usual
+    compromise that up-weights small sources without flattening.
+
+    Only tau in {0, 0.5, 1} is supported, deliberately: those weights
+    (1, floor(sqrt(n)), n) are exact integers, so per-source rates are
+    ONE fixed double expression over exact int64 inputs and the draw is
+    reproducible in any engine — a general pow(n, tau) is not
+    bit-portable. Membership is the `hash_sample` rule (md5 threshold
+    per row), so the draw is partition-layout-invariant, mergeable, and
+    re-saltable per epoch.
+
+    Plan: per-source counts (tiny relation) -> integer weights -> one
+    1-row total joined back -> per-source rate -> BROADCAST rate join
+    into a narrow md5 filter on the corpus. No driver collect; the big
+    side is touched by one scan + one broadcast-join filter. Rows with
+    a NULL source are dropped (no defined weight).
+    """
+    if tau not in (0.0, 0.5, 1.0):
+        raise ValueError("temperature_sample supports tau in {0, 0.5, 1} only")
+    counts = (
+        df.where(F.col(source_col).isNotNull())
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    if tau == 0.0:
+        wt = F.lit(1).cast("long")
+    elif tau == 0.5:
+        wt = F.floor(F.sqrt(F.col("__n").cast("double"))).cast("long")
+    else:
+        wt = F.col("__n").cast("long")
+    weighted = counts.withColumn("__w", wt)
+    total = weighted.agg(F.sum("__w").alias("__S"))
+    rates = weighted.crossJoin(F.broadcast(total)).select(
+        source_col,
+        "__n",
+        F.least(
+            F.lit(1.0),
+            F.lit(float(target_n))
+            * F.col("__w").cast("double")
+            / F.col("__S").cast("double")
+            / F.col("__n").cast("double"),
+        ).alias("__rate"),
+    )
+    key = md5_hash(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    return (
+        df.join(F.broadcast(rates.select(source_col, "__rate")), source_col)
+        .where(key < F.floor(F.col("__rate") * F.lit(float(1 << 60))).cast("long"))
+        .drop("__rate")
+    )

@@ -1,0 +1,201 @@
+"""Quant correlation features: rolling Pearson correlation over a
+trailing row window, and the pairwise correlation matrix of bucketed
+series (the classic instrument-correlation panel).
+
+The reference's feature layer computes single-series trailing moments
+(volatility, TVI — featurizer/features/*); correlation is the natural
+CROSS-series extension a trading/feature pipeline needs. Both operators
+follow the repo's determinism contract: every sum is an exact int64
+over integer-scaled inputs (cents, quantities), and the Pearson
+formula is applied as one fixed double expression tree on top — so
+Spark and any ANSI engine produce bit-identical doubles.
+
+Headroom math (why int64 sums are safe): with cents-scaled prices
+≤ 10^5 and window/bucket row counts w, the largest moment is
+Σx² ≤ w·10^10 — safe to w ≈ 9·10^8. For bucketed PAIR series the
+product term is Σ(x_i·y_i) over buckets; at bucket sums ~10^9 the
+int64 bound is reached near Σrows ≈ 10^9 per bucket — past that,
+bucket at a finer grain or widen the moment sums to decimal(38,0)
+(exactness is what matters; the final double cast stays identical).
+
+Scale shapes: rolling_corr is one WindowExec partitioned by the key
+(all six moments share the frame, one sort); pairwise_corr is a
+|keys·buckets|-row self-equi-join on the bucket key — the bucketed
+panel is tiny relative to the tick stream, and the groupBy(k1, k2) is
+partial-agg friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _pearson(n, sx, sy, sxy, sxx, syy) -> Column:
+    """Fixed-shape Pearson combination of EXACT integer moments: cast
+    each moment to double once, combine, NULL when either variance
+    term is non-positive (constant series, or — at the extreme of the
+    headroom — a rounding-negative difference)."""
+    n_d = n.cast("double")
+    sx_d = sx.cast("double")
+    sy_d = sy.cast("double")
+    num = n_d * sxy.cast("double") - sx_d * sy_d
+    dxx = n_d * sxx.cast("double") - sx_d * sx_d
+    dyy = n_d * syy.cast("double") - sy_d * sy_d
+    return F.when(
+        (dxx > 0) & (dyy > 0), num / (F.sqrt(dxx) * F.sqrt(dyy))
+    ).otherwise(F.lit(None).cast("double"))
+
+
+def rolling_corr(
+    df: DataFrame,
+    x: str,
+    y: str,
+    by: list[str] | str | None = None,
+    order: list[str] | str = "ts",
+    window_rows: int = 50,
+    out: str = "corr",
+) -> DataFrame:
+    """Trailing Pearson correlation of integer columns ``x`` and ``y``
+    over the last ``window_rows``+1 rows (current included) per key.
+    ``order`` must be a unique composite within a key (pass a tiebreak
+    column such as the event id) — the frame contents, and therefore
+    the result, are then deterministic under any partition layout.
+
+    One window: Spark evaluates all six moment frames in a single
+    WindowExec (same partition/order/frame), i.e. one sort per key.
+    """
+    if isinstance(by, str):
+        by = [by]
+    by = by or []
+    if isinstance(order, str):
+        order = [order]
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(-window_rows, 0)
+    )
+    xc, yc = F.col(x), F.col(y)
+    return df.withColumn(
+        out,
+        _pearson(
+            F.count(F.lit(1)).over(w),
+            F.sum(xc).over(w),
+            F.sum(yc).over(w),
+            F.sum(xc * yc).over(w),
+            F.sum(xc * xc).over(w),
+            F.sum(yc * yc).over(w),
+        ),
+    )
+
+
+def pairwise_corr(
+    series: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+    min_buckets: int = 2,
+) -> DataFrame:
+    """Correlation matrix of bucketed integer series: for every
+    unordered key pair (kx < ky), the Pearson correlation of their
+    values over the buckets BOTH observed (inner alignment). Returns
+    (key_x, key_y, n_buckets, corr).
+
+    ``series`` is one row per (key, bucket) with an integer value —
+    the caller's groupBy has already collapsed the raw stream, so the
+    self-join runs on the small panel, not the ticks. The join key is
+    the bucket (co-partitioned equi-join); the moment groupBy is
+    partial-agg friendly.
+    """
+    a = series.select(
+        F.col(key_col).alias("key_x"),
+        F.col(bucket_col).alias("__b"),
+        F.col(value_col).alias("__vx"),
+    )
+    b = series.select(
+        F.col(key_col).alias("key_y"),
+        F.col(bucket_col).alias("__b"),
+        F.col(value_col).alias("__vy"),
+    )
+    pairs = a.join(b, "__b").where(F.col("key_x") < F.col("key_y"))
+    vx, vy = F.col("__vx"), F.col("__vy")
+    agg = pairs.groupBy("key_x", "key_y").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(vx).alias("__sx"),
+        F.sum(vy).alias("__sy"),
+        F.sum(vx * vy).alias("__sxy"),
+        F.sum(vx * vx).alias("__sxx"),
+        F.sum(vy * vy).alias("__syy"),
+    )
+    return agg.where(F.col("__n") >= min_buckets).select(
+        "key_x",
+        "key_y",
+        F.col("__n").cast("long").alias("n_buckets"),
+        _pearson(
+            F.col("__n"),
+            F.col("__sx"),
+            F.col("__sy"),
+            F.col("__sxy"),
+            F.col("__sxx"),
+            F.col("__syy"),
+        ).alias("corr"),
+    )
+
+
+def pearson_sql(n: str, sx: str, sy: str, sxy: str, sxx: str, syy: str) -> str:
+    """The SQL twin of :func:`_pearson`, generated so registered-query
+    oracles can never drift from the Spark expression tree. Inputs are
+    SQL snippets producing exact BIGINT moments."""
+    n_d = f"CAST({n} AS DOUBLE)"
+    sx_d = f"CAST({sx} AS DOUBLE)"
+    sy_d = f"CAST({sy} AS DOUBLE)"
+    num = f"({n_d} * CAST({sxy} AS DOUBLE) - {sx_d} * {sy_d})"
+    dxx = f"({n_d} * CAST({sxx} AS DOUBLE) - {sx_d} * {sx_d})"
+    dyy = f"({n_d} * CAST({syy} AS DOUBLE) - {sy_d} * {sy_d})"
+    return (
+        f"CASE WHEN {dxx} > 0 AND {dyy} > 0 "
+        f"THEN {num} / (sqrt({dxx}) * sqrt({dyy})) "
+        f"ELSE CAST(NULL AS DOUBLE) END"
+    )
+
+
+def max_drawdown(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | str | None = None,
+    order: list[str] | str = "ts",
+) -> DataFrame:
+    """Maximum drawdown per key over an integer-scaled price series:
+    the largest peak-to-trough drop, both in absolute integer units
+    (``max_dd``) and as a fraction of the peak (``max_dd_pct``).
+    ``order`` must be unique within a key (pass a tiebreak column).
+
+    One keyed WindowExec computes the running peak (exact integer max);
+    the per-key reduction is then max of integers / max of per-row
+    double ratios — both order-independent aggregates, so the result is
+    deterministic AND bit-portable (no float summation anywhere).
+    Rows where the running peak is 0 contribute no pct (guarded NULL,
+    never 0/0 NaN)."""
+    if isinstance(by, str):
+        by = [by]
+    by = by or []
+    if isinstance(order, str):
+        order = [order]
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    peak = F.max(value_col).over(w)
+    dd = (peak - F.col(value_col)).alias("__dd")
+    staged = df.select(
+        *by,
+        dd,
+        F.when(
+            peak > 0, (peak - F.col(value_col)).cast("double") / peak.cast("double")
+        ).alias("__ddp"),
+    )
+    return staged.groupBy(*by).agg(
+        F.max("__dd").cast("long").alias("max_dd"),
+        F.max("__ddp").alias("max_dd_pct"),
+    )

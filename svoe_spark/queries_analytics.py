@@ -1,0 +1,377 @@
+"""Event-sequence analytics queries (funnel / retention / interval
+concurrency) with DuckDB oracles.
+
+The funnel oracle is code-generated from the SAME step list as the
+Spark plan (events_analytics.funnel_sql), so the two sides cannot
+drift; the other oracles restate the relational decomposition directly
+— every sum is integer (bit-exact across engines) and every output
+column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from svoe_spark.operators.events_analytics import (
+    funnel,
+    funnel_sql,
+    interval_concurrency,
+    retention_cohorts,
+)
+from svoe_spark.queries import query
+from svoe_spark.sources.tables import load_table
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+FUNNEL_WITHIN = "72h"
+
+
+@query("funnel_view_click_purchase", funnel_sql(FUNNEL_STEPS, within=FUNNEL_WITHIN))
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel with a 72h conversion horizon anchored at
+    the first view. Chained min-agg + user-key equi-joins — no event
+    arrays, no window over a user's whole history."""
+    return funnel(
+        load_table(spark, "events", sf_dir), FUNNEL_STEPS, within=FUNNEL_WITHIN
+    )
+
+
+@query(
+    "retention_day_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id AS u, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY 1
+    ),
+    active AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events)
+    SELECT cohort_day,
+           CAST(datediff('day', cohort_day, d) AS BIGINT) AS offset_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM active JOIN firsts USING (u)
+    WHERE datediff('day', cohort_day, d) <= 14
+    GROUP BY 1, 2
+    """,
+)
+def retention_day_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-grain retention triangle out to offset 14. Two aggregates +
+    one user-key join; offset-0 rows are the cohort sizes."""
+    return retention_cohorts(
+        load_table(spark, "events", sf_dir), max_offset_days=14
+    )
+
+
+@query(
+    "concurrent_open_orders",
+    """
+    WITH iv AS (
+      SELECT o.o_orderpriority AS priority, o.o_orderdate AS s,
+             MAX(l.l_shipdate) AS e
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    ),
+    deltas AS (
+      SELECT priority, s AS ts, 1 AS d FROM iv
+      UNION ALL
+      SELECT priority, e AS ts, -1 AS d FROM iv
+    ),
+    net AS (SELECT priority, ts, SUM(d) AS nd FROM deltas GROUP BY 1, 2)
+    SELECT priority, ts,
+           CAST(SUM(nd) OVER (
+             PARTITION BY priority ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS concurrent
+    FROM net
+    """,
+)
+def concurrent_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many orders of each priority were open — placed but not yet
+    fully shipped, interval [o_orderdate, max l_shipdate) — at every
+    boundary instant. Sweep line: net deltas per (priority, instant),
+    then a running sum partitioned by priority (5 parallel sweeps, each
+    over ~|distinct dates| rows, not |orders|)."""
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    iv = (
+        orders.join(
+            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+        )
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("shipped"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("start"),
+            F.col("shipped").alias("end"),
+        )
+    )
+    return interval_concurrency(iv, "start", "end", by="priority")
+
+
+GAPFILL_STEP_US = 6 * 3600 * 1_000_000
+
+
+@query(
+    "gapfill_linear_6h",
+    f"""
+    WITH data AS (
+      SELECT event_type, ts, MAX(value) AS value FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(ts) AS mn, MAX(ts) AS mx FROM data GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type,
+             UNNEST(generate_series(
+               make_timestamp((epoch_us(mn) // {GAPFILL_STEP_US})
+                              * {GAPFILL_STEP_US}),
+               mx, INTERVAL 6 HOUR)) AS ts
+      FROM bounds
+    ),
+    u AS (
+      SELECT event_type, ts, value, 0 AS is_grid FROM data
+      UNION ALL
+      SELECT event_type, ts, CAST(NULL AS DOUBLE), 1 FROM grid
+    ),
+    w AS (
+      SELECT event_type, ts, is_grid,
+        LAST_VALUE(value IGNORE NULLS) OVER win_b AS pv,
+        LAST_VALUE(CASE WHEN value IS NOT NULL THEN epoch_us(ts) END
+                   IGNORE NULLS) OVER win_b AS pt,
+        FIRST_VALUE(value IGNORE NULLS) OVER win_f AS nv,
+        FIRST_VALUE(CASE WHEN value IS NOT NULL THEN epoch_us(ts) END
+                    IGNORE NULLS) OVER win_f AS nt,
+        epoch_us(ts) AS t
+      FROM u
+      WINDOW
+        win_b AS (PARTITION BY event_type ORDER BY ts, is_grid
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        win_f AS (PARTITION BY event_type ORDER BY ts, is_grid
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, ts, pv AS locf,
+           CASE WHEN pt = t THEN pv
+                ELSE pv + (nv - pv) * (CAST(t - pt AS DOUBLE)
+                                       / CAST(nt - pt AS DOUBLE))
+           END AS interp
+    FROM w WHERE is_grid = 1
+    """,
+)
+def gapfill_linear_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timescaledb-style time_bucket_gapfill on a 6h grid per
+    event_type, with locf AND linear-interpolation fills. Duplicate
+    instants are pre-collapsed (MAX) so the window order key is unique;
+    the interpolation ratio is int64-microsecond arithmetic cast to
+    double, bit-identical across engines."""
+    from svoe_spark.operators.resample import resample_interpolate
+
+    data = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("event_type", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    return resample_interpolate(
+        data, on="ts", by="event_type", every="6h", value_col="value"
+    )
+
+
+def _rolling_corr_oracle() -> str:
+    from svoe_spark.operators.quant import pearson_sql
+    from svoe_spark.queries import _TICKS_SQL
+
+    moments = {
+        "n": "CAST(COUNT(*) OVER win AS BIGINT)",
+        "sx": "CAST(SUM(value_c) OVER win AS BIGINT)",
+        "sy": "CAST(SUM(qty) OVER win AS BIGINT)",
+        "sxy": "CAST(SUM(value_c * qty) OVER win AS BIGINT)",
+        "sxx": "CAST(SUM(value_c * value_c) OVER win AS BIGINT)",
+        "syy": "CAST(SUM(qty * qty) OVER win AS BIGINT)",
+    }
+    mom_sql = ",\n        ".join(f"{e} AS {a}" for a, e in moments.items())
+    return (
+        _TICKS_SQL
+        + f"""
+    , w AS (
+      SELECT event_type, ts, event_id,
+        {mom_sql}
+      FROM ticks
+      WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 50 PRECEDING AND CURRENT ROW)
+    ),
+    c AS (
+      SELECT event_type, ts, event_id,
+             {pearson_sql("n", "sx", "sy", "sxy", "sxx", "syy")} AS corr_50
+      FROM w
+    ),
+    r AS (
+      SELECT event_type, ts, corr_50,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM c
+    )
+    SELECT event_type, ts, corr_50 FROM r WHERE rn = 1
+    """
+    )
+
+
+@query("rolling_corr_price_qty", _rolling_corr_oracle())
+def rolling_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 51-row Pearson correlation between cents price and
+    traded quantity per instrument, sampled at the last tick of every
+    hour. Exact int64 moments + one fixed double combination — the
+    oracle is generated from the same pearson_sql twin."""
+    from pyspark.sql import Window
+
+    from svoe_spark.operators.quant import rolling_corr
+    from svoe_spark.queries import ticks
+
+    t = ticks(spark, sf_dir)
+    c = rolling_corr(
+        t,
+        "value_c",
+        "qty",
+        by="event_type",
+        order=["ts", "event_id"],
+        window_rows=50,
+        out="corr_50",
+    )
+    w = Window.partitionBy(
+        "event_type", F.date_trunc("hour", "ts")
+    ).orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        c.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("event_type", "ts", "corr_50")
+    )
+
+
+def _pairwise_corr_oracle() -> str:
+    from svoe_spark.operators.quant import pearson_sql
+    from svoe_spark.queries import _TICKS_SQL
+
+    return (
+        _TICKS_SQL
+        + f"""
+    , series AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(SUM(value_c) AS BIGINT) AS v
+      FROM ticks GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.event_type AS key_x, b.event_type AS key_y,
+             a.v AS vx, b.v AS vy
+      FROM series a JOIN series b USING (bucket)
+      WHERE a.event_type < b.event_type
+    ),
+    m AS (
+      SELECT key_x, key_y,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(vx) AS BIGINT) AS sx,
+             CAST(SUM(vy) AS BIGINT) AS sy,
+             CAST(SUM(vx * vy) AS BIGINT) AS sxy,
+             CAST(SUM(vx * vx) AS BIGINT) AS sxx,
+             CAST(SUM(vy * vy) AS BIGINT) AS syy
+      FROM p GROUP BY 1, 2
+    )
+    SELECT key_x, key_y, n AS n_buckets,
+           {pearson_sql("n", "sx", "sy", "sxy", "sxx", "syy")} AS corr
+    FROM m WHERE n >= 2
+    """
+    )
+
+
+@query("pairwise_corr_types", _pairwise_corr_oracle())
+def pairwise_corr_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instrument-correlation panel: Pearson correlation of hourly
+    cents-notional between every unordered pair of event types. The
+    self-join runs on the tiny (type, hour) panel, never the ticks."""
+    from svoe_spark.operators.quant import pairwise_corr
+    from svoe_spark.queries import ticks
+
+    t = ticks(spark, sf_dir)
+    series = t.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.sum("value_c").alias("v"))
+    return pairwise_corr(series, "event_type", "bucket", "v")
+
+
+def _temperature_oracle() -> str:
+    from svoe_spark.functions.text import sql_md5_hash
+
+    key = sql_md5_hash("CAST(doc_id AS VARCHAR)")
+    two_60 = float(1 << 60)
+    return f"""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1
+    ),
+    w AS (
+      SELECT lang, n,
+             CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS wt
+      FROM counts
+    ),
+    tot AS (SELECT CAST(SUM(wt) AS BIGINT) AS S FROM w),
+    rates AS (
+      SELECT lang,
+             LEAST(CAST(1.0 AS DOUBLE),
+                   CAST(250 AS DOUBLE) * CAST(wt AS DOUBLE)
+                   / CAST(S AS DOUBLE) / CAST(n AS DOUBLE)) AS rate
+      FROM w CROSS JOIN tot
+    )
+    SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM documents d JOIN rates r ON r.lang = d.lang
+    WHERE ({key}) < CAST(FLOOR(r.rate * {two_60}) AS BIGINT)
+    GROUP BY 1
+    """
+
+
+@query("temperature_mixture_langs", _temperature_oracle())
+def temperature_mixture_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tau=0.5 temperature rebalancing over the skewed `lang` column
+    (the mC4/T5 multilingual mixing rule): small languages are
+    up-weighted via exact integer weights floor(sqrt(n)); the draw is
+    the layout-invariant md5 threshold, so the oracle reproduces the
+    exact kept set."""
+    from svoe_spark.operators.curation import temperature_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    kept = temperature_sample(
+        docs, source_col="lang", id_col="doc_id", target_n=250, tau=0.5
+    )
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+
+
+def _drawdown_oracle() -> str:
+    from svoe_spark.queries import _TICKS_SQL
+
+    return (
+        _TICKS_SQL
+        + """
+    , p AS (
+      SELECT event_type, value_c,
+             MAX(value_c) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM ticks
+    )
+    SELECT event_type,
+           CAST(MAX(peak - value_c) AS BIGINT) AS max_dd,
+           MAX(CASE WHEN peak > 0
+                    THEN CAST(peak - value_c AS DOUBLE) / CAST(peak AS DOUBLE)
+               END) AS max_dd_pct
+    FROM p GROUP BY 1
+    """
+    )
+
+
+@query("max_drawdown_by_type", _drawdown_oracle())
+def max_drawdown_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum peak-to-trough drawdown per instrument over cents
+    prices — one keyed WindowExec for the running peak, then
+    order-independent max aggregates (no float summation), so the
+    doubles are bit-portable."""
+    from svoe_spark.operators.quant import max_drawdown
+    from svoe_spark.queries import ticks
+
+    t = ticks(spark, sf_dir)
+    return max_drawdown(
+        t, "value_c", by="event_type", order=["ts", "event_id"]
+    )

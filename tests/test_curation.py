@@ -309,3 +309,50 @@ def test_pps_sample_inclusion_proportional_to_weight(spark):
     # heavy rows are 10x likelier per row: 20 heavy vs 180 light rows
     # carry 200 vs 180 weight -> roughly equal total hits
     assert 0.5 < hits[True] / hits[False] < 2.0
+
+
+def test_temperature_sample_rebalances(spark):
+    from svoe_spark.operators.curation import temperature_sample
+
+    # 900 'big' docs vs 100 'small': natural mix 9:1, tau=0.5 weights
+    # 30:10 -> small is up-weighted 3x relative to natural
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = temperature_sample(df, target_n=400, tau=0.5).groupBy("source").count()
+    got = {r["source"]: r["count"] for r in kept.collect()}
+    # expected: big 400*(30/40) = 300, small 400*(10/40) = 100 (rate 1.0
+    # -> all 100 small docs kept with certainty)
+    assert got["small"] == 100
+    assert 240 <= got["big"] <= 360  # binomial around 300
+
+
+def test_temperature_sample_tau_extremes_and_validation(spark):
+    import pytest
+
+    from svoe_spark.operators.curation import temperature_sample
+
+    rows = [(i, "a" if i < 600 else "b") for i in range(800)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # tau=1: natural distribution -> same rate everywhere
+    kept1 = temperature_sample(df, target_n=200, tau=1.0)
+    # tau=0: uniform target -> equal EXPECTED counts per source
+    kept0 = temperature_sample(df, target_n=200, tau=0.0)
+    g1 = {r["source"]: r["count"] for r in kept1.groupBy("source").count().collect()}
+    g0 = {r["source"]: r["count"] for r in kept0.groupBy("source").count().collect()}
+    assert g1["a"] > g1["b"]  # natural 3:1 mix preserved
+    assert abs(g0["a"] - g0["b"]) < 60  # both expect 100
+    with pytest.raises(ValueError):
+        temperature_sample(df, tau=0.7)
+
+
+def test_temperature_sample_layout_invariant(spark):
+    from svoe_spark.operators.curation import temperature_sample
+
+    rows = [(i, f"s{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = {r["doc_id"] for r in temperature_sample(df, target_n=100).collect()}
+    b = {
+        r["doc_id"]
+        for r in temperature_sample(df.repartition(7), target_n=100).collect()
+    }
+    assert a == b

@@ -1,0 +1,118 @@
+"""rolling_corr / pairwise_corr: numpy ground truth, determinism
+shape, degenerate series, single-sort plan."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from svoe_spark.operators.quant import pairwise_corr, rolling_corr
+
+
+@pytest.fixture(scope="module")
+def xy(spark):
+    rng = np.random.RandomState(7)
+    xs = rng.randint(0, 1000, size=40).tolist()
+    ys = (np.array(xs) * 2 + rng.randint(0, 500, size=40)).tolist()
+    rows = [("k", i, int(x), int(y)) for i, (x, y) in enumerate(zip(xs, ys))]
+    df = spark.createDataFrame(rows, "g string, i long, x long, y long")
+    return df, xs, ys
+
+
+def test_rolling_matches_numpy(spark, xy):
+    df, xs, ys = xy
+    got = {
+        r["i"]: r["corr"]
+        for r in rolling_corr(df, "x", "y", by="g", order="i", window_rows=9).collect()
+    }
+    for i in range(len(xs)):
+        lo = max(0, i - 9)
+        want = np.corrcoef(xs[lo : i + 1], ys[lo : i + 1])[0, 1]
+        if math.isnan(want):
+            assert got[i] is None or math.isnan(got[i])
+        else:
+            assert got[i] == pytest.approx(want, rel=1e-12)
+
+
+def test_rolling_constant_series_null(spark):
+    df = spark.createDataFrame(
+        [("k", i, 5, i) for i in range(6)], "g string, i long, x long, y long"
+    )
+    assert all(
+        r["corr"] is None
+        for r in rolling_corr(df, "x", "y", by="g", order="i").collect()
+    )
+
+
+def test_rolling_single_windowexec(spark, xy):
+    df, _, _ = xy
+    plan = (
+        rolling_corr(df, "x", "y", by="g", order="i")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("+- Window") == 1
+
+
+def test_pairwise_matches_numpy(spark):
+    rng = np.random.RandomState(3)
+    series = {k: rng.randint(0, 100, size=12).tolist() for k in "abc"}
+    rows = [
+        (k, b, int(v)) for k, vs in series.items() for b, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(rows, "k string, b long, v long")
+    got = {
+        (r["key_x"], r["key_y"]): r["corr"]
+        for r in pairwise_corr(df, "k", "b", "v").collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    for (kx, ky), c in got.items():
+        want = np.corrcoef(series[kx], series[ky])[0, 1]
+        assert c == pytest.approx(want, rel=1e-12)
+
+
+def test_pairwise_inner_alignment(spark):
+    # key b missing bucket 2: the (a, b) corr uses buckets {0, 1} only
+    rows = [("a", 0, 1), ("a", 1, 2), ("a", 2, 3), ("b", 0, 2), ("b", 1, 5)]
+    df = spark.createDataFrame(rows, "k string, b long, v long")
+    out = pairwise_corr(df, "k", "b", "v").collect()
+    assert len(out) == 1 and out[0]["n_buckets"] == 2
+    assert out[0]["corr"] == pytest.approx(1.0)
+
+
+def test_registered_parity(spark, sf_small):
+    from svoe_spark.testing import run_parity
+
+    for name in ("rolling_corr_price_qty", "pairwise_corr_types", "gapfill_linear_6h"):
+        ok, msg = run_parity(spark, name, sf_small)
+        assert ok, msg
+
+
+def test_max_drawdown_hand_example(spark):
+    from svoe_spark.operators.quant import max_drawdown
+
+    rows = [("k", i, v) for i, v in enumerate([100, 120, 80, 110, 60, 90])]
+    df = spark.createDataFrame(rows, "g string, i long, v long")
+    out = max_drawdown(df, "v", by="g", order="i").collect()[0]
+    assert out["max_dd"] == 60  # peak 120 -> trough 60
+    assert out["max_dd_pct"] == pytest.approx(0.5)
+
+
+def test_max_drawdown_monotone_rising_is_zero(spark):
+    from svoe_spark.operators.quant import max_drawdown
+
+    df = spark.createDataFrame(
+        [("k", i, i * 10) for i in range(5)], "g string, i long, v long"
+    )
+    out = max_drawdown(df, "v", by="g", order="i").collect()[0]
+    assert out["max_dd"] == 0 and out["max_dd_pct"] == 0.0
+
+
+def test_max_drawdown_zero_peak_guard(spark):
+    from svoe_spark.operators.quant import max_drawdown
+
+    df = spark.createDataFrame([("k", 0, 0)], "g string, i long, v long")
+    out = max_drawdown(df, "v", by="g", order="i").collect()[0]
+    assert out["max_dd"] == 0 and out["max_dd_pct"] is None

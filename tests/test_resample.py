@@ -59,3 +59,67 @@ def test_matches_pandas_resample(spark, sf_small):
     for ts, v in want.items():
         g = got[ts.to_pydatetime()]
         assert (pd.isna(v) and g is None) or g == v
+
+
+def test_interpolate_midpoint_and_exact_hit(spark):
+    from svoe_spark.operators.resample import resample_interpolate
+
+    df = spark.createDataFrame(
+        [
+            ("k", dt.datetime(2024, 1, 1, 0), 10.0),
+            ("k", dt.datetime(2024, 1, 1, 2), 20.0),
+            ("k", dt.datetime(2024, 1, 1, 3), 14.0),
+        ],
+        "g string, ts timestamp, value double",
+    )
+    got = {
+        r["ts"]: (r["locf"], r["interp"])
+        for r in resample_interpolate(df, by="g", every="1h").collect()
+    }
+    assert got[dt.datetime(2024, 1, 1, 0)] == (10.0, 10.0)  # exact hit
+    assert got[dt.datetime(2024, 1, 1, 1)] == (10.0, 15.0)  # midpoint
+    assert got[dt.datetime(2024, 1, 1, 2)] == (20.0, 20.0)
+    assert got[dt.datetime(2024, 1, 1, 3)] == (14.0, 14.0)
+    assert len(got) == 4
+
+
+def test_interpolate_no_extrapolation(spark):
+    from svoe_spark.operators.resample import resample_interpolate
+
+    # observation at 00:30 only: the 00:00 grid row precedes the first
+    # observation -> both fills NULL there; 01:00 is past the last ->
+    # locf carries, interp does not extrapolate... max ts == 00:30 so
+    # the grid stops at 00:00 only; extend with a second point
+    df = spark.createDataFrame(
+        [
+            ("k", dt.datetime(2024, 1, 1, 0, 30), 5.0),
+            ("k", dt.datetime(2024, 1, 1, 1, 30), 7.0),
+        ],
+        "g string, ts timestamp, value double",
+    )
+    got = {
+        r["ts"]: (r["locf"], r["interp"])
+        for r in resample_interpolate(df, by="g", every="1h").collect()
+    }
+    assert got[dt.datetime(2024, 1, 1, 0)] == (None, None)  # before 1st obs
+    assert got[dt.datetime(2024, 1, 1, 1)] == (5.0, 6.0)
+
+
+def test_interpolate_two_running_windows_one_exchange(spark):
+    from svoe_spark.operators.resample import resample_interpolate
+
+    df = spark.createDataFrame(
+        [("k", dt.datetime(2024, 1, 1, 0), 1.0)],
+        "g string, ts timestamp, value double",
+    )
+    plan = resample_interpolate(df, by="g")._jdf.queryExecution().executedPlan().toString()
+    # two RUNNING frames (forward bracket = reversed sort), never a
+    # per-row-reaggregated [current, unboundedFollowing] frame; both
+    # windows reuse one hash exchange on the key
+    assert plan.count("+- Window") == 2
+    assert "unboundedfollowing" not in plan.lower()
+    # the two windows share one key exchange: only a Sort between them
+    # (the other Exchange in the plan feeds the grid's min/max agg)
+    first = plan.index("Window [")
+    second = plan.index("Window [", first + 1)
+    assert "Exchange" not in plan[first:second]
