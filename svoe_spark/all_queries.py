@@ -82,6 +82,12 @@ _DRIVER_PRIORITY = [
     "pairwise_corr_types",
     "temperature_mixture_langs",
     "max_drawdown_by_type",
+    "purged_folds_counts",
+    # The two entries below overflow the 50-slot window this round
+    # (52 priority names); they stay oracle-green in the local
+    # full-registry sweep and rotate into the driver window next round.
+    "mad_outlier_top20",
+    "candle_patterns_1h",
 ]
 
 # (c) refill: relational core in CORRECTNESS_r02 order (last green r2).

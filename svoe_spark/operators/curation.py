@@ -441,3 +441,71 @@ def temperature_sample(
         .where(key < F.floor(F.col("__rate") * F.lit(float(1 << 60))).cast("long"))
         .drop("__rate")
     )
+
+
+def purged_time_folds(
+    df: DataFrame,
+    ts_col: str = "ts",
+    n_folds: int = 5,
+    embargo: str | float = 0,
+    out_fold: str = "fold",
+    out_role: str = "role",
+) -> DataFrame:
+    """Purged k-fold split for time-series cross-validation (the
+    Lopez de Prado backtest-leakage rule): time is cut into ``n_folds``
+    equal-width contiguous test windows; for each fold every row is
+    labeled 'test' (inside the window), 'purged' (within ``embargo``
+    of the window on either side — dropped so labels that OVERLAP the
+    test horizon never leak into training), or 'train'.
+
+    Returns the input crossed with the fold axis: one row per
+    (row, fold) with ``fold`` and ``role`` columns — k is small, so
+    the explosion is the point (each fold's train/test view is a
+    filter away).
+
+    Determinism/portability: fold boundaries are pure int64-microsecond
+    arithmetic on the global (min, max) — lo + i*(span//k) with the
+    last fold absorbing the remainder — so any engine reproduces the
+    exact assignment. Scale: one 2-value agg, then a broadcast 5-row
+    cross join over narrow expressions; no shuffle touches the big
+    side until the caller aggregates.
+    """
+    from svoe_spark.functions.time import duration_to_seconds
+
+    if n_folds < 2:
+        raise ValueError("purged_time_folds needs n_folds >= 2")
+    emb_us = int(duration_to_seconds(embargo) * 1_000_000)
+    t = F.unix_micros(F.col(ts_col))
+    folds = df.sparkSession.range(n_folds).select(
+        F.col("id").cast("int").alias(out_fold)
+    )
+    bounds = df.agg(
+        F.min(t).alias("__lo"), (F.max(t) + 1).alias("__hi")
+    )
+    # integer division (SQL `div`), never float: exact at any span
+    width = F.expr(f"(__hi - __lo) div {n_folds}")
+    fold_axis = F.broadcast(
+        folds.crossJoin(F.broadcast(bounds)).select(
+            out_fold,
+            (F.col("__lo") + F.col(out_fold) * width).alias("__fs"),
+            F.when(
+                F.col(out_fold) == n_folds - 1, F.col("__hi")
+            )
+            .otherwise(F.col("__lo") + (F.col(out_fold) + 1) * width)
+            .alias("__fe"),
+        )
+    )
+    role = (
+        F.when((t >= F.col("__fs")) & (t < F.col("__fe")), F.lit("test"))
+        .when(
+            (t >= F.col("__fs") - F.lit(emb_us))
+            & (t < F.col("__fe") + F.lit(emb_us)),
+            F.lit("purged"),
+        )
+        .otherwise(F.lit("train"))
+    )
+    return (
+        df.crossJoin(fold_axis)
+        .withColumn(out_role, role)
+        .drop("__fs", "__fe")
+    )

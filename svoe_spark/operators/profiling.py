@@ -330,3 +330,48 @@ def order_statistics_sql(
     ostat AS (SELECT {g_cols}q, __v AS {out}
               FROM ostat_r JOIN ostat_t {g_join})
     """
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    out_dev: str = "dev",
+    out_score: str = "score",
+) -> DataFrame:
+    """Median/MAD robust outlier scoring per group over an INTEGER
+    column: dev = |x - median|, score = dev / MAD where MAD is the
+    median absolute deviation — the standard heavy-tail-safe
+    alternative to mean/stddev z-scores (one wild value cannot drag
+    the threshold). Both medians are exact type-1 order statistics
+    (`order_statistics`), so every intermediate is an exact integer
+    and the one final division is bit-portable. Rows in groups with
+    MAD = 0 (majority-constant groups) get a NULL score rather than
+    0/0.
+
+    Scale shape: two ranked passes (the order-statistic plan) + two
+    broadcast joins of |groups|-row relations into narrow projections.
+    """
+    groups = list(group_cols or [])
+    med = order_statistics(df, value_col, [0.5], groups, out="__med").select(
+        *groups, "__med"
+    )
+    j1 = df.join(F.broadcast(med), groups) if groups else df.crossJoin(
+        F.broadcast(med)
+    )
+    dev_df = j1.withColumn(out_dev, F.abs(F.col(value_col) - F.col("__med")))
+    mad = order_statistics(dev_df, out_dev, [0.5], groups, out="__mad").select(
+        *groups, "__mad"
+    )
+    j2 = (
+        dev_df.join(F.broadcast(mad), groups)
+        if groups
+        else dev_df.crossJoin(F.broadcast(mad))
+    )
+    return j2.withColumn(
+        out_score,
+        F.when(
+            F.col("__mad") > 0,
+            F.col(out_dev).cast("double") / F.col("__mad").cast("double"),
+        ),
+    ).drop("__med", "__mad")

@@ -199,3 +199,58 @@ def max_drawdown(
         F.max("__dd").cast("long").alias("max_dd"),
         F.max("__ddp").alias("max_dd_pct"),
     )
+
+
+def candle_patterns(
+    bars: DataFrame,
+    by: list[str] | str = "event_type",
+    order: str = "window_start",
+    open_c: str = "open_c",
+    high_c: str = "high_c",
+    low_c: str = "low_c",
+    close_c: str = "close_c",
+    doji_pct: int = 10,
+) -> DataFrame:
+    """Classic candlestick pattern flags over integer-cents OHLC bars:
+
+      * ``is_doji`` — body no larger than ``doji_pct``% of the bar
+        range (indecision bar; zero-range bars excluded);
+      * ``is_bullish_engulfing`` — previous bar red, current green,
+        and the current body engulfs the previous body;
+      * ``is_bearish_engulfing`` — the mirror image.
+
+    Every comparison is integer arithmetic (the percent test is
+    body*100 <= range*doji_pct — no division), so flags are
+    bit-portable. One keyed WindowExec provides the two lag columns;
+    bars-per-key is bounded by the time range, the usual
+    bounded-window contract."""
+    if isinstance(by, str):
+        by = [by]
+    w = Window.partitionBy(*by).orderBy(order)
+    po, pc = F.lag(open_c).over(w), F.lag(close_c).over(w)
+    o, c = F.col(open_c), F.col(close_c)
+    body = F.abs(c - o)
+    rng = F.col(high_c) - F.col(low_c)
+    return bars.select(
+        *by,
+        order,
+        open_c,
+        high_c,
+        low_c,
+        close_c,
+        ((rng > 0) & (body * 100 <= rng * doji_pct)).alias("is_doji"),
+        (
+            pc.isNotNull()
+            & (pc < po)  # previous red
+            & (c > o)  # current green
+            & (o <= pc)
+            & (c >= po)  # engulfs previous body
+        ).alias("is_bullish_engulfing"),
+        (
+            pc.isNotNull()
+            & (pc > po)
+            & (c < o)
+            & (o >= pc)
+            & (c <= po)
+        ).alias("is_bearish_engulfing"),
+    )

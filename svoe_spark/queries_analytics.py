@@ -375,3 +375,182 @@ def max_drawdown_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return max_drawdown(
         t, "value_c", by="event_type", order=["ts", "event_id"]
     )
+
+
+PURGE_EMBARGO_US = 12 * 3600 * 1_000_000
+
+
+@query(
+    "purged_folds_counts",
+    f"""
+    WITH b AS (
+      SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) + 1 AS hi FROM events
+    ),
+    folds AS (SELECT UNNEST(generate_series(0, 4)) AS fold),
+    fa AS (
+      SELECT fold,
+             lo + fold * ((hi - lo) // 5) AS fs,
+             CASE WHEN fold = 4 THEN hi
+                  ELSE lo + (fold + 1) * ((hi - lo) // 5) END AS fe
+      FROM folds CROSS JOIN b
+    ),
+    r AS (
+      SELECT CAST(fa.fold AS BIGINT) AS fold,
+             CASE WHEN epoch_us(e.ts) >= fs AND epoch_us(e.ts) < fe
+                    THEN 'test'
+                  WHEN epoch_us(e.ts) >= fs - {PURGE_EMBARGO_US}
+                   AND epoch_us(e.ts) < fe + {PURGE_EMBARGO_US}
+                    THEN 'purged'
+                  ELSE 'train' END AS role
+      FROM events e CROSS JOIN fa
+    )
+    SELECT fold, role, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM r GROUP BY 1, 2
+    """,
+)
+def purged_folds_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged 5-fold time-series CV over the event stream with a 12h
+    embargo: per (fold, role) row counts. Fold boundaries are exact
+    int64-µs arithmetic, so the assignment is engine-reproducible."""
+    from svoe_spark.operators.curation import purged_time_folds
+
+    ev = load_table(spark, "events", sf_dir)
+    lab = purged_time_folds(ev, n_folds=5, embargo="12h")
+    return lab.groupBy(
+        F.col("fold").cast("long").alias("fold"), "role"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+
+
+def _mad_oracle() -> str:
+    from svoe_spark.queries import _TICKS_SQL
+
+    return (
+        _TICKS_SQL
+        + """
+    , n1 AS (SELECT event_type, COUNT(*) AS n FROM ticks GROUP BY 1),
+    r1 AS (
+      SELECT event_type, value_c,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value_c) AS rk
+      FROM ticks
+    ),
+    med AS (
+      SELECT r1.event_type, r1.value_c AS med
+      FROM r1 JOIN n1 USING (event_type)
+      WHERE rk = (n - 1) // 2 + 1
+    ),
+    d AS (
+      SELECT t.event_type, t.event_id, ABS(t.value_c - med.med) AS dev
+      FROM ticks t JOIN med USING (event_type)
+    ),
+    n2 AS (SELECT event_type, COUNT(*) AS n FROM d GROUP BY 1),
+    r2 AS (
+      SELECT event_type, dev,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev) AS rk
+      FROM d
+    ),
+    mad AS (
+      SELECT r2.event_type, r2.dev AS mad
+      FROM r2 JOIN n2 USING (event_type)
+      WHERE rk = (n - 1) // 2 + 1
+    ),
+    s AS (
+      SELECT d.event_type, d.event_id, d.dev,
+             CASE WHEN mad.mad > 0
+                  THEN CAST(d.dev AS DOUBLE) / CAST(mad.mad AS DOUBLE)
+             END AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.event_type
+               ORDER BY d.dev DESC, d.event_id) AS rn
+      FROM d JOIN mad USING (event_type)
+    )
+    SELECT event_type, event_id, dev, score FROM s WHERE rn <= 20
+    """
+    )
+
+
+@query("mad_outlier_top20", _mad_oracle())
+def mad_outlier_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier scoring per instrument (exact type-1
+    medians -> exact integer deviations -> one portable division),
+    keeping the 20 most deviant ticks per type (dev is the integer
+    sort key, so the top-k is deterministic)."""
+    from pyspark.sql import Window
+
+    from svoe_spark.operators.profiling import robust_outliers
+    from svoe_spark.queries import ticks
+
+    t = ticks(spark, sf_dir)
+    scored = robust_outliers(t, "value_c", ["event_type"])
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("dev").desc(), F.col("event_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 20)
+        .select("event_type", "event_id", "dev", "score")
+    )
+
+
+def _candle_oracle() -> str:
+    from svoe_spark.queries import _TICKS_SQL
+
+    return (
+        _TICKS_SQL
+        + """
+    , bars AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             arg_min(value_c, event_id) AS open_c,
+             MAX(value_c) AS high_c,
+             MIN(value_c) AS low_c,
+             arg_max(value_c, event_id) AS close_c
+      FROM ticks GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT bars.*,
+             LAG(open_c) OVER w AS po, LAG(close_c) OVER w AS pc
+      FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY window_start)
+    ),
+    f AS (
+      SELECT event_type, window_start, open_c, high_c, low_c, close_c,
+             (high_c - low_c > 0
+              AND ABS(close_c - open_c) * 100 <= (high_c - low_c) * 10)
+               AS is_doji,
+             (pc IS NOT NULL AND pc < po AND close_c > open_c
+              AND open_c <= pc AND close_c >= po) AS is_bullish_engulfing,
+             (pc IS NOT NULL AND pc > po AND close_c < open_c
+              AND open_c >= pc AND close_c <= po) AS is_bearish_engulfing
+      FROM p
+    )
+    SELECT * FROM f
+    WHERE is_doji OR is_bullish_engulfing OR is_bearish_engulfing
+    """
+    )
+
+
+@query("candle_patterns_1h", _candle_oracle())
+def candle_patterns_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick pattern flags (doji, bullish/bearish engulfing)
+    over hourly integer-cents OHLC bars — all comparisons integer
+    (the doji percent test is cross-multiplied, no division), one
+    keyed lag window over the tiny bar relation."""
+    from svoe_spark.functions.time import bucket_start
+    from svoe_spark.operators.quant import candle_patterns
+    from svoe_spark.queries import ticks
+
+    t = ticks(spark, sf_dir)
+    bars = t.groupBy(
+        "event_type", bucket_start("ts", "1h").alias("window_start")
+    ).agg(
+        F.min_by("value_c", "event_id").alias("open_c"),
+        F.max("value_c").alias("high_c"),
+        F.min("value_c").alias("low_c"),
+        F.max_by("value_c", "event_id").alias("close_c"),
+    )
+    flagged = candle_patterns(bars)
+    return flagged.where(
+        F.col("is_doji")
+        | F.col("is_bullish_engulfing")
+        | F.col("is_bearish_engulfing")
+    )

@@ -120,3 +120,79 @@ def test_registered_parity(spark, sf_small):
     ):
         ok, msg = run_parity(spark, name, sf_small)
         assert ok, msg
+
+
+def test_purged_time_folds_roles(spark):
+    from svoe_spark.operators.curation import purged_time_folds
+
+    # 10 points at seconds 0..9 -> lo=0, hi=9s+1us, width=(9s+1)//2
+    rows = [(i, dt.datetime(2024, 1, 1, 0, 0, i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "i long, ts timestamp")
+    lab = purged_time_folds(df, n_folds=2, embargo="2s")
+    got = {(r["i"], r["fold"]): r["role"] for r in lab.collect()}
+    assert len(got) == 20  # every row labeled for every fold
+    # fold 0 test window = [0s, 4.5s): seconds 0..4 test; 5,6 purged
+    assert got[(0, 0)] == "test" and got[(4, 0)] == "test"
+    assert got[(5, 0)] == "purged" and got[(6, 0)] == "purged"
+    assert got[(7, 0)] == "train"
+    # fold 1 test window = [4.5s, hi): 5..9 test; 3,4 purged (embargo)
+    assert got[(5, 1)] == "test" and got[(9, 1)] == "test"
+    assert got[(4, 1)] == "purged" and got[(3, 1)] == "purged"
+    assert got[(2, 1)] == "train"
+
+
+def test_purged_time_folds_validation(spark):
+    from svoe_spark.operators.curation import purged_time_folds
+
+    df = spark.createDataFrame([(1, dt.datetime(2024, 1, 1))], "i long, ts timestamp")
+    with pytest.raises(ValueError):
+        purged_time_folds(df, n_folds=1)
+
+
+def test_robust_outliers_hand_example(spark):
+    from svoe_spark.operators.profiling import robust_outliers
+
+    # values 1..7 plus wild 1000: median = 5th smallest of 8 = 4 (k =
+    # floor(7*0.5)+1 = 4... values sorted: 1,2,3,4,5,6,7,1000 -> k=4
+    # -> med=4; devs: 3,2,1,0,1,2,3,996 sorted 0,1,1,2,2,3,3,996 ->
+    # mad = 4th = 2
+    vals = [1, 2, 3, 4, 5, 6, 7, 1000]
+    df = spark.createDataFrame([("g", i, v) for i, v in enumerate(vals)],
+                               "g string, i long, v long")
+    got = {r["v"]: (r["dev"], r["score"]) for r in
+           robust_outliers(df, "v", ["g"]).collect()}
+    assert got[4] == (0, 0.0)
+    assert got[1000] == (996, 498.0)
+    assert got[1] == (3, 1.5)
+
+
+def test_robust_outliers_zero_mad_guarded(spark):
+    from svoe_spark.operators.profiling import robust_outliers
+
+    df = spark.createDataFrame(
+        [("g", i, 5 if i < 4 else 9) for i in range(5)],
+        "g string, i long, v long",
+    )
+    rows = robust_outliers(df, "v", ["g"]).collect()
+    assert all(r["score"] is None for r in rows)  # MAD = 0
+
+
+def test_candle_patterns_hand_bars(spark):
+    from svoe_spark.operators.quant import candle_patterns
+
+    # bar1: red 110->90; bar2: green 85->115 engulfing bar1's body;
+    # bar3: doji open=close inside a 40-wide range
+    bars = spark.createDataFrame(
+        [
+            ("k", 1, 110, 120, 80, 90),
+            ("k", 2, 85, 125, 80, 115),
+            ("k", 3, 100, 130, 90, 101),
+        ],
+        "event_type string, window_start long, open_c long, high_c long, "
+        "low_c long, close_c long",
+    )
+    got = {r["window_start"]: r for r in candle_patterns(bars).collect()}
+    assert not got[1]["is_bullish_engulfing"]
+    assert got[2]["is_bullish_engulfing"] and not got[2]["is_bearish_engulfing"]
+    assert got[3]["is_doji"]  # body 1 <= 10% of range 40
+    assert not got[2]["is_doji"]  # body 30 > 10% of range 45
