@@ -461,7 +461,9 @@ def purged_time_folds(
     Returns the input crossed with the fold axis: one row per
     (row, fold) with ``fold`` and ``role`` columns — k is small, so
     the explosion is the point (each fold's train/test view is a
-    filter away).
+    filter away). Rows with a NULL timestamp are DROPPED (they cannot
+    be placed relative to any test window, and letting them default
+    to 'train' would defeat the purge guarantee).
 
     Determinism/portability: fold boundaries are pure int64-microsecond
     arithmetic on the global (min, max) — lo + i*(span//k) with the
@@ -475,6 +477,9 @@ def purged_time_folds(
     if n_folds < 2:
         raise ValueError("purged_time_folds needs n_folds >= 2")
     emb_us = int(duration_to_seconds(embargo) * 1_000_000)
+    # a temporally unplaceable row must not fall through the window
+    # comparisons into 'train' for every fold — drop it up front
+    df = df.where(F.col(ts_col).isNotNull())
     t = F.unix_micros(F.col(ts_col))
     folds = df.sparkSession.range(n_folds).select(
         F.col("id").cast("int").alias(out_fold)

@@ -84,11 +84,11 @@ def funnel(
         nxt = nxt.where(F.col("__ts") > F.col("__prev"))
         if horizon is not None:
             nxt = nxt.where(F.col("__ts") <= F.col("__dl"))
-        agg = nxt.groupBy("__u").agg(F.min("__ts").alias("__m"))
-        if horizon is not None:
-            # the deadline is anchored at step 0: carry it through
-            agg = agg.join(reached.select("__u", "__dl"), "__u")
-        reached = agg
+        # __dl is functionally dependent on __u (anchored at step 0),
+        # so grouping by both carries the deadline through without a
+        # re-join per step
+        keys = ["__u", "__dl"] if horizon is not None else ["__u"]
+        reached = nxt.groupBy(*keys).agg(F.min("__ts").alias("__m"))
         counts.append(reached)
 
     out = None
@@ -117,6 +117,7 @@ def funnel_sql(
         from svoe_spark.functions.time import duration_to_seconds
 
         horizon = int(duration_to_seconds(within))
+    steps = [s.replace("'", "''") for s in steps]  # SQL-literal escape
     ctes = [
         f"s0 AS (SELECT {user_col} AS u, MIN({ts_col}) AS m FROM {table} "
         f"WHERE {type_col} = '{steps[0]}' GROUP BY 1)"
@@ -193,7 +194,10 @@ def interval_concurrency(
     then one running sum over a window partitioned by the sweep key.
     Ends collapse against starts at the same instant before the scan,
     which is exactly the half-open convention. Rows with a NULL start
-    or end are dropped (an unbounded interval has no finite sweep).
+    or end are dropped (an unbounded interval has no finite sweep),
+    and so are REVERSED intervals (end < start) — a reversed row would
+    place its -1 before its +1 and silently push the running count
+    negative. Empty intervals (end == start) net to zero and are kept.
 
     Parallel across keys; for ONE global key the net-delta relation is
     already collapsed to distinct instants (usually ≪ rows), and
@@ -204,7 +208,9 @@ def interval_concurrency(
         by = [by]
     by = by or []
     iv = intervals.where(
-        F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
+        F.col(start_col).isNotNull()
+        & F.col(end_col).isNotNull()
+        & (F.col(end_col) >= F.col(start_col))
     )
     deltas = iv.select(
         *by, F.col(start_col).alias("ts"), F.lit(1).alias("__d")

@@ -291,11 +291,20 @@ def order_statistics(
     ranked = df.select(*groups, value_col).withColumn(
         "__rn", F.row_number().over(w)
     )
-    on = groups + ["__rk"] if groups else ["__rk"]
-    return (
-        ranked.withColumnRenamed("__rn", "__rk")
-        .join(F.broadcast(targets), on)
-        .select(*groups, "q", F.col(value_col).alias(out))
+    ranked = ranked.withColumnRenamed("__rn", "__rk")
+    if not groups:
+        return ranked.join(F.broadcast(targets), ["__rk"]).select(
+            "q", F.col(value_col).alias(out)
+        )
+    # NULL-SAFE group equality — groupBy/window treat NULL as a real
+    # group, so a plain equi-join would silently drop its quantiles
+    for g in groups:
+        targets = targets.withColumnRenamed(g, f"__t_{g}")
+    cond = ranked["__rk"] == targets["__rk"]
+    for g in groups:
+        cond = cond & ranked[g].eqNullSafe(F.col(f"__t_{g}"))
+    return ranked.join(F.broadcast(targets), cond).select(
+        *[ranked[g] for g in groups], "q", F.col(value_col).alias(out)
     )
 
 
@@ -312,7 +321,14 @@ def order_statistics_sql(
     g_cols = "g, " if group_expr else ""
     g_grp = "GROUP BY g" if group_expr else ""
     g_part = "PARTITION BY g" if group_expr else ""
-    g_join = "USING (g, __rk)" if group_expr else "USING (__rk)"
+    # NULL-safe group match, mirroring the operator (groupBy/window
+    # treat NULL as a real group)
+    g_join = (
+        "ON ostat_r.g IS NOT DISTINCT FROM ostat_t.g"
+        " AND ostat_r.__rk = ostat_t.__rk"
+        if group_expr
+        else "USING (__rk)"
+    )
     # bare decimal literals parse as DECIMAL in DuckDB (pandas would
     # then coerce differently than Spark's double) — cast explicitly
     q_arms = " UNION ALL ".join(
@@ -327,7 +343,8 @@ def order_statistics_sql(
                        row_number() OVER ({g_part} ORDER BY {value_col})
                          AS __rk
                 FROM {table}),
-    ostat AS (SELECT {g_cols}q, __v AS {out}
+    ostat AS (SELECT {"ostat_r.g AS g, " if group_expr else ""}q,
+                     __v AS {out}
               FROM ostat_r JOIN ostat_t {g_join})
     """
 
@@ -353,21 +370,33 @@ def robust_outliers(
     broadcast joins of |groups|-row relations into narrow projections.
     """
     groups = list(group_cols or [])
+
+    def _attach(base: DataFrame, rel: DataFrame) -> DataFrame:
+        # NULL-SAFE key equality: order_statistics groups NULL keys
+        # like groupBy does, so a plain equi-join would silently drop
+        # every NULL-group row from the (row-preserving) output
+        if not groups:
+            return base.crossJoin(F.broadcast(rel))
+        for g in groups:
+            rel = rel.withColumnRenamed(g, f"__r_{g}")
+        cond = None
+        for g in groups:
+            c = base[g].eqNullSafe(F.col(f"__r_{g}"))
+            cond = c if cond is None else cond & c
+        return base.join(F.broadcast(rel), cond).drop(
+            *[f"__r_{g}" for g in groups]
+        )
+
     med = order_statistics(df, value_col, [0.5], groups, out="__med").select(
         *groups, "__med"
     )
-    j1 = df.join(F.broadcast(med), groups) if groups else df.crossJoin(
-        F.broadcast(med)
+    dev_df = _attach(df, med).withColumn(
+        out_dev, F.abs(F.col(value_col) - F.col("__med"))
     )
-    dev_df = j1.withColumn(out_dev, F.abs(F.col(value_col) - F.col("__med")))
     mad = order_statistics(dev_df, out_dev, [0.5], groups, out="__mad").select(
         *groups, "__mad"
     )
-    j2 = (
-        dev_df.join(F.broadcast(mad), groups)
-        if groups
-        else dev_df.crossJoin(F.broadcast(mad))
-    )
+    j2 = _attach(dev_df, mad)
     return j2.withColumn(
         out_score,
         F.when(

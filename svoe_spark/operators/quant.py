@@ -75,11 +75,15 @@ def rolling_corr(
         .orderBy(*order)
         .rowsBetween(-window_rows, 0)
     )
-    xc, yc = F.col(x), F.col(y)
+    # a row missing EITHER coordinate contributes to no moment — with
+    # a plain count(*) the moments disagree on which rows they saw and
+    # the "correlation" of mixed-null frames can exceed |1|
+    both = F.col(x).isNotNull() & F.col(y).isNotNull()
+    xc, yc = F.when(both, F.col(x)), F.when(both, F.col(y))
     return df.withColumn(
         out,
         _pearson(
-            F.count(F.lit(1)).over(w),
+            F.count(xc).over(w),
             F.sum(xc).over(w),
             F.sum(yc).over(w),
             F.sum(xc * yc).over(w),
@@ -117,8 +121,13 @@ def pairwise_corr(
         F.col(bucket_col).alias("__b"),
         F.col(value_col).alias("__vy"),
     )
-    pairs = a.join(b, "__b").where(F.col("key_x") < F.col("key_y"))
+    pairs = a.join(b, "__b").where(
+        F.col("key_x") < F.col("key_y")
+    )
     vx, vy = F.col("__vx"), F.col("__vy")
+    # same pair-completeness rule as rolling_corr: a bucket missing
+    # either side's value contributes to no moment
+    pairs = pairs.where(vx.isNotNull() & vy.isNotNull())
     agg = pairs.groupBy("key_x", "key_y").agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum(vx).alias("__sx"),

@@ -24,6 +24,36 @@ from svoe_spark.functions.time import duration_to_seconds
 from svoe_spark.operators.asof import asof_join
 
 
+def _grid_step(every: str | float) -> int:
+    """Whole-second grid step, validated: duration_to_seconds happily
+    returns fractions ('500ms' -> 0.5), which a silent int() would
+    truncate to step=0 and an empty grid."""
+    secs = duration_to_seconds(every)
+    step = int(secs)
+    if step < 1 or step != secs:
+        raise ValueError(
+            f"grid step must be a whole number of seconds >= 1, got {every!r}"
+        )
+    return step
+
+
+def _time_grid(df: DataFrame, on: str, by: list[str], step: int) -> DataFrame:
+    """Per-key regular grid: one row per (key, UTC-aligned ``step``
+    bucket) from floor(min ts) to max ts — built from a |keys|-row
+    (min, max) agg and exploded executor-side, never on the driver."""
+    bounds = df.groupBy(*by).agg(F.min(on).alias("__mn"), F.max(on).alias("__mx"))
+    return bounds.select(
+        *by,
+        F.explode(
+            F.sequence(
+                F.timestamp_seconds(F.floor(F.unix_timestamp("__mn") / step) * step),
+                F.col("__mx"),
+                F.expr(f"INTERVAL {step} SECOND"),
+            )
+        ).alias(on),
+    )
+
+
 def resample_ffill(
     df: DataFrame,
     on: str = "ts",
@@ -41,23 +71,7 @@ def resample_ffill(
     if isinstance(by, str):
         by = [by]
     by = by or []
-    step = int(duration_to_seconds(every))
-
-    bounds = df.groupBy(*by).agg(
-        F.min(on).alias("__mn"), F.max(on).alias("__mx")
-    )
-    grid = bounds.select(
-        *by,
-        F.explode(
-            F.sequence(
-                F.timestamp_seconds(
-                    F.floor(F.unix_timestamp("__mn") / step) * step
-                ),
-                F.col("__mx"),
-                F.expr(f"INTERVAL {step} SECOND"),
-            )
-        ).alias(on),
-    )
+    grid = _time_grid(df, on, by, _grid_step(every))
     return asof_join(
         grid,
         df,
@@ -106,19 +120,7 @@ def resample_interpolate(
     if isinstance(by, str):
         by = [by]
     by = by or []
-    step = int(duration_to_seconds(every))
-
-    bounds = df.groupBy(*by).agg(F.min(on).alias("__mn"), F.max(on).alias("__mx"))
-    grid = bounds.select(
-        *by,
-        F.explode(
-            F.sequence(
-                F.timestamp_seconds(F.floor(F.unix_timestamp("__mn") / step) * step),
-                F.col("__mx"),
-                F.expr(f"INTERVAL {step} SECOND"),
-            )
-        ).alias(on),
-    )
+    grid = _time_grid(df, on, by, _grid_step(every))
     data = df.select(*by, on, value_col)
     u = data.withColumn("__is_grid", F.lit(0)).unionByName(
         grid.withColumn(value_col, F.lit(None).cast(data.schema[value_col].dataType))

@@ -68,6 +68,7 @@ def retention_day_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
              MAX(l.l_shipdate) AS e
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
       GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+      HAVING MAX(l.l_shipdate) >= o.o_orderdate
     ),
     deltas AS (
       SELECT priority, s AS ts, 1 AS d FROM iv
@@ -88,7 +89,10 @@ def concurrent_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     fully shipped, interval [o_orderdate, max l_shipdate) — at every
     boundary instant. Sweep line: net deltas per (priority, instant),
     then a running sum partitioned by priority (5 parallel sweeps, each
-    over ~|distinct dates| rows, not |orders|)."""
+    over ~|distinct dates| rows, not |orders|). The synthetic fixture
+    ships ~20% of orders BEFORE their order date; those reversed
+    intervals are invalid and dropped by the operator (the oracle's
+    HAVING mirrors it)."""
     orders = load_table(spark, "orders", sf_dir)
     lineitem = load_table(spark, "lineitem", sf_dir)
     iv = (
@@ -177,13 +181,17 @@ def _rolling_corr_oracle() -> str:
     from svoe_spark.operators.quant import pearson_sql
     from svoe_spark.queries import _TICKS_SQL
 
+    # pair-completeness guard mirrors rolling_corr: a row missing
+    # either coordinate contributes to no moment
+    xg = "CASE WHEN value_c IS NOT NULL AND qty IS NOT NULL THEN value_c END"
+    yg = "CASE WHEN value_c IS NOT NULL AND qty IS NOT NULL THEN qty END"
     moments = {
-        "n": "CAST(COUNT(*) OVER win AS BIGINT)",
-        "sx": "CAST(SUM(value_c) OVER win AS BIGINT)",
-        "sy": "CAST(SUM(qty) OVER win AS BIGINT)",
-        "sxy": "CAST(SUM(value_c * qty) OVER win AS BIGINT)",
-        "sxx": "CAST(SUM(value_c * value_c) OVER win AS BIGINT)",
-        "syy": "CAST(SUM(qty * qty) OVER win AS BIGINT)",
+        "n": f"CAST(COUNT({xg}) OVER win AS BIGINT)",
+        "sx": f"CAST(SUM({xg}) OVER win AS BIGINT)",
+        "sy": f"CAST(SUM({yg}) OVER win AS BIGINT)",
+        "sxy": f"CAST(SUM(({xg}) * ({yg})) OVER win AS BIGINT)",
+        "sxx": f"CAST(SUM(({xg}) * ({xg})) OVER win AS BIGINT)",
+        "syy": f"CAST(SUM(({yg}) * ({yg})) OVER win AS BIGINT)",
     }
     mom_sql = ",\n        ".join(f"{e} AS {a}" for a, e in moments.items())
     return (
@@ -261,6 +269,7 @@ def _pairwise_corr_oracle() -> str:
              a.v AS vx, b.v AS vy
       FROM series a JOIN series b USING (bucket)
       WHERE a.event_type < b.event_type
+        AND a.v IS NOT NULL AND b.v IS NOT NULL
     ),
     m AS (
       SELECT key_x, key_y,

@@ -3,6 +3,7 @@
 import datetime as dt
 
 import pytest
+from pyspark.sql import functions as F
 
 from svoe_spark.operators.events_analytics import (
     funnel,
@@ -196,3 +197,43 @@ def test_candle_patterns_hand_bars(spark):
     assert got[2]["is_bullish_engulfing"] and not got[2]["is_bearish_engulfing"]
     assert got[3]["is_doji"]  # body 1 <= 10% of range 40
     assert not got[2]["is_doji"]  # body 30 > 10% of range 45
+
+
+def test_concurrency_reversed_interval_dropped(spark):
+    from svoe_spark.operators.events_analytics import interval_concurrency
+
+    iv = spark.createDataFrame(
+        [("k", 5.0, 3.0), ("k", 1.0, 2.0)], "g string, s double, e double"
+    )
+    got = {r["ts"]: r["concurrent"]
+           for r in interval_concurrency(iv, "s", "e", by="g").collect()}
+    # the reversed row contributes nothing; no negative counts ever
+    assert got == {1.0: 1, 2.0: 0}
+
+
+def test_purged_folds_null_ts_dropped(spark):
+    from svoe_spark.operators.curation import purged_time_folds
+
+    rows = [(1, dt.datetime(2024, 1, 1)), (2, dt.datetime(2024, 1, 2)), (3, None)]
+    df = spark.createDataFrame(rows, "i long, ts timestamp")
+    lab = purged_time_folds(df, n_folds=2)
+    assert {r["i"] for r in lab.collect()} == {1, 2}
+
+
+def test_robust_outliers_null_group_kept(spark):
+    from svoe_spark.operators.profiling import robust_outliers
+
+    rows = [(None, i, v) for i, v in enumerate([1, 2, 3])] + [
+        ("g", 10, 5), ("g", 11, 6), ("g", 12, 7)]
+    df = spark.createDataFrame(rows, "g string, i long, v long")
+    out = robust_outliers(df, "v", ["g"])
+    assert out.count() == 6  # NULL-group rows scored, not dropped
+    nulls = out.where(F.col("g").isNull()).collect()
+    assert {r["v"]: r["dev"] for r in nulls} == {1: 1, 2: 0, 3: 1}
+
+
+def test_funnel_sql_escapes_quotes():
+    from svoe_spark.operators.events_analytics import funnel_sql
+
+    sql = funnel_sql(["o'brien", "click"])
+    assert "o''brien" in sql and "o'brien'" not in sql.replace("o''brien", "")

@@ -116,3 +116,19 @@ def test_max_drawdown_zero_peak_guard(spark):
     df = spark.createDataFrame([("k", 0, 0)], "g string, i long, v long")
     out = max_drawdown(df, "v", by="g", order="i").collect()[0]
     assert out["max_dd"] == 0 and out["max_dd_pct"] is None
+
+
+def test_rolling_corr_null_pairs_consistent(spark):
+    from svoe_spark.operators.quant import rolling_corr
+
+    # one row missing y: it must contribute to NO moment — with a raw
+    # count(*) the (1,1),(2,NULL) window reported corr=-1 from a
+    # single valid pair
+    df = spark.createDataFrame(
+        [("k", 0, 1, 1), ("k", 1, 2, None), ("k", 2, 2, 2)],
+        "g string, i long, x long, y long",
+    )
+    got = {r["i"]: r["corr"] for r in
+           rolling_corr(df, "x", "y", by="g", order="i").collect()}
+    assert got[1] is None  # one valid pair -> zero variance -> NULL
+    assert got[2] == pytest.approx(1.0)  # pairs (1,1),(2,2)

@@ -123,3 +123,15 @@ def test_interpolate_two_running_windows_one_exchange(spark):
     first = plan.index("Window [")
     second = plan.index("Window [", first + 1)
     assert "Exchange" not in plan[first:second]
+
+
+def test_subsecond_step_rejected(spark):
+    from svoe_spark.operators.resample import resample_ffill, resample_interpolate
+
+    df = spark.createDataFrame(
+        [("k", dt.datetime(2024, 1, 1), 1.0)], "g string, ts timestamp, value double"
+    )
+    with pytest.raises(ValueError):
+        resample_ffill(df, by="g", every="500ms")
+    with pytest.raises(ValueError):
+        resample_interpolate(df, by="g", every=0.5)
