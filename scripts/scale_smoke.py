@@ -517,12 +517,126 @@ def round4c_smoke(spark, results, force, n_big=100_000_000, n_snap=20_000_000):
     )
 
 
+def round4d_smoke(spark, results, force, n_big=100_000_000):
+    """Round-4 fourth-session operators at scale.
+
+    - funnel: 3 ordered steps over 100M events / 1M users — chained
+      filtered min-aggs + user-key joins; counts asserted EXACTLY from
+      the planted construction (view 1M, click 500k, purchase 250k).
+    - interval_concurrency: 50M intervals / 100 sweep keys — the net
+      delta collapse bounds each keyed running sum at |distinct
+      instants|, not |intervals|.
+    - rolling_corr: trailing 51-row Pearson over 100M ticks / 100
+      instruments in ONE WindowExec.
+    - resample_interpolate: 30M observations / 1M keys onto a 60-bucket
+      hourly grid (~60M grid rows) — two running fills, one exchange.
+    - temperature_sample: tau=0.5 draw of ~1M docs from 100M / 1000
+      sources via the broadcast rate join (kept count asserted ±5%).
+    - purged_time_folds: 5-fold purge+embargo labeling of 100M rows
+      (500M labeled rows reduced to 15 counts).
+    """
+    from svoe_spark.operators.curation import (
+        purged_time_folds,
+        temperature_sample,
+    )
+    from svoe_spark.operators.events_analytics import (
+        funnel,
+        interval_concurrency,
+    )
+    from svoe_spark.operators.quant import rolling_corr
+    from svoe_spark.operators.resample import resample_interpolate
+
+    n_users = 1_000_000
+    seq = (F.col("id") / n_users).cast("long")
+    user = F.col("id") % n_users
+    etype = (
+        F.when(seq == 0, F.lit("view"))
+        .when((seq == 1) & (user % 2 == 0), F.lit("click"))
+        .when((seq == 2) & (user % 4 == 0), F.lit("purchase"))
+        .otherwise(F.lit("noise"))
+    )
+    events = spark.range(n_big).select(
+        user.alias("user_id"),
+        etype.alias("event_type"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + seq * 60).alias("ts"),
+    )
+    fun = funnel(events, ["view", "click", "purchase"], within="1d")
+    results[f"funnel_{n_big//1_000_000}M_sec"] = timed(
+        lambda: force(fun), "funnel_100M"
+    )
+    got = {r["step_name"]: r["n_users"] for r in fun.collect()}
+    assert got == {"view": n_users, "click": n_users // 2,
+                   "purchase": n_users // 4}, got
+
+    iv = spark.range(50_000_000).select(
+        (F.col("id") % 100).alias("k"),
+        (F.col("id") % 500_000).alias("s"),
+        (F.col("id") % 500_000 + F.col("id") % 97 + 1).alias("e"),
+    )
+    results["interval_concurrency_50M_sec"] = timed(
+        lambda: force(interval_concurrency(iv, "s", "e", by="k")),
+        "interval_concurrency_50M",
+    )
+
+    ticks = spark.range(n_big).select(
+        (F.col("id") % 100).alias("k"),
+        F.col("id").alias("i"),
+        ((F.col("id") * 7) % 1000).alias("x"),
+        ((F.col("id") * 13) % 1000).alias("y"),
+    )
+    results[f"rolling_corr_{n_big//1_000_000}M_sec"] = timed(
+        lambda: force(rolling_corr(ticks, "x", "y", by="k", order="i")),
+        "rolling_corr_100M",
+    )
+
+    n_obs, n_keys = 30_000_000, 1_000_000
+    gseq = (F.col("id") / n_keys).cast("long")
+    obs = spark.range(n_obs).select(
+        (F.col("id") % n_keys).alias("k"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + gseq * 7200 + F.col("id") % 13
+        ).alias("ts"),
+        ((F.col("id") % 1000).cast("double") / 10).alias("value"),
+    )
+    results["gapfill_interpolate_30M_sec"] = timed(
+        lambda: force(resample_interpolate(obs, by="k", every="1h")),
+        "gapfill_30M",
+    )
+
+    docs = spark.range(n_big).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 1000).cast("string")).alias("source"),
+    )
+    kept = temperature_sample(docs, target_n=1_000_000, tau=0.5)
+    results[f"temperature_sample_{n_big//1_000_000}M_sec"] = timed(
+        lambda: force(kept), "temperature_sample_100M"
+    )
+    n_kept = kept.count()
+    assert abs(n_kept - 1_000_000) < 50_000, n_kept
+
+    rows = spark.range(n_big).select(
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + F.col("id") % (86_400 * 30)
+        ).alias("ts")
+    )
+    lab = purged_time_folds(rows, n_folds=5, embargo="1h")
+    counts = lab.groupBy("fold", "role").agg(F.count(F.lit(1)).alias("n"))
+    results[f"purged_folds_{n_big//1_000_000}M_sec"] = timed(
+        lambda: force(counts), "purged_folds_100M"
+    )
+
+
 def main():
     spark = get_spark("scale_smoke")
     spark.sparkContext.setLogLevel("ERROR")
     force = lambda df: df.write.format("noop").mode("overwrite").save()  # noqa: E731
 
     only = os.environ.get("SMOKE_ONLY")
+    if only == "round4d":
+        results = {}
+        round4d_smoke(spark, results, force)
+        print(json.dumps(results))
+        return
     if only == "round4c":
         results = {}
         round4c_smoke(spark, results, force)

@@ -62,35 +62,57 @@ def rolling_corr(
     column such as the event id) — the frame contents, and therefore
     the result, are then deterministic under any partition layout.
 
-    One window: Spark evaluates all six moment frames in a single
-    WindowExec (same partition/order/frame), i.e. one sort per key.
+    Trailing sums are computed as RUNNING cumulative sums minus their
+    ``window_rows+1``-lagged values, never as a bounded sliding frame:
+    Spark re-aggregates a [-w, 0] frame from scratch per row (O(rows
+    x w) per key — measured 272 s for 100M rows / w=50 vs ~30 s this
+    way), while a running frame and a lag are both O(rows). The
+    subtraction is exact integer arithmetic, so the result is
+    IDENTICAL to the direct frame (and to the oracle's sliding-frame
+    SQL). Headroom: the CUMULATIVE x² sum per key must fit int64 —
+    rows_per_key * max(x)² < 9.2e18, e.g. ~9e8 rows/key at cents
+    <= 1e5; past that, bucket the series or widen to decimal(38,0).
+
+    Plan: two Window operators (running sums, then their lags) sharing
+    one exchange and one sort.
     """
     if isinstance(by, str):
         by = [by]
     by = by or []
     if isinstance(order, str):
         order = [order]
-    w = (
+    run = (
         Window.partitionBy(*by)
         .orderBy(*order)
-        .rowsBetween(-window_rows, 0)
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
+    lagw = Window.partitionBy(*by).orderBy(*order)
     # a row missing EITHER coordinate contributes to no moment — with
     # a plain count(*) the moments disagree on which rows they saw and
     # the "correlation" of mixed-null frames can exceed |1|
     both = F.col(x).isNotNull() & F.col(y).isNotNull()
     xc, yc = F.when(both, F.col(x)), F.when(both, F.col(y))
-    return df.withColumn(
-        out,
-        _pearson(
-            F.count(xc).over(w),
-            F.sum(xc).over(w),
-            F.sum(yc).over(w),
-            F.sum(xc * yc).over(w),
-            F.sum(xc * xc).over(w),
-            F.sum(yc * yc).over(w),
-        ),
+    cums = {
+        "n": F.count(xc).over(run),
+        "sx": F.sum(xc).over(run),
+        "sy": F.sum(yc).over(run),
+        "sxy": F.sum(xc * yc).over(run),
+        "sxx": F.sum(xc * xc).over(run),
+        "syy": F.sum(yc * yc).over(run),
+    }
+    staged = df.select(
+        "*", *[c.alias(f"__c_{k}") for k, c in cums.items()]
     )
+    k = window_rows + 1
+
+    def trail(name: str) -> Column:
+        c = F.coalesce(F.col(f"__c_{name}"), F.lit(0))
+        return c - F.coalesce(F.lag(c, k).over(lagw), F.lit(0))
+
+    return staged.withColumn(
+        out,
+        _pearson(*[trail(n) for n in ("n", "sx", "sy", "sxy", "sxx", "syy")]),
+    ).drop(*[f"__c_{k}" for k in cums])
 
 
 def pairwise_corr(

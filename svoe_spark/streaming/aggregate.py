@@ -225,3 +225,79 @@ def keyed_reduce_stream(
     if impl == "legacy":
         return running_reduce_stream(df, value, ops, key=key, on=on)
     raise ValueError(f"unknown impl: {impl!r}; use 'auto', 'legacy' or 'tws'")
+
+
+def drawdown_stream(
+    df: DataFrame,
+    value: str,
+    key: str = "symbol",
+    on: str = "ts",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Streaming max-drawdown: per event, the running peak, current
+    drawdown (peak - value) and running maximum drawdown per key — the
+    Kappa form of ``operators.quant.max_drawdown`` (same accumulator
+    algebra: peak/dd are cummax compositions, so batch replay and the
+    stream agree exactly; the equivalence test drives both). State is
+    two numbers per key. Values must be exactly double-representable
+    (integer cents are), matching the batch operator's integer
+    arithmetic. ``tiebreak`` (e.g. the event id) makes the order of
+    equal-timestamp events deterministic — a tie straddling a new peak
+    changes max_dd, exactly as in the batch operator's order
+    contract."""
+    sort_cols = [on] if tiebreak is None else [on, tiebreak]
+    extra = (
+        [StructField(tiebreak, df.schema[tiebreak].dataType)]
+        if tiebreak is not None
+        else []
+    )
+    out_schema = StructType(
+        [
+            StructField(key, df.schema[key].dataType),
+            StructField(on, TimestampType()),
+            *extra,
+            StructField(value, DoubleType()),
+            StructField("peak", DoubleType()),
+            StructField("dd", DoubleType()),
+            StructField("max_dd", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("peak", DoubleType()), StructField("max_dd", DoubleType())]
+    )
+
+    def fn(
+        key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        peak, max_dd = (
+            state.get if state.exists else (float("-inf"), 0.0)
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values(sort_cols)
+            vals = pdf[value].astype(float)
+            peaks = vals.cummax().clip(lower=peak)
+            dd = peaks - vals
+            mdd = dd.cummax().clip(lower=max_dd)
+            if len(vals):
+                peak = float(peaks.iloc[-1])
+                max_dd = float(mdd.iloc[-1])
+            out = {key: key_tuple[0], on: pdf[on]}
+            if tiebreak is not None:
+                out[tiebreak] = pdf[tiebreak]
+            out.update(
+                {value: vals, "peak": peaks, "dd": dd, "max_dd": mdd}
+            )
+            yield pd.DataFrame(out)
+        state.update((peak, max_dd))
+
+    return (
+        df.select(key, on, *([tiebreak] if tiebreak is not None else []), value)
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

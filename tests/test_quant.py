@@ -45,7 +45,7 @@ def test_rolling_constant_series_null(spark):
     )
 
 
-def test_rolling_single_windowexec(spark, xy):
+def test_rolling_two_windows_one_sort(spark, xy):
     df, _, _ = xy
     plan = (
         rolling_corr(df, "x", "y", by="g", order="i")
@@ -53,7 +53,19 @@ def test_rolling_single_windowexec(spark, xy):
         .executedPlan()
         .toString()
     )
-    assert plan.count("+- Window") == 1
+    # running cumsums + their lags: two Window operators, no bounded
+    # sliding frame (Spark re-aggregates those per row), sharing one
+    # exchange and one sort
+    assert plan.count("+- Window") == 2
+    # no [-w, current] sliding frame anywhere (lag's offset frame
+    # (RowFrame, -51, -51) is fine — it's O(1)/row)
+    import re
+
+    assert not re.search(r"RowFrame, -\d+, currentrow", plan)
+    first = plan.index("Window [")
+    second = plan.index("Window [", first + 1)
+    assert "Exchange" not in plan[first:second]
+    assert "Sort" not in plan[first:second]
 
 
 def test_pairwise_matches_numpy(spark):

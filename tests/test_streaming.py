@@ -360,3 +360,43 @@ def test_stream_curation_chain_equals_batch(spark, sf_small, tmp_path):
     b_texts = sorted(r["text"] for r in batch_out.collect())
     assert s_texts == b_texts
     assert 0 < len(s_texts) < 200  # classifier filtered some, dedup halved
+
+
+def test_drawdown_stream_equals_batch(spark, sf_small, tick_parquet):
+    from svoe_spark.operators.quant import max_drawdown
+    from svoe_spark.streaming.aggregate import drawdown_stream
+
+    stream = replay_parquet(spark, tick_parquet).select(
+        F.col("event_type").alias("symbol"),
+        F.col("ts"),
+        F.col("event_id"),
+        F.col("value_c").cast("double").alias("v"),
+    )
+    out = run_available_to_memory(
+        drawdown_stream(stream, value="v", key="symbol", tiebreak="event_id")
+    )
+    got = {
+        r["symbol"]: r["max_dd"]
+        for r in out.groupBy("symbol").agg(F.max("max_dd").alias("max_dd")).collect()
+    }
+    batch = ticks(spark, sf_small).select(
+        F.col("event_type").alias("symbol"), "ts", "event_id", "value_c"
+    )
+    want = {
+        r["symbol"]: float(r["max_dd"])
+        for r in max_drawdown(
+            batch, "value_c", by="symbol", order=["ts", "event_id"]
+        ).collect()
+    }
+    assert got == want
+    # running invariants: peak never decreases, dd = peak - v, max_dd
+    # never decreases per key
+    rows = sorted(
+        (r for r in out.collect() if r["symbol"] == "view"),
+        key=lambda r: r["ts"],
+    )
+    prev_peak, prev_mdd = float("-inf"), 0.0
+    for r in rows:
+        assert r["peak"] >= prev_peak and r["max_dd"] >= prev_mdd
+        assert r["dd"] == r["peak"] - r["v"]
+        prev_peak, prev_mdd = r["peak"], r["max_dd"]
