@@ -625,6 +625,40 @@ def round4d_smoke(spark, results, force, n_big=100_000_000):
         lambda: force(counts), "purged_folds_100M"
     )
 
+    # dense-tick trailing windows: ~1400 rows/frame, where the range
+    # frame is O(rows x frame) (321 s at 2M) — the prefix path is the
+    # 100 TB plan
+    from svoe_spark.operators.windows import sliding_stddev, tvi
+
+    dense = spark.range(20_000_000).select(
+        (F.col("id") % 10).cast("string").alias("event_type"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + (F.col("id") / 2333.0)
+        ).alias("timestamp"),
+        ((F.col("id") * 7 % 1000).cast("double") / 10).alias("price"),
+        ((F.col("id") % 97) + 1).cast("double").alias("amount"),
+        F.when(F.col("id") % 3 == 0, F.lit("BUY"))
+        .otherwise(F.lit("SELL"))
+        .alias("side"),
+    )
+    results["tvi_prefix_20M_dense_sec"] = timed(
+        lambda: force(
+            tvi(dense, by="event_type", window="1m", method="prefix")
+        ),
+        "tvi_prefix_20M",
+    )
+    results["stddev_auto_20M_dense_sec"] = timed(
+        lambda: force(
+            sliding_stddev(
+                dense.withColumnRenamed("price", "mid_price"),
+                by="event_type",
+                window="1m",
+                method="auto",
+            )
+        ),
+        "stddev_auto_20M",
+    )
+
 
 def main():
     spark = get_spark("scale_smoke")

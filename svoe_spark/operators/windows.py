@@ -53,6 +53,83 @@ def trailing_window(
     )
 
 
+def trailing_sums_prefix(
+    df: DataFrame,
+    moments: dict[str, Column],
+    on: str,
+    by: list[str] | str | None,
+    window: str | float,
+) -> DataFrame:
+    """Exact trailing-window SUM/COUNT moments in O(rows): attach, for
+    every input row, the sum of each ``moments`` expression over the
+    closed range frame [ts - window, ts] — WITHOUT a bounded sliding
+    frame (Spark re-aggregates those from scratch per row, O(rows x
+    frame); measured 321 s for 2M dense rows in sliding_stddev and
+    271.7 s for 100M in rolling_corr).
+
+    Plan: range-RUNNING cumulative sums (peers at an equal timestamp
+    are all included, exactly like the range frame), then one backward
+    as-of join to the cumulative state strictly BEFORE the window
+    start; frame sum = difference. Peer rows carry equal cumulative
+    values, so the as-of tie is harmless. Float moments subtract large
+    prefixes (values agree with the frame formulation to ~1e-8
+    relative); integer moments are exact.
+    """
+    keys = _by(by)
+    micros = int(round(duration_to_seconds(window) * 1_000_000))
+    wcum = (
+        Window.partitionBy(*keys)
+        .orderBy(F.unix_micros(F.col(on).cast("timestamp")))
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    names = list(moments)
+    cum = df.select(
+        "*", *[F.sum(moments[n]).over(wcum).alias(f"__c_{n}") for n in names]
+    )
+    from svoe_spark.operators.asof import asof_join
+
+    before = cum.select(
+        *keys,
+        (F.col(on) + F.expr(f"INTERVAL {micros + 1} MICROSECOND")).alias(on),
+        *[F.col(f"__c_{n}").alias(f"__b_{n}") for n in names],
+    )
+    joined = asof_join(
+        cum, before, on=on, by=keys, right_cols=[f"__b_{n}" for n in names]
+    )
+    for n in names:
+        joined = joined.withColumn(
+            n,
+            F.coalesce(F.col(f"__c_{n}"), F.lit(0))
+            - F.coalesce(F.col(f"__b_{n}"), F.lit(0)),
+        )
+    return joined.drop(
+        *[f"__c_{n}" for n in names], *[f"__b_{n}" for n in names]
+    )
+
+
+def _estimate_rows_per_frame(
+    df: DataFrame, on: str, by: list[str], window: str | float
+) -> float:
+    """Cheap eager profile (one small agg job, the asof auto-select
+    pattern): average rows per trailing frame = rows / keys /
+    (span / window)."""
+    secs = max(duration_to_seconds(window), 1e-9)
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.approx_count_distinct(F.struct(*by)) if by else F.lit(1)
+        ).alias("k"),
+        (F.unix_micros(F.max(on)) - F.unix_micros(F.min(on))).alias("span_us"),
+    ).first()
+    if not row or not row["n"]:
+        return 0.0
+    n_windows = max((row["span_us"] or 0) / 1e6 / secs, 1.0)
+    return row["n"] / max(row["k"] or 1, 1) / n_windows
+
+
+AUTO_FRAME_ROWS = 256
+
+
 def ohlcv(
     df: DataFrame,
     on: str = "timestamp",
@@ -105,53 +182,38 @@ def sliding_stddev(
 
     method='prefix': O(rows) cumulative moment sums + an as-of join
     back to the row just before the window start (frame stats = prefix
-    differences). Scales to dense data; numerically it subtracts large
-    prefixes, so values agree with 'frame' to ~1e-8 relative, not
-    bitwise."""
+    differences, `trailing_sums_prefix`). Scales to dense data;
+    numerically it subtracts large prefixes, so values agree with
+    'frame' to ~1e-8 relative, not bitwise. Unlike the old form, the
+    cumulative frame is a RANGE running frame, so equal-timestamp
+    peers are included exactly like the frame method.
+
+    method='auto': one cheap profile job estimates rows/frame and
+    picks 'prefix' above AUTO_FRAME_ROWS (the asof auto pattern)."""
+    if method == "auto":
+        dense = (
+            _estimate_rows_per_frame(df, on, _by(by), window) > AUTO_FRAME_ROWS
+        )
+        method = "prefix" if dense else "frame"
     if method == "frame":
         w = trailing_window(on, window, by)
         return df.withColumn(out, F.stddev_samp(value).over(w))
     if method != "prefix":
         raise ValueError(f"unknown method: {method!r}")
 
-    from svoe_spark.operators.asof import asof_join
-
-    keys = _by(by)
-    secs = duration_to_seconds(window)
-    micros = int(round(secs * 1_000_000))
-    wcum = (
-        Window.partitionBy(*keys)
-        .orderBy(epoch_seconds(on))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     v = F.col(value).cast("double")
-    cum = df.select(
-        *keys,
-        F.col(on),
-        *[c for c in [value] if c not in keys and c != on],
-        F.count(F.lit(1)).over(wcum).alias("__cn"),
-        F.sum(v).over(wcum).alias("__cs"),
-        F.sum(v * v).over(wcum).alias("__cs2"),
+    joined = trailing_sums_prefix(
+        df,
+        {"__fn": F.lit(1), "__fs": v, "__fs2": v * v},
+        on=on,
+        by=by,
+        window=window,
     )
-    # prefix state strictly BEFORE the window start [t-w, t]: shift the
-    # right side by w + 1us so backward-asof's <= becomes a strict <
-    before = cum.select(
-        *keys,
-        (F.col(on) + F.expr(f"INTERVAL {micros + 1} MICROSECOND")).alias(on),
-        F.col("__cn").alias("__bn"),
-        F.col("__cs").alias("__bs"),
-        F.col("__cs2").alias("__bs2"),
-    )
-    joined = asof_join(
-        cum, before, on=on, by=keys, right_cols=["__bn", "__bs", "__bs2"]
-    )
-    fn = F.col("__cn") - F.coalesce(F.col("__bn"), F.lit(0))
-    fs = F.col("__cs") - F.coalesce(F.col("__bs"), F.lit(0.0))
-    fs2 = F.col("__cs2") - F.coalesce(F.col("__bs2"), F.lit(0.0))
+    fn, fs, fs2 = F.col("__fn"), F.col("__fs"), F.col("__fs2")
     var = (fs2 - fs * fs / fn) / (fn - 1)
     return joined.withColumn(
         out, F.when(fn > 1, F.sqrt(F.greatest(var, F.lit(0.0)))).otherwise(F.lit(None))
-    ).drop("__cn", "__cs", "__cs2", "__bn", "__bs", "__bs2")
+    ).drop("__fn", "__fs", "__fs2")
 
 
 def tvi(
@@ -164,19 +226,46 @@ def tvi(
     by: list[str] | str | None = None,
     window: str = "1m",
     out: str = "tvi",
+    method: str = "frame",
 ) -> DataFrame:
     """Trade volume imbalance: 2*(buy-sell)/(buy+sell) over trailing
     notional (price*amount) volume (reference
     trade_volume_imb_fd.py:42-117; the authors' vectorized pandas
-    reference perf/test_perf.py:18-76 is the semantic model)."""
-    w = trailing_window(on, window, by)
+    reference perf/test_perf.py:18-76 is the semantic model).
+
+    method: 'frame' (exact range frame — O(rows x frame), fine for
+    sparse series), 'prefix' (O(rows) cumulative sums + boundary
+    as-of, `trailing_sums_prefix` — the dense-tick scale path, ~1e-8
+    relative float agreement), or 'auto' (profile and pick)."""
     notional = F.col(price) * F.col(amount)
-    buy = F.sum(F.when(F.col(side) == buy_value, notional).otherwise(F.lit(0.0))).over(w)
-    sell = F.sum(F.when(F.col(side) != buy_value, notional).otherwise(F.lit(0.0))).over(w)
-    return df.withColumn(
-        out,
-        F.when(buy + sell != 0, 2.0 * (buy - sell) / (buy + sell)).otherwise(F.lit(0.0)),
+    buy_e = F.when(F.col(side) == buy_value, notional).otherwise(F.lit(0.0))
+    sell_e = F.when(F.col(side) != buy_value, notional).otherwise(F.lit(0.0))
+    if method == "auto":
+        dense = (
+            _estimate_rows_per_frame(df, on, _by(by), window) > AUTO_FRAME_ROWS
+        )
+        method = "prefix" if dense else "frame"
+    if method == "frame":
+        w = trailing_window(on, window, by)
+        buy, sell = F.sum(buy_e).over(w), F.sum(sell_e).over(w)
+        return df.withColumn(
+            out,
+            F.when(
+                buy + sell != 0, 2.0 * (buy - sell) / (buy + sell)
+            ).otherwise(F.lit(0.0)),
+        )
+    if method != "prefix":
+        raise ValueError(f"unknown method: {method!r}")
+    joined = trailing_sums_prefix(
+        df, {"__buy": buy_e, "__sell": sell_e}, on=on, by=by, window=window
     )
+    buy, sell = F.col("__buy"), F.col("__sell")
+    return joined.withColumn(
+        out,
+        F.when(
+            buy + sell != 0, 2.0 * (buy - sell) / (buy + sell)
+        ).otherwise(F.lit(0.0)),
+    ).drop("__buy", "__sell")
 
 
 def pct_change(
@@ -189,7 +278,12 @@ def pct_change(
 ) -> DataFrame:
     """(last - first) / first over the trailing window (reference
     transforms/diff/diff.py:29-64). first/last are tie-broken by event
-    time inside the frame, so the result is deterministic."""
+    time inside the frame, so the result is deterministic.
+
+    Dense-tick note: first/last are arg-picks, not sums, so the
+    cumulative-prefix rewrite (`trailing_sums_prefix`) does not apply;
+    on dense data bucket to a coarser grid first (resample/rollup)
+    rather than running a huge range frame."""
     w = trailing_window(on, window, by)
     first = F.min_by(value, epoch_seconds(on)).over(w)
     last = F.max_by(value, epoch_seconds(on)).over(w)
