@@ -88,6 +88,9 @@ _DRIVER_PRIORITY = [
     # full-registry sweep and rotate into the driver window next round.
     "mad_outlier_top20",
     "candle_patterns_1h",
+    "asof_purchase_view_tolerant",
+    "rsi_14_hourly",
+    "bollinger_bands_1h",
 ]
 
 # (c) refill: relational core in CORRECTNESS_r02 order (last green r2).

@@ -101,6 +101,7 @@ def asof_join(
     prefix: str = "",
     time_bucket: str | float | None = "auto",
     tiebreak: str | None = None,
+    tolerance: str | float | None = None,
 ) -> DataFrame:
     """Backward as-of join: latest right row with right.on <= left.on.
 
@@ -109,7 +110,10 @@ def asof_join(
     ``prefix``: namespace for the pulled columns (reference prefixes
     feature columns '{feature}-{col}', df_utils.py:172-180);
     ``tiebreak``: right-side column ordering duplicate-timestamp rows
-    (the greatest wins), making results deterministic under dup ts.
+    (the greatest wins), making results deterministic under dup ts;
+    ``tolerance``: maximum staleness (pd.merge_asof's tolerance) — a
+    match older than left.on - tolerance is nulled out instead of
+    carried forward forever.
     """
     return asof_join_multi(
         left,
@@ -119,6 +123,7 @@ def asof_join(
         right_cols={prefix: right_cols} if right_cols else None,
         time_bucket=time_bucket,
         tiebreak=tiebreak,
+        tolerance=tolerance,
     )
 
 
@@ -130,6 +135,7 @@ def asof_join_multi(
     right_cols: dict[str, list[str]] | None = None,
     time_bucket: str | float | None = "auto",
     tiebreak: str | None = None,
+    tolerance: str | float | None = None,
 ) -> DataFrame:
     """N-way point-in-time join in ONE shuffle.
 
@@ -138,10 +144,23 @@ def asof_join_multi(
     a running ``last(ignorenulls)``; finally only label rows survive.
     Equivalent to a chain of pd.merge_asof (the reference's
     merge_asof_multi, blocks.py:205-219) but linear, not N passes.
+
+    ``tolerance`` (pd.merge_asof semantics, inclusive): per feature
+    tag, values are nulled when the tag's latest right ROW is older
+    than left.on - tolerance. The matched instant rides through the
+    same union+fill as one extra per-tag column, so both the lazy and
+    bucketed plans support it. Note: columns of one tag fill
+    independently (a null cell falls back to an older row), and the
+    staleness test uses the tag's latest ROW — with sparse nulls
+    inside a feed, a value older than tolerance can survive if a
+    fresher row of the same tag exists.
     """
     if isinstance(by, str):
         by = [by]
     by = by or []
+    tol_secs = (
+        duration_to_seconds(tolerance) if tolerance is not None else None
+    )
 
     left_cols = left.columns
     # output column name -> (feature tag, source col)
@@ -157,6 +176,9 @@ def asof_join_multi(
             val_cols[out] = (tag, c)
 
     tb = f"__tb_{tiebreak}" if tiebreak else None
+    # per-tag matched-instant columns (tolerance only): filled by the
+    # same running last as the values, so both plans support them
+    mts = {tag: f"__mts_{tag}" for tag in rights} if tol_secs is not None else {}
 
     # Build the union relation: left rows carry their own columns and
     # nulls for every feature column; each right df carries nulls for
@@ -177,6 +199,11 @@ def asof_join_multi(
             else:
                 dt = rights[vtag].schema[src].dataType
                 exprs.append(F.lit(None).cast(dt).alias(out))
+        for mtag, mcol in mts.items():
+            if side == 0 and mtag == tag:
+                exprs.append(epoch_seconds(F.col(on)).alias(mcol))
+            else:
+                exprs.append(F.lit(None).cast("double").alias(mcol))
         if tb:
             if side == 0 and tiebreak and tiebreak in df.columns:
                 exprs.append(F.col(tiebreak).cast("double").alias(tb))
@@ -214,6 +241,7 @@ def asof_join_multi(
         else:
             time_bucket = _auto_bucket(unioned, by, AUTO_TARGET_ROWS_PER_TASK)
 
+    fill_cols = list(val_cols) + list(mts.values())
     if time_bucket is None:
         w = (
             Window.partitionBy(*by)
@@ -221,13 +249,27 @@ def asof_join_multi(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         filled = unioned.select(
-            *[c for c in unioned.columns if c not in val_cols],
-            *[F.last(c, ignorenulls=True).over(w).alias(c) for c in val_cols],
+            *[c for c in unioned.columns if c not in fill_cols],
+            *[F.last(c, ignorenulls=True).over(w).alias(c) for c in fill_cols],
         )
     else:
-        filled = _bucketed_fill(unioned, by, order, list(val_cols), time_bucket, tb)
+        filled = _bucketed_fill(unioned, by, order, fill_cols, time_bucket, tb)
 
-    out = filled.filter(F.col(_SIDE) == 1).drop(_SIDE, _TS, *( [tb] if tb else [] ), _BUCKET)
+    if tol_secs is not None:
+        fresh = {
+            tag: (F.col(_TS) - F.col(mcol)) <= F.lit(float(tol_secs))
+            for tag, mcol in mts.items()
+        }
+        filled = filled.select(
+            *[c for c in filled.columns if c not in val_cols],
+            *[
+                F.when(fresh[tag], F.col(out_c)).alias(out_c)
+                for out_c, (tag, _src) in val_cols.items()
+            ],
+        )
+    out = filled.filter(F.col(_SIDE) == 1).drop(
+        _SIDE, _TS, *([tb] if tb else []), *mts.values(), _BUCKET
+    )
     return out
 
 

@@ -47,6 +47,58 @@ def _pearson(n, sx, sy, sxy, sxx, syy) -> Column:
     ).otherwise(F.lit(None).cast("double"))
 
 
+def rolling_sums(
+    df: DataFrame,
+    moments: dict[str, Column],
+    by: list[str] | str | None,
+    order: list[str] | str,
+    window_rows: int,
+    out_prefix: str = "__rs_",
+) -> tuple[DataFrame, dict[str, Column]]:
+    """Exact trailing ROW-window sums in O(rows): for every ``moments``
+    expression, the sum over the last ``window_rows``+1 rows per key —
+    as RUNNING cumulative sums minus their (window_rows+1)-lagged
+    values, never a bounded sliding frame (Spark re-aggregates those
+    from scratch per row: measured 271.7 s vs 20.7 s at 100M rows,
+    w=50). Integer moments subtract exactly; the shared machinery
+    behind rolling_corr / rsi / bollinger.
+
+    Returns (staged_df_with_cumsum_columns, {name: trailing-sum
+    Column}); the caller projects the trailing expressions (Spark
+    plans the lags as a second Window sharing the first's exchange and
+    sort) and drops the ``out_prefix`` columns.
+
+    Headroom: each CUMULATIVE sum per key must fit int64 —
+    rows_per_key * max|expr| < 9.2e18; past that, bucket the series or
+    widen to decimal(38,0). ``order`` must be unique per key.
+    """
+    if isinstance(by, str):
+        by = [by]
+    by = by or []
+    if isinstance(order, str):
+        order = [order]
+    run = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lagw = Window.partitionBy(*by).orderBy(*order)
+    staged = df.select(
+        "*",
+        *[
+            F.sum(expr).over(run).alias(f"{out_prefix}{n}")
+            for n, expr in moments.items()
+        ],
+    )
+    k = window_rows + 1
+
+    def trail(name: str) -> Column:
+        c = F.coalesce(F.col(f"{out_prefix}{name}"), F.lit(0))
+        return c - F.coalesce(F.lag(c, k).over(lagw), F.lit(0))
+
+    return staged, {n: trail(n) for n in moments}
+
+
 def rolling_corr(
     df: DataFrame,
     x: str,
@@ -76,43 +128,29 @@ def rolling_corr(
     Plan: two Window operators (running sums, then their lags) sharing
     one exchange and one sort.
     """
-    if isinstance(by, str):
-        by = [by]
-    by = by or []
-    if isinstance(order, str):
-        order = [order]
-    run = (
-        Window.partitionBy(*by)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    lagw = Window.partitionBy(*by).orderBy(*order)
     # a row missing EITHER coordinate contributes to no moment — with
     # a plain count(*) the moments disagree on which rows they saw and
     # the "correlation" of mixed-null frames can exceed |1|
     both = F.col(x).isNotNull() & F.col(y).isNotNull()
     xc, yc = F.when(both, F.col(x)), F.when(both, F.col(y))
-    cums = {
-        "n": F.count(xc).over(run),
-        "sx": F.sum(xc).over(run),
-        "sy": F.sum(yc).over(run),
-        "sxy": F.sum(xc * yc).over(run),
-        "sxx": F.sum(xc * xc).over(run),
-        "syy": F.sum(yc * yc).over(run),
-    }
-    staged = df.select(
-        "*", *[c.alias(f"__c_{k}") for k, c in cums.items()]
+    staged, sums = rolling_sums(
+        df,
+        {
+            "n": F.when(both, F.lit(1)).otherwise(F.lit(0)),
+            "sx": xc,
+            "sy": yc,
+            "sxy": xc * yc,
+            "sxx": xc * xc,
+            "syy": yc * yc,
+        },
+        by=by,
+        order=order,
+        window_rows=window_rows,
     )
-    k = window_rows + 1
-
-    def trail(name: str) -> Column:
-        c = F.coalesce(F.col(f"__c_{name}"), F.lit(0))
-        return c - F.coalesce(F.lag(c, k).over(lagw), F.lit(0))
-
     return staged.withColumn(
         out,
-        _pearson(*[trail(n) for n in ("n", "sx", "sy", "sxy", "sxx", "syy")]),
-    ).drop(*[f"__c_{k}" for k in cums])
+        _pearson(*[sums[n] for n in ("n", "sx", "sy", "sxy", "sxx", "syy")]),
+    ).drop(*[c for c in staged.columns if c.startswith("__rs_")])
 
 
 def pairwise_corr(
@@ -284,4 +322,98 @@ def candle_patterns(
             & (o >= pc)
             & (c <= po)
         ).alias("is_bearish_engulfing"),
+    )
+
+
+def rsi(
+    df: DataFrame,
+    value: str,
+    by: list[str] | str | None = None,
+    order: list[str] | str = "ts",
+    periods: int = 14,
+    out: str = "rsi",
+) -> DataFrame:
+    """Cutler's RSI (the SMA form of the relative-strength index) over
+    an integer price column: 100 * sum(gains) / (sum(gains) +
+    sum(losses)) across the last ``periods`` one-step diffs. The SMA
+    form is used deliberately — Wilder's original smoothing is a
+    recursive EWMA (order-dependent float recursion, not relational);
+    Cutler's is pure trailing sums, so it rides `rolling_sums` (O(rows),
+    no sliding frame) and is bit-portable: integer gain/loss sums into
+    one fixed double expression.
+
+    NULL until ``periods`` diffs exist; a flat window (no gains, no
+    losses) is NULL rather than 0/0."""
+    if isinstance(by, str):
+        by = [by]
+    by = by or []
+    if isinstance(order, str):
+        order = [order]
+    lagw = Window.partitionBy(*by).orderBy(*order)
+    diff = F.col(value) - F.lag(value).over(lagw)
+    staged = df.withColumn("__diff", diff)
+    staged, sums = rolling_sums(
+        staged,
+        {
+            "nd": F.when(F.col("__diff").isNotNull(), 1).otherwise(0),
+            "g": F.greatest(F.col("__diff"), F.lit(0)),
+            "l": F.greatest(-F.col("__diff"), F.lit(0)),
+        },
+        by=by,
+        order=order,
+        window_rows=periods - 1,
+    )
+    g, l, nd = sums["g"], sums["l"], sums["nd"]
+    val = F.when(
+        (nd == periods) & ((g + l) > 0),
+        (F.lit(100.0) * g.cast("double")) / (g + l).cast("double"),
+    )
+    return staged.withColumn(out, val).drop(
+        "__diff", *[c for c in staged.columns if c.startswith("__rs_")]
+    )
+
+
+def bollinger(
+    df: DataFrame,
+    value: str,
+    by: list[str] | str | None = None,
+    order: list[str] | str = "ts",
+    window_rows: int = 19,
+    width: float = 2.0,
+    out_prefix: str = "bb_",
+) -> DataFrame:
+    """Bollinger bands over an integer price column: trailing SMA ±
+    ``width`` sample standard deviations across the last
+    ``window_rows``+1 rows, plus %b (position of the price inside the
+    band). Exact integer moments via `rolling_sums`, one fixed double
+    expression tree on top — bit-portable. NULL until the window is
+    full; %b NULL on a zero-width band."""
+    staged, sums = rolling_sums(
+        df,
+        {"n": F.lit(1), "s": F.col(value), "s2": F.col(value) * F.col(value)},
+        by=by,
+        order=order,
+        window_rows=window_rows,
+    )
+    n, s, s2 = sums["n"], sums["s"], sums["s2"]
+    full = n == (window_rows + 1)
+    mean = s.cast("double") / n.cast("double")
+    # sample variance from exact integer moments; greatest() guards
+    # the double rounding of two ~equal products
+    var = F.greatest(
+        (n * s2 - s * s).cast("double") / (n * (n - 1)).cast("double"),
+        F.lit(0.0),
+    )
+    sd = F.sqrt(var)
+    up = mean + F.lit(float(width)) * sd
+    dn = mean - F.lit(float(width)) * sd
+    pct_b = F.when(
+        up > dn, (F.col(value).cast("double") - dn) / (up - dn)
+    )
+    return (
+        staged.withColumn(f"{out_prefix}mid", F.when(full, mean))
+        .withColumn(f"{out_prefix}up", F.when(full, up))
+        .withColumn(f"{out_prefix}dn", F.when(full, dn))
+        .withColumn(f"{out_prefix}pctb", F.when(full, pct_b))
+        .drop(*[c for c in staged.columns if c.startswith("__rs_")])
     )

@@ -563,3 +563,170 @@ def candle_patterns_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         | F.col("is_bullish_engulfing")
         | F.col("is_bearish_engulfing")
     )
+
+
+@query(
+    "asof_purchase_view_tolerant",
+    """
+    WITH p AS (
+      SELECT event_id, ts, user_id, value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS last_view_value
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.ts, p.user_id, p.purchase_value,
+           CASE WHEN p.ts - v.ts <= INTERVAL 6 HOUR
+                THEN v.last_view_value END AS last_view_value
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def asof_purchase_view_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """asof_purchase_view with pd.merge_asof tolerance semantics: the
+    latest prior view is only attached when it is at most 6h old —
+    the matched instant rides the same union+fill plan as one extra
+    column, so the single-shuffle shape is unchanged."""
+    from svoe_spark.operators.asof import asof_join
+
+    e = load_table(spark, "events", sf_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", F.col("value").alias("purchase_value")
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("last_view_value"))
+    )
+    return asof_join(
+        p, v, on="ts", by="user_id",
+        right_cols=["last_view_value"], tolerance="6h",
+    )
+
+
+def _rsi_oracle() -> str:
+    from svoe_spark.queries import _TICKS_SQL
+
+    return (
+        _TICKS_SQL
+        + """
+    , d AS (
+      SELECT event_type, ts, event_id,
+             value_c - LAG(value_c) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS df
+      FROM ticks
+    ),
+    w AS (
+      SELECT event_type, ts, event_id,
+        CAST(SUM(CASE WHEN df IS NOT NULL THEN 1 ELSE 0 END)
+             OVER win AS BIGINT) AS nd,
+        CAST(SUM(GREATEST(df, 0)) OVER win AS BIGINT) AS g,
+        CAST(SUM(GREATEST(-df, 0)) OVER win AS BIGINT) AS l
+      FROM d
+      WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ),
+    c AS (
+      SELECT event_type, ts, event_id,
+             CASE WHEN nd = 14 AND (g + l) > 0
+                  THEN (CAST(100.0 AS DOUBLE) * CAST(g AS DOUBLE))
+                       / CAST(g + l AS DOUBLE)
+             END AS rsi_14
+      FROM w
+    ),
+    r AS (
+      SELECT event_type, ts, rsi_14,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM c
+    )
+    SELECT event_type, ts, rsi_14 FROM r WHERE rn = 1
+    """
+    )
+
+
+@query("rsi_14_hourly", _rsi_oracle())
+def rsi_14_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cutler's 14-period RSI per instrument on cents prices, sampled
+    at the last tick of every hour. Integer gain/loss trailing sums via
+    the cumsum-minus-lag machinery; one double expression on top."""
+    from pyspark.sql import Window
+
+    from svoe_spark.operators.quant import rsi
+    from svoe_spark.queries import ticks
+
+    t = ticks(spark, sf_dir)
+    c = rsi(
+        t, "value_c", by="event_type", order=["ts", "event_id"],
+        periods=14, out="rsi_14",
+    )
+    w = Window.partitionBy(
+        "event_type", F.date_trunc("hour", "ts")
+    ).orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        c.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("event_type", "ts", "rsi_14")
+    )
+
+
+def _bollinger_oracle() -> str:
+    from svoe_spark.queries import _TICKS_SQL
+
+    mean = "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+    sd = (
+        "sqrt(GREATEST(CAST(n * s2 - s * s AS DOUBLE)"
+        " / CAST(n * (n - 1) AS DOUBLE), CAST(0.0 AS DOUBLE)))"
+    )
+    up = f"({mean} + CAST(2.0 AS DOUBLE) * {sd})"
+    dn = f"({mean} - CAST(2.0 AS DOUBLE) * {sd})"
+    return (
+        _TICKS_SQL
+        + f"""
+    , bars AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             arg_max(value_c, event_id) AS close_c
+      FROM ticks GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, window_start, close_c,
+        CAST(COUNT(*) OVER win AS BIGINT) AS n,
+        CAST(SUM(close_c) OVER win AS BIGINT) AS s,
+        CAST(SUM(close_c * close_c) OVER win AS BIGINT) AS s2
+      FROM bars
+      WINDOW win AS (PARTITION BY event_type ORDER BY window_start
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, window_start,
+           CASE WHEN n = 20 THEN {mean} END AS bb_mid,
+           CASE WHEN n = 20 THEN {up} END AS bb_up,
+           CASE WHEN n = 20 THEN {dn} END AS bb_dn,
+           CASE WHEN n = 20 AND {up} > {dn}
+                THEN (CAST(close_c AS DOUBLE) - {dn}) / ({up} - {dn})
+           END AS bb_pctb
+    FROM w
+    """
+    )
+
+
+@query("bollinger_bands_1h", _bollinger_oracle())
+def bollinger_bands_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bar Bollinger bands (±2 sample stddev) + %b on hourly cents
+    closes per instrument — exact integer moments, fixed double tree."""
+    from svoe_spark.functions.time import bucket_start
+    from svoe_spark.operators.quant import bollinger
+    from svoe_spark.queries import ticks
+
+    t = ticks(spark, sf_dir)
+    bars = t.groupBy(
+        "event_type", bucket_start("ts", "1h").alias("window_start")
+    ).agg(F.max_by("value_c", "event_id").alias("close_c"))
+    return bollinger(
+        bars, "close_c", by="event_type", order="window_start",
+        window_rows=19, width=2.0,
+    ).select(
+        "event_type", "window_start", "bb_mid", "bb_up", "bb_dn", "bb_pctb"
+    )

@@ -204,3 +204,75 @@ def test_asof_tiebreak_keeps_exact_timestamp_inclusive(spark):
     ).collect()
     assert len(out) == 1
     assert out[0]["px"] == 7.0  # inclusive + greatest tiebreak wins
+
+
+def test_tolerance_nulls_stale_matches(spark):
+    import datetime as dt
+
+    from svoe_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [("k", t0 + dt.timedelta(seconds=s)) for s in (10, 70, 130)],
+        "g string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k", t0, 1.0)], "g string, ts timestamp, v double"
+    )
+    out = {
+        r["ts"].second + r["ts"].minute * 60: r["v"]
+        for r in asof_join(
+            left, right, on="ts", by="g", tolerance="70s", time_bucket=None
+        ).collect()
+    }
+    # staleness 10s and 70s (inclusive boundary) match; 130s is stale
+    assert out == {10: 1.0, 70: 1.0, 130: None}
+
+
+def test_tolerance_multi_feature_independent(spark):
+    import datetime as dt
+
+    from svoe_spark.operators.asof import asof_join_multi
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [("k", t0 + dt.timedelta(seconds=100))], "g string, ts timestamp"
+    )
+    fresh = spark.createDataFrame(
+        [("k", t0 + dt.timedelta(seconds=90), 2.0)],
+        "g string, ts timestamp, a double",
+    )
+    stale = spark.createDataFrame(
+        [("k", t0, 3.0)], "g string, ts timestamp, b double"
+    )
+    row = asof_join_multi(
+        left,
+        {"f_": fresh, "s_": stale},
+        on="ts",
+        by="g",
+        tolerance="30s",
+        time_bucket=None,
+    ).collect()[0]
+    assert row["f_a"] == 2.0 and row["s_b"] is None
+
+
+def test_tolerance_bucketed_path_agrees(spark):
+    import datetime as dt
+
+    from svoe_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [("k", t0 + dt.timedelta(seconds=s)) for s in range(0, 600, 7)],
+        "g string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k", t0 + dt.timedelta(seconds=s), float(s)) for s in range(0, 600, 50)],
+        "g string, ts timestamp, v double",
+    )
+    lazy = asof_join(left, right, on="ts", by="g", tolerance="20s", time_bucket=None)
+    bucketed = asof_join(left, right, on="ts", by="g", tolerance="20s", time_bucket="60s")
+    l = sorted((r["ts"], r["v"]) for r in lazy.collect())
+    b = sorted((r["ts"], r["v"]) for r in bucketed.collect())
+    assert l == b
+    assert any(v is None for _, v in l) and any(v is not None for _, v in l)

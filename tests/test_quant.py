@@ -144,3 +144,56 @@ def test_rolling_corr_null_pairs_consistent(spark):
            rolling_corr(df, "x", "y", by="g", order="i").collect()}
     assert got[1] is None  # one valid pair -> zero variance -> NULL
     assert got[2] == pytest.approx(1.0)  # pairs (1,1),(2,2)
+
+
+def test_rsi_hand_example(spark):
+    from svoe_spark.operators.quant import rsi
+
+    # diffs: +1 x3, -1 x1 over periods=4 -> rsi = 100*3/(3+1) = 75
+    vals = [10, 11, 12, 13, 12]
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)], "g string, i long, v long"
+    )
+    got = {r["i"]: r["rsi"] for r in
+           rsi(df, "v", by="g", order="i", periods=4).collect()}
+    assert got[0] is None and got[3] is None  # warm-up: < 4 diffs
+    assert got[4] == 75.0
+
+
+def test_rsi_extremes_and_flat(spark):
+    from svoe_spark.operators.quant import rsi
+
+    up = spark.createDataFrame(
+        [("k", i, 10 + i) for i in range(6)], "g string, i long, v long"
+    )
+    assert {r["rsi"] for r in rsi(up, "v", by="g", order="i", periods=3)
+            .where("i >= 3").collect()} == {100.0}
+    flat = spark.createDataFrame(
+        [("k", i, 7) for i in range(6)], "g string, i long, v long"
+    )
+    assert all(r["rsi"] is None for r in
+               rsi(flat, "v", by="g", order="i", periods=3).collect())
+
+
+def test_bollinger_matches_numpy(spark):
+    import numpy as np
+
+    from svoe_spark.operators.quant import bollinger
+
+    rng = np.random.RandomState(11)
+    vals = rng.randint(50, 150, size=30).tolist()
+    df = spark.createDataFrame(
+        [("k", i, int(v)) for i, v in enumerate(vals)],
+        "g string, i long, v long",
+    )
+    rows = {r["i"]: r for r in
+            bollinger(df, "v", by="g", order="i", window_rows=9).collect()}
+    assert rows[5]["bb_mid"] is None  # warm-up
+    for i in range(9, 30):
+        w = np.array(vals[i - 9 : i + 1], dtype=float)
+        mid, sd = w.mean(), w.std(ddof=1)
+        assert rows[i]["bb_mid"] == pytest.approx(mid, rel=1e-12)
+        assert rows[i]["bb_up"] == pytest.approx(mid + 2 * sd, rel=1e-12)
+        assert rows[i]["bb_pctb"] == pytest.approx(
+            (vals[i] - (mid - 2 * sd)) / (4 * sd), rel=1e-10
+        )
