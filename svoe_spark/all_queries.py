@@ -91,6 +91,8 @@ _DRIVER_PRIORITY = [
     "asof_purchase_view_tolerant",
     "rsi_14_hourly",
     "bollinger_bands_1h",
+    "fuzzy_part_name_pairs",
+    "frequent_active_users",
 ]
 
 # (c) refill: relational core in CORRECTNESS_r02 order (last green r2).

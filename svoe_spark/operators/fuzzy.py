@@ -1,0 +1,97 @@
+"""Fuzzy (edit-distance) join with q-gram blocking — entity
+resolution over dirty string keys (near-identical product names,
+venue symbols, user handles) without an all-pairs comparison.
+
+Candidate generation uses the classic q-gram count-filter bound
+(Gravano et al., VLDB 2001): one edit operation destroys at most ``q``
+q-grams, so two strings within edit distance ``d`` share at least
+``max(|a|, |b|) - q + 1 - d*q`` q-grams. Whenever that bound is
+positive — i.e. ``max(|a|, |b|) > (d+1)*q - 1`` — the pair is
+guaranteed to share at least ONE q-gram and is found by an inverted
+equi-join on grams. Pairs of strings BOTH short enough to evade the
+bound are handled exactly by a separate short-bucket cross pairing
+(strings of length <= (d+1)*q - 1 — a bounded set by construction:
+the alphabet caps it; the operator asserts nothing and documents the
+assumption that the short bucket is broadcast-sized).
+
+Every candidate is verified with the exact Levenshtein distance
+(JVM-side `levenshtein`, identical unit-cost definition in DuckDB),
+so the result is EXACT: blocking affects cost only, never the answer.
+
+Scale shape: one gram explode per side (narrow), one equi-join on the
+gram key (the only data shuffle, skew-cappable via ``max_doc_freq``
+exactly like the n-gram dedup blocker — opt-in, since capping trades
+exactness for boundedness), a distinct on candidate pairs, and a
+length pre-filter ``||a| - |b|| <= d`` before the O(len^2) verify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from svoe_spark.functions.text import char_shingles
+
+
+def _grams(col: str, q: int) -> F.Column:
+    # boundary padding (chr(1), outside any text alphabet) gives every
+    # non-empty string at least one gram and sharpens the count filter
+    pad = F.lit(chr(1) * (q - 1))
+    padded = F.concat(pad, F.col(col), pad)
+    return F.array_distinct(char_shingles(padded, q))
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    max_distance: int = 2,
+    q: int = 2,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All (left value, right value) pairs of DISTINCT non-null strings
+    within Levenshtein distance ``max_distance``, with the exact
+    distance. Returns (left_val, right_val, distance) — join it back
+    to carry ids/payloads (values are the dedup unit, so the verify
+    runs once per distinct pair, not once per row pair).
+
+    ``max_doc_freq``: optional cap on a gram's posting list (drop
+    grams shared by more than this many distinct values) — the skew
+    escape hatch; within-cap corpora get the exact uncapped answer,
+    above it recall on pairs ONLY connected by ultra-hot grams is
+    traded away (same contract as dedup.ngram_jaccard_pairs).
+    """
+    d, thr = max_distance, (max_distance + 1) * q - 1
+    a = left.select(F.col(left_on).alias("left_val")).where(
+        F.col("left_val").isNotNull()
+    ).distinct()
+    b = right.select(F.col(right_on).alias("right_val")).where(
+        F.col("right_val").isNotNull()
+    ).distinct()
+
+    ga = a.select("left_val", F.explode(_grams("left_val", q)).alias("__g"))
+    gb = b.select("right_val", F.explode(_grams("right_val", q)).alias("__g"))
+    if max_doc_freq is not None:
+        w = Window.partitionBy("__g")
+        ga = ga.withColumn("__df", F.count(F.lit(1)).over(w)).where(
+            F.col("__df") <= max_doc_freq
+        ).drop("__df")
+        gb = gb.withColumn("__df", F.count(F.lit(1)).over(w)).where(
+            F.col("__df") <= max_doc_freq
+        ).drop("__df")
+    blocked = ga.join(gb, "__g").select("left_val", "right_val").distinct()
+
+    # completeness fallback: pairs where BOTH sides are short enough to
+    # evade the shared-gram bound (max len <= (d+1)*q - 1)
+    sa = a.where(F.length("left_val") <= thr)
+    sb = b.where(F.length("right_val") <= thr)
+    short = sa.join(F.broadcast(sb)).select("left_val", "right_val")
+
+    cands = blocked.unionByName(short).distinct().where(
+        F.abs(F.length("left_val") - F.length("right_val")) <= d
+    )
+    dist = F.levenshtein("left_val", "right_val")
+    return cands.select(
+        "left_val", "right_val", dist.cast("long").alias("distance")
+    ).where(F.col("distance") <= d)

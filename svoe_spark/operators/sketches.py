@@ -536,3 +536,47 @@ def hll_sql(
       FROM hll_reg {g_grp}
     )
     """
+
+
+def frequent_items(
+    df: DataFrame,
+    key: str,
+    threshold: int,
+    params: CMSParams = CMSParams(),
+) -> DataFrame:
+    """EXACT heavy hitters — every key with true count >= ``threshold``
+    and its exact count — WITHOUT shuffling the long tail.
+
+    Plan: (1) one CMS build (fixed depth x width shuffle regardless of
+    key cardinality); (2) the broadcast sketch becomes a narrow
+    row-level FILTER — a row survives only if ALL depth counters of
+    its key are >= threshold. CMS never underestimates, so every truly
+    heavy key survives (no false negatives); light keys survive only
+    on full collision rows (rare by the CMS bound). (3) exact
+    groupBy-count of the surviving rows only, then the exact HAVING.
+
+    At 100 TB with a heavy tail of rare keys, step 3's shuffle carries
+    only rows of candidate keys — the tail is dropped map-side by the
+    depth broadcast hash joins (no shuffle, no state).
+    Returns (key, n) exactly equal to the plain GROUP BY ... HAVING.
+    """
+    sketch = cms_build(df, key, params)
+    x = md5_hash(
+        F.coalesce(F.col(key).cast("string"), F.lit("<NULL>"))
+    ) % P_HASH
+    cand = df
+    for i, (a, b) in enumerate(params.coefficients()):
+        side = (
+            sketch.where((F.col("row") == i) & (F.col("cnt") >= threshold))
+            .select(F.col("bucket").alias(f"__hb{i}"))
+        )
+        cand = cand.join(
+            F.broadcast(side),
+            _bucket_expr(x, a, b, params.width) == F.col(f"__hb{i}"),
+            "inner",
+        ).drop(f"__hb{i}")
+    return (
+        cand.groupBy(key)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .where(F.col("n") >= threshold)
+    )

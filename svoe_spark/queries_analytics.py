@@ -730,3 +730,44 @@ def bollinger_bands_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_type", "window_start", "bb_mid", "bb_up", "bb_dn", "bb_pctb"
     )
+
+
+@query(
+    "fuzzy_part_name_pairs",
+    """
+    WITH n AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)
+    SELECT a.p_name AS left_val, b.p_name AS right_val,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance
+    FROM n a JOIN n b ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: distinct part-name pairs within edit
+    distance 2 via q-gram blocking + exact Levenshtein verify — the
+    blocking changes cost only, so the brute-force oracle is the exact
+    same answer."""
+    from svoe_spark.operators.fuzzy import fuzzy_join
+
+    part = load_table(spark, "part", sf_dir)
+    return fuzzy_join(part, part, "p_name", "p_name", max_distance=2).where(
+        F.col("left_val") < F.col("right_val")
+    )
+
+
+@query(
+    "frequent_active_users",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1 HAVING COUNT(*) >= 80
+    """,
+)
+def frequent_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters without shuffling the long tail: a
+    broadcast count-min sketch prunes light keys map-side (CMS never
+    underestimates, so no heavy key is lost); only candidate rows
+    reach the exact count. Result == plain GROUP BY HAVING."""
+    from svoe_spark.operators.sketches import frequent_items
+
+    ev = load_table(spark, "events", sf_dir)
+    return frequent_items(ev, "user_id", threshold=80)
