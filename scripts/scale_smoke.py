@@ -647,6 +647,56 @@ def round4d_smoke(spark, results, force, n_big=100_000_000):
         ),
         "tvi_prefix_20M",
     )
+    # exact heavy hitters: 100M rows, 1000 heavy keys planted in a
+    # 10M-key long tail — the CMS filter must drop the tail map-side
+    from svoe_spark.operators.sketches import frequent_items
+
+    hh = spark.range(100_000_000).select(
+        F.when(
+            F.col("id") % 2 == 0,
+            # (id div 2) % 1000: even ids mod 1000 are always even, so
+            # a plain id % 1000 plants only 500 distinct hot keys
+            F.concat(F.lit("hot"), F.expr("(id div 2) % 1000").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("cold"), (F.col("id") % 10_000_000).cast("string"))
+        )
+        .alias("k")
+    )
+    fi = frequent_items(hh, "k", threshold=40_000)
+    results["frequent_items_100M_sec"] = timed(
+        lambda: force(fi), "frequent_items_100M"
+    )
+    n_hot = fi.count()
+    assert n_hot == 1000, n_hot  # hot keys: 50k each; cold: ~5-10
+
+    # fuzzy join at 210k strings: gram SELECTIVITY is the scale lever
+    # — q=4 over 12-char hex names gives ~35-entry posting lists
+    # (sum |postings|^2 ~ 8e7 candidates), where q=2 digit grams would
+    # be 10k-hot and quadratic. All 10k planted typo pairs recovered.
+    from svoe_spark.operators.fuzzy import fuzzy_join
+
+    base = spark.range(200_000).select(
+        F.substring(F.md5(F.col("id").cast("string")), 1, 12).alias("s")
+    )
+    typos = spark.range(0, 200_000, 20).select(
+        F.concat(
+            F.substring(F.md5(F.col("id").cast("string")), 1, 12), F.lit("x")
+        ).alias("s")
+    )
+    corpus = base.unionByName(typos)
+    fz = fuzzy_join(corpus, corpus, "s", "s", max_distance=1, q=4).where(
+        F.col("left_val") < F.col("right_val")
+    ).persist()
+    results["fuzzy_join_210k_q4_sec"] = timed(
+        lambda: force(fz), "fuzzy_join_210k"
+    )
+    n_typo_pairs = fz.where(
+        F.col("right_val") == F.concat(F.col("left_val"), F.lit("x"))
+    ).count()
+    fz.unpersist()
+    assert n_typo_pairs == 10_000, n_typo_pairs
+
     results["stddev_auto_20M_dense_sec"] = timed(
         lambda: force(
             sliding_stddev(

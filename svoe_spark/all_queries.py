@@ -93,6 +93,7 @@ _DRIVER_PRIORITY = [
     "bollinger_bands_1h",
     "fuzzy_part_name_pairs",
     "frequent_active_users",
+    "leadlag_corr_types",
 ]
 
 # (c) refill: relational core in CORRECTNESS_r02 order (last green r2).

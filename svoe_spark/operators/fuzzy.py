@@ -19,10 +19,19 @@ Every candidate is verified with the exact Levenshtein distance
 so the result is EXACT: blocking affects cost only, never the answer.
 
 Scale shape: one gram explode per side (narrow), one equi-join on the
-gram key (the only data shuffle, skew-cappable via ``max_doc_freq``
-exactly like the n-gram dedup blocker — opt-in, since capping trades
-exactness for boundedness), a distinct on candidate pairs, and a
-length pre-filter ``||a| - |b|| <= d`` before the O(len^2) verify.
+gram key (the only data shuffle), a distinct on candidate pairs, and
+a length pre-filter ``||a| - |b|| <= d`` before the O(len^2) verify.
+The gram join generates O(sum over grams of |postings|^2) candidates:
+on a large corpus the lever is gram SELECTIVITY: raise ``q`` until
+posting lists are short (smoke: 210k 12-char names at q=4 → ~35-entry
+lists, ~8e7 candidates, all 10k planted typo pairs found; the same
+corpus at q=2 has 10k-hot digit grams and is quadratic). Raising q
+also raises the short-string threshold (d+1)*q - 1, so very short
+keys fall back to the cross bucket — pick q just large enough. For
+residual hot grams (a corpus-wide prefix, a common word) pass
+``max_doc_freq`` to drop them — the n-gram dedup blocker's contract:
+within-cap corpora keep the exact answer; above it, recall is lost
+only for pairs whose EVERY shared gram is hot.
 """
 
 from __future__ import annotations

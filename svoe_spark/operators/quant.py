@@ -417,3 +417,72 @@ def bollinger(
         .withColumn(f"{out_prefix}pctb", F.when(full, pct_b))
         .drop(*[c for c in staged.columns if c.startswith("__rs_")])
     )
+
+
+def leadlag_corr(
+    series: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+    max_lag: int = 3,
+    min_buckets: int = 2,
+) -> DataFrame:
+    """Lead-lag cross-correlation panel: for every key pair and every
+    lag in [-max_lag, max_lag], the Pearson correlation of x at bucket
+    t against y at bucket t+lag — the standard "does X lead Y" screen.
+    Self-pairs contribute their positive lags only (the
+    autocorrelation function; lag 0 of a self-pair is identically 1
+    and negative lags mirror positive ones). ``bucket_col`` must be an
+    INTEGER bucket index (epoch-hours etc.), so the lag shift is exact
+    arithmetic.
+
+    Plan: the y side is exploded across the 2*max_lag+1 offsets (a
+    constant-factor widening of the SMALL panel relation, never the
+    raw stream), then the same bucket equi-join + exact-int64-moment
+    groupBy as pairwise_corr. Returns (key_x, key_y, lag, n_buckets,
+    corr)."""
+    a = series.select(
+        F.col(key_col).alias("key_x"),
+        F.col(bucket_col).alias("__b"),
+        F.col(value_col).alias("__vx"),
+    )
+    lags = F.array(*[F.lit(i) for i in range(-max_lag, max_lag + 1)])
+    b = series.select(
+        F.col(key_col).alias("key_y"),
+        F.col(bucket_col).alias("__yb"),
+        F.col(value_col).alias("__vy"),
+        F.explode(lags).alias("lag"),
+    ).select(
+        "key_y",
+        "lag",
+        (F.col("__yb") - F.col("lag")).alias("__b"),
+        "__vy",
+    )
+    pairs = a.join(b, "__b").where(
+        (F.col("key_x") < F.col("key_y"))
+        | ((F.col("key_x") == F.col("key_y")) & (F.col("lag") > 0))
+    )
+    vx, vy = F.col("__vx"), F.col("__vy")
+    pairs = pairs.where(vx.isNotNull() & vy.isNotNull())
+    agg = pairs.groupBy("key_x", "key_y", "lag").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(vx).alias("__sx"),
+        F.sum(vy).alias("__sy"),
+        F.sum(vx * vy).alias("__sxy"),
+        F.sum(vx * vx).alias("__sxx"),
+        F.sum(vy * vy).alias("__syy"),
+    )
+    return agg.where(F.col("__n") >= min_buckets).select(
+        "key_x",
+        "key_y",
+        "lag",
+        F.col("__n").cast("long").alias("n_buckets"),
+        _pearson(
+            F.col("__n"),
+            F.col("__sx"),
+            F.col("__sy"),
+            F.col("__sxy"),
+            F.col("__sxx"),
+            F.col("__syy"),
+        ).alias("corr"),
+    )

@@ -771,3 +771,66 @@ def frequent_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir)
     return frequent_items(ev, "user_id", threshold=80)
+
+
+def _leadlag_oracle() -> str:
+    from svoe_spark.operators.quant import pearson_sql
+    from svoe_spark.queries import _TICKS_SQL
+
+    return (
+        _TICKS_SQL
+        + f"""
+    , series AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+             CAST(SUM(value_c) AS BIGINT) AS v
+      FROM ticks GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT s.event_type AS key_y, l.lag, s.bucket - l.lag AS bucket,
+             s.v AS vy
+      FROM series s CROSS JOIN (
+        SELECT UNNEST(generate_series(-2, 2)) AS lag) l
+    ),
+    p AS (
+      SELECT a.event_type AS key_x, b.key_y, b.lag,
+             a.v AS vx, b.vy
+      FROM series a JOIN lagged b USING (bucket)
+      WHERE (a.event_type < b.key_y
+             OR (a.event_type = b.key_y AND b.lag > 0))
+        AND a.v IS NOT NULL AND b.vy IS NOT NULL
+    ),
+    m AS (
+      SELECT key_x, key_y, CAST(lag AS BIGINT) AS lag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(vx) AS BIGINT) AS sx,
+             CAST(SUM(vy) AS BIGINT) AS sy,
+             CAST(SUM(vx * vy) AS BIGINT) AS sxy,
+             CAST(SUM(vx * vx) AS BIGINT) AS sxx,
+             CAST(SUM(vy * vy) AS BIGINT) AS syy
+      FROM p GROUP BY 1, 2, 3
+    )
+    SELECT key_x, key_y, lag, n AS n_buckets,
+           {pearson_sql("n", "sx", "sy", "sxy", "sxx", "syy")} AS corr
+    FROM m WHERE n >= 2
+    """
+    )
+
+
+@query("leadlag_corr_types", _leadlag_oracle())
+def leadlag_corr_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag correlation screen at lags -2..+2 over hourly
+    cents-notional per instrument (self-pairs give the positive-lag
+    autocorrelation function). The y side widens the SMALL panel by a
+    constant 5x; moments stay exact int64."""
+    from svoe_spark.operators.quant import leadlag_corr
+    from svoe_spark.queries import ticks
+
+    t = ticks(spark, sf_dir)
+    series = t.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / 3_600_000_000)
+        .cast("long")
+        .alias("bucket"),
+    ).agg(F.sum("value_c").alias("v"))
+    out = leadlag_corr(series, "event_type", "bucket", "v", max_lag=2)
+    return out.withColumn("lag", F.col("lag").cast("long"))

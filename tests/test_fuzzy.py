@@ -97,3 +97,20 @@ def test_registered_parity(spark, sf_small):
     for name in ("fuzzy_part_name_pairs", "frequent_active_users"):
         ok, msg = run_parity(spark, name, sf_small)
         assert ok, msg
+
+
+def test_fuzzy_doc_freq_cap_keeps_rare_gram_pairs(spark):
+    # 60 names share the hot prefix "name"; cap 10 drops the prefix
+    # grams but each typo pair still shares its rare digit grams
+    # (names with a second digit, e.g. name3/name30..39, would push the
+    # "e3" gram itself over the cap — the documented recall trade)
+    base = [f"name{i}" for i in range(60)]
+    vals = base + [base[7] + "x", base[8] + "x"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = _pairs(
+        fuzzy_join(df, df, "s", "s", max_distance=1, max_doc_freq=10).where(
+            F.col("left_val") < F.col("right_val")
+        )
+    )
+    assert ("name7", "name7x", 1) in got
+    assert ("name8", "name8x", 1) in got

@@ -197,3 +197,32 @@ def test_bollinger_matches_numpy(spark):
         assert rows[i]["bb_pctb"] == pytest.approx(
             (vals[i] - (mid - 2 * sd)) / (4 * sd), rel=1e-10
         )
+
+
+def test_leadlag_recovers_planted_lag(spark):
+    import numpy as np
+
+    from svoe_spark.operators.quant import leadlag_corr
+
+    rng = np.random.RandomState(9)
+    x = rng.randint(0, 1000, size=40)
+    rows = [("x", b, int(v)) for b, v in enumerate(x)]
+    # y = x shifted by +2 buckets: corr(x_t, y_{t+2}) == 1 at lag +2
+    rows += [("y", b + 2, int(v)) for b, v in enumerate(x)]
+    df = spark.createDataFrame(rows, "k string, b long, v long")
+    got = {
+        (r["key_x"], r["key_y"], r["lag"]): r["corr"]
+        for r in leadlag_corr(df, "k", "b", "v", max_lag=3).collect()
+    }
+    assert got[("x", "y", 2)] == pytest.approx(1.0)
+    # other lags correlate noise against noise, strictly below 1
+    assert abs(got[("x", "y", 0)]) < 0.9
+
+
+def test_leadlag_self_pairs_positive_lags_only(spark):
+    from svoe_spark.operators.quant import leadlag_corr
+
+    rows = [("x", b, b * b % 97) for b in range(30)]
+    df = spark.createDataFrame(rows, "k string, b long, v long")
+    got = leadlag_corr(df, "k", "b", "v", max_lag=2).collect()
+    assert {r["lag"] for r in got} == {1, 2}  # ACF: no lag 0 / negatives
