@@ -663,11 +663,12 @@ def round4d_smoke(spark, results, force, n_big=100_000_000):
         )
         .alias("k")
     )
-    fi = frequent_items(hh, "k", threshold=40_000)
+    fi = frequent_items(hh, "k", threshold=40_000).persist()
     results["frequent_items_100M_sec"] = timed(
         lambda: force(fi), "frequent_items_100M"
     )
-    n_hot = fi.count()
+    n_hot = fi.count()  # persisted: the assertion does not re-run the job
+    fi.unpersist()
     assert n_hot == 1000, n_hot  # hot keys: 50k each; cold: ~5-10
 
     # fuzzy join at 210k strings: gram SELECTIVITY is the scale lever

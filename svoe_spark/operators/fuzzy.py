@@ -24,8 +24,8 @@ a length pre-filter ``||a| - |b|| <= d`` before the O(len^2) verify.
 The gram join generates O(sum over grams of |postings|^2) candidates:
 on a large corpus the lever is gram SELECTIVITY: raise ``q`` until
 posting lists are short (smoke: 210k 12-char names at q=4 → ~35-entry
-lists, ~8e7 candidates, all 10k planted typo pairs found; the same
-corpus at q=2 has 10k-hot digit grams and is quadratic). Raising q
+lists, 7.5 s with all 10k planted typo pairs found; the same corpus
+at q=2 has 10k-hot digit grams and is quadratic). Raising q
 also raises the short-string threshold (d+1)*q - 1, so very short
 keys fall back to the cross bucket — pick q just large enough. For
 residual hot grams (a corpus-wide prefix, a common word) pass
@@ -36,18 +36,29 @@ only for pairs whose EVERY shared gram is hot.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from svoe_spark.functions.text import char_shingles
-
-
 def _grams(col: str, q: int) -> F.Column:
-    # boundary padding (chr(1), outside any text alphabet) gives every
-    # non-empty string at least one gram and sharpens the count filter
-    pad = F.lit(chr(1) * (q - 1))
-    padded = F.concat(pad, F.col(col), pad)
-    return F.array_distinct(char_shingles(padded, q))
+    """Distinct q-grams as xxhash64 ids: UNPADDED (boundary padding
+    would mint pad+first-char / last-char+pad grams shared by every
+    string with the same first or last character — measured ~70x
+    candidate blowup on the 210k-name smoke; strings shorter than q
+    have no grams but are below the short-bucket threshold by
+    construction), and HASHED rather than base-256-packed (the int32
+    packing overflows under ANSI mode at q>=5, or q=4 with any
+    non-ASCII character; a hash collision only adds a candidate the
+    exact verify removes)."""
+    c = F.col(col)
+    return F.array_distinct(
+        F.when(
+            F.length(c) >= q,
+            F.transform(
+                F.sequence(F.lit(1), F.length(c) - (q - 1)),
+                lambda i: F.xxhash64(c.substr(i, F.lit(q))),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+    )
 
 
 def fuzzy_join(
@@ -65,11 +76,12 @@ def fuzzy_join(
     to carry ids/payloads (values are the dedup unit, so the verify
     runs once per distinct pair, not once per row pair).
 
-    ``max_doc_freq``: optional cap on a gram's posting list (drop
-    grams shared by more than this many distinct values) — the skew
-    escape hatch; within-cap corpora get the exact uncapped answer,
-    above it recall on pairs ONLY connected by ultra-hot grams is
-    traded away (same contract as dedup.ngram_jaccard_pairs).
+    ``max_doc_freq``: optional cap on a gram's posting list, judged
+    over BOTH sides together (drop grams carried by more than this
+    many values corpus-wide) — the skew escape hatch; within-cap
+    corpora get the exact uncapped answer, above it recall is traded
+    away only for pairs whose EVERY shared gram is hot (same contract
+    as dedup.ngram_jaccard_pairs).
     """
     d, thr = max_distance, (max_distance + 1) * q - 1
     a = left.select(F.col(left_on).alias("left_val")).where(
@@ -82,13 +94,20 @@ def fuzzy_join(
     ga = a.select("left_val", F.explode(_grams("left_val", q)).alias("__g"))
     gb = b.select("right_val", F.explode(_grams("right_val", q)).alias("__g"))
     if max_doc_freq is not None:
-        w = Window.partitionBy("__g")
-        ga = ga.withColumn("__df", F.count(F.lit(1)).over(w)).where(
-            F.col("__df") <= max_doc_freq
-        ).drop("__df")
-        gb = gb.withColumn("__df", F.count(F.lit(1)).over(w)).where(
-            F.col("__df") <= max_doc_freq
-        ).drop("__df")
+        # hotness is judged over BOTH sides together, so the cap's
+        # contract is symmetric: a pair is lost only when its every
+        # shared gram is hot corpus-wide (per-side caps would also
+        # drop grams hot on one side but rare on the other)
+        hot = (
+            ga.select("__g")
+            .unionByName(gb.select("__g"))
+            .groupBy("__g")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_doc_freq)
+            .select("__g")
+        )
+        ga = ga.join(F.broadcast(hot), "__g", "left_anti")
+        gb = gb.join(F.broadcast(hot), "__g", "left_anti")
     blocked = ga.join(gb, "__g").select("left_val", "right_val").distinct()
 
     # completeness fallback: pairs where BOTH sides are short enough to

@@ -386,11 +386,18 @@ def bollinger(
     ``width`` sample standard deviations across the last
     ``window_rows``+1 rows, plus %b (position of the price inside the
     band). Exact integer moments via `rolling_sums`, one fixed double
-    expression tree on top — bit-portable. NULL until the window is
-    full; %b NULL on a zero-width band."""
+    expression tree on top — bit-portable. NULL until the window holds
+    ``window_rows``+1 NON-NULL values (a null price inside the window
+    would otherwise silently dilute the mean and break the variance n);
+    %b NULL on a zero-width band."""
+    v = F.col(value)
     staged, sums = rolling_sums(
         df,
-        {"n": F.lit(1), "s": F.col(value), "s2": F.col(value) * F.col(value)},
+        {
+            "n": F.when(v.isNotNull(), 1).otherwise(0),
+            "s": v,
+            "s2": v * v,
+        },
         by=by,
         order=order,
         window_rows=window_rows,

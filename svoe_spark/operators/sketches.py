@@ -542,7 +542,7 @@ def frequent_items(
     df: DataFrame,
     key: str,
     threshold: int,
-    params: CMSParams = CMSParams(),
+    params: CMSParams | None = None,
 ) -> DataFrame:
     """EXACT heavy hitters — every key with true count >= ``threshold``
     and its exact count — WITHOUT shuffling the long tail.
@@ -555,11 +555,34 @@ def frequent_items(
     on full collision rows (rare by the CMS bound). (3) exact
     groupBy-count of the surviving rows only, then the exact HAVING.
 
+    The filter only BITES when a bucket's background mass N/width is
+    well below the threshold — with the old fixed width=1024 any run
+    with threshold <= N/1024 pruned NOTHING and silently degraded to
+    the plain groupBy plus sketch overhead. So by default the width is
+    SIZED from the data: one count() pass, width = next power of two
+    >= 8*N/threshold (background mass ~ threshold/8), clamped to
+    [1024, 2^20]. If even the 2^20-wide sketch cannot get the
+    background under threshold/2 (i.e. threshold <= ~N/2^19), heavy
+    keys are so numerous/low-bar that pruning cannot help — the
+    operator honestly falls back to the plain exact groupBy-HAVING.
+    Pass an explicit ``params`` to skip the count and the sizing.
+
     At 100 TB with a heavy tail of rare keys, step 3's shuffle carries
     only rows of candidate keys — the tail is dropped map-side by the
     depth broadcast hash joins (no shuffle, no state).
     Returns (key, n) exactly equal to the plain GROUP BY ... HAVING.
     """
+    if params is None:
+        n_rows = df.count()
+        want = max(1024, (8 * n_rows) // max(threshold, 1))
+        width = 1 << max(10, min(20, (int(want) - 1).bit_length()))
+        if n_rows / width >= threshold / 2:
+            return (
+                df.groupBy(key)
+                .agg(F.count(F.lit(1)).cast("long").alias("n"))
+                .where(F.col("n") >= threshold)
+            )
+        params = CMSParams(width=width)
     sketch = cms_build(df, key, params)
     x = md5_hash(
         F.coalesce(F.col(key).cast("string"), F.lit("<NULL>"))

@@ -204,7 +204,15 @@ def sliding_stddev(
     v = F.col(value).cast("double")
     joined = trailing_sums_prefix(
         df,
-        {"__fn": F.lit(1), "__fs": v, "__fs2": v * v},
+        # count NON-NULL values only — stddev_samp ignores nulls, and a
+        # count(*) here would divide the null-skipping sums by the
+        # wrong n (diverging from method='frame' exactly when a null
+        # price appears)
+        {
+            "__fn": F.when(v.isNotNull(), 1).otherwise(0),
+            "__fs": v,
+            "__fs2": v * v,
+        },
         on=on,
         by=by,
         window=window,

@@ -693,7 +693,8 @@ def _bollinger_oracle() -> str:
     ),
     w AS (
       SELECT event_type, window_start, close_c,
-        CAST(COUNT(*) OVER win AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN close_c IS NOT NULL THEN 1 ELSE 0 END)
+             OVER win AS BIGINT) AS n,
         CAST(SUM(close_c) OVER win AS BIGINT) AS s,
         CAST(SUM(close_c * close_c) OVER win AS BIGINT) AS s2
       FROM bars

@@ -114,3 +114,23 @@ def test_fuzzy_doc_freq_cap_keeps_rare_gram_pairs(spark):
     )
     assert ("name7", "name7x", 1) in got
     assert ("name8", "name8x", 1) in got
+
+
+def test_fuzzy_non_ascii_and_large_q(spark):
+    # the old base-256 int32 gram packing overflowed under ANSI mode
+    # at q>=5 (any data) and q=4 with non-ASCII characters
+    left = spark.createDataFrame([("café-latté",), ("espresso",)], "s string")
+    right = spark.createDataFrame([("cafe-latté",)], "t string")
+    got = _pairs(fuzzy_join(left, right, "s", "t", max_distance=1, q=4))
+    assert got == {("café-latté", "cafe-latté", 1)}
+    got5 = _pairs(fuzzy_join(left, right, "s", "t", max_distance=1, q=5))
+    assert got5 == {("café-latté", "cafe-latté", 1)}
+
+
+def test_frequent_items_low_threshold_fallback(spark):
+    # threshold so low that no sketch width can prune: the operator
+    # must fall back to the plain exact groupBy (and stay exact)
+    rows = [(f"k{i % 50}",) for i in range(400)]
+    df = spark.createDataFrame(rows, "k string")
+    got = {(r["k"], r["n"]) for r in frequent_items(df, "k", 2).collect()}
+    assert len(got) == 50 and all(n == 8 for _, n in got)

@@ -226,3 +226,14 @@ def test_leadlag_self_pairs_positive_lags_only(spark):
     df = spark.createDataFrame(rows, "k string, b long, v long")
     got = leadlag_corr(df, "k", "b", "v", max_lag=2).collect()
     assert {r["lag"] for r in got} == {1, 2}  # ACF: no lag 0 / negatives
+
+
+def test_bollinger_null_value_not_counted(spark):
+    from svoe_spark.operators.quant import bollinger
+
+    rows = [("k", i, None if i == 3 else 100 + i) for i in range(6)]
+    df = spark.createDataFrame(rows, "g string, i long, v long")
+    out = {r["i"]: r["bb_mid"] for r in
+           bollinger(df, "v", by="g", order="i", window_rows=4).collect()}
+    # windows containing the null never reach 5 non-null values
+    assert all(out[i] is None for i in range(6))

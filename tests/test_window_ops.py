@@ -147,3 +147,24 @@ def test_sliding_stddev_auto_dispatch(spark, sf_small):
     a = {r["event_id"]: r["volatility"] for r in auto.collect()}
     f = {r["event_id"]: r["volatility"] for r in frame.collect()}
     assert a == f
+
+
+def test_sliding_stddev_prefix_null_values_match_frame(spark):
+    from svoe_spark.operators.windows import sliding_stddev
+
+    rows = [
+        ("k", dt.datetime(2024, 1, 1, 0, 0, 0), None),
+        ("k", dt.datetime(2024, 1, 1, 0, 0, 1), 5.0),
+        ("k", dt.datetime(2024, 1, 1, 0, 0, 2), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, timestamp timestamp, mid_price double")
+    f = {r["timestamp"]: r["volatility"]
+         for r in sliding_stddev(df, by="g", window="1m").collect()}
+    p = {r["timestamp"]: r["volatility"]
+         for r in sliding_stddev(df, by="g", window="1m", method="prefix").collect()}
+    for ts, want in f.items():
+        got = p[ts]
+        if want is None:
+            assert got is None
+        else:
+            assert got == pytest.approx(want, rel=1e-9)
