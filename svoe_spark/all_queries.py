@@ -94,6 +94,8 @@ _DRIVER_PRIORITY = [
     "fuzzy_part_name_pairs",
     "frequent_active_users",
     "leadlag_corr_types",
+    "atr_14_1h",
+    "winsorize_doc_lengths",
 ]
 
 # (c) refill: relational core in CORRECTNESS_r02 order (last green r2).

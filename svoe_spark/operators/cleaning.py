@@ -393,3 +393,52 @@ def adaptive_threshold_filter(
     if thr_out is not None:
         return out.withColumnRenamed("__thr", thr_out)
     return out.drop("__thr")
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    q_low: float = 0.01,
+    q_high: float = 0.99,
+    group_cols: list[str] | None = None,
+    out: str | None = None,
+) -> DataFrame:
+    """Winsorization — clip an integer column to its per-group
+    [q_low, q_high] empirical quantiles (the standard heavy-tail
+    treatment before training on a numeric feature). Both cut points
+    are exact type-1 order statistics (`profiling.order_statistics`),
+    so the clipped values are actual data values and the whole
+    transform is bit-portable; NULL values pass through unclipped.
+
+    Scale shape: one ranked pass for the two order statistics (run on
+    the full column here — compose with `curation.hash_sample` first
+    when the group is unbounded, exactly like
+    `adaptive_threshold_filter`), a |groups|-row pivot broadcast back,
+    and a narrow clip projection.
+    """
+    from svoe_spark.operators.profiling import order_statistics
+
+    groups = list(group_cols or [])
+    out = out or f"{value_col}_w"
+    cuts = order_statistics(
+        df, value_col, [q_low, q_high], groups, out="__cut"
+    )
+    lo_q = F.min(F.when(F.col("q") == q_low, F.col("__cut")))
+    hi_q = F.min(F.when(F.col("q") == q_high, F.col("__cut")))
+    wide = cuts.groupBy(*groups).agg(
+        lo_q.alias("__lo"), hi_q.alias("__hi")
+    )
+    if groups:
+        # null-safe: order_statistics groups NULL keys like groupBy
+        cond = None
+        for g in groups:
+            wide = wide.withColumnRenamed(g, f"__w_{g}")
+            c = df[g].eqNullSafe(F.col(f"__w_{g}"))
+            cond = c if cond is None else cond & c
+        joined = df.join(F.broadcast(wide), cond).drop(
+            *[f"__w_{g}" for g in groups]
+        )
+    else:
+        joined = df.crossJoin(F.broadcast(wide))
+    clipped = F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi"))
+    return joined.withColumn(out, clipped).drop("__lo", "__hi")

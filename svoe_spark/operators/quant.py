@@ -493,3 +493,48 @@ def leadlag_corr(
             F.col("__syy"),
         ).alias("corr"),
     )
+
+
+def atr(
+    bars: DataFrame,
+    by: list[str] | str | None = None,
+    order: str = "window_start",
+    high_c: str = "high_c",
+    low_c: str = "low_c",
+    close_c: str = "close_c",
+    periods: int = 14,
+    out: str = "atr",
+) -> DataFrame:
+    """Average True Range over integer-cents OHLC bars — the SMA form
+    (like `rsi`, Wilder's recursive smoothing is deliberately not
+    used: not relational, not bit-portable). True range is pure
+    integer arithmetic: max(high-low, |high-prev_close|,
+    |low-prev_close|); the trailing mean is one exact integer sum via
+    `rolling_sums` divided once. NULL until ``periods`` true ranges
+    exist (the first bar has no previous close)."""
+    if isinstance(by, str):
+        by = [by]
+    by = by or []
+    lagw = Window.partitionBy(*by).orderBy(order)
+    pc = F.lag(close_c).over(lagw)
+    tr = F.greatest(
+        F.col(high_c) - F.col(low_c),
+        F.abs(F.col(high_c) - pc),
+        F.abs(F.col(low_c) - pc),
+    )
+    staged = bars.withColumn("__tr", tr)
+    staged, sums = rolling_sums(
+        staged,
+        {
+            "nt": F.when(F.col("__tr").isNotNull(), 1).otherwise(0),
+            "st": F.col("__tr"),
+        },
+        by=by,
+        order=[order],
+        window_rows=periods - 1,
+    )
+    nt, st = sums["nt"], sums["st"]
+    return staged.withColumn(
+        out,
+        F.when(nt == periods, st.cast("double") / nt.cast("double")),
+    ).drop("__tr", *[c for c in staged.columns if c.startswith("__rs_")])

@@ -835,3 +835,99 @@ def leadlag_corr_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.sum("value_c").alias("v"))
     out = leadlag_corr(series, "event_type", "bucket", "v", max_lag=2)
     return out.withColumn("lag", F.col("lag").cast("long"))
+
+
+def _atr_oracle() -> str:
+    from svoe_spark.queries import _TICKS_SQL
+
+    return (
+        _TICKS_SQL
+        + """
+    , bars AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             MAX(value_c) AS high_c, MIN(value_c) AS low_c,
+             arg_max(value_c, event_id) AS close_c
+      FROM ticks GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT bars.*, LAG(close_c) OVER w AS pc FROM bars
+      WINDOW w AS (PARTITION BY event_type ORDER BY window_start)
+    ),
+    tr AS (
+      SELECT event_type, window_start,
+             GREATEST(high_c - low_c, ABS(high_c - pc), ABS(low_c - pc))
+               AS tr
+      FROM t
+    ),
+    s AS (
+      SELECT event_type, window_start,
+        CAST(SUM(CASE WHEN tr IS NOT NULL THEN 1 ELSE 0 END)
+             OVER win AS BIGINT) AS nt,
+        CAST(SUM(tr) OVER win AS BIGINT) AS st
+      FROM tr
+      WINDOW win AS (PARTITION BY event_type ORDER BY window_start
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, window_start,
+           CASE WHEN nt = 14
+                THEN CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) END AS atr
+    FROM s
+    """
+    )
+
+
+@query("atr_14_1h", _atr_oracle())
+def atr_14_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-bar Average True Range (SMA form) over hourly cents bars per
+    instrument — integer true ranges, one exact trailing sum, one
+    division."""
+    from svoe_spark.functions.time import bucket_start
+    from svoe_spark.operators.quant import atr
+    from svoe_spark.queries import ticks
+
+    t = ticks(spark, sf_dir)
+    bars = t.groupBy(
+        "event_type", bucket_start("ts", "1h").alias("window_start")
+    ).agg(
+        F.max("value_c").alias("high_c"),
+        F.min("value_c").alias("low_c"),
+        F.max_by("value_c", "event_id").alias("close_c"),
+    )
+    return atr(bars, by="event_type", periods=14).select(
+        "event_type", "window_start", "atr"
+    )
+
+
+def _winsorize_oracle() -> str:
+    from svoe_spark.operators.profiling import order_statistics_sql
+
+    return f"""
+    WITH
+    {order_statistics_sql('documents', 'n_chars', [0.05, 0.95],
+                          group_expr='source', out='cut')}
+    , wide AS (
+      SELECT g AS source,
+             MIN(CASE WHEN q = CAST(0.05 AS DOUBLE) THEN cut END) AS lo,
+             MIN(CASE WHEN q = CAST(0.95 AS DOUBLE) THEN cut END) AS hi
+      FROM ostat GROUP BY 1
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           LEAST(GREATEST(d.n_chars, w.lo), w.hi) AS n_chars_w
+    FROM documents d JOIN wide w ON w.source = d.source
+    """
+
+
+@query("winsorize_doc_lengths", _winsorize_oracle())
+def winsorize_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source [p5, p95] winsorization of document lengths — exact
+    type-1 order-statistic cut points broadcast into a narrow clip, so
+    every output value is an actual data value."""
+    from svoe_spark.operators.cleaning import winsorize
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "n_chars"
+    )
+    return winsorize(
+        docs, "n_chars", q_low=0.05, q_high=0.95, group_cols=["source"]
+    )

@@ -255,3 +255,30 @@ def test_adaptive_threshold_filter_deterministic_sample(spark):
         ).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_winsorize_clips_to_order_statistics(spark):
+    from svoe_spark.operators.cleaning import winsorize
+
+    vals = list(range(1, 21)) + [1000]  # 21 values; p95 cut = k=20th = 20
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)], "s string, i long, v long"
+    )
+    out = winsorize(df, "v", q_low=0.05, q_high=0.95, group_cols=["s"])
+    got = {r["i"]: r["v_w"] for r in out.collect()}
+    assert got[20] == 20  # 1000 clipped to the p95 order statistic
+    assert got[0] == 2  # 1 clipped up to the p5 cut (k=floor(20*.05)+1=2)
+    assert got[10] == 11  # interior value untouched
+    assert out.count() == len(vals)  # row-preserving
+
+
+def test_winsorize_per_group_cuts_differ(spark):
+    from svoe_spark.operators.cleaning import winsorize
+
+    rows = [("a", i, v) for i, v in enumerate(range(0, 100, 10))]
+    rows += [("b", 100 + i, v) for i, v in enumerate(range(0, 1000, 100))]
+    df = spark.createDataFrame(rows, "s string, i long, v long")
+    out = winsorize(df, "v", 0.1, 0.9, group_cols=["s"]).collect()
+    a_max = max(r["v_w"] for r in out if r["s"] == "a")
+    b_max = max(r["v_w"] for r in out if r["s"] == "b")
+    assert a_max < 100 and b_max >= 800  # cuts are group-local

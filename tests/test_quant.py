@@ -237,3 +237,32 @@ def test_bollinger_null_value_not_counted(spark):
            bollinger(df, "v", by="g", order="i", window_rows=4).collect()}
     # windows containing the null never reach 5 non-null values
     assert all(out[i] is None for i in range(6))
+
+
+def test_atr_hand_example(spark):
+    from svoe_spark.operators.quant import atr
+
+    # bars (h, l, c); TR1 = h-l = 10; TR2 = max(8, |15-9|, |7-9|) = 8;
+    # TR3 = max(4, |14-12|, |10-12|) = 4 -> ATR(3) at bar3 = 22/3
+    bars = spark.createDataFrame(
+        [("k", 1, 12, 2, 9), ("k", 2, 15, 7, 12), ("k", 3, 14, 10, 11)],
+        "g string, window_start long, high_c long, low_c long, close_c long",
+    )
+    got = {r["window_start"]: r["atr"] for r in
+           atr(bars, by="g", periods=3).collect()}
+    assert got[1] is None and got[2] is None
+    assert got[3] == pytest.approx(22 / 3)
+
+
+def test_atr_gap_bar_true_range(spark):
+    from svoe_spark.operators.quant import atr
+
+    # gap down: bar2 entirely below bar1's close -> TR = |l - pc| side
+    bars = spark.createDataFrame(
+        [("k", 1, 110, 100, 108), ("k", 2, 95, 90, 91)],
+        "g string, window_start long, high_c long, low_c long, close_c long",
+    )
+    got = {r["window_start"]: r["atr"] for r in
+           atr(bars, by="g", periods=2).collect()}
+    # TR1 = 10, TR2 = max(5, |95-108|=13, |90-108|=18) = 18
+    assert got[2] == pytest.approx((10 + 18) / 2)
