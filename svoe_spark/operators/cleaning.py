@@ -416,7 +416,7 @@ def winsorize(
     `adaptive_threshold_filter`), a |groups|-row pivot broadcast back,
     and a narrow clip projection.
     """
-    from svoe_spark.operators.profiling import order_statistics
+    from svoe_spark.operators.profiling import attach_broadcast, order_statistics
 
     groups = list(group_cols or [])
     out = out or f"{value_col}_w"
@@ -428,17 +428,11 @@ def winsorize(
     wide = cuts.groupBy(*groups).agg(
         lo_q.alias("__lo"), hi_q.alias("__hi")
     )
-    if groups:
-        # null-safe: order_statistics groups NULL keys like groupBy
-        cond = None
-        for g in groups:
-            wide = wide.withColumnRenamed(g, f"__w_{g}")
-            c = df[g].eqNullSafe(F.col(f"__w_{g}"))
-            cond = c if cond is None else cond & c
-        joined = df.join(F.broadcast(wide), cond).drop(
-            *[f"__w_{g}" for g in groups]
-        )
-    else:
-        joined = df.crossJoin(F.broadcast(wide))
-    clipped = F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi"))
+    joined = attach_broadcast(df, wide, groups, prefix="__w_")
+    v = F.col(value_col)
+    # greatest/least SKIP nulls, so an unguarded clip would rewrite a
+    # NULL value to the low cut — guard to keep the pass-through
+    clipped = F.when(
+        v.isNotNull(), F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
+    )
     return joined.withColumn(out, clipped).drop("__lo", "__hi")

@@ -254,6 +254,10 @@ def order_statistics(
     among equal values is arbitrary, but the k-th smallest VALUE is
     unique.
 
+    NULL values are excluded before ranking (quantiles of the non-null
+    domain; engines also disagree on NULL ordering, so including them
+    would break cross-engine parity).
+
     Returns long format: (group..., q, out). Scale shape: one count
     aggregate plus one ranked pass; the target-rank relation is one
     row per (group, q) and broadcast into the rank filter. The ranked
@@ -264,6 +268,11 @@ def order_statistics(
     ``curation.global_rank`` + this rank arithmetic instead.
     """
     groups = list(group_cols or [])
+    # quantiles are over the NON-NULL domain (the standard semantics):
+    # counting NULL rows in n and letting them occupy ranks diverges
+    # between engines too — Spark row_number orders NULLS FIRST,
+    # DuckDB NULLS LAST, so the k-th "value" would differ
+    df = df.where(F.col(value_col).isNotNull())
     counts = df.groupBy(*groups).agg(F.count(F.lit(1)).alias("__n"))
     targets = counts.select(
         *groups,
@@ -335,18 +344,41 @@ def order_statistics_sql(
         f"SELECT CAST({float(q)!r} AS DOUBLE) AS q" for q in qs
     )
     return f"""
-    ostat_n AS (SELECT {g_sel}count(*) AS n FROM {table} {g_grp}),
+    ostat_in AS (SELECT * FROM {table} WHERE {value_col} IS NOT NULL),
+    ostat_n AS (SELECT {g_sel}count(*) AS n FROM ostat_in {g_grp}),
     ostat_t AS (SELECT {g_cols}qq.q,
                        CAST(floor((n - 1) * qq.q) AS BIGINT) + 1 AS __rk
                 FROM ostat_n CROSS JOIN ({q_arms}) qq),
     ostat_r AS (SELECT {g_sel}{value_col} AS __v,
                        row_number() OVER ({g_part} ORDER BY {value_col})
                          AS __rk
-                FROM {table}),
+                FROM ostat_in),
     ostat AS (SELECT {"ostat_r.g AS g, " if group_expr else ""}q,
                      __v AS {out}
               FROM ostat_r JOIN ostat_t {g_join})
     """
+
+
+def attach_broadcast(
+    base: DataFrame, rel: DataFrame, groups: list[str], prefix: str = "__r_"
+) -> DataFrame:
+    """NULL-SAFE broadcast attach of a small per-group relation onto a
+    big one: groupBy/order_statistics treat NULL as a real group, so a
+    plain equi-join would silently drop every NULL-group row from a
+    row-preserving transform. Shared by robust_outliers and
+    cleaning.winsorize so the eqNullSafe invariant lives in one place.
+    """
+    if not groups:
+        return base.crossJoin(F.broadcast(rel))
+    for g in groups:
+        rel = rel.withColumnRenamed(g, f"{prefix}{g}")
+    cond = None
+    for g in groups:
+        c = base[g].eqNullSafe(F.col(f"{prefix}{g}"))
+        cond = c if cond is None else cond & c
+    return base.join(F.broadcast(rel), cond).drop(
+        *[f"{prefix}{g}" for g in groups]
+    )
 
 
 def robust_outliers(
@@ -370,33 +402,16 @@ def robust_outliers(
     broadcast joins of |groups|-row relations into narrow projections.
     """
     groups = list(group_cols or [])
-
-    def _attach(base: DataFrame, rel: DataFrame) -> DataFrame:
-        # NULL-SAFE key equality: order_statistics groups NULL keys
-        # like groupBy does, so a plain equi-join would silently drop
-        # every NULL-group row from the (row-preserving) output
-        if not groups:
-            return base.crossJoin(F.broadcast(rel))
-        for g in groups:
-            rel = rel.withColumnRenamed(g, f"__r_{g}")
-        cond = None
-        for g in groups:
-            c = base[g].eqNullSafe(F.col(f"__r_{g}"))
-            cond = c if cond is None else cond & c
-        return base.join(F.broadcast(rel), cond).drop(
-            *[f"__r_{g}" for g in groups]
-        )
-
     med = order_statistics(df, value_col, [0.5], groups, out="__med").select(
         *groups, "__med"
     )
-    dev_df = _attach(df, med).withColumn(
+    dev_df = attach_broadcast(df, med, groups).withColumn(
         out_dev, F.abs(F.col(value_col) - F.col("__med"))
     )
     mad = order_statistics(dev_df, out_dev, [0.5], groups, out="__mad").select(
         *groups, "__mad"
     )
-    j2 = _attach(dev_df, mad)
+    j2 = attach_broadcast(dev_df, mad, groups)
     return j2.withColumn(
         out_score,
         F.when(

@@ -913,8 +913,10 @@ def _winsorize_oracle() -> str:
       FROM ostat GROUP BY 1
     )
     SELECT d.doc_id, d.source, d.n_chars,
-           LEAST(GREATEST(d.n_chars, w.lo), w.hi) AS n_chars_w
-    FROM documents d JOIN wide w ON w.source = d.source
+           CASE WHEN d.n_chars IS NOT NULL
+                THEN LEAST(GREATEST(d.n_chars, w.lo), w.hi) END AS n_chars_w
+    FROM documents d
+    JOIN wide w ON w.source IS NOT DISTINCT FROM d.source
     """
 
 

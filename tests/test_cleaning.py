@@ -282,3 +282,17 @@ def test_winsorize_per_group_cuts_differ(spark):
     a_max = max(r["v_w"] for r in out if r["s"] == "a")
     b_max = max(r["v_w"] for r in out if r["s"] == "b")
     assert a_max < 100 and b_max >= 800  # cuts are group-local
+
+
+def test_winsorize_nulls_pass_through(spark):
+    from svoe_spark.operators.cleaning import winsorize
+
+    rows = [("g", i, v) for i, v in enumerate(list(range(1, 11)) + [None])]
+    df = spark.createDataFrame(rows, "s string, i long, v long")
+    out = {r["i"]: r["v_w"] for r in
+           winsorize(df, "v", 0.1, 0.9, group_cols=["s"]).collect()}
+    assert out[10] is None  # NULL value passes through unclipped
+    # cuts computed over the NON-NULL domain of 10 values:
+    # k_lo = floor(9*0.1)+1 = 1 -> 1; k_hi = floor(9*0.9)+1 = 9 -> 9
+    assert out[9] == 9  # 10 clipped to the p90 cut
+    assert out[0] == 1
