@@ -79,6 +79,23 @@ def main() -> None:
     dd = max_drawdown(t, "value_c", by="event_type", order=["ts", "event_id"])
     out["instruments"] = dd.count()
 
+    from svoe_spark.operators.quant import atr, bollinger, rsi
+
+    ohlc = t.groupBy(
+        "event_type", bucket_start("ts", "1h").alias("window_start")
+    ).agg(
+        F.max("value_c").alias("high_c"),
+        F.min("value_c").alias("low_c"),
+        F.max_by("value_c", "event_id").alias("close_c"),
+    )
+    ta = bollinger(
+        atr(ohlc, by="event_type", periods=14),
+        "close_c", by="event_type", order="window_start", window_rows=19,
+    )
+    out["ta_bars_full_window"] = ta.where(F.col("bb_mid").isNotNull()).count()
+    r = rsi(t, "value_c", by="event_type", order=["ts", "event_id"], periods=14)
+    out["rsi_overbought_ticks"] = r.where(F.col("rsi") > 70).count()
+
     scored = robust_outliers(t, "value_c", ["event_type"])
     out["mad_outliers_gt3"] = scored.where(F.col("score") > 3).count()
 
