@@ -319,3 +319,53 @@ def test_per_source_topk_window_partitioned_by_group(plans):
     # exchange here would serialize the corpus through one task
     p = plans("per_source_topk")
     assert "SinglePartition" not in p, p
+
+
+def test_temperature_sample_broadcast_rates(spark):
+    from svoe_spark.operators.curation import temperature_sample
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 5}") for i in range(200)], "doc_id long, source string"
+    )
+    plan = (
+        temperature_sample(df, target_n=50)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the per-source rate relation reaches the corpus as a broadcast
+    # hash join — never a shuffled join of the big side
+    assert "BroadcastHashJoin" in plan
+
+
+def test_frequent_items_filters_are_broadcast(spark):
+    from svoe_spark.operators.sketches import CMSParams, frequent_items
+
+    df = spark.createDataFrame([(f"k{i % 9}",) for i in range(300)], "k string")
+    plan = (
+        frequent_items(df, "k", 30, params=CMSParams())
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # each depth filter is a broadcast hash join (map-side, no shuffle
+    # of the data side before the final exact count)
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_funnel_no_cartesian_product(spark):
+    import datetime as dt
+
+    from svoe_spark.operators.events_analytics import funnel
+
+    df = spark.createDataFrame(
+        [(1, "view", dt.datetime(2024, 1, 1)), (1, "click", dt.datetime(2024, 1, 2))],
+        "user_id long, event_type string, ts timestamp",
+    )
+    plan = (
+        funnel(df, ["view", "click"], within="1d")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
