@@ -24,68 +24,15 @@ import svoe_spark.queries_profile  # noqa: F401
 from svoe_spark.queries import QUERIES  # noqa: F401
 
 # Names to surface into the driver's 50-entry window, in check order.
-# Round 4: (a) the 5 queries red in CORRECTNESS_r03 (driver-
-# canonicalizer traps — HUGEINT sums / array output — fixed this
-# round), (b) the new round-4 queries, (c) refill with the relational
-# core in its r1/r2 order (out of the window since r2). The r3-green
-# LLM layer rotates out on its fresh green row.
+# Round 5: (a) the 10 round-4 queries that overflowed the r4 window
+# (judge-verified at sf0.01 but never driver-witnessed — VERDICT r4
+# item 1), (b) the new round-5 queries, (c) refill with the
+# least-recently-checked rows: the relational core last driver-green
+# in CORRECTNESS_r02.  Names beyond slot 50 overflow to the next
+# round's rotation; the overflow split is computed and logged by
+# driver_window() below, never hard-coded.
 _DRIVER_PRIORITY = [
-    # (a) red in r3, fixed: the repair must be driver-witnessed.
-    "dataset_hash_split",
-    "stratified_sample_counts",
-    "sequence_packing",
-    "unpivot_lineitem_measures",
-    "multimodal_byte_features",
-    # (b) new in round 4.
-    "repeated_ngram_spans",
-    "substring_dedup_clean",
-    "semantic_dedup",
-    "semantic_dedup_hier",
-    "quality_classifier_scores",
-    "per_source_topk",
-    "ohlcv_1h_rollup",
-    "bigram_surprise",
-    "cluster_balanced_sample",
-    "contamination_spans",
-    "bm25_search",
-    "dsir_importance",
-    "pq_codes",
-    "pq_adc_topk",
-    "dataset_profile",
-    "key_skew_events",
-    "value_histogram",
-    "ann_ivfpq_topk",
-    "dedup_index_probe",
-    "bpe_tokens",
-    "chunk_freq_dedup",
-    "hard_negatives_lsh",
-    "duplication_report",
-    "cms_user_counts",
-    "bloom_customer_orders",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "kmv_distinct_daily",
-    "hll_distinct_daily",
-    "sampled_quantiles_by_type",
-    "bottom_k_sample_docs",
-    "grouped_split_sources",
-    "snapshot_diff_daily",
-    "pps_token_sample",
-    "hybrid_search_rrf",
-    "adaptive_quality_filter",
-    # (b') added in the round-4 third session.
-    "funnel_view_click_purchase",
-    "retention_day_cohorts",
-    "concurrent_open_orders",
-    "gapfill_linear_6h",
-    "rolling_corr_price_qty",
-    "pairwise_corr_types",
-    "temperature_mixture_langs",
-    "max_drawdown_by_type",
-    "purged_folds_counts",
-    # The two entries below overflow the 50-slot window this round
-    # (52 priority names); they stay oracle-green in the local
-    # full-registry sweep and rotate into the driver window next round.
+    # (a) overflowed the r4 window; never driver-checked.
     "mad_outlier_top20",
     "candle_patterns_1h",
     "asof_purchase_view_tolerant",
@@ -96,6 +43,17 @@ _DRIVER_PRIORITY = [
     "leadlag_corr_types",
     "atr_14_1h",
     "winsorize_doc_lengths",
+    # (b) new in round 5.
+    "ann_ivfpq_refined",
+    "unigram_tokens",
+    "backtest_grid_cents",
+    "quality_classifier_trained",
+    "streaming_funnel_parity",
+    "adaptive_filter_null_groups",
+    "refine_topk_brute",
+    "retention_week_cohorts",
+    "pps_zero_weight_guard",
+    "unigram_scores",
 ]
 
 # (c) refill: relational core in CORRECTNESS_r02 order (last green r2).
@@ -137,6 +95,18 @@ _PRIORITY_EXTRA = [
     "q3_shipping_priority",
     "q15_top_supplier",
 ]
+
+
+DRIVER_WINDOW_SLOTS = 50
+
+
+def driver_window() -> tuple[list[str], list[str]]:
+    """Return (inside, overflow): the registry names that land in the
+    driver's 50-entry hash-check window this round vs those that
+    rotate to the next round. Computed from the live registry so the
+    split is never hard-coded wrong."""
+    names = list(QUERIES)
+    return names[:DRIVER_WINDOW_SLOTS], names[DRIVER_WINDOW_SLOTS:]
 
 
 def _rotate() -> None:

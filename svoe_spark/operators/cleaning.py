@@ -378,17 +378,24 @@ def adaptive_threshold_filter(
     group) joins back as a broadcast feeding a narrow filter. Fully
     deterministic end-to-end: hash-membership sample + rank-selected
     data value + one comparison. ``thr_out`` keeps the applied
-    threshold as an output column."""
+    threshold as an output column.
+
+    Group-edge policy (explicit by design): the thresholds attach is a
+    NULL-SAFE LEFT join (`profiling.attach_broadcast`), so (a) a NULL
+    group is a real group that keeps its own threshold, and (b) a
+    group that drew zero rows in the rate-``p`` sample has no
+    threshold and is KEPT WHOLE (NULL threshold ⇒ no cut) — an
+    unsampled group is evidence the group is tiny, not that its rows
+    are bad."""
     from svoe_spark.operators.curation import hash_sample
-    from svoe_spark.operators.profiling import order_statistics
+    from svoe_spark.operators.profiling import attach_broadcast, order_statistics
 
     s = hash_sample(df, id_col=id_col, p=p, salt=salt)
     thr = order_statistics(
         s, value_col, [q], group_cols=group_cols, out="__thr"
     ).drop("q")
-    out = (
-        df.join(F.broadcast(thr), group_cols)
-        .where(F.col(value_col) >= F.col("__thr"))
+    out = attach_broadcast(df, thr, group_cols, how="left").where(
+        F.col("__thr").isNull() | (F.col(value_col) >= F.col("__thr"))
     )
     if thr_out is not None:
         return out.withColumnRenamed("__thr", thr_out)
@@ -428,7 +435,10 @@ def winsorize(
     wide = cuts.groupBy(*groups).agg(
         lo_q.alias("__lo"), hi_q.alias("__hi")
     )
-    joined = attach_broadcast(df, wide, groups, prefix="__w_")
+    # LEFT attach: a group whose value_col is entirely NULL has no
+    # cuts row (order_statistics excludes NULLs) — the transform must
+    # still preserve those rows (their clip is NULL anyway)
+    joined = attach_broadcast(df, wide, groups, prefix="__w_", how="left")
     v = F.col(value_col)
     # greatest/least SKIP nulls, so an unguarded clip would rewrite a
     # NULL value to the low cut — guard to keep the pass-through

@@ -69,12 +69,12 @@ def global_cumsum(
     lo, hi = df.select(
         F.min(order_col).cast("long"), F.max(order_col).cast("long")
     ).first()
-    if lo is None:  # empty input
-        return df.withColumn(out, F.lit(None).cast("double"))
     fractional = isinstance(
         df.schema[value_col].dataType, (DoubleType, FloatType, DecimalType)
     )
     sum_t = "double" if fractional else "long"
+    if lo is None:  # empty input: keep the non-empty output type
+        return df.withColumn(out, F.lit(None).cast(sum_t))
     b = _bucket(F.col(order_col), lo, hi, buckets)
     totals = dict(
         df.groupBy(b.alias("__b"))
@@ -370,6 +370,9 @@ def pps_systematic_sample(
     )
     return (
         cum.crossJoin(F.broadcast(total))
+        # W = 0 (all rows zero-weight / empty input) selects nothing;
+        # without the guard ANSI mode raises DIVIDE_BY_ZERO on DIV
+        .where(F.col("__w_total") > 0)
         .where(
             F.expr(f"(__cum * {k}) DIV __w_total")
             > F.expr(f"((__cum - CAST({weight_col} AS BIGINT)) * {k}) DIV __w_total")

@@ -237,16 +237,19 @@ def apply_index_batch(
     its directory subtree (and the probe excludes the batch's OWN
     subtree via partition pruning), a replay of a half-written batch
     recomputes the same survivor set and overwrites in place. Returns
-    whether data work was done."""
-    import os
+    whether data work was done. Store paths may be driver-local OR any
+    Hadoop filesystem (hdfs://, s3a://) — the commit log routes through
+    ``util.read_commit_log``/``append_commit``."""
+    from svoe_spark.operators.util import (
+        append_commit,
+        read_commit_log,
+        store_path_exists,
+    )
 
-    commits = path + "._commits"
-    if os.path.exists(commits):
-        with open(commits) as f:
-            if batch_id in {int(x) for x in f.read().split() if x}:
-                return False
     spark = batch_df.sparkSession
-    if os.path.exists(f"{path}/bands"):
+    if batch_id in read_commit_log(spark, path):
+        return False
+    if store_path_exists(spark, f"{path}/bands"):
         bands, sets = read_index(spark, path, exclude_batch=batch_id)
         survivors = dedup_against_index(
             batch_df, bands, sets, text, id_col, params, threshold
@@ -261,8 +264,7 @@ def apply_index_batch(
     handle = getattr(survivors, "_svoe_persisted", None)
     if handle is not None:
         handle.unpersist()
-    with open(commits, "a") as f:
-        f.write(f"{batch_id}\n")
+    append_commit(spark, path, batch_id)
     return True
 
 

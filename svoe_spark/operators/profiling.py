@@ -360,13 +360,23 @@ def order_statistics_sql(
 
 
 def attach_broadcast(
-    base: DataFrame, rel: DataFrame, groups: list[str], prefix: str = "__r_"
+    base: DataFrame,
+    rel: DataFrame,
+    groups: list[str],
+    prefix: str = "__r_",
+    how: str = "inner",
 ) -> DataFrame:
     """NULL-SAFE broadcast attach of a small per-group relation onto a
     big one: groupBy/order_statistics treat NULL as a real group, so a
     plain equi-join would silently drop every NULL-group row from a
     row-preserving transform. Shared by robust_outliers and
     cleaning.winsorize so the eqNullSafe invariant lives in one place.
+
+    ``how='left'`` keeps base rows whose group has NO row in ``rel``
+    (their attached columns come back NULL) — required when ``rel`` is
+    derived from a sample or a NULL-excluding aggregate and the caller
+    promises row preservation (ADVICE r4: a group absent from the
+    order-statistics relation must not silently lose all its rows).
     """
     if not groups:
         return base.crossJoin(F.broadcast(rel))
@@ -376,7 +386,7 @@ def attach_broadcast(
     for g in groups:
         c = base[g].eqNullSafe(F.col(f"{prefix}{g}"))
         cond = c if cond is None else cond & c
-    return base.join(F.broadcast(rel), cond).drop(
+    return base.join(F.broadcast(rel), cond, how).drop(
         *[f"{prefix}{g}" for g in groups]
     )
 

@@ -22,12 +22,15 @@ additive components, computed at read time (`finish_bars`).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from svoe_spark.functions.time import bucket_start
+from svoe_spark.operators.util import (
+    append_commit,
+    read_commit_log,
+    store_path_exists,
+)
 
 #: associative bar schema produced by `bars_from_ticks` / merged by
 #: `combine_bars`: open/close travel with their arg keys so the merge
@@ -197,7 +200,7 @@ class RollupStore:
             ]
             if not day_vals:
                 return []
-            exists = os.path.exists(self.path)
+            exists = store_path_exists(self.spark, self.path)
             if exists and batch_id is not None:
                 # days already stamped with this batch id were swapped
                 # by a previous (crashed) attempt: their content already
@@ -251,15 +254,12 @@ class RollupStore:
         partition batch stamp closes the crash window BETWEEN the data
         write and the log append — a replayed batch re-merges only the
         days the crashed attempt had not yet swapped. Returns whether
-        any data work was done."""
-        commits = self.path + "._commits"
-        if os.path.exists(commits):
-            with open(commits) as f:
-                if batch_id in {int(x) for x in f.read().split() if x}:
-                    return False
+        any data work was done. Store paths may be driver-local or any
+        Hadoop filesystem (``util.read_commit_log``/``append_commit``)."""
+        if batch_id in read_commit_log(self.spark, self.path):
+            return False
         self.refresh(batch_df, batch_id=batch_id)
-        with open(commits, "a") as f:
-            f.write(f"{batch_id}\n")
+        append_commit(self.spark, self.path, batch_id)
         return True
 
 

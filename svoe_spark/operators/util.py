@@ -26,3 +26,83 @@ def spread(df: DataFrame) -> DataFrame:
     if n < target:
         return df.repartition(target)
     return df
+
+
+# ---------------------------------------------------------------------------
+# Store-path filesystem helpers (commit logs for the exactly-once stores)
+# ---------------------------------------------------------------------------
+#
+# The incremental stores (dedup_index, vector_index, rollup.RollupStore)
+# keep a tiny ``<path>._commits`` log of completed batch ids next to the
+# data. A plain ``open()`` only works when the store path is on the
+# driver's local filesystem; with an HDFS/S3 store path it would raise
+# (or ``os.path.exists`` would silently return False and break the
+# idempotency guarantee — ADVICE r4). These helpers route schemed paths
+# (``hdfs://``, ``s3a://``, explicit ``file:``) through the Hadoop
+# FileSystem API via the JVM gateway and keep the zero-JVM-roundtrip
+# local fast path for bare paths. Single concurrent writer per store
+# path (the stores' documented invariant), so full-file overwrite is a
+# safe "append".
+
+import os
+import re
+
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+
+
+def _is_local_path(path: str) -> bool:
+    # windows drive letters don't occur here; anything scheme-less is
+    # driver-local by definition of how the caller addressed it
+    return _SCHEME_RE.match(path) is None
+
+
+def _hadoop_fs(spark, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, p, jvm
+
+
+def store_path_exists(spark, path: str) -> bool:
+    """Existence check that works for local AND Hadoop-schemed paths."""
+    if _is_local_path(path):
+        return os.path.exists(path)
+    fs, p, _ = _hadoop_fs(spark, path)
+    return bool(fs.exists(p))
+
+
+def read_commit_log(spark, path: str) -> set[int]:
+    """The set of committed batch ids in ``<path>._commits``."""
+    log = path + "._commits"
+    if _is_local_path(log):
+        if not os.path.exists(log):
+            return set()
+        with open(log) as f:
+            return {int(x) for x in f.read().split() if x}
+    fs, p, jvm = _hadoop_fs(spark, log)
+    if not fs.exists(p):
+        return set()
+    stream = fs.open(p)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return {int(x) for x in text.split() if x}
+
+
+def append_commit(spark, path: str, batch_id: int) -> None:
+    """Record ``batch_id`` as committed. Local: O(1) append. Hadoop FS:
+    read-modify-overwrite of the (few-bytes) log — append() is not
+    supported on object stores, and the stores are single-writer."""
+    log = path + "._commits"
+    if _is_local_path(log):
+        with open(log, "a") as f:
+            f.write(f"{batch_id}\n")
+        return
+    ids = sorted(read_commit_log(spark, path) | {int(batch_id)})
+    fs, p, _ = _hadoop_fs(spark, log)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray("".join(f"{i}\n" for i in ids), "utf-8"))
+    finally:
+        out.close()

@@ -33,19 +33,10 @@ same append-only block discipline applied to an ANN index.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 
 from svoe_spark.operators.similarity import ann_ivfpq_topk, ivfpq_encode_numpy
-
-
-def _committed(path: str) -> set[int]:
-    commits = path + "._commits"
-    if not os.path.exists(commits):
-        return set()
-    with open(commits) as f:
-        return {int(x) for x in f.read().split() if x}
+from svoe_spark.operators.util import append_commit, read_commit_log
 
 
 def append_ivfpq_batch(
@@ -60,8 +51,10 @@ def append_ivfpq_batch(
     codes_col: str = "codes",
 ) -> bool:
     """Idempotently encode one batch into the index. Returns whether
-    data work was done (False = batch already committed)."""
-    if batch_id in _committed(path):
+    data work was done (False = batch already committed). Store paths
+    may be driver-local or any Hadoop filesystem (commit log via
+    ``util.read_commit_log``/``append_commit``)."""
+    if batch_id in read_commit_log(batch_df.sparkSession, path):
         return False
     coded = ivfpq_encode_numpy(
         batch_df,
@@ -75,8 +68,7 @@ def append_ivfpq_batch(
     coded.write.mode("overwrite").partitionBy(cluster_col).parquet(
         f"{path}/batch={batch_id}"
     )
-    with open(path + "._commits", "a") as f:
-        f.write(f"{batch_id}\n")
+    append_commit(batch_df.sparkSession, path, batch_id)
     return True
 
 

@@ -296,3 +296,60 @@ def test_winsorize_nulls_pass_through(spark):
     # k_lo = floor(9*0.1)+1 = 1 -> 1; k_hi = floor(9*0.9)+1 = 9 -> 9
     assert out[9] == 9  # 10 clipped to the p90 cut
     assert out[0] == 1
+
+
+def test_adaptive_threshold_filter_keeps_null_group(spark):
+    """ADVICE r4 (medium): a NULL group is a real group — its rows must
+    be filtered against their OWN threshold, not silently dropped by a
+    non-null-safe join."""
+    from svoe_spark.operators.cleaning import adaptive_threshold_filter
+
+    rows = [(i, "a", float(i)) for i in range(20)] + [
+        (100 + i, None, float(i)) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, score double")
+    out = adaptive_threshold_filter(df, "score", ["src"], q=0.5, p=1.0).collect()
+    null_kept = [r for r in out if r["src"] is None]
+    assert len(null_kept) == 11  # top half of the NULL group survives
+    assert min(r["score"] for r in null_kept) == 9.0
+
+
+def test_adaptive_threshold_filter_keeps_unsampled_group_whole(spark):
+    """ADVICE r4 (medium): a group that draws zero rows in the p-rate
+    sample has no threshold — policy is KEEP WHOLE (NULL threshold =>
+    no cut), not silent drop."""
+    from svoe_spark.operators.cleaning import adaptive_threshold_filter
+    from svoe_spark.operators.curation import hash_sample
+
+    rows = [(i, "big", float(i)) for i in range(2000)] + [
+        (10_000, "tiny", 0.0)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, score double")
+    # hunt a salt where the 1-row 'tiny' group misses the p=0.05 sample
+    salt = None
+    for cand in map(str, range(40)):
+        s = hash_sample(df.where("src = 'tiny'"), id_col="doc_id", p=0.05,
+                        salt=cand)
+        if s.count() == 0:
+            salt = cand
+            break
+    assert salt is not None
+    out = adaptive_threshold_filter(
+        df, "score", ["src"], q=0.5, p=0.05, salt=salt, thr_out="thr"
+    )
+    tiny = [r for r in out.collect() if r["src"] == "tiny"]
+    assert len(tiny) == 1 and tiny[0]["thr"] is None  # kept, threshold NULL
+
+
+def test_winsorize_preserves_all_null_group(spark):
+    """ADVICE r4: a group whose value column is entirely NULL has no
+    order-statistics row; its rows must still pass through (NULL)."""
+    from svoe_spark.operators.cleaning import winsorize
+
+    rows = [("g", i, v) for i, v in enumerate(range(1, 11))]
+    rows += [("allnull", 100, None), ("allnull", 101, None)]
+    df = spark.createDataFrame(rows, "s string, i long, v long")
+    out = winsorize(df, "v", 0.1, 0.9, group_cols=["s"])
+    assert out.count() == 12  # row-preserving incl. the all-NULL group
+    got = {r["i"]: r["v_w"] for r in out.collect()}
+    assert got[100] is None and got[101] is None

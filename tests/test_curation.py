@@ -356,3 +356,16 @@ def test_temperature_sample_layout_invariant(spark):
         for r in temperature_sample(df.repartition(7), target_n=100).collect()
     }
     assert a == b
+
+
+def test_pps_systematic_sample_zero_total_weight(spark):
+    """ADVICE r4: W=0 (all rows zero-weight) must select nothing, not
+    raise DIVIDE_BY_ZERO under ANSI mode."""
+    from svoe_spark.operators.curation import pps_systematic_sample
+
+    df = spark.createDataFrame(
+        [(i, 0) for i in range(10)], "doc_id long, n_chars long"
+    )
+    assert pps_systematic_sample(df, "n_chars", 5).count() == 0
+    empty = df.where("doc_id < 0")
+    assert pps_systematic_sample(empty, "n_chars", 5).count() == 0
