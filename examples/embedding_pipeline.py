@@ -24,11 +24,15 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from svoe_spark.operators.similarity import (  # noqa: E402
     ann_ivf_topk,
+    ann_ivfpq_topk,
     ann_lsh_topk,
     brute_force_topk,
     embedding_neardup_pairs,
     ivf_train,
+    ivfpq_encode,
+    ivfpq_train,
     quantize_embeddings,
+    refine_topk,
 )
 from svoe_spark.session import get_spark  # noqa: E402
 from svoe_spark.sources.tables import load_table  # noqa: E402
@@ -65,7 +69,10 @@ def main() -> None:
     # exact scan, averaged over N_QUERIES held-out queries
     queries = [r for r in emb.orderBy("vec_id").limit(N_QUERIES).collect()]
     centroids = ivf_train(kept, k=16)
-    hits = {"lsh": 0, "lsh_mp": 0, "ivf": 0, "ivf_np4": 0}
+    cbs = ivfpq_train(kept, centroids, method="kmeans")
+    coded = ivfpq_encode(kept, centroids, cbs).persist()
+    hits = {"lsh": 0, "lsh_mp": 0, "ivf": 0, "ivf_np4": 0,
+            "ivfpq_refined": 0}
     for qr in queries:
         qdf = spark.createDataFrame([(qr["vec_id"], qr["embedding"])],
                                     "vec_id long, embedding array<float>")
@@ -82,6 +89,16 @@ def main() -> None:
         hits["ivf_np4"] += recall(
             ann_ivf_topk(kept, qdf, centroids=centroids, k=K, nprobe=4)
         )
+        # IVF-PQ candidates + the exact re-rank (refine) stage: the
+        # compressed-scan path with the recall fix layered on top —
+        # rescored under the truth metric (cosine) of this comparison
+        short = ann_ivfpq_topk(
+            coded, qdf, centroids, cbs, k=4 * K, nprobe=4
+        )
+        hits["ivfpq_refined"] += recall(
+            refine_topk(short, kept, qdf, k=K, metric="cosine")
+        )
+    coded.unpersist()
     for name, h in hits.items():
         out[f"recall_at_{K}_{name}"] = round(h / (K * len(queries)), 3)
 

@@ -64,13 +64,32 @@ def main() -> None:
     docs = docs.join(keep.filter("keep").select("doc_id"), "doc_id", "left_semi")
     stages["quality_filtered"] = docs.count()
 
-    # 1b. model-based quality filter (fastText-shaped linear scorer;
-    # swap default_classifier_weights for trained weights in prod)
+    # 1b. model-based quality filter — the TRAINED artifact: frozen
+    # logistic weights fitted by train_quality_classifier over the
+    # scorer's exact feature algebra (quantized dyadic rationals, the
+    # same constants the quality_classifier_trained oracle replays)
     from svoe_spark.operators.text_analysis import quality_classifier
+    from svoe_spark.queries_llm import QC_TRAINED_BIAS, QC_TRAINED_WEIGHTS
 
-    qc = quality_classifier(docs, threshold=-0.25)
+    qc = quality_classifier(
+        docs, weights=QC_TRAINED_WEIGHTS, bias=QC_TRAINED_BIAS, threshold=0.0
+    )
     docs = docs.join(qc.filter("keep").select("doc_id"), "doc_id", "left_semi")
     stages["classifier_filtered"] = docs.count()
+
+    # 1b'. unigram-LM cost filter (CCNet-style perplexity gate using
+    # the tokenizer's own LM): drop the most out-of-domain tail by
+    # per-token encoding cost under the frozen unigram artifact
+    from svoe_spark.operators.tokenizer import unigram_encode
+    from svoe_spark.queries_llm import UNIGRAM_FIXED_PIECES
+
+    ug = unigram_encode(docs, UNIGRAM_FIXED_PIECES, out_cost="lm_cost")
+    ug = ug.where(
+        (F.size("tokens") > 0)
+        & (F.col("lm_cost") / F.size("tokens") < 25_000)  # milli-nats/token
+    )
+    docs = docs.join(ug.select("doc_id"), "doc_id", "left_semi")
+    stages["lm_cost_filtered"] = docs.count()
 
     # 1c. substring-level dedup: cut corpus-repeated 5-gram spans out
     # of the surviving texts (suffix-array-style boilerplate removal)

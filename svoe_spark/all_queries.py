@@ -29,8 +29,9 @@ from svoe_spark.queries import QUERIES  # noqa: F401
 # item 1), (b) the new round-5 queries, (c) refill with the
 # least-recently-checked rows: the relational core last driver-green
 # in CORRECTNESS_r02.  Names beyond slot 50 overflow to the next
-# round's rotation; the overflow split is computed and logged by
-# driver_window() below, never hard-coded.
+# round's rotation; compute the actual split with driver_window()
+# below (a helper for maintainers and the verify harness — nothing
+# prints it automatically) instead of hard-coding counts in comments.
 _DRIVER_PRIORITY = [
     # (a) overflowed the r4 window; never driver-checked.
     "mad_outlier_top20",
@@ -43,17 +44,15 @@ _DRIVER_PRIORITY = [
     "leadlag_corr_types",
     "atr_14_1h",
     "winsorize_doc_lengths",
-    # (b) new in round 5.
+    # (b) new in round 5: ANN exact re-rank (refine), unigram-LM
+    # tokenizer + LM-cost scores, the trained quality classifier, and
+    # the backtester family's exactness row.
     "ann_ivfpq_refined",
+    "pq_adc_refined",
     "unigram_tokens",
-    "backtest_grid_cents",
-    "quality_classifier_trained",
-    "streaming_funnel_parity",
-    "adaptive_filter_null_groups",
-    "refine_topk_brute",
-    "retention_week_cohorts",
-    "pps_zero_weight_guard",
     "unigram_scores",
+    "quality_classifier_trained",
+    "backtest_grid_cents",
 ]
 
 # (c) refill: relational core in CORRECTNESS_r02 order (last green r2).

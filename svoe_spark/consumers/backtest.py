@@ -62,14 +62,29 @@ RESULT_SCHEMA = StructType(
 )
 
 
+def alternate_signals(prices: pd.Series) -> pd.Series:
+    """Degenerate always-fill strategy (buy the 1st, 3rd, ... event,
+    sell the 2nd, 4th, ...): with a deep enough wallet every signal
+    fills, so the whole simulation collapses to a closed-form
+    aggregation — the SQL-expressible member of the family that gives
+    the state-machine backtester a hash-checkable oracle
+    (`backtest_grid_cents`). With integer-cent prices and dyadic
+    commissions every float op in `_simulate` is exact, so the
+    simulator's doubles equal the oracle's integer arithmetic
+    bit-for-bit."""
+    idx = pd.Series(range(len(prices)), index=prices.index)
+    return (1 - 2 * (idx % 2)).astype(int)
+
+
 def _simulate(
     pdf: pd.DataFrame,
     symbol: str,
     price_col: str,
     signal_fn: Callable[[pd.Series], pd.Series],
     cfg: SimConfig,
+    order_cols: tuple[str, ...] = ("ts",),
 ) -> pd.DataFrame:
-    pdf = pdf.sort_values("ts")
+    pdf = pdf.sort_values(list(order_cols))
     prices = pdf[price_col].astype(float).reset_index(drop=True)
     signals = signal_fn(prices)
     balance, position, n_trades, commission_paid = cfg.initial_balance, 0.0, 0, 0.0
@@ -183,6 +198,7 @@ def run_backtest_grid(
     by: str = "symbol",
     signal_fn: Callable[[pd.Series], pd.Series] = buy_low_sell_high,
     mode: str = "replicate",
+    order_cols: tuple[str, ...] = ("ts",),
 ) -> DataFrame:
     """Distributed strategy-parameter sweep: every config in ``grid``
     is simulated over every instrument, returning one PnL row per
@@ -209,7 +225,7 @@ def run_backtest_grid(
         def fn_rep(key, pdf: pd.DataFrame) -> pd.DataFrame:
             cid = int(key[1])
             cfg = cfgs[cid]
-            out = _simulate(pdf, key[0], price_col, signal_fn, cfg)
+            out = _simulate(pdf, key[0], price_col, signal_fn, cfg, order_cols)
             return _with_cfg(out, cid, cfg)
 
         return rep.groupBy(by, "__cfg").applyInPandas(fn_rep, schema=GRID_SCHEMA)
@@ -219,7 +235,9 @@ def run_backtest_grid(
         def fn_loop(key, pdf: pd.DataFrame) -> pd.DataFrame:
             outs = [
                 _with_cfg(
-                    _simulate(pdf, key[0], price_col, signal_fn, cfg), cid, cfg
+                    _simulate(pdf, key[0], price_col, signal_fn, cfg,
+                              order_cols),
+                    cid, cfg,
                 )
                 for cid, cfg in enumerate(cfgs)
             ]

@@ -713,9 +713,13 @@ def reconstruct_book_stream(
             book._ask_px = sorted(book.asks)
             book.started = bool(started)
             book.inconsistencies = inc
-        for pdf in pdfs:
-            out = _replay(pdf, book, depth, every, key_tuple[0])
-            yield out.rename(columns={"__key": key})
+        # whole micro-batch as one frame: Arrow chunks arrive in fetch
+        # order, and replaying them chunk-by-chunk would apply updates
+        # out of event-time order (_replay sorts WITHIN the frame)
+        from svoe_spark.streaming.chunks import batch_frame
+
+        out = _replay(batch_frame(pdfs), book, depth, every, key_tuple[0])
+        yield out.rename(columns={"__key": key})
         state.update(
             (
                 list(book.bids.keys()),

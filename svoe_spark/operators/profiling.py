@@ -379,7 +379,11 @@ def attach_broadcast(
     order-statistics relation must not silently lose all its rows).
     """
     if not groups:
-        return base.crossJoin(F.broadcast(rel))
+        # constant-true join (not crossJoin) so how='left' keeps its
+        # row-preservation contract when rel is EMPTY — e.g. an
+        # ungrouped caller whose sample drew zero rows must keep the
+        # base rows with NULL attached columns, not drop the corpus
+        return base.join(F.broadcast(rel), F.lit(True), how)
     for g in groups:
         rel = rel.withColumnRenamed(g, f"{prefix}{g}")
     cond = None

@@ -1005,6 +1005,66 @@ def ann_ivfpq_topk(
     )
 
 
+def refine_topk(
+    candidates: DataFrame,
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    metric: str = "l2",
+    out: str = "exact_dist",
+    query_vec_col: str | None = None,
+) -> DataFrame:
+    """Exact re-rank (refine) stage over an ANN candidate shortlist —
+    the standard recall fix every production vector stack layers on
+    top of quantized search (FAISS IVFADC-with-refine; Jégou et al.
+    2011 §V): fetch a top-R shortlist by ADC/IVF, join back the RAW
+    vectors for just those R ids, rescore exactly, return the true
+    top-k of the shortlist. Recall@k then depends only on whether the
+    true neighbors made the shortlist (R, nprobe), not on quantization
+    error. Measured (sf0.1 fixture, kmeans residual codebooks, L2
+    truth, 20 unbiased queries — scripts/measure_ivf_recall.py):
+
+        nprobe  ADC@10  refined R=50  refined R=200
+           1     0.225     0.275         0.280
+           2     0.255     0.355         0.410
+           4     0.285     0.440         0.570
+
+    Refine dominates at every operating point; at nprobe=1 the refined
+    number equals the IVF cell-membership ceiling (0.28) exactly —
+    after refinement the only remaining loss is candidates whose cell
+    was never probed.
+
+    ``metric='l2'`` scores squared L2 (ascending — matches what ADC
+    approximates, same fold as ``_sub_dist2`` so the score is
+    bit-portable); ``'cosine'`` scores cosine (descending, the
+    IVF-coarse metric). Ties break on ``id_col``.
+
+    Scale shape: ``candidates`` is R rows — it BROADCASTS into a
+    semi-join against the vector table (id-bucketed storage turns this
+    into a pruned fetch; worst case one narrow scan of (id, vector)),
+    then one k-row TakeOrdered. No shuffle, no Python, and the raw
+    vectors are read for R rows' worth of work only."""
+    qv = query_vec_col or vec_col
+    q = query.select(F.col(qv).alias("__qv"))
+    ids = candidates.select(id_col)
+    fetched = vectors.join(F.broadcast(ids), id_col).crossJoin(F.broadcast(q))
+    if metric == "l2":
+        score = _sub_dist2(F.col(vec_col), F.col("__qv"))
+        order = [F.col(out).asc(), F.col(id_col).asc()]
+    elif metric == "cosine":
+        score = cosine(F.col(vec_col), F.col("__qv"))
+        order = [F.col(out).desc(), F.col(id_col).asc()]
+    else:
+        raise ValueError("refine_topk: metric must be 'l2' or 'cosine'")
+    return (
+        fetched.select(F.col(id_col), score.alias(out))
+        .orderBy(*order)
+        .limit(k)
+    )
+
+
 def _pq_codes_numpy(E, cbs_np):
     """n x m int32 codes for row-major float64 subvectors: per
     subspace, squared distances accumulated COLUMN BY COLUMN (the same

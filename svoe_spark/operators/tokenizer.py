@@ -61,6 +61,40 @@ def _pairs(seq: tuple[str, ...]) -> Iterable[tuple[str, str]]:
     return zip(seq, seq[1:])
 
 
+#: hard ceiling on the driver-side word-frequency collect in the
+#: trainers: the contract is vocabulary-bounded (head-of-Zipf), never
+#: corpus-bounded — exceeding this means the caller forgot the
+#: ``top_words`` cap, not that the driver should buffer a corpus.
+MAX_TRAIN_WORDS = 1_000_000
+
+
+def _collect_vocab(
+    word_freqs: DataFrame | list[tuple[str, int]],
+    top_words: int,
+    word_col: str,
+    freq_col: str,
+) -> list[tuple[str, int]]:
+    """Top ``top_words`` of a word-frequency relation by (freq desc,
+    word asc) — the one driver-sized collect both trainers share,
+    guarded by ``MAX_TRAIN_WORDS``."""
+    if top_words > MAX_TRAIN_WORDS:
+        raise ValueError(
+            f"top_words={top_words} exceeds MAX_TRAIN_WORDS="
+            f"{MAX_TRAIN_WORDS}: tokenizer training collects the word-"
+            "frequency head to the driver by design (vocabulary-bounded,"
+            " not corpus-bounded); raise the module cap only with the "
+            "driver memory to match"
+        )
+    if isinstance(word_freqs, DataFrame):
+        rows = (
+            word_freqs.orderBy(F.desc(freq_col), F.asc(word_col))
+            .limit(top_words)
+            .collect()
+        )
+        return [(r[word_col], int(r[freq_col])) for r in rows]
+    return sorted(word_freqs, key=lambda wf: (-wf[1], wf[0]))[:top_words]
+
+
 def bpe_train(
     word_freqs: DataFrame | list[tuple[str, int]],
     num_merges: int = 200,
@@ -72,19 +106,12 @@ def bpe_train(
 
     Accepts the ``word_frequencies`` DataFrame (its top ``top_words``
     by (freq desc, word asc) are collected — a driver-sized TakeOrdered,
-    the documented head-of-Zipf cap) or an explicit (word, freq) list.
+    the documented head-of-Zipf cap, hard-limited by
+    ``MAX_TRAIN_WORDS``) or an explicit (word, freq) list.
     Deterministic: pair counts break ties by lexicographically smallest
     pair, the top-word cut by (freq desc, word asc). Returns merges in
     rank order (rank 0 applied first)."""
-    if isinstance(word_freqs, DataFrame):
-        rows = (
-            word_freqs.orderBy(F.desc(freq_col), F.asc(word_col))
-            .limit(top_words)
-            .collect()
-        )
-        vocab = [(r[word_col], int(r[freq_col])) for r in rows]
-    else:
-        vocab = sorted(word_freqs, key=lambda wf: (-wf[1], wf[0]))[:top_words]
+    vocab = _collect_vocab(word_freqs, top_words, word_col, freq_col)
     seqs: list[tuple[tuple[str, ...], int]] = [(tuple(w), f) for w, f in vocab]
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
@@ -175,3 +202,217 @@ def bpe_encode(
         return col.map(enc_doc)
 
     return docs.withColumn(out_tokens, _enc(F.col(text)))
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer — Kudo 2018
+# ---------------------------------------------------------------------------
+#
+# Same industrial split as BPE above: `word_frequencies` is the only
+# corpus-scale pass; training runs driver-side on the vocabulary-
+# bounded word-frequency head (EM over each word's segmentation
+# lattice); encoding applies a FROZEN artifact distributedly. The
+# frozen artifact is a list of (piece, integer cost) with cost =
+# round(-ln p * 1000): integer costs make the Viterbi objective exact
+# arithmetic, so the optimal segmentation is engine-portable and the
+# SQL oracle can reproduce it bit-for-bit (float log-prob sums would
+# not survive engine reassociation). Determinism contract for the
+# optimum: minimize (total_cost, piece-length sequence compared
+# longest-first-from-the-left) — the second key is DP-safe because two
+# lattice paths reaching the same position have consumed the same
+# prefix, so their length-sequence comparison is unchanged by any
+# common suffix.
+
+
+def unigram_train(
+    word_freqs: DataFrame | list[tuple[str, int]],
+    vocab_size: int = 64,
+    max_piece_len: int = 6,
+    em_iters: int = 4,
+    seed_cap: int = 2_000,
+    top_words: int = 100_000,
+    word_col: str = "word",
+    freq_col: str = "freq",
+) -> list[tuple[str, int]]:
+    """Train a unigram-LM piece vocabulary: seed with the most frequent
+    substrings (occurrence-weighted, the suffix-array seed stand-in),
+    run ``em_iters`` rounds of exact lattice EM (forward-backward per
+    word, closed-form M-step), prune to ``vocab_size`` keeping every
+    single character (coverage guarantee), then one final EM pass
+    re-normalizes the survivors. Fully deterministic: seeds and prunes
+    tie-break lexicographically, and all float work happens here, once
+    — the returned artifact is integer costs.
+
+    Returns [(piece, cost)] sorted by (cost asc, piece asc)."""
+    import math
+
+    vocab = _collect_vocab(word_freqs, top_words, word_col, freq_col)
+    # --- seed: occurrence-weighted substrings + all single chars
+    seed_counts: dict[str, float] = {}
+    for w, f in vocab:
+        n = len(w)
+        for i in range(n):
+            for j in range(i + 1, min(i + max_piece_len, n) + 1):
+                p = w[i : j]
+                seed_counts[p] = seed_counts.get(p, 0.0) + f
+    chars = sorted({c for w, _ in vocab for c in w})
+    multi = sorted(
+        (p for p in seed_counts if len(p) > 1),
+        key=lambda p: (-seed_counts[p], p),
+    )[: max(0, seed_cap - len(chars))]
+    pieces = sorted(chars + multi)
+    probs = {p: seed_counts[p] for p in pieces}
+    total = sum(probs[p] for p in pieces)
+    probs = {p: probs[p] / total for p in pieces}
+
+    def em_round(active: list[str], pr: dict[str, float]) -> dict[str, float]:
+        piece_set = set(active)
+        expected = {p: 0.0 for p in active}
+        for w, f in vocab:
+            n = len(w)
+            # forward
+            alpha = [0.0] * (n + 1)
+            alpha[0] = 1.0
+            for j in range(1, n + 1):
+                s = 0.0
+                for i in range(max(0, j - max_piece_len), j):
+                    p = w[i:j]
+                    if p in piece_set and alpha[i] > 0.0:
+                        s += alpha[i] * pr[p]
+                alpha[j] = s
+            if alpha[n] <= 0.0:
+                continue  # uncoverable word (cannot happen: chars kept)
+            # backward
+            beta = [0.0] * (n + 1)
+            beta[n] = 1.0
+            for i in range(n - 1, -1, -1):
+                s = 0.0
+                for j in range(i + 1, min(i + max_piece_len, n) + 1):
+                    p = w[i:j]
+                    if p in piece_set and beta[j] > 0.0:
+                        s += pr[p] * beta[j]
+                beta[i] = s
+            z = alpha[n]
+            for i in range(n):
+                for j in range(i + 1, min(i + max_piece_len, n) + 1):
+                    p = w[i:j]
+                    if p in piece_set:
+                        expected[p] += f * alpha[i] * pr[p] * beta[j] / z
+        tot = sum(expected.values())
+        if tot <= 0.0:
+            return pr
+        return {p: expected[p] / tot for p in active}
+
+    for _ in range(em_iters):
+        probs = em_round(pieces, probs)
+    # --- prune to vocab_size: chars are mandatory, best multi fill up
+    keep_multi = sorted(
+        (p for p in pieces if len(p) > 1),
+        key=lambda p: (-probs[p], p),
+    )[: max(0, vocab_size - len(chars))]
+    pieces = sorted(chars + keep_multi)
+    # re-normalize over survivors, then one settling EM pass
+    t = sum(probs[p] for p in pieces)
+    probs = {p: probs[p] / t for p in pieces}
+    probs = em_round(pieces, probs)
+    floor = 1e-12
+    out = [
+        (p, max(1, round(-math.log(max(probs[p], floor)) * 1000.0)))
+        for p in pieces
+    ]
+    return sorted(out, key=lambda pc: (pc[1], pc[0]))
+
+
+def segment_word(
+    word: str, costs: dict[str, int], max_piece_len: int
+) -> list[str] | None:
+    """Reference Viterbi segmentation of one word under integer piece
+    costs: the segmentation minimizing (total_cost, length-sequence
+    longest-first) — the exact optimum the SQL oracle's exhaustive
+    enumeration picks. Returns None when the word is uncoverable
+    (a character outside the vocabulary)."""
+    n = len(word)
+    # state: (cost, neg_lengths_tuple, pieces_tuple)
+    best: list[tuple[int, tuple[int, ...], tuple[str, ...]] | None]
+    best = [None] * (n + 1)
+    best[0] = (0, (), ())
+    for j in range(1, n + 1):
+        cand = None
+        for i in range(max(0, j - max_piece_len), j):
+            prev = best[i]
+            if prev is None:
+                continue
+            c = costs.get(word[i:j])
+            if c is None:
+                continue
+            key = (prev[0] + c, prev[1] + (i - j,))
+            if cand is None or key < (cand[0], cand[1]):
+                cand = (key[0], key[1], prev[2] + (word[i:j],))
+        best[j] = cand
+    return list(best[n][2]) if best[n] is not None else None
+
+
+def unigram_encode(
+    docs: DataFrame,
+    pieces: list[tuple[str, int]],
+    text: str = "text",
+    out_tokens: str = "tokens",
+    out_cost: str | None = None,
+) -> DataFrame:
+    """Append ``out_tokens`` (array<string>) — Viterbi unigram tokens
+    under the frozen (piece, cost) table — and optionally ``out_cost``
+    (bigint): the document's total encoding cost, i.e. its negative
+    log-likelihood under the unigram LM in milli-nats (the tokenizer-LM
+    surprise signal; a high cost per token marks out-of-domain text).
+    Same execution shape as ``bpe_encode``: Arrow-batched pandas UDF,
+    per-executor word cache, zero shuffles. Words with characters
+    outside the vocabulary contribute their raw characters at
+    ``_UNK_COST`` each (documented, mirrored by the oracle)."""
+    costs = dict(pieces)
+    max_len = max(len(p) for p, _ in pieces)
+    import re
+
+    rx = re.compile(WORD_RE)
+    cache: dict[str, tuple[list[str], int]] = {}
+
+    def seg_cached(w: str) -> tuple[list[str], int]:
+        got = cache.get(w)
+        if got is None:
+            seq = segment_word(w, costs, max_len)
+            if seq is None:
+                seq = list(w)
+                c = sum(costs.get(ch, _UNK_COST) for ch in seq)
+            else:
+                c = sum(costs[p] for p in seq)
+            got = (seq, c)
+            cache[w] = got
+        return got
+
+    @pandas_udf("struct<tokens: array<string>, cost: bigint>")
+    def _enc(col: pd.Series) -> pd.DataFrame:
+        toks, cost = [], []
+        for t in col:
+            if t is None:
+                toks.append([])
+                cost.append(0)
+                continue
+            tt: list[str] = []
+            cc = 0
+            for w in rx.findall(t.lower()):
+                s, c = seg_cached(w)
+                tt.extend(s)
+                cc += c
+            toks.append(tt)
+            cost.append(cc)
+        return pd.DataFrame({"tokens": toks, "cost": cost})
+
+    enc = docs.withColumn("__enc", _enc(F.col(text)))
+    out = enc.withColumn(out_tokens, F.col("__enc.tokens"))
+    if out_cost is not None:
+        out = out.withColumn(out_cost, F.col("__enc.cost"))
+    return out.drop("__enc")
+
+
+#: cost charged per character of an uncoverable word (no vocabulary
+#: piece matches) — large enough to never beat a real segmentation.
+_UNK_COST = 1_000_000

@@ -35,7 +35,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from svoe_spark.operators.similarity import ann_ivfpq_topk, ivfpq_encode_numpy
+from svoe_spark.operators.similarity import (
+    ann_ivfpq_topk,
+    ivfpq_encode_numpy,
+    refine_topk,
+)
 from svoe_spark.operators.util import append_commit, read_commit_log
 
 
@@ -90,23 +94,37 @@ def search_ivfpq_index(
     id_col: str = "vec_id",
     cluster_col: str = "cluster_id",
     codes_col: str = "codes",
+    refine_from: DataFrame | None = None,
+    shortlist: int | None = None,
 ) -> DataFrame:
     """ADC top-k over the persisted index: ``ann_ivfpq_topk``'s
     IN-list on the probed cells prunes ``cluster_id=`` directories
     inside every batch subtree, so the scan reads nprobe cells of
     m-byte codes however many batches exist (plan-gated in
-    tests/test_vector_index.py)."""
-    return ann_ivfpq_topk(
+    tests/test_vector_index.py).
+
+    ``refine_from`` (the raw-vector relation) switches on the exact
+    re-rank stage: ADC produces a ``shortlist``-sized candidate list
+    (default 4*k), then ``similarity.refine_topk`` rescores those rows
+    exactly and returns the true top-k of the shortlist — the
+    FAISS-style IVFADC+refine recall fix."""
+    adc_k = k if refine_from is None else (shortlist or 4 * k)
+    cand = ann_ivfpq_topk(
         read_ivfpq_index(spark, path),
         query,
         centroids,
         codebooks,
-        k=k,
+        k=adc_k,
         nprobe=nprobe,
         vec_col=vec_col,
         id_col=id_col,
         cluster_col=cluster_col,
         codes_col=codes_col,
+    )
+    if refine_from is None:
+        return cand
+    return refine_topk(
+        cand, refine_from, query, k=k, vec_col=vec_col, id_col=id_col
     )
 
 

@@ -2847,6 +2847,95 @@ def backtest_param_grid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_backtest_grid(t, price_col="px", grid=grid)
 
 
+# (config_id, initial_balance_cents, commission*1024, position_size) —
+# commissions are DYADIC (k/1024) and prices integer cents, so every
+# float op in the simulator is exact and the state machine collapses
+# to integer arithmetic the oracle reproduces (see alternate_signals).
+_GRID_CENTS = [(0, 10**12, 0, 1), (1, 10**12, 1, 1), (2, 10**12, 1, 2),
+               (3, 10**12, 2, 1)]
+
+
+@query(
+    "backtest_grid_cents",
+    _TICKS_SQL
+    + f""",
+    cfg(config_id, b0, comm_k, q) AS (
+      VALUES {", ".join(f"({c}, {b}, {ck}, {q})" for c, b, ck, q in _GRID_CENTS)}
+    ),
+    r AS (
+      SELECT event_type AS symbol, CAST(value_c AS BIGINT) AS px,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM ticks
+    ),
+    lastpx AS (
+      SELECT symbol, px FROM (
+        SELECT symbol, px, rn, max(rn) OVER (PARTITION BY symbol) AS mx
+        FROM r
+      ) WHERE rn = mx
+    ),
+    agg AS (
+      SELECT r.symbol, cfg.config_id, cfg.b0, cfg.comm_k, cfg.q,
+             count(*) AS n,
+             SUM(CASE WHEN rn % 2 = 1
+                      THEN -(px*q*1024 + px*q*comm_k)
+                      ELSE  (px*q*1024 - px*q*comm_k) END) AS dbal_k,
+             SUM(px*q*comm_k) AS comm_k_sum
+      FROM r CROSS JOIN cfg
+      GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT a.config_id,
+           CAST(a.b0 AS DOUBLE) AS initial_balance,
+           CAST(a.comm_k AS DOUBLE) / 1024.0 AS commission,
+           CAST(a.q AS DOUBLE) AS position_size,
+           a.symbol,
+           CAST(a.n AS BIGINT) AS n_events,
+           CAST(a.n AS BIGINT) AS n_trades,
+           CAST(a.b0 * 1024 + a.dbal_k AS DOUBLE) / 1024.0 AS final_balance,
+           CAST(a.q * (a.n % 2) AS DOUBLE) AS final_position,
+           CAST(a.b0 * 1024 + a.dbal_k
+                + a.q * (a.n % 2) * l.px * 1024 AS DOUBLE) / 1024.0
+             AS final_equity,
+           CAST(a.comm_k_sum AS DOUBLE) / 1024.0 AS total_commission
+    FROM agg a JOIN lastpx l ON l.symbol = a.symbol
+    """,
+)
+def backtest_grid_cents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The backtester family's HASH-GREEN row (the general
+    `backtest_param_grid` stays rows-only by design): the SAME
+    `run_backtest_grid` state machine, driven so exactness is provable
+    — integer-cent prices, dyadic (k/1024) commissions, a wallet deep
+    enough that the balance gate never binds, and the degenerate
+    `alternate_signals` strategy whose fills are a closed-form
+    aggregation. Every simulator double is a dyadic rational well under
+    2^53, so the sequential Python loop and the oracle's BIGINT
+    1024ths-of-a-cent arithmetic agree bit-for-bit."""
+    from svoe_spark.consumers.backtest import (
+        SimConfig,
+        alternate_signals,
+        run_backtest_grid,
+    )
+
+    t = ticks(spark, sf_dir).select(
+        F.col("event_type").alias("symbol"),
+        "ts",
+        "event_id",
+        F.col("value_c").cast("double").alias("px"),
+    )
+    grid = [
+        SimConfig(initial_balance=float(b), commission=ck / 1024.0,
+                  position_size=float(q))
+        for _, b, ck, q in _GRID_CENTS
+    ]
+    return run_backtest_grid(
+        t,
+        price_col="px",
+        grid=grid,
+        signal_fn=alternate_signals,
+        order_cols=("ts", "event_id"),
+    )
+
+
 @query(
     "ohlcv_1h_rollup",
     _TICKS_SQL

@@ -1429,6 +1429,70 @@ def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier(load_table(spark, "documents", sf_dir))
 
 
+# Frozen TRAINED classifier artifact: text_analysis.
+# train_quality_classifier (L2 reg 1e-6, maxIter 200 — nonzero reg
+# makes the separable-label optimum unique and the fit layout-stable,
+# and this TINY value keeps the 1/n_tokens-scale signal bucket
+# separable: held-out AUC 0.98 here vs 0.63 at 1e-4; re-trained
+# bit-identical under a 13-partition re-layout) on the sf0.001
+# documents with the planted quality label `text NOT LIKE '%dup%'`
+# ('dup' is the fixture's duplication marker), then quantize_weights
+# to 2^-20 dyadic rationals — stored as integer numerators over 2^20
+# so BOTH engines reconstruct the exact double via one exact
+# power-of-two division (no decimal literal parsing in the parity
+# path at all). Held-out AUC vs default_classifier_weights: 0.98 vs
+# 0.45 (tests/test_quality_train.py).
+QC_TRAINED_NUM: list[int] = [
+    0, 24300105, 0, 9179354, 0, 0, 0, 0, 0, 0, 0, 0, 0, 10289664,
+    8344712, 3864555, 0, 0, 0, 1834733, 0, 0, 9456958, 0, 18865481,
+    13172472, 0, 0, 0, 0, 0, 6033732, 16621080, 4792860, 0, 0, 0,
+    2786980, 13242375, 14370316, 0, 0, 0, 0, 15454056, 9636135, 0,
+    8975287, 0, 0, 0, 17472813, 0, 0, 10234571, 0, 1246219,
+    -242511030, 0, 0, 6663146, 15673349, 0, 0,
+]
+QC_TRAINED_BIAS_NUM = -5949932
+_QC_DEN = 1 << 20
+
+QC_TRAINED_WEIGHTS: list[float] = [n / _QC_DEN for n in QC_TRAINED_NUM]
+QC_TRAINED_BIAS: float = QC_TRAINED_BIAS_NUM / _QC_DEN
+
+
+@query(
+    "quality_classifier_trained",
+    f"""
+    WITH th AS (SELECT doc_id, {sql_token_hashes('text')} AS th FROM documents),
+    s AS (
+      SELECT doc_id,
+             CAST(len(th) AS BIGINT) AS n_tokens,
+             CASE WHEN len(th) > 0
+                  THEN ({QC_TRAINED_BIAS_NUM}/{_QC_DEN}.0) + list_reduce(
+                         list_prepend(CAST(0.0 AS DOUBLE),
+                           list_transform(th, h -> ([{
+                             ", ".join(f"({n}/{_QC_DEN}.0)" for n in QC_TRAINED_NUM)
+                           }])[(h % {_qc_buckets()}) + 1])),
+                         (a, b) -> a + b) / len(th)
+                  ELSE ({QC_TRAINED_BIAS_NUM}/{_QC_DEN}.0) END AS logit
+      FROM th
+    )
+    SELECT doc_id, n_tokens, logit, logit >= 0.0 AS keep FROM s
+    """,
+)
+def quality_classifier_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME scoring plumbing as quality_classifier_scores, under
+    the TRAINED frozen artifact (train_quality_classifier: SparkML
+    logistic fit over the scorer's exact feature algebra, quantized to
+    dyadic rationals) — the fastText-shaped filter as product, not
+    shape. Weights reach both engines as integer numerators over 2^20,
+    so the parity path contains no decimal parsing."""
+    from svoe_spark.operators.text_analysis import quality_classifier
+
+    return quality_classifier(
+        load_table(spark, "documents", sf_dir),
+        weights=QC_TRAINED_WEIGHTS,
+        bias=QC_TRAINED_BIAS,
+    )
+
+
 IVF2_K1 = 8
 IVF2_K2 = 8
 
@@ -1826,10 +1890,14 @@ def pq_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "pq_adc_topk",
-    _pq_prelude()
-    + f""",
+def _pq_adc_chain() -> str:
+    """Flat-PQ oracle chain shared by pq_adc_topk / pq_adc_refined:
+    prelude + query subvectors + per-subspace LUT + the ADC fold —
+    ends with relation ``adc(vec_id, adc_dist)`` (factored so a tie-
+    rule fix can never drift between the two hash-checked oracles)."""
+    return (
+        _pq_prelude()
+        + f""",
     q AS (SELECT s, sv AS qv FROM sub WHERE vec_id = 0),
     lut AS (
       SELECT cb.s, cb.c, {_sql_sub_dist2('qv', 'cb.cv', _PQ_D)} AS qd
@@ -1843,6 +1911,14 @@ def pq_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM enc JOIN lut l ON l.s = enc.s AND l.c = enc.c
       GROUP BY enc.vec_id
     )
+    """
+    )
+
+
+@query(
+    "pq_adc_topk",
+    _pq_adc_chain()
+    + """
     SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 10
     """,
 )
@@ -1865,9 +1941,11 @@ def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVFPQ_NPROBE = 2
 
 
-@query(
-    "ann_ivfpq_topk",
-    f"""
+def _ivfpq_chain() -> str:
+    """Shared oracle CTE chain for the IVF-PQ queries: assignment,
+    residuals, codebooks, encoding, probes, per-cell LUTs, ADC fold —
+    ends with relation ``adc(vec_id, adc_dist)``."""
+    return f"""
     WITH cents AS (
       SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {IVF_K}
     ),
@@ -1933,6 +2011,13 @@ IVFPQ_NPROBE = 2
         ON l.pcell = enc.cluster_id AND l.s = enc.s AND l.c = enc.c
       GROUP BY enc.vec_id
     )
+    """
+
+
+@query(
+    "ann_ivfpq_topk",
+    _ivfpq_chain()
+    + """
     SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 10
     """,
 )
@@ -1968,6 +2053,75 @@ def ann_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         nprobe=IVFPQ_NPROBE,
     )
+
+
+REFINE_R = 50
+
+
+def _refine_tail() -> str:
+    """Shared oracle tail for the refined ANN queries: top-R shortlist
+    off the preceding ``adc`` relation, exact full-dim L2 rescore of
+    just those rows, true top-10."""
+    return f""",
+    short AS (SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT {REFINE_R}),
+    qfull AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           {_sql_sub_dist2('e.embedding', 'qv', EMB_DIM)} AS exact_dist
+    FROM embeddings e JOIN short USING (vec_id) CROSS JOIN qfull
+    ORDER BY exact_dist, e.vec_id LIMIT 10
+    """
+
+
+@query("ann_ivfpq_refined", _ivfpq_chain() + _refine_tail())
+def ann_ivfpq_refined_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search WITH the exact re-rank (refine) stage — FAISS
+    IVFADC+refine (Jégou et al. 2011 §V): ADC produces a top-50
+    shortlist from the probed cells, the raw vectors of just those 50
+    ids join back (broadcast semi-join), and the final top-10 is by
+    EXACT squared-L2 — recall then hinges on shortlist membership, not
+    quantization error. Oracle re-derives the whole IVFADC chain plus
+    the full-dim exact rescore with the identical fold."""
+    from svoe_spark.operators.similarity import (
+        ann_ivfpq_topk,
+        ivfpq_encode,
+        ivfpq_train,
+        refine_topk,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < IVF_K).orderBy("vec_id").collect()
+    ]
+    cbs = ivfpq_train(emb, cents, m=PQ_M_Q, ksub=PQ_KSUB_Q, method="seed")
+    coded = ivfpq_encode(emb, cents, cbs)
+    qdf = emb.filter(F.col("vec_id") == 0)
+    short = ann_ivfpq_topk(
+        coded, qdf, cents, cbs, k=REFINE_R, nprobe=IVFPQ_NPROBE
+    )
+    return refine_topk(short, emb, qdf, k=10, metric="l2")
+
+
+@query("pq_adc_refined", _pq_adc_chain() + _refine_tail())
+def pq_adc_refined_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat-PQ ADC shortlist (top-50 over ALL codes, no coarse cells)
+    re-ranked exactly — the refine stage isolated from IVF probing, so
+    the pair (pq_adc_topk, pq_adc_refined) measures exactly what the
+    rescore buys at fixed candidate generation."""
+    from svoe_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+        refine_topk,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cbs = pq_train(emb, m=PQ_M_Q, ksub=PQ_KSUB_Q, method="seed")
+    coded = pq_encode(emb, cbs)
+    qdf = emb.where(F.col("vec_id") == 0)
+    qv = [float(x) for x in qdf.first()["embedding"]]
+    short = pq_topk(coded, qv, cbs, k=REFINE_R)
+    return refine_topk(short, emb, qdf, k=10, metric="l2")
 
 
 _IDX_JACC = (
@@ -2084,6 +2238,168 @@ def _bpe_sql() -> str:
     LEFT JOIN done ON dw.word = done.word
     GROUP BY d.doc_id
     """
+
+
+# Frozen unigram-LM artifact: unigram_train(word_frequencies(sf0.001
+# documents), vocab_size=64, max_piece_len=6, em_iters=4) — a tokenizer
+# is a fixed artifact, trained once, applied to any corpus (same
+# contract as BPE_FIXED_MERGES above). (piece, integer cost) with cost
+# = round(-ln p * 1000); integer costs are what make the Viterbi
+# optimum engine-portable (operators/tokenizer.py module docstring).
+UNIGRAM_FIXED_PIECES: list[tuple[str, int]] = [
+    ('scan', 3377), ('column', 3384), ('window', 3386), ('order', 3387),
+    ('sort', 3388), ('part', 3399), ('agg', 3409), ('value', 3413),
+    ('line', 3417), ('key', 3418), ('join', 3427), ('merge', 3429),
+    ('group', 3430), ('query', 3430), ('a', 3433), ('vector', 3433),
+    ('hash', 3441), ('slow', 3444), ('stream', 3446), ('filter', 3448),
+    ('fast', 3452), ('batch', 3456), ('spark', 3456), ('the', 3456),
+    ('table', 3463), ('small', 3469), ('data', 3471), ('big', 3478),
+    ('custom', 3479), ('er', 3479), ('row', 3505), ('dup', 6902),
+    ('custo', 18680), ('mer', 18680), ('gg', 20455), ('b', 27631),
+    ('c', 27631), ('cu', 27631), ('cus', 27631), ('cust', 27631),
+    ('d', 27631), ('e', 27631), ('f', 27631), ('g', 27631),
+    ('h', 27631), ('i', 27631), ('j', 27631), ('k', 27631),
+    ('l', 27631), ('m', 27631), ('n', 27631), ('o', 27631),
+    ('omer', 27631), ('p', 27631), ('q', 27631), ('r', 27631),
+    ('s', 27631), ('stomer', 27631), ('t', 27631), ('tomer', 27631),
+    ('u', 27631), ('v', 27631), ('w', 27631), ('y', 27631),
+]
+
+
+def _unigram_chain() -> str:
+    """Shared oracle chain for the unigram queries: per distinct word,
+    EXHAUSTIVELY enumerate every segmentation into vocabulary pieces
+    (recursive CTE — words are bounded, so the lattice is) and pick
+    the Viterbi optimum by the operator's exact rule: min (total_cost,
+    piece-length sequence longest-first). Ends with relation
+    ``udone(word, cost, csv, n)``; an out-of-vocabulary word falls
+    back to its characters at 1e6 per unknown char, mirroring
+    ``unigram_encode``."""
+    from svoe_spark.operators.tokenizer import WORD_RE
+
+    vals = ",".join(
+        f"('{p}', {c}, {len(p)})" for p, c in UNIGRAM_FIXED_PIECES
+    )
+    return f"""
+    WITH RECURSIVE upieces(p, cost, plen) AS (VALUES {vals}),
+    uwords AS (
+      SELECT DISTINCT u.w AS word FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS w
+        FROM documents
+      ) u
+    ),
+    useg(word, pos, cost, neglens, csv) AS (
+      SELECT word, 0, CAST(0 AS BIGINT), CAST([] AS BIGINT[]), ''
+      FROM uwords
+      UNION ALL
+      SELECT s.word, s.pos + pc.plen, s.cost + pc.cost,
+             list_append(s.neglens, -pc.plen),
+             CASE WHEN s.csv = '' THEN pc.p ELSE s.csv || ',' || pc.p END
+      FROM useg s JOIN upieces pc
+        ON s.pos + pc.plen <= length(s.word)
+       AND substring(s.word, s.pos + 1, pc.plen) = pc.p
+    ),
+    ubest AS (
+      SELECT word, cost, csv, CAST(len(neglens) AS BIGINT) AS n
+      FROM useg WHERE pos = length(word)
+      QUALIFY row_number() OVER (PARTITION BY word
+                                 ORDER BY cost, neglens) = 1
+    ),
+    uchars AS (
+      SELECT word, t.i AS i, substring(word, t.i, 1) AS ch
+      FROM uwords, unnest(range(1, length(word) + 1)) AS t(i)
+    ),
+    ufb AS (
+      SELECT word, sum(coalesce(pc.cost, 1000000)) AS cost,
+             string_agg(ch, ',' ORDER BY i) AS csv,
+             count(*) AS n
+      FROM uchars LEFT JOIN upieces pc ON pc.p = ch
+      GROUP BY word
+    ),
+    udone AS (
+      SELECT w.word,
+             coalesce(b.cost, ufb.cost) AS cost,
+             coalesce(b.csv, ufb.csv) AS csv,
+             coalesce(b.n, ufb.n) AS n
+      FROM uwords w
+      LEFT JOIN ubest b USING (word)
+      JOIN ufb USING (word)
+    ),
+    ud AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{WORD_RE}') AS ws
+      FROM documents
+    ),
+    udw AS (
+      SELECT doc_id, u.p AS pos, u.w AS word
+      FROM ud,
+           unnest(list_transform(range(1, len(ws) + 1),
+                                 i -> {{'p': i, 'w': ws[i]}})) AS t(u)
+    )
+    """
+
+
+@query(
+    "unigram_tokens",
+    _unigram_chain()
+    + """
+    SELECT ud.doc_id,
+           CAST(coalesce(sum(udone.n), 0) AS BIGINT) AS n_tokens,
+           coalesce(string_agg(udone.csv, ',' ORDER BY udw.pos), '')
+             AS tokens_csv
+    FROM ud
+    LEFT JOIN udw USING (doc_id)
+    LEFT JOIN udone ON udw.word = udone.word
+    GROUP BY ud.doc_id
+    """,
+)
+def unigram_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style, Kudo 2018) Viterbi encoding of
+    every document under the frozen 64-piece vocabulary trained by
+    distributed-stats + driver EM on the sf0.001 fixture. Spark side:
+    Arrow-batched pandas UDF over an integer-cost DP with a
+    per-executor word cache. Oracle: exhaustive segmentation
+    enumeration per distinct word picks the identical optimum — full
+    procedure equivalence, not just counts."""
+    from svoe_spark.operators.tokenizer import unigram_encode
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = unigram_encode(docs, UNIGRAM_FIXED_PIECES)
+    return out.select(
+        "doc_id",
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+        F.array_join("tokens", ",").alias("tokens_csv"),
+    )
+
+
+@query(
+    "unigram_scores",
+    _unigram_chain()
+    + """
+    SELECT ud.doc_id,
+           CAST(coalesce(sum(udone.cost), 0) AS BIGINT) AS lm_cost,
+           CAST(coalesce(sum(udone.n), 0) AS BIGINT) AS n_tokens
+    FROM ud
+    LEFT JOIN udw USING (doc_id)
+    LEFT JOIN udone ON udw.word = udone.word
+    GROUP BY ud.doc_id
+    """,
+)
+def unigram_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram-LM encoding cost (negative log-likelihood
+    in milli-nats — the total Viterbi path cost): the tokenizer-double-
+    duty quality signal — text that tokenizes expensively under an
+    in-domain unigram LM is out-of-domain (the same idea as the
+    perplexity filters of CCNet/Brown 2020, using the tokenizer's own
+    LM instead of a separate KenLM artifact)."""
+    from svoe_spark.operators.tokenizer import unigram_encode
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = unigram_encode(docs, UNIGRAM_FIXED_PIECES, out_cost="lm_cost")
+    return out.select(
+        "doc_id",
+        F.col("lm_cost"),
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+    )
 
 
 @query("bpe_tokens", _bpe_sql())

@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import DoubleType, StructField, StructType, TimestampType
 
+from svoe_spark.streaming.chunks import batch_frame
+
 _INITS = {"sum": 0.0, "count": 0.0, "min": float("inf"), "max": float("-inf"), "last": float("nan")}
 
 
@@ -59,30 +61,32 @@ def running_reduce_stream(
         key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         accs = list(state.get) if state.exists else [_INITS[op] for op in ops]
-        for pdf in pdfs:
-            pdf = pdf.sort_values(on)
-            vals = pdf[value].astype(float)
-            out = {key: key_tuple[0], on: pdf[on], value: vals}
-            cols = {}
-            for i, op in enumerate(ops):
-                if op == "sum":
-                    series = vals.cumsum() + accs[i]
-                    accs[i] = float(series.iloc[-1]) if len(series) else accs[i]
-                elif op == "count":
-                    series = pd.Series(range(1, len(vals) + 1), index=vals.index, dtype=float) + accs[i]
-                    accs[i] = float(series.iloc[-1]) if len(series) else accs[i]
-                elif op == "min":
-                    series = vals.cummin().clip(upper=accs[i])
-                    accs[i] = float(series.iloc[-1]) if len(series) else accs[i]
-                elif op == "max":
-                    series = vals.cummax().clip(lower=accs[i])
-                    accs[i] = float(series.iloc[-1]) if len(series) else accs[i]
-                else:  # last
-                    series = vals
-                    accs[i] = float(series.iloc[-1]) if len(series) else accs[i]
-                cols[f"{op}_{value}"] = series
-            out.update(cols)
-            yield pd.DataFrame(out)
+        # whole micro-batch as ONE frame, sorted once: Arrow chunks
+        # arrive in fetch order, and per-chunk sorting would run the
+        # accumulators out of event-time order (chunks.batch_frame)
+        pdf = batch_frame(pdfs, [on])
+        vals = pdf[value].astype(float)
+        out = {key: key_tuple[0], on: pdf[on], value: vals}
+        cols = {}
+        for i, op in enumerate(ops):
+            if op == "sum":
+                series = vals.cumsum() + accs[i]
+                accs[i] = float(series.iloc[-1]) if len(series) else accs[i]
+            elif op == "count":
+                series = pd.Series(range(1, len(vals) + 1), index=vals.index, dtype=float) + accs[i]
+                accs[i] = float(series.iloc[-1]) if len(series) else accs[i]
+            elif op == "min":
+                series = vals.cummin().clip(upper=accs[i])
+                accs[i] = float(series.iloc[-1]) if len(series) else accs[i]
+            elif op == "max":
+                series = vals.cummax().clip(lower=accs[i])
+                accs[i] = float(series.iloc[-1]) if len(series) else accs[i]
+            else:  # last
+                series = vals
+                accs[i] = float(series.iloc[-1]) if len(series) else accs[i]
+            cols[f"{op}_{value}"] = series
+        out.update(cols)
+        yield pd.DataFrame(out)
         state.update(tuple(accs))
 
     return (
@@ -156,32 +160,33 @@ def running_reduce_tws(
                 if self._acc.exists()
                 else [_INITS[op] for op in ops]
             )
-            for pdf in rows:
-                pdf = pdf.sort_values(on)
-                vals = pdf[value].astype(float)
-                out = {key: key_tuple[0], on: pdf[on], value: vals}
-                for i, op in enumerate(ops):
-                    if op == "sum":
-                        series = vals.cumsum() + accs[i]
-                    elif op == "count":
-                        series = (
-                            pd.Series(
-                                range(1, len(vals) + 1),
-                                index=vals.index,
-                                dtype=float,
-                            )
-                            + accs[i]
+            # one assembled, once-sorted frame (chunks.batch_frame):
+            # same chunk-order fix as the legacy form
+            pdf = batch_frame(rows, [on])
+            vals = pdf[value].astype(float)
+            out = {key: key_tuple[0], on: pdf[on], value: vals}
+            for i, op in enumerate(ops):
+                if op == "sum":
+                    series = vals.cumsum() + accs[i]
+                elif op == "count":
+                    series = (
+                        pd.Series(
+                            range(1, len(vals) + 1),
+                            index=vals.index,
+                            dtype=float,
                         )
-                    elif op == "min":
-                        series = vals.cummin().clip(upper=accs[i])
-                    elif op == "max":
-                        series = vals.cummax().clip(lower=accs[i])
-                    else:  # last
-                        series = vals
-                    if len(series):
-                        accs[i] = float(series.iloc[-1])
-                    out[f"{op}_{value}"] = series
-                yield pd.DataFrame(out)
+                        + accs[i]
+                    )
+                elif op == "min":
+                    series = vals.cummin().clip(upper=accs[i])
+                elif op == "max":
+                    series = vals.cummax().clip(lower=accs[i])
+                else:  # last
+                    series = vals
+                if len(series):
+                    accs[i] = float(series.iloc[-1])
+                out[f"{op}_{value}"] = series
+            yield pd.DataFrame(out)
             self._acc.update(tuple(accs))
 
         def close(self) -> None:
@@ -272,22 +277,21 @@ def drawdown_stream(
         peak, max_dd = (
             state.get if state.exists else (float("-inf"), 0.0)
         )
-        for pdf in pdfs:
-            pdf = pdf.sort_values(sort_cols)
-            vals = pdf[value].astype(float)
-            peaks = vals.cummax().clip(lower=peak)
-            dd = peaks - vals
-            mdd = dd.cummax().clip(lower=max_dd)
-            if len(vals):
-                peak = float(peaks.iloc[-1])
-                max_dd = float(mdd.iloc[-1])
-            out = {key: key_tuple[0], on: pdf[on]}
-            if tiebreak is not None:
-                out[tiebreak] = pdf[tiebreak]
-            out.update(
-                {value: vals, "peak": peaks, "dd": dd, "max_dd": mdd}
-            )
-            yield pd.DataFrame(out)
+        pdf = batch_frame(pdfs, sort_cols)
+        vals = pdf[value].astype(float)
+        peaks = vals.cummax().clip(lower=peak)
+        dd = peaks - vals
+        mdd = dd.cummax().clip(lower=max_dd)
+        if len(vals):
+            peak = float(peaks.iloc[-1])
+            max_dd = float(mdd.iloc[-1])
+        out = {key: key_tuple[0], on: pdf[on]}
+        if tiebreak is not None:
+            out[tiebreak] = pdf[tiebreak]
+        out.update(
+            {value: vals, "peak": peaks, "dd": dd, "max_dd": mdd}
+        )
+        yield pd.DataFrame(out)
         state.update((peak, max_dd))
 
     return (

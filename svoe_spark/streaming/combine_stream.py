@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import DoubleType, StringType, StructField, StructType, TimestampType
 
+from svoe_spark.streaming.chunks import batch_frame
+
 
 def combine_latest_stream(
     df: DataFrame,
@@ -50,22 +52,22 @@ def combine_latest_stream(
     ) -> Iterator[pd.DataFrame]:
         latest = list(state.get) if state.exists else [None] * len(streams)
         latest = [None if v is not None and math.isnan(v) else v for v in latest]
-        for pdf in pdfs:
-            pdf = pdf.assign(
-                __prio=pdf[stream_col].map(idx).fillna(len(streams))
-            ).sort_values([on, "__prio"], kind="stable")
-            rows = []
-            for ts, s, v in zip(pdf[on], pdf[stream_col], pdf[value_col]):
-                # null/NaN ticks don't clobber state: combine_latest is
-                # "latest NON-NULL per stream", the same ignorenulls
-                # fill the batch as-of/combine operators use — sparse
-                # features (e.g. warmup-null volatility) carry forward
-                if s in idx and v is not None and not math.isnan(float(v)):
-                    latest[idx[s]] = float(v)
-                rows.append((key_tuple[0], ts, s, *latest))
-            yield pd.DataFrame(
-                rows, columns=[key, on, stream_col, *[f"{s}_value" for s in streams]]
-            )
+        pdf = batch_frame(pdfs)  # assemble BEFORE sorting: chunk order
+        pdf = pdf.assign(        # is fetch order, not event-time order
+            __prio=pdf[stream_col].map(idx).fillna(len(streams))
+        ).sort_values([on, "__prio"], kind="stable")
+        rows = []
+        for ts, s, v in zip(pdf[on], pdf[stream_col], pdf[value_col]):
+            # null/NaN ticks don't clobber state: combine_latest is
+            # "latest NON-NULL per stream", the same ignorenulls
+            # fill the batch as-of/combine operators use — sparse
+            # features (e.g. warmup-null volatility) carry forward
+            if s in idx and v is not None and not math.isnan(float(v)):
+                latest[idx[s]] = float(v)
+            rows.append((key_tuple[0], ts, s, *latest))
+        yield pd.DataFrame(
+            rows, columns=[key, on, stream_col, *[f"{s}_value" for s in streams]]
+        )
         state.update(tuple(latest))
 
     return (

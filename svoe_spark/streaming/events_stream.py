@@ -1,0 +1,232 @@
+"""Kappa forms of the events-analytics operators (funnel, retention):
+the SAME answer as `operators.events_analytics` computed incrementally
+over a replayed or live stream — the repo-wide T6 bar (stream == batch,
+equivalence-tested) applied to the round-4 analytics layer.
+
+Both operators keep per-user state with `applyInPandasWithState` (the
+same legacy-state API the other stateful ops use — the tWS twin is
+protobuf-gated in this environment) and process each micro-batch in
+event-time order. Contract shared with `drawdown_stream`: event time
+must be non-decreasing ACROSS micro-batches per key (a replay of
+time-ranged files, or any watermark-ordered source) — within a batch
+the operator sorts, so intra-batch disorder is free.
+
+Why the streaming funnel is exactly the batch min-agg chain: the batch
+operator anchors step 0 at the user's earliest step-0 event and step i
+at the earliest step-i event strictly after the step-(i-1) instant.
+Processing events in ascending event time, the running chain state
+(m_0..m_{k-1}) can only be extended the first time each constraint is
+satisfiable — the first admitted step-i event IS min{ts_i > m_{i-1}},
+because every earlier step-i event was already seen and rejected.
+So sequential replay reproduces the batch fixpoint without ever
+re-reading history (state is k instants per user, not event arrays).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from svoe_spark.streaming.chunks import batch_frame
+
+_MICROS = 1_000_000
+
+
+def funnel_stream(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within: str | None = None,
+) -> DataFrame:
+    """Streaming ordered-funnel state: per user, the running conversion
+    chain (one instant per step, NULL while unreached) — the Kappa form
+    of ``events_analytics.funnel``. Emits one row per user per
+    micro-batch: (user, n_events, m_0..m_{k-1} as epoch micros);
+    ``n_events`` is the user's cumulative processed-event count, so the
+    row with the highest ``n_events`` is the user's latest state (see
+    ``funnel_counts``). State is k+1 numbers per user — no event
+    arrays, same as the batch plan's per-user footprint."""
+    if not steps:
+        raise ValueError("funnel_stream needs at least one step")
+    k = len(steps)
+    horizon_us = None
+    if within is not None:
+        from svoe_spark.functions.time import duration_to_seconds
+
+        horizon_us = int(duration_to_seconds(within)) * _MICROS
+
+    out_schema = StructType(
+        [
+            StructField("user", events.schema[user_col].dataType),
+            StructField("n_events", LongType()),
+            *[StructField(f"m{i}", LongType()) for i in range(k)],
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n_events", LongType()),
+            *[StructField(f"m{i}", LongType()) for i in range(k)],
+        ]
+    )
+    step_index = {s: i for i, s in enumerate(steps)}
+
+    def fn(
+        key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n_events, *chain = state.get
+            chain = list(chain)
+        else:
+            n_events, chain = 0, [None] * k
+        pdf = batch_frame(pdfs, ["__ts"])
+        for t, ts in zip(pdf["__t"], pdf["__ts"]):
+            n_events += 1
+            i = step_index.get(t)
+            if i is None or chain[i] is not None:
+                continue
+            ts = int(ts)
+            if i == 0:
+                chain[0] = ts
+                continue
+            prev = chain[i - 1]
+            if prev is None or ts <= prev:
+                continue
+            if horizon_us is not None and ts > chain[0] + horizon_us:
+                continue
+            chain[i] = ts
+        state.update((n_events, *chain))
+        yield pd.DataFrame(
+            {
+                "user": [key_tuple[0]],
+                "n_events": [n_events],
+                **{f"m{i}": pd.array([chain[i]], dtype="Int64") for i in range(k)},
+            }
+        )
+
+    src = events.select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("__t"),
+        F.unix_micros(F.col(ts_col)).alias("__ts"),
+    )
+    return src.groupBy("__u").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def funnel_counts(state_rows: DataFrame, steps: list[str]) -> DataFrame:
+    """Fold the ``funnel_stream`` emissions into the batch operator's
+    output shape (step_index, step_name, n_users): keep each user's
+    LATEST state row (max n_events — emissions are cumulative), then
+    count users whose step-i instant is set."""
+    latest = state_rows.groupBy("user").agg(
+        *[
+            F.max_by(f"m{i}", "n_events").alias(f"m{i}")
+            for i in range(len(steps))
+        ]
+    )
+    out = None
+    for i, step in enumerate(steps):
+        row = latest.where(F.col(f"m{i}").isNotNull()).agg(
+            F.lit(i).alias("step_index"),
+            F.lit(step).alias("step_name"),
+            F.count("*").cast("long").alias("n_users"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def retention_stream(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset_days: int | None = None,
+) -> DataFrame:
+    """Streaming retention deltas: the Kappa form of
+    ``events_analytics.retention_cohorts``. Per user, state is the
+    cohort day plus the set of day-offsets already credited; each
+    micro-batch emits one (+1) row per NEWLY seen (cohort_day,
+    offset_days) pair, so a trivial downstream groupBy-count over all
+    emissions equals the batch retention triangle. State is one long
+    per distinct active day per user — bounded by the calendar, not by
+    event volume."""
+    out_schema = StructType(
+        [
+            StructField("cohort_day", LongType()),
+            StructField("offset_days", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("cohort", LongType()),
+            StructField("seen", ArrayType(LongType())),
+        ]
+    )
+
+    def fn(
+        key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cohort, seen = state.get
+            seen = set(seen)
+        else:
+            cohort, seen = None, set()
+        fresh: list[int] = []
+        pdf = batch_frame(pdfs)
+        for d in sorted(int(x) for x in pdf["__d"].unique()):
+            if cohort is None:
+                cohort = d
+            off = d - cohort
+            if off < 0 or off in seen:
+                continue
+            if max_offset_days is not None and off > max_offset_days:
+                continue
+            seen.add(off)
+            fresh.append(off)
+        state.update((cohort, sorted(seen)))
+        if fresh:
+            yield pd.DataFrame(
+                {
+                    "cohort_day": [cohort] * len(fresh),
+                    "offset_days": fresh,
+                }
+            )
+
+    src = events.select(
+        F.col(user_col).alias("__u"),
+        F.datediff(F.to_date(ts_col), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("__d"),
+    )
+    return src.groupBy("__u").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def retention_counts(delta_rows: DataFrame) -> DataFrame:
+    """Fold ``retention_stream`` emissions into the batch shape
+    (cohort_day: date, offset_days, n_users)."""
+    return delta_rows.groupBy(
+        F.date_add(F.lit("1970-01-01").cast("date"), F.col("cohort_day").cast("int"))
+        .alias("cohort_day"),
+        "offset_days",
+    ).agg(F.count("*").cast("long").alias("n_users"))

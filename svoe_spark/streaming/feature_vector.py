@@ -30,6 +30,8 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from svoe_spark.streaming.chunks import batch_frame
+
 
 def feature_vector_stream(
     src: DataFrame,
@@ -109,45 +111,45 @@ def feature_vector_stream(
             s["name"]: vals[2 * len(stateful) + i] for i, s in enumerate(ewmas)
         }
 
-        for pdf in pdfs:
-            pdf = pdf.sort_values(on)
-            ts = pdf[on].astype("int64").to_numpy() / 1e9
-            series: dict[str, np.ndarray] = {}
-            for s in specs:
-                if s["kind"] == "source":
-                    series[s["name"]] = pdf[s["col"]].to_numpy(dtype=float)
-                elif s["kind"] == "stddev":
-                    up = series[s["of"]]
-                    tbuf, vbuf = bufs[s["name"]]
-                    all_ts = np.concatenate([tbuf, ts])
-                    all_v = np.concatenate([vbuf, up])
-                    out = np.full(len(ts), np.nan)
-                    win = float(s["window"])
-                    for i in range(len(ts)):
-                        lo = np.searchsorted(all_ts, ts[i] - win, side="left")
-                        # peers included: the batch RANGE frame covers
-                        # ALL rows with equal ts, not just earlier ones
-                        hi = np.searchsorted(all_ts, ts[i], side="right")
-                        seg = all_v[lo:hi]
-                        if len(seg) > 1:
-                            out[i] = seg.std(ddof=1)
-                    keep = all_ts >= (all_ts[-1] - win) if len(all_ts) else slice(0, 0)
-                    bufs[s["name"]] = (all_ts[keep], all_v[keep])
-                    series[s["name"]] = out
-                else:  # ewma
-                    up = series[s["of"]]
-                    alpha = float(s.get("alpha", 0.1))
-                    prev = ew[s["name"]]
-                    out = np.empty(len(up))
-                    for i, x in enumerate(up):
-                        prev = x if (prev != prev) else (alpha * x + (1 - alpha) * prev)
-                        out[i] = prev
-                    ew[s["name"]] = prev
-                    series[s["name"]] = out
-            data = {key: key_tuple[0], on: pdf[on]}
-            for n in names:
-                data[f"{n}_value"] = series[n]
-            yield pd.DataFrame(data)
+        pdf = batch_frame(pdfs, [on])  # one frame, one sort —
+        # chunk arrival order is fetch order, not event time
+        ts = pdf[on].astype("int64").to_numpy() / 1e9
+        series: dict[str, np.ndarray] = {}
+        for s in specs:
+            if s["kind"] == "source":
+                series[s["name"]] = pdf[s["col"]].to_numpy(dtype=float)
+            elif s["kind"] == "stddev":
+                up = series[s["of"]]
+                tbuf, vbuf = bufs[s["name"]]
+                all_ts = np.concatenate([tbuf, ts])
+                all_v = np.concatenate([vbuf, up])
+                out = np.full(len(ts), np.nan)
+                win = float(s["window"])
+                for i in range(len(ts)):
+                    lo = np.searchsorted(all_ts, ts[i] - win, side="left")
+                    # peers included: the batch RANGE frame covers
+                    # ALL rows with equal ts, not just earlier ones
+                    hi = np.searchsorted(all_ts, ts[i], side="right")
+                    seg = all_v[lo:hi]
+                    if len(seg) > 1:
+                        out[i] = seg.std(ddof=1)
+                keep = all_ts >= (all_ts[-1] - win) if len(all_ts) else slice(0, 0)
+                bufs[s["name"]] = (all_ts[keep], all_v[keep])
+                series[s["name"]] = out
+            else:  # ewma
+                up = series[s["of"]]
+                alpha = float(s.get("alpha", 0.1))
+                prev = ew[s["name"]]
+                out = np.empty(len(up))
+                for i, x in enumerate(up):
+                    prev = x if (prev != prev) else (alpha * x + (1 - alpha) * prev)
+                    out[i] = prev
+                ew[s["name"]] = prev
+                series[s["name"]] = out
+        data = {key: key_tuple[0], on: pdf[on]}
+        for n in names:
+            data[f"{n}_value"] = series[n]
+        yield pd.DataFrame(data)
 
         new_vals = []
         for s in stateful:

@@ -33,6 +33,7 @@ from pyspark.sql.types import (
 )
 
 from svoe_spark.functions.time import duration_to_interval_string, duration_to_seconds
+from svoe_spark.streaming.chunks import batch_frame
 
 
 def ohlcv_stream(
@@ -139,32 +140,33 @@ def trailing_stddev_stream(
             ts_buf = np.array([])
             v_buf = np.array([])
 
-        for pdf in pdfs:
-            pdf = pdf.sort_values(on)
-            ts = pdf[on].astype("int64").to_numpy() / 1e9
-            vals = pdf[value].to_numpy(dtype=float)
-            all_ts = np.concatenate([ts_buf, ts])
-            all_v = np.concatenate([v_buf, vals])
-            out = np.full(len(ts), np.nan)
-            for i in range(len(ts)):
-                lo = np.searchsorted(all_ts, ts[i] - win_s, side="left")
-                # peers included: the batch RANGE frame covers ALL rows
-                # with equal ts, not just the ones that arrived earlier
-                hi = np.searchsorted(all_ts, ts[i], side="right")
-                seg = all_v[lo:hi]
-                if len(seg) > 1:
-                    out[i] = seg.std(ddof=1)
-            ts_buf, v_buf = all_ts, all_v
-            keep = ts_buf >= (ts_buf[-1] - win_s) if len(ts_buf) else slice(0, 0)
-            ts_buf, v_buf = ts_buf[keep], v_buf[keep]
-            yield pd.DataFrame(
-                {
-                    by: key[0],
-                    on: pdf[on],
-                    value: pdf[value],
-                    "volatility": out,
-                }
-            )
+        # whole micro-batch as one frame, sorted once (chunk arrival
+        # order is fetch order, not event-time — chunks.batch_frame)
+        pdf = batch_frame(pdfs, [on])
+        ts = pdf[on].astype("int64").to_numpy() / 1e9
+        vals = pdf[value].to_numpy(dtype=float)
+        all_ts = np.concatenate([ts_buf, ts])
+        all_v = np.concatenate([v_buf, vals])
+        out = np.full(len(ts), np.nan)
+        for i in range(len(ts)):
+            lo = np.searchsorted(all_ts, ts[i] - win_s, side="left")
+            # peers included: the batch RANGE frame covers ALL rows
+            # with equal ts, not just the ones that arrived earlier
+            hi = np.searchsorted(all_ts, ts[i], side="right")
+            seg = all_v[lo:hi]
+            if len(seg) > 1:
+                out[i] = seg.std(ddof=1)
+        ts_buf, v_buf = all_ts, all_v
+        keep = ts_buf >= (ts_buf[-1] - win_s) if len(ts_buf) else slice(0, 0)
+        ts_buf, v_buf = ts_buf[keep], v_buf[keep]
+        yield pd.DataFrame(
+            {
+                by: key[0],
+                on: pdf[on],
+                value: pdf[value],
+                "volatility": out,
+            }
+        )
 
         state.update((list(map(float, ts_buf)), list(map(float, v_buf))))
 

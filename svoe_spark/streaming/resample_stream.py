@@ -1,0 +1,123 @@
+"""Kappa form of the regular-grid gapfill (`operators/resample.py`):
+streaming last-observation-carried-forward onto a UTC-aligned grid.
+
+Only the CAUSAL half of the batch pair streams: locf depends on the
+past alone, so each grid instant is FINAL the moment the first
+observation at-or-after it arrives — no watermark wait, no
+retraction. Linear interpolation needs the bracketing FUTURE point and
+therefore stays batch-only by design (the stream would have to hold
+every gap open until its closing observation; compose `resample_ffill
+_stream` for live features and re-run `resample_interpolate` over the
+stored blocks where two-sided fills matter — the usual Kappa split).
+
+Why stream == batch exactly (the equivalence test drives both): the
+batch grid for a key is every ``step`` instant in [floor(min ts),
+max ts], each carrying the latest observation at or before it.
+Processing observations in event-time order, all grid instants in
+(floor(prev obs), floor(this obs)] become final on this observation's
+arrival — instants strictly before it carry the previous value, an
+instant equal to it carries this value — and the batch grid's last
+instant is floor(max ts), so the final observation finalizes
+everything: no un-emittable tail. Same cross-batch event-time
+ordering contract as drawdown_stream; (key, ts) must be unique on the
+data side (pre-aggregate duplicate instants, exactly like the batch
+operator's contract).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+from svoe_spark.operators.resample import _grid_step
+from svoe_spark.streaming.chunks import batch_frame
+
+
+def resample_ffill_stream(
+    df: DataFrame,
+    on: str = "ts",
+    by: str = "symbol",
+    every: str | float = "1h",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming gapfill: emits one FINAL row per (key, grid instant)
+    — (by, ts, locf) — exactly the rows `resample_ffill` produces in
+    batch (locf NULL before the first observation, i.e. at the floor
+    instant when the first observation is not grid-aligned). State per
+    key is two numbers (last emitted grid micro-instant, last
+    value)."""
+    step = _grid_step(every) * 1_000_000  # grid arithmetic in micros
+    out_schema = StructType(
+        [
+            StructField(by, df.schema[by].dataType),
+            StructField("ts_us", LongType()),
+            StructField("locf", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_g", LongType()),
+            StructField("last_v", DoubleType()),
+        ]
+    )
+
+    def fn(
+        key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_g, last_v = state.get
+        else:
+            last_g, last_v = None, None
+        out_g: list[int] = []
+        out_v: list[float | None] = []
+        pdf = batch_frame(pdfs, ["__sec"])
+        for sec, v in zip(pdf["__sec"], pdf["__v"]):
+            sec = int(sec)
+            v = None if pd.isna(v) else float(v)
+            if last_g is None:
+                g0 = (sec // step) * step
+                if g0 < sec:
+                    out_g.append(g0)
+                    out_v.append(None)  # nothing at-or-before g0
+                else:
+                    out_g.append(g0)
+                    out_v.append(v)
+                last_g = g0
+            else:
+                g = last_g + step
+                while g <= sec:
+                    out_g.append(g)
+                    out_v.append(v if g == sec else last_v)
+                    last_g = g
+                    g += step
+            last_v = v
+        state.update((last_g, last_v))
+        if out_g:
+            yield pd.DataFrame(
+                {
+                    by: [key_tuple[0]] * len(out_g),
+                    "ts_us": out_g,
+                    "locf": pd.array(out_v, dtype="float64"),
+                }
+            )
+
+    src = df.select(
+        F.col(by),
+        F.unix_micros(F.col(on)).alias("__sec"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    out = src.groupBy(by).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return out.select(
+        by, F.timestamp_micros("ts_us").alias(on), "locf"
+    )

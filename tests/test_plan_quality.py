@@ -369,3 +369,30 @@ def test_funnel_no_cartesian_product(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_unigram_encode_zero_shuffle_and_pruned_scan(plans):
+    # Viterbi encode is a pure projection (pandas UDF inside the scan):
+    # no shuffle, no join; only doc_id + text read
+    p = plans("unigram_tokens")
+    assert "hashpartitioning" not in p, p
+    assert "Join" not in p, p
+    schema = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert schema and "lang" not in schema[0] and "source" not in schema[0], p
+
+
+def test_trained_classifier_plan_matches_default_classifier(plans):
+    # the trained artifact must not change the plan shape: still
+    # zero-shuffle, join-free, pruned scan
+    p = plans("quality_classifier_trained")
+    assert "hashpartitioning" not in p, p
+    assert "Join" not in p, p
+
+
+def test_refined_ann_is_broadcast_and_take_ordered(plans):
+    # the refine stage: candidate ids BROADCAST into the vector scan
+    # (never a shuffled join) and the final top-k is a TakeOrdered
+    p = plans("ann_ivfpq_refined")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "TakeOrderedAndProject" in p, p

@@ -251,3 +251,84 @@ def test_ivfpq_parquet_probe_partition_prunes(spark, emb, cents, ivfpq, tmp_path
         coded, emb.where(F.col("vec_id") == 0), cents, cbs, k=10, nprobe=2
     )
     assert [tuple(r) for r in df.collect()] == [tuple(r) for r in mem.collect()]
+
+
+def test_refine_topk_is_true_topk_of_shortlist(emb, cbs):
+    """refine = exact L2 top-k restricted to the shortlist ids, with
+    bit-identical distances to the reference fold."""
+    from svoe_spark.operators.similarity import refine_topk
+
+    qdf = emb.where(F.col("vec_id") == 25)
+    qv = [float(x) for x in qdf.first()["embedding"]]
+    short = pq_topk(pq_encode(emb, cbs), qv, cbs, k=50)
+    got = [
+        (r["vec_id"], r["exact_dist"])
+        for r in refine_topk(short, emb, qdf, k=10).collect()
+    ]
+    ids = [r["vec_id"] for r in short.collect()]
+    want = [
+        (r["vec_id"], r["d2"])
+        for r in _l2_topk(emb.where(F.col("vec_id").isin(ids)), qv, 10).collect()
+    ]
+    assert got == want
+
+
+def test_refine_never_hurts_and_lifts_recall_here(emb, cbs):
+    """Per query: hits(refined top-10) >= hits(ADC top-10) against the
+    exact top-10 — refinement can only reorder the shortlist toward
+    the truth. On this fixture the aggregate lift is strict."""
+    from svoe_spark.operators.similarity import refine_topk
+
+    coded = pq_encode(emb, cbs).persist()
+    adc_hits = ref_hits = 0
+    for qid in range(20, 32):
+        qdf = emb.where(F.col("vec_id") == qid)
+        qv = [float(x) for x in qdf.first()["embedding"]]
+        truth = {r["vec_id"] for r in _l2_topk(emb, qv, 10).collect()}
+        adc10 = {r["vec_id"] for r in pq_topk(coded, qv, cbs, k=10).collect()}
+        short = pq_topk(coded, qv, cbs, k=50)
+        ref10 = {
+            r["vec_id"] for r in refine_topk(short, emb, qdf, k=10).collect()
+        }
+        a, r_ = len(adc10 & truth), len(ref10 & truth)
+        assert r_ >= a, (qid, a, r_)
+        adc_hits += a
+        ref_hits += r_
+    coded.unpersist()
+    assert ref_hits > adc_hits, (adc_hits, ref_hits)
+
+
+def test_refine_topk_cosine_matches_brute_force(emb):
+    """metric='cosine' over an all-ids candidate set reproduces the
+    brute-force cosine top-k exactly (same expression, same ties)."""
+    from svoe_spark.operators.similarity import brute_force_topk, refine_topk
+
+    qdf = emb.where(F.col("vec_id") == 7)
+    cand = emb.select("vec_id")
+    got = [
+        (r["vec_id"], r["exact_dist"])
+        for r in refine_topk(
+            cand, emb, qdf, k=10, metric="cosine"
+        ).collect()
+    ]
+    want = [
+        (r["vec_id"], r["cosine"])
+        for r in brute_force_topk(emb, qdf, k=10).collect()
+    ]
+    assert got == want
+
+
+def test_refine_topk_plan_is_broadcast_no_shuffle(emb, cbs):
+    from svoe_spark.operators.similarity import refine_topk
+
+    qdf = emb.where(F.col("vec_id") == 25)
+    qv = [float(x) for x in qdf.first()["embedding"]]
+    short = pq_topk(pq_encode(emb, cbs), qv, cbs, k=50)
+    df = refine_topk(short, emb, qdf, k=10)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "BroadcastHashJoin" in p, p
+    assert "hashpartitioning" not in p, p
+    assert "TakeOrderedAndProject" in p, p

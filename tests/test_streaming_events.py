@@ -1,0 +1,212 @@
+"""Kappa parity for the events-analytics layer (T6 applied to round-4
+ops): streaming funnel / retention state over a time-ranged replay must
+fold to exactly the batch operators' answers."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from svoe_spark.operators.events_analytics import funnel, retention_cohorts
+from svoe_spark.sources.tables import load_table
+from svoe_spark.streaming.events_stream import (
+    funnel_counts,
+    funnel_stream,
+    retention_counts,
+    retention_stream,
+)
+from svoe_spark.streaming.sinks import run_available_to_memory
+
+STEPS = ["view", "click", "purchase"]
+
+
+@pytest.fixture(scope="module")
+def event_parquet(spark, sf_small, tmp_path_factory):
+    """Events re-materialized at microsecond ts, written as FOUR
+    sequential time-slice files (one write each, so file modification
+    times follow event time — the file source replays them in order:
+    the cross-batch ordering contract shared with drawdown_stream).
+    A single parallel repartitionByRange write would NOT do: its part
+    files share one mod time, so the source's replay order between
+    them is arbitrary."""
+    import time
+
+    path = str(tmp_path_factory.mktemp("evstream") / "events")
+    ev = (
+        load_table(spark, "events", sf_small)
+        .select("user_id", "event_type", "ts")
+        .persist()
+    )
+    qs = ev.selectExpr(
+        "percentile(unix_micros(ts), array(0.25, 0.5, 0.75)) AS q"
+    ).first()["q"]
+    bounds = [None, *[int(q) for q in qs], None]
+    for i in range(4):
+        sl = ev
+        if bounds[i] is not None:
+            sl = sl.where(F.unix_micros("ts") > bounds[i])
+        if bounds[i + 1] is not None:
+            sl = sl.where(F.unix_micros("ts") <= bounds[i + 1])
+        sl.coalesce(1).write.mode("append").parquet(path)
+        time.sleep(1.1)  # distinct mod-time seconds => replay order
+    ev.unpersist()
+    return path
+
+
+def _replay(spark, path):
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # force state across batches
+        .parquet(path)
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_funnel_stream_equals_batch(spark, sf_small, event_parquet):
+    out = run_available_to_memory(
+        funnel_stream(_replay(spark, event_parquet), STEPS)
+    )
+    got = _rows(funnel_counts(out, STEPS))
+    want = _rows(funnel(load_table(spark, "events", sf_small), STEPS))
+    assert got == want
+    # sanity: a real funnel, not all-zeros
+    assert got[0][2] > 0 and got[0][2] >= got[1][2] >= got[2][2]
+
+
+def test_funnel_stream_equals_batch_with_horizon(
+    spark, sf_small, event_parquet
+):
+    out = run_available_to_memory(
+        funnel_stream(_replay(spark, event_parquet), STEPS, within="72h")
+    )
+    got = _rows(funnel_counts(out, STEPS))
+    want = _rows(
+        funnel(load_table(spark, "events", sf_small), STEPS, within="72h")
+    )
+    assert got == want
+
+
+def test_funnel_stream_chain_instants_match_batch_reachability(
+    spark, event_parquet
+):
+    """The per-user chain is internally consistent: instants strictly
+    increase along the steps a user reached."""
+    out = run_available_to_memory(
+        funnel_stream(_replay(spark, event_parquet), STEPS)
+    )
+    latest = out.groupBy("user").agg(
+        *[F.max_by(f"m{i}", "n_events").alias(f"m{i}") for i in range(3)]
+    )
+    bad = latest.where(
+        (F.col("m1").isNotNull() & (F.col("m1") <= F.col("m0")))
+        | (F.col("m2").isNotNull() & (F.col("m2") <= F.col("m1")))
+        | (F.col("m1").isNotNull() & F.col("m0").isNull())
+        | (F.col("m2").isNotNull() & F.col("m1").isNull())
+    )
+    assert bad.count() == 0
+
+
+def test_retention_stream_equals_batch(spark, sf_small, event_parquet):
+    out = run_available_to_memory(
+        retention_stream(_replay(spark, event_parquet), max_offset_days=14)
+    )
+    got = _rows(retention_counts(out))
+    want = _rows(
+        retention_cohorts(
+            load_table(spark, "events", sf_small), max_offset_days=14
+        )
+    )
+    assert got == want and len(got) > 5
+
+
+def test_resample_ffill_stream_equals_batch(spark, sf_small, tmp_path):
+    """Streaming locf gapfill == batch resample_ffill, row for row
+    (grid instants, values, and the NULL-before-first-observation
+    instant)."""
+    import time
+
+    from svoe_spark.operators.resample import resample_ffill
+    from svoe_spark.queries import ticks
+    from svoe_spark.streaming.resample_stream import resample_ffill_stream
+
+    # unique (key, ts): pre-aggregate duplicate instants (the shared
+    # contract of both forms)
+    t = (
+        ticks(spark, sf_small)
+        .groupBy("event_type", "ts")
+        .agg(F.max("value").alias("value"))
+        .persist()
+    )
+    path = str(tmp_path / "tt")
+    qs = t.selectExpr(
+        "percentile(unix_micros(ts), array(0.34, 0.67)) AS q"
+    ).first()["q"]
+    bounds = [None, *[int(q) for q in qs], None]
+    for i in range(3):
+        sl = t
+        if bounds[i] is not None:
+            sl = sl.where(F.unix_micros("ts") > bounds[i])
+        if bounds[i + 1] is not None:
+            sl = sl.where(F.unix_micros("ts") <= bounds[i + 1])
+        sl.coalesce(1).write.mode("append").parquet(path)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = run_available_to_memory(
+        resample_ffill_stream(
+            stream, on="ts", by="event_type", every="1h", value_col="value"
+        )
+    )
+    got = sorted(
+        (r["event_type"], r["ts"], r["locf"]) for r in out.collect()
+    )
+    want = sorted(
+        (r["event_type"], r["ts"], r["value"])
+        for r in resample_ffill(
+            t, on="ts", by=["event_type"], every="1h", value_cols=["value"]
+        ).collect()
+    )
+    t.unpersist()
+    assert got == want and len(got) > 100
+
+
+def test_funnel_stream_survives_tiny_arrow_chunks(
+    spark, sf_small, event_parquet
+):
+    """Review-finding regression: the state API hands each (key, batch)
+    as MULTIPLE Arrow chunks in fetch order once a group exceeds
+    spark.sql.execution.arrow.maxRecordsPerBatch; per-chunk sorting
+    processed them out of event-time order. Force 3-row chunks and
+    re-check batch equivalence (chunks.batch_frame assembles first)."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "3")
+    try:
+        out = run_available_to_memory(
+            funnel_stream(_replay(spark, event_parquet), STEPS)
+        )
+        got = _rows(funnel_counts(out, STEPS))
+        want = _rows(funnel(load_table(spark, "events", sf_small), STEPS))
+        assert got == want
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_batch_frame_assembles_and_sorts_across_chunks():
+    import pandas as pd
+
+    from svoe_spark.streaming.chunks import batch_frame
+
+    # chunk 2 holds EARLIER events than chunk 1 (fetch order != time)
+    c1 = pd.DataFrame({"ts": [5, 7], "v": [50, 70]})
+    c2 = pd.DataFrame({"ts": [1, 6], "v": [10, 60]})
+    got = batch_frame(iter([c1, c2]), ["ts"])
+    assert list(got["ts"]) == [1, 5, 6, 7]
+    assert list(got["v"]) == [10, 50, 60, 70]
+    one = batch_frame(iter([c1]), ["ts"])
+    assert list(one["ts"]) == [5, 7]

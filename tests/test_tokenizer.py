@@ -130,3 +130,116 @@ def test_encode_plan_has_no_shuffle(spark, sf_small):
     p = buf.getvalue()
     assert "Exchange hashpartitioning" not in p, p
     assert "ArrowEvalPython" in p or "Eval" in p  # Arrow-batched UDF
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer
+# ---------------------------------------------------------------------------
+
+from svoe_spark.operators.tokenizer import (  # noqa: E402
+    MAX_TRAIN_WORDS,
+    segment_word,
+    unigram_encode,
+    unigram_train,
+)
+
+
+def _brute_best(word, costs, max_len):
+    """Tiny reference: enumerate EVERY segmentation, pick the operator's
+    documented optimum (min total cost, then longest-first lengths)."""
+    def segs(s):
+        if not s:
+            yield []
+            return
+        for take in range(1, min(max_len, len(s)) + 1):
+            p = s[:take]
+            if p in costs:
+                for rest in segs(s[take:]):
+                    yield [p] + rest
+
+    best = None
+    for seg in segs(word):
+        key = (sum(costs[p] for p in seg), tuple(-len(p) for p in seg))
+        if best is None or key < best[0]:
+            best = (key, seg)
+    return best[1] if best else None
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    word=st.text(alphabet="abc", min_size=1, max_size=9),
+    seed=st.integers(0, 10_000),
+)
+def test_segment_word_matches_brute_force(word, seed):
+    import random
+
+    rng = random.Random(seed)
+    pieces = {"a", "b", "c"}
+    for _ in range(6):
+        ln = rng.randint(2, 4)
+        pieces.add("".join(rng.choice("abc") for _ in range(ln)))
+    costs = {p: rng.randint(1, 5000) for p in pieces}
+    assert segment_word(word, costs, 4) == _brute_best(word, costs, 4)
+
+
+def test_segment_word_uncoverable_returns_none():
+    assert segment_word("axe", {"a": 1, "e": 1}, 3) is None
+
+
+def test_unigram_train_learns_whole_words():
+    freqs = [("window", 50), ("windy", 5), ("dow", 3)]
+    pieces = unigram_train(freqs, vocab_size=20, max_piece_len=6, em_iters=3)
+    costs = dict(pieces)
+    assert "window" in costs
+    # the dominant word must tokenize as itself, not as char shrapnel
+    assert segment_word("window", costs, 6) == ["window"]
+    # every single char survives pruning (coverage guarantee)
+    for ch in set("windowydow"):
+        assert ch in costs
+
+
+def test_unigram_train_deterministic_across_input_order():
+    freqs = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    a = unigram_train(freqs, vocab_size=24, em_iters=3)
+    b = unigram_train(list(reversed(freqs)), vocab_size=24, em_iters=3)
+    assert a == b
+
+
+def test_trainer_collect_is_bounded():
+    with pytest.raises(ValueError, match="MAX_TRAIN_WORDS"):
+        bpe_train([("a", 1)], top_words=MAX_TRAIN_WORDS + 1)
+    with pytest.raises(ValueError, match="MAX_TRAIN_WORDS"):
+        unigram_train([("a", 1)], top_words=MAX_TRAIN_WORDS + 1)
+
+
+def test_frozen_unigram_pieces_reproduced_from_fixture(spark):
+    from svoe_spark.queries_llm import UNIGRAM_FIXED_PIECES
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    got = unigram_train(
+        word_frequencies(docs), vocab_size=64, max_piece_len=6, em_iters=4
+    )
+    assert got == UNIGRAM_FIXED_PIECES
+
+
+def test_unigram_distributed_encode_matches_reference(spark, sf_small):
+    from svoe_spark.queries_llm import UNIGRAM_FIXED_PIECES
+
+    costs = dict(UNIGRAM_FIXED_PIECES)
+    max_len = max(len(p) for p in costs)
+    docs = load_table(spark, "documents", sf_small).limit(100)
+    got = {
+        r["doc_id"]: (list(r["tokens"]), r["lm_cost"])
+        for r in unigram_encode(
+            docs, UNIGRAM_FIXED_PIECES, out_cost="lm_cost"
+        ).collect()
+    }
+    rx = re.compile(WORD_RE)
+    for r in docs.select("doc_id", "text").collect():
+        toks, cost = [], 0
+        for w in rx.findall((r["text"] or "").lower()):
+            seg = segment_word(w, costs, max_len)
+            assert seg is not None
+            toks.extend(seg)
+            cost += sum(costs[p] for p in seg)
+        assert got[r["doc_id"]] == (toks, cost), r["doc_id"]

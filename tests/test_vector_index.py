@@ -130,3 +130,30 @@ def test_streaming_maintainer_matches_batch_appends(
         ).collect()
     }
     assert got == want
+
+
+def test_search_with_refine_matches_inmemory_pipeline(
+    spark, emb, cents, cbs, tmp_path
+):
+    from svoe_spark.operators.similarity import ann_ivfpq_topk, refine_topk
+
+    path = str(tmp_path / "vidx_refine")
+    half = emb.where(F.col("vec_id") % 2 == 0)
+    rest = emb.where(F.col("vec_id") % 2 == 1)
+    assert append_ivfpq_batch(path, half, 0, cents, cbs)
+    assert append_ivfpq_batch(path, rest, 1, cents, cbs)
+    q = emb.where(F.col("vec_id") == 42)
+    got = [
+        (r["vec_id"], r["exact_dist"])
+        for r in search_ivfpq_index(
+            spark, path, q, cents, cbs, k=5, nprobe=2,
+            refine_from=emb, shortlist=40,
+        ).collect()
+    ]
+    coded = read_ivfpq_index(spark, path)
+    short = ann_ivfpq_topk(coded, q, cents, cbs, k=40, nprobe=2)
+    want = [
+        (r["vec_id"], r["exact_dist"])
+        for r in refine_topk(short, emb, q, k=5).collect()
+    ]
+    assert got == want and len(got) == 5
