@@ -711,12 +711,95 @@ def round4d_smoke(spark, results, force, n_big=100_000_000):
     )
 
 
+def round5_smoke(spark, results, force, n_docs=2_000_000, n_vec=2_000_000):
+    """Round-5 operators at scale.
+
+    - unigram_encode: Viterbi tokenization of 2M synthetic docs (~50
+      words each, drawn from the frozen artifact's vocabulary) — the
+      per-executor word cache makes the DP amortize to a dict lookup
+      per token (type/token ratio ~ 31/100M).
+    - refine_topk: exact rescore of a 1000-id shortlist against 2M
+      stored 64-dim vectors — one broadcast semi-join + TakeOrdered;
+      the cost scales with the FETCH (R rows), not the corpus.
+    - backtest_grid_cents shape: the alternate-signals exact grid (4
+      configs x 100 instruments) over 10M integer-cent ticks — 400
+      independent applyInPandas simulations.
+    """
+    from svoe_spark.consumers.backtest import (
+        SimConfig,
+        alternate_signals,
+        run_backtest_grid,
+    )
+    from svoe_spark.operators.similarity import refine_topk
+    from svoe_spark.operators.tokenizer import unigram_encode
+    from svoe_spark.queries_llm import UNIGRAM_FIXED_PIECES
+
+    words = [p_ for p_, _ in UNIGRAM_FIXED_PIECES if len(p_) > 2][:24]
+    wlit = F.array(*[F.lit(w) for w in words])
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(50)),
+            lambda i: F.element_at(
+                wlit, ((F.col("id") * 53 + i * 17) % len(words) + 1).cast("int")
+            ),
+        ),
+        " ",
+    )
+    docs = spark.range(n_docs).select(F.col("id").alias("doc_id"), text.alias("text"))
+    results["unigram_encode_2m_sec"] = timed(
+        lambda: force(
+            unigram_encode(docs, UNIGRAM_FIXED_PIECES, out_cost="lm_cost")
+            .select("doc_id", F.size("tokens").alias("n"), "lm_cost")
+        ),
+        "unigram_encode_2m",
+    )
+
+    dim = 64
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: F.sin(F.col("id") * 0.37 + i * 1.13),
+    ).cast("array<float>")
+    vectors = spark.range(n_vec).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+    cand = spark.range(1000).select((F.col("id") * 1999 + 7).alias("vec_id"))
+    query = vectors.where(F.col("vec_id") == 12345)
+    def _refine():
+        out = refine_topk(cand, vectors, query, k=10)
+        assert out.count() == 10
+    results["refine_topk_2m_sec"] = timed(_refine, "refine_topk_2m")
+
+    n_ticks = 10_000_000
+    ticks = spark.range(n_ticks).select(
+        (F.col("id") % 100).cast("string").alias("symbol"),
+        (F.lit(1_700_000_000.0) + F.col("id") / 1000.0).cast("timestamp").alias("ts"),
+        F.col("id").alias("event_id"),
+        (10_000 + (F.col("id") * 7919) % 1000).cast("double").alias("px"),
+    )
+    grid = [
+        SimConfig(initial_balance=1e12, commission=0.0, position_size=1.0),
+        SimConfig(initial_balance=1e12, commission=1.0 / 1024, position_size=1.0),
+        SimConfig(initial_balance=1e12, commission=1.0 / 1024, position_size=2.0),
+        SimConfig(initial_balance=1e12, commission=1.0 / 512, position_size=1.0),
+    ]
+    def _grid():
+        out = run_backtest_grid(
+            ticks, "px", grid, signal_fn=alternate_signals,
+            order_cols=("ts", "event_id"),
+        )
+        assert out.count() == 400
+    results["backtest_grid_cents_10m_sec"] = timed(_grid, "backtest_grid_cents_10m")
+
+
 def main():
     spark = get_spark("scale_smoke")
     spark.sparkContext.setLogLevel("ERROR")
     force = lambda df: df.write.format("noop").mode("overwrite").save()  # noqa: E731
 
     only = os.environ.get("SMOKE_ONLY")
+    if only == "round5":
+        results = {}
+        round5_smoke(spark, results, force)
+        print(json.dumps(results))
+        return
     if only == "round4d":
         results = {}
         round4d_smoke(spark, results, force)

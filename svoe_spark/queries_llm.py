@@ -2099,7 +2099,12 @@ def ann_ivfpq_refined_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     short = ann_ivfpq_topk(
         coded, qdf, cents, cbs, k=REFINE_R, nprobe=IVFPQ_NPROBE
     )
-    return refine_topk(short, emb, qdf, k=10, metric="l2")
+    # materialize the R-row shortlist (bounded driver pull, the library
+    # convention for tiny relations): as a lazy broadcast side it would
+    # re-execute the whole ADC encode fold inside the refine job
+    ids = [(int(r["vec_id"]),) for r in short.collect()]
+    cand = spark.createDataFrame(ids, "vec_id long")
+    return refine_topk(cand, emb, qdf, k=10, metric="l2")
 
 
 @query("pq_adc_refined", _pq_adc_chain() + _refine_tail())
@@ -2121,7 +2126,10 @@ def pq_adc_refined_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf = emb.where(F.col("vec_id") == 0)
     qv = [float(x) for x in qdf.first()["embedding"]]
     short = pq_topk(coded, qv, cbs, k=REFINE_R)
-    return refine_topk(short, emb, qdf, k=10, metric="l2")
+    # bounded driver pull, same rationale as ann_ivfpq_refined
+    ids = [(int(r["vec_id"]),) for r in short.collect()]
+    cand = spark.createDataFrame(ids, "vec_id long")
+    return refine_topk(cand, emb, qdf, k=10, metric="l2")
 
 
 _IDX_JACC = (

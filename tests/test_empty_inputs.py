@@ -230,3 +230,81 @@ def test_round4_tail_ops_on_empty(spark):
     emb = _empty(spark, emb_schema)
     assert hard_negatives(emb, emb, k=1).collect() == []
     assert hard_negatives_lsh(emb, dim=4, k=1).collect() == []
+
+
+def test_refine_topk_empty_candidates(spark):
+    from svoe_spark.operators.similarity import refine_topk
+
+    vec = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    vectors = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)], vec
+    )
+    q = vectors.where("vec_id = 0")
+    out = refine_topk(_empty(spark, vec).select("vec_id"), vectors, q, k=3)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "exact_dist"]
+
+
+def test_unigram_encode_empty_and_null_text(spark):
+    from svoe_spark.operators.tokenizer import unigram_encode
+    from svoe_spark.queries_llm import UNIGRAM_FIXED_PIECES
+
+    out = unigram_encode(
+        _empty(spark, DOC), UNIGRAM_FIXED_PIECES, out_cost="c"
+    )
+    assert out.count() == 0
+    rows = unigram_encode(
+        spark.createDataFrame([(1, None, "en", "s")], DOC),
+        UNIGRAM_FIXED_PIECES,
+        out_cost="c",
+    ).collect()
+    assert rows[0]["tokens"] == [] and rows[0]["c"] == 0
+
+
+def test_funnel_empty_events(spark):
+    from svoe_spark.operators.events_analytics import funnel
+
+    ev = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    out = funnel(_empty(spark, ev), ["view", "click"]).collect()
+    assert [(r["step_index"], r["n_users"]) for r in out] == [(0, 0), (1, 0)]
+
+
+def test_backtest_grid_empty_features(spark):
+    from svoe_spark.consumers.backtest import (
+        SimConfig,
+        alternate_signals,
+        run_backtest_grid,
+    )
+
+    ft = StructType(
+        [
+            StructField("symbol", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("event_id", LongType()),
+            StructField("px", DoubleType()),
+        ]
+    )
+    out = run_backtest_grid(
+        _empty(spark, ft), "px", [SimConfig()],
+        signal_fn=alternate_signals, order_cols=("ts", "event_id"),
+    )
+    assert out.count() == 0
+
+
+def test_train_quality_classifier_rejects_empty(spark):
+    from svoe_spark.operators.text_analysis import train_quality_classifier
+
+    labeled = _empty(spark, DOC).withColumn("label", F.lit(1))
+    with pytest.raises(Exception):  # SparkML: empty training set
+        train_quality_classifier(labeled, "label")
