@@ -58,24 +58,20 @@ def main() -> None:
     )
     stages["pii_redacted"] = docs.count()
 
-    # 1. composed quality gate: length + diversity + repetition caps
-    keep = corpus_filter(docs, min_tokens=5, min_distinct_ratio=0.3,
-                         max_top_word_ratio=0.5, max_dup_2gram_ratio=0.5)
-    docs = docs.join(keep.filter("keep").select("doc_id"), "doc_id", "left_semi")
-    stages["quality_filtered"] = docs.count()
-
-    # 1b. model-based quality filter — the TRAINED artifact: frozen
-    # logistic weights fitted by train_quality_classifier over the
-    # scorer's exact feature algebra (quantized dyadic rationals, the
-    # same constants the quality_classifier_trained oracle replays)
-    from svoe_spark.operators.text_analysis import quality_classifier
+    # 1. composed quality gate — heuristic signals (length + diversity
+    # + repetition caps) AND the TRAINED model gate in ONE zero-shuffle
+    # scan: corpus_filter folds the frozen trained logistic weights
+    # (train_quality_classifier -> quantize_weights, the same constants
+    # the corpus_filter_trained oracle replays) inline, so the
+    # model-based cut costs no extra pass over the corpus
     from svoe_spark.queries_llm import QC_TRAINED_BIAS, QC_TRAINED_WEIGHTS
 
-    qc = quality_classifier(
-        docs, weights=QC_TRAINED_WEIGHTS, bias=QC_TRAINED_BIAS, threshold=0.0
-    )
-    docs = docs.join(qc.filter("keep").select("doc_id"), "doc_id", "left_semi")
-    stages["classifier_filtered"] = docs.count()
+    keep = corpus_filter(docs, min_tokens=5, min_distinct_ratio=0.3,
+                         max_top_word_ratio=0.5, max_dup_2gram_ratio=0.5,
+                         classifier_weights=QC_TRAINED_WEIGHTS,
+                         classifier_bias=QC_TRAINED_BIAS)
+    docs = docs.join(keep.filter("keep").select("doc_id"), "doc_id", "left_semi")
+    stages["quality_filtered"] = docs.count()
 
     # 1b'. unigram-LM cost filter (CCNet-style perplexity gate using
     # the tokenizer's own LM): drop the most out-of-domain tail by

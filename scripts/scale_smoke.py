@@ -789,12 +789,110 @@ def round5_smoke(spark, results, force, n_docs=2_000_000, n_vec=2_000_000):
     results["backtest_grid_cents_10m_sec"] = timed(_grid, "backtest_grid_cents_10m")
 
 
+def round6_smoke(spark, results, force, n_vec=2_000_000, n_docs=2_000_000):
+    """Round-6 operators at scale.
+
+    - IVF-PQ at the PRODUCTION operating point (m=16, ksub=256,
+      nprobe=16, R=200 — queries_llm.RECALL90_*): numpy encode of 2M
+      64-dim vectors into 16-byte codes, then one ann_ivfpq_topk_numpy
+      search (closure LUT, pruned scan, TakeOrdered) + exact refine of
+      the R=200 shortlist. The whole search chain reads codes, not
+      vectors; refine fetches R rows.
+    - unigram_encode with EVERY word OOV (planted non-vocab chars):
+      the segment_word_fallback char path at 100M tokens — the
+      worst-case corpus for the Viterbi cache.
+    """
+    from svoe_spark.operators.similarity import (
+        ann_ivfpq_topk_numpy,
+        ivfpq_encode_numpy,
+        refine_topk,
+    )
+    from svoe_spark.operators.tokenizer import unigram_encode
+    from svoe_spark.queries_llm import (
+        RECALL90_KSUB,
+        RECALL90_M,
+        RECALL90_NPROBE,
+        RECALL90_R,
+        UNIGRAM_FIXED_PIECES,
+    )
+
+    dim = 64
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: F.sin(F.col("id") * 0.37 + i * 1.13),
+    ).cast("array<float>")
+    vectors = spark.range(n_vec).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    )
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in vectors.where(F.col("vec_id") < 16).collect()
+    ]
+    from svoe_spark.operators.similarity import ivfpq_train
+
+    cbs = ivfpq_train(
+        vectors, cents, m=RECALL90_M, ksub=RECALL90_KSUB, method="seed"
+    )
+    coded = ivfpq_encode_numpy(vectors, cents, cbs)
+    results["ivfpq_encode_m16k256_2m_sec"] = timed(
+        lambda: force(coded), "ivfpq_encode_m16k256_2m"
+    )
+    coded = coded.persist()
+    coded.count()
+    qdf = vectors.where(F.col("vec_id") == 777_777)
+
+    def _search():
+        short = ann_ivfpq_topk_numpy(
+            coded, qdf, cents, cbs, k=RECALL90_R, nprobe=RECALL90_NPROBE
+        )
+        ids = [(int(r["vec_id"]),) for r in short.collect()]
+        cand = spark.createDataFrame(ids, "vec_id long")
+        assert refine_topk(cand, vectors, qdf, k=10).count() == 10
+
+    results["ivfpq_search_recall90_2m_sec"] = timed(
+        _search, "ivfpq_search_recall90_2m"
+    )
+    coded.unpersist()
+
+    words = [p_ for p_, _ in UNIGRAM_FIXED_PIECES if len(p_) > 2][:24]
+    wlit = F.array(*[F.lit(w) for w in words])
+    text = F.translate(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(50)),
+                lambda i: F.element_at(
+                    wlit,
+                    ((F.col("id") * 53 + i * 17) % len(words) + 1).cast("int"),
+                ),
+            ),
+            " ",
+        ),
+        "aeiou",
+        "xz0xz",  # every word gains a non-vocab char -> char fallback
+    )
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), text.alias("text")
+    )
+    results["unigram_encode_oov_2m_sec"] = timed(
+        lambda: force(
+            unigram_encode(docs, UNIGRAM_FIXED_PIECES, out_cost="lm_cost")
+            .select("doc_id", F.size("tokens").alias("n"), "lm_cost")
+        ),
+        "unigram_encode_oov_2m",
+    )
+
+
 def main():
     spark = get_spark("scale_smoke")
     spark.sparkContext.setLogLevel("ERROR")
     force = lambda df: df.write.format("noop").mode("overwrite").save()  # noqa: E731
 
     only = os.environ.get("SMOKE_ONLY")
+    if only == "round6":
+        results = {}
+        round6_smoke(spark, results, force)
+        print(json.dumps(results))
+        return
     if only == "round5":
         results = {}
         round5_smoke(spark, results, force)

@@ -24,75 +24,83 @@ import svoe_spark.queries_profile  # noqa: F401
 from svoe_spark.queries import QUERIES  # noqa: F401
 
 # Names to surface into the driver's 50-entry window, in check order.
-# Round 5: (a) the 10 round-4 queries that overflowed the r4 window
-# (judge-verified at sf0.01 but never driver-witnessed — VERDICT r4
-# item 1), (b) the new round-5 queries, (c) refill with the
-# least-recently-checked rows: the relational core last driver-green
-# in CORRECTNESS_r02.  Names beyond slot 50 overflow to the next
-# round's rotation; compute the actual split with driver_window()
-# below (a helper for maintainers and the verify harness — nothing
-# prints it automatically) instead of hard-coding counts in comments.
+# Round 6: (a) the 16 queries whose newest driver row is round 2
+# (VERDICT r5 ask 4 — judge-green at sf0.01 every round since, but a
+# fresh hash row guards regressions), (b) the new round-6 queries,
+# (c) refill with the least-recently-checked remainder: the LLM-data
+# layer in its CORRECTNESS_r03 order.  Names beyond slot 50 overflow
+# to the next round's rotation; compute the actual split with
+# driver_window() below (a helper for maintainers and the verify
+# harness — nothing prints it automatically) instead of hard-coding
+# counts in comments.
 _DRIVER_PRIORITY = [
-    # (a) overflowed the r4 window; never driver-checked.
-    "mad_outlier_top20",
-    "candle_patterns_1h",
-    "asof_purchase_view_tolerant",
-    "rsi_14_hourly",
-    "bollinger_bands_1h",
-    "fuzzy_part_name_pairs",
-    "frequent_active_users",
-    "leadlag_corr_types",
-    "atr_14_1h",
-    "winsorize_doc_lengths",
-    # (b) new in round 5: ANN exact re-rank (refine), unigram-LM
-    # tokenizer + LM-cost scores, the trained quality classifier, and
-    # the backtester family's exactness row.
-    "ann_ivfpq_refined",
-    "pq_adc_refined",
-    "unigram_tokens",
-    "unigram_scores",
-    "quality_classifier_trained",
-    "backtest_grid_cents",
-]
-
-# (c) refill: relational core in CORRECTNESS_r02 order (last green r2).
-_PRIORITY_EXTRA = [
-    "q1_pricing_summary",
-    "revenue_by_nation",
-    "order_priority_count",
-    "top_customers_per_nation",
-    "part_type_rollup",
-    "customer_order_stats",
-    "set_ops_order_keys",
-    "ohlcv_1m",
-    "volatility_1h",
-    "tvi_1h",
-    "pct_change_1h",
-    "asof_purchase_view",
-    "asof_purchase_view_bucketed",
-    "lookahead_label_1h",
-    "sample_last_1m",
-    "every_nth_10",
-    "token_frequencies",
-    "composite_events_by_minute",
-    "combine_latest_vector",
-    "running_reduce_user",
-    "orders_shipped_within_30d",
-    "events_content_dedup",
-    "sql_frontend_revenue",
-    "q6_forecast_revenue",
-    "q12_shipmode_priority",
-    "q14_promo_share",
-    "big_spenders_vs_nation",
-    "top_returned_customers",
-    "session_windows_30m",
-    "orderbook_snapshots",
-    "orderbook_snapshots_cryptofeed",
-    "local_extrema",
-    "ewma_final_by_type",
-    "ewma_trend_by_type",
+    # (a) newest driver row is round 2.
     "q3_shipping_priority",
     "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "orderbook_snapshots_bucketed",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_item",
+    "q13_order_distribution",
+    "q16_supplier_count",
+    "q22_global_sales_opportunity",
+    "resample_1h_ffill",
+    "cube_returnflag_status",
+    "supplier_balance_ranks",
+    # (b) new in round 6: the ANN recall>=0.9 operating point, the
+    # planted-OOV tokenizer row, and the trained-classifier curation
+    # gate.
+    "ann_ivfpq_recall90",
+    "unigram_tokens_oov",
+    "corpus_filter_trained",
+]
+
+# (c) refill: LLM-data layer in CORRECTNESS_r03 order (last green r3).
+_PRIORITY_EXTRA = [
+    "median_order_value",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    "dedup_simhash",
+    "dedup_clusters",
+    "chunk_dedup",
+    "benchmark_contamination",
+    "text_token_stats",
+    "text_quality",
+    "text_lang_id",
+    "text_lang_ngram",
+    "text_repetition_signals",
+    "token_rarity",
+    "normalize_text",
+    "bigram_model",
+    "pii_redact",
+    "corpus_filter",
+    "doc_fingerprint",
+    "multimodal_frame_sample",
+    "ann_cosine_topk",
+    "ann_batch_topk",
+    "ann_lsh_topk",
+    "ann_lsh_multiprobe",
+    "ann_ivf_topk",
+    "ann_ivf_multiprobe",
+    "embedding_neardup",
+    "embedding_neardup_lsh",
+    "embedding_quantize",
+    "dataset_shuffle_rank",
+    "source_mixture_weights",
+    "q2_min_cost_supplier",
+    "q11_valuable_parts",
+    "q20_part_promotion_suppliers",
+    "q21_waiting_supplier",
+    "distinct_until_changed_events",
+    "asof_multi_feature",
+    "pivot_priority_by_year",
+    "dedup_clusters_twostar",
 ]
 
 

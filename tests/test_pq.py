@@ -318,6 +318,58 @@ def test_refine_topk_cosine_matches_brute_force(emb):
     assert got == want
 
 
+def test_ann_ivfpq_topk_numpy_bit_identical(emb, cbs):
+    """The mapInPandas ADC scorer (closure LUT, column-by-column
+    float64 accumulation in subspace order) returns EXACTLY the
+    expression path's rows — ids, order, and adc_dist doubles."""
+    from svoe_spark.operators.similarity import (
+        ann_ivfpq_topk,
+        ann_ivfpq_topk_numpy,
+        ivfpq_encode,
+        ivfpq_train,
+    )
+
+    cents = [
+        list(r["embedding"])
+        for r in emb.where(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    icbs = ivfpq_train(emb, cents, m=8, ksub=16, method="seed")
+    coded = ivfpq_encode(emb, cents, icbs).persist()
+    try:
+        for qid, nprobe in ((7, 1), (25, 3), (42, 16)):
+            qdf = emb.where(F.col("vec_id") == qid)
+            a = [
+                (r["vec_id"], r["adc_dist"])
+                for r in ann_ivfpq_topk(
+                    coded, qdf, cents, icbs, k=40, nprobe=nprobe
+                ).collect()
+            ]
+            b = [
+                (r["vec_id"], r["adc_dist"])
+                for r in ann_ivfpq_topk_numpy(
+                    coded, qdf, cents, icbs, k=40, nprobe=nprobe
+                ).collect()
+            ]
+            assert a == b, (qid, nprobe)
+    finally:
+        coded.unpersist()
+
+
+def test_refine_topk_query_contract(emb, cbs):
+    """ADVICE r5: a multi-row query would crossJoin every candidate
+    against every query row and return a MIXED top-k — refine_topk now
+    raises on it, and on an empty query (matching ann_ivfpq_topk)."""
+    import pytest
+
+    from svoe_spark.operators.similarity import refine_topk
+
+    short = emb.select("vec_id").limit(5)
+    with pytest.raises(ValueError, match="single row"):
+        refine_topk(short, emb, emb.where(F.col("vec_id") < 2), k=3)
+    with pytest.raises(ValueError, match="empty"):
+        refine_topk(short, emb, emb.where(F.col("vec_id") < 0), k=3)
+
+
 def test_refine_topk_plan_is_broadcast_no_shuffle(emb, cbs):
     from svoe_spark.operators.similarity import refine_topk
 

@@ -37,6 +37,24 @@ def test_commit_log_roundtrip_via_hadoop_fs(spark, tmp_path):
     assert not store_path_exists(spark, path + ".nope")
     # the log landed where a local reader expects it
     assert os.path.exists(str(tmp_path / "store") + "._commits")
+    # ADVICE r5: the rewrite is write-temp-then-rename, so no ._tmp
+    # residue survives a successful append and the log is never the
+    # truncation-in-progress file
+    assert not os.path.exists(str(tmp_path / "store") + "._commits._tmp")
+
+
+def test_append_commit_survives_stale_tmp(spark, tmp_path):
+    """A crash AFTER writing ._tmp but BEFORE the rename leaves a stale
+    temp file; the next append must overwrite it and land the full id
+    set — the previous log was never truncated in the meantime."""
+    path = "file:" + str(tmp_path / "store")
+    append_commit(spark, path, 1)
+    local_tmp = str(tmp_path / "store") + "._commits._tmp"
+    with open(local_tmp, "w") as f:
+        f.write("999\n")  # simulated half-finished rewrite
+    append_commit(spark, path, 2)
+    assert read_commit_log(spark, path) == {1, 2}
+    assert not os.path.exists(local_tmp)
 
 
 def test_rollup_store_exactly_once_with_schemed_path(spark, sf_small, tmp_path):

@@ -132,6 +132,36 @@ def test_streaming_maintainer_matches_batch_appends(
     assert got == want
 
 
+def test_search_refine_default_shortlist_is_operating_point(
+    spark, emb, cents, cbs, tmp_path
+):
+    """With no explicit shortlist, search_ivfpq_index rescores the
+    ANN_REFINE_SHORTLIST=200 operating point (never below 4*k)."""
+    from svoe_spark.operators.similarity import (
+        ANN_REFINE_SHORTLIST,
+        ann_ivfpq_topk,
+        refine_topk,
+    )
+
+    assert ANN_REFINE_SHORTLIST == 200
+    path = str(tmp_path / "vidx_dflt")
+    assert append_ivfpq_batch(path, emb, 0, cents, cbs)
+    q = emb.where(F.col("vec_id") == 42)
+    got = [
+        (r["vec_id"], r["exact_dist"])
+        for r in search_ivfpq_index(
+            spark, path, q, cents, cbs, k=5, nprobe=2, refine_from=emb
+        ).collect()
+    ]
+    coded = read_ivfpq_index(spark, path)
+    short = ann_ivfpq_topk(coded, q, cents, cbs, k=200, nprobe=2)
+    want = [
+        (r["vec_id"], r["exact_dist"])
+        for r in refine_topk(short, emb, q, k=5).collect()
+    ]
+    assert got == want and len(got) == 5
+
+
 def test_search_with_refine_matches_inmemory_pipeline(
     spark, emb, cents, cbs, tmp_path
 ):
