@@ -99,6 +99,7 @@ def legacy_coarse_section(spark, emb) -> None:
 
 def operating_point_sweep(spark, emb) -> None:
     from svoe_spark.operators.similarity import (
+        _ivfpq_probe_luts as _probe_luts,
         ann_ivfpq_topk,
         ivf_train,
         ivfpq_encode,
@@ -134,7 +135,12 @@ def operating_point_sweep(spark, emb) -> None:
         list(r["embedding"])
         for r in emb.filter(F.col("vec_id") < IVF_K).orderBy("vec_id").collect()
     ]
-    trained = ivf_train(emb, k=IVF_K, seed=42, max_iter=10)
+    # cosine EXPLICITLY: ivf_assign routes queries by cosine, so the
+    # trained codebook must match the routing metric (the legacy
+    # section above is where euclidean- vs cosine-trained compare)
+    trained = ivf_train(
+        emb, k=IVF_K, seed=42, max_iter=10, distance_measure="cosine"
+    )
     results = []
     # (coarse codebook, PQ subspaces m, PQ codes-per-subspace ksub):
     # ksub is the lever the r5 table never moved — with 16 codes per
@@ -155,18 +161,27 @@ def operating_point_sweep(spark, emb) -> None:
         # tree, which OOMs task serialization at m=16, ksub=256
         coded = ivfpq_encode_numpy(emb, cents, cbs).persist()
         coded.count()
+        # true per-cell candidate counts (len(ranked) saturates at the
+        # k cap and would underreport the scan cost being minimized)
+        cell_sizes = {
+            r["cluster_id"]: r["count"]
+            for r in coded.groupBy("cluster_id").count().collect()
+        }
         hits = {(n, r): 0 for n in NPROBES for r in RS}
         scanned = {n: 0 for n in NPROBES}
         for qid in QIDS:
             qdf = emb.filter(F.col("vec_id") == qid)
             for nprobe in NPROBES:
+                cells, _ = _probe_luts(
+                    qdf, cents, cbs, nprobe, "embedding"
+                )
+                scanned[nprobe] += sum(cell_sizes.get(c, 0) for c in cells)
                 ranked = [
                     int(r["vec_id"])
                     for r in ann_ivfpq_topk(
                         coded, qdf, cents, cbs, k=max(RS), nprobe=nprobe
                     ).collect()
                 ]
-                scanned[nprobe] += len(ranked)
                 for R in RS:
                     ref10 = set(exact_top(qid, ranked[:R], 10))
                     hits[(nprobe, R)] += len(ref10 & truths[qid])
@@ -181,7 +196,7 @@ def operating_point_sweep(spark, emb) -> None:
                         "nprobe": nprobe,
                         "R": R,
                         "recall@10": hits[(nprobe, R)] / (10 * len(QIDS)),
-                        "avg_shortlistable": scanned[nprobe] / len(QIDS),
+                        "avg_candidates_scanned": scanned[nprobe] / len(QIDS),
                     }
                 )
                 print(json.dumps(results[-1]))

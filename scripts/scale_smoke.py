@@ -826,7 +826,7 @@ def round6_smoke(spark, results, force, n_vec=2_000_000, n_docs=2_000_000):
     )
     cents = [
         [float(x) for x in r["embedding"]]
-        for r in vectors.where(F.col("vec_id") < 16).collect()
+        for r in vectors.where(F.col("vec_id") < 16).orderBy("vec_id").collect()
     ]
     from svoe_spark.operators.similarity import ivfpq_train
 

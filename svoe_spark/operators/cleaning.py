@@ -189,20 +189,12 @@ def corpus_filter(
     )
     extra = []
     if classifier_weights is not None:
-        if not classifier_weights:
-            raise ValueError("corpus_filter: empty classifier weight vector")
         from svoe_spark.functions.text import token_hashes
+        from svoe_spark.operators.text_analysis import hashed_bow_logit
 
-        warr = F.lit([float(x) for x in classifier_weights])
-        b = len(classifier_weights)
-        dot = F.aggregate(
-            token_hashes(text),
-            F.lit(0.0),
-            lambda acc, h: acc + F.element_at(warr, (h % b + 1).cast("int")),
+        logit = hashed_bow_logit(
+            token_hashes(text), n, classifier_weights, classifier_bias
         )
-        logit = F.when(
-            n > 0, F.lit(float(classifier_bias)) + dot / n.cast("double")
-        ).otherwise(F.lit(float(classifier_bias)))
         extra = [logit.alias("logit")]
         keep = keep & (logit >= F.lit(float(min_logit)))
     return _spread(df).select(

@@ -718,7 +718,10 @@ def reconstruct_book_stream(
         # out of event-time order (_replay sorts WITHIN the frame)
         from svoe_spark.streaming.chunks import batch_frame
 
-        out = _replay(batch_frame(pdfs), book, depth, every, key_tuple[0])
+        out = _replay(
+            batch_frame(pdfs, columns=["ts", "update_type", "orders"]),
+            book, depth, every, key_tuple[0],
+        )
         yield out.rename(columns={"__key": key})
         state.update(
             (

@@ -1154,6 +1154,8 @@ def refine_topk(
             "would mix every query's candidates into one top-k); pass "
             "query.limit(1) or filter to one id"
         )
+    if qrows[0]["__qv"] is None:
+        raise ValueError("refine_topk: query row's vector column is NULL")
     qlit = F.array(*[F.lit(float(x)) for x in qrows[0]["__qv"]])
     ids = candidates.select(id_col)
     fetched = vectors.join(F.broadcast(ids), id_col)

@@ -268,6 +268,29 @@ def default_classifier_weights(buckets: int = QC_BUCKETS) -> list[float]:
     ]
 
 
+def hashed_bow_logit(th, n, weights: list[float], bias: float):
+    """THE fastText-shaped scoring fold, single-source: logit = bias +
+    (1/n) * sum_t w[hash(t) mod B], folded left-to-right over the hash
+    array ``th`` with ``n`` tokens; empty docs score the bare bias.
+    Both ``quality_classifier`` and ``cleaning.corpus_filter`` build
+    their logit from this one expression, so the hash family, fold
+    order, and empty-doc policy can never diverge between the scorer,
+    the gate, and the DuckDB oracles that replay them."""
+    if not weights:
+        raise ValueError("hashed_bow_logit: empty weight vector")
+    warr = F.lit([float(x) for x in weights])
+    b = len(weights)
+    dot = F.aggregate(
+        th,
+        F.lit(0.0),
+        lambda acc, h: acc + F.element_at(warr, (h % b + 1).cast("int")),
+    )
+    return (
+        F.when(n > 0, F.lit(float(bias)) + dot / n.cast("double"))
+        .otherwise(F.lit(float(bias)))
+    )
+
+
 def quality_classifier(
     docs: DataFrame,
     weights: list[float] | None = None,
@@ -298,8 +321,6 @@ def quality_classifier(
     w = weights if weights is not None else default_classifier_weights()
     if not w:
         raise ValueError("quality_classifier: empty weight vector")
-    warr = F.lit([float(x) for x in w])
-    b = len(w)
     from svoe_spark.functions.text import token_hashes
 
     carry = [c for c in docs.columns if c != id_col] if passthrough else []
@@ -308,26 +329,13 @@ def quality_classifier(
         *carry,
         F.explode(F.array(token_hashes(text))).alias("__th"),
     )
-    dot = F.aggregate(
-        F.col("__th"),
-        F.lit(0.0),
-        lambda acc, h: acc + F.element_at(warr, (h % b + 1).cast("int")),
-    )
     scored = t.select(
         id_col,
         *carry,
         F.size("__th").cast("long").alias("n_tokens"),
-        dot.alias("__dot"),
-    ).select(
-        id_col,
-        *carry,
-        "n_tokens",
-        F.when(
-            F.col("n_tokens") > 0,
-            F.lit(float(bias)) + F.col("__dot") / F.col("n_tokens"),
-        )
-        .otherwise(F.lit(float(bias)))
-        .alias("logit"),
+        hashed_bow_logit(F.col("__th"), F.size("__th"), w, bias).alias(
+            "logit"
+        ),
     )
     return scored.withColumn("keep", F.col("logit") >= F.lit(float(threshold)))
 

@@ -72,7 +72,15 @@ def store_path_exists(spark, path: str) -> bool:
 
 
 def read_commit_log(spark, path: str) -> set[int]:
-    """The set of committed batch ids in ``<path>._commits``."""
+    """The set of committed batch ids in ``<path>._commits``.
+
+    Hadoop paths fall back to ``._commits._tmp`` when the log itself
+    is missing: ``append_commit`` deletes the old log only AFTER the
+    temp rewrite is fully written and closed, so a missing log with a
+    present temp means a crash landed between delete and rename — the
+    temp holds the complete id set (a superset of the lost log) and
+    recovering it closes the one window where the rewrite-and-rename
+    scheme could otherwise lose the whole history."""
     log = path + "._commits"
     if _is_local_path(log):
         if not os.path.exists(log):
@@ -81,7 +89,10 @@ def read_commit_log(spark, path: str) -> set[int]:
             return {int(x) for x in f.read().split() if x}
     fs, p, jvm = _hadoop_fs(spark, log)
     if not fs.exists(p):
-        return set()
+        tmp = jvm.org.apache.hadoop.fs.Path(log + "._tmp")
+        if not fs.exists(tmp):
+            return set()
+        p = tmp
     stream = fs.open(p)
     try:
         text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
@@ -108,6 +119,11 @@ def append_commit(spark, path: str, batch_id: int) -> None:
     ids = sorted(read_commit_log(spark, path) | {int(batch_id)})
     fs, p, jvm = _hadoop_fs(spark, log)
     tmp = jvm.org.apache.hadoop.fs.Path(log + "._tmp")
+    if not fs.exists(p) and fs.exists(tmp):
+        # a previous append crashed between delete and rename: make the
+        # recovery durable BEFORE overwriting the temp, or a crash in
+        # the upcoming write would lose the only complete copy
+        fs.rename(tmp, p)
     out = fs.create(tmp, True)
     try:
         out.write(bytearray("".join(f"{i}\n" for i in ids), "utf-8"))

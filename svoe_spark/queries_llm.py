@@ -999,9 +999,35 @@ def dedup_clusters_twostar_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup_clusters_impl(spark, sf_dir, "twostar")
 
 
-@query(
-    "corpus_filter",
-    f"""
+def _corpus_filter_sql(with_trained_logit: bool = False) -> str:
+    """Oracle chain shared by corpus_filter / corpus_filter_trained:
+    the heuristic-signal CTEs exist ONCE (a tokenization or ratio fix
+    can never leave one gate's oracle stale), and the trained variant
+    splices in the frozen-logit CTE plus the logit >= 0 conjunct."""
+    lg_cte = ""
+    lg_join = ""
+    lg_col = ""
+    lg_sig = ""
+    lg_keep = ""
+    if with_trained_logit:
+        w = ", ".join(f"({n}/{_QC_DEN}.0)" for n in QC_TRAINED_NUM)
+        bias = f"({QC_TRAINED_BIAS_NUM}/{_QC_DEN}.0)"
+        lg_cte = f"""
+    lg AS (
+      SELECT doc_id,
+             CASE WHEN len(th) > 0
+                  THEN {bias} + list_reduce(
+                         list_prepend(CAST(0.0 AS DOUBLE),
+                           list_transform(th, h -> ([{w}])[(h % {len(QC_TRAINED_NUM)}) + 1])),
+                         (a, b) -> a + b) / len(th)
+                  ELSE {bias} END AS logit
+      FROM (SELECT doc_id, {sql_token_hashes('text')} AS th FROM documents)
+    ),"""
+        lg_join = "\n             JOIN lg ON g.doc_id = lg.doc_id"
+        lg_col = " lg.logit,"
+        lg_sig = " logit,"
+        lg_keep = " AND logit >= 0.0"
+    return f"""
     WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks FROM documents),
     g AS (
       SELECT doc_id, len(toks) AS n,
@@ -1014,21 +1040,23 @@ def dedup_clusters_twostar_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t),
     ex AS (SELECT doc_id, unnest(toks) AS tok FROM t),
     cnt AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY 1, 2),
-    tw AS (SELECT doc_id, max(c) AS topc FROM cnt GROUP BY 1),
+    tw AS (SELECT doc_id, max(c) AS topc FROM cnt GROUP BY 1),{lg_cte}
     sig AS (
-      SELECT g.doc_id, g.n, g.distinct_ratio,
+      SELECT g.doc_id, g.n, g.distinct_ratio,{lg_col}
              CASE WHEN g.n > 0 THEN tw.topc / g.n ELSE 0.0e0 END AS topr,
              CASE WHEN len(g.g2) > 0
                   THEN (len(g.g2) - len(list_distinct(g.g2))) / len(g.g2)
                   ELSE 0.0e0 END AS dup2
-      FROM g LEFT JOIN tw ON g.doc_id = tw.doc_id)
+      FROM g LEFT JOIN tw ON g.doc_id = tw.doc_id{lg_join})
     SELECT doc_id, n AS n_tokens, distinct_ratio,
-           topr AS top_word_ratio, dup2 AS dup_2gram_ratio,
+           topr AS top_word_ratio, dup2 AS dup_2gram_ratio,{lg_sig}
            (n >= 20 AND n <= 100000 AND distinct_ratio >= 0.4
-            AND topr <= 0.12 AND dup2 <= 0.06) AS keep
+            AND topr <= 0.12 AND dup2 <= 0.06{lg_keep}) AS keep
     FROM sig
-    """,
-)
+    """
+
+
+@query("corpus_filter", _corpus_filter_sql())
 def corpus_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed C4/Gopher-style quality gate: length bounds + diversity
     + repetition caps in one zero-shuffle scan, emitting the signals
@@ -1493,50 +1521,7 @@ def quality_classifier_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "corpus_filter_trained",
-    f"""
-    WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks FROM documents),
-    g AS (
-      SELECT doc_id, len(toks) AS n,
-             CASE WHEN len(toks) >= 2 THEN list_transform(
-                    generate_series(1, len(toks) - 1),
-                    i -> toks[i] || ' ' || toks[i + 1]) ELSE [] END AS g2,
-             CASE WHEN len(toks) > 0
-                  THEN len(list_distinct(toks)) / len(toks) ELSE 0.0e0 END
-               AS distinct_ratio
-      FROM t),
-    ex AS (SELECT doc_id, unnest(toks) AS tok FROM t),
-    cnt AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY 1, 2),
-    tw AS (SELECT doc_id, max(c) AS topc FROM cnt GROUP BY 1),
-    lg AS (
-      SELECT doc_id,
-             CASE WHEN len(th) > 0
-                  THEN ({{QC_TRAINED_BIAS_NUM}}/{{_QC_DEN}}.0) + list_reduce(
-                         list_prepend(CAST(0.0 AS DOUBLE),
-                           list_transform(th, h -> ([{{W}}])[(h % {{B}}) + 1])),
-                         (a, b) -> a + b) / len(th)
-                  ELSE ({{QC_TRAINED_BIAS_NUM}}/{{_QC_DEN}}.0) END AS logit
-      FROM (SELECT doc_id, {sql_token_hashes('text')} AS th FROM documents)
-    ),
-    sig AS (
-      SELECT g.doc_id, g.n, g.distinct_ratio, lg.logit,
-             CASE WHEN g.n > 0 THEN tw.topc / g.n ELSE 0.0e0 END AS topr,
-             CASE WHEN len(g.g2) > 0
-                  THEN (len(g.g2) - len(list_distinct(g.g2))) / len(g.g2)
-                  ELSE 0.0e0 END AS dup2
-      FROM g LEFT JOIN tw ON g.doc_id = tw.doc_id
-             JOIN lg ON g.doc_id = lg.doc_id)
-    SELECT doc_id, n AS n_tokens, distinct_ratio,
-           topr AS top_word_ratio, dup2 AS dup_2gram_ratio, logit,
-           (n >= 20 AND n <= 100000 AND distinct_ratio >= 0.4
-            AND topr <= 0.12 AND dup2 <= 0.06 AND logit >= 0.0) AS keep
-    FROM sig
-    """.replace("{QC_TRAINED_BIAS_NUM}", str(QC_TRAINED_BIAS_NUM))
-    .replace("{_QC_DEN}", str(_QC_DEN))
-    .replace("{W}", ", ".join(f"({n}/{_QC_DEN}.0)" for n in QC_TRAINED_NUM))
-    .replace("{B}", str(len(QC_TRAINED_NUM))),
-)
+@query("corpus_filter_trained", _corpus_filter_sql(with_trained_logit=True))
 def corpus_filter_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation gate with the TRAINED model composed in (VERDICT
     r5 ask 5): heuristic C4/Gopher signals AND the frozen trained
@@ -2031,9 +2016,22 @@ def _pq_seed_chain(spark: SparkSession, sf_dir: str):
     return _cached_chain(spark, sf_dir, "pq-seed", build)
 
 
-def _ivfpq_seed_chain(spark: SparkSession, sf_dir: str):
-    """(emb, cents, cbs, persisted IVF-PQ codes) at the demo geometry."""
-    from svoe_spark.operators.similarity import ivfpq_encode, ivfpq_train
+def _ivfpq_seed_chain(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = PQ_M_Q,
+    ksub: int = PQ_KSUB_Q,
+    numpy_encode: bool = False,
+):
+    """(emb, cents, cbs, persisted IVF-PQ codes) at the given PQ
+    geometry. ``numpy_encode`` selects the bit-identical numpy encoder
+    (required at production geometry, where the m*ksub-leaf expression
+    tree bloats task serialization)."""
+    from svoe_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_encode_numpy,
+        ivfpq_train,
+    )
 
     def build():
         emb = load_table(spark, "embeddings", sf_dir)
@@ -2043,11 +2041,12 @@ def _ivfpq_seed_chain(spark: SparkSession, sf_dir: str):
             .orderBy("vec_id")
             .collect()
         ]
-        cbs = ivfpq_train(emb, cents, m=PQ_M_Q, ksub=PQ_KSUB_Q, method="seed")
-        coded = ivfpq_encode(emb, cents, cbs).persist()
+        cbs = ivfpq_train(emb, cents, m=m, ksub=ksub, method="seed")
+        enc = ivfpq_encode_numpy if numpy_encode else ivfpq_encode
+        coded = enc(emb, cents, cbs).persist()
         return emb, cents, cbs, coded
 
-    return _cached_chain(spark, sf_dir, "ivfpq-seed", build)
+    return _cached_chain(spark, sf_dir, f"ivfpq-seed-m{m}k{ksub}", build)
 
 
 def _ivfpq_chain(
@@ -2236,27 +2235,11 @@ def ann_ivfpq_recall90_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle re-derives the whole chain at the same geometry."""
     from svoe_spark.operators.similarity import (
         ann_ivfpq_topk_numpy,
-        ivfpq_encode_numpy,
-        ivfpq_train,
         refine_topk,
     )
 
-    def build():
-        emb = load_table(spark, "embeddings", sf_dir)
-        cents = [
-            list(r["embedding"])
-            for r in emb.filter(F.col("vec_id") < IVF_K)
-            .orderBy("vec_id")
-            .collect()
-        ]
-        cbs = ivfpq_train(
-            emb, cents, m=RECALL90_M, ksub=RECALL90_KSUB, method="seed"
-        )
-        coded = ivfpq_encode_numpy(emb, cents, cbs).persist()
-        return emb, cents, cbs, coded
-
-    emb, cents, cbs, coded = _cached_chain(
-        spark, sf_dir, "ivfpq-recall90", build
+    emb, cents, cbs, coded = _ivfpq_seed_chain(
+        spark, sf_dir, m=RECALL90_M, ksub=RECALL90_KSUB, numpy_encode=True
     )
     qdf = emb.filter(F.col("vec_id") == 0)
     short = ann_ivfpq_topk_numpy(

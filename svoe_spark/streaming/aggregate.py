@@ -64,7 +64,7 @@ def running_reduce_stream(
         # whole micro-batch as ONE frame, sorted once: Arrow chunks
         # arrive in fetch order, and per-chunk sorting would run the
         # accumulators out of event-time order (chunks.batch_frame)
-        pdf = batch_frame(pdfs, [on])
+        pdf = batch_frame(pdfs, [on], columns=[on, value])
         vals = pdf[value].astype(float)
         out = {key: key_tuple[0], on: pdf[on], value: vals}
         cols = {}
@@ -162,7 +162,7 @@ def running_reduce_tws(
             )
             # one assembled, once-sorted frame (chunks.batch_frame):
             # same chunk-order fix as the legacy form
-            pdf = batch_frame(rows, [on])
+            pdf = batch_frame(rows, [on], columns=[on, value])
             vals = pdf[value].astype(float)
             out = {key: key_tuple[0], on: pdf[on], value: vals}
             for i, op in enumerate(ops):
@@ -277,7 +277,7 @@ def drawdown_stream(
         peak, max_dd = (
             state.get if state.exists else (float("-inf"), 0.0)
         )
-        pdf = batch_frame(pdfs, sort_cols)
+        pdf = batch_frame(pdfs, sort_cols, columns=[*sort_cols, value])
         vals = pdf[value].astype(float)
         peaks = vals.cummax().clip(lower=peak)
         dd = peaks - vals

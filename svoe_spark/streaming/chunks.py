@@ -25,16 +25,23 @@ import pandas as pd
 
 
 def batch_frame(
-    pdfs: Iterable[pd.DataFrame], sort_cols: list[str] | None = None
+    pdfs: Iterable[pd.DataFrame],
+    sort_cols: list[str] | None = None,
+    columns: list[str] | None = None,
 ) -> pd.DataFrame:
     """All Arrow chunks of one (key, micro-batch) as ONE frame, sorted
-    by ``sort_cols`` (stable, so ties keep arrival order). An empty
-    chunk iterator yields an empty frame — the state API delivers one
-    for keys that fire on a GroupStateTimeout with no new data, and
-    ``pd.concat([])`` would raise."""
+    by ``sort_cols`` (stable, so ties keep arrival order).
+
+    An empty chunk iterator yields an empty frame CARRYING ``columns``
+    (every column the handler will touch) — the state API delivers
+    zero chunks for keys that fire on a GroupStateTimeout with no new
+    data, ``pd.concat([])`` would raise, and a schema-less empty frame
+    would just move the crash to the handler's first column access.
+    Callers pass the columns they read; the default falls back to
+    ``sort_cols`` alone."""
     frames = list(pdfs)
     if not frames:
-        return pd.DataFrame()
+        return pd.DataFrame(columns=list(columns or sort_cols or []))
     pdf = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
     if sort_cols:
         pdf = pdf.sort_values(sort_cols, kind="stable")

@@ -52,7 +52,7 @@ def combine_latest_stream(
     ) -> Iterator[pd.DataFrame]:
         latest = list(state.get) if state.exists else [None] * len(streams)
         latest = [None if v is not None and math.isnan(v) else v for v in latest]
-        pdf = batch_frame(pdfs)  # assemble BEFORE sorting: chunk order
+        pdf = batch_frame(pdfs, columns=[on, stream_col, value_col])  # assemble BEFORE sorting: chunk order
         pdf = pdf.assign(        # is fetch order, not event-time order
             __prio=pdf[stream_col].map(idx).fillna(len(streams))
         ).sort_values([on, "__prio"], kind="stable")

@@ -90,7 +90,7 @@ def funnel_stream(
             chain = list(chain)
         else:
             n_events, chain = 0, [None] * k
-        pdf = batch_frame(pdfs, ["__ts"])
+        pdf = batch_frame(pdfs, ["__ts"], columns=["__t", "__ts"])
         for t, ts in zip(pdf["__t"], pdf["__ts"]):
             n_events += 1
             i = step_index.get(t)
@@ -187,7 +187,7 @@ def retention_stream(
         else:
             cohort, seen = None, set()
         fresh: list[int] = []
-        pdf = batch_frame(pdfs)
+        pdf = batch_frame(pdfs, columns=["__d"])
         for d in sorted(int(x) for x in pdf["__d"].unique()):
             if cohort is None:
                 cohort = d

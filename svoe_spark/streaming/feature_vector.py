@@ -111,7 +111,7 @@ def feature_vector_stream(
             s["name"]: vals[2 * len(stateful) + i] for i, s in enumerate(ewmas)
         }
 
-        pdf = batch_frame(pdfs, [on])  # one frame, one sort —
+        pdf = batch_frame(pdfs, [on], columns=[on, *source_cols])  # one frame, one sort —
         # chunk arrival order is fetch order, not event time
         ts = pdf[on].astype("int64").to_numpy() / 1e9
         series: dict[str, np.ndarray] = {}

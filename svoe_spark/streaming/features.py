@@ -142,7 +142,7 @@ def trailing_stddev_stream(
 
         # whole micro-batch as one frame, sorted once (chunk arrival
         # order is fetch order, not event-time — chunks.batch_frame)
-        pdf = batch_frame(pdfs, [on])
+        pdf = batch_frame(pdfs, [on], columns=[on, value])
         ts = pdf[on].astype("int64").to_numpy() / 1e9
         vals = pdf[value].to_numpy(dtype=float)
         all_ts = np.concatenate([ts_buf, ts])

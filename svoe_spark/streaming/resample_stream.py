@@ -79,7 +79,7 @@ def resample_ffill_stream(
             last_g, last_v = None, None
         out_g: list[int] = []
         out_v: list[float | None] = []
-        pdf = batch_frame(pdfs, ["__sec"])
+        pdf = batch_frame(pdfs, ["__sec"], columns=["__sec", "__v"])
         for sec, v in zip(pdf["__sec"], pdf["__v"]):
             sec = int(sec)
             v = None if pd.isna(v) else float(v)
@@ -186,7 +186,7 @@ def resample_interpolate_stream(
         out_g: list[int] = []
         out_l: list[float | None] = []
         out_i: list[float | None] = []
-        pdf = batch_frame(pdfs, ["__sec"])
+        pdf = batch_frame(pdfs, ["__sec"], columns=["__sec", "__v"])
         for sec, v in zip(pdf["__sec"], pdf["__v"]):
             sec = int(sec)
             if pd.isna(v):

@@ -43,6 +43,25 @@ def test_commit_log_roundtrip_via_hadoop_fs(spark, tmp_path):
     assert not os.path.exists(str(tmp_path / "store") + "._commits._tmp")
 
 
+def test_read_commit_log_recovers_from_delete_rename_window(spark, tmp_path):
+    """Review finding r6: a crash BETWEEN fs.delete(log) and
+    fs.rename(tmp, log) leaves only the temp file — which is complete
+    (the delete only ever runs after the temp is closed). The reader
+    must fall back to it, and the next append must first restore it
+    durably, so the window can no longer lose the whole history."""
+    path = "file:" + str(tmp_path / "store")
+    append_commit(spark, path, 1)
+    append_commit(spark, path, 2)
+    local = str(tmp_path / "store") + "._commits"
+    # simulate the crash window: full temp present, log deleted
+    os.rename(local, local + "._tmp")
+    assert read_commit_log(spark, path) == {1, 2}
+    append_commit(spark, path, 3)
+    assert read_commit_log(spark, path) == {1, 2, 3}
+    assert os.path.exists(local)
+    assert not os.path.exists(local + "._tmp")
+
+
 def test_append_commit_survives_stale_tmp(spark, tmp_path):
     """A crash AFTER writing ._tmp but BEFORE the rename leaves a stale
     temp file; the next append must overwrite it and land the full id
