@@ -52,11 +52,13 @@ _DRIVER_PRIORITY = [
     "cube_returnflag_status",
     "supplier_balance_ranks",
     # (b) new in round 6: the ANN recall>=0.9 operating point, the
-    # planted-OOV tokenizer row, and the trained-classifier curation
-    # gate.
+    # planted-OOV tokenizer row, the trained-classifier curation
+    # gate, and the batched IVF-PQ search pair.
     "ann_ivfpq_recall90",
     "unigram_tokens_oov",
     "corpus_filter_trained",
+    "ann_ivfpq_batch",
+    "ann_ivfpq_batch_refined",
 ]
 
 # (c) refill: LLM-data layer in CORRECTNESS_r03 order (last green r3).

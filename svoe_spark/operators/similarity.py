@@ -1086,6 +1086,168 @@ def ann_ivfpq_topk_numpy(
 ANN_REFINE_SHORTLIST = 200
 
 
+def ann_ivfpq_topk_batch(
+    coded: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    cluster_col: str = "cluster_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """IVF-PQ search for a BATCH of queries — the scale-path sibling of
+    ``brute_force_topk_batch`` (retrieval eval and mining jobs search
+    query batches, not single vectors): one pruned pass over the union
+    of every query's probed cells, per-query ADC, per-query top-k.
+    Returns (query_id, vec_id, adc_dist), rows bit-identical to
+    running ``ann_ivfpq_topk``/``_numpy`` per query.
+
+    How it stays one scan and bit-exact:
+
+      * probe selection for ALL queries is ONE job over the query
+        table using the same ``_ivf_sorted_scores`` expression as the
+        single-query path (so probe ranking can never diverge from it
+        or from the oracle), collected driver-side — the query batch
+        is driver-bounded by contract, like every shortlist here;
+      * per-(query, probed-cell) LUTs are the same ``_py_sub_dist2``
+        driver arithmetic, shipped in the UDF closure (nq x nprobe x
+        m x ksub doubles — size the batch accordingly);
+      * the scan reads codes inside the UNION of probed cells once;
+        each Arrow chunk scores only the queries probing each present
+        cell, accumulating column-by-column in subspace order (the
+        bit-exact fold), and emits a per-chunk top-k per query —
+        a superset of the global top-k, so the final per-query
+        window over ~|chunks| x k tiny rows is exact."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    qrows = (
+        _ivf_sorted_scores(queries, centroids, vec_col)
+        .select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("__qv"),
+            F.transform(
+                F.slice("__scored_desc", 1, nprobe), lambda s: -s["nid"]
+            ).alias("__cells"),
+        )
+        .collect()
+    )
+    if not qrows:
+        raise ValueError("ann_ivfpq_topk_batch: queries DataFrame is empty")
+    by_cell: dict[int, list[tuple]] = {}
+    for r in qrows:
+        qid = r[query_id_col]
+        qv = [float(x) for x in r["__qv"]]
+        for cell in (int(c) for c in r["__cells"]):
+            qr = [qv[i] - float(centroids[cell][i]) for i in range(len(qv))]
+            lut = np.array(
+                [
+                    [_py_sub_dist2(qr[s * d : (s + 1) * d], c) for c in codebooks[s]]
+                    for s in range(m)
+                ],
+                dtype=np.float64,
+            )
+            by_cell.setdefault(cell, []).append((qid, lut))
+    cells = sorted(by_cell)
+    id_type = coded.schema[id_col].dataType.simpleString()
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+
+    def fn(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            cl = pdf[cluster_col].to_numpy()
+            codes = np.stack(pdf[codes_col].to_numpy())  # n x m
+            ids = pdf[id_col]
+            out_q, out_id, out_d = [], [], []
+            for cell in np.unique(cl):
+                mask = cl == cell
+                ccodes = codes[mask]
+                cids = ids[mask].to_numpy()
+                for qid, lut in by_cell.get(int(cell), ()):
+                    acc = np.zeros(len(ccodes), dtype=np.float64)
+                    for s in range(m):
+                        acc += lut[s, ccodes[:, s]]
+                    top = np.lexsort((cids, acc))[:k]
+                    out_q.extend([qid] * len(top))
+                    out_id.extend(cids[top])
+                    out_d.extend(acc[top])
+            if out_q:
+                yield pd.DataFrame(
+                    {query_id_col: out_q, id_col: out_id, "adc_dist": out_d}
+                )
+
+    scanned = coded.where(F.col(cluster_col).isin(cells)).select(
+        id_col, cluster_col, codes_col
+    )
+    scored = scanned.mapInPandas(
+        fn,
+        schema=f"{query_id_col} {qid_type}, {id_col} {id_type}, adc_dist double",
+    )
+    w = Window.partitionBy(query_id_col).orderBy("adc_dist", id_col)
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def refine_topk_batch(
+    candidates: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    metric: str = "l2",
+    out: str = "exact_dist",
+) -> DataFrame:
+    """Exact re-rank of per-query shortlists — the batch form of
+    ``refine_topk``, fully relational (no driver pull): ``candidates``
+    is (query_id, vec_id) with R rows per query; the raw vectors join
+    back by id (broadcast — nq x R rows), each query's vector attaches
+    by query_id (broadcast), and one per-query window returns the true
+    top-k of each shortlist. Same fold (``_sub_dist2`` / ``cosine``)
+    and tie rule as the single-query path, so per-query rows are
+    bit-identical to it."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(query_id_col).alias("__bqid"), F.col(vec_col).alias("__qv")
+    )
+    fetched = (
+        vectors.join(
+            F.broadcast(candidates.select(query_id_col, id_col)), id_col
+        )
+        .join(F.broadcast(q), F.col(query_id_col) == F.col("__bqid"))
+    )
+    if metric == "l2":
+        score = _sub_dist2(F.col(vec_col), F.col("__qv"))
+        order = [F.col(out).asc(), F.col(id_col).asc()]
+    elif metric == "cosine":
+        score = cosine(F.col(vec_col), F.col("__qv"))
+        order = [F.col(out).desc(), F.col(id_col).asc()]
+    else:
+        raise ValueError("refine_topk_batch: metric must be 'l2' or 'cosine'")
+    w = Window.partitionBy(query_id_col).orderBy(*order)
+    return (
+        fetched.select(query_id_col, id_col, score.alias(out))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def refine_topk(
     candidates: DataFrame,
     vectors: DataFrame,

@@ -2050,15 +2050,22 @@ def _ivfpq_seed_chain(
 
 
 def _ivfpq_chain(
-    nprobe: int = IVFPQ_NPROBE, m: int = PQ_M_Q, ksub: int = PQ_KSUB_Q
+    nprobe: int = IVFPQ_NPROBE,
+    m: int = PQ_M_Q,
+    ksub: int = PQ_KSUB_Q,
+    qids: tuple[int, ...] = (0,),
 ) -> str:
     """Shared oracle CTE chain for the IVF-PQ queries: assignment,
     residuals, codebooks, encoding, probes, per-cell LUTs, ADC fold —
-    ends with relation ``adc(vec_id, adc_dist)``. ``nprobe`` / ``m`` /
-    ``ksub`` are the probe count and PQ geometry (the recall-0.9
-    operating-point query widens all three; seeds stay the ksub
-    residuals after the coarse block, whatever the size)."""
+    ends with relation ``adc(qid, vec_id, adc_dist)``. ``nprobe`` /
+    ``m`` / ``ksub`` are the probe count and PQ geometry (the
+    recall-0.9 operating-point query widens all three; seeds stay the
+    ksub residuals after the coarse block, whatever the size);
+    ``qids`` is the QUERY BATCH — every q-side CTE carries ``qid``, so
+    the batched search oracles on the same chain (single-query
+    callers just never select the constant qid column)."""
     d = EMB_DIM // m
+    ids = ", ".join(str(int(i)) for i in qids)
     return f"""
     WITH cents AS (
       SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {IVF_K}
@@ -2093,37 +2100,39 @@ def _ivfpq_chain(
         PARTITION BY v.vec_id, v.s
         ORDER BY {_sql_sub_dist2('v.sv', 'cbr.cv', d)}, cbr.c) = 1
     ),
-    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+          WHERE vec_id IN ({ids})),
     probes AS (
-      SELECT c.cid AS pcell, c.cv AS pcv FROM cents c, q
+      SELECT q.qid, c.cid AS pcell, c.cv AS pcv FROM cents c, q
       QUALIFY row_number() OVER (
+        PARTITION BY q.qid
         ORDER BY {sql_cosine('qv', 'c.cv')} DESC, c.cid) <= {nprobe}
     ),
     qres AS (
-      SELECT pcell,
+      SELECT probes.qid, pcell,
              list_transform(range(1, {EMB_DIM + 1}),
                             i -> CAST(qv[i] AS DOUBLE) - CAST(pcv[i] AS DOUBLE)) AS qr
-      FROM probes, q
+      FROM probes JOIN q ON probes.qid = q.qid
     ),
     qsub AS (
-      SELECT pcell, sp.s,
+      SELECT qid, pcell, sp.s,
              list_transform(range(sp.s * {d} + 1, sp.s * {d} + {d + 1}),
                             i -> qr[i]) AS qsv
       FROM qres, (SELECT unnest(range(0, {m})) AS s) sp
     ),
     lut AS (
-      SELECT qsub.pcell, qsub.s, cbr.c,
+      SELECT qsub.qid, qsub.pcell, qsub.s, cbr.c,
              {_sql_sub_dist2('qsub.qsv', 'cbr.cv', d)} AS qd
       FROM qsub JOIN cbr USING (s)
     ),
     adc AS (
-      SELECT enc.vec_id,
+      SELECT l.qid, enc.vec_id,
              list_reduce(
                list_prepend(CAST(0.0 AS DOUBLE), list(l.qd ORDER BY enc.s)),
                (acc, v) -> acc + v) AS adc_dist
       FROM enc JOIN lut l
         ON l.pcell = enc.cluster_id AND l.s = enc.s AND l.c = enc.c
-      GROUP BY enc.vec_id
+      GROUP BY l.qid, enc.vec_id
     )
     """
 
@@ -2249,6 +2258,85 @@ def ann_ivfpq_recall90_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = [(int(r["vec_id"]),) for r in short.collect()]
     cand = spark.createDataFrame(ids, "vec_id long")
     return refine_topk(cand, emb, qdf, k=10, metric="l2")
+
+
+# Query batch for the batched ANN rows: arbitrary but frozen ids —
+# disjoint from the coarse seed block (0-15 would make every probe a
+# self-cell hit) except 7, which doubles as the "query IS a centroid"
+# edge.
+ANN_BATCH_QIDS = (7, 25, 42, 101, 333)
+_BATCH_IDS_SQL = ", ".join(str(i) for i in ANN_BATCH_QIDS)
+
+
+@query(
+    "ann_ivfpq_batch",
+    _ivfpq_chain(qids=ANN_BATCH_QIDS)
+    + """
+    SELECT qid AS query_id, vec_id, adc_dist FROM adc
+    QUALIFY row_number() OVER (
+      PARTITION BY qid ORDER BY adc_dist, vec_id) <= 10
+    """,
+)
+def ann_ivfpq_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search for a BATCH of 5 queries in ONE pruned pass —
+    the scale-path sibling of ann_batch_topk (retrieval eval and
+    mining jobs search batches, not single vectors): probe selection
+    for all queries is one Spark job on the shared IVF expression,
+    per-(query, cell) LUTs ride the UDF closure, each probed-cell
+    chunk emits per-query partial top-ks, and one per-query window
+    finishes. Rows bit-identical to running ann_ivfpq_topk per query
+    (tested); oracle runs the SAME single-query CTE chain with qid
+    carried through every q-side relation."""
+    from svoe_spark.operators.similarity import ann_ivfpq_topk_batch
+
+    emb, cents, cbs, coded = _ivfpq_seed_chain(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id").isin(list(ANN_BATCH_QIDS))).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_ivfpq_topk_batch(
+        coded, queries, cents, cbs, k=10, nprobe=IVFPQ_NPROBE
+    )
+
+
+@query(
+    "ann_ivfpq_batch_refined",
+    _ivfpq_chain(qids=ANN_BATCH_QIDS)
+    + f""",
+    short AS (
+      SELECT qid, vec_id FROM adc
+      QUALIFY row_number() OVER (
+        PARTITION BY qid ORDER BY adc_dist, vec_id) <= {REFINE_R}
+    ),
+    qfull AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+              WHERE vec_id IN ({_BATCH_IDS_SQL}))
+    SELECT s.qid AS query_id, e.vec_id,
+           {_sql_sub_dist2('e.embedding', 'qv', EMB_DIM)} AS exact_dist
+    FROM embeddings e
+    JOIN short s ON e.vec_id = s.vec_id
+    JOIN qfull ON s.qid = qfull.qid
+    QUALIFY row_number() OVER (
+      PARTITION BY s.qid ORDER BY exact_dist, e.vec_id) <= 10
+    """,
+)
+def ann_ivfpq_batch_refined_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full batched production shape: per-query ADC top-R
+    shortlists from one pruned pass, then refine_topk_batch — a fully
+    relational exact re-rank (shortlists broadcast into the raw-vector
+    scan, query vectors attach by query_id, one per-query window) —
+    no driver round-trip between the stages."""
+    from svoe_spark.operators.similarity import (
+        ann_ivfpq_topk_batch,
+        refine_topk_batch,
+    )
+
+    emb, cents, cbs, coded = _ivfpq_seed_chain(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id").isin(list(ANN_BATCH_QIDS))).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    short = ann_ivfpq_topk_batch(
+        coded, queries, cents, cbs, k=REFINE_R, nprobe=IVFPQ_NPROBE
+    )
+    return refine_topk_batch(short, emb, queries, k=10, metric="l2")
 
 
 @query("pq_adc_refined", _pq_adc_chain() + _refine_tail())

@@ -355,6 +355,95 @@ def test_ann_ivfpq_topk_numpy_bit_identical(emb, cbs):
         coded.unpersist()
 
 
+def test_ann_ivfpq_topk_batch_equals_per_query(emb, cbs):
+    """The one-pass batch search returns EXACTLY each query's
+    single-query rows (ids, order within query, adc_dist doubles) —
+    probe selection, LUT arithmetic, fold order and tie rule all
+    shared with the per-query paths."""
+    import pytest
+
+    from svoe_spark.operators.similarity import (
+        ann_ivfpq_topk,
+        ann_ivfpq_topk_batch,
+        ivfpq_encode,
+        ivfpq_train,
+    )
+
+    cents = [
+        list(r["embedding"])
+        for r in emb.where(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    icbs = ivfpq_train(emb, cents, m=8, ksub=16, method="seed")
+    coded = ivfpq_encode(emb, cents, icbs).persist()
+    try:
+        qids = [7, 25, 42]
+        queries = emb.where(F.col("vec_id").isin(qids)).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = {}
+        for r in ann_ivfpq_topk_batch(
+            coded, queries, cents, icbs, k=8, nprobe=3
+        ).collect():
+            got.setdefault(r["query_id"], []).append(
+                (r["vec_id"], r["adc_dist"])
+            )
+        for qid in qids:
+            want = [
+                (r["vec_id"], r["adc_dist"])
+                for r in ann_ivfpq_topk(
+                    coded,
+                    emb.where(F.col("vec_id") == qid),
+                    cents,
+                    icbs,
+                    k=8,
+                    nprobe=3,
+                ).collect()
+            ]
+            assert got[qid] == want, qid
+        with pytest.raises(ValueError, match="empty"):
+            ann_ivfpq_topk_batch(
+                coded, queries.where("query_id < 0"), cents, icbs
+            )
+    finally:
+        coded.unpersist()
+
+
+def test_refine_topk_batch_equals_per_query(emb, cbs):
+    """Relational batch refine == per-query refine_topk, including the
+    exact_dist doubles, for both metrics."""
+    from svoe_spark.operators.similarity import refine_topk, refine_topk_batch
+
+    qids = [25, 42]
+    queries = emb.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # per-query 30-id shortlists (deterministic, distinct per query)
+    cand = emb.sparkSession.createDataFrame(
+        [(q, (q * 13 + 7 * i) % 200) for q in qids for i in range(30)],
+        "query_id long, vec_id long",
+    ).distinct()
+    for metric in ("l2", "cosine"):
+        got = {}
+        for r in refine_topk_batch(
+            cand, emb, queries, k=5, metric=metric
+        ).collect():
+            got.setdefault(r["query_id"], []).append(
+                (r["vec_id"], r["exact_dist"])
+            )
+        for qid in qids:
+            want = [
+                (r["vec_id"], r["exact_dist"])
+                for r in refine_topk(
+                    cand.where(F.col("query_id") == qid).select("vec_id"),
+                    emb,
+                    emb.where(F.col("vec_id") == qid),
+                    k=5,
+                    metric=metric,
+                ).collect()
+            ]
+            assert got[qid] == want, (metric, qid)
+
+
 def test_refine_topk_query_contract(emb, cbs):
     """ADVICE r5: a multi-row query would crossJoin every candidate
     against every query row and return a MIXED top-k — refine_topk now
