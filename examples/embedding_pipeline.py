@@ -71,8 +71,8 @@ def main() -> None:
     centroids = ivf_train(kept, k=16)
     cbs = ivfpq_train(kept, centroids, method="kmeans")
     coded = ivfpq_encode(kept, centroids, cbs).persist()
-    hits = {"lsh": 0, "lsh_mp": 0, "ivf": 0, "ivf_np4": 0,
-            "ivfpq_refined": 0}
+    hits: dict[str, int] = {"lsh": 0, "lsh_mp": 0, "ivf": 0, "ivf_np4": 0,
+                            "ivfpq_refined": 0}
     for qr in queries:
         qdf = spark.createDataFrame([(qr["vec_id"], qr["embedding"])],
                                     "vec_id long, embedding array<float>")
@@ -98,6 +98,31 @@ def main() -> None:
         hits["ivfpq_refined"] += recall(
             refine_topk(short, kept, qdf, k=K, metric="cosine")
         )
+    # the same refined search as ONE batched pass (the production
+    # shape: probe union scanned once, relational per-query refine) —
+    # recall must equal the per-query loop's ivfpq_refined number
+    from svoe_spark.operators.similarity import (
+        ann_ivfpq_topk_batch,
+        brute_force_topk_batch,
+        refine_topk_batch,
+    )
+
+    qdf_all = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in queries],
+        "query_id long, embedding array<float>",
+    )
+    short_b = ann_ivfpq_topk_batch(
+        coded, qdf_all, centroids, cbs, k=4 * K, nprobe=4
+    )
+    ref_b = refine_topk_batch(short_b, kept, qdf_all, k=K, metric="cosine")
+    exact_b: dict[int, set] = {}
+    for r in brute_force_topk_batch(kept, qdf_all, k=K).collect():
+        exact_b.setdefault(r["query_id"], set()).add(r["vec_id"])
+    bh = 0
+    for r in ref_b.collect():
+        if r["vec_id"] in exact_b.get(r["query_id"], set()):
+            bh += 1
+    hits["ivfpq_refined_batch"] = bh
     coded.unpersist()
     for name, h in hits.items():
         out[f"recall_at_{K}_{name}"] = round(h / (K * len(queries)), 3)

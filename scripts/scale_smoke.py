@@ -852,6 +852,25 @@ def round6_smoke(spark, results, force, n_vec=2_000_000, n_docs=2_000_000):
     results["ivfpq_search_recall90_2m_sec"] = timed(
         _search, "ivfpq_search_recall90_2m"
     )
+
+    # batched search: 50 queries through ONE pruned pass — per-query
+    # amortized cost should sit far below the single-search number
+    from svoe_spark.operators.similarity import ann_ivfpq_topk_batch
+
+    qbatch = vectors.where(
+        (F.col("vec_id") % 40_000 == 17) & (F.col("vec_id") < 2_000_000)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+
+    def _batch():
+        out = ann_ivfpq_topk_batch(
+            coded, qbatch, cents, cbs, k=10,
+            nprobe=RECALL90_NPROBE,
+        )
+        assert out.count() == 50 * 10
+
+    results["ivfpq_batch50_recall90_2m_sec"] = timed(
+        _batch, "ivfpq_batch50_recall90_2m"
+    )
     coded.unpersist()
 
     words = [p_ for p_, _ in UNIGRAM_FIXED_PIECES if len(p_) > 2][:24]

@@ -162,6 +162,38 @@ def test_search_refine_default_shortlist_is_operating_point(
     assert got == want and len(got) == 5
 
 
+def test_search_batch_matches_per_query_search(spark, emb, cents, cbs, tmp_path):
+    """Batch search over the stored lake == per-query search_ivfpq_index,
+    row for row, with and without the refine stage."""
+    from svoe_spark.operators.vector_index import search_ivfpq_index_batch
+
+    path = str(tmp_path / "vidx_batch")
+    assert append_ivfpq_batch(path, emb, 0, cents, cbs)
+    qids = [7, 42]
+    queries = emb.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for refine in (None, emb):
+        got = {}
+        out = search_ivfpq_index_batch(
+            spark, path, queries, cents, cbs, k=5, nprobe=2,
+            refine_from=refine, shortlist=40 if refine is not None else None,
+        )
+        for r in out.collect():
+            got.setdefault(r["query_id"], []).append(tuple(r)[1:])
+        for qid in qids:
+            want = [
+                tuple(r)
+                for r in search_ivfpq_index(
+                    spark, path, emb.where(F.col("vec_id") == qid),
+                    cents, cbs, k=5, nprobe=2,
+                    refine_from=refine,
+                    shortlist=40 if refine is not None else None,
+                ).collect()
+            ]
+            assert got[qid] == want, (qid, refine is not None)
+
+
 def test_search_with_refine_matches_inmemory_pipeline(
     spark, emb, cents, cbs, tmp_path
 ):
