@@ -853,20 +853,28 @@ def round6_smoke(spark, results, force, n_vec=2_000_000, n_docs=2_000_000):
         _search, "ivfpq_search_recall90_2m"
     )
 
-    # batched search: 50 queries through ONE pruned pass — per-query
-    # amortized cost should sit far below the single-search number
-    from svoe_spark.operators.similarity import ann_ivfpq_topk_batch
+    # batched search: 50 queries through ONE pruned pass, SAME
+    # workload as the single-search number above (ADC top-R shortlist
+    # + exact refine to top-10) — per-query amortized cost should sit
+    # far below it
+    from svoe_spark.operators.similarity import (
+        ann_ivfpq_topk_batch,
+        refine_topk_batch,
+    )
 
+    n_q = 50
+    step = max(1, n_vec // n_q)
     qbatch = vectors.where(
-        (F.col("vec_id") % 40_000 == 17) & (F.col("vec_id") < 2_000_000)
+        (F.col("vec_id") % step == 17) & (F.col("vec_id") < n_q * step)
     ).select(F.col("vec_id").alias("query_id"), "embedding")
 
     def _batch():
-        out = ann_ivfpq_topk_batch(
-            coded, qbatch, cents, cbs, k=10,
+        short = ann_ivfpq_topk_batch(
+            coded, qbatch, cents, cbs, k=RECALL90_R,
             nprobe=RECALL90_NPROBE,
         )
-        assert out.count() == 50 * 10
+        out = refine_topk_batch(short, vectors, qbatch, k=10)
+        assert out.count() == n_q * 10
 
     results["ivfpq_batch50_recall90_2m_sec"] = timed(
         _batch, "ivfpq_batch50_recall90_2m"

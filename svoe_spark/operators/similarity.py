@@ -937,6 +937,27 @@ def ivfpq_encode(
     )
 
 
+def _cell_lut(
+    qv: list[float],
+    cell: int,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+) -> list[list[float]]:
+    """The m x ksub ADC lookup table of one (query, probed cell) pair —
+    query residual against that cell's centroid, ``_py_sub_dist2`` per
+    subspace code. THE single definition: the per-query and batch
+    search paths (and, through them, the oracle parity) all build
+    their tables here, so the residual/fold arithmetic cannot
+    drift."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    qr = [qv[i] - float(centroids[cell][i]) for i in range(len(qv))]
+    return [
+        [_py_sub_dist2(qr[s * d : (s + 1) * d], c) for c in codebooks[s]]
+        for s in range(m)
+    ]
+
+
 def _ivfpq_probe_luts(
     query: DataFrame,
     centroids: list[list[float]],
@@ -948,10 +969,7 @@ def _ivfpq_probe_luts(
     — shared by the expression and numpy IVF-PQ search paths so probe
     ranking and LUT arithmetic can never diverge. Probe ranking rides
     ``_ivf_sorted_scores`` (bit-consistent with every IVF path); each
-    probed cell carries its own m x ksub table of ``_py_sub_dist2``
-    query-residual distances."""
-    m = len(codebooks)
-    d = len(codebooks[0][0])
+    probed cell carries its own ``_cell_lut`` table."""
     qrow = _ivf_sorted_scores(query, centroids, vec_col).select(
         F.col(vec_col).alias("qv"),
         F.transform(
@@ -962,16 +980,7 @@ def _ivfpq_probe_luts(
         raise ValueError("ann_ivfpq_topk: query DataFrame is empty")
     qv = [float(x) for x in qrow["qv"]]
     cells = [int(c) for c in qrow["cells"]]
-    luts = []
-    for cell in cells:
-        qr = [qv[i] - float(centroids[cell][i]) for i in range(len(qv))]
-        luts.append(
-            [
-                [_py_sub_dist2(qr[s * d : (s + 1) * d], c) for c in codebooks[s]]
-                for s in range(m)
-            ]
-        )
-    return cells, luts
+    return cells, [_cell_lut(qv, cell, centroids, codebooks) for cell in cells]
 
 
 def ann_ivfpq_topk(
@@ -1127,7 +1136,6 @@ def ann_ivfpq_topk_batch(
     from pyspark.sql import Window
 
     m = len(codebooks)
-    d = len(codebooks[0][0])
     qrows = (
         _ivf_sorted_scores(queries, centroids, vec_col)
         .select(
@@ -1141,18 +1149,24 @@ def ann_ivfpq_topk_batch(
     )
     if not qrows:
         raise ValueError("ann_ivfpq_topk_batch: queries DataFrame is empty")
+    seen_qids = [r[query_id_col] for r in qrows]
+    if len(set(seen_qids)) != len(seen_qids):
+        raise ValueError(
+            "ann_ivfpq_topk_batch: duplicate query_id rows (each would "
+            "contribute its own LUTs and the per-query window would mix "
+            "or duplicate their candidates); dedupe the query batch"
+        )
     by_cell: dict[int, list[tuple]] = {}
     for r in qrows:
         qid = r[query_id_col]
+        if r["__qv"] is None:
+            raise ValueError(
+                f"ann_ivfpq_topk_batch: query {qid!r} has a NULL vector"
+            )
         qv = [float(x) for x in r["__qv"]]
         for cell in (int(c) for c in r["__cells"]):
-            qr = [qv[i] - float(centroids[cell][i]) for i in range(len(qv))]
             lut = np.array(
-                [
-                    [_py_sub_dist2(qr[s * d : (s + 1) * d], c) for c in codebooks[s]]
-                    for s in range(m)
-                ],
-                dtype=np.float64,
+                _cell_lut(qv, cell, centroids, codebooks), dtype=np.float64
             )
             by_cell.setdefault(cell, []).append((qid, lut))
     cells = sorted(by_cell)
@@ -1225,6 +1239,22 @@ def refine_topk_batch(
     q = queries.select(
         F.col(query_id_col).alias("__bqid"), F.col(vec_col).alias("__qv")
     )
+    # the query batch is driver-bounded by the same contract as the
+    # ADC batch search — validate it with one tiny (id, has-vector)
+    # pull instead of silently ranking NULL distances first (asc
+    # NULLS FIRST would return garbage rows as the l2 top-k) or
+    # mixing duplicate ids' candidates into one window
+    meta = q.select("__bqid", F.col("__qv").isNull().alias("__nv")).collect()
+    ids_seen = [r["__bqid"] for r in meta]
+    if len(set(ids_seen)) != len(ids_seen):
+        raise ValueError(
+            "refine_topk_batch: duplicate query_id rows; dedupe the batch"
+        )
+    for r in meta:
+        if r["__nv"]:
+            raise ValueError(
+                f"refine_topk_batch: query {r['__bqid']!r} has a NULL vector"
+            )
     fetched = (
         vectors.join(
             F.broadcast(candidates.select(query_id_col, id_col)), id_col

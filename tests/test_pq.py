@@ -404,8 +404,50 @@ def test_ann_ivfpq_topk_batch_equals_per_query(emb, cbs):
             ann_ivfpq_topk_batch(
                 coded, queries.where("query_id < 0"), cents, icbs
             )
+        # review r6: duplicate ids would mix/duplicate candidates in
+        # the per-query window — loud error, like refine_topk's
+        # single-row contract
+        with pytest.raises(ValueError, match="duplicate"):
+            ann_ivfpq_topk_batch(
+                coded, queries.unionAll(queries.limit(1)), cents, icbs
+            )
     finally:
         coded.unpersist()
+
+
+def test_refine_topk_batch_query_contract(emb, cbs):
+    """Batch refine validates its query batch: duplicates and NULL
+    vectors raise instead of silently ranking NULL distances first or
+    mixing windows."""
+    import pytest
+
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from svoe_spark.operators.similarity import refine_topk_batch
+
+    cand = emb.sparkSession.createDataFrame(
+        [(1, i) for i in range(5)], "query_id long, vec_id long"
+    )
+    q_ok = emb.where(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        refine_topk_batch(cand, emb, q_ok.unionAll(q_ok), k=3)
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    q_null = emb.sparkSession.createDataFrame([(1, None)], schema)
+    with pytest.raises(ValueError, match="NULL vector"):
+        refine_topk_batch(cand, emb, q_null, k=3)
 
 
 def test_refine_topk_batch_equals_per_query(emb, cbs):
