@@ -909,12 +909,76 @@ def round6_smoke(spark, results, force, n_vec=2_000_000, n_docs=2_000_000):
     )
 
 
+def round6b_smoke(spark, results, force, n_edges=20_000_000, n_obs=100_000_000):
+    """Round-6b additions: PageRank iterations at 20M edges, SCD2
+    compression at 100M observations, KMV set-ops over 100M-row
+    cohorts."""
+    from svoe_spark.operators.graph import pagerank
+    from svoe_spark.operators.scd import scd2_compress, scd2_merge
+    from svoe_spark.operators.sketches import kmv_build, kmv_set_ops
+
+    n_nodes = n_edges // 10
+    # power-law-ish digraph: uniform src, dst skewed toward low ids
+    # (hash-squared concentrates mass), plus a 1% hub edge set into 0
+    edges = spark.range(n_edges).select(
+        (F.xxhash64("id") % n_nodes).alias("src"),
+        F.when(F.col("id") % 100 == 0, F.lit(0)).otherwise(
+            (F.xxhash64("id", F.lit(1)) % (n_nodes // 100))
+        ).alias("dst"),
+    ).select(F.abs("src").alias("src"), F.abs("dst").alias("dst"))
+
+    def _pr():
+        pr = pagerank(edges, iterations=10)
+        n = pr.count()
+        top = pr.orderBy(F.desc("rank_fp")).limit(3).collect()
+        assert top[0]["node"] == 0, top  # the planted hub wins
+        results["pagerank_nodes"] = n
+        pr.unpersist()
+
+    results["pagerank_20m_edges_10it_sec"] = timed(_pr, "pagerank_20m_edges_10it")
+
+    # SCD2: 100M observations over 1M keys, 5 states, ~20% run starts
+    log = spark.range(n_obs).select(
+        (F.col("id") % 1_000_000).alias("key"),
+        F.timestamp_micros(F.col("id") * 1000).alias("ts"),
+        F.col("id").alias("tie"),
+        (F.xxhash64("id") % 3).cast("string").alias("state"),
+    )
+
+    def _scd():
+        h = scd2_compress(log, "key", ["state"], ts="ts", tie_col="tie")
+        results["scd2_runs"] = h.count()
+
+    results["scd2_compress_100m_sec"] = timed(_scd, "scd2_compress_100m")
+
+    # KMV set ops: two 100M-row cohorts sharing half their id space
+    a = spark.range(n_obs).select((F.col("id") % 60_000_000).alias("x"))
+    b = spark.range(n_obs).select((F.col("id") % 60_000_000 + 30_000_000).alias("x"))
+
+    def _kso():
+        sa = kmv_build(a, "x", k=1024)
+        sb = kmv_build(b, "x", k=1024)
+        row = kmv_set_ops(sa, sb, k=1024).first()
+        results["kso_jaccard"] = round(row["jaccard"], 4)
+        results["kso_est_union"] = round(row["est_union"])
+        # truth: union 90M, intersection 30M, jaccard 1/3
+        assert 0.25 < row["jaccard"] < 0.42, row
+        assert 80e6 < row["est_union"] < 100e6, row
+
+    results["kmv_set_ops_100mx2_sec"] = timed(_kso, "kmv_set_ops_100mx2")
+
+
 def main():
     spark = get_spark("scale_smoke")
     spark.sparkContext.setLogLevel("ERROR")
     force = lambda df: df.write.format("noop").mode("overwrite").save()  # noqa: E731
 
     only = os.environ.get("SMOKE_ONLY")
+    if only == "round6b":
+        results = {}
+        round6b_smoke(spark, results, force)
+        print(json.dumps(results))
+        return
     if only == "round6":
         results = {}
         round6_smoke(spark, results, force)

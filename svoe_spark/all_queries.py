@@ -59,6 +59,9 @@ _DRIVER_PRIORITY = [
     "corpus_filter_trained",
     "ann_ivfpq_batch",
     "ann_ivfpq_batch_refined",
+    "pagerank_supply_graph",
+    "scd2_user_state",
+    "kmv_vocab_overlap",
 ]
 
 # (c) refill: LLM-data layer in CORRECTNESS_r03 order (last green r3).

@@ -278,3 +278,108 @@ def dedup_clusters(
         "cluster_size",
         (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    damping_pct: int = 85,
+    scale: int = 10**15,
+) -> DataFrame:
+    """Fixed-point integer PageRank over a directed edge list.
+
+    Returns (node, rank_fp) for every node appearing in ``edges``,
+    where ``rank_fp`` is the PageRank mass scaled by ``scale`` and
+    truncated to int64 at every division. The fixed-point formulation
+    is deliberate: float PageRank sums per-edge contributions, and a
+    distributed double sum is ordering-dependent — results would vary
+    run to run and engine to engine. Integer sums are exact and
+    associative, so the result is bit-stable on any partitioning and
+    reproducible in plain ANSI SQL (the oracle unrolls the same
+    iterations). The truncation drops at most 1/scale of mass per
+    division; with scale=1e15 the ranking is unaffected for any
+    realistic graph (ranks agree with float PageRank to ~9 decimals).
+
+    Semantics per iteration (all integer arithmetic, `div` = truncating
+    division):
+
+        teleport    = ((100 - damping_pct) * scale) div (100 * N)
+        dangling    = (sum of rank over out-degree-0 nodes) div N
+        rank'(v)    = teleport
+                      + (damping_pct * (sum_{u->v} rank(u) div outdeg(u)
+                                        + dangling)) div 100
+
+    Scale design: each iteration is one (edges x ranks) equi-join on
+    ``src`` (narrow key, partition-parallel), one groupBy(dst) integer
+    sum with map-side partial aggregation, and one scalar aggregate for
+    the dangling mass (broadcast back as a 1-row cross join — never a
+    driver collect of node data). Lineage is truncated per round with a
+    lazy localCheckpoint, same discipline as `connected_components`;
+    the edge/out-degree relations are computed once and persisted
+    across all rounds. Overflow headroom: damping_pct * (in_sum +
+    dangling) <= 100 * scale = 1e17 < int64 max.
+
+    The reference has no graph operator; this serves the web-corpus
+    curation story (rank domains/hosts by link structure before
+    sampling training data, as in Common-Crawl-derived pipelines).
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    if not (0 <= damping_pct <= 100):
+        raise ValueError("damping_pct must be in [0, 100]")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = nodes.count()
+    if n == 0:
+        e.unpersist()
+        nodes.unpersist()
+        return nodes.select(F.col("node"), F.lit(0).cast("long").alias("rank_fp"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    teleport = ((100 - damping_pct) * scale) // (100 * n)
+    ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("rank_fp"))
+    for _ in range(iterations):
+        dangling = (
+            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
+            .agg(F.expr(f"coalesce(sum(rank_fp), 0L) div {n}").alias("d_each"))
+        )
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(deg, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("rank_fp div outdeg")).alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                F.expr(
+                    f"{teleport}L + ({damping_pct}L * "
+                    f"(coalesce(in_sum, 0L) + d_each)) div 100"
+                )
+                .cast("long")
+                .alias("rank_fp"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    # Materialize the final (lazily local-checkpointed) round before
+    # releasing the inputs its lineage still needs; localCheckpoint
+    # both stores the result and truncates the 10-round plan.
+    ranks.count()
+    e.unpersist()
+    nodes.unpersist()
+    deg.unpersist()
+    return ranks

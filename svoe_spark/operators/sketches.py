@@ -378,6 +378,129 @@ def kmv_sql(
     """
 
 
+def kmv_set_ops(
+    sk_a: DataFrame,
+    sk_b: DataFrame,
+    k: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Set-operation estimates from two KMV sketches (theta-sketch
+    style, Beyer et al. 2007): per group, the bottom-k of the UNION of
+    the two sketches is a uniform sample of the union's distinct
+    hashes; the fraction of that sample present in BOTH input sketches
+    estimates the Jaccard similarity, and jaccard * union_estimate
+    estimates the intersection cardinality. Returns (group_cols...,
+    est_union, jaccard, est_intersection).
+
+    Inputs are sketch relations from `kmv_build`/`kmv_merge` with the
+    SAME k and group columns: (group_cols..., h). Determinism: counts
+    and hash comparisons are exact integers; the three outputs are one
+    double division (union estimate), one double division (jaccard),
+    and one double multiply (intersection), written identically in the
+    SQL twin — any engine reproduces them bit-for-bit.
+
+    Scale shape: sketches are <= k rows per group whatever the data
+    size, so every join here is sketch-sized — the expensive scans
+    happened once at kmv_build time, and corpus-vs-corpus overlap
+    matrices cost O(pairs * k), not O(pairs * data).
+    """
+    groups = list(group_cols or [])
+    merged = kmv_merge([sk_a, sk_b], k, group_cols=groups)
+    a = sk_a.withColumn("__in_a", F.lit(1))
+    b = sk_b.withColumn("__in_b", F.lit(1))
+    on = groups + ["h"]
+    flagged = (
+        merged.join(a, on, "left")
+        .join(b, on, "left")
+        .select(
+            *groups,
+            "h",
+            F.coalesce(F.col("__in_a"), F.lit(0)).alias("in_a"),
+            F.coalesce(F.col("__in_b"), F.lit(0)).alias("in_b"),
+        )
+    )
+    num = float((k - 1) * HASH_SPACE)
+    agg = flagged.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.max("h").alias("__hk"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("__nboth"),
+    )
+    est_u = F.when(F.col("__n") < k, F.col("__n").cast("double")).otherwise(
+        F.lit(num) / F.col("__hk").cast("double")
+    )
+    jacc = F.col("__nboth").cast("double") / F.col("__n").cast("double")
+    with_parts = agg.select(
+        *groups, est_u.alias("est_union"), jacc.alias("jaccard")
+    )
+    return with_parts.select(
+        *groups,
+        "est_union",
+        "jaccard",
+        (F.col("jaccard") * F.col("est_union")).alias("est_intersection"),
+    )
+
+
+def kmv_set_ops_sql(
+    a_cte: str,
+    b_cte: str,
+    k: int,
+    grouped: bool = False,
+    prefix: str = "kso",
+) -> str:
+    """DuckDB CTE chain mirroring `kmv_set_ops` over two sketch CTEs
+    each shaped (g?, h). Emits ``{prefix}_est`` with (g?, est_union,
+    jaccard, est_intersection). Meant to be composed after sketch CTEs
+    built with the same k."""
+    num = float((k - 1) * HASH_SPACE)
+    g_cols = "g, " if grouped else ""
+    g_grp = "GROUP BY g" if grouped else ""
+    g_part = "PARTITION BY g" if grouped else ""
+    g_on_a = f"{prefix}_mk.g = a.g AND " if grouped else ""
+    g_on_b = f"{prefix}_mk.g = b.g AND " if grouped else ""
+    return f"""
+    {prefix}_m AS (
+      SELECT DISTINCT {g_cols}h FROM (
+        SELECT {g_cols}h FROM {a_cte}
+        UNION ALL SELECT {g_cols}h FROM {b_cte}
+      )
+    ),
+    {prefix}_mk AS (
+      SELECT {g_cols}h FROM (
+        SELECT {g_cols}h, row_number() OVER ({g_part} ORDER BY h) AS rn
+        FROM {prefix}_m
+      ) WHERE rn <= {k}
+    ),
+    {prefix}_fl AS (
+      SELECT {g_cols.replace('g, ', prefix + '_mk.g, ') if grouped else ''}
+             {prefix}_mk.h,
+             CASE WHEN a.h IS NULL THEN 0 ELSE 1 END AS in_a,
+             CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS in_b
+      FROM {prefix}_mk
+      LEFT JOIN {a_cte} a ON {g_on_a}{prefix}_mk.h = a.h
+      LEFT JOIN {b_cte} b ON {g_on_b}{prefix}_mk.h = b.h
+    ),
+    {prefix}_agg AS (
+      SELECT {g_cols}
+             CAST(count(*) AS BIGINT) AS n,
+             max(h) AS hk,
+             CAST(sum(in_a * in_b) AS BIGINT) AS nboth
+      FROM {prefix}_fl {g_grp}
+    ),
+    {prefix}_parts AS (
+      SELECT {g_cols}
+             CASE WHEN n < {k} THEN CAST(n AS DOUBLE)
+                  ELSE {num!r} / CAST(hk AS DOUBLE) END AS est_union,
+             CAST(nboth AS DOUBLE) / CAST(n AS DOUBLE) AS jaccard
+      FROM {prefix}_agg
+    ),
+    {prefix}_est AS (
+      SELECT {g_cols}est_union, jaccard,
+             jaccard * est_union AS est_intersection
+      FROM {prefix}_parts
+    )
+    """
+
+
 @dataclass(frozen=True)
 class HLLParams:
     """2^p registers over the shared 60-bit key hash: bucket = low p

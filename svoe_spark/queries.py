@@ -2971,3 +2971,158 @@ def ohlcv_1h_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = ticks(spark, sf_dir)
     h1 = rollup_bars(bars_from_ticks(t, window="1m"), window="1h")
     return finish_bars(h1)
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the supply graph (fixed-point integer iterations)
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 10**15
+_PR_ITERS = 10
+_PR_DAMP = 85
+
+
+def _pagerank_sql(iterations: int = _PR_ITERS) -> str:
+    """Oracle: unroll the integer fixed-point PageRank iterations as
+    chained CTEs — every arithmetic step (truncating `//` division,
+    exact integer sums) mirrors operators/graph.py:pagerank token for
+    token, so the hash match proves the distributed iteration loop
+    computes the textbook recurrence exactly."""
+    head = f"""
+    WITH edges AS MATERIALIZED (
+      SELECT DISTINCT l.l_suppkey * 2 + 1 AS src, o.o_custkey * 2 AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    nodes AS MATERIALIZED (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    deg AS MATERIALIZED (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
+      FROM edges GROUP BY src
+    ),
+    nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    r0 AS MATERIALIZED (
+      SELECT node, CAST({_PR_SCALE} // nn.n AS BIGINT) AS rank_fp
+      FROM nodes, nn
+    )"""
+    its = []
+    for i in range(1, iterations + 1):
+        its.append(f""",
+    r{i} AS MATERIALIZED (
+      SELECT nodes.node,
+             CAST((SELECT ({100 - _PR_DAMP} * {_PR_SCALE}) // (100 * n) FROM nn)
+                  + ({_PR_DAMP} * (COALESCE(c.in_sum, 0) + dg.d_each)) // 100
+                  AS BIGINT) AS rank_fp
+      FROM nodes
+      CROSS JOIN (
+        SELECT CAST(COALESCE(SUM(p.rank_fp), 0) // (SELECT n FROM nn) AS BIGINT)
+               AS d_each
+        FROM r{i - 1} p LEFT JOIN deg ON p.node = deg.node
+        WHERE deg.node IS NULL
+      ) dg
+      LEFT JOIN (
+        SELECT e.dst AS node, CAST(SUM(p.rank_fp // d.outdeg) AS BIGINT) AS in_sum
+        FROM edges e
+        JOIN r{i - 1} p ON e.src = p.node
+        JOIN deg d ON e.src = d.node
+        GROUP BY e.dst
+      ) c ON nodes.node = c.node
+    )"""
+        )
+    tail = f"""
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS entity,
+           CAST(node // 2 AS BIGINT) AS entity_key,
+           rank_fp,
+           rank_fp / 1000000000000000.0 AS rank
+    FROM r{iterations}
+    ORDER BY rank_fp DESC, entity, entity_key
+    LIMIT 20
+    """
+    return head + "".join(its) + tail
+
+
+@query("pagerank_supply_graph", _pagerank_sql())
+def pagerank_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank top-20 over the supplier->customer supply graph
+    (distinct (l_suppkey, o_custkey) edges; suppliers odd node ids,
+    customers even). Exercises the iterative-algorithm class the rest
+    of the registry lacks: 10 fixed-point integer iterations, each one
+    edges x ranks shuffle join + one map-side-combined integer sum +
+    one broadcast scalar (dangling mass), lineage truncated per round
+    with lazy localCheckpoints. Integer arithmetic makes the result
+    bit-stable under any partitioning — the oracle unrolls the same
+    recurrence relationally. The curation-scale story: rank web
+    domains by link structure before sampling training data (the
+    customers here stand in for link targets; all of them are dangling
+    nodes, so the dangling-mass redistribution is load-bearing, not
+    decorative)."""
+    from svoe_spark.operators.graph import pagerank
+
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    edges = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        (F.col("l_suppkey") * 2 + 1).alias("src"),
+        (F.col("o_custkey") * 2).alias("dst"),
+    )
+    pr = pagerank(edges, iterations=_PR_ITERS, damping_pct=_PR_DAMP, scale=_PR_SCALE)
+    return (
+        pr.select(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("entity"),
+            F.expr("node div 2").cast("long").alias("entity_key"),
+            "rank_fp",
+            (F.col("rank_fp") / F.lit(1000000000000000.0)).alias("rank"),
+        )
+        .orderBy(F.desc("rank_fp"), "entity", "entity_key")
+        .limit(20)
+    )
+
+
+@query(
+    "scd2_user_state",
+    """
+    WITH ord AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    starts AS (
+      SELECT user_id, ts, event_id, event_type FROM ord
+      WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type AS state,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS INTEGER) AS version,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             AS is_current
+    FROM starts
+    """,
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension history from a change log: each user's
+    event_type observations collapse into [valid_from, valid_to)
+    validity intervals with a version counter and current flag —
+    the lakehouse dimension-maintenance primitive (operators/scd.py),
+    two per-key window passes, no self-joins. The companion
+    `scd2_merge` incrementally splices new observation batches into an
+    existing history touching only the batch's keys (equivalence to
+    full recompression is pytest-pinned)."""
+    from svoe_spark.operators.scd import scd2_compress
+
+    e = load_table(spark, "events", sf_dir)
+    h = scd2_compress(e, "user_id", ["event_type"], ts="ts", tie_col="event_id")
+    return h.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "valid_from",
+        "valid_to",
+        "version",
+        "is_current",
+    )

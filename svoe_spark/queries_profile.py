@@ -531,3 +531,84 @@ def pps_token_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "doc_id", F.col("n_chars").cast("long").alias("weight"), "pick_no"
     )
+
+
+from svoe_spark.functions.text import (  # noqa: E402
+    sql_token_hashes,
+    sql_word_shingles_from_hashes,
+)
+from svoe_spark.operators.sketches import (  # noqa: E402
+    _sql_key_hash,
+    kmv_set_ops_sql,
+)
+
+_KSO_K = 128
+_KSO_REF = "src0"
+
+
+@query(
+    "kmv_vocab_overlap",
+    f"""
+    WITH th AS (SELECT doc_id, source, {sql_token_hashes('text')} AS th
+                FROM documents),
+    sh AS (
+      SELECT DISTINCT source, unnest({sql_word_shingles_from_hashes('th')}) AS s
+      FROM th
+    ),
+    a_dx AS (SELECT DISTINCT source AS g, {_sql_key_hash('s')} AS h FROM sh),
+    a_sk AS (
+      SELECT g, h FROM (
+        SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+        FROM a_dx
+      ) WHERE rn <= {_KSO_K}
+    ),
+    b_dx AS (SELECT DISTINCT {_sql_key_hash('s')} AS h FROM sh
+             WHERE source = '{_KSO_REF}'),
+    b_g AS (
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn FROM b_dx
+      ) WHERE rn <= {_KSO_K}
+    ),
+    srcs AS (SELECT DISTINCT source AS g FROM documents),
+    b_sk AS (SELECT srcs.g, b_g.h FROM srcs, b_g),
+    {kmv_set_ops_sql('a_sk', 'b_sk', _KSO_K, grouped=True)}
+    SELECT g AS source, est_union, jaccard, est_intersection
+    FROM kso_est
+    """,
+)
+def kmv_vocab_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-vs-corpus similarity from KMV sketches: every source's
+    word-trigram shingle set compared against the src0 reference
+    corpus — union size, Jaccard, intersection size — without ever
+    joining the corpora themselves. The theta-sketch estimator (Beyer
+    et al. 2007): the bottom-k of the two sketches' union is a uniform
+    sample of the union's distinct hashes; the fraction present in
+    both sketches is the Jaccard estimate. Sketches are <= k bigints
+    per source, so an S x S source-overlap matrix costs O(S^2 * k)
+    after ONE corpus scan — the contamination / mixture-design
+    primitive at 100 TB. Self-overlap (src0 vs src0) rides along as
+    the jaccard=1.0 sanity row."""
+    from pyspark.sql import functions as F
+
+    from svoe_spark.functions.text import token_hashes, word_shingles_from_hashes
+    from svoe_spark.operators.sketches import kmv_build, kmv_set_ops
+    from svoe_spark.operators.util import spread
+
+    # single-file fixtures arrive as ONE partition; the interpreted
+    # HOF shingle fold would serialize on one core (measured 52 s ->
+    # ~3 s at sf0.1)
+    docs = spread(load_table(spark, "documents", sf_dir))
+    # persisted: the shingle relation feeds BOTH the per-source and the
+    # reference sketch subtrees (one action computes both)
+    sh = docs.select(
+        "source",
+        F.explode(word_shingles_from_hashes(token_hashes(F.col("text")))).alias(
+            "s"
+        ),
+    ).persist()
+    sk_src = kmv_build(sh, "s", k=_KSO_K, group_cols=["source"])
+    ref_sk = kmv_build(sh.where(F.col("source") == _KSO_REF), "s", k=_KSO_K)
+    srcs = docs.select("source").distinct()
+    sk_ref = srcs.crossJoin(F.broadcast(ref_sk))
+    out = kmv_set_ops(sk_src, sk_ref, k=_KSO_K, group_cols=["source"])
+    return out.select("source", "est_union", "jaccard", "est_intersection")

@@ -230,3 +230,33 @@ def retention_counts(delta_rows: DataFrame) -> DataFrame:
         .alias("cohort_day"),
         "offset_days",
     ).agg(F.count("*").cast("long").alias("n_users"))
+
+
+def session_windows_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Streaming session windows (T4's session type under T6's Kappa
+    bar): Spark's native `session_window` over a watermarked stream —
+    state is the open session per user (merged on every in-gap event),
+    and a session is emitted exactly once, when the watermark passes
+    its close (last event + gap). Same output shape and exact-integer
+    value arithmetic as the batch `session_windows_30m` query, so
+    emitted rows are bit-identical to the batch operator's rows for
+    every closed session (pytest-pinned). Late events beyond
+    ``watermark`` are dropped by contract — the standard Structured
+    Streaming lateness trade; widen the watermark to widen tolerance
+    (state cost grows with the open-session horizon, not history)."""
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents) / 100.0).alias("total_value"),
+        )
+        .drop("w")
+    )

@@ -310,3 +310,79 @@ def test_batch_frame_assembles_and_sorts_across_chunks():
     # yield an empty frame, not crash in pd.concat([])
     empty = batch_frame(iter([]), ["ts"])
     assert len(empty) == 0
+
+
+@pytest.fixture(scope="module")
+def session_parquet(spark, sf_small, tmp_path_factory):
+    """Events (with value) as four sequential time-slice files — same
+    replay-order contract as event_parquet. Returns (path, q3_micros):
+    the third time-quartile bound, a conservative floor for the
+    watermark in force while the LAST file's batch runs."""
+    import time
+
+    path = str(tmp_path_factory.mktemp("sessstream") / "events")
+    ev = (
+        load_table(spark, "events", sf_small)
+        .select("user_id", "ts", "value")
+        .persist()
+    )
+    qs = ev.selectExpr(
+        "percentile(unix_micros(ts), array(0.25, 0.5, 0.75)) AS q"
+    ).first()["q"]
+    bounds = [None, *[int(q) for q in qs], None]
+    for i in range(4):
+        sl = ev
+        if bounds[i] is not None:
+            sl = sl.where(F.unix_micros("ts") > bounds[i])
+        if bounds[i + 1] is not None:
+            sl = sl.where(F.unix_micros("ts") <= bounds[i + 1])
+        sl.coalesce(1).write.mode("append").parquet(path)
+        time.sleep(1.1)
+    ev.unpersist()
+    return path, int(qs[2])
+
+
+def test_session_windows_stream_equals_batch(spark, session_parquet):
+    from svoe_spark.streaming.events_stream import session_windows_stream
+
+    path, q3_micros = session_parquet
+    out = run_available_to_memory(
+        session_windows_stream(_replay(spark, path), "30 minutes", "1 minute")
+    )
+    emitted = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"], r["n_events"], r["total_value"]
+        )
+        for r in out.collect()
+    }
+    # batch truth over the SAME files, same exact-integer arithmetic
+    ev = spark.read.parquet(path)
+    bat = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"], r["n_events"], r["total_value"]
+        )
+        for r in (
+            ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+                F.count(F.lit(1)).alias("n_events"),
+                (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0)
+                .alias("total_value"),
+            )
+            .collect()
+        )
+    }
+    assert emitted, "stream emitted nothing"
+    # every emitted session is bit-identical to the batch session
+    for k, v in emitted.items():
+        assert bat[k] == v
+    # completeness: every session closed before the watermark in force
+    # during the final batch (q3 - delay) must have been emitted
+    import datetime
+
+    wm = datetime.datetime.utcfromtimestamp((q3_micros - 60_000_000) / 1e6)
+    gap = datetime.timedelta(minutes=30)
+    for k, (s_end, _, _) in bat.items():
+        if s_end + gap <= wm:
+            assert k in emitted, f"closed session {k} not emitted"
