@@ -62,6 +62,8 @@ _DRIVER_PRIORITY = [
     "pagerank_supply_graph",
     "scd2_user_state",
     "kmv_vocab_overlap",
+    "zorder_cells",
+    "ofi_1h",
 ]
 
 # (c) refill: LLM-data layer in CORRECTNESS_r03 order (last green r3).

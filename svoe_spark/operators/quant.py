@@ -538,3 +538,47 @@ def atr(
         out,
         F.when(nt == periods, st.cast("double") / nt.cast("double")),
     ).drop("__tr", *[c for c in staged.columns if c.startswith("__rs_")])
+
+
+def order_flow_imbalance(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    bid_px: str,
+    bid_sz: str,
+    ask_px: str,
+    ask_sz: str,
+    tie_col: str | None = None,
+    out: str = "e_ofi",
+) -> DataFrame:
+    """Per-update order-flow imbalance contribution e_n (Cont, Kukanov
+    & Stoikov 2014, "The price impact of order book events", eq. 10):
+
+        e_n =   I{b_n >= b_{n-1}} * qb_n  - I{b_n <= b_{n-1}} * qb_{n-1}
+              - I{a_n <= a_{n-1}} * qa_n  + I{a_n >= a_{n-1}} * qa_{n-1}
+
+    over best-bid/ask snapshots ordered by (ts, tie) per instrument;
+    the first observation contributes 0 (no prior state). Appends
+    ``out`` and keeps every input column, so callers bucket-aggregate
+    it (sum over a window = the OFI regressor that explains mid-price
+    moves better than trade volume). With integer sizes and exact
+    cents prices everything is int64 — bit-stable and
+    oracle-reproducible.
+
+    Scale shape: ONE per-instrument window pass (same shuffle the
+    snapshot emission already has); the bucket aggregation downstream
+    is map-side combined. No state beyond lag-1."""
+    w = Window.partitionBy(key).orderBy(
+        *([F.col(ts), F.col(tie_col)] if tie_col else [F.col(ts)])
+    )
+    b, a = F.col(bid_px), F.col(ask_px)
+    qb, qa = F.col(bid_sz), F.col(ask_sz)
+    pb, pa = F.lag(bid_px).over(w), F.lag(ask_px).over(w)
+    pqb, pqa = F.lag(bid_sz).over(w), F.lag(ask_sz).over(w)
+    e = (
+        F.when(b >= pb, qb).otherwise(F.lit(0))
+        - F.when(b <= pb, pqb).otherwise(F.lit(0))
+        - F.when(a <= pa, qa).otherwise(F.lit(0))
+        + F.when(a >= pa, pqa).otherwise(F.lit(0))
+    )
+    return df.withColumn(out, F.coalesce(e, F.lit(0)).cast("long"))

@@ -3126,3 +3126,127 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version",
         "is_current",
     )
+
+
+_Z_BITS = 8
+
+
+def _zorder_sql() -> str:
+    from svoe_spark.operators.layout import sql_zvalue
+
+    span = 1 << _Z_BITS
+    return f"""
+    WITH b AS MATERIALIZED (
+      SELECT min(o_custkey) AS lo1, max(o_custkey) AS hi1,
+             min(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS lo2,
+             max(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS hi2
+      FROM orders
+    ),
+    r AS (
+      SELECT o_orderkey,
+             CAST((o_custkey - b.lo1) * {span} // (b.hi1 - b.lo1 + 1)
+                  AS BIGINT) AS x,
+             CAST((CAST(round(o_totalprice * 100, 0) AS BIGINT) - b.lo2)
+                  * {span} // (b.hi2 - b.lo2 + 1) AS BIGINT) AS y
+      FROM orders, b
+    ),
+    z AS (SELECT o_orderkey, {sql_zvalue(['x', 'y'], _Z_BITS)} AS zval FROM r)
+    SELECT CAST(zval // {span} AS BIGINT) AS zcell,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM z
+    GROUP BY zcell
+    """
+
+
+@query("zorder_cells", _zorder_sql())
+def zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering keys over orders: customer key and
+    order value interleaved bit-by-bit into one locality-preserving
+    code, aggregated per 256-cell bucket. The bit math is the exact
+    interleave `operators/layout.py:zorder_write` clusters files by —
+    hash-matching it here pins the layout operator's arithmetic
+    cross-engine (the write path itself is plan/footer-gated in
+    tests/test_layout.py: every output file bounded in BOTH dimensions,
+    so selective filters on either column skip files via parquet
+    min/max stats alone — the Delta/Iceberg OPTIMIZE ZORDER technique).
+    Pure codegen'd integer shift/mask expressions, one bounds agg, one
+    shuffle."""
+    from svoe_spark.operators.layout import _rank_cols, zvalue
+
+    span = 1 << _Z_BITS
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    ranked = _rank_cols(o, ["ck", "cents"], _Z_BITS)
+    z = o.select("o_orderkey", zvalue(ranked, _Z_BITS).alias("zval"))
+    return z.groupBy(
+        F.expr(f"zval div {span}").cast("long").alias("zcell")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+@query(
+    "ofi_1h",
+    _TICKS_SQL
+    + """
+    , top AS (
+      SELECT event_type, ts, event_id,
+             value_c - (1 + event_id % 3) AS bid_px,
+             qty AS bid_sz,
+             value_c + (1 + event_id % 5) AS ask_px,
+             1 + event_id % 9 AS ask_sz
+      FROM ticks
+    ),
+    e AS (
+      SELECT event_type, ts,
+             CASE WHEN bid_px >= lag(bid_px) OVER w THEN bid_sz ELSE 0 END
+           - CASE WHEN bid_px <= lag(bid_px) OVER w
+                  THEN lag(bid_sz) OVER w ELSE 0 END
+           - CASE WHEN ask_px <= lag(ask_px) OVER w THEN ask_sz ELSE 0 END
+           + CASE WHEN ask_px >= lag(ask_px) OVER w
+                  THEN lag(ask_sz) OVER w ELSE 0 END AS e_ofi
+      FROM top
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           CAST(SUM(COALESCE(e_ofi, 0)) AS BIGINT) AS ofi,
+           CAST(COUNT(*) AS BIGINT) AS n_updates
+    FROM e
+    GROUP BY event_type, window_start
+    """,
+)
+def ofi_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-flow imbalance per instrument-hour (Cont/Kukanov/Stoikov
+    2014) — the microstructure feature class on top of the book-top
+    stream (here a deterministic synthetic top derived from ticks, the
+    same construction idiom as synthetic_l2_updates): one lag-window
+    pass computes each update's signed size contribution, a bucketed
+    integer sum yields the regressor. Exact int64 end-to-end."""
+    from svoe_spark.operators.quant import order_flow_imbalance
+
+    t = ticks(spark, sf_dir)
+    top = t.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.col("value_c") - (F.lit(1) + F.col("event_id") % 3)).alias("bid_px"),
+        F.col("qty").alias("bid_sz"),
+        (F.col("value_c") + (F.lit(1) + F.col("event_id") % 5)).alias("ask_px"),
+        (F.lit(1) + F.col("event_id") % 9).alias("ask_sz"),
+    )
+    e = order_flow_imbalance(
+        top, "event_type", "ts", "bid_px", "bid_sz", "ask_px", "ask_sz",
+        tie_col="event_id",
+    )
+    return e.groupBy(
+        "event_type", F.window("ts", "1 hour")["start"].alias("window_start")
+    ).agg(
+        F.sum("e_ofi").cast("long").alias("ofi"),
+        F.count(F.lit(1)).cast("long").alias("n_updates"),
+    )

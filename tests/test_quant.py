@@ -266,3 +266,26 @@ def test_atr_gap_bar_true_range(spark):
            atr(bars, by="g", periods=2).collect()}
     # TR1 = 10, TR2 = max(5, |95-108|=13, |90-108|=18) = 18
     assert got[2] == pytest.approx((10 + 18) / 2)
+
+
+def test_order_flow_imbalance_arms(spark):
+    from svoe_spark.operators.quant import order_flow_imbalance
+
+    rows = [
+        # (key, ts, bid_px, bid_sz, ask_px, ask_sz)
+        ("X", 1, 100, 10, 102, 20),  # first row -> 0
+        ("X", 2, 101, 7, 102, 21),   # bid up: +7; ask equal: -21 +20
+        ("X", 3, 100, 5, 103, 9),    # bid down: -7; ask up: +21
+        ("X", 4, 100, 6, 101, 4),    # bid equal: +6-5; ask down: -4
+        ("Y", 1, 50, 1, 51, 1),      # other key independent -> 0
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts long, bp long, bs long, ap long, asz long"
+    )
+    out = order_flow_imbalance(df, "k", "ts", "bp", "bs", "ap", "asz")
+    got = {(r["k"], r["ts"]): r["e_ofi"] for r in out.collect()}
+    assert got[("X", 1)] == 0
+    assert got[("X", 2)] == 7 - 21 + 20  # +qb (b up), ask equal: -qa + pqa
+    assert got[("X", 3)] == -7 + 21      # -pqb (b down), +pqa (a up)
+    assert got[("X", 4)] == 6 - 5 - 4    # b equal: +qb - pqb; a down: -qa
+    assert got[("Y", 1)] == 0
