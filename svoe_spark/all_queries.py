@@ -64,6 +64,8 @@ _DRIVER_PRIORITY = [
     "kmv_vocab_overlap",
     "zorder_cells",
     "ofi_1h",
+    "asof_purchase_next_view",
+    "asof_purchase_nearest_view",
 ]
 
 # (c) refill: LLM-data layer in CORRECTNESS_r03 order (last green r3).

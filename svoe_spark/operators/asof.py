@@ -102,8 +102,15 @@ def asof_join(
     time_bucket: str | float | None = "auto",
     tiebreak: str | None = None,
     tolerance: str | float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: latest right row with right.on <= left.on.
+    """As-of join: nearest right row at or before (``direction=
+    'backward'``, the default: right.on <= left.on) or at or after
+    (``'forward'``: right.on >= left.on) each left row — pd.merge_asof's
+    direction parameter. Forward runs the identical one-shuffle plan on
+    the negated time axis, so tolerance (max future distance there) and
+    the bucketed scale path apply unchanged. For 'nearest' see
+    `asof_join_nearest`.
 
     ``by``: equi-key column(s) (e.g. instrument); ``right_cols``: value
     columns pulled from the right side (default: all non-key, non-ts);
@@ -124,6 +131,7 @@ def asof_join(
         time_bucket=time_bucket,
         tiebreak=tiebreak,
         tolerance=tolerance,
+        direction=direction,
     )
 
 
@@ -136,8 +144,15 @@ def asof_join_multi(
     time_bucket: str | float | None = "auto",
     tiebreak: str | None = None,
     tolerance: str | float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """N-way point-in-time join in ONE shuffle.
+
+    ``direction='forward'`` flips the match to the EARLIEST right row
+    with right.on >= left.on by negating the internal time axis —
+    every other mechanism (running fill, bucket seeding, tolerance as
+    max distance, tiebreak "greatest wins" among duplicate instants)
+    is direction-agnostic and applies unchanged.
 
     All right sides are unioned with the left into a single keyed,
     time-ordered relation; each feature's value columns are filled with
@@ -158,6 +173,12 @@ def asof_join_multi(
     if isinstance(by, str):
         by = [by]
     by = by or []
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}"
+            " (use asof_join_nearest for 'nearest')"
+        )
+    sign = 1.0 if direction == "backward" else -1.0
     tol_secs = (
         duration_to_seconds(tolerance) if tolerance is not None else None
     )
@@ -201,7 +222,7 @@ def asof_join_multi(
                 exprs.append(F.lit(None).cast(dt).alias(out))
         for mtag, mcol in mts.items():
             if side == 0 and mtag == tag:
-                exprs.append(epoch_seconds(F.col(on)).alias(mcol))
+                exprs.append((epoch_seconds(F.col(on)) * sign).alias(mcol))
             else:
                 exprs.append(F.lit(None).cast("double").alias(mcol))
         if tb:
@@ -214,7 +235,7 @@ def asof_join_multi(
     unioned = side_df(left, 1, None)
     for tag, rdf in rights.items():
         unioned = unioned.unionByName(side_df(rdf, 0, tag))
-    unioned = unioned.withColumn(_TS, epoch_seconds(on))
+    unioned = unioned.withColumn(_TS, epoch_seconds(on) * sign)
 
     # order: ts, then SIDE (right=0 before left=1 — exact-timestamp
     # right rows must be visible to the left row: the contract is
@@ -404,3 +425,124 @@ def lookahead_shift(
             F.col(on) + F.expr(f"INTERVAL {micros} MICROSECOND") <= F.col("__max_ts")
         ).drop("__max_ts")
     return joined
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "timestamp",
+    by: list[str] | str | None = None,
+    right_cols: list[str] | None = None,
+    prefix: str = "",
+    tiebreak: str | None = None,
+    tolerance: str | float | None = None,
+) -> DataFrame:
+    """Nearest-neighbor as-of join (pd.merge_asof direction='nearest'):
+    for each left row, the right row minimizing |right.on - left.on|,
+    ties preferring the backward (earlier-or-equal) match. Whole-row
+    semantics: ONE side is chosen per left row by matched instant, and
+    all value columns come from it (never a column-wise mix).
+
+    One shuffle, both directions in the same sorted window: the union
+    relation fills value columns twice — running ``last(ignorenulls)``
+    (unbounded preceding → current: the backward match, same-instant
+    right rows included) and ``first(ignorenulls)`` (current →
+    unbounded following: the forward match, strictly-later instants —
+    exact matches already belong to the backward side). ``tolerance``
+    nulls matches farther than the given distance in EITHER direction.
+    Duplicate right instants: backward picks the GREATEST ``tiebreak``
+    (running last), forward the smallest (window first) — both
+    deterministic.
+
+    Scale note: lazy single-window plan (per-key sort). For hot keys
+    needing the bucketed path, run the two directional
+    `asof_join_multi` passes (both bucket-seeded) and pick driver-side;
+    this convenience form covers the common dimension-sized case."""
+    if isinstance(by, str):
+        by = [by]
+    by = by or []
+    cols = right_cols or [
+        c for c in right.columns if c != on and c not in by and c != tiebreak
+    ]
+    out_names: dict[str, str] = {}
+    for c in cols:
+        o = f"{prefix}{c}" if prefix else c
+        if o in left.columns or o in out_names.values():
+            o = f"{prefix}_{c}" if prefix else f"right_{c}"
+        out_names[c] = o
+
+    tb = "__tb" if tiebreak else None
+    keep = [c for c in left.columns if c != on and c not in by]
+
+    def _side(df: DataFrame, side: int) -> DataFrame:
+        exprs = [F.col(on).alias(on)]
+        exprs += [F.col(b) for b in by]
+        exprs.append(F.lit(side).alias(_SIDE))
+        for lc in keep:
+            exprs.append(
+                (F.col(lc) if side == 1 else F.lit(None).cast(left.schema[lc].dataType)).alias(lc)
+            )
+        for c in cols:
+            exprs.append(
+                (F.col(c) if side == 0 else F.lit(None).cast(right.schema[c].dataType)).alias(out_names[c])
+            )
+        exprs.append(
+            (epoch_seconds(F.col(on)) if side == 0 else F.lit(None).cast("double")).alias("__mts")
+        )
+        if tb:
+            exprs.append(
+                (F.col(tiebreak).cast("double") if side == 0 else F.lit(None).cast("double")).alias(tb)
+            )
+        return df.select(*exprs)
+
+    u = _side(left, 1).unionByName(_side(right, 0)).withColumn(
+        _TS, epoch_seconds(on)
+    )
+    order = [F.col(_TS), F.col(_SIDE)] + ([F.col(tb).asc_nulls_first()] if tb else [])
+    wb = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = u.select(
+        on,
+        *by,
+        _SIDE,
+        _TS,
+        *keep,
+        F.last("__mts", ignorenulls=True).over(wb).alias("__bmts"),
+        F.first("__mts", ignorenulls=True).over(wf).alias("__fmts"),
+        *[
+            F.last(o, ignorenulls=True).over(wb).alias(f"__b_{o}")
+            for o in out_names.values()
+        ],
+        *[
+            F.first(o, ignorenulls=True).over(wf).alias(f"__f_{o}")
+            for o in out_names.values()
+        ],
+    ).filter(F.col(_SIDE) == 1)
+    bdist = F.col(_TS) - F.col("__bmts")
+    fdist = F.col("__fmts") - F.col(_TS)
+    use_b = F.col("__bmts").isNotNull() & (
+        F.col("__fmts").isNull() | (bdist <= fdist)
+    )
+    dist = F.when(use_b, bdist).otherwise(fdist)
+    if tolerance is not None:
+        tol = F.lit(float(duration_to_seconds(tolerance)))
+        in_tol = dist <= tol
+    else:
+        in_tol = F.lit(True)
+    sel = [F.col(on), *by, *keep]
+    for o in out_names.values():
+        sel.append(
+            F.when(
+                in_tol,
+                F.when(use_b, F.col(f"__b_{o}")).otherwise(F.col(f"__f_{o}")),
+            ).alias(o)
+        )
+    return filled.select(*sel)

@@ -3250,3 +3250,93 @@ def ofi_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("e_ofi").cast("long").alias("ofi"),
         F.count(F.lit(1)).cast("long").alias("n_updates"),
     )
+
+
+@query(
+    "asof_purchase_next_view",
+    """
+    WITH p AS (
+      SELECT event_id, ts, user_id, value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS next_view_value
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.ts, p.user_id, p.purchase_value, v.next_view_value
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts
+    """,
+)
+def asof_purchase_next_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (pd.merge_asof direction='forward'): for each
+    purchase, the user's EARLIEST subsequent view — the same
+    one-shuffle union+fill plan run on the negated time axis
+    (operators/asof.py direction param), bucketed scale path included.
+    Oracle: DuckDB ASOF with the inequality flipped."""
+    e = load_table(spark, "events", sf_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", F.col("value").alias("purchase_value")
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("next_view_value"))
+    )
+    return asof_join(
+        p, v, on="ts", by="user_id", right_cols=["next_view_value"],
+        direction="forward",
+    )
+
+
+@query(
+    "asof_purchase_nearest_view",
+    """
+    WITH p AS (
+      SELECT event_id, ts, user_id, value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS vv
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, ts
+    ),
+    b AS (
+      SELECT p.event_id, v.ts AS bts, v.vv AS bv
+      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    ),
+    f AS (
+      SELECT p.event_id, v.ts AS fts, v.vv AS fv
+      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts
+    )
+    SELECT p.event_id, p.ts, p.user_id, p.purchase_value,
+           CASE WHEN bts IS NOT NULL AND (fts IS NULL OR
+                     epoch_us(p.ts) - epoch_us(bts)
+                     <= epoch_us(fts) - epoch_us(p.ts))
+                THEN bv ELSE fv END AS nearest_view_value
+    FROM p JOIN b USING (event_id) JOIN f USING (event_id)
+    """,
+)
+def asof_purchase_nearest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (pd.merge_asof direction='nearest', whole-row,
+    tie -> backward): for each purchase the temporally closest view.
+    One shuffle computes BOTH directional fills in the same sorted
+    window (running last + window first); the oracle composes two
+    DuckDB ASOF joins and picks by distance."""
+    from svoe_spark.operators.asof import asof_join_nearest
+
+    e = load_table(spark, "events", sf_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", F.col("value").alias("purchase_value")
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("nearest_view_value"))
+    )
+    out = asof_join_nearest(
+        p, v, on="ts", by="user_id", right_cols=["nearest_view_value"]
+    )
+    return out.select(
+        "event_id", "ts", "user_id", "purchase_value", "nearest_view_value"
+    )

@@ -276,3 +276,116 @@ def test_tolerance_bucketed_path_agrees(spark):
     b = sorted((r["ts"], r["v"]) for r in bucketed.collect())
     assert l == b
     assert any(v is None for _, v in l) and any(v is not None for _, v in l)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left_spec=series_strategy, right_spec=series_strategy)
+def test_asof_forward_matches_pandas(spark, left_spec, right_spec):
+    left_rows = _mk_rows(left_spec)
+    right_rows = _mk_rows(right_spec, value_start=1000.0)
+    if not left_rows or not right_rows:
+        return
+    left = spark.createDataFrame(
+        left_rows, "k string, ts timestamp, v double, rid long"
+    )
+    right = spark.createDataFrame(
+        right_rows, "k string, ts timestamp, rv double, rid long"
+    ).select("k", "ts", "rv")
+
+    got = asof_join(
+        left, right, on="ts", by="k", right_cols=["rv"], direction="forward"
+    ).toPandas()
+    lp = pd.DataFrame(left_rows, columns=["k", "ts", "v", "rid"]).sort_values("ts")
+    rp = pd.DataFrame(right_rows, columns=["k", "ts", "rv", "rid"]).sort_values("ts")
+    want = pd.merge_asof(
+        lp, rp[["k", "ts", "rv"]], on="ts", by="k", direction="forward"
+    )
+    g = got.sort_values(["k", "ts"]).reset_index(drop=True)
+    w = want.sort_values(["k", "ts"]).reset_index(drop=True)
+    assert len(g) == len(w)
+    pd.testing.assert_series_equal(
+        g["rv"], w["rv"], check_names=False, check_index=False
+    )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left_spec=series_strategy,
+    right_spec=series_strategy,
+    tol=st.sampled_from([None, "60s", "15m"]),
+)
+def test_asof_nearest_matches_pandas(spark, left_spec, right_spec, tol):
+    left_rows = _mk_rows(left_spec)
+    right_rows = _mk_rows(right_spec, value_start=1000.0)
+    if not left_rows or not right_rows:
+        return
+    from svoe_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        left_rows, "k string, ts timestamp, v double, rid long"
+    )
+    right = spark.createDataFrame(
+        right_rows, "k string, ts timestamp, rv double, rid long"
+    ).select("k", "ts", "rv")
+
+    got = asof_join_nearest(
+        left, right, on="ts", by="k", right_cols=["rv"], tolerance=tol
+    ).toPandas()
+    lp = pd.DataFrame(left_rows, columns=["k", "ts", "v", "rid"]).sort_values("ts")
+    rp = pd.DataFrame(right_rows, columns=["k", "ts", "rv", "rid"]).sort_values("ts")
+    want = pd.merge_asof(
+        lp,
+        rp[["k", "ts", "rv"]],
+        on="ts",
+        by="k",
+        direction="nearest",
+        tolerance=pd.Timedelta(tol) if tol else None,
+    )
+    g = got.sort_values(["k", "ts"]).reset_index(drop=True)
+    w = want.sort_values(["k", "ts"]).reset_index(drop=True)
+    assert len(g) == len(w)
+    pd.testing.assert_series_equal(
+        g["rv"], w["rv"], check_names=False, check_index=False
+    )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left_spec=series_strategy,
+    right_spec=series_strategy,
+    bucket=st.sampled_from(["30s", "1h"]),
+)
+def test_bucketed_forward_equals_default(spark, left_spec, right_spec, bucket):
+    left_rows = _mk_rows(left_spec)
+    right_rows = _mk_rows(right_spec, value_start=1000.0)
+    if not left_rows or not right_rows:
+        return
+    left = spark.createDataFrame(
+        left_rows, "k string, ts timestamp, v double, rid long"
+    )
+    right = spark.createDataFrame(
+        right_rows, "k string, ts timestamp, rv double, rid long"
+    ).select("k", "ts", "rv")
+    base = asof_join(
+        left, right, on="ts", by="k", right_cols=["rv"], direction="forward",
+        time_bucket=None,
+    )
+    bucketed = asof_join(
+        left, right, on="ts", by="k", right_cols=["rv"], direction="forward",
+        time_bucket=bucket,
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, bucketed.collect())
+    )
