@@ -937,7 +937,8 @@ def round6b_smoke(spark, results, force, n_edges=20_000_000, n_obs=100_000_000):
 
     results["pagerank_20m_edges_10it_sec"] = timed(_pr, "pagerank_20m_edges_10it")
 
-    # SCD2: 100M observations over 1M keys, 5 states, ~20% run starts
+    # SCD2: 100M observations over 1M keys; xxhash64 % 3 yields 5
+    # signed states -> P(same as prev) ~ 2/9, so ~78% of rows start runs
     log = spark.range(n_obs).select(
         (F.col("id") % 1_000_000).alias("key"),
         F.timestamp_micros(F.col("id") * 1000).alias("ts"),

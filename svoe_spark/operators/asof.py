@@ -440,19 +440,22 @@ def asof_join_nearest(
     """Nearest-neighbor as-of join (pd.merge_asof direction='nearest'):
     for each left row, the right row minimizing |right.on - left.on|,
     ties preferring the backward (earlier-or-equal) match. Whole-row
-    semantics: ONE side is chosen per left row by matched instant, and
-    all value columns come from it (never a column-wise mix).
+    semantics: ONE right row is chosen per left row, and every value
+    column comes from it — the candidate rides the window as a single
+    STRUCT, so a NULL cell in the matched row stays NULL (a per-column
+    fill would silently substitute an older/newer row's value).
 
-    One shuffle, both directions in the same sorted window: the union
-    relation fills value columns twice — running ``last(ignorenulls)``
-    (unbounded preceding → current: the backward match, same-instant
-    right rows included) and ``first(ignorenulls)`` (current →
-    unbounded following: the forward match, strictly-later instants —
-    exact matches already belong to the backward side). ``tolerance``
-    nulls matches farther than the given distance in EITHER direction.
-    Duplicate right instants: backward picks the GREATEST ``tiebreak``
-    (running last), forward the smallest (window first) — both
-    deterministic.
+    One shuffle, both directions in the same sorted window: running
+    ``last(ignorenulls)`` over the candidate struct (unbounded
+    preceding -> current: the backward match, same-instant right rows
+    included) and ``first(ignorenulls)`` (current -> unbounded
+    following: the forward match, strictly-later instants — exact
+    matches already belong to the backward side). Distances and the
+    tolerance bound are EXACT integer microseconds — a double
+    epoch-seconds tie could round the two sides apart and flip the
+    pandas tie-break. Duplicate right instants: backward picks the
+    GREATEST ``tiebreak`` (running last), forward the smallest (window
+    first) — both deterministic.
 
     Scale note: lazy single-window plan (per-key sort). For hot keys
     needing the bucketed path, run the two directional
@@ -473,6 +476,7 @@ def asof_join_nearest(
 
     tb = "__tb" if tiebreak else None
     keep = [c for c in left.columns if c != on and c not in by]
+    cand = "__cand"
 
     def _side(df: DataFrame, side: int) -> DataFrame:
         exprs = [F.col(on).alias(on)]
@@ -482,13 +486,26 @@ def asof_join_nearest(
             exprs.append(
                 (F.col(lc) if side == 1 else F.lit(None).cast(left.schema[lc].dataType)).alias(lc)
             )
-        for c in cols:
+        # the whole candidate row as one struct: matched instant
+        # (exact micros) + every value column
+        fields = [F.unix_micros(F.col(on)).alias("__mts")] + [
+            F.col(c).alias(out_names[c]) for c in cols
+        ]
+        if side == 0:
+            exprs.append(F.struct(*fields).alias(cand))
+        else:
             exprs.append(
-                (F.col(c) if side == 0 else F.lit(None).cast(right.schema[c].dataType)).alias(out_names[c])
+                F.lit(None)
+                .cast(
+                    "struct<__mts:bigint,"
+                    + ",".join(
+                        f"{out_names[c]}:{right.schema[c].dataType.simpleString()}"
+                        for c in cols
+                    )
+                    + ">"
+                )
+                .alias(cand)
             )
-        exprs.append(
-            (epoch_seconds(F.col(on)) if side == 0 else F.lit(None).cast("double")).alias("__mts")
-        )
         if tb:
             exprs.append(
                 (F.col(tiebreak).cast("double") if side == 0 else F.lit(None).cast("double")).alias(tb)
@@ -496,7 +513,7 @@ def asof_join_nearest(
         return df.select(*exprs)
 
     u = _side(left, 1).unionByName(_side(right, 0)).withColumn(
-        _TS, epoch_seconds(on)
+        _TS, F.unix_micros(F.col(on))
     )
     order = [F.col(_TS), F.col(_SIDE)] + ([F.col(tb).asc_nulls_first()] if tb else [])
     wb = (
@@ -515,34 +532,22 @@ def asof_join_nearest(
         _SIDE,
         _TS,
         *keep,
-        F.last("__mts", ignorenulls=True).over(wb).alias("__bmts"),
-        F.first("__mts", ignorenulls=True).over(wf).alias("__fmts"),
-        *[
-            F.last(o, ignorenulls=True).over(wb).alias(f"__b_{o}")
-            for o in out_names.values()
-        ],
-        *[
-            F.first(o, ignorenulls=True).over(wf).alias(f"__f_{o}")
-            for o in out_names.values()
-        ],
+        F.last(cand, ignorenulls=True).over(wb).alias("__b"),
+        F.first(cand, ignorenulls=True).over(wf).alias("__f"),
     ).filter(F.col(_SIDE) == 1)
-    bdist = F.col(_TS) - F.col("__bmts")
-    fdist = F.col("__fmts") - F.col(_TS)
-    use_b = F.col("__bmts").isNotNull() & (
-        F.col("__fmts").isNull() | (bdist <= fdist)
-    )
+    bmts = F.col("__b")["__mts"]
+    fmts = F.col("__f")["__mts"]
+    bdist = F.col(_TS) - bmts
+    fdist = fmts - F.col(_TS)
+    use_b = bmts.isNotNull() & (fmts.isNull() | (bdist <= fdist))
     dist = F.when(use_b, bdist).otherwise(fdist)
     if tolerance is not None:
-        tol = F.lit(float(duration_to_seconds(tolerance)))
-        in_tol = dist <= tol
+        tol_us = int(round(duration_to_seconds(tolerance) * 1_000_000))
+        in_tol = dist <= F.lit(tol_us)
     else:
         in_tol = F.lit(True)
+    chosen = F.when(in_tol, F.when(use_b, F.col("__b")).otherwise(F.col("__f")))
     sel = [F.col(on), *by, *keep]
     for o in out_names.values():
-        sel.append(
-            F.when(
-                in_tol,
-                F.when(use_b, F.col(f"__b_{o}")).otherwise(F.col(f"__f_{o}")),
-            ).alias(o)
-        )
+        sel.append(chosen[o].alias(o))
     return filled.select(*sel)

@@ -39,11 +39,14 @@ def _rank_cols(df: DataFrame, cols: list[str], bits: int) -> list[Column]:
         if lo is None or hi is None or hi == lo:
             out.append(F.lit(0).cast("long"))
             continue
-        # exact integer scaling: ((v - lo) * span) div (hi - lo + 1)
-        expr = F.expr(
-            f"CAST((CAST({c} AS BIGINT) - {int(lo)}L) * {span}L "
-            f"div {int(hi) - int(lo) + 1}L AS BIGINT)"
-        )
+        # exact integer scaling by DIVISION — (v - lo) div ceil(range /
+        # span) stays in [0, span) and can never overflow int64, unlike
+        # the multiply form ((v-lo)*span), which wraps for domains wider
+        # than 2^(63-bits) (epoch-micro keys spanning years, sparse
+        # surrogate ids)
+        rng = int(hi) - int(lo) + 1
+        d = max(1, (rng + span - 1) // span)
+        expr = F.expr(f"(CAST({c} AS BIGINT) - {int(lo)}L) div {d}L")
         out.append(F.coalesce(expr, F.lit(0)).cast("long"))
     return out
 

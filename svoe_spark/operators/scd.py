@@ -7,7 +7,8 @@ arrive as point-in-time observations (CDC feeds, snapshot diffs,
 event streams); downstream as-of joins need them as non-overlapping
 [valid_from, valid_to) intervals with a current flag. The reference
 keeps only latest-state metadata in its catalog (no history); SCD2 is
-the standard warehouse answer, expressed here as two window passes.
+the standard warehouse answer, expressed here as one window pass plus
+one aggregation.
 
 Determinism contract: interval boundaries are picked values (no float
 aggregation); run detection is null-safe attribute comparison against
@@ -20,7 +21,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from svoe_spark.operators.sampling import distinct_until_changed
+
+def _order(ts: str, tie_col: str | None):
+    return [F.col(ts)] + ([F.col(tie_col)] if tie_col else [])
 
 
 def scd2_compress(
@@ -32,41 +35,95 @@ def scd2_compress(
 ) -> DataFrame:
     """Collapse a per-key change log into SCD2 validity intervals.
 
-    Returns (key, *attr_cols, valid_from, valid_to, version,
-    is_current): one row per RUN of consecutive identical attribute
-    tuples in (ts, tie_col) order; ``valid_from`` is the run's first
-    observation time, ``valid_to`` the next run's start (NULL on the
-    current run), ``version`` the 1-based run index per key.
+    Returns (key, [tie_col,] *attr_cols, valid_from, valid_to,
+    version, last_observed, [last_<tie_col>,] is_current): one row per
+    RUN of consecutive identical attribute tuples in (ts, tie_col)
+    order. ``valid_from`` is the run's first observation instant,
+    ``valid_to`` the next run's start (NULL on the current run),
+    ``version`` the 1-based run index per key, ``last_observed`` the
+    run's LAST observation instant — kept so `scd2_merge` can re-expand
+    a run into its boundary observations (a run whose interior
+    observations were absorbed is still pinned at both ends).
 
     Consecutive identical observations are absorbed (re-observing the
-    same state extends no history), so the output is idempotent:
-    compressing the compressed history (valid_from as ts) is a no-op —
-    the property `scd2_merge` relies on.
+    same state extends no history). Compression is idempotent over its
+    own boundary re-expansion: compress(scd2_to_log(compress(x))) ==
+    compress(x) — the invariant `scd2_merge` relies on.
 
-    Scale shape: one per-key window pass to find run starts
-    (`distinct_until_changed`) and one per-key window pass for
-    lead/version — both shuffle on the dimension key only; no
-    self-joins, no driver state. Skewed keys cost what their own
-    change count costs.
+    Scale shape: one per-key window pass (run flags + running run id),
+    one (key, run) aggregation picking min/max observation structs,
+    one per-key window for lead/version — all shuffling on the
+    dimension key only; no self-joins, no driver state. Skewed keys
+    cost what their own change count costs.
     """
     cols = [key, ts] + ([tie_col] if tie_col else []) + list(attr_cols)
-    starts = distinct_until_changed(
-        log.select(*cols), list(attr_cols), key=key, on=ts, tie_col=tie_col
+    w = Window.partitionBy(key).orderBy(*_order(ts, tie_col))
+    changed = F.lit(False)
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    rn = F.row_number().over(w)
+    flagged = log.select(*cols).withColumn(
+        "__new", ((rn == 1) | changed).cast("int")
     )
-    order = [F.col(ts)] + ([F.col(tie_col)] if tie_col else [])
-    w = Window.partitionBy(key).orderBy(*order)
-    out = starts.select(
+    run = F.sum("__new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = flagged.withColumn("__run", run)
+    obs_fields = [F.col(ts).alias("t")] + (
+        [F.col(tie_col).alias("i")] if tie_col else []
+    )
+    grouped = flagged.groupBy(key, "__run").agg(
+        F.min(F.struct(*obs_fields)).alias("__first"),
+        F.max(F.struct(*obs_fields)).alias("__last"),
+        # attrs are constant within a run by construction
+        *[F.first(c).alias(c) for c in attr_cols],
+    )
+    w2 = Window.partitionBy(key).orderBy(F.col("__first"))
+    out = grouped.select(
         key,
-        # the run-start's tie value rides along so a merge can
-        # re-expand history into a log that sorts EXACTLY as the
-        # original observations did (ts alone can tie)
-        *([tie_col] if tie_col else []),
+        *([F.col("__first")["i"].alias(tie_col)] if tie_col else []),
         *attr_cols,
-        F.col(ts).alias("valid_from"),
-        F.lead(ts).over(w).alias("valid_to"),
-        F.row_number().over(w).alias("version"),
+        F.col("__first")["t"].alias("valid_from"),
+        F.lead(F.col("__first")["t"]).over(w2).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+        F.col("__last")["t"].alias("last_observed"),
+        *([F.col("__last")["i"].alias(f"last_{tie_col}")] if tie_col else []),
     )
     return out.withColumn("is_current", F.col("valid_to").isNull())
+
+
+def scd2_to_log(
+    history: DataFrame,
+    key: str,
+    attr_cols: list[str],
+    ts: str = "ts",
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Re-expand SCD2 history into a change log of each run's BOUNDARY
+    observations (first, and last when distinct) — everything the
+    compressed form still knows about when each state was actually
+    seen. compress(scd2_to_log(h)) == h on the interval columns."""
+    first_cols = (
+        [key, F.col("valid_from").alias(ts)]
+        + ([tie_col] if tie_col else [])
+        + [F.col(c) for c in attr_cols]
+    )
+    first = history.select(*first_cols)
+    last_cols = (
+        [key, F.col("last_observed").alias(ts)]
+        + ([F.col(f"last_{tie_col}").alias(tie_col)] if tie_col else [])
+        + [F.col(c) for c in attr_cols]
+    )
+    distinct_last = (
+        (F.col("last_observed") != F.col("valid_from"))
+        if not tie_col
+        else (
+            (F.col("last_observed") != F.col("valid_from"))
+            | (~F.col(f"last_{tie_col}").eqNullSafe(F.col(tie_col)))
+        )
+    )
+    last = history.where(distinct_last).select(*last_cols)
+    return first.unionByName(last)
 
 
 def scd2_merge(
@@ -81,25 +138,35 @@ def scd2_merge(
 
     ``history`` is `scd2_compress` output; ``updates`` is a change log
     (key, ts, [tie_col,] *attr_cols). Only keys PRESENT in the batch
-    are touched: their history is re-expanded to a change log
-    (valid_from as the observation time), unioned with the batch, and
-    recompressed — late/out-of-order observations therefore splice in
-    correctly, not just append. Untouched keys pass through unchanged
-    (partition-pruned in a partitioned store). Invariant (tested):
-    merge(compress(log_a), log_b) == compress(log_a UNION log_b) for
-    any split, because compression is idempotent and order-free.
+    are touched: their history re-expands to its boundary observations
+    (`scd2_to_log`), unions with the batch, and recompresses; untouched
+    keys pass through unchanged (partition-pruned in a partitioned
+    store).
+
+    Exactness: equal to full recompression of the combined raw log for
+    append-only batches (every update at/after its key's
+    ``last_observed`` — the normal CDC case), for late rows landing
+    BETWEEN runs or at run boundaries, and for late rows whose state
+    matches the run they land in. The one information-theoretic gap:
+    a DIFFERENT-state row spliced strictly inside a run re-opens the
+    prior state at the run's ``last_observed`` (the last instant that
+    state was actually seen) rather than at an interior observation
+    the compression absorbed — the raw log no longer exists to consult.
+    tests/test_scd.py pins both the exact cases and this documented
+    splice behavior.
 
     Scale shape: the batch's key set is typically tiny next to the
     dimension — the semi/anti joins broadcast it; recompression cost
     tracks the touched keys' history, not the whole dimension.
     """
     affected = updates.select(key).distinct()
-    cols = (
-        [key, F.col("valid_from").alias(ts)]
-        + ([tie_col] if tie_col else [])
-        + [F.col(c) for c in attr_cols]
+    old_log = scd2_to_log(
+        history.join(F.broadcast(affected), key, "left_semi"),
+        key,
+        list(attr_cols),
+        ts=ts,
+        tie_col=tie_col,
     )
-    old_log = history.join(F.broadcast(affected), key, "left_semi").select(*cols)
     ucols = [key, ts] + ([tie_col] if tie_col else []) + list(attr_cols)
     merged_log = old_log.unionByName(updates.select(*ucols))
     redone = scd2_compress(merged_log, key, list(attr_cols), ts=ts, tie_col=tie_col)

@@ -3144,10 +3144,12 @@ def _zorder_sql() -> str:
     ),
     r AS (
       SELECT o_orderkey,
-             CAST((o_custkey - b.lo1) * {span} // (b.hi1 - b.lo1 + 1)
+             CAST((o_custkey - b.lo1)
+                  // greatest(1, (b.hi1 - b.lo1 + {span}) // {span})
                   AS BIGINT) AS x,
              CAST((CAST(round(o_totalprice * 100, 0) AS BIGINT) - b.lo2)
-                  * {span} // (b.hi2 - b.lo2 + 1) AS BIGINT) AS y
+                  // greatest(1, (b.hi2 - b.lo2 + {span}) // {span})
+                  AS BIGINT) AS y
       FROM orders, b
     ),
     z AS (SELECT o_orderkey, {sql_zvalue(['x', 'y'], _Z_BITS)} AS zval FROM r)

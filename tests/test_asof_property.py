@@ -389,3 +389,41 @@ def test_bucketed_forward_equals_default(spark, left_spec, right_spec, bucket):
     assert sorted(map(tuple, base.collect())) == sorted(
         map(tuple, bucketed.collect())
     )
+
+
+def test_asof_nearest_null_cell_not_backfilled(spark):
+    """Whole-row contract: a NULL cell in the MATCHED row stays NULL —
+    a per-column fill would substitute a farther row's value (the
+    round-6 review finding)."""
+    from svoe_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [("A", BASE + dt.timedelta(minutes=60), 1.0)], "k string, ts timestamp, v double"
+    )
+    right = spark.createDataFrame(
+        [
+            ("A", BASE, 5.0),                            # far, non-null
+            ("A", BASE + dt.timedelta(minutes=59), None),  # near, NULL cell
+        ],
+        "k string, ts timestamp, rv double",
+    )
+    out = asof_join_nearest(
+        left, right, on="ts", by="k", right_cols=["rv"], tolerance="15m"
+    ).first()
+    assert out["rv"] is None  # matched row is the 10:59 one; its rv is NULL
+
+
+def test_asof_nearest_exact_tie_prefers_backward(spark):
+    from svoe_spark.operators.asof import asof_join_nearest
+
+    t = BASE + dt.timedelta(minutes=30)
+    left = spark.createDataFrame([("A", t, 0.0)], "k string, ts timestamp, v double")
+    right = spark.createDataFrame(
+        [
+            ("A", t - dt.timedelta(microseconds=7), 1.0),
+            ("A", t + dt.timedelta(microseconds=7), 2.0),
+        ],
+        "k string, ts timestamp, rv double",
+    )
+    out = asof_join_nearest(left, right, on="ts", by="k", right_cols=["rv"]).first()
+    assert out["rv"] == 1.0  # exact integer-microsecond tie -> backward

@@ -48,13 +48,39 @@ def test_compress_runs_and_intervals(log):
     assert len(got) == 6
 
 
-def test_compress_idempotent(log):
+def test_compress_idempotent_over_boundary_expansion(log):
+    from svoe_spark.operators.scd import scd2_to_log
+
     h1 = scd2_compress(log, "user_id", ["state"], ts="ts", tie_col="event_id")
-    relog = h1.select(
-        "user_id", F.col("valid_from").alias("ts"), "event_id", "state"
-    )
+    relog = scd2_to_log(h1, "user_id", ["state"], ts="ts", tie_col="event_id")
     h2 = scd2_compress(relog, "user_id", ["state"], ts="ts", tie_col="event_id")
     assert sorted(h1.collect()) == sorted(h2.collect())
+
+
+def test_merge_late_different_state_inside_run(spark, log):
+    """The round-6 review case: a late row with a DIFFERENT state
+    landing inside an existing run must split the run and re-open the
+    old state at its last observation — identical to full
+    recompression when the run has no absorbed interior observations
+    between the splice point and the run end."""
+    # user 1 history from rows 10 (t1,A) and 12.. ; absorb (t2,A=11) later
+    first = log.where(F.col("event_id").isin(10, 11, 20, 14, 15))  # run A spans t1..t2
+    hist = scd2_compress(first, "user_id", ["state"], ts="ts", tie_col="event_id")
+    late = spark.createDataFrame(
+        [(1, _t(1, 12), 99, "B")],  # t1.5: inside the A run
+        "user_id int, ts timestamp, event_id int, state string",
+    )
+    merged = scd2_merge(hist, late, "user_id", ["state"], ts="ts", tie_col="event_id")
+    full = scd2_compress(
+        first.unionByName(late), "user_id", ["state"], ts="ts", tie_col="event_id"
+    )
+    assert sorted(merged.collect()) == sorted(full.collect())
+    # and the semantics are right: A re-opens at t2, B holds [t1.5, t2)
+    u1 = {r["version"]: (r["state"], r["valid_from"], r["valid_to"]) for r in
+          merged.where("user_id = 1").collect()}
+    assert u1[1] == ("A", _t(1), _t(1, 12))
+    assert u1[2] == ("B", _t(1, 12), _t(2))
+    assert u1[3] == ("A", _t(2), None)
 
 
 def test_merge_equals_full_recompress(spark, log):
