@@ -172,3 +172,143 @@ def scd2_merge(
     redone = scd2_compress(merged_log, key, list(attr_cols), ts=ts, tie_col=tie_col)
     untouched = history.join(F.broadcast(affected), key, "left_anti")
     return untouched.unionByName(redone)
+
+
+class SCD2Store:
+    """Partitioned SCD2 dimension store with incremental maintenance.
+
+    History lives as parquet partitioned by key-hash bucket
+    (``kb = pmod(xxhash64(key), n_buckets)``): a batch of updates
+    touches only the buckets its keys hash into, so `refresh` reads
+    those partitions (partition-pruned scan), runs `scd2_merge`, and
+    rewrites ONLY them via dynamic partition overwrite — cost tracks
+    the batch's key spread, never dimension history size. At 100 TB
+    the bucket directory is the unit of pruning and rewrite; size
+    ``n_buckets`` so a bucket's history fits a task comfortably.
+
+    Idempotency layers (mirrors RollupStore): the ``<path>._commits``
+    log fast-skips batches known complete; a per-bucket ``last_batch``
+    stamp inside the data closes the crash window between the
+    partition swap and the log append. And unlike additive rollups,
+    `scd2_merge` itself is REPLAY-IDEMPOTENT (re-merging observations
+    already in history absorbs them — same attrs, same instants), so
+    even a stamp miss cannot corrupt history, only waste work.
+    (Single concurrent writer per store path, as with any
+    dynamic-partition-overwrite maintainer.)
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        key: str,
+        attr_cols: list[str],
+        ts: str = "ts",
+        tie_col: str | None = None,
+        n_buckets: int = 64,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.key = key
+        self.attr_cols = list(attr_cols)
+        self.ts = ts
+        self.tie_col = tie_col
+        self.n_buckets = n_buckets
+
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "kb", F.pmod(F.xxhash64(self.key), F.lit(self.n_buckets)).cast("int")
+        )
+
+    def _read_buckets(self, buckets: list[int]) -> DataFrame:
+        """Partition-pruned read of the touched buckets (int literals
+        keep the filter type-exact; the plan gate asserts
+        PartitionFilters)."""
+        return self.spark.read.parquet(self.path).where(F.col("kb").isin(buckets))
+
+    def refresh(self, updates: DataFrame, batch_id: int | None = None) -> list[int]:
+        """Merge an update batch; returns the bucket ids rewritten."""
+        from svoe_spark.operators.util import store_path_exists
+
+        ups = self._with_bucket(updates).persist()
+        try:
+            buckets = [r["kb"] for r in ups.select("kb").distinct().collect()]
+            if not buckets:
+                return []
+            exists = store_path_exists(self.spark, self.path)
+            if exists and batch_id is not None:
+                stamped = self._read_buckets(buckets).where(
+                    F.col("last_batch") == batch_id
+                )
+                done = {r["kb"] for r in stamped.select("kb").distinct().collect()}
+                buckets = [b for b in buckets if b not in done]
+                if not buckets:
+                    return []
+                ups_part = ups.where(F.col("kb").isin(buckets))
+            else:
+                ups_part = ups
+            if exists:
+                hist = self._read_buckets(buckets).drop("kb", "last_batch")
+                merged = scd2_merge(
+                    hist,
+                    ups_part.drop("kb"),
+                    self.key,
+                    self.attr_cols,
+                    ts=self.ts,
+                    tie_col=self.tie_col,
+                )
+            else:
+                merged = scd2_compress(
+                    ups_part.drop("kb"),
+                    self.key,
+                    self.attr_cols,
+                    ts=self.ts,
+                    tie_col=self.tie_col,
+                )
+            (
+                self._with_bucket(merged)
+                .withColumn(
+                    "last_batch",
+                    F.lit(-1 if batch_id is None else batch_id).cast("long"),
+                )
+                .repartition("kb")
+                .write.partitionBy("kb")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(self.path)
+            )
+            return sorted(buckets)
+        finally:
+            ups.unpersist()
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path).drop("kb", "last_batch")
+
+    def current(self) -> DataFrame:
+        """The dimension's present state — one row per key."""
+        return self.read().where(F.col("is_current"))
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> bool:
+        from svoe_spark.operators.util import append_commit, read_commit_log
+
+        if batch_id in read_commit_log(self.spark, self.path):
+            return False
+        self.refresh(batch_df, batch_id=batch_id)
+        append_commit(self.spark, self.path, batch_id)
+        return True
+
+
+def maintain_scd2_stream(store: SCD2Store, update_stream: DataFrame, checkpoint: str):
+    """Keep an SCD2Store continuously maintained from a CDC/observation
+    stream: foreachBatch -> bucket-incremental merge. At-least-once
+    replays are absorbed by the commit log, the per-bucket batch stamp,
+    and scd2_merge's own replay idempotence (see SCD2Store). Returns
+    the StreamingQuery (availableNow trigger for bounded replays)."""
+    from svoe_spark.streaming.sinks import foreach_batch
+
+    return foreach_batch(
+        update_stream,
+        store.apply_batch,
+        checkpoint,
+        trigger={"availableNow": True},
+    )
