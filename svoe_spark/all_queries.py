@@ -66,6 +66,7 @@ _DRIVER_PRIORITY = [
     "ofi_1h",
     "asof_purchase_next_view",
     "asof_purchase_nearest_view",
+    "ppr_trusted_suppliers",
 ]
 
 # (c) refill: LLM-data layer in CORRECTNESS_r03 order (last green r3).

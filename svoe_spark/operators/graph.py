@@ -287,8 +287,12 @@ def pagerank(
     iterations: int = 10,
     damping_pct: int = 85,
     scale: int = 10**15,
+    sources: list | DataFrame | None = None,
+    until_converged: bool = False,
+    max_iter: int = 100,
 ) -> DataFrame:
-    """Fixed-point integer PageRank over a directed edge list.
+    """Fixed-point integer PageRank over a directed edge list — uniform
+    or personalized, fixed-iteration or run-to-fixpoint.
 
     Returns (node, rank_fp) for every node appearing in ``edges``,
     where ``rank_fp`` is the PageRank mass scaled by ``scale`` and
@@ -302,24 +306,38 @@ def pagerank(
     division; with scale=1e15 the ranking is unaffected for any
     realistic graph (ranks agree with float PageRank to ~9 decimals).
 
-    Semantics per iteration (all integer arithmetic, `div` = truncating
-    division):
+    Semantics per iteration (all integer arithmetic, `div` =
+    truncating division; S = restart set, N or |S| its size):
 
-        teleport    = ((100 - damping_pct) * scale) div (100 * N)
-        dangling    = (sum of rank over out-degree-0 nodes) div N
-        rank'(v)    = teleport
+        teleport(v) = v in S ? ((100-damping_pct)*scale) div (100*|S|) : 0
+        dangling(v) = v in S ? (sum rank over outdeg-0 nodes) div |S| : 0
+        rank'(v)    = teleport(v)
                       + (damping_pct * (sum_{u->v} rank(u) div outdeg(u)
-                                        + dangling)) div 100
+                                        + dangling(v))) div 100
+
+    ``sources`` (personalized PageRank, Page et al. 1999 §6 /
+    Haveliwala 2002): restrict restart AND dangling redistribution to
+    a seed set (list of ids or a one-column DataFrame) — the
+    seed-expansion primitive for corpus curation: rank domains by
+    random-walk proximity to a trusted allowlist. ``sources=None`` is
+    classic uniform PageRank.
+
+    ``until_converged=True``: iterate until the integer rank vector
+    reaches its EXACT fixpoint (fixed-point arithmetic converges
+    exactly, not asymptotically — successive vectors are compared by
+    content digest, one cheap agg per round), bounded by ``max_iter``;
+    ``iterations`` is ignored in this mode. Each round then
+    materializes eagerly (digest is an action) — same discipline as
+    `connected_components`.
 
     Scale design: each iteration is one (edges x ranks) equi-join on
     ``src`` (narrow key, partition-parallel), one groupBy(dst) integer
     sum with map-side partial aggregation, and one scalar aggregate for
     the dangling mass (broadcast back as a 1-row cross join — never a
     driver collect of node data). Lineage is truncated per round with a
-    lazy localCheckpoint, same discipline as `connected_components`;
-    the edge/out-degree relations are computed once and persisted
-    across all rounds. Overflow headroom: damping_pct * (in_sum +
-    dangling) <= 100 * scale = 1e17 < int64 max.
+    lazy localCheckpoint; the edge/out-degree/flag relations are
+    computed once and persisted across all rounds. Overflow headroom:
+    damping_pct * (in_sum + dangling) <= 100 * scale = 1e17 < int64.
 
     The reference has no graph operator; this serves the web-corpus
     curation story (rank domains/hosts by link structure before
@@ -338,48 +356,87 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if sources is None:
+        nodes = nodes.withColumn("__is_src", F.lit(True))
+    elif isinstance(sources, DataFrame):
+        s = sources.select(F.col(sources.columns[0]).alias("node")).distinct()
+        nodes = nodes.join(
+            F.broadcast(s.withColumn("__is_src", F.lit(True))), "node", "left"
+        ).select("node", F.coalesce("__is_src", F.lit(False)).alias("__is_src"))
+    else:
+        nodes = nodes.withColumn(
+            "__is_src", F.col("node").isin([int(x) for x in sources])
+        )
+    nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
     n = nodes.count()
     if n == 0:
         e.unpersist()
         nodes.unpersist()
         return nodes.select(F.col("node"), F.lit(0).cast("long").alias("rank_fp"))
+    ns = nodes.where("__is_src").count()
+    if ns == 0:
+        e.unpersist()
+        nodes.unpersist()
+        raise ValueError("no source node appears in the graph")
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    teleport = ((100 - damping_pct) * scale) // (100 * n)
-    ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("rank_fp"))
-    for _ in range(iterations):
-        dangling = (
-            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
-            .agg(F.expr(f"coalesce(sum(rank_fp), 0L) div {n}").alias("d_each"))
-        )
+    teleport = ((100 - damping_pct) * scale) // (100 * ns)
+    init = F.when(F.col("__is_src"), F.lit(scale // ns)).otherwise(F.lit(0))
+    ranks = nodes.select("node", "__is_src", init.cast("long").alias("rank_fp"))
+
+    def _round(ranks: DataFrame) -> DataFrame:
+        dangling = ranks.join(
+            deg, ranks["node"] == deg["src"], "left_anti"
+        ).agg(F.expr(f"coalesce(sum(rank_fp), 0L) div {ns}").alias("d_each"))
         contrib = (
             e.join(ranks, e["src"] == ranks["node"])
             .join(deg, "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.expr("rank_fp div outdeg")).alias("in_sum"))
         )
-        ranks = (
+        return (
             nodes.join(contrib, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "__is_src",
                 F.expr(
-                    f"{teleport}L + ({damping_pct}L * "
-                    f"(coalesce(in_sum, 0L) + d_each)) div 100"
+                    f"(CASE WHEN __is_src THEN {teleport}L ELSE 0L END)"
+                    f" + ({damping_pct}L * (coalesce(in_sum, 0L)"
+                    f" + (CASE WHEN __is_src THEN d_each ELSE 0L END)))"
+                    f" div 100"
                 )
                 .cast("long")
                 .alias("rank_fp"),
             )
             .localCheckpoint(eager=False)
         )
-    # Materialize the final (lazily local-checkpointed) round before
-    # releasing the inputs its lineage still needs; localCheckpoint
-    # both stores the result and truncates the 10-round plan.
-    ranks.count()
+
+    rounds = 0
+    if until_converged:
+        # fixed-point arithmetic reaches an exact fixpoint in practice
+        # (the damped map is a contraction; truncation can in theory
+        # cycle with period > 1, which the digest would not detect —
+        # max_iter bounds that pathological case)
+        prev_digest = _digest(ranks, "node", "rank_fp")
+        for rounds in range(1, max_iter + 1):
+            ranks = _round(ranks)
+            d = _digest(ranks, "node", "rank_fp")  # also materializes
+            if d == prev_digest:
+                break
+            prev_digest = d
+    else:
+        for _ in range(iterations):
+            ranks = _round(ranks)
+        # Materialize the final (lazily local-checkpointed) round before
+        # releasing the inputs its lineage still needs; localCheckpoint
+        # both stores the result and truncates the N-round plan.
+        ranks.count()
+    out = ranks.drop("__is_src")
+    out._svoe_pr_rounds = rounds
     e.unpersist()
     nodes.unpersist()
     deg.unpersist()
-    return ranks
+    return out

@@ -2982,36 +2982,49 @@ _PR_ITERS = 10
 _PR_DAMP = 85
 
 
-def _pagerank_sql(iterations: int = _PR_ITERS) -> str:
+def _pagerank_sql(iterations: int = _PR_ITERS, sources_pred: str | None = None) -> str:
     """Oracle: unroll the integer fixed-point PageRank iterations as
-    chained CTEs — every arithmetic step (truncating `//` division,
-    exact integer sums) mirrors operators/graph.py:pagerank token for
-    token, so the hash match proves the distributed iteration loop
-    computes the textbook recurrence exactly."""
+    chained MATERIALIZED CTEs (DuckDB's inlining default would re-scan
+    the base join per reference and exhaust file handles) — every
+    arithmetic step (truncating `//` division, exact integer sums)
+    mirrors operators/graph.py:pagerank token for token, so the hash
+    match proves the distributed iteration loop computes the textbook
+    recurrence exactly. ``sources_pred``: SQL boolean over ``node``
+    selecting the personalized restart set (None = uniform)."""
+    pred = sources_pred or "TRUE"
     head = f"""
     WITH edges AS MATERIALIZED (
       SELECT DISTINCT l.l_suppkey * 2 + 1 AS src, o.o_custkey * 2 AS dst
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     ),
     nodes AS MATERIALIZED (
-      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+      SELECT node, ({pred}) AS is_src FROM (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+      )
     ),
     deg AS MATERIALIZED (
       SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
       FROM edges GROUP BY src
     ),
-    nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    nn AS MATERIALIZED (
+      SELECT CAST(COUNT(*) FILTER (WHERE is_src) AS BIGINT) AS n FROM nodes
+    ),
     r0 AS MATERIALIZED (
-      SELECT node, CAST({_PR_SCALE} // nn.n AS BIGINT) AS rank_fp
+      SELECT node, is_src,
+             CAST(CASE WHEN is_src THEN {_PR_SCALE} // nn.n ELSE 0 END
+                  AS BIGINT) AS rank_fp
       FROM nodes, nn
     )"""
     its = []
     for i in range(1, iterations + 1):
         its.append(f""",
     r{i} AS MATERIALIZED (
-      SELECT nodes.node,
-             CAST((SELECT ({100 - _PR_DAMP} * {_PR_SCALE}) // (100 * n) FROM nn)
-                  + ({_PR_DAMP} * (COALESCE(c.in_sum, 0) + dg.d_each)) // 100
+      SELECT nodes.node, nodes.is_src,
+             CAST(CASE WHEN nodes.is_src THEN
+                    (SELECT ({100 - _PR_DAMP} * {_PR_SCALE}) // (100 * n) FROM nn)
+                  ELSE 0 END
+                  + ({_PR_DAMP} * (COALESCE(c.in_sum, 0)
+                     + CASE WHEN nodes.is_src THEN dg.d_each ELSE 0 END)) // 100
                   AS BIGINT) AS rank_fp
       FROM nodes
       CROSS JOIN (
@@ -3341,4 +3354,50 @@ def asof_purchase_nearest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "event_id", "ts", "user_id", "purchase_value", "nearest_view_value"
+    )
+
+
+_PPR_SEEDS = 5  # suppliers 1..5 form the trusted restart set
+
+
+@query(
+    "ppr_trusted_suppliers",
+    _pagerank_sql(
+        sources_pred=f"node % 2 = 1 AND node // 2 BETWEEN 1 AND {_PPR_SEEDS}"
+    ),
+)
+def ppr_trusted_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank: restart AND dangling mass confined to a
+    trusted seed set (suppliers 1..5) — the seed-expansion primitive
+    for corpus curation (rank domains by random-walk proximity to an
+    allowlist, Haveliwala 2002). Same fixed-point integer recurrence
+    as pagerank_supply_graph with the teleport made conditional; the
+    oracle unrolls the identical conditional arithmetic."""
+    from svoe_spark.operators.graph import pagerank
+
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    edges = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        (F.col("l_suppkey") * 2 + 1).alias("src"),
+        (F.col("o_custkey") * 2).alias("dst"),
+    )
+    seeds = [2 * k + 1 for k in range(1, _PPR_SEEDS + 1)]
+    pr = pagerank(
+        edges,
+        iterations=_PR_ITERS,
+        damping_pct=_PR_DAMP,
+        scale=_PR_SCALE,
+        sources=seeds,
+    )
+    return (
+        pr.select(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("entity"),
+            F.expr("node div 2").cast("long").alias("entity_key"),
+            "rank_fp",
+            (F.col("rank_fp") / F.lit(1000000000000000.0)).alias("rank"),
+        )
+        .orderBy(F.desc("rank_fp"), "entity", "entity_key")
+        .limit(20)
     )

@@ -69,3 +69,73 @@ def test_zero_iterations_uniform(spark, edges):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r["node"]: r["rank_fp"] for r in pagerank(df, iterations=0).collect()}
     assert set(got.values()) == {SCALE // 5}
+
+
+def _py_ppr(edges, sources, iterations=10, damping_pct=85, scale=SCALE):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    srcs = [v for v in nodes if v in set(sources)]
+    ns = len(srcs)
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    r = {v: (scale // ns if v in set(srcs) else 0) for v in nodes}
+    teleport = ((100 - damping_pct) * scale) // (100 * ns)
+    for _ in range(iterations):
+        dangling = sum(r[v] for v in nodes if v not in out) // ns
+        inc = {v: 0 for v in nodes}
+        for s, d in edges:
+            inc[d] += r[s] // out[s]
+        r = {
+            v: (teleport if v in set(srcs) else 0)
+            + (damping_pct * (inc[v] + (dangling if v in set(srcs) else 0))) // 100
+            for v in nodes
+        }
+    return r
+
+
+def test_personalized_matches_python_mirror(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank(df, iterations=10, sources=[1, 2]).collect()
+    }
+    assert got == _py_ppr(edges, [1, 2], iterations=10)
+
+
+def test_personalized_concentrates_near_sources(spark):
+    # two disconnected triangles; restart at one of them
+    tri1 = [(1, 2), (2, 3), (3, 1)]
+    tri2 = [(10, 11), (11, 12), (12, 10)]
+    df = spark.createDataFrame(tri1 + tri2, "src long, dst long")
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank(df, iterations=15, sources=[1]).collect()
+    }
+    assert min(got[v] for v in (1, 2, 3)) > max(got[v] for v in (10, 11, 12))
+    assert got[10] == got[11] == got[12] == 0
+
+
+def test_sources_dataframe_and_missing_source(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(1,), (2,)], "node long")
+    got_df = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank(df, iterations=5, sources=sdf).collect()
+    }
+    assert got_df == _py_ppr(edges, [1, 2], iterations=5)
+    with pytest.raises(ValueError):
+        pagerank(df, iterations=5, sources=[999]).collect()
+
+
+def test_until_converged_reaches_fixpoint(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    pr = pagerank(df, until_converged=True, max_iter=200)
+    got = {r["node"]: r["rank_fp"] for r in pr.collect()}
+    rounds = pr._svoe_pr_rounds
+    assert 1 < rounds < 200
+    # running the mirror for `rounds` and `rounds+5` gives the same
+    # vector: it really is a fixpoint of the integer map
+    assert _py_pagerank(edges, iterations=rounds) == _py_pagerank(
+        edges, iterations=rounds + 5
+    )
+    assert got == _py_pagerank(edges, iterations=rounds)
