@@ -968,6 +968,82 @@ def round6b_smoke(spark, results, force, n_edges=20_000_000, n_obs=100_000_000):
 
     results["kmv_set_ops_100mx2_sec"] = timed(_kso, "kmv_set_ops_100mx2")
 
+    # nearest as-of: 20M left probes x 2M right states, 100 keys
+    from svoe_spark.operators.asof import asof_join_nearest
+
+    n_l, n_r = 20_000_000, 2_000_000
+    left = spark.range(n_l).select(
+        (F.col("id") % 100).alias("k"),
+        F.timestamp_micros(F.col("id") * 37).alias("ts"),
+        F.col("id").alias("lid"),
+    )
+    right = spark.range(n_r).select(
+        (F.col("id") % 100).alias("k"),
+        F.timestamp_micros(F.col("id") * 370 + 5).alias("ts"),
+        (F.col("id") % 1000).alias("rv"),
+    )
+
+    def _nearest():
+        out = asof_join_nearest(left, right, on="ts", by="k", right_cols=["rv"])
+        n = out.where(F.col("rv").isNotNull()).count()
+        results["nearest_matched"] = n
+        assert n == n_l  # dense right side: every probe matches
+
+    results["asof_nearest_20mx2m_sec"] = timed(_nearest, "asof_nearest_20mx2m")
+
+    # SCD2Store incremental refresh: 1k-key batch into a 10M-key store
+    import tempfile
+
+    from svoe_spark.operators.scd import SCD2Store
+
+    dim_path = tempfile.mkdtemp(prefix="scd2_smoke_") + "/dim"
+    base = spark.range(30_000_000).select(
+        (F.col("id") % 10_000_000).alias("key"),
+        F.timestamp_micros(F.col("id") * 1000).alias("ts"),
+        F.col("id").alias("tie"),
+        (F.xxhash64("id") % 3).cast("string").alias("state"),
+    )
+    store = SCD2Store(
+        spark, dim_path, key="key", attr_cols=["state"], ts="ts",
+        tie_col="tie", n_buckets=64,
+    )
+    results["scd2_store_seed_30m_sec"] = timed(
+        lambda: store.refresh(base), "scd2_store_seed_30m"
+    )
+    # two batch shapes: hash bucketing prunes when the batch touches
+    # FEW DISTINCT KEYS (a hot-entity burst: 10 keys -> <=10 of 64
+    # buckets read+rewritten); a 1k-RANDOM-key batch covers all 64
+    # buckets (coupon collector) and degrades to a full copy-on-write
+    # rewrite — the inherent dynamic-overwrite trade (Delta/Iceberg
+    # without merge-on-read have the same shape; raise n_buckets to
+    # move the knee)
+    burst = spark.range(10).select(
+        (F.col("id") * 9973).alias("key"),
+        F.timestamp_micros(F.lit(40_000_000_000_000)).alias("ts"),
+        (F.col("id") + 50_000_000).alias("tie"),
+        F.lit("z").alias("state"),
+    )
+
+    def _burst():
+        touched = store.refresh(burst, batch_id=7)
+        results["scd2_burst_buckets_touched"] = len(touched)
+        assert len(touched) <= 10
+
+    results["scd2_store_inc_10key_sec"] = timed(_burst, "scd2_store_inc_10key")
+
+    wide = spark.range(1000).select(
+        (F.col("id") * 9973 + 1).alias("key"),
+        F.timestamp_micros(F.lit(41_000_000_000_000)).alias("ts"),
+        (F.col("id") + 60_000_000).alias("tie"),
+        F.lit("z").alias("state"),
+    )
+
+    def _wide():
+        touched = store.refresh(wide, batch_id=8)
+        results["scd2_wide_buckets_touched"] = len(touched)
+
+    results["scd2_store_inc_1k_sec"] = timed(_wide, "scd2_store_inc_1k")
+
 
 def main():
     spark = get_spark("scale_smoke")

@@ -454,8 +454,7 @@ def asof_join_nearest(
     tolerance bound are EXACT integer microseconds — a double
     epoch-seconds tie could round the two sides apart and flip the
     pandas tie-break. Duplicate right instants: backward picks the
-    GREATEST ``tiebreak`` (running last), forward the smallest (window
-    first) — both deterministic.
+    GREATEST ``tiebreak``, forward the smallest — both deterministic.
 
     Scale note: lazy single-window plan (per-key sort). For hot keys
     needing the bucketed path, run the two directional
@@ -521,10 +520,22 @@ def asof_join_nearest(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the forward fill is a RUNNING frame over the REVERSED sort, not
+    # first() over [currentRow, unboundedFollowing] — Spark re-
+    # aggregates growing-to-the-right frames per row (O(rows^2) per
+    # key; a 20M-row smoke never finished), while a reversed running
+    # last() is one O(rows) pass. Same partitioning -> one exchange,
+    # two sorts. Order flips ALL keys: same-instant right rows (side 0)
+    # sort AFTER the left row in reverse, staying excluded from the
+    # forward candidate set; duplicate-instant forward rows yield the
+    # smallest tiebreak, as before.
+    rev = [F.col(_TS).desc(), F.col(_SIDE).desc()] + (
+        [F.col(tb).desc_nulls_last()] if tb else []
+    )
     wf = (
         Window.partitionBy(*by)
-        .orderBy(*order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(*rev)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(
         on,
@@ -533,7 +544,7 @@ def asof_join_nearest(
         _TS,
         *keep,
         F.last(cand, ignorenulls=True).over(wb).alias("__b"),
-        F.first(cand, ignorenulls=True).over(wf).alias("__f"),
+        F.last(cand, ignorenulls=True).over(wf).alias("__f"),
     ).filter(F.col(_SIDE) == 1)
     bmts = F.col("__b")["__mts"]
     fmts = F.col("__f")["__mts"]
