@@ -440,3 +440,107 @@ def pagerank(
     nodes.unpersist()
     deg.unpersist()
     return out
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    scale: int = 10**15,
+) -> DataFrame:
+    """Fixed-point integer HITS (Kleinberg 1999): mutually-recursive
+    hub and authority scores over a directed edge list — the natural
+    ranking for BIPARTITE link structures (a supplier is a good hub if
+    it serves high-authority customers, and vice versa) where
+    PageRank's random surfer is less meaningful.
+
+    Returns (node, hub_fp, auth_fp), both scaled so each score vector
+    sums to ~``scale``. Per iteration (the L1-normalized power method):
+
+        auth_raw(v) = sum_{u->v} hub(u)          -- exact decimal sum
+        auth(v)     = (auth_raw(v) * scale) div sum(auth_raw)
+        hub_raw(u)  = sum_{u->v} auth(v)
+        hub(u)      = (hub_raw(u) * scale) div sum(hub_raw)
+
+    All arithmetic is exact: the raw sums accumulate in decimal(38,0)
+    (per-node raw <= scale * max_degree, far under 1e38; int64 would
+    overflow at degree ~9e3), and the rescale is one truncating
+    integral division — Spark's decimal `div` and DuckDB's HUGEINT
+    `//` produce identical quotients, so the oracle unrolls the same
+    recurrence and hash-matches. L1 normalization (not the textbook
+    L2) keeps the arithmetic rational; the FIXED POINT of the power
+    method is identical up to scaling (eigenvectors of E^T E don't
+    care which norm rescales them), and every engine reproduces the
+    same integer trajectory.
+
+    Scale shape: each iteration is two edge-relation equi-joins + two
+    map-side-combined decimal sums + two broadcast scalar totals; the
+    edge relation is computed once and persisted; lineage truncated
+    per half-step with lazy localCheckpoints.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = nodes.count()
+    if n == 0:
+        e.unpersist()
+        nodes.unpersist()
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("hub_fp"),
+            F.lit(0).cast("long").alias("auth_fp"),
+        )
+    hub = nodes.select("node", F.lit(scale // n).cast("long").alias("hub_fp"))
+    auth = nodes.select("node", F.lit(0).cast("long").alias("auth_fp"))
+
+    def _half(scores: DataFrame, score_col: str, join_on: str, group_as: str, out: str) -> DataFrame:
+        raw = (
+            e.join(scores, e[join_on] == scores["node"])
+            .groupBy(F.col(group_as).alias("node"))
+            .agg(
+                F.sum(F.col(score_col).cast("decimal(38,0)")).alias("__raw")
+            )
+        )
+        total = raw.agg(F.sum("__raw").alias("__t"))
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST(CASE WHEN __t > 0 THEN "
+                    f"(coalesce(__raw, CAST(0 AS DECIMAL(38,0))) * {scale}) div __t "
+                    f"ELSE 0 END AS BIGINT)"
+                ).alias(out),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    for _ in range(iterations):
+        auth = _half(hub, "hub_fp", "src", "dst", "auth_fp")
+        hub = _half(auth, "auth_fp", "dst", "src", "hub_fp")
+    out = (
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub_fp", F.lit(0)).cast("long").alias("hub_fp"),
+            F.coalesce("auth_fp", F.lit(0)).cast("long").alias("auth_fp"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    out.count()
+    e.unpersist()
+    nodes.unpersist()
+    return out

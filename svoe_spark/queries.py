@@ -3401,3 +3401,102 @@ def ppr_trusted_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_fp"), "entity", "entity_key")
         .limit(20)
     )
+
+
+_HITS_ITERS = 5
+
+
+def _hits_sql(iterations: int = _HITS_ITERS) -> str:
+    """Oracle for the HITS query: unrolled MATERIALIZED CTE pairs, one
+    (auth, hub) rescale per iteration — decimal/HUGEINT sums and the
+    truncating integral division mirror operators/graph.py:hits."""
+    head = f"""
+    WITH edges AS MATERIALIZED (
+      SELECT DISTINCT l.l_suppkey * 2 + 1 AS src, o.o_custkey * 2 AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    nodes AS MATERIALIZED (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    h0 AS MATERIALIZED (
+      SELECT node,
+             CAST({_PR_SCALE} // (SELECT COUNT(*) FROM nodes) AS BIGINT)
+               AS hub_fp
+      FROM nodes
+    )"""
+    its = []
+    for i in range(1, iterations + 1):
+        its.append(f""",
+    a{i}_raw AS MATERIALIZED (
+      SELECT e.dst AS node, SUM(CAST(h.hub_fp AS HUGEINT)) AS raw
+      FROM edges e JOIN h{i - 1} h ON e.src = h.node GROUP BY e.dst
+    ),
+    a{i} AS MATERIALIZED (
+      SELECT nodes.node,
+             CAST(CASE WHEN t.t > 0
+                  THEN (COALESCE(r.raw, 0) * {_PR_SCALE}) // t.t
+                  ELSE 0 END AS BIGINT) AS auth_fp
+      FROM nodes
+      LEFT JOIN a{i}_raw r ON nodes.node = r.node
+      CROSS JOIN (SELECT COALESCE(SUM(raw), 0) AS t FROM a{i}_raw) t
+    ),
+    h{i}_raw AS MATERIALIZED (
+      SELECT e.src AS node, SUM(CAST(a.auth_fp AS HUGEINT)) AS raw
+      FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY e.src
+    ),
+    h{i} AS MATERIALIZED (
+      SELECT nodes.node,
+             CAST(CASE WHEN t.t > 0
+                  THEN (COALESCE(r.raw, 0) * {_PR_SCALE}) // t.t
+                  ELSE 0 END AS BIGINT) AS hub_fp
+      FROM nodes
+      LEFT JOIN h{i}_raw r ON nodes.node = r.node
+      CROSS JOIN (SELECT COALESCE(SUM(raw), 0) AS t FROM h{i}_raw) t
+    )"""
+        )
+    tail = f"""
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS entity,
+           CAST(node // 2 AS BIGINT) AS entity_key,
+           h.hub_fp, a.auth_fp
+    FROM nodes
+    JOIN h{iterations} h USING (node)
+    JOIN a{iterations} a USING (node)
+    ORDER BY h.hub_fp + a.auth_fp DESC, entity, entity_key
+    LIMIT 20
+    """
+    return head + "".join(its) + tail
+
+
+@query("hits_supply_graph", _hits_sql())
+def hits_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the bipartite
+    supplier->customer graph: suppliers earn hub mass by serving
+    high-authority customers and vice versa — the mutual-reinforcement
+    ranking PageRank's random surfer doesn't express. Fixed-point
+    integer power method with L1 rescaling (operators/graph.py:hits):
+    decimal-exact sums, truncating integral division, so the unrolled
+    oracle hash-matches the distributed trajectory. Top 20 by combined
+    mass."""
+    from svoe_spark.operators.graph import hits
+
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    edges = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        (F.col("l_suppkey") * 2 + 1).alias("src"),
+        (F.col("o_custkey") * 2).alias("dst"),
+    )
+    hs = hits(edges, iterations=_HITS_ITERS, scale=_PR_SCALE)
+    return (
+        hs.select(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("entity"),
+            F.expr("node div 2").cast("long").alias("entity_key"),
+            "hub_fp",
+            "auth_fp",
+        )
+        .orderBy(
+            F.desc(F.col("hub_fp") + F.col("auth_fp")), "entity", "entity_key"
+        )
+        .limit(20)
+    )

@@ -139,3 +139,50 @@ def test_until_converged_reaches_fixpoint(spark, edges):
         edges, iterations=rounds + 5
     )
     assert got == _py_pagerank(edges, iterations=rounds)
+
+
+def _py_hits(edges, iterations=5, scale=SCALE):
+    from collections import defaultdict
+
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    hub = {v: scale // n for v in nodes}
+    auth = {v: 0 for v in nodes}
+
+    def half(scores, forward):
+        raw = defaultdict(int)
+        for s, d in set(edges):
+            if forward:
+                raw[d] += scores[s]
+            else:
+                raw[s] += scores[d]
+        t = sum(raw.values())
+        return {v: ((raw.get(v, 0) * scale) // t if t > 0 else 0) for v in nodes}
+
+    for _ in range(iterations):
+        auth = half(hub, True)
+        hub = half(auth, False)
+    return hub, auth
+
+
+def test_hits_matches_python_mirror(spark, edges):
+    from svoe_spark.operators.graph import hits
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["hub_fp"], r["auth_fp"]) for r in hits(df, iterations=5).collect()}
+    hub, auth = _py_hits(edges, iterations=5)
+    assert got == {v: (hub[v], auth[v]) for v in hub}
+
+
+def test_hits_bipartite_semantics(spark):
+    from svoe_spark.operators.graph import hits
+
+    # hub 1 points at popular authorities {10, 11}; hub 2 only at 10;
+    # authority 10 has more in-links than 11
+    edges = [(1, 10), (1, 11), (2, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["hub_fp"], r["auth_fp"]) for r in hits(df, iterations=8).collect()}
+    assert got[10][1] > got[11][1] > 0  # 10 the stronger authority
+    assert got[1][0] > got[2][0] > 0  # 1 the stronger hub
+    assert got[10][0] == got[11][0] == 0  # pure sinks: no hub score
+    assert got[1][1] == got[2][1] == 0  # pure sources: no authority
