@@ -15,7 +15,13 @@ from typing import Iterable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import DoubleType, StructField, StructType, TimestampType
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 from svoe_spark.streaming.chunks import batch_frame
 
@@ -296,6 +302,99 @@ def drawdown_stream(
 
     return (
         df.select(key, on, *([tiebreak] if tiebreak is not None else []), value)
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def ofi_stream(
+    df: DataFrame,
+    key: str = "symbol",
+    on: str = "ts",
+    bid_px: str = "bid_px",
+    bid_sz: str = "bid_sz",
+    ask_px: str = "ask_px",
+    ask_sz: str = "ask_sz",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Streaming order-flow imbalance: the Kappa form of
+    ``operators.quant.order_flow_imbalance`` — per book-top update,
+    the signed size contribution e_n (Cont/Kukanov/Stoikov), computed
+    incrementally with FOUR longs of state per key (the previous
+    best-bid/ask snapshot). The first-ever update contributes 0,
+    matching the batch operator's null-lag row; within a micro-batch
+    the operator sorts by (ts, tiebreak), and across micro-batches
+    event time must be non-decreasing per key (the replay contract
+    shared with drawdown_stream). Integer arithmetic throughout —
+    stream == batch exactly, equivalence-tested."""
+    sort_cols = [on] if tiebreak is None else [on, tiebreak]
+    extra = (
+        [StructField(tiebreak, df.schema[tiebreak].dataType)]
+        if tiebreak is not None
+        else []
+    )
+    out_schema = StructType(
+        [
+            StructField(key, df.schema[key].dataType),
+            StructField(on, TimestampType()),
+            *extra,
+            StructField("e_ofi", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("pb", LongType()),
+            StructField("pqb", LongType()),
+            StructField("pa", LongType()),
+            StructField("pqa", LongType()),
+        ]
+    )
+    cols = [bid_px, bid_sz, ask_px, ask_sz]
+
+    def fn(
+        key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        prev = state.get if state.exists else None
+        pdf = batch_frame(pdfs, sort_cols, columns=[*sort_cols, *cols])
+        b = pdf[bid_px].astype("int64")
+        qb = pdf[bid_sz].astype("int64")
+        a = pdf[ask_px].astype("int64")
+        qa = pdf[ask_sz].astype("int64")
+        # previous snapshot per row: the batch's own shift, row 0
+        # seeded from state (fill_value keeps int64 — no NaN/float trip)
+        pb = b.shift(fill_value=0)
+        pqb = qb.shift(fill_value=0)
+        pa = a.shift(fill_value=0)
+        pqa = qa.shift(fill_value=0)
+        first_is_cold = prev is None
+        if prev is not None and len(pdf):
+            pb.iloc[0], pqb.iloc[0], pa.iloc[0], pqa.iloc[0] = prev
+        e = (
+            (b >= pb).astype("int64") * qb
+            - (b <= pb).astype("int64") * pqb
+            - (a <= pa).astype("int64") * qa
+            + (a >= pa).astype("int64") * pqa
+        )
+        if first_is_cold and len(pdf):
+            e.iloc[0] = 0
+        out = {key: key_tuple[0], on: pdf[on]}
+        if tiebreak is not None:
+            out[tiebreak] = pdf[tiebreak]
+        out["e_ofi"] = e
+        yield pd.DataFrame(out)
+        if len(pdf):
+            state.update(
+                (int(b.iloc[-1]), int(qb.iloc[-1]), int(a.iloc[-1]), int(qa.iloc[-1]))
+            )
+
+    return (
+        df.select(key, on, *([tiebreak] if tiebreak is not None else []), *cols)
         .groupBy(key)
         .applyInPandasWithState(
             fn,
