@@ -365,16 +365,14 @@ def pagerank(
             F.broadcast(s.withColumn("__is_src", F.lit(True))), "node", "left"
         ).select("node", F.coalesce("__is_src", F.lit(False)).alias("__is_src"))
     else:
-        nodes = nodes.withColumn(
-            "__is_src", F.col("node").isin([int(x) for x in sources])
-        )
+        nodes = nodes.withColumn("__is_src", F.col("node").isin(list(sources)))
     nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
     n = nodes.count()
     if n == 0:
         e.unpersist()
         nodes.unpersist()
         return nodes.select(F.col("node"), F.lit(0).cast("long").alias("rank_fp"))
-    ns = nodes.where("__is_src").count()
+    ns = n if sources is None else nodes.where("__is_src").count()
     if ns == 0:
         e.unpersist()
         nodes.unpersist()
@@ -538,8 +536,11 @@ def hits(
             F.coalesce("hub_fp", F.lit(0)).cast("long").alias("hub_fp"),
             F.coalesce("auth_fp", F.lit(0)).cast("long").alias("auth_fp"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
+    # materialize (and truncate lineage) before releasing the inputs;
+    # no extra persist — the localCheckpoint IS the cached copy, and it
+    # does not outlive its references the way a leaked .persist() would
     out.count()
     e.unpersist()
     nodes.unpersist()

@@ -26,11 +26,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from svoe_spark.functions.time import bucket_start
-from svoe_spark.operators.util import (
-    append_commit,
-    read_commit_log,
-    store_path_exists,
-)
 
 #: associative bar schema produced by `bars_from_ticks` / merged by
 #: `combine_bars`: open/close travel with their arg keys so the merge
@@ -173,16 +168,16 @@ class RollupStore:
         """Incorporate a batch of raw ticks; returns the ISO days
         rewritten.
 
-        With ``batch_id`` set, the refresh is idempotent PER PARTITION:
-        every rewritten day partition is stamped with the batch id
-        (``last_batch`` column), and a replayed batch skips any day
-        whose stamp already equals it. A crash mid-write can leave some
-        touched days swapped and others not (the directory swap is the
-        atomic unit, the multi-partition write is not) — on replay the
-        swapped days are recognized by their stamp and NOT re-merged,
-        the rest merge normally, so at-least-once delivery never
-        double-counts. Without ``batch_id`` the merge is blind (caller
-        guarantees each tick arrives once)."""
+        The persist/stamp-skip/pruned-read/dynamic-overwrite skeleton
+        is the shared `util.refresh_partitions` (same implementation
+        SCD2Store uses; the per-day batch stamp described there closes
+        the crash window between a partition swap and the commit-log
+        append — a replayed batch re-merges only the days the crashed
+        attempt had not yet swapped, so at-least-once delivery never
+        double-counts). Only the merge differs: the additive
+        `combine_bars` algebra over the bar columns."""
+        from svoe_spark.operators.util import refresh_partitions
+
         delta = self._with_day(
             rollup_bars(
                 bars_from_ticks(new_ticks, window="1m", key=self.key),
@@ -190,56 +185,22 @@ class RollupStore:
                 key=self.key,
             )
         )
-        # the delta is consumed by the day-discovery collect AND the
-        # merge/write below — persist so the double aggregation over
-        # the batch runs once
-        delta = delta.persist()
-        try:
-            day_vals = [
-                r["day"] for r in delta.select("day").distinct().collect()
-            ]
-            if not day_vals:
-                return []
-            exists = store_path_exists(self.spark, self.path)
-            if exists and batch_id is not None:
-                # days already stamped with this batch id were swapped
-                # by a previous (crashed) attempt: their content already
-                # includes the delta — exclude them entirely
-                stamped = self._read_days(day_vals).where(
-                    F.col("last_batch") == batch_id
+
+        def merge(existing: DataFrame | None, delta_part: DataFrame) -> DataFrame:
+            if existing is None:
+                return delta_part
+            return self._with_day(
+                combine_bars(
+                    existing.drop("day", "last_batch"),
+                    delta_part.drop("day", "last_batch"),
+                    key=self.key,
                 )
-                done_days = {r["day"] for r in stamped.select("day").distinct().collect()}
-                day_vals = [d for d in day_vals if d not in done_days]
-                if not day_vals:
-                    return []
-                delta_part = delta.where(F.col("day").isin(day_vals))
-            else:
-                delta_part = delta
-            if exists:
-                existing = self._read_days(day_vals)
-                merged = self._with_day(
-                    combine_bars(
-                        existing.drop("day", "last_batch"),
-                        delta_part.drop("day", "last_batch"),
-                        key=self.key,
-                    )
-                )
-            else:
-                merged = delta_part
-            (
-                merged.withColumn(
-                    "last_batch",
-                    F.lit(-1 if batch_id is None else batch_id).cast("long"),
-                )
-                .repartition("day")
-                .write.partitionBy("day")
-                .option("partitionOverwriteMode", "dynamic")
-                .mode("overwrite")
-                .parquet(self.path)
             )
-            return sorted(str(d) for d in day_vals)
-        finally:
-            delta.unpersist()
+
+        touched = refresh_partitions(
+            self.spark, self.path, delta, "day", merge, batch_id=batch_id
+        )
+        return sorted(str(d) for d in touched)
 
     def read(self) -> DataFrame:
         """Finished (vwap-derived) view of the store."""
@@ -256,11 +217,14 @@ class RollupStore:
         days the crashed attempt had not yet swapped. Returns whether
         any data work was done. Store paths may be driver-local or any
         Hadoop filesystem (``util.read_commit_log``/``append_commit``)."""
-        if batch_id in read_commit_log(self.spark, self.path):
-            return False
-        self.refresh(batch_df, batch_id=batch_id)
-        append_commit(self.spark, self.path, batch_id)
-        return True
+        from svoe_spark.operators.util import apply_commit_batch
+
+        return apply_commit_batch(
+            self.spark,
+            self.path,
+            batch_id,
+            lambda: self.refresh(batch_df, batch_id=batch_id),
+        )
 
 
 def maintain_rollup_stream(

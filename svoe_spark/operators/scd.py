@@ -227,30 +227,15 @@ class SCD2Store:
         return self.spark.read.parquet(self.path).where(F.col("kb").isin(buckets))
 
     def refresh(self, updates: DataFrame, batch_id: int | None = None) -> list[int]:
-        """Merge an update batch; returns the bucket ids rewritten."""
-        from svoe_spark.operators.util import store_path_exists
+        """Merge an update batch; returns the bucket ids rewritten.
+        The persist/stamp-skip/pruned-read/dynamic-overwrite skeleton
+        is the shared `util.refresh_partitions` (one implementation
+        for this store and RollupStore); only the merge differs."""
+        from svoe_spark.operators.util import refresh_partitions
 
-        ups = self._with_bucket(updates).persist()
-        try:
-            buckets = [r["kb"] for r in ups.select("kb").distinct().collect()]
-            if not buckets:
-                return []
-            exists = store_path_exists(self.spark, self.path)
-            if exists and batch_id is not None:
-                stamped = self._read_buckets(buckets).where(
-                    F.col("last_batch") == batch_id
-                )
-                done = {r["kb"] for r in stamped.select("kb").distinct().collect()}
-                buckets = [b for b in buckets if b not in done]
-                if not buckets:
-                    return []
-                ups_part = ups.where(F.col("kb").isin(buckets))
-            else:
-                ups_part = ups
-            if exists:
-                hist = self._read_buckets(buckets).drop("kb", "last_batch")
-                merged = scd2_merge(
-                    hist,
+        def merge(existing: DataFrame | None, ups_part: DataFrame) -> DataFrame:
+            if existing is None:
+                redone = scd2_compress(
                     ups_part.drop("kb"),
                     self.key,
                     self.attr_cols,
@@ -258,28 +243,24 @@ class SCD2Store:
                     tie_col=self.tie_col,
                 )
             else:
-                merged = scd2_compress(
+                redone = scd2_merge(
+                    existing.drop("kb", "last_batch"),
                     ups_part.drop("kb"),
                     self.key,
                     self.attr_cols,
                     ts=self.ts,
                     tie_col=self.tie_col,
                 )
-            (
-                self._with_bucket(merged)
-                .withColumn(
-                    "last_batch",
-                    F.lit(-1 if batch_id is None else batch_id).cast("long"),
-                )
-                .repartition("kb")
-                .write.partitionBy("kb")
-                .option("partitionOverwriteMode", "dynamic")
-                .mode("overwrite")
-                .parquet(self.path)
-            )
-            return sorted(buckets)
-        finally:
-            ups.unpersist()
+            return self._with_bucket(redone)
+
+        return refresh_partitions(
+            self.spark,
+            self.path,
+            self._with_bucket(updates),
+            "kb",
+            merge,
+            batch_id=batch_id,
+        )
 
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path).drop("kb", "last_batch")
@@ -289,13 +270,14 @@ class SCD2Store:
         return self.read().where(F.col("is_current"))
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> bool:
-        from svoe_spark.operators.util import append_commit, read_commit_log
+        from svoe_spark.operators.util import apply_commit_batch
 
-        if batch_id in read_commit_log(self.spark, self.path):
-            return False
-        self.refresh(batch_df, batch_id=batch_id)
-        append_commit(self.spark, self.path, batch_id)
-        return True
+        return apply_commit_batch(
+            self.spark,
+            self.path,
+            batch_id,
+            lambda: self.refresh(batch_df, batch_id=batch_id),
+        )
 
 
 def maintain_scd2_stream(store: SCD2Store, update_stream: DataFrame, checkpoint: str):

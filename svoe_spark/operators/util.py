@@ -133,3 +133,69 @@ def append_commit(spark, path: str, batch_id: int) -> None:
         fs.delete(p, False)
     if not fs.rename(tmp, p):
         raise IOError(f"append_commit: rename {tmp} -> {p} failed")
+
+
+def refresh_partitions(spark, path: str, delta, part_col: str, merge_fn, batch_id=None):
+    """Shared skeleton of the idempotent partitioned-overwrite stores
+    (RollupStore days, SCD2Store key-hash buckets): persist the delta,
+    discover its touched partitions, skip partitions already stamped
+    with this batch id (the crash window between a partition swap and
+    the commit-log append), hand the PRUNED existing read plus the
+    remaining delta to ``merge_fn``, and rewrite only those partitions
+    via dynamic partition overwrite with a ``last_batch`` stamp.
+
+    ``delta`` must already carry ``part_col``; ``merge_fn(existing,
+    delta_part)`` receives the raw pruned store rows (incl. part and
+    stamp columns — drop what you don't merge on) or None when the
+    store doesn't exist yet, and must return rows WITH ``part_col``.
+    Returns the touched partition values (unformatted). Single
+    concurrent writer per path, as with any dynamic-overwrite store.
+    """
+    from pyspark.sql import functions as F
+
+    delta = delta.persist()
+    try:
+        parts = [r[part_col] for r in delta.select(part_col).distinct().collect()]
+        if not parts:
+            return []
+        exists = store_path_exists(spark, path)
+
+        def read_parts(ps):
+            return spark.read.parquet(path).where(F.col(part_col).isin(ps))
+
+        if exists and batch_id is not None:
+            stamped = read_parts(parts).where(F.col("last_batch") == batch_id)
+            done = {r[part_col] for r in stamped.select(part_col).distinct().collect()}
+            parts = [p for p in parts if p not in done]
+            if not parts:
+                return []
+            delta_part = delta.where(F.col(part_col).isin(parts))
+        else:
+            delta_part = delta
+        merged = merge_fn(read_parts(parts) if exists else None, delta_part)
+        (
+            merged.withColumn(
+                "last_batch",
+                F.lit(-1 if batch_id is None else batch_id).cast("long"),
+            )
+            .repartition(part_col)
+            .write.partitionBy(part_col)
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(path)
+        )
+        return sorted(parts)
+    finally:
+        delta.unpersist()
+
+
+def apply_commit_batch(spark, path: str, batch_id: int, refresh) -> bool:
+    """The commit-log fast path every incremental store's foreachBatch
+    entry shares: skip batches already logged, else run ``refresh()``
+    (which must itself be stamp-guarded for the crash window) and log
+    the id. Returns whether data work ran."""
+    if batch_id in read_commit_log(spark, path):
+        return False
+    refresh()
+    append_commit(spark, path, batch_id)
+    return True
