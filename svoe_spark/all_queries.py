@@ -68,6 +68,7 @@ _DRIVER_PRIORITY = [
     "asof_purchase_nearest_view",
     "ppr_trusted_suppliers",
     "hits_supply_graph",
+    "bfs_hops_trusted",
 ]
 
 # (c) refill: LLM-data layer in CORRECTNESS_r03 order (last green r3).

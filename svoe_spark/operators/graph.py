@@ -545,3 +545,59 @@ def hits(
     e.unpersist()
     nodes.unpersist()
     return out
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: list | DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 10,
+    directed: bool = True,
+) -> DataFrame:
+    """Multi-source BFS: the hop distance from the nearest seed to
+    every reachable node (nodes beyond ``max_hops`` or unreachable are
+    absent). The third member of the graph family next to connected
+    components (membership) and PageRank/HITS (continuous rank):
+    curation pipelines use hop distance from a trusted seed set as a
+    hard cutoff where PPR gives a soft score.
+
+    Each round relaxes the frontier by one hop: candidates =
+    edges x dist (equi-join on src, narrow key), new dist = min of old
+    and candidate+1 (exact integer min — order-free), per-round lazy
+    localCheckpoint, early stop when a round's digest equals the
+    previous (BFS monotonically converges; max_hops bounds the loop).
+    ``directed=False`` walks both edge directions (the union is built
+    once, before the loop).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not directed:
+        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    if isinstance(sources, DataFrame):
+        seeds = sources.select(F.col(sources.columns[0]).alias("node")).distinct()
+    else:
+        seeds = (
+            e.sparkSession.createDataFrame(
+                [(v,) for v in sources], ["node"]
+            ).distinct()
+        )
+    dist = seeds.select("node", F.lit(0).cast("int").alias("dist"))
+    prev_digest = _digest(dist, "node", "dist")
+    for _ in range(max_hops):
+        cand = (
+            e.join(dist, e["src"] == dist["node"])
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("dist").cast("int").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        d = _digest(dist, "node", "dist")  # materializes the round
+        if d == prev_digest:
+            break
+        prev_digest = d
+    e.unpersist()
+    return dist

@@ -3500,3 +3500,61 @@ def hits_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+_BFS_HOPS = 4
+
+
+def _bfs_sql(hops: int = _BFS_HOPS) -> str:
+    seeds = ", ".join(f"({2 * k + 1})" for k in range(1, _PPR_SEEDS + 1))
+    head = f"""
+    WITH ed AS MATERIALIZED (
+      SELECT DISTINCT l.l_suppkey * 2 + 1 AS src, o.o_custkey * 2 AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    und AS MATERIALIZED (
+      SELECT src, dst FROM ed UNION SELECT dst, src FROM ed
+    ),
+    d0 AS MATERIALIZED (
+      SELECT node, CAST(0 AS INTEGER) AS dist
+      FROM (VALUES {seeds}) t(node)
+    )"""
+    its = []
+    for i in range(1, hops + 1):
+        its.append(f""",
+    d{i} AS MATERIALIZED (
+      SELECT node, CAST(MIN(dist) AS INTEGER) AS dist FROM (
+        SELECT node, dist FROM d{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, p.dist + 1 AS dist
+        FROM und e JOIN d{i - 1} p ON e.src = p.node
+      ) GROUP BY node
+    )"""
+        )
+    tail = f"""
+    SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM d{hops}
+    GROUP BY dist
+    """
+    return head + "".join(its) + tail
+
+
+@query("bfs_hops_trusted", _bfs_sql())
+def bfs_hops_trusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the UNDIRECTED supply graph: hop distance
+    from the trusted seed suppliers (the hard-cutoff counterpart of
+    ppr_trusted_suppliers' soft score), histogrammed per hop. Each
+    round is one edges x frontier join + an exact integer min —
+    monotone, so the engine's digest early-stop and the oracle's fixed
+    unroll agree at any round count >= convergence."""
+    from svoe_spark.operators.graph import bfs_distances
+
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    edges = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        (F.col("l_suppkey") * 2 + 1).alias("src"),
+        (F.col("o_custkey") * 2).alias("dst"),
+    )
+    seeds = [2 * k + 1 for k in range(1, _PPR_SEEDS + 1)]
+    d = bfs_distances(edges, seeds, max_hops=_BFS_HOPS, directed=False)
+    return d.groupBy("dist").agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))

@@ -186,3 +186,40 @@ def test_hits_bipartite_semantics(spark):
     assert got[1][0] > got[2][0] > 0  # 1 the stronger hub
     assert got[10][0] == got[11][0] == 0  # pure sinks: no hub score
     assert got[1][1] == got[2][1] == 0  # pure sources: no authority
+
+
+def test_bfs_distances_hand_graph(spark):
+    from svoe_spark.operators.graph import bfs_distances
+
+    # 1 -> 2 -> 3 -> 4, plus island 9 -> 10
+    edges = [(1, 2), (2, 3), (3, 4), (9, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["dist"] for r in bfs_distances(df, [1], max_hops=10).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # island unreachable, absent
+
+    undirected = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(df, [3], max_hops=10, directed=False).collect()
+    }
+    assert undirected == {3: 0, 2: 1, 4: 1, 1: 2}
+
+
+def test_bfs_multi_source_takes_nearest(spark):
+    from svoe_spark.operators.graph import bfs_distances
+
+    edges = [(1, 2), (2, 3), (3, 4), (5, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(df, [1, 5], max_hops=10).collect()
+    }
+    assert got[4] == 1  # via seed 5, not the 3-hop path from 1
+
+
+def test_bfs_max_hops_truncates(spark):
+    from svoe_spark.operators.graph import bfs_distances
+
+    edges = [(i, i + 1) for i in range(1, 8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["dist"] for r in bfs_distances(df, [1], max_hops=2).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}
