@@ -69,6 +69,8 @@ _DRIVER_PRIORITY = [
     "ppr_trusted_suppliers",
     "hits_supply_graph",
     "bfs_hops_trusted",
+    "tfidf_keywords_top3",
+    "contrastive_crops",
 ]
 
 # (c) refill: LLM-data layer in CORRECTNESS_r03 order (last green r3).

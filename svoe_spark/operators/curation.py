@@ -517,3 +517,49 @@ def purged_time_folds(
         .withColumn(out_role, role)
         .drop("__fs", "__fe")
     )
+
+
+def contrastive_crops(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 8,
+    frac_den: int = 2,
+) -> DataFrame:
+    """Two deterministic pseudo-random token crops per document — the
+    positive-pair generator for contrastive retrieval pretraining
+    (independent cropping à la Contriever/SimCSE: two views of one
+    document are a positive pair; other documents in the batch are
+    negatives — the complement of `hard_negatives`, which mines the
+    negative side). Crop length is ``len div frac_den``; each crop's
+    start is an md5-hash draw (seeded on the doc id + crop salt) over
+    the valid range, so crops may overlap (as in the paper), the draw
+    is layout-invariant and reproducible in any engine, and re-salting
+    yields fresh epochs. Documents shorter than ``min_tokens`` are
+    dropped. Zero shuffles — one projection over the corpus scan."""
+    from svoe_spark.functions.text import tokens
+    from svoe_spark.operators.util import spread
+
+    toks = tokens(F.col(text))
+    base = (
+        spread(docs)
+        .select(F.col(id_col), toks.alias("__toks"))
+        .withColumn("__n", F.size("__toks"))
+        .where(F.col("__n") >= min_tokens)
+    )
+    s = F.greatest(F.lit(1), F.expr(f"__n div {frac_den}"))
+    room = F.col("__n") - s + 1
+
+    def start(salt: str) -> F.Column:
+        h = md5_hash(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+        return (F.pmod(h, room) + 1).cast("int")
+
+    a, b = start("a"), start("b")
+    return base.select(
+        id_col,
+        F.col("__n").alias("n_tokens"),
+        a.alias("a_start"),
+        b.alias("b_start"),
+        F.array_join(F.slice("__toks", a, s), " ").alias("crop_a"),
+        F.array_join(F.slice("__toks", b, s), " ").alias("crop_b"),
+    )

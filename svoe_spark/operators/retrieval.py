@@ -248,3 +248,39 @@ def rrf_fuse(
         .where(F.col("rank") <= k)
         .select(qid_col, id_col, out, "rank")
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 3,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k keywords per document by df-normalized term frequency
+    (score = tf / df — the rational tf-idf variant: monotone in tf and
+    in 1/df like tf*idf, but ONE IEEE double division instead of a
+    transcendental log, so any engine reproduces the scores and
+    ranking bit-for-bit; a log-idf tie to a different base reorders
+    nothing within a document when tf is equal anyway). Ties break on
+    the token, so the k rows are fully deterministic.
+
+    Composes the `inverted_index` postings (one explode + one groupBy
+    + one term-window df); the per-doc top-k is a WindowGroupLimit —
+    applied per task before the doc exchange, so no document's full
+    term list is ever sorted at one reducer."""
+    postings = inverted_index(docs, text=text, id_col=id_col)
+    score = F.col("tf").cast("double") / F.col("df").cast("double")
+    w = Window.partitionBy(id_col).orderBy(F.desc("__score"), F.col("term"))
+    return (
+        postings.withColumn("__score", score)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            F.col("__score").alias("score"),
+            F.col("__rn").alias("rank"),
+        )
+    )

@@ -2913,3 +2913,91 @@ def adaptive_quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         qd, "quality_score", ["source"], q=0.25, p=0.5, thr_out="threshold"
     )
     return out.select("doc_id", "source", "quality_score", "threshold")
+
+
+@query(
+    "tfidf_keywords_top3",
+    f"""
+    WITH ex AS (
+      SELECT doc_id, unnest(toks) AS term
+      FROM (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents)
+    ),
+    postings AS (
+      SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM ex GROUP BY term, doc_id
+    ),
+    wdf AS (
+      SELECT term, doc_id, tf,
+             CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df
+      FROM postings
+    )
+    SELECT doc_id, term, tf, df,
+           CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) AS score,
+           CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id
+        ORDER BY CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) DESC, term) AS rn
+      FROM wdf
+    )
+    WHERE rn <= 3
+    """,
+)
+def tfidf_keywords_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 keywords per document by df-normalized term frequency —
+    the rational tf-idf variant (score = tf/df, ONE IEEE double
+    division, no transcendental log) so ranking AND scores reproduce
+    bit-for-bit in any engine. Composes the inverted-index postings;
+    the per-doc top-k compiles to WindowGroupLimit (task-local
+    pre-limit before the doc exchange)."""
+    from svoe_spark.operators.retrieval import tfidf_keywords
+
+    return tfidf_keywords(load_table(spark, "documents", sf_dir), k=3)
+
+
+@query(
+    "contrastive_crops",
+    f"""
+    WITH base AS (
+      SELECT doc_id, toks, len(toks) AS n
+      FROM (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents)
+      WHERE len(toks) >= 8
+    ),
+    p AS (
+      SELECT doc_id, toks, CAST(n AS INTEGER) AS n_tokens,
+             greatest(1, n // 2) AS s
+      FROM base
+    ),
+    st AS (
+      SELECT doc_id, toks, n_tokens, s,
+             CAST({sql_md5_hash("CAST(doc_id AS VARCHAR) || 'a'")}
+                  % (n_tokens - s + 1) + 1 AS INTEGER) AS a_start,
+             CAST({sql_md5_hash("CAST(doc_id AS VARCHAR) || 'b'")}
+                  % (n_tokens - s + 1) + 1 AS INTEGER) AS b_start
+      FROM p
+    )
+    SELECT doc_id, n_tokens, a_start, b_start,
+           array_to_string(list_slice(toks, a_start, a_start + s - 1), ' ')
+             AS crop_a,
+           array_to_string(list_slice(toks, b_start, b_start + s - 1), ' ')
+             AS crop_b
+    FROM st
+    """,
+)
+def contrastive_crops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic independent cropping (Contriever/SimCSE positive
+    pairs): two md5-seeded token crops per document, layout-invariant
+    and re-saltable per epoch — the positive-pair complement of the
+    hard-negative miners. Zero shuffles; the oracle re-derives the
+    same draws."""
+    from svoe_spark.operators.curation import contrastive_crops
+
+    out = contrastive_crops(load_table(spark, "documents", sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "a_start",
+        "b_start",
+        "crop_a",
+        "crop_b",
+    )
