@@ -2982,6 +2982,34 @@ _PR_ITERS = 10
 _PR_DAMP = 85
 
 
+# Session-keyed cache of the shared supply-graph edge relation: the
+# four graph queries (pagerank / ppr / hits / bfs) all rank the SAME
+# distinct supplier->customer edges — build and persist them once per
+# (session, sf_dir) instead of re-running the lineitem x orders join
+# per query (the _ANN_CHAIN_CACHE precedent: a derived artifact reused
+# across the query family; a session change invalidates the entry).
+_SUPPLY_EDGE_CACHE: dict = {}
+
+
+def _supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    got = _SUPPLY_EDGE_CACHE.get(sf_dir)
+    if got is not None and got[0] is spark:
+        return got[1]
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("l_suppkey") * 2 + 1).alias("src"),
+            (F.col("o_custkey") * 2).alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    _SUPPLY_EDGE_CACHE[sf_dir] = (spark, edges)
+    return edges
+
+
 def _pagerank_sql(iterations: int = _PR_ITERS, sources_pred: str | None = None) -> str:
     """Oracle: unroll the integer fixed-point PageRank iterations as
     chained MATERIALIZED CTEs (DuckDB's inlining default would re-scan
@@ -3071,12 +3099,7 @@ def pagerank_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     decorative)."""
     from svoe_spark.operators.graph import pagerank
 
-    li = load_table(spark, "lineitem", sf_dir)
-    o = load_table(spark, "orders", sf_dir)
-    edges = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
-        (F.col("l_suppkey") * 2 + 1).alias("src"),
-        (F.col("o_custkey") * 2).alias("dst"),
-    )
+    edges = _supply_edges(spark, sf_dir)
     pr = pagerank(edges, iterations=_PR_ITERS, damping_pct=_PR_DAMP, scale=_PR_SCALE)
     return (
         pr.select(
@@ -3375,12 +3398,7 @@ def ppr_trusted_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle unrolls the identical conditional arithmetic."""
     from svoe_spark.operators.graph import pagerank
 
-    li = load_table(spark, "lineitem", sf_dir)
-    o = load_table(spark, "orders", sf_dir)
-    edges = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
-        (F.col("l_suppkey") * 2 + 1).alias("src"),
-        (F.col("o_custkey") * 2).alias("dst"),
-    )
+    edges = _supply_edges(spark, sf_dir)
     seeds = [2 * k + 1 for k in range(1, _PPR_SEEDS + 1)]
     pr = pagerank(
         edges,
@@ -3479,12 +3497,7 @@ def hits_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass."""
     from svoe_spark.operators.graph import hits
 
-    li = load_table(spark, "lineitem", sf_dir)
-    o = load_table(spark, "orders", sf_dir)
-    edges = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
-        (F.col("l_suppkey") * 2 + 1).alias("src"),
-        (F.col("o_custkey") * 2).alias("dst"),
-    )
+    edges = _supply_edges(spark, sf_dir)
     hs = hits(edges, iterations=_HITS_ITERS, scale=_PR_SCALE)
     return (
         hs.select(
@@ -3549,12 +3562,7 @@ def bfs_hops_trusted(spark: SparkSession, sf_dir: str) -> DataFrame:
     unroll agree at any round count >= convergence."""
     from svoe_spark.operators.graph import bfs_distances
 
-    li = load_table(spark, "lineitem", sf_dir)
-    o = load_table(spark, "orders", sf_dir)
-    edges = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
-        (F.col("l_suppkey") * 2 + 1).alias("src"),
-        (F.col("o_custkey") * 2).alias("dst"),
-    )
+    edges = _supply_edges(spark, sf_dir)
     seeds = [2 * k + 1 for k in range(1, _PPR_SEEDS + 1)]
     d = bfs_distances(edges, seeds, max_hops=_BFS_HOPS, directed=False)
     return d.groupBy("dist").agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
