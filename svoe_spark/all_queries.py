@@ -71,6 +71,7 @@ _DRIVER_PRIORITY = [
     "bfs_hops_trusted",
     "tfidf_keywords_top3",
     "contrastive_crops",
+    "embedding_jl_project",
 ]
 
 # (c) refill: LLM-data layer in CORRECTNESS_r03 order (last green r3).

@@ -80,3 +80,20 @@ def sql_signed_projection(v: str, signs: list[int]) -> str:
         f"list_transform(range(1, len({v})+1), "
         f"i -> CAST({v}[i] AS DOUBLE) * ({pat})[i])), (acc, p) -> acc + p)"
     )
+
+
+def jl_signs(row: int, dim: int) -> list[int]:
+    """±1 row of a Johnson-Lindenstrauss Rademacher matrix: md5-derived
+    per (row, component), so entries behave as iid coin flips. NOT the
+    `hyperplane_signs` LCG pattern — that one is fine for LSH banding
+    (only the sign BUCKETS matter) but its linear structure correlates
+    across planes and measurably breaks JL distance preservation
+    (fixture: 74% of pairs within 3x vs 100% with md5 signs at k=16).
+    Python-generated literals, so the Spark plan and the SQL oracle
+    share the exact matrix."""
+    import hashlib
+
+    return [
+        1 if hashlib.md5(f"jl:{row}:{d}".encode()).digest()[0] % 2 == 0 else -1
+        for d in range(dim)
+    ]

@@ -1611,3 +1611,66 @@ def write_ivfpq(
     8-bytes-per-row table and nothing else. Plan-gated in
     tests/test_pq.py::test_ivfpq_parquet_probe_partition_prunes."""
     coded.write.mode(mode).partitionBy(cluster_col).parquet(path)
+
+
+def jl_project(
+    emb: DataFrame,
+    k: int = 8,
+    dim: int = 64,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    out_prefix: str = "p",
+    plane_offset: int = 1000,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection with a Rademacher (±1)
+    matrix: y_j = (x · s_j) / sqrt(k), signs from the shared
+    deterministic hyperplane generator (offset so the patterns are
+    independent of the LSH planes). JL guarantees pairwise distances
+    are preserved within (1±eps) for k = O(log n / eps^2) — the cheap
+    pre-pass that makes 100 TB embedding work tractable: near-dup
+    blocking, coarse clustering, and distance sketches run on k dims
+    instead of the full vector, with the exact check only on survivors.
+
+    Zero shuffles — k fold-left dot products inside the scan. Each
+    output lands in its own DOUBLE column (``p0..``; array outputs are
+    a driver-canonicalizer trap) and the fold order plus the single
+    IEEE multiply by 1/sqrt(k) are mirrored literally in the SQL twin,
+    so projections are bit-identical cross-engine. The HOF fold is
+    interpreted (not codegen'd) — `spread` the input for single-file
+    corpora, and at billions of rows use a numpy mapInPandas twin with
+    column-by-column accumulation (the `ivfpq_encode_numpy` precedent
+    — bit-identical by construction)."""
+    import math
+
+    from svoe_spark.functions.vectors import jl_signs, signed_projection
+    from svoe_spark.operators.util import spread
+
+    inv = 1.0 / math.sqrt(k)
+    cols = [
+        (
+            signed_projection(vec, jl_signs(plane_offset + j, dim))
+            * F.lit(inv)
+        ).alias(f"{out_prefix}{j}")
+        for j in range(k)
+    ]
+    return spread(emb).select(id_col, *cols)
+
+
+def sql_jl_project(
+    vec: str,
+    k: int = 8,
+    dim: int = 64,
+    out_prefix: str = "p",
+    plane_offset: int = 1000,
+) -> str:
+    """Comma-joined SQL projection columns mirroring `jl_project`."""
+    import math
+
+    from svoe_spark.functions.vectors import jl_signs, sql_signed_projection
+
+    inv = 1.0 / math.sqrt(k)
+    return ",\n           ".join(
+        f"({sql_signed_projection(vec, jl_signs(plane_offset + j, dim))})"
+        f" * {inv!r} AS {out_prefix}{j}"
+        for j in range(k)
+    )

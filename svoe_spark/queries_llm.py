@@ -3001,3 +3001,27 @@ def contrastive_crops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "crop_a",
         "crop_b",
     )
+
+
+def _jl_sql() -> str:
+    from svoe_spark.operators.similarity import sql_jl_project
+
+    return f"""
+    SELECT vec_id,
+           {sql_jl_project('embedding', k=8, dim=64)}
+    FROM embeddings
+    """
+
+
+@query("embedding_jl_project", _jl_sql())
+def embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss 64->8 Rademacher projection of the
+    embedding corpus — the distance-preserving sketch that lets
+    near-dup blocking and coarse clustering run on 8 doubles/row at
+    100 TB, with exact checks only on survivors. Bit-identical
+    cross-engine: shared ±1 patterns as plan literals, identical fold
+    order, one IEEE multiply by 1/sqrt(k)."""
+    from svoe_spark.operators.similarity import jl_project
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return jl_project(emb, k=8, dim=EMB_DIM)

@@ -126,3 +126,35 @@ def test_ivf_assign_2level_routes_to_expected_cell(spark):
         for r in ivf_assign_2level(emb, coarse, sub).collect()
     }
     assert out == {0: 0, 1: 1, 2: 2, 3: 3, 4: 0}
+
+
+def test_jl_projection_preserves_distances(spark, sf_small):
+    """The JL property in practice: over sampled pairs, the ratio of
+    projected to original squared distance concentrates around 1
+    (k=16 of 64 dims -> loose per-pair bounds, tight on average)."""
+    import numpy as np
+
+    from svoe_spark.operators.similarity import jl_project
+    from svoe_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_small).limit(100)
+    proj = jl_project(emb, k=16, dim=64)
+    xs = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in emb.collect()}
+    ps = {
+        r["vec_id"]: np.array([r[f"p{j}"] for j in range(16)])
+        for r in proj.collect()
+    }
+    ids = sorted(xs)
+    ratios = []
+    for a, b in zip(ids[:-1], ids[1:]):
+        d0 = float(((xs[a] - xs[b]) ** 2).sum())
+        d1 = float(((ps[a] - ps[b]) ** 2).sum())
+        if d0 > 0:
+            ratios.append(d1 / d0)
+    mean = sum(ratios) / len(ratios)
+    assert 0.7 < mean < 1.3, mean  # unbiased on average
+    # per-pair JL bounds are probabilistic; with md5 (iid-grade)
+    # signs this fixture keeps EVERY pair within 3x at k=16 (the LSH
+    # LCG pattern managed only 74% — see jl_signs)
+    inside = sum(1 for r in ratios if 1 / 3 < r < 3.0) / len(ratios)
+    assert inside >= 0.95, inside
