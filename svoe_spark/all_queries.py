@@ -72,6 +72,7 @@ _DRIVER_PRIORITY = [
     "tfidf_keywords_top3",
     "contrastive_crops",
     "embedding_jl_project",
+    "mixed_language_docs",
 ]
 
 # (c) refill: LLM-data layer in CORRECTNESS_r03 order (last green r3).

@@ -464,3 +464,40 @@ def quantize_weights(
     any meaningful logit resolution."""
     s = float(1 << bits)
     return [round(x * s) / s for x in weights], round(bias * s) / s
+
+
+def mixed_language_flags(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Chunk-level language consistency: split each document into its
+    two token halves, language-ID each with the same stopword-density
+    heuristic as `lang_id`, and flag documents whose halves disagree —
+    the code-switch / boilerplate-contamination signal whole-document
+    lang-ID misses (a half-English half-X page averages to a confident
+    wrong label; per-chunk voting catches it, cf. CCNet's paragraph-
+    level scoring). One zero-shuffle projection; swap in more/smaller
+    chunks or a real classifier behind the same signature at will."""
+    toks = tokens(text)
+    n = F.size(toks)
+    half = F.floor(n / 2).cast("int")
+    a = F.slice(toks, F.lit(1), half)
+    b = F.slice(toks, half + 1, (n - half).cast("int"))
+
+    def density(part):
+        cnt = F.size(F.filter(part, lambda t: t.isin(*EN_STOPWORDS)))
+        return F.when(F.size(part) > 0, cnt / F.size(part)).otherwise(F.lit(0.0))
+
+    da, db = density(a), density(b)
+    la = F.when(da >= threshold, F.lit("en")).otherwise(F.lit("other"))
+    lb = F.when(db >= threshold, F.lit("en")).otherwise(F.lit("other"))
+    return _spread(df).select(
+        F.col(id_col),
+        da.alias("en_density_a"),
+        db.alias("en_density_b"),
+        la.alias("lang_a"),
+        lb.alias("lang_b"),
+        (la != lb).alias("is_mixed"),
+    )

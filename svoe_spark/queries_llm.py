@@ -3025,3 +3025,40 @@ def embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir)
     return jl_project(emb, k=8, dim=EMB_DIM)
+
+
+@query(
+    "mixed_language_docs",
+    f"""
+    SELECT doc_id, en_density_a, en_density_b,
+           CASE WHEN en_density_a >= 0.05 THEN 'en' ELSE 'other' END AS lang_a,
+           CASE WHEN en_density_b >= 0.05 THEN 'en' ELSE 'other' END AS lang_b,
+           (CASE WHEN en_density_a >= 0.05 THEN 'en' ELSE 'other' END)
+             <> (CASE WHEN en_density_b >= 0.05 THEN 'en' ELSE 'other' END)
+             AS is_mixed
+    FROM (
+      SELECT doc_id,
+             CASE WHEN len(a) > 0
+                  THEN len(list_filter(a, t -> t IN ({_SW}))) / len(a)
+                  ELSE 0.0 END AS en_density_a,
+             CASE WHEN len(b) > 0
+                  THEN len(list_filter(b, t -> t IN ({_SW}))) / len(b)
+                  ELSE 0.0 END AS en_density_b
+      FROM (
+        SELECT doc_id,
+               list_slice(toks, 1, len(toks) // 2) AS a,
+               list_slice(toks, len(toks) // 2 + 1, len(toks)) AS b
+        FROM (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents)
+      )
+    )
+    """,
+)
+def mixed_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level language-consistency flags (code-switch detector):
+    per-half stopword-density lang-ID; a confident whole-document
+    label can hide a half-foreign page — per-chunk voting catches it
+    (CCNet-style paragraph scoring, halved for the oracle-checkable
+    core). Zero shuffles."""
+    from svoe_spark.operators.text_analysis import mixed_language_flags
+
+    return mixed_language_flags(load_table(spark, "documents", sf_dir))
