@@ -73,6 +73,7 @@ _DRIVER_PRIORITY = [
     "contrastive_crops",
     "embedding_jl_project",
     "mixed_language_docs",
+    "pagerank_weighted_supply",
 ]
 
 # (c) refill: LLM-data layer in CORRECTNESS_r03 order (last green r3).

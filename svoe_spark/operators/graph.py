@@ -290,6 +290,7 @@ def pagerank(
     sources: list | DataFrame | None = None,
     until_converged: bool = False,
     max_iter: int = 100,
+    weight: str | None = None,
 ) -> DataFrame:
     """Fixed-point integer PageRank over a directed edge list — uniform
     or personalized, fixed-iteration or run-to-fixpoint.
@@ -322,6 +323,14 @@ def pagerank(
     random-walk proximity to a trusted allowlist. ``sources=None`` is
     classic uniform PageRank.
 
+    ``weight``: an edge-weight column — a node's rank then splits
+    across its out-edges proportionally (contribution = (rank * w) div
+    W_u, W_u the node's total out-weight; the product runs in
+    decimal(38,0) since rank * w overflows int64 past w ~ 9e3, and the
+    truncating decimal `div` matches DuckDB's HUGEINT `//`). Duplicate
+    (src, dst) rows pre-aggregate by summed weight; ``weight=None`` is
+    the classic unweighted walk over DISTINCT edges.
+
     ``until_converged=True``: iterate until the integer rank vector
     reaches its EXACT fixpoint (fixed-point arithmetic converges
     exactly, not asymptotically — successive vectors are compared by
@@ -347,11 +356,21 @@ def pagerank(
         raise ValueError("iterations must be >= 0")
     if not (0 <= damping_pct <= 100):
         raise ValueError("damping_pct must be in [0, 100]")
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    if weight is None:
+        e = edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst")
+        ).distinct()
+    else:
+        e = (
+            edges.select(
+                F.col(src).alias("src"),
+                F.col(dst).alias("dst"),
+                F.col(weight).cast("long").alias("w"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+        )
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -377,9 +396,12 @@ def pagerank(
         e.unpersist()
         nodes.unpersist()
         raise ValueError("no source node appears in the graph")
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    deg_agg = (
+        F.count(F.lit(1)).alias("outdeg")
+        if weight is None
+        else F.sum("w").alias("outdeg")
     )
+    deg = e.groupBy("src").agg(deg_agg).persist(StorageLevel.MEMORY_AND_DISK)
     teleport = ((100 - damping_pct) * scale) // (100 * ns)
     init = F.when(F.col("__is_src"), F.lit(scale // ns)).otherwise(F.lit(0))
     ranks = nodes.select("node", "__is_src", init.cast("long").alias("rank_fp"))
@@ -388,11 +410,16 @@ def pagerank(
         dangling = ranks.join(
             deg, ranks["node"] == deg["src"], "left_anti"
         ).agg(F.expr(f"coalesce(sum(rank_fp), 0L) div {ns}").alias("d_each"))
+        share = (
+            "rank_fp div outdeg"
+            if weight is None
+            else "CAST((CAST(rank_fp AS DECIMAL(38,0)) * w) div outdeg AS BIGINT)"
+        )
         contrib = (
             e.join(ranks, e["src"] == ranks["node"])
             .join(deg, "src")
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.expr("rank_fp div outdeg")).alias("in_sum"))
+            .agg(F.sum(F.expr(share)).alias("in_sum"))
         )
         return (
             nodes.join(contrib, "node", "left")

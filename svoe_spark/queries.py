@@ -3010,7 +3010,11 @@ def _supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges
 
 
-def _pagerank_sql(iterations: int = _PR_ITERS, sources_pred: str | None = None) -> str:
+def _pagerank_sql(
+    iterations: int = _PR_ITERS,
+    sources_pred: str | None = None,
+    weighted: bool = False,
+) -> str:
     """Oracle: unroll the integer fixed-point PageRank iterations as
     chained MATERIALIZED CTEs (DuckDB's inlining default would re-scan
     the base join per reference and exhaust file handles) — every
@@ -3020,10 +3024,22 @@ def _pagerank_sql(iterations: int = _PR_ITERS, sources_pred: str | None = None) 
     recurrence exactly. ``sources_pred``: SQL boolean over ``node``
     selecting the personalized restart set (None = uniform)."""
     pred = sources_pred or "TRUE"
-    head = f"""
-    WITH edges AS MATERIALIZED (
-      SELECT DISTINCT l.l_suppkey * 2 + 1 AS src, o.o_custkey * 2 AS dst
+    if weighted:
+        edges_cte = """
+      SELECT l.l_suppkey * 2 + 1 AS src, o.o_custkey * 2 AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY src, dst"""
+        deg_expr = "CAST(SUM(w) AS BIGINT)"
+        share = "(CAST(p.rank_fp AS HUGEINT) * e.w) // d.outdeg"
+    else:
+        edges_cte = """
+      SELECT DISTINCT l.l_suppkey * 2 + 1 AS src, o.o_custkey * 2 AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"""
+        deg_expr = "CAST(COUNT(*) AS BIGINT)"
+        share = "p.rank_fp // d.outdeg"
+    head = f"""
+    WITH edges AS MATERIALIZED ({edges_cte}
     ),
     nodes AS MATERIALIZED (
       SELECT node, ({pred}) AS is_src FROM (
@@ -3031,7 +3047,7 @@ def _pagerank_sql(iterations: int = _PR_ITERS, sources_pred: str | None = None) 
       )
     ),
     deg AS MATERIALIZED (
-      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
+      SELECT src AS node, {deg_expr} AS outdeg
       FROM edges GROUP BY src
     ),
     nn AS MATERIALIZED (
@@ -3062,7 +3078,7 @@ def _pagerank_sql(iterations: int = _PR_ITERS, sources_pred: str | None = None) 
         WHERE deg.node IS NULL
       ) dg
       LEFT JOIN (
-        SELECT e.dst AS node, CAST(SUM(p.rank_fp // d.outdeg) AS BIGINT) AS in_sum
+        SELECT e.dst AS node, CAST(SUM({share}) AS BIGINT) AS in_sum
         FROM edges e
         JOIN r{i - 1} p ON e.src = p.node
         JOIN deg d ON e.src = d.node
@@ -3566,3 +3582,38 @@ def bfs_hops_trusted(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = [2 * k + 1 for k in range(1, _PPR_SEEDS + 1)]
     d = bfs_distances(edges, seeds, max_hops=_BFS_HOPS, directed=False)
     return d.groupBy("dist").agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+
+
+@query("pagerank_weighted_supply", _pagerank_sql(weighted=True))
+def pagerank_weighted_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank: the supply walk split across out-edges
+    proportional to ORDER VOLUME (lineitem multiplicity as the edge
+    weight) instead of uniformly over distinct partners — the
+    volume-aware domain ranking. Per-edge share = (rank * w) div W_u,
+    the rank*w product in decimal(38,0) (int64 overflows past w~9e3),
+    truncating integral division identical across engines."""
+    from svoe_spark.operators.graph import pagerank
+
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    edges = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        (F.col("l_suppkey") * 2 + 1).alias("src"),
+        (F.col("o_custkey") * 2).alias("dst"),
+        F.lit(1).cast("long").alias("w"),
+    )
+    pr = pagerank(
+        edges, iterations=_PR_ITERS, damping_pct=_PR_DAMP, scale=_PR_SCALE,
+        weight="w",
+    )
+    return (
+        pr.select(
+            F.when(F.col("node") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("entity"),
+            F.expr("node div 2").cast("long").alias("entity_key"),
+            "rank_fp",
+            (F.col("rank_fp") / F.lit(1000000000000000.0)).alias("rank"),
+        )
+        .orderBy(F.desc("rank_fp"), "entity", "entity_key")
+        .limit(20)
+    )

@@ -223,3 +223,53 @@ def test_bfs_max_hops_truncates(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r["node"]: r["dist"] for r in bfs_distances(df, [1], max_hops=2).collect()}
     assert got == {1: 0, 2: 1, 3: 2}
+
+
+def _py_wpr(edges_w, iterations=5, damping_pct=85, scale=SCALE):
+    nodes = sorted({s for s, _, _ in edges_w} | {d for _, d, _ in edges_w})
+    n = len(nodes)
+    agg = {}
+    for s, d, w in edges_w:
+        agg[(s, d)] = agg.get((s, d), 0) + w
+    W = {}
+    for (s, _), w in agg.items():
+        W[s] = W.get(s, 0) + w
+    r = {v: scale // n for v in nodes}
+    teleport = ((100 - damping_pct) * scale) // (100 * n)
+    for _ in range(iterations):
+        dangling = sum(r[v] for v in nodes if v not in W) // n
+        inc = {v: 0 for v in nodes}
+        for (s, d), w in agg.items():
+            inc[d] += (r[s] * w) // W[s]
+        r = {
+            v: teleport + (damping_pct * (inc[v] + dangling)) // 100
+            for v in nodes
+        }
+    return r
+
+
+def test_weighted_matches_python_mirror(spark):
+    edges_w = [
+        (1, 2, 10), (1, 3, 1), (2, 3, 5), (3, 1, 2), (1, 2, 4),  # dup pair
+        (4, 1, 7),
+    ]
+    df = spark.createDataFrame(edges_w, "src long, dst long, w long")
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank(df, iterations=5, weight="w").collect()
+    }
+    assert got == _py_wpr(edges_w, iterations=5)
+
+
+def test_weighted_shifts_mass_toward_heavy_edge(spark):
+    # same topology, different weights: 1 sends 99% of its walk to 2
+    df = spark.createDataFrame(
+        [(1, 2, 99), (1, 3, 1)], "src long, dst long, w long"
+    )
+    got = {r["node"]: r["rank_fp"] for r in pagerank(df, iterations=3, weight="w").collect()}
+    # teleport + uniform dangling redistribution floor every node's
+    # rank, so the contrast is bounded — but the heavy edge must win
+    # clearly, and an UNWEIGHTED run must tie 2 and 3 exactly
+    assert got[2] > 1.5 * got[3]
+    unw = {r["node"]: r["rank_fp"] for r in pagerank(df.select("src", "dst"), iterations=3).collect()}
+    assert unw[2] == unw[3]
