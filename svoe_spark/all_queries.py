@@ -74,6 +74,7 @@ _DRIVER_PRIORITY = [
     "embedding_jl_project",
     "mixed_language_docs",
     "pagerank_weighted_supply",
+    "top_collocations",
 ]
 
 # (c) refill: LLM-data layer in CORRECTNESS_r03 order (last green r3).

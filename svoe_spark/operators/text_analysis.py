@@ -501,3 +501,48 @@ def mixed_language_flags(
         lb.alias("lang_b"),
         (la != lb).alias("is_mixed"),
     )
+
+
+def collocations(
+    df: DataFrame,
+    text: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k corpus collocations by rational lift — PMI's argument
+    without the log: lift(a,b) = N * n_ab / (n_a * n_b) over the
+    adjacent-pair stream (n_a = pairs headed by a, n_b = pairs tailed
+    by b, N = all pairs). log is monotone, so ranking by lift IS
+    ranking by PMI, and the integer products + ONE double division are
+    bit-portable where ln is not (the tfidf_keywords trade). Rare-pair
+    noise is cut by ``min_count``; ties break on (a, b).
+
+    Scale shape: one tokenize+explode pass, one (a,b) count with
+    map-side combine, two tiny marginal aggregates broadcast back, a
+    TakeOrdered top-k. Overflow: N * n_ab needs int64 headroom — at
+    ~1e9+ corpus pairs swap the products to decimal(38,0)."""
+    t = _spread(df).select(tokens(text).alias("__t")).where(F.size("__t") >= 2)
+    pairs = t.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("__t"), 1, F.size("__t") - 1).alias("a"),
+                F.slice(F.col("__t"), 2, F.size("__t") - 1).alias("b"),
+            )
+        ).alias("__ab")
+    ).select(F.col("__ab.a").alias("a"), F.col("__ab.b").alias("b"))
+    bg = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    na = bg.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+    nb = bg.groupBy("b").agg(F.sum("n_ab").alias("n_b"))
+    n = bg.agg(F.sum("n_ab").alias("n_pairs"))
+    lift = (F.col("n_pairs") * F.col("n_ab")).cast("double") / (
+        F.col("n_a") * F.col("n_b")
+    ).cast("double")
+    return (
+        bg.where(F.col("n_ab") >= min_count)
+        .join(F.broadcast(na), "a")
+        .join(F.broadcast(nb), "b")
+        .crossJoin(F.broadcast(n))
+        .select("a", "b", "n_ab", "n_a", "n_b", lift.alias("lift"))
+        .orderBy(F.desc("lift"), "a", "b")
+        .limit(k)
+    )

@@ -3062,3 +3062,34 @@ def mixed_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from svoe_spark.operators.text_analysis import mixed_language_flags
 
     return mixed_language_flags(load_table(spark, "documents", sf_dir))
+
+
+@query(
+    "top_collocations",
+    f"""
+    WITH t AS (SELECT {sql_tokens('text')} AS toks FROM documents),
+    pairs AS (
+      SELECT toks[i] AS a, toks[i + 1] AS b
+      FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM t WHERE len(toks) >= 2)
+    ),
+    bg AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab FROM pairs GROUP BY a, b),
+    na AS (SELECT a, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM bg GROUP BY a),
+    nb AS (SELECT b, CAST(SUM(n_ab) AS BIGINT) AS n_b FROM bg GROUP BY b),
+    nn AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n_pairs FROM bg)
+    SELECT a, b, n_ab, n_a, n_b,
+           CAST(n_pairs * n_ab AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS lift
+    FROM bg JOIN na USING (a) JOIN nb USING (b) CROSS JOIN nn
+    WHERE n_ab >= 5
+    ORDER BY lift DESC, a, b
+    LIMIT 20
+    """,
+)
+def top_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocations by rational lift (PMI's monotone argument,
+    no log — one IEEE division over exact integer products, so ranking
+    AND scores hash-match cross-engine). One explode pass, map-side-
+    combined pair counts, broadcast marginals, TakeOrdered top-k."""
+    from svoe_spark.operators.text_analysis import collocations
+
+    return collocations(load_table(spark, "documents", sf_dir))
