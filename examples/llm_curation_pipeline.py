@@ -154,6 +154,21 @@ def main() -> None:
     bins = packed.groupBy("bin_id").agg(F.sum("n_tokens").alias("tok"))
     stages["train_bins_2048tok"] = bins.count()
 
+    # 6. round-6 corpus analysis + training-pair legs over the survivors
+    from svoe_spark.operators.curation import contrastive_crops
+    from svoe_spark.operators.retrieval import tfidf_keywords
+    from svoe_spark.operators.text_analysis import (
+        collocations,
+        mixed_language_flags,
+    )
+
+    stages["mixed_language_docs"] = (
+        mixed_language_flags(train).where(F.col("is_mixed")).count()
+    )
+    stages["keyword_rows_top3"] = tfidf_keywords(train, k=3).count()
+    stages["collocations_min5"] = collocations(train, min_count=5, k=20).count()
+    stages["contrastive_pairs"] = contrastive_crops(train).count()
+
     print(json.dumps(stages))
 
 
