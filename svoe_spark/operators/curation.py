@@ -525,6 +525,7 @@ def contrastive_crops(
     id_col: str = "doc_id",
     min_tokens: int = 8,
     frac_den: int = 2,
+    salt: str = "",
 ) -> DataFrame:
     """Two deterministic pseudo-random token crops per document — the
     positive-pair generator for contrastive retrieval pretraining
@@ -534,8 +535,8 @@ def contrastive_crops(
     negative side). Crop length is ``len div frac_den``; each crop's
     start is an md5-hash draw (seeded on the doc id + crop salt) over
     the valid range, so crops may overlap (as in the paper), the draw
-    is layout-invariant and reproducible in any engine, and re-salting
-    yields fresh epochs. Documents shorter than ``min_tokens`` are
+    is layout-invariant and reproducible in any engine, and ``salt``
+    (prefixed into both draws) yields fresh crops per epoch. Documents shorter than ``min_tokens`` are
     dropped. Zero shuffles — one projection over the corpus scan."""
     from svoe_spark.functions.text import tokens
     from svoe_spark.operators.util import spread
@@ -550,8 +551,8 @@ def contrastive_crops(
     s = F.greatest(F.lit(1), F.expr(f"__n div {frac_den}"))
     room = F.col("__n") - s + 1
 
-    def start(salt: str) -> F.Column:
-        h = md5_hash(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    def start(tag: str) -> Column:
+        h = md5_hash(F.concat(F.col(id_col).cast("string"), F.lit(salt + tag)))
         return (F.pmod(h, room) + 1).cast("int")
 
     a, b = start("a"), start("b")

@@ -371,6 +371,19 @@ def pagerank(
             .agg(F.sum("w").alias("w"))
         )
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    if weight is not None:
+        # NULL/zero/negative summed weights would make '(rank*w) div W'
+        # silently drop mass in Spark and raise div-by-zero in the SQL
+        # twin; fractional inputs would truncate silently through the
+        # long cast — reject all of them up front (one pass over the
+        # already-persisted aggregated edges)
+        bad = e.where(F.col("w").isNull() | (F.col("w") <= 0)).limit(1).count()
+        if bad:
+            e.unpersist()
+            raise ValueError(
+                "pagerank weights must be positive integers; found a "
+                "(src, dst) pair whose summed weight is NULL or <= 0"
+            )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -604,13 +617,26 @@ def bfs_distances(
     if isinstance(sources, DataFrame):
         seeds = sources.select(F.col(sources.columns[0]).alias("node")).distinct()
     else:
+        if not sources:
+            e.unpersist()
+            raise ValueError("bfs_distances: sources is empty")
         seeds = (
             e.sparkSession.createDataFrame(
                 [(v,) for v in sources], ["node"]
             ).distinct()
         )
+    # a seed absent from the graph is not "reachable at distance 0" —
+    # restrict to nodes that actually appear, and fail loudly when
+    # nothing remains (matching pagerank's sources contract)
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    )
+    seeds = seeds.join(nodes.distinct(), "node", "left_semi")
     dist = seeds.select("node", F.lit(0).cast("int").alias("dist"))
     prev_digest = _digest(dist, "node", "dist")
+    if dist.limit(1).count() == 0:
+        e.unpersist()
+        raise ValueError("bfs_distances: no source node appears in the graph")
     for _ in range(max_hops):
         cand = (
             e.join(dist, e["src"] == dist["node"])

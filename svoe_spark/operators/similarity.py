@@ -1623,9 +1623,12 @@ def jl_project(
     plane_offset: int = 1000,
 ) -> DataFrame:
     """Johnson-Lindenstrauss random projection with a Rademacher (±1)
-    matrix: y_j = (x · s_j) / sqrt(k), signs from the shared
-    deterministic hyperplane generator (offset so the patterns are
-    independent of the LSH planes). JL guarantees pairwise distances
+    matrix: y_j = (x · s_j) / sqrt(k), signs md5-derived per
+    (row, component) via `jl_signs` — iid-grade coin flips in their own
+    'jl:' hash namespace (the LSH LCG pattern's linear structure
+    measurably breaks distance preservation; see `jl_signs`).
+    ``plane_offset`` is merely the base row index into that namespace —
+    vary it to draw an independent projection matrix. JL guarantees pairwise distances
     are preserved within (1±eps) for k = O(log n / eps^2) — the cheap
     pre-pass that makes 100 TB embedding work tractable: near-dup
     blocking, coarse clustering, and distance sketches run on k dims
@@ -1671,6 +1674,9 @@ def sql_jl_project(
     inv = 1.0 / math.sqrt(k)
     return ",\n           ".join(
         f"({sql_signed_projection(vec, jl_signs(plane_offset + j, dim))})"
-        f" * {inv!r} AS {out_prefix}{j}"
+        f" * CAST('{inv!r}' AS DOUBLE) AS {out_prefix}{j}"  # string form:
+        # DuckDB parses a bare NUMERIC literal as DECIMAL first and the
+        # decimal->double hop is 1 ulp off for most 1/sqrt(k); the
+        # string cast round-trips repr() exactly (verified k=19/29/43)
         for j in range(k)
     )

@@ -499,7 +499,10 @@ def mixed_language_flags(
         db.alias("en_density_b"),
         la.alias("lang_a"),
         lb.alias("lang_b"),
-        (la != lb).alias("is_mixed"),
+        # a 1-token doc has an EMPTY first half (density 0 -> 'other'),
+        # which would flag every single-stopword doc as code-switched —
+        # mixing needs two non-empty halves
+        ((n >= 2) & (la != lb)).alias("is_mixed"),
     )
 
 

@@ -3033,11 +3033,12 @@ def embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, en_density_a, en_density_b,
            CASE WHEN en_density_a >= 0.05 THEN 'en' ELSE 'other' END AS lang_a,
            CASE WHEN en_density_b >= 0.05 THEN 'en' ELSE 'other' END AS lang_b,
+           n_toks >= 2 AND
            (CASE WHEN en_density_a >= 0.05 THEN 'en' ELSE 'other' END)
              <> (CASE WHEN en_density_b >= 0.05 THEN 'en' ELSE 'other' END)
              AS is_mixed
     FROM (
-      SELECT doc_id,
+      SELECT doc_id, n_toks,
              CASE WHEN len(a) > 0
                   THEN len(list_filter(a, t -> t IN ({_SW}))) / len(a)
                   ELSE 0.0 END AS en_density_a,
@@ -3045,7 +3046,7 @@ def embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN len(list_filter(b, t -> t IN ({_SW}))) / len(b)
                   ELSE 0.0 END AS en_density_b
       FROM (
-        SELECT doc_id,
+        SELECT doc_id, len(toks) AS n_toks,
                list_slice(toks, 1, len(toks) // 2) AS a,
                list_slice(toks, len(toks) // 2 + 1, len(toks)) AS b
         FROM (SELECT doc_id, {sql_tokens('text')} AS toks FROM documents)
