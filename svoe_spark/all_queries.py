@@ -75,6 +75,10 @@ _DRIVER_PRIORITY = [
     "mixed_language_docs",
     "pagerank_weighted_supply",
     "top_collocations",
+    "dq_orders_report",
+    "supplier_cograph_triangles",
+    "event_transitions_30m",
+    "event_hourly_anomalies",
 ]
 
 # (c) refill: LLM-data layer in CORRECTNESS_r03 order (last green r3).

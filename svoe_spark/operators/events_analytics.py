@@ -228,3 +228,95 @@ def interval_concurrency(
         "ts",
         F.sum("__nd").over(w).cast("long").alias(out),
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    state: str = "event_type",
+    tiebreak: str | None = None,
+    gap_seconds: int | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences: for each consecutive pair of events of the same key
+    (ordered by ``ts`` then ``tiebreak``), count the (from_state,
+    to_state) transition; ``p`` is the row-normalized probability
+    (count / all transitions leaving from_state). ``gap_seconds``
+    bounds the pair: a successor later than the gap starts a new
+    journey instead of a transition (the session-boundary semantics of
+    `session_windows_30m`, without materializing session ids).
+
+    The path-analysis primitive behind "what do users do after X":
+    next-step prediction baselines, anomalous-flow detection, and
+    Markov-chain attribution all start from this relation.
+
+    Scale shape: ONE per-key ordered window (lead) over the event scan
+    — parallel across keys, no driver state — then a groupBy on the
+    (from, to) pair whose output is |states|^2 rows; the row
+    normalizer is a window over that tiny relation. Determinism: the
+    (ts, tiebreak) order must be total per key (pass the event's
+    unique id; ties on a bare timestamp would make `lead` ambiguous),
+    and n / row_total is ONE float division over exact integers.
+    """
+    order = [F.col(ts).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    nxt = df.select(
+        F.col(state).alias("from_state"),
+        F.lead(F.col(state)).over(w).alias("to_state"),
+        F.col(ts).alias("__ts"),
+        F.lead(F.col(ts)).over(w).alias("__nts"),
+    ).where(F.col("to_state").isNotNull())
+    if gap_seconds is not None:
+        nxt = nxt.where(
+            F.unix_micros(F.col("__nts")) - F.unix_micros(F.col("__ts"))
+            <= int(gap_seconds) * 1_000_000
+        )
+    counts = nxt.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    row_total = Window.partitionBy("from_state")
+    return counts.select(
+        "from_state",
+        "to_state",
+        "n",
+        (F.col("n") / F.sum("n").over(row_total)).alias("p"),
+    )
+
+
+def transition_matrix_sql(
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    state: str = "event_type",
+    tiebreak: str | None = None,
+    gap_seconds: int | None = None,
+) -> str:
+    """DuckDB twin of `transition_matrix` — same lead window, same gap
+    bound in epoch microseconds, same one-division normalization."""
+    order = f"{ts}" + (f", {tiebreak}" if tiebreak else "")
+    gap_pred = (
+        f"AND epoch_us(__nts) - epoch_us({ts}) <= {int(gap_seconds)} * 1000000"
+        if gap_seconds is not None
+        else ""
+    )
+    return f"""
+    WITH seq AS (
+      SELECT {state} AS from_state,
+             lead({state}) OVER (PARTITION BY {key} ORDER BY {order}) AS to_state,
+             {ts},
+             lead({ts}) OVER (PARTITION BY {key} ORDER BY {order}) AS __nts
+      FROM {table}
+    ),
+    trans AS (
+      SELECT from_state, to_state FROM seq
+      WHERE to_state IS NOT NULL {gap_pred}
+    ),
+    counts AS (
+      SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+      FROM trans GROUP BY from_state, to_state
+    )
+    SELECT from_state, to_state, n,
+           n / sum(n) OVER (PARTITION BY from_state) AS p
+    FROM counts
+    """

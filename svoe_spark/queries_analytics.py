@@ -933,3 +933,103 @@ def winsorize_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorize(
         docs, "n_chars", q_low=0.05, q_high=0.95, group_cols=["source"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences
+# ---------------------------------------------------------------------------
+
+def _transitions_sql() -> str:
+    from svoe_spark.operators.events_analytics import transition_matrix_sql
+
+    return transition_matrix_sql(
+        "events", tiebreak="event_id", gap_seconds=1800
+    )
+
+
+@query("event_transitions_30m", _transitions_sql())
+def event_transitions_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: which
+    event type follows which, within a 30-minute activity gap (the
+    same session-boundary rule as `session_windows_30m`). One per-user
+    lead window + one |states|^2 groupBy; the oracle is code-generated
+    from the same operator parameters (events_analytics.
+    transition_matrix_sql), so both engines run the identical lead /
+    gap / normalization algebra."""
+    from svoe_spark.operators.events_analytics import transition_matrix
+
+    e = load_table(spark, "events", sf_dir)
+    return transition_matrix(
+        e, key="user_id", ts="ts", state="event_type",
+        tiebreak="event_id", gap_seconds=1800,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal anomaly detection (hour-of-day robust baseline)
+# ---------------------------------------------------------------------------
+
+def _anomaly_oracle() -> str:
+    return """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    h2 AS (SELECT *, CAST(extract(hour FROM hour_ts) AS BIGINT) AS hod
+           FROM hourly),
+    n1 AS (SELECT event_type, hod, count(*) AS n_g FROM h2 GROUP BY 1, 2),
+    r1 AS (SELECT event_type, hod, n,
+                  row_number() OVER (PARTITION BY event_type, hod ORDER BY n)
+                    AS rk
+           FROM h2),
+    med AS (SELECT r1.event_type, r1.hod, r1.n AS med
+            FROM r1 JOIN n1 USING (event_type, hod)
+            WHERE rk = (n_g - 1) // 2 + 1),
+    d AS (SELECT h2.*, abs(h2.n - med.med) AS dev
+          FROM h2 JOIN med USING (event_type, hod)),
+    n2 AS (SELECT event_type, hod, count(*) AS n_g FROM d GROUP BY 1, 2),
+    r2 AS (SELECT event_type, hod, dev,
+                  row_number() OVER (PARTITION BY event_type, hod ORDER BY dev)
+                    AS rk
+           FROM d),
+    mad AS (SELECT r2.event_type, r2.hod, r2.dev AS mad
+            FROM r2 JOIN n2 USING (event_type, hod)
+            WHERE rk = (n_g - 1) // 2 + 1),
+    s AS (SELECT d.event_type, d.hour_ts, d.n, d.dev,
+                 CASE WHEN mad.mad > 0
+                      THEN CAST(d.dev AS DOUBLE) / CAST(mad.mad AS DOUBLE)
+                 END AS score
+          FROM d JOIN mad USING (event_type, hod))
+    SELECT event_type, hour_ts, n, dev, score
+    FROM s
+    WHERE score > 3.0 OR (score IS NULL AND dev > 0)
+    """
+
+
+@query("event_hourly_anomalies", _anomaly_oracle())
+def event_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly detection on event volume: hourly counts per
+    event type, a robust baseline per (type, HOUR-OF-DAY) — the
+    seasonal index, so 3am traffic is judged against 3am history, not
+    the daily mean — exact type-1 median + MAD (`robust_outliers`),
+    and a flag for |count - median| > 3 * MAD. MAD = 0 groups (a
+    constant baseline) flag ANY deviation instead of dividing by zero
+    (score is NULL there; the predicate treats dev > 0 as anomalous).
+    All intermediates are exact integers; the score is one portable
+    division. Scale: the scored relation is |types * hours| rows —
+    already aggregated — so the two ranked passes run over a tiny
+    fraction of the event volume."""
+    from svoe_spark.operators.profiling import robust_outliers
+
+    e = load_table(spark, "events", sf_dir)
+    hourly = (
+        e.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("hod", F.hour("hour_ts").cast("long"))
+    )
+    scored = robust_outliers(hourly, "n", ["event_type", "hod"])
+    return scored.where(
+        (F.col("score") > 3.0) | (F.col("score").isNull() & (F.col("dev") > 0))
+    ).select("event_type", "hour_ts", "n", "dev", "score")

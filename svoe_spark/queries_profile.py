@@ -612,3 +612,56 @@ def kmv_vocab_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk_ref = srcs.crossJoin(F.broadcast(ref_sk))
     out = kmv_set_ops(sk_src, sk_ref, k=_KSO_K, group_cols=["source"])
     return out.select("source", "est_union", "jaccard", "est_intersection")
+
+
+# ---------------------------------------------------------------------------
+# Data-quality constraint verification (Deequ-style, one aggregate pass)
+# ---------------------------------------------------------------------------
+
+def _dq_constraints():
+    from svoe_spark.operators import quality_checks as qc
+
+    return [
+        qc.completeness("o_custkey"),
+        qc.in_set("o_orderstatus", ["F", "O"]),
+        qc.bounds("o_totalprice", lo=0.0, hi=300000.0),
+        qc.matches("o_orderpriority", "^[1-5]-"),
+    ]
+
+
+_DQ_UNIQUE = ["o_orderkey", "o_custkey"]
+
+
+def _dq_sql() -> str:
+    from svoe_spark.operators import quality_checks as qc
+
+    return (
+        qc.run_checks_sql("orders", _dq_constraints(), unique=_DQ_UNIQUE)
+        + " UNION ALL "
+        + qc.ref_integrity_sql("lineitem", "l_orderkey", "orders", "o_orderkey")
+        + " UNION ALL "
+        + qc.ref_integrity_sql("orders", "o_custkey", "customer", "c_custkey")
+    )
+
+
+@query("dq_orders_report", _dq_sql())
+def dq_orders_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality verification report over the orders fact: four
+    row-predicate constraints + two exact-uniqueness checks compiled
+    into ONE aggregate scan (Deequ-style, Schelter et al. VLDB 2018),
+    plus two referential-integrity probes (child LEFT JOIN distinct
+    parent keys). The in_set and bounds rules are deliberately strict
+    enough to fail on this data, so the report exercises both
+    outcomes with non-zero violation counts. The DuckDB oracle is
+    CODE-GENERATED from the same constraint objects the engine
+    compiles — one declaration, two dialects."""
+    from svoe_spark.operators import quality_checks as qc
+
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    report = qc.run_checks(orders, _dq_constraints(), unique=_DQ_UNIQUE)
+    report = report.unionByName(
+        qc.ref_integrity(li, "l_orderkey", orders, "o_orderkey")
+    ).unionByName(qc.ref_integrity(orders, "o_custkey", cust, "c_custkey"))
+    return report

@@ -260,3 +260,100 @@ def session_windows_stream(
         )
         .drop("w")
     )
+
+
+def transition_stream(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    tiebreak: str | None = None,
+    gap_seconds: int | None = None,
+) -> DataFrame:
+    """Kappa form of ``events_analytics.transition_matrix``: one output
+    row per observed (from_state -> to_state) transition, emitted the
+    moment the successor event arrives, with TWO values of state per
+    key (the last event's instant and state). Aggregating the emitted
+    rows (``transition_counts``) reproduces the batch matrix exactly —
+    equivalence-tested, including the tiny-Arrow-chunk shape.
+
+    Contract shared with drawdown_stream/ofi_stream: event time
+    non-decreasing per key ACROSS micro-batches (the operator sorts by
+    (ts, tiebreak) within each batch). ``gap_seconds`` mirrors the
+    batch bound: a successor later than the gap re-anchors the journey
+    without emitting a transition."""
+    from pyspark.sql.types import StringType
+
+    sort_cols = ["__ts"] + (["__tb"] if tiebreak is not None else [])
+    out_schema = StructType(
+        [
+            StructField(key, events.schema[key].dataType),
+            StructField("from_state", StringType()),
+            StructField("to_state", StringType()),
+            StructField("ts_us", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("last_ts", LongType()), StructField("last_state", StringType())]
+    )
+    gap_us = None if gap_seconds is None else int(gap_seconds) * _MICROS
+
+    def fn(
+        key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        prev = state.get if state.exists else None
+        pdf = batch_frame(pdfs, sort_cols, columns=[*sort_cols, "__st"])
+        if not len(pdf):
+            return
+        st = pdf["__st"]
+        ts = pdf["__ts"]
+        frm = st.shift(fill_value="")
+        fts = ts.shift(fill_value=0)
+        valid = pd.Series(True, index=pdf.index)
+        if prev is None:
+            valid.iloc[0] = False
+        else:
+            fts.iloc[0] = prev[0]
+            frm.iloc[0] = prev[1]
+        if gap_us is not None:
+            valid &= (ts - fts) <= gap_us
+        yield pd.DataFrame(
+            {
+                key: key_tuple[0],
+                "from_state": frm[valid],
+                "to_state": st[valid],
+                "ts_us": ts[valid],
+            }
+        )
+        state.update((int(ts.iloc[-1]), str(st.iloc[-1])))
+
+    src = events.select(
+        F.col(key),
+        F.col(state_col).alias("__st"),
+        F.unix_micros(F.col(ts_col)).alias("__ts"),
+        *([F.col(tiebreak).alias("__tb")] if tiebreak is not None else []),
+    )
+    return src.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def transition_counts(transition_rows: DataFrame) -> DataFrame:
+    """Fold the per-transition stream output to the batch matrix shape
+    (from_state, to_state, n, p) — same one-division normalization as
+    `transition_matrix`."""
+    from pyspark.sql import Window
+
+    counts = transition_rows.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return counts.select(
+        "from_state",
+        "to_state",
+        "n",
+        (F.col("n") / F.sum("n").over(Window.partitionBy("from_state"))).alias("p"),
+    )

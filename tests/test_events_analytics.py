@@ -237,3 +237,82 @@ def test_funnel_sql_escapes_quotes():
 
     sql = funnel_sql(["o'brien", "click"])
     assert "o''brien" in sql and "o'brien'" not in sql.replace("o''brien", "")
+
+
+# ---------------------------------------------------------------------------
+# transition_matrix
+# ---------------------------------------------------------------------------
+
+
+def _seq(spark, rows):
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts_s string, event_id long"
+    )
+    return df.selectExpr(
+        "user_id", "event_type", "CAST(ts_s AS TIMESTAMP) AS ts", "event_id"
+    )
+
+
+def test_transition_matrix_counts_and_normalizes(spark):
+    from svoe_spark.operators.events_analytics import transition_matrix
+
+    ev = _seq(
+        spark,
+        [
+            (1, "a", "2024-01-01 00:00:00", 1),
+            (1, "b", "2024-01-01 00:01:00", 2),
+            (1, "a", "2024-01-01 00:02:00", 3),
+            (1, "c", "2024-01-01 00:03:00", 4),
+            (2, "a", "2024-01-01 00:00:00", 5),
+            (2, "b", "2024-01-01 00:01:00", 6),
+        ],
+    )
+    got = {
+        (r["from_state"], r["to_state"]): (r["n"], r["p"])
+        for r in transition_matrix(ev, tiebreak="event_id").collect()
+    }
+    # from 'a': b,c,b -> a->b 2/3, a->c 1/3; from 'b': b->a 1/1
+    assert got == {
+        ("a", "b"): (2, 2 / 3),
+        ("a", "c"): (1, 1 / 3),
+        ("b", "a"): (1, 1.0),
+    }
+
+
+def test_transition_matrix_gap_bound_and_key_isolation(spark):
+    from svoe_spark.operators.events_analytics import transition_matrix
+
+    ev = _seq(
+        spark,
+        [
+            (1, "a", "2024-01-01 00:00:00", 1),
+            (1, "b", "2024-01-01 02:00:00", 2),  # > gap: dropped
+            (1, "c", "2024-01-01 02:10:00", 3),  # b->c within gap
+            (2, "x", "2024-01-01 00:00:00", 4),  # other key: no cross-user pair
+        ],
+    )
+    got = {
+        (r["from_state"], r["to_state"]): r["n"]
+        for r in transition_matrix(
+            ev, tiebreak="event_id", gap_seconds=1800
+        ).collect()
+    }
+    assert got == {("b", "c"): 1}
+
+
+def test_transition_matrix_tiebreak_orders_equal_timestamps(spark):
+    from svoe_spark.operators.events_analytics import transition_matrix
+
+    ev = _seq(
+        spark,
+        [
+            (1, "z", "2024-01-01 00:00:00", 2),
+            (1, "a", "2024-01-01 00:00:00", 1),  # same instant, lower id first
+            (1, "b", "2024-01-01 00:01:00", 3),
+        ],
+    )
+    got = sorted(
+        (r["from_state"], r["to_state"])
+        for r in transition_matrix(ev, tiebreak="event_id").collect()
+    )
+    assert got == [("a", "z"), ("z", "b")]

@@ -160,3 +160,84 @@ def test_twostar_nonstrict_partial_is_one_row_per_node(spark):
     assert any("converge" in str(x.message) for x in w)
     ids = [r.id for r in out]
     assert len(ids) == len(set(ids)) == 41
+
+
+# ---------------------------------------------------------------------------
+# knn_sparsify + triangle_counts
+# ---------------------------------------------------------------------------
+
+
+def _wedges(spark, rows):
+    return spark.createDataFrame(rows, "src long, dst long, w long")
+
+
+def test_knn_sparsify_mutual_drops_one_sided_picks(spark):
+    from svoe_spark.operators.graph import knn_sparsify
+
+    # K4 with a pendant node 5 attached weakly to 1: with k=3, node 5
+    # picks 1 but 1's top-3 are 2,3,4 -> (1,5) is one-sided
+    edges = _wedges(
+        spark,
+        [(1, 2, 10), (1, 3, 9), (1, 4, 8), (2, 3, 7), (2, 4, 6), (3, 4, 5), (5, 1, 1)],
+    )
+    mut = sorted(tuple(r) for r in knn_sparsify(edges, k=3).collect())
+    assert mut == [(1, 2, 10), (1, 3, 9), (1, 4, 8), (2, 3, 7), (2, 4, 6), (3, 4, 5)]
+    any_ = sorted(tuple(r) for r in knn_sparsify(edges, k=3, mutual=False).collect())
+    assert (1, 5, 1) in any_ and len(any_) == 7
+
+
+def test_knn_sparsify_sums_duplicate_orientations(spark):
+    from svoe_spark.operators.graph import knn_sparsify
+
+    # the same pair reported in both orientations must merge by sum
+    edges = _wedges(spark, [(1, 2, 3), (2, 1, 4), (1, 3, 5)])
+    out = sorted(tuple(r) for r in knn_sparsify(edges, k=2).collect())
+    assert out == [(1, 2, 7), (1, 3, 5)]
+
+
+def test_knn_sparsify_rejects_bad_k_and_drops_self_loops(spark):
+    import pytest
+
+    from svoe_spark.operators.graph import knn_sparsify
+
+    with pytest.raises(ValueError):
+        knn_sparsify(_wedges(spark, [(1, 2, 1)]), k=0)
+    out = knn_sparsify(_wedges(spark, [(1, 1, 9), (1, 2, 1)]), k=2).collect()
+    assert sorted(tuple(r) for r in out) == [(1, 2, 1)]
+
+
+def test_triangle_counts_matches_bruteforce(spark):
+    """Random-ish 12-node graph: id-oriented wedge enumeration must
+    agree with the O(n^3) Python count, per node."""
+    import itertools
+
+    from svoe_spark.operators.graph import triangle_counts
+
+    pairs = sorted(
+        {(min(a, b), max(a, b)) for a, b in [
+            (1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 3), (6, 7),
+            (7, 8), (8, 6), (1, 4), (2, 4), (9, 10), (5, 1), (11, 12),
+        ]}
+    )
+    adj = set(pairs)
+    nodes = sorted({n for p in pairs for n in p})
+    want = {n: 0 for n in nodes}
+    ntri = 0
+    for x, y, z in itertools.combinations(nodes, 3):
+        if (x, y) in adj and (y, z) in adj and (x, z) in adj:
+            ntri += 1
+            want[x] += 1
+            want[y] += 1
+            want[z] += 1
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {r["node"]: r for r in triangle_counts(df).collect()}
+    assert sum(r["triangles"] for r in got.values()) == 3 * ntri
+    for n in nodes:
+        assert got[n]["triangles"] == want[n], n
+    # clustering: deg>=2 nodes get 2T/(d(d-1)); deg<2 nodes get NULL
+    deg = {n: sum(1 for p in pairs if n in p) for n in nodes}
+    for n in nodes:
+        if deg[n] >= 2:
+            assert got[n]["clustering"] == 2 * want[n] / (deg[n] * (deg[n] - 1))
+        else:
+            assert got[n]["clustering"] is None

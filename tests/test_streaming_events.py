@@ -32,7 +32,7 @@ def event_parquet(spark, sf_small, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("evstream") / "events")
     ev = (
         load_table(spark, "events", sf_small)
-        .select("user_id", "event_type", "ts")
+        .select("user_id", "event_type", "ts", "event_id")
         .persist()
     )
     qs = ev.selectExpr(
@@ -475,3 +475,101 @@ def test_ofi_stream_survives_tiny_arrow_chunks(spark, booktop_parquet):
         assert got == want
     finally:
         spark.conf.set(key, old)
+
+
+# ---------------------------------------------------------------------------
+# transition_stream (Kappa twin of events_analytics.transition_matrix)
+# ---------------------------------------------------------------------------
+
+
+def _transition_want(spark, sf_small):
+    from svoe_spark.operators.events_analytics import transition_matrix
+
+    ev = load_table(spark, "events", sf_small)
+    return {
+        (r["from_state"], r["to_state"]): (r["n"], r["p"])
+        for r in transition_matrix(
+            ev, tiebreak="event_id", gap_seconds=1800
+        ).collect()
+    }
+
+
+def test_transition_stream_equals_batch(spark, sf_small, event_parquet):
+    from svoe_spark.streaming.events_stream import (
+        transition_counts,
+        transition_stream,
+    )
+
+    out = run_available_to_memory(
+        transition_stream(
+            _replay(spark, event_parquet),
+            tiebreak="event_id",
+            gap_seconds=1800,
+        )
+    )
+    got = {
+        (r["from_state"], r["to_state"]): (r["n"], r["p"])
+        for r in transition_counts(out).collect()
+    }
+    want = _transition_want(spark, sf_small)
+    assert len(got) == len(want) > 0
+    assert got == want
+
+
+def test_transition_stream_survives_tiny_arrow_chunks(
+    spark, sf_small, event_parquet
+):
+    from svoe_spark.streaming.events_stream import (
+        transition_counts,
+        transition_stream,
+    )
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "3")
+    try:
+        out = run_available_to_memory(
+            transition_stream(
+                _replay(spark, event_parquet),
+                tiebreak="event_id",
+                gap_seconds=1800,
+            )
+        )
+        got = {
+            (r["from_state"], r["to_state"]): (r["n"], r["p"])
+            for r in transition_counts(out).collect()
+        }
+    finally:
+        spark.conf.set(key, old)
+    assert got == _transition_want(spark, sf_small)
+
+
+def test_transition_stream_gap_reanchors_without_emitting(spark, tmp_path):
+    """A successor beyond the gap is NOT a transition, but it must
+    re-anchor state: the event after it transitions FROM it, not from
+    the pre-gap event."""
+    import time
+
+    from svoe_spark.streaming.events_stream import transition_stream
+
+    rows = [
+        (1, "a", "2024-01-01 00:00:00"),
+        (1, "b", "2024-01-01 00:10:00"),  # a->b (within 30m)
+        (1, "c", "2024-01-01 02:00:00"),  # gap: no b->c
+        (1, "d", "2024-01-01 02:05:00"),  # c->d (within 30m)
+    ]
+    path = str(tmp_path / "gapev")
+    for i, r in enumerate(rows):
+        df = spark.createDataFrame([r], "user_id long, event_type string, ts_s string")
+        df.selectExpr(
+            "user_id", "event_type", "CAST(ts_s AS TIMESTAMP) AS ts",
+            f"CAST({i} AS LONG) AS event_id",
+        ).coalesce(1).write.mode("append").parquet(path)
+        time.sleep(1.1)
+    out = run_available_to_memory(
+        transition_stream(
+            _replay(spark, path), tiebreak="event_id", gap_seconds=1800
+        )
+    )
+    got = sorted((r["from_state"], r["to_state"]) for r in out.collect())
+    assert got == [("a", "b"), ("c", "d")]
