@@ -79,6 +79,7 @@ _DRIVER_PRIORITY = [
     "supplier_cograph_triangles",
     "event_transitions_30m",
     "event_hourly_anomalies",
+    "value_cusum_alarms",
 ]
 
 # (c) refill: LLM-data layer in CORRECTNESS_r03 order (last green r3).

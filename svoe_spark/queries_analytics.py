@@ -1033,3 +1033,104 @@ def event_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.where(
         (F.col("score") > 3.0) | (F.col("score").isNull() & (F.col("dev") > 0))
     ).select("event_type", "hour_ts", "n", "dev", "score")
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint alarms on hourly value level
+# ---------------------------------------------------------------------------
+
+_CUSUM_H = 8  # alarm threshold, in MAD units
+
+
+def _cusum_oracle() -> str:
+    return f"""
+    WITH t AS (SELECT event_type, ts,
+                      CAST(round(value*100,0) AS BIGINT) AS v FROM events),
+    hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+             CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_c
+      FROM t GROUP BY 1, 2),
+    nn AS (SELECT event_type, count(*) AS n_g FROM hourly GROUP BY 1),
+    rr AS (SELECT event_type, avg_c,
+                  row_number() OVER (PARTITION BY event_type ORDER BY avg_c)
+                    AS rk
+           FROM hourly),
+    med AS (SELECT rr.event_type, rr.avg_c AS med
+            FROM rr JOIN nn USING (event_type)
+            WHERE rk = (n_g - 1) // 2 + 1),
+    d AS (SELECT h.*, m.med, abs(h.avg_c - m.med) AS dev
+          FROM hourly h JOIN med m USING (event_type)),
+    r2 AS (SELECT event_type, dev,
+                  row_number() OVER (PARTITION BY event_type ORDER BY dev)
+                    AS rk
+           FROM d),
+    mad AS (SELECT r2.event_type, r2.dev AS mad
+            FROM r2 JOIN nn USING (event_type)
+            WHERE rk = (n_g - 1) // 2 + 1),
+    y AS (SELECT d.event_type, d.hour_ts, d.avg_c, d.med, mad.mad,
+                 d.avg_c - d.med - mad.mad AS yp,
+                 d.avg_c - d.med + mad.mad AS yn
+          FROM d JOIN mad USING (event_type)),
+    p AS (SELECT *, sum(yp) OVER w AS pp, sum(yn) OVER w AS pn FROM y
+          WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    c AS (SELECT *, pp - least(0, min(pp) OVER w) AS c_pos,
+                 greatest(0, max(pn) OVER w) - pn AS c_neg FROM p
+          WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_type, hour_ts, avg_c,
+           CAST(c_pos AS BIGINT) AS c_pos, CAST(c_neg AS BIGINT) AS c_neg
+    FROM c
+    WHERE c_pos > {_CUSUM_H} * mad OR c_neg > {_CUSUM_H} * mad
+    """
+
+
+@query("value_cusum_alarms", _cusum_oracle())
+def value_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential changepoint detection (Page's CUSUM) on the hourly
+    value level per event type: slack and alarm threshold are
+    MAD-scaled (exact type-1 order statistics), so the detector
+    self-calibrates per series. The recursion C_t = max(0, C_{t-1} +
+    y_t) is computed RELATIONALLY via the prefix-sum identity
+    C_t = P_t - min(0, running_min(P)) — one per-key ordered window,
+    no iteration (operators/changepoint.py). Integer arithmetic end
+    to end; the hourly level uses truncating integer division (values
+    are positive, so Spark DIV == DuckDB //)."""
+    from svoe_spark.operators.changepoint import cusum_scores
+    from svoe_spark.operators.profiling import attach_broadcast, order_statistics
+
+    e = load_table(spark, "events", sf_dir)
+    hourly = (
+        e.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+        )
+        .groupBy("event_type", "hour_ts")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").cast("long").alias("sv"),
+        )
+        .withColumn("avg_c", F.expr("sv DIV n"))
+        .drop("n", "sv")
+    )
+    med = (
+        order_statistics(hourly, "avg_c", [0.5], ["event_type"], out="med")
+        .select("event_type", "med")
+    )
+    d = attach_broadcast(hourly, med, ["event_type"]).withColumn(
+        "dev", F.abs(F.col("avg_c") - F.col("med"))
+    )
+    mad = (
+        order_statistics(d, "dev", [0.5], ["event_type"], out="mad")
+        .select("event_type", "mad")
+    )
+    y = attach_broadcast(d, mad, ["event_type"])
+    scored = cusum_scores(
+        y, "avg_c", on="hour_ts", by=["event_type"],
+        baseline_col="med", slack="mad",
+    )
+    h = F.lit(_CUSUM_H) * F.col("mad")
+    return scored.where(
+        (F.col("c_pos") > h) | (F.col("c_neg") > h)
+    ).select("event_type", "hour_ts", "avg_c", "c_pos", "c_neg")

@@ -573,3 +573,111 @@ def test_transition_stream_gap_reanchors_without_emitting(spark, tmp_path):
     )
     got = sorted((r["from_state"], r["to_state"]) for r in out.collect())
     assert got == [("a", "b"), ("c", "d")]
+
+
+# ---------------------------------------------------------------------------
+# cusum_stream (Kappa twin of changepoint.cusum_scores)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def cusum_parquet(spark, sf_small, tmp_path_factory):
+    """Hourly integer value level per event type with frozen per-type
+    median/MAD baselines attached (a sequential detector monitors new
+    data against a scale frozen from history), written as three
+    sequential time slices."""
+    import time
+
+    from svoe_spark.operators.profiling import attach_broadcast, order_statistics
+
+    path = str(tmp_path_factory.mktemp("cusumstream") / "hourly")
+    e = load_table(spark, "events", sf_small)
+    hourly = (
+        e.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+        )
+        .groupBy("event_type", "hour_ts")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+        .withColumn("avg_c", F.expr("sv DIV n"))
+        .drop("n", "sv")
+    )
+    med = order_statistics(
+        hourly, "avg_c", [0.5], ["event_type"], out="med"
+    ).select("event_type", "med")
+    d = attach_broadcast(hourly, med, ["event_type"]).withColumn(
+        "dev", F.abs(F.col("avg_c") - F.col("med"))
+    )
+    mad = order_statistics(
+        d, "dev", [0.5], ["event_type"], out="mad"
+    ).select("event_type", "mad")
+    y = attach_broadcast(d, mad, ["event_type"]).drop("dev").persist()
+    qs = y.selectExpr(
+        "percentile(unix_micros(hour_ts), array(0.34, 0.67)) AS q"
+    ).first()["q"]
+    bounds = [None, *[int(q) for q in qs], None]
+    for i in range(3):
+        sl = y
+        if bounds[i] is not None:
+            sl = sl.where(F.unix_micros("hour_ts") > bounds[i])
+        if bounds[i + 1] is not None:
+            sl = sl.where(F.unix_micros("hour_ts") <= bounds[i + 1])
+        sl.coalesce(1).write.mode("append").parquet(path)
+        time.sleep(1.1)
+    y.unpersist()
+    return path
+
+
+def _cusum_stream_rows(spark, cusum_parquet, tiny_chunks=False):
+    from svoe_spark.streaming.changepoint_stream import cusum_stream
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    if tiny_chunks:
+        spark.conf.set(key, "3")
+    try:
+        out = run_available_to_memory(
+            cusum_stream(
+                _replay(spark, cusum_parquet),
+                value_col="avg_c",
+                on="hour_ts",
+                key="event_type",
+                baseline_col="med",
+                slack="mad",
+            )
+        )
+        return {
+            (r["event_type"], r["hour_ts"]): (r["c_pos"], r["c_neg"])
+            for r in out.collect()
+        }
+    finally:
+        spark.conf.set(key, old)
+
+
+def _cusum_batch_rows(spark, cusum_parquet):
+    from svoe_spark.operators.changepoint import cusum_scores
+
+    y = spark.read.parquet(cusum_parquet)
+    want_df = cusum_scores(
+        y, "avg_c", on="hour_ts", by=["event_type"],
+        baseline_col="med", slack="mad",
+    )
+    return {
+        (r["event_type"], r["hour_ts"]): (r["c_pos"], r["c_neg"])
+        for r in want_df.collect()
+    }
+
+
+def test_cusum_stream_equals_batch(spark, cusum_parquet):
+    got = _cusum_stream_rows(spark, cusum_parquet)
+    want = _cusum_batch_rows(spark, cusum_parquet)
+    assert len(got) == len(want) > 100
+    assert got == want
+    # the detector actually excursions on this data
+    assert max(v[0] for v in got.values()) > 0
+
+
+def test_cusum_stream_survives_tiny_arrow_chunks(spark, cusum_parquet):
+    got = _cusum_stream_rows(spark, cusum_parquet, tiny_chunks=True)
+    assert got == _cusum_batch_rows(spark, cusum_parquet)
