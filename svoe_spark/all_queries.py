@@ -80,6 +80,9 @@ _DRIVER_PRIORITY = [
     "event_transitions_30m",
     "event_hourly_anomalies",
     "value_cusum_alarms",
+    "priority_sample_orders",
+    "value_trend_by_type",
+    "event_dwell_30m",
 ]
 
 # (c) refill: LLM-data layer in CORRECTNESS_r03 order (last green r3).

@@ -564,3 +564,93 @@ def contrastive_crops(
         F.array_join(F.slice("__toks", a, s), " ").alias("crop_a"),
         F.array_join(F.slice("__toks", b, s), " ").alias("crop_b"),
     )
+
+
+_PRI_DEN = float(2**60)
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Priority sampling (Duffield, Lund & Thorup 2007): a k-row
+    weight-sensitive sample supporting UNBIASED subset-sum estimation.
+    Each row gets priority q = w / u with u a deterministic uniform in
+    (0, 1] (md5(salt || id) — reproducible across runs, engines, and
+    partitionings; re-saltable per draw); the sample is the k largest
+    priorities, and tau — the (k+1)-th largest — is the estimation
+    threshold: est_w = max(w, tau) for sampled rows, whose expectation
+    equals w (so any subset's est_w sum estimates that subset's true
+    weight with near-optimal variance among k-sample schemes).
+
+    Weights must be POSITIVE integers (the exactness contract: q and
+    est_w are each one IEEE operation over exactly-converted ints).
+    Degenerate input (n <= k) returns every row with est_w = w — exact,
+    zero variance.
+
+    Scale shape: one narrow projection (hash + two divisions) and a
+    distributed partial top-(k+1) (TakeOrdered — per-partition heaps,
+    one merge; NEVER a global sort or single-task window); tau is an
+    aggregate over k+1 rows. The q > tau cut keeps exactly k rows
+    (q ties across distinct ids have probability ~2^-60).
+    """
+    if k < 1:
+        raise ValueError("priority_sample: k must be >= 1")
+    q = F.col(weight_col).cast("double") / (
+        (md5_hash(F.concat(F.lit(salt), F.col(id_col).cast("string"))) + 1)
+        / F.lit(_PRI_DEN)
+    )
+    staged = df.withColumn("__q", q)
+    # checks are cheap relative to a mis-sampled corpus: a zero or
+    # negative weight silently breaks the estimator's unbiasedness
+    bad = staged.where(F.col(weight_col) <= 0).limit(1).count()
+    if bad:
+        raise ValueError("priority_sample: weights must be positive")
+    top = staged.orderBy(F.col("__q").desc(), F.col(id_col).asc()).limit(k + 1)
+    # tau = the (k+1)-th largest priority, or 0 when n <= k (every
+    # priority survives and est_w = max(w, 0) = w)
+    thr = top.agg(
+        F.when(F.count(F.lit(1)) > k, F.min("__q"))
+        .otherwise(F.lit(0.0))
+        .alias("__tau")
+    )
+    return (
+        top.crossJoin(F.broadcast(thr))
+        .where(F.col("__q") > F.col("__tau"))
+        .withColumn(
+            "est_w",
+            F.greatest(F.col(weight_col).cast("double"), F.col("__tau")),
+        )
+        .drop("__q", "__tau")
+    )
+
+
+def priority_sample_sql(
+    table: str, weight_col: str, k: int, id_col: str, salt: str = ""
+) -> str:
+    """DuckDB twin of `priority_sample` (same md5 uniform, same two
+    divisions, same tau rule) — emits CTE chain ending in ``psample``."""
+    from svoe_spark.functions.text import sql_md5_hash
+
+    key = sql_md5_hash(f"'{salt}' || CAST({id_col} AS VARCHAR)")
+    return f"""
+    pri AS (
+      SELECT *, CAST({weight_col} AS DOUBLE)
+                / (({key} + 1) / {_PRI_DEN!r}) AS __q
+      FROM {table}
+    ),
+    ptop AS (
+      SELECT * FROM pri ORDER BY __q DESC, {id_col} ASC LIMIT {k + 1}
+    ),
+    ptau AS (
+      SELECT CASE WHEN count(*) > {k} THEN min(__q) ELSE 0.0 END AS __tau
+      FROM ptop
+    ),
+    psample AS (
+      SELECT ptop.*, greatest(CAST({weight_col} AS DOUBLE), __tau) AS est_w
+      FROM ptop, ptau WHERE __q > __tau
+    )
+    """

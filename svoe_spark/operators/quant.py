@@ -582,3 +582,98 @@ def order_flow_imbalance(
         + F.when(a >= pa, pqa).otherwise(F.lit(0))
     )
     return df.withColumn(out, F.coalesce(e, F.lit(0)).cast("long"))
+
+
+def _ols_parts(n, sx, sy, sxy, sxx, syy):
+    """Shared double-cast moment combinations for the OLS outputs."""
+    n_d = n.cast("double")
+    sx_d = sx.cast("double")
+    sy_d = sy.cast("double")
+    num = n_d * sxy.cast("double") - sx_d * sy_d
+    dxx = n_d * sxx.cast("double") - sx_d * sx_d
+    dyy = n_d * syy.cast("double") - sy_d * sy_d
+    return n_d, sx_d, sy_d, num, dxx, dyy
+
+
+def ols_fit(
+    df: DataFrame,
+    x: str,
+    y: str,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Closed-form per-group simple linear regression y = a + b*x from
+    EXACT integer moments: one groupBy computes (n, sx, sy, sxy, sxx,
+    syy) as exact int64 sums (x and y must be integer columns — the
+    determinism contract shared with `_pearson`), then slope /
+    intercept / r2 are fixed double expressions over them — the
+    distributed trend estimator that needs no solver and no second
+    pass. NULL slope/r2 for degenerate groups (constant x; r2 also
+    NULL for constant y, where it is undefined 0/0).
+
+    Headroom: sum(x*y) and sum(x*x) must fit int64 —
+    rows_per_group * max|x| * max(|y|,|x|) < 9.2e18; past that widen
+    the products to decimal(38,0) (semantics unchanged).
+
+    Scale shape: ONE partial-agg-friendly groupBy over a narrow
+    projection; output is |groups| rows.
+    """
+    groups = list(by or [])
+    xc, yc = F.col(x), F.col(y)
+    agg = df.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(xc).cast("long").alias("__sx"),
+        F.sum(yc).cast("long").alias("__sy"),
+        F.sum(xc * yc).cast("long").alias("__sxy"),
+        F.sum(xc * xc).cast("long").alias("__sxx"),
+        F.sum(yc * yc).cast("long").alias("__syy"),
+    )
+    n_d, sx_d, sy_d, num, dxx, dyy = _ols_parts(
+        F.col("n"), F.col("__sx"), F.col("__sy"),
+        F.col("__sxy"), F.col("__sxx"), F.col("__syy"),
+    )
+    slope = F.when(dxx > 0, num / dxx)
+    intercept = F.when(dxx > 0, (sy_d - (num / dxx) * sx_d) / n_d)
+    r2 = F.when((dxx > 0) & (dyy > 0), (num * num) / (dxx * dyy))
+    return agg.select(
+        *groups,
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )
+
+
+def ols_sql(
+    table: str,
+    x: str,
+    y: str,
+    group_cols: str | None = None,
+) -> str:
+    """SQL twin of :func:`ols_fit` (same moment aggregate, same double
+    expression trees), so registered-query oracles cannot drift."""
+    g_sel = f"{group_cols}, " if group_cols else ""
+    g_grp = f"GROUP BY {group_cols}" if group_cols else ""
+    n_d = "CAST(n AS DOUBLE)"
+    sx_d = "CAST(__sx AS DOUBLE)"
+    sy_d = "CAST(__sy AS DOUBLE)"
+    num = f"({n_d} * CAST(__sxy AS DOUBLE) - {sx_d} * {sy_d})"
+    dxx = f"({n_d} * CAST(__sxx AS DOUBLE) - {sx_d} * {sx_d})"
+    dyy = f"({n_d} * CAST(__syy AS DOUBLE) - {sy_d} * {sy_d})"
+    return f"""
+    SELECT {g_sel}n,
+           CASE WHEN {dxx} > 0 THEN {num} / {dxx} END AS slope,
+           CASE WHEN {dxx} > 0
+                THEN ({sy_d} - ({num} / {dxx}) * {sx_d}) / {n_d} END
+             AS intercept,
+           CASE WHEN {dxx} > 0 AND {dyy} > 0
+                THEN ({num} * {num}) / ({dxx} * {dyy}) END AS r2
+    FROM (
+      SELECT {g_sel}CAST(count(*) AS BIGINT) AS n,
+             CAST(sum({x}) AS BIGINT) AS __sx,
+             CAST(sum({y}) AS BIGINT) AS __sy,
+             CAST(sum({x} * {y}) AS BIGINT) AS __sxy,
+             CAST(sum({x} * {x}) AS BIGINT) AS __sxx,
+             CAST(sum({y} * {y}) AS BIGINT) AS __syy
+      FROM {table} {g_grp}
+    )
+    """

@@ -1134,3 +1134,104 @@ def value_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.where(
         (F.col("c_pos") > h) | (F.col("c_neg") > h)
     ).select("event_type", "hour_ts", "avg_c", "c_pos", "c_neg")
+
+
+# ---------------------------------------------------------------------------
+# Per-type value trend: closed-form OLS over exact integer moments
+# ---------------------------------------------------------------------------
+
+def _trend_oracle() -> str:
+    from svoe_spark.operators.quant import ols_sql
+
+    inner = """(
+      SELECT event_type,
+             CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT)
+               AS xh,
+             CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT)
+               // CAST(count(*) AS BIGINT) AS avg_c
+      FROM events GROUP BY 1, 2
+    )"""
+    return ols_sql(inner, "xh", "avg_c", group_cols="event_type")
+
+
+@query("value_trend_by_type", _trend_oracle())
+def value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-instrument value trend: closed-form OLS of the hourly value
+    level against the epoch-hour index — slope is drift in cents/hour,
+    r2 the linearity, both fixed double expressions over ONE groupBy
+    of exact integer moments (`quant.ols_fit`; no solver, no second
+    pass). The Spark side and the oracle share the code-generated
+    expression tree."""
+    from svoe_spark.operators.quant import ols_fit
+
+    e = load_table(spark, "events", sf_dir)
+    hourly = (
+        e.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("v"),
+        )
+        .groupBy("event_type", "hour_ts")
+        .agg(F.count(F.lit(1)).alias("n_"), F.sum("v").alias("sv"))
+        .select(
+            "event_type",
+            F.expr("unix_micros(hour_ts) DIV 3600000000").alias("xh"),
+            F.expr("sv DIV n_").alias("avg_c"),
+        )
+    )
+    return ols_fit(hourly, "xh", "avg_c", by=["event_type"])
+
+
+# ---------------------------------------------------------------------------
+# Dwell time by state (time spent before the next in-session event)
+# ---------------------------------------------------------------------------
+
+_DWELL_SQL = """
+WITH seq AS (
+  SELECT event_type,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS dwell_us
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_dwells,
+       CAST(sum(dwell_us) AS BIGINT) AS total_dwell_us,
+       CAST(sum(dwell_us) AS BIGINT) / CAST(count(*) AS BIGINT)
+         AS avg_dwell_us
+FROM seq
+WHERE dwell_us IS NOT NULL AND dwell_us <= 1800 * 1000000
+GROUP BY event_type
+"""
+
+
+@query("event_dwell_30m", _DWELL_SQL)
+def event_dwell_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long users sit in each state: per event type, the exact
+    integer microseconds until the SAME user's next event, counted
+    only within the 30-minute session gap (a dwell that spans a
+    session boundary is absence, not engagement). One per-user lead
+    window + one groupBy; avg is the single terminal division. The
+    engagement-analysis complement of `event_transitions_30m` (which
+    counts WHERE users go; this measures HOW LONG leaving takes)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    dwell = e.select(
+        "event_type",
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+        ).alias("dwell_us"),
+    ).where(
+        F.col("dwell_us").isNotNull()
+        & (F.col("dwell_us") <= F.lit(1800 * 1_000_000))
+    )
+    return dwell.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dwells"),
+        F.sum("dwell_us").cast("long").alias("total_dwell_us"),
+        (F.sum("dwell_us").cast("long") / F.count(F.lit(1)).cast("long")).alias(
+            "avg_dwell_us"
+        ),
+    )

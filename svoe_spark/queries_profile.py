@@ -665,3 +665,46 @@ def dq_orders_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         qc.ref_integrity(li, "l_orderkey", orders, "o_orderkey")
     ).unionByName(qc.ref_integrity(orders, "o_custkey", cust, "c_custkey"))
     return report
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling (weight-sensitive sample + unbiased subset sums)
+# ---------------------------------------------------------------------------
+
+_PSAMP_K = 100
+
+
+def _priority_sample_sql() -> str:
+    from svoe_spark.operators.curation import priority_sample_sql
+
+    inner = (
+        "(SELECT o_orderkey, CAST(round(o_totalprice*100,0) AS BIGINT)"
+        " AS w_c FROM orders)"
+    )
+    return (
+        "WITH "
+        + priority_sample_sql(inner, "w_c", _PSAMP_K, "o_orderkey", salt="ps1")
+        + " SELECT o_orderkey, w_c, est_w FROM psample"
+    )
+
+
+@query("priority_sample_orders", _priority_sample_sql())
+def priority_sample_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling of orders by spend (Duffield-Lund-Thorup): a
+    100-row weight-sensitive sample whose est_w column gives unbiased
+    subset-sum estimates — ask any downstream predicate of the SAMPLE
+    (sum est_w where <filter>) and the expectation equals the true
+    filtered spend. The 100 TB sampling primitive when uniform rows
+    underrepresent heavy items: one narrow hash projection + a
+    distributed partial top-k; no global sort."""
+    from pyspark.sql import functions as F
+
+    from svoe_spark.operators.curation import priority_sample
+
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("w_c"),
+    )
+    return priority_sample(o, "w_c", _PSAMP_K, "o_orderkey", salt="ps1").select(
+        "o_orderkey", "w_c", "est_w"
+    )

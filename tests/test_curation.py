@@ -369,3 +369,78 @@ def test_pps_systematic_sample_zero_total_weight(spark):
     assert pps_systematic_sample(df, "n_chars", 5).count() == 0
     empty = df.where("doc_id < 0")
     assert pps_systematic_sample(empty, "n_chars", 5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# priority_sample
+# ---------------------------------------------------------------------------
+
+
+def _weighted(spark, n=500, heavy=3):
+    from pyspark.sql import functions as F
+
+    # a few very heavy items among a light population
+    df = spark.range(n).select(
+        F.col("id"),
+        F.when(F.col("id") < heavy, F.lit(100000))
+        .otherwise(F.lit(10) + F.col("id") % 7)
+        .cast("long")
+        .alias("w"),
+    )
+    return df
+
+
+def test_priority_sample_size_threshold_and_heavy_items(spark):
+    from svoe_spark.operators.curation import priority_sample
+
+    df = _weighted(spark)
+    out = priority_sample(df, "w", 50, "id", salt="t").collect()
+    assert len(out) == 50
+    ids = {r["id"] for r in out}
+    # heavy items are (near-)certain picks: q = w/u >= w
+    assert {0, 1, 2} <= ids
+    # est_w = max(w, tau) >= w, and equals w for the heavy rows
+    for r in out:
+        assert r["est_w"] >= r["w"]
+    heavy = [r for r in out if r["id"] < 3]
+    assert all(r["est_w"] == r["w"] for r in heavy)
+
+
+def test_priority_sample_subset_sum_estimator_is_calibrated(spark):
+    """sum(est_w) over the sample estimates the true total; with k=100
+    of 500 skewed rows the realized error should be small (fixed salt
+    -> deterministic check, bound chosen ~3x the observed error)."""
+    from svoe_spark.operators.curation import priority_sample
+
+    df = _weighted(spark).persist()
+    true_total = df.groupBy().sum("w").collect()[0][0]
+    out = priority_sample(df, "w", 100, "id", salt="est")
+    est_total = sum(r["est_w"] for r in out.collect())
+    assert abs(est_total - true_total) / true_total < 0.15
+
+
+def test_priority_sample_degenerate_and_validation(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from svoe_spark.operators.curation import priority_sample
+
+    small = _weighted(spark, n=5, heavy=0)
+    out = priority_sample(small, "w", 10, "id").collect()
+    assert len(out) == 5 and all(r["est_w"] == r["w"] for r in out)
+    with pytest.raises(ValueError):
+        priority_sample(small, "w", 0, "id")
+    bad = small.withColumn("w", F.col("w") - F.lit(100))
+    with pytest.raises(ValueError):
+        priority_sample(bad, "w", 2, "id")
+
+
+def test_priority_sample_resalts(spark):
+    from svoe_spark.operators.curation import priority_sample
+
+    df = _weighted(spark).persist()
+    a = {r["id"] for r in priority_sample(df, "w", 50, "id", salt="a").collect()}
+    b = {r["id"] for r in priority_sample(df, "w", 50, "id", salt="b").collect()}
+    a2 = {r["id"] for r in priority_sample(df, "w", 50, "id", salt="a").collect()}
+    assert a == a2
+    assert a != b

@@ -289,3 +289,48 @@ def test_order_flow_imbalance_arms(spark):
     assert got[("X", 3)] == -7 + 21      # -pqb (b down), +pqa (a up)
     assert got[("X", 4)] == 6 - 5 - 4    # b equal: +qb - pqb; a down: -qa
     assert got[("Y", 1)] == 0
+
+
+# ---------------------------------------------------------------------------
+# ols_fit
+# ---------------------------------------------------------------------------
+
+
+def test_ols_perfect_line_recovers_parameters(spark):
+    from svoe_spark.operators.quant import ols_fit
+
+    # y = 3x + 7 exactly
+    rows = [("g", x, 3 * x + 7) for x in range(10)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    r = ols_fit(df, "x", "y", by=["g"]).collect()[0]
+    assert (r["n"], r["slope"], r["intercept"], r["r2"]) == (10, 3.0, 7.0, 1.0)
+
+
+def test_ols_degenerate_groups_are_null(spark):
+    from svoe_spark.operators.quant import ols_fit
+
+    rows = [("cx", 5, v) for v in (1, 2, 3)]  # constant x: undefined fit
+    rows += [("cy", x, 4) for x in (1, 2, 3)]  # constant y: slope 0, r2 0/0
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r["g"]: r for r in ols_fit(df, "x", "y", by=["g"]).collect()}
+    assert got["cx"]["slope"] is None and got["cx"]["r2"] is None
+    assert got["cy"]["slope"] == 0.0 and got["cy"]["intercept"] == 4.0
+    assert got["cy"]["r2"] is None
+
+
+def test_ols_matches_numpy_polyfit(spark):
+    import numpy as np
+
+    from svoe_spark.operators.quant import ols_fit
+
+    xs = [1, 2, 4, 7, 11, 13, 17, 20]
+    ys = [3, 9, 4, 15, 22, 18, 31, 29]
+    df = spark.createDataFrame(
+        list(zip(xs, ys)), "x long, y long"
+    )
+    r = ols_fit(df, "x", "y").collect()[0]
+    slope, intercept = np.polyfit(np.array(xs, float), np.array(ys, float), 1)
+    assert abs(r["slope"] - slope) < 1e-9
+    assert abs(r["intercept"] - intercept) < 1e-9
+    corr = np.corrcoef(xs, ys)[0, 1]
+    assert abs(r["r2"] - corr * corr) < 1e-9
