@@ -1045,12 +1045,138 @@ def round6b_smoke(spark, results, force, n_edges=20_000_000, n_obs=100_000_000):
     results["scd2_store_inc_1k_sec"] = timed(_wide, "scd2_store_inc_1k")
 
 
+def round6c_smoke(spark, results, force, n_big=100_000_000):
+    """Round-6c additions: CUSUM scores at 100M rows, transition
+    matrix at 100M events, one-pass DQ verification at 100M rows,
+    priority sampling at 100M, and triangle counting on a 20M-edge
+    k-NN-sparsified graph."""
+    from svoe_spark.operators.changepoint import cusum_scores
+    from svoe_spark.operators.events_analytics import transition_matrix
+    from svoe_spark.operators.graph import knn_sparsify, triangle_counts
+    from svoe_spark.operators import quality_checks as qc
+    from svoe_spark.operators.curation import priority_sample
+
+    # CUSUM: 1000 keys x 100k rows; key 0 gets a +8 level shift on its
+    # back half (drift the slack=2 allowance accumulates at +6/step)
+    series = spark.range(n_big).select(
+        (F.col("id") % 1000).alias("k"),
+        F.expr("id DIV 1000").alias("t"),
+        (
+            10
+            + (F.xxhash64("id") % 3)
+            + F.when(
+                (F.col("id") % 1000 == 0) & (F.col("id") >= n_big // 2), 8
+            ).otherwise(0)
+        ).cast("long").alias("v"),
+    ).withColumn("base", F.lit(11))
+
+    def _cusum():
+        scored = cusum_scores(
+            series, "v", on="t", by=["k"], baseline_col="base", slack=2
+        )
+        alarms = scored.where(F.col("c_pos") > 1000)
+        hot = alarms.where(F.col("k") == 0).count()
+        cold = alarms.where(F.col("k") != 0).count()
+        assert hot > 10_000 and cold == 0, (hot, cold)
+        results["cusum_alarm_rows"] = hot
+
+    results["cusum_100m_sec"] = timed(_cusum, "cusum_100m")
+
+    # transition matrix: 100M events, 1M users, 5 states
+    ev = spark.range(n_big).select(
+        (F.col("id") % 1_000_000).alias("user_id"),
+        F.timestamp_micros(F.col("id") * 7).alias("ts"),
+        F.col("id").alias("event_id"),
+        F.concat(
+            F.lit("s"), F.pmod(F.xxhash64("id"), F.lit(5)).cast("string")
+        ).alias("event_type"),
+    )
+
+    def _trans():
+        m = transition_matrix(ev, tiebreak="event_id").collect()
+        assert len(m) == 25, len(m)
+        results["transition_cells"] = len(m)
+
+    results["transition_100m_sec"] = timed(_trans, "transition_100m")
+
+    # DQ: one aggregate pass over 100M rows; violation counts are
+    # formula-exact (1% nulls, 0.1% out-of-bounds)
+    rows = spark.range(n_big).select(
+        F.col("id"),
+        F.when(F.col("id") % 100 != 0, F.col("id") % 1000).alias("v"),
+        F.when(F.col("id") % 1000 == 0, F.lit(-5)).otherwise(
+            F.col("id") % 50
+        ).alias("b"),
+    )
+
+    def _dq():
+        rep = {
+            r["check_name"]: r["violations"]
+            for r in qc.run_checks(
+                rows,
+                [qc.completeness("v"), qc.bounds("b", lo=0)],
+                unique=["id"],
+            ).collect()
+        }
+        assert rep["completeness(v)"] == n_big // 100, rep
+        assert rep["bounds(b)"] == n_big // 1000, rep
+        assert rep["unique(id)"] == 0, rep
+        results["dq_violations"] = rep["completeness(v)"]
+
+    results["dq_checks_100m_sec"] = timed(_dq, "dq_checks_100m")
+
+    # priority sampling: k=1000 of 100M skewed weights; the est_w sum
+    # must land near the true total (the unbiasedness contract)
+    wdf = spark.range(n_big).select(
+        F.col("id"),
+        F.when(F.col("id") % 1_000_000 == 0, F.lit(10_000_000))
+        .otherwise(1 + F.col("id") % 97)
+        .cast("long")
+        .alias("w"),
+    )
+
+    def _psamp():
+        true_total = wdf.groupBy().sum("w").collect()[0][0]
+        out = priority_sample(wdf, "w", 1000, "id", salt="smoke")
+        est = sum(r["est_w"] for r in out.collect())
+        err = abs(est - true_total) / true_total
+        assert err < 0.10, err
+        results["psamp_rel_err"] = round(err, 4)
+
+    results["priority_sample_100m_sec"] = timed(_psamp, "priority_sample_100m")
+
+    # triangles: 20M weighted edges over 2M nodes -> mutual top-8 ->
+    # id-oriented wedge close (work bounded by N*k^2 by construction)
+    n_edges, n_nodes = 20_000_000, 2_000_000
+    edges = spark.range(n_edges).select(
+        F.abs(F.xxhash64("id") % n_nodes).alias("src"),
+        F.abs(F.xxhash64("id", F.lit(7)) % n_nodes).alias("dst"),
+        (1 + F.col("id") % 9).cast("long").alias("w"),
+    )
+
+    def _tri():
+        sp = knn_sparsify(edges, k=8)
+        rep = triangle_counts(sp)
+        agg = rep.agg(
+            F.count(F.lit(1)).alias("nodes"), F.sum("triangles").alias("t3")
+        ).collect()[0]
+        results["tri_nodes"] = agg["nodes"]
+        results["tri_sum"] = agg["t3"]
+
+    results["triangles_20m_edges_sec"] = timed(_tri, "triangles_20m_edges")
+
+
 def main():
     spark = get_spark("scale_smoke")
     spark.sparkContext.setLogLevel("ERROR")
     force = lambda df: df.write.format("noop").mode("overwrite").save()  # noqa: E731
 
     only = os.environ.get("SMOKE_ONLY")
+    if only == "round6c":
+        results = {}
+        round6c_smoke(spark, results, force)
+        print(json.dumps(results))
+        return
     if only == "round6b":
         results = {}
         round6b_smoke(spark, results, force)

@@ -396,3 +396,53 @@ def test_refined_ann_is_broadcast_and_take_ordered(plans):
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_priority_sample_is_partial_topk_not_global_sort(plans):
+    """The k+1 shortlist must come from TakeOrderedAndProject
+    (per-partition heaps + one merge) — a global Sort or a
+    single-partition Window here would serialize 100 TB through one
+    task."""
+    p = plans("priority_sample_orders")
+    assert "TakeOrderedAndProject" in p, p
+    assert "CartesianProduct" not in p
+    # the tau threshold joins in as a broadcast of a 1-row relation
+    assert "BroadcastExchange" in p
+    # no global sort of the full input anywhere
+    for line in p.splitlines():
+        if line.strip().startswith("Sort ") and "TakeOrdered" not in line:
+            raise AssertionError(f"unexpected global sort: {line}")
+
+
+def test_transition_and_dwell_windows_are_keyed(plans):
+    """The lead windows must be PARTITIONED by the user key (parallel
+    across users) — an unpartitioned window would sort the whole event
+    stream in one task."""
+    for name in ("event_transitions_30m", "event_dwell_30m"):
+        p = plans(name)
+        wlines = [l for l in p.splitlines() if "partitionspec" in l.lower()
+                  or "windowspecdefinition" in l.lower()]
+        assert any("user_id" in l for l in wlines), (name, wlines or p)
+        assert "CartesianProduct" not in p
+
+
+def test_cusum_single_keyed_window_pass(plans):
+    """All four CUSUM window aggregates (both prefix sums, running
+    min/max) must share ONE keyed sort — the plan has exactly one
+    Window partitioned by the series key for the score stage."""
+    p = plans("value_cusum_alarms")
+    assert "CartesianProduct" not in p
+    win = [l for l in p.splitlines() if l.strip().startswith("Window ")]
+    cusum_wins = [l for l in win if "c_pos" in l or "c_neg" in l or "__pp" in l]
+    assert len(cusum_wins) <= 2, cusum_wins  # prefix sums + extrema share sorts
+
+
+def test_dq_report_single_aggregate_scan(plans):
+    """The whole constraint list compiles to ONE aggregate over one
+    scan of orders (plus the two ref-integrity scans), never a
+    scan-per-rule."""
+    p = plans("dq_orders_report")
+    # orders is scanned once for the constraint pass + once as the
+    # ref-check child + once as a parent key side = 3 scans total
+    scans = [l for l in p.splitlines() if "Scan parquet" in l and "orders" in l]
+    assert len(scans) <= 3, scans
