@@ -55,7 +55,14 @@ def cusum_scores(
     caller's (typically h * scale; h in 4..10).
     """
     base = F.col(baseline_col) if baseline_col else F.lit(0)
-    k = F.col(slack) if isinstance(slack, str) else F.lit(int(slack))
+    if isinstance(slack, str):
+        k = F.col(slack)
+    else:
+        if isinstance(slack, bool) or not isinstance(slack, int) or slack < 0:
+            raise ValueError(
+                "cusum_scores: slack must be a non-negative int or a column name"
+            )
+        k = F.lit(slack)
     order = [F.col(on).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
     w = (
         Window.partitionBy(*(by or [F.lit(1)]))

@@ -604,12 +604,28 @@ def priority_sample(
         / F.lit(_PRI_DEN)
     )
     staged = df.withColumn("__q", q)
-    # checks are cheap relative to a mis-sampled corpus: a zero or
-    # negative weight silently breaks the estimator's unbiasedness
-    bad = staged.where(F.col(weight_col) <= 0).limit(1).count()
+    # checks are cheap relative to a mis-sampled corpus: a zero,
+    # negative, or NULL weight (or a NULL id, whose md5 priority is
+    # NULL) would silently drop out of the sample and bias every
+    # subset-sum estimate — the exact failure this guard exists for
+    bad = staged.where(
+        (F.col(weight_col) <= 0)
+        | F.col(weight_col).isNull()
+        | F.col(id_col).isNull()
+    ).limit(1).count()
     if bad:
-        raise ValueError("priority_sample: weights must be positive")
-    top = staged.orderBy(F.col("__q").desc(), F.col(id_col).asc()).limit(k + 1)
+        raise ValueError(
+            "priority_sample: weights must be positive non-NULL and ids non-NULL"
+        )
+    # the k+1-row shortlist feeds BOTH the tau aggregate and the output
+    # join; TakeOrdered is not an Exchange, so AQE cannot reuse the
+    # subtree — truncate once (tiny relation) instead of re-running the
+    # full scan + heaps per reference
+    top = (
+        staged.orderBy(F.col("__q").desc(), F.col(id_col).asc())
+        .limit(k + 1)
+        .localCheckpoint(eager=False)
+    )
     # tau = the (k+1)-th largest priority, or 0 when n <= k (every
     # priority survives and est_w = max(w, 0) = w)
     thr = top.agg(

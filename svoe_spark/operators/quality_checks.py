@@ -75,15 +75,26 @@ def completeness(column: str, name: str | None = None) -> Constraint:
     )
 
 
+def _lit_sql(v) -> str:
+    """Render a Python value as a DuckDB literal. Only numbers and
+    strings are supported — anything else (dates, Decimals) must go
+    through `custom()` with an explicitly written SQL predicate,
+    because Python repr is not a SQL literal for those types."""
+    if isinstance(v, bool):
+        raise ValueError("boolean constraint literals are not supported")
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    raise ValueError(
+        f"unsupported constraint literal {type(v).__name__}; use custom()"
+    )
+
+
 def in_set(column: str, values: list, name: str | None = None) -> Constraint:
     """Violated when the value is NULL or outside `values`."""
     if not values:
         raise ValueError("in_set requires a non-empty value list")
-
-    def _lit_sql(v) -> str:
-        if isinstance(v, str):
-            return "'" + v.replace("'", "''") + "'"
-        return repr(v)
 
     sql_vals = ", ".join(_lit_sql(v) for v in values)
     return Constraint(
@@ -107,9 +118,9 @@ def bounds(
         raise ValueError("bounds requires at least one of lo/hi")
     sql_parts = [f"{column} IS NULL"]
     if lo is not None:
-        sql_parts.append(f"{column} < {lo!r}")
+        sql_parts.append(f"{column} < {_lit_sql(lo)}")
     if hi is not None:
-        sql_parts.append(f"{column} > {hi!r}")
+        sql_parts.append(f"{column} > {_lit_sql(hi)}")
 
     def _pred() -> F.Column:
         pred = F.col(column).isNull()

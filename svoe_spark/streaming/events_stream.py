@@ -282,19 +282,21 @@ def transition_stream(
     (ts, tiebreak) within each batch). ``gap_seconds`` mirrors the
     batch bound: a successor later than the gap re-anchors the journey
     without emitting a transition."""
-    from pyspark.sql.types import StringType
-
     sort_cols = ["__ts"] + (["__tb"] if tiebreak is not None else [])
+    # the state column keeps its INPUT type (string labels, integer
+    # codes, ...) — hardcoding StringType would break stream == batch
+    # for non-string state columns
+    state_type = events.schema[state_col].dataType
     out_schema = StructType(
         [
             StructField(key, events.schema[key].dataType),
-            StructField("from_state", StringType()),
-            StructField("to_state", StringType()),
+            StructField("from_state", state_type),
+            StructField("to_state", state_type),
             StructField("ts_us", LongType()),
         ]
     )
     state_schema = StructType(
-        [StructField("last_ts", LongType()), StructField("last_state", StringType())]
+        [StructField("last_ts", LongType()), StructField("last_state", state_type)]
     )
     gap_us = None if gap_seconds is None else int(gap_seconds) * _MICROS
 
@@ -307,7 +309,12 @@ def transition_stream(
             return
         st = pdf["__st"]
         ts = pdf["__ts"]
-        frm = st.shift(fill_value="")
+        # dtype-preserving shift: copy + slide, then seed row 0 from
+        # state (pandas shift() would upcast int64 state codes to
+        # float64 via NaN)
+        frm = st.copy()
+        if len(st) > 1:
+            frm.iloc[1:] = st.values[:-1]
         fts = ts.shift(fill_value=0)
         valid = pd.Series(True, index=pdf.index)
         if prev is None:
@@ -325,7 +332,10 @@ def transition_stream(
                 "ts_us": ts[valid],
             }
         )
-        state.update((int(ts.iloc[-1]), str(st.iloc[-1])))
+        last = st.iloc[-1]
+        state.update(
+            (int(ts.iloc[-1]), last.item() if hasattr(last, "item") else last)
+        )
 
     src = events.select(
         F.col(key),

@@ -83,3 +83,12 @@ def test_cusum_global_series_and_tiebreak(spark):
     }
     # order: (0,0)+2 -> (1,0)+10=12 -> (1,1)-6=6 -> (2,0)+2=8
     assert out == {(0, 0): 2, (1, 0): 12, (1, 1): 6, (2, 0): 8}
+
+
+def test_cusum_rejects_invalid_slack(spark):
+    import pytest
+
+    df = _series(spark, [1, 2, 3])
+    for bad in (2.5, -1, True):
+        with pytest.raises(ValueError, match="slack"):
+            cusum_scores(df, "v", on="t", by=["key"], slack=bad)

@@ -444,3 +444,22 @@ def test_priority_sample_resalts(spark):
     a2 = {r["id"] for r in priority_sample(df, "w", 50, "id", salt="a").collect()}
     assert a == a2
     assert a != b
+
+
+def test_priority_sample_rejects_null_weights_and_ids(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from svoe_spark.operators.curation import priority_sample
+
+    df = _weighted(spark, n=10, heavy=0)
+    with_null_w = df.withColumn(
+        "w", F.when(F.col("id") == 5, None).otherwise(F.col("w"))
+    )
+    with pytest.raises(ValueError, match="positive non-NULL"):
+        priority_sample(with_null_w, "w", 3, "id")
+    with_null_id = df.withColumn(
+        "id", F.when(F.col("id") == 5, None).otherwise(F.col("id"))
+    )
+    with pytest.raises(ValueError, match="non-NULL"):
+        priority_sample(with_null_id, "w", 3, "id")

@@ -145,3 +145,28 @@ def test_report_is_single_pass(spark, dirty):
     # as InMemoryRelation; an unpersisted frame as LogicalRDD)
     assert plan.count("Aggregate") == 1
     assert plan.count("InMemoryRelation") + plan.count("LogicalRDD") == 1
+
+
+def test_bounds_string_literals_are_sql_escaped(spark, tmp_path):
+    """A string bound containing a quote must render as a valid SQL
+    literal (repr would emit a double-quoted identifier)."""
+    import datetime
+
+    df = spark.createDataFrame([("O'Brien",), ("Adams",)], "name string")
+    pq = str(tmp_path / "names.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(pq)
+    cons = [qc.bounds("name", lo="O'B")]
+    spark_rows = sorted(tuple(r) for r in qc.run_checks(df, cons).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+    duck_rows = sorted(
+        tuple(r) for r in con.execute(qc.run_checks_sql("t", cons)).fetchall()
+    )
+    con.close()
+    assert spark_rows == duck_rows
+    # 'Adams' < "O'B" violates; "O'Brien" passes
+    assert spark_rows[0][3] == 1
+    with pytest.raises(ValueError, match="custom"):
+        qc.bounds("d", lo=datetime.date(2024, 1, 1))
+    with pytest.raises(ValueError, match="boolean"):
+        qc.in_set("b", [True])

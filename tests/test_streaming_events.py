@@ -681,3 +681,50 @@ def test_cusum_stream_equals_batch(spark, cusum_parquet):
 def test_cusum_stream_survives_tiny_arrow_chunks(spark, cusum_parquet):
     got = _cusum_stream_rows(spark, cusum_parquet, tiny_chunks=True)
     assert got == _cusum_batch_rows(spark, cusum_parquet)
+
+
+def test_transition_stream_integer_state_codes(spark, tmp_path):
+    """Non-string state columns must round-trip through stream state
+    without dtype corruption (shift() would NaN-upcast int64)."""
+    import time
+
+    from svoe_spark.operators.events_analytics import transition_matrix
+    from svoe_spark.streaming.events_stream import (
+        transition_counts,
+        transition_stream,
+    )
+
+    rows = [
+        (1, 10, "2024-01-01 00:00:00", 1),
+        (1, 20, "2024-01-01 00:01:00", 2),
+        (1, 10, "2024-01-01 00:02:00", 3),
+        (2, 30, "2024-01-01 00:00:30", 4),
+        (2, 30, "2024-01-01 00:01:30", 5),
+    ]
+    path = str(tmp_path / "intstate")
+    for i in range(0, len(rows), 2):
+        df = spark.createDataFrame(
+            rows[i : i + 2],
+            "user_id long, event_type long, ts_s string, event_id long",
+        )
+        df.selectExpr(
+            "user_id", "event_type", "CAST(ts_s AS TIMESTAMP) AS ts", "event_id"
+        ).coalesce(1).write.mode("append").parquet(path)
+        time.sleep(1.1)
+    out = run_available_to_memory(
+        transition_stream(_replay(spark, path), tiebreak="event_id")
+    )
+    got = {
+        (r["from_state"], r["to_state"]): (r["n"], r["p"])
+        for r in transition_counts(out).collect()
+    }
+    batch = spark.read.parquet(path)
+    want = {
+        (r["from_state"], r["to_state"]): (r["n"], r["p"])
+        for r in transition_matrix(batch, tiebreak="event_id").collect()
+    }
+    assert got == want == {
+        (10, 20): (1, 1.0),
+        (20, 10): (1, 1.0),
+        (30, 30): (1, 1.0),
+    }
