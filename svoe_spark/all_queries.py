@@ -83,6 +83,8 @@ _DRIVER_PRIORITY = [
     "priority_sample_orders",
     "value_trend_by_type",
     "event_dwell_30m",
+    "brand_association_rules",
+    "doc_length_drift",
 ]
 
 # (c) refill: LLM-data layer in CORRECTNESS_r03 order (last green r3).

@@ -1,0 +1,118 @@
+"""Market-basket analysis: pairwise association rules (support /
+confidence / rational lift) over (basket, item) relations.
+
+The level-2 Apriori pass (Agrawal & Srikant 1994) is all a curation or
+merchandising pipeline usually needs — which pairs co-occur beyond
+chance — and it is fully relational: one distinct projection, one
+self-equi-join on the basket key, two broadcast-joined marginals.
+Scores stay in the repo's determinism contract: support counts are
+exact integers; confidence is one division; lift uses the RATIONAL
+form N * n_ab / (n_a * n_b) — the monotone argument of PMI/log-lift
+without the transcendental (the `top_collocations` precedent), so
+ranking AND values hash-match across engines.
+
+Scale shape: the pair join shuffles on the basket key; per-basket work
+is |items|^2, so a basket with thousands of distinct items needs a cap
+(cap_items) — the same skew discipline as the dedup shingle caps. The
+marginals are |items|-row relations and broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 1,
+    cap_items: int | None = None,
+) -> DataFrame:
+    """Pairwise rules over distinct (basket, item) memberships: one
+    row per unordered item pair {a < b} with
+
+      n_ab        exact co-occurrence basket count (>= min_support)
+      n_a, n_b    exact item marginals
+      confidence  n_ab / n_a   (P(b | a), for the a->b direction)
+      lift        N * n_ab / (n_a * n_b), N = total baskets — > 1 means
+                  the pair co-occurs more than independence predicts
+
+    ``cap_items``: drop baskets with more distinct items than the cap
+    BEFORE pairing (a degenerate mega-basket contributes |items|^2
+    pairs and no signal — the standard skew guard). Determinism: all
+    counts exact; confidence and lift are single IEEE operations over
+    exactly-converted integers.
+    """
+    m = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    if cap_items is not None:
+        sizes = m.groupBy("__b").agg(F.count(F.lit(1)).alias("__sz"))
+        keep = sizes.where(F.col("__sz") <= cap_items).select("__b")
+        m = m.join(F.broadcast(keep), "__b", "left_semi")
+    m = m.localCheckpoint(eager=False)
+    n_total = m.select("__b").distinct().groupBy().count()
+    marg = m.groupBy("__i").agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    a, b = m.alias("a"), m.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.__b") == F.col("b.__b"))
+            & (F.col("a.__i") < F.col("b.__i")),
+        )
+        .groupBy(
+            F.col("a.__i").alias("item_a"), F.col("b.__i").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= min_support)
+    )
+    ma = F.broadcast(marg.select(F.col("__i").alias("item_a"), F.col("__n").alias("n_a")))
+    mb = F.broadcast(marg.select(F.col("__i").alias("item_b"), F.col("__n").alias("n_b")))
+    return (
+        pairs.join(ma, "item_a")
+        .join(mb, "item_b")
+        .crossJoin(F.broadcast(n_total.select(F.col("count").alias("__N"))))
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (F.col("n_ab") / F.col("n_a")).alias("confidence"),
+            (
+                (F.col("__N") * F.col("n_ab")) / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
+
+
+def association_rules_sql(
+    table: str,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 1,
+) -> str:
+    """DuckDB twin of `association_rules` (no cap arm — cap the input
+    relation instead when needed); emits CTE chain ending in ``rules``."""
+    return f"""
+    m AS (SELECT DISTINCT {basket_col} AS b, {item_col} AS i FROM {table}),
+    ntot AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM m),
+    marg AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY i),
+    pairs AS (
+      SELECT a.i AS item_a, b.i AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+      FROM m a JOIN m b ON a.b = b.b AND a.i < b.i
+      GROUP BY item_a, item_b
+      HAVING count(*) >= {min_support}
+    ),
+    rules AS (
+      SELECT item_a, item_b, n_ab, ma.n AS n_a, mb.n AS n_b,
+             n_ab / ma.n AS confidence,
+             (ntot.n * n_ab) / (ma.n * mb.n) AS lift
+      FROM pairs
+      JOIN marg ma ON pairs.item_a = ma.i
+      JOIN marg mb ON pairs.item_b = mb.i
+      CROSS JOIN ntot
+    )
+    """

@@ -439,3 +439,78 @@ def robust_outliers(
             F.col(out_dev).cast("double") / F.col("__mad").cast("double"),
         ),
     ).drop("__med", "__mad")
+
+
+def distribution_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Distribution drift report between a REFERENCE population and a
+    CURRENT one (PSI-style, rational): bucket both sides by the
+    reference's exact type-1 quantile cut points (equi-depth in the
+    reference), then per observed bucket report
+
+      n_ref, n_cur   exact counts
+      p, q           bucket shares (one division each)
+      drift_term     (p - q)^2 / (p + q) — the chi-square-style
+                     per-bucket contribution; sum the column for a
+                     scalar drift statistic. The rational form (no
+                     log) keeps values bit-portable cross-engine (the
+                     PMI -> rational-lift precedent).
+
+    Cut points are COLLECTED — n_buckets-1 values, bounded by
+    construction (the centroid-literal precedent) — and folded into a
+    narrow indicator-sum expression, so bucketing adds NO shuffle to
+    either scan; only the |buckets|-row count aggregates shuffle.
+    Duplicate cut values (heavy ties in the reference) skip bucket ids
+    structurally; only observed buckets are emitted. NULL values are
+    excluded on both sides (quantiles of the non-null domain).
+    """
+    if n_buckets < 2:
+        raise ValueError("distribution_drift: n_buckets must be >= 2")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    ref_nn = ref.where(F.col(value_col).isNotNull())
+    cur_nn = cur.where(F.col(value_col).isNotNull())
+    cuts = sorted(
+        r[0]
+        for r in order_statistics(ref_nn, value_col, qs, out="__cut")
+        .select("__cut")
+        .collect()
+    )
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + F.when(F.col(value_col) >= F.lit(c), 1).otherwise(0)
+
+    def side_counts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(bucket.cast("long").alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias(out))
+        )
+
+    rc = side_counts(ref_nn, "n_ref")
+    cc = side_counts(cur_nn, "n_cur")
+    joined = rc.join(cc, "bucket", "full").select(
+        "bucket",
+        F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+    )
+    totals = joined.agg(
+        F.sum("n_ref").cast("long").alias("__tr"),
+        F.sum("n_cur").cast("long").alias("__tc"),
+    )
+    p = F.col("n_ref") / F.col("__tr")
+    q = F.col("n_cur") / F.col("__tc")
+    return (
+        joined.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            "n_ref",
+            "n_cur",
+            p.alias("p"),
+            q.alias("q"),
+            ((p - q) * (p - q) / (p + q)).alias("drift_term"),
+        )
+    )

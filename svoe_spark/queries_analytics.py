@@ -1235,3 +1235,53 @@ def event_dwell_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_dwell_us"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules (brands co-ordered beyond chance)
+# ---------------------------------------------------------------------------
+
+_RULES_MIN_SUPPORT = 5
+
+
+def _rules_oracle() -> str:
+    from svoe_spark.operators.basket import association_rules_sql
+
+    inner = (
+        "(SELECT l.l_orderkey AS basket, p.p_brand AS item"
+        " FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)"
+    )
+    return (
+        "WITH "
+        + association_rules_sql(inner, "basket", "item", _RULES_MIN_SUPPORT)
+        + """
+    SELECT item_a, item_b, n_ab, n_a, n_b, confidence, lift
+    FROM rules
+    ORDER BY lift DESC, item_a ASC, item_b ASC
+    LIMIT 20
+    """
+    )
+
+
+@query("brand_association_rules", _rules_oracle())
+def brand_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which part brands are ordered TOGETHER beyond chance: the
+    level-2 Apriori pass over order baskets (operators/basket.py),
+    scored by exact support, one-division confidence, and RATIONAL
+    lift (N*n_ab/(n_a*n_b) — PMI's monotone argument without the log,
+    the top_collocations precedent). Top-20 by (lift DESC, pair ASC)
+    is a total order. The brand dimension rides a broadcast join into
+    the lineitem scan."""
+    from svoe_spark.operators.basket import association_rules
+
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    baskets = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    ).select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
+    rules = association_rules(
+        baskets, "basket", "item", min_support=_RULES_MIN_SUPPORT
+    )
+    return rules.orderBy(
+        F.col("lift").desc(), F.col("item_a").asc(), F.col("item_b").asc()
+    ).limit(20)

@@ -708,3 +708,70 @@ def priority_sample_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return priority_sample(o, "w_c", _PSAMP_K, "o_orderkey", salt="ps1").select(
         "o_orderkey", "w_c", "est_w"
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift (PSI-style, rational) of doc lengths by provenance
+# ---------------------------------------------------------------------------
+
+_DRIFT_BUCKETS = 10
+
+
+def _drift_oracle() -> str:
+    from svoe_spark.operators.profiling import order_statistics_sql
+
+    qs = [i / _DRIFT_BUCKETS for i in range(1, _DRIFT_BUCKETS)]
+    ostat = order_statistics_sql(
+        "(SELECT * FROM documents WHERE source = 'src0')",
+        "n_chars",
+        qs,
+        out="__cut",
+    )
+    return f"""
+    WITH {ostat},
+    cuts AS (SELECT __cut AS cut FROM ostat),
+    refb AS (
+      SELECT d.doc_id, CAST(count(c.cut) AS BIGINT) AS bucket
+      FROM documents d LEFT JOIN cuts c ON c.cut <= d.n_chars
+      WHERE d.source = 'src0' AND d.n_chars IS NOT NULL
+      GROUP BY d.doc_id),
+    curb AS (
+      SELECT d.doc_id, CAST(count(c.cut) AS BIGINT) AS bucket
+      FROM documents d LEFT JOIN cuts c ON c.cut <= d.n_chars
+      WHERE d.source <> 'src0' AND d.n_chars IS NOT NULL
+      GROUP BY d.doc_id),
+    rc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_ref FROM refb GROUP BY bucket),
+    cc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_cur FROM curb GROUP BY bucket),
+    j AS (
+      SELECT coalesce(rc.bucket, cc.bucket) AS bucket,
+             CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
+             CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
+      FROM rc FULL JOIN cc ON rc.bucket = cc.bucket),
+    t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+                 CAST(sum(n_cur) AS BIGINT) AS tc FROM j)
+    SELECT bucket, n_ref, n_cur,
+           n_ref / tr AS p,
+           n_cur / tc AS q,
+           ((n_ref / tr - n_cur / tc) * (n_ref / tr - n_cur / tc))
+             / (n_ref / tr + n_cur / tc) AS drift_term
+    FROM j CROSS JOIN t
+    """
+
+
+@query("doc_length_drift", _drift_oracle())
+def doc_length_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Has the length distribution of the incoming corpus drifted from
+    the reference source? Equi-depth deciles of src0's n_chars (exact
+    type-1 cut points), both populations bucketed by a collected-
+    literal indicator fold (NO shuffle added to either scan), and a
+    per-bucket chi-square-style drift term — the rational PSI
+    (`profiling.distribution_drift`). Sum drift_term for the scalar
+    statistic; per-bucket rows show WHERE the mass moved."""
+    from pyspark.sql import functions as F
+
+    from svoe_spark.operators.profiling import distribution_drift
+
+    docs = load_table(spark, "documents", sf_dir)
+    ref = docs.where(F.col("source") == "src0")
+    cur = docs.where(F.col("source") != "src0")
+    return distribution_drift(ref, cur, "n_chars", n_buckets=_DRIFT_BUCKETS)

@@ -316,3 +316,50 @@ def test_transition_matrix_tiebreak_orders_equal_timestamps(spark):
         for r in transition_matrix(ev, tiebreak="event_id").collect()
     )
     assert got == [("a", "z"), ("z", "b")]
+
+
+# ---------------------------------------------------------------------------
+# association_rules (market basket)
+# ---------------------------------------------------------------------------
+
+
+def test_association_rules_exact_scores(spark):
+    from svoe_spark.operators.basket import association_rules
+
+    rows = [  # 4 baskets; {x,y} co-occur 3x, {x,z} once
+        (1, "x"), (1, "y"),
+        (2, "x"), (2, "y"),
+        (3, "x"), (3, "y"), (3, "z"),
+        (4, "x"), (4, "z"), (4, "x"),  # dup membership collapses
+    ]
+    df = spark.createDataFrame(rows, "b long, i string")
+    got = {
+        (r["item_a"], r["item_b"]): r
+        for r in association_rules(df, "b", "i").collect()
+    }
+    xy = got[("x", "y")]
+    assert (xy["n_ab"], xy["n_a"], xy["n_b"]) == (3, 4, 3)
+    assert xy["confidence"] == 3 / 4
+    assert xy["lift"] == (4 * 3) / (4 * 3)  # exactly independence
+    xz = got[("x", "z")]
+    assert (xz["n_ab"], xz["n_a"], xz["n_b"]) == (2, 4, 2)
+    assert xz["lift"] == (4 * 2) / (4 * 2)
+    yz = got[("y", "z")]
+    assert yz["n_ab"] == 1 and yz["lift"] == 4 / 6
+
+
+def test_association_rules_min_support_and_cap(spark):
+    from pyspark.sql import functions as F
+
+    from svoe_spark.operators.basket import association_rules
+
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b")]
+    # a mega-basket containing 50 items would add C(50,2) noise pairs
+    rows += [(9, f"junk{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = association_rules(df, "b", "i", min_support=2, cap_items=10)
+    got = [(r["item_a"], r["item_b"], r["n_ab"]) for r in out.collect()]
+    assert got == [("a", "b", 2)]
+    # without the cap the junk pairs appear (at support 1)
+    n_all = association_rules(df, "b", "i").count()
+    assert n_all == 1 + 50 * 49 // 2

@@ -136,3 +136,55 @@ def test_key_skew_null_keys_counted_as_sentinel(spark):
     row = key_skew_report(df, "k", top_k=3).collect()[0]
     assert row["n_keys"] == 3 and row["max_count"] == 2
     assert row["topk_csv"] == "<NULL>:2,a:1,b:1"
+
+
+# ---------------------------------------------------------------------------
+# distribution_drift
+# ---------------------------------------------------------------------------
+
+
+def test_drift_zero_for_identical_populations(spark):
+    from svoe_spark.operators.profiling import distribution_drift
+
+    ref = spark.range(1000).selectExpr("id % 100 AS v")
+    out = distribution_drift(ref, ref, "v", n_buckets=10).collect()
+    assert len(out) == 10
+    assert sum(r["n_ref"] for r in out) == 1000
+    for r in out:
+        # identical populations: equal counts per bucket, zero drift
+        # (bucket sizes vary around 100 — type-1 cuts land ON values)
+        assert r["n_ref"] == r["n_cur"] > 0
+        assert r["drift_term"] == 0.0
+
+
+def test_drift_concentrates_where_mass_moved(spark):
+    from pyspark.sql import functions as F
+
+    from svoe_spark.operators.profiling import distribution_drift
+
+    ref = spark.range(1000).selectExpr("id % 100 AS v")
+    cur = ref.select((F.col("v") + 50).alias("v"))  # shift up by 50
+    out = {r["bucket"]: r for r in
+           distribution_drift(ref, cur, "v", n_buckets=4).collect()}
+    # cur (50..149) has nothing in ref's bottom quartile, and piles up
+    # in the top bucket (every cur value >= 50 lands at or above the
+    # ref's q3 cut more often than ref itself does)
+    assert out[0]["n_cur"] == 0 and out[0]["drift_term"] > 0
+    top = max(out)
+    assert out[top]["n_cur"] > out[top]["n_ref"] > 0
+    total = sum(r["drift_term"] for r in out.values())
+    assert total > 0.3  # a gross shift scores high
+
+
+def test_drift_constant_reference_single_bucket(spark):
+    from svoe_spark.operators.profiling import distribution_drift
+
+    ref = spark.range(100).selectExpr("7 AS v")
+    cur = spark.range(100).selectExpr("CAST(id % 20 AS LONG) AS v")
+    out = {r["bucket"]: r for r in
+           distribution_drift(ref, cur, "v", n_buckets=10).collect()}
+    # all 9 cuts equal 7: buckets are 0 (v<7) and 9 (v>=7) only
+    assert set(out) == {0, 9}
+    assert out[9]["n_ref"] == 100
+    with __import__("pytest").raises(ValueError):
+        distribution_drift(ref, cur, "v", n_buckets=1)
