@@ -85,6 +85,8 @@ _DRIVER_PRIORITY = [
     "event_dwell_30m",
     "brand_association_rules",
     "doc_length_drift",
+    "touch_attribution_72h",
+    "trimmed_mean_value",
 ]
 
 # (c) refill: LLM-data layer in CORRECTNESS_r03 order (last green r3).

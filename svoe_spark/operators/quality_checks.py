@@ -182,6 +182,18 @@ def run_checks(
     unique = list(unique or [])
     if not constraints and not unique:
         raise ValueError("run_checks requires at least one constraint")
+    if df.isStreaming and unique:
+        # exact count(distinct) over a stream needs unbounded value
+        # state, which Structured Streaming (correctly) refuses; gate
+        # it here with a better message. Streams get the row-predicate
+        # constraints (run with outputMode='complete' for the
+        # cumulative report); exact uniqueness belongs to the batch
+        # pass or the dedup_exact streaming operator.
+        raise ValueError(
+            "run_checks on a stream does not support unique= "
+            "(exact distinct needs unbounded state); drop unique or "
+            "run the batch pass"
+        )
     aggs = [F.count(F.lit(1)).cast("long").alias("__total")]
     for i, c in enumerate(constraints):
         aggs.append(

@@ -1285,3 +1285,162 @@ def brand_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rules.orderBy(
         F.col("lift").desc(), F.col("item_a").asc(), F.col("item_b").asc()
     ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# First/last-touch conversion attribution
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 72 * 3600 * 1_000_000
+
+_ATTR_SQL = f"""
+WITH conv AS (
+  SELECT user_id, ts AS cts, event_id AS cid FROM events
+  WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id, event_type AS channel, ts AS tts, event_id AS tid
+  FROM events WHERE event_type IN ('view', 'click')
+),
+joined AS (
+  SELECT c.cid, t.channel, t.tts, t.tid
+  FROM conv c JOIN touch t
+    ON c.user_id = t.user_id
+   AND t.tts < c.cts
+   AND epoch_us(c.cts) - epoch_us(t.tts) <= {_ATTR_WINDOW_US}
+),
+ranked AS (
+  SELECT cid, channel,
+         row_number() OVER (PARTITION BY cid ORDER BY tts ASC, tid ASC)
+           AS rn_first,
+         row_number() OVER (PARTITION BY cid ORDER BY tts DESC, tid DESC)
+           AS rn_last
+  FROM joined
+)
+SELECT role, channel, CAST(count(*) AS BIGINT) AS n_conversions
+FROM (
+  SELECT 'first' AS role, channel FROM ranked WHERE rn_first = 1
+  UNION ALL
+  SELECT 'last' AS role, channel FROM ranked WHERE rn_last = 1
+)
+GROUP BY role, channel
+"""
+
+
+@query("touch_attribution_72h", _ATTR_SQL)
+def touch_attribution_72h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which channel gets credit for a purchase: first-touch and
+    last-touch attribution over the 72h pre-conversion window —
+    integer conversion counts per (role, channel), fully deterministic
+    (the touch pick is a row_number with an event-id tie-break; linear
+    multi-touch would sum 1/n floats in arbitrary order, so the exact
+    variants are the hashable ones). Scale shape: the conv x touch
+    join is user-keyed with a time-band predicate (the interval-join
+    discipline); the ranked pass partitions by conversion id."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir)
+    conv = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+    )
+    touch = e.where(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("tts"),
+        F.col("event_id").alias("tid"),
+    )
+    joined = conv.join(
+        touch,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("tts") < F.col("cts"))
+        & (
+            F.unix_micros(F.col("cts")) - F.unix_micros(F.col("tts"))
+            <= F.lit(_ATTR_WINDOW_US)
+        ),
+    )
+    wf = Window.partitionBy("cid").orderBy(F.col("tts").asc(), F.col("tid").asc())
+    wl = Window.partitionBy("cid").orderBy(F.col("tts").desc(), F.col("tid").desc())
+    ranked = joined.select(
+        "cid",
+        "channel",
+        F.row_number().over(wf).alias("rn_first"),
+        F.row_number().over(wl).alias("rn_last"),
+    )
+    first = ranked.where(F.col("rn_first") == 1).select(
+        F.lit("first").alias("role"), "channel"
+    )
+    last = ranked.where(F.col("rn_last") == 1).select(
+        F.lit("last").alias("role"), "channel"
+    )
+    return (
+        first.unionByName(last)
+        .groupBy("role", "channel")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_conversions"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trimmed mean (exact rank-range mean) per instrument
+# ---------------------------------------------------------------------------
+
+def _trimmed_oracle() -> str:
+    from svoe_spark.queries import _TICKS_SQL
+
+    return (
+        _TICKS_SQL
+        + """
+    , nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+             FROM ticks GROUP BY 1),
+    r AS (SELECT event_type, value_c,
+                 row_number() OVER (PARTITION BY event_type ORDER BY value_c)
+                   AS rk
+          FROM ticks),
+    b AS (SELECT event_type,
+                 CAST(floor((n - 1) * 0.1) AS BIGINT) + 1 AS k_lo,
+                 CAST(floor((n - 1) * 0.9) AS BIGINT) + 1 AS k_hi
+          FROM nn)
+    SELECT r.event_type,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(value_c) AS BIGINT) AS sum_c,
+           CAST(sum(value_c) AS BIGINT) / CAST(count(*) AS BIGINT)
+             AS trimmed_mean_c
+    FROM r JOIN b ON r.event_type = b.event_type
+    WHERE rk >= k_lo AND rk <= k_hi
+    GROUP BY r.event_type
+    """
+    )
+
+
+@query("trimmed_mean_value", _trimmed_oracle())
+def trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean of tick prices per instrument: exact type-1
+    rank bounds (the order-statistic machinery), integer sum over the
+    kept rank range, ONE terminal division. Rank ties among equal
+    values pick an arbitrary ROW but the same value multiset, so the
+    sum is deterministic. The robust location estimate between median
+    (50% trim) and mean (0%)."""
+    from pyspark.sql import Window
+
+    from svoe_spark.queries import ticks
+
+    t = ticks(spark, sf_dir)
+    nn = t.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    bounds = nn.select(
+        "event_type",
+        (F.floor((F.col("n") - 1) * 0.1).cast("long") + 1).alias("k_lo"),
+        (F.floor((F.col("n") - 1) * 0.9).cast("long") + 1).alias("k_hi"),
+    )
+    w = Window.partitionBy("event_type").orderBy("value_c")
+    ranked = t.select("event_type", "value_c").withColumn(
+        "rk", F.row_number().over(w)
+    )
+    kept = ranked.join(F.broadcast(bounds), "event_type").where(
+        (F.col("rk") >= F.col("k_lo")) & (F.col("rk") <= F.col("k_hi"))
+    )
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("value_c").cast("long").alias("sum_c"),
+        (F.sum("value_c").cast("long") / F.count(F.lit(1)).cast("long")).alias(
+            "trimmed_mean_c"
+        ),
+    )

@@ -170,3 +170,49 @@ def test_bounds_string_literals_are_sql_escaped(spark, tmp_path):
         qc.bounds("d", lo=datetime.date(2024, 1, 1))
     with pytest.raises(ValueError, match="boolean"):
         qc.in_set("b", [True])
+
+
+def test_run_checks_streaming_complete_equals_batch(spark, tmp_path):
+    """The same constraint list compiled over a STREAM (cumulative,
+    complete output) must converge to the batch report exactly — the
+    DQ layer's Kappa form."""
+    import time
+
+    from svoe_spark.sources.tables import load_table
+    from svoe_spark.streaming.sinks import run_available_to_memory
+
+    sf_small = "/root/testdata/sf0.001"
+    ev = load_table(spark, "events", sf_small).select(
+        "user_id", "event_type", "value", "ts"
+    ).persist()
+    path = str(tmp_path / "dqstream")
+    qs = ev.selectExpr(
+        "percentile(unix_micros(ts), array(0.5)) AS q"
+    ).first()["q"]
+    mid = int(qs[0])
+    for pred in (f"unix_micros(ts) <= {mid}", f"unix_micros(ts) > {mid}"):
+        ev.where(pred).coalesce(1).write.mode("append").parquet(path)
+        time.sleep(1.1)
+    cons = [
+        qc.completeness("user_id"),
+        qc.in_set("event_type", ["view", "click", "purchase", "signup"]),
+        qc.bounds("value", lo=0.0, hi=100.0),
+    ]
+    stream = (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    got = sorted(
+        tuple(r)
+        for r in run_available_to_memory(
+            qc.run_checks(stream, cons), output_mode="complete"
+        ).collect()
+    )
+    want = sorted(tuple(r) for r in qc.run_checks(ev, cons).collect())
+    ev.unpersist()
+    assert got == want
+    import pytest
+
+    with pytest.raises(ValueError, match="unique"):
+        qc.run_checks(stream, cons, unique=["user_id"])
