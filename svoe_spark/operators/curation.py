@@ -575,6 +575,7 @@ def priority_sample(
     k: int,
     id_col: str,
     salt: str = "",
+    materialize_shortlist: bool = True,
 ) -> DataFrame:
     """Priority sampling (Duffield, Lund & Thorup 2007): a k-row
     weight-sensitive sample supporting UNBIASED subset-sum estimation.
@@ -620,12 +621,12 @@ def priority_sample(
     # the k+1-row shortlist feeds BOTH the tau aggregate and the output
     # join; TakeOrdered is not an Exchange, so AQE cannot reuse the
     # subtree — truncate once (tiny relation) instead of re-running the
-    # full scan + heaps per reference
-    top = (
-        staged.orderBy(F.col("__q").desc(), F.col(id_col).asc())
-        .limit(k + 1)
-        .localCheckpoint(eager=False)
-    )
+    # full scan + heaps per reference. materialize_shortlist=False
+    # keeps the lineage visible (the plan-quality gate inspects the
+    # TakeOrderedAndProject shape through it).
+    top = staged.orderBy(F.col("__q").desc(), F.col(id_col).asc()).limit(k + 1)
+    if materialize_shortlist:
+        top = top.localCheckpoint(eager=False)
     # tau = the (k+1)-th largest priority, or 0 when n <= k (every
     # priority survives and est_w = max(w, 0) = w)
     thr = top.agg(

@@ -501,8 +501,10 @@ def distribution_drift(
         F.sum("n_ref").cast("long").alias("__tr"),
         F.sum("n_cur").cast("long").alias("__tc"),
     )
-    p = F.col("n_ref") / F.col("__tr")
-    q = F.col("n_cur") / F.col("__tc")
+    # an entirely-empty side leaves its total at 0: shares are
+    # undefined (NULL), not a DIVIDE_BY_ZERO (ANSI mode throws)
+    p = F.when(F.col("__tr") > 0, F.col("n_ref") / F.col("__tr"))
+    q = F.when(F.col("__tc") > 0, F.col("n_cur") / F.col("__tc"))
     return (
         joined.crossJoin(F.broadcast(totals))
         .select(

@@ -196,8 +196,13 @@ def run_checks(
         )
     aggs = [F.count(F.lit(1)).cast("long").alias("__total")]
     for i, c in enumerate(constraints):
+        # coalesce: sum() over an EMPTY table is NULL — an empty table
+        # vacuously passes every row predicate (0 violations)
         aggs.append(
-            F.sum(F.when(c.predicate(), F.lit(1)).otherwise(F.lit(0)))
+            F.coalesce(
+                F.sum(F.when(c.predicate(), F.lit(1)).otherwise(F.lit(0))),
+                F.lit(0),
+            )
             .cast("long")
             .alias(f"__v{i}")
         )
@@ -228,13 +233,20 @@ def run_checks(
         F.col("__total").alias("total"),
         F.explode(F.array(*entries)).alias("__e"),
     ).select("__e.check_name", "__e.col_name", "__e.kind", "__e.violations", "total")
+    # total = 0 (empty table): pass_rate is undefined (NULL, not 0/0 —
+    # ANSI mode would otherwise throw DIVIDE_BY_ZERO); passed stays
+    # True (vacuous)
+    rate = F.when(
+        F.col("total") > 0,
+        (F.col("total") - F.col("violations")) / F.col("total"),
+    )
     return long.select(
         "check_name",
         "col_name",
         "kind",
         "violations",
         "total",
-        ((F.col("total") - F.col("violations")) / F.col("total")).alias("pass_rate"),
+        rate.alias("pass_rate"),
         (F.col("violations") == F.lit(0)).alias("passed"),
     )
 
@@ -251,8 +263,8 @@ def run_checks_sql(
     aggs = ["CAST(count(*) AS BIGINT) AS __total"]
     for i, c in enumerate(constraints):
         aggs.append(
-            f"CAST(sum(CASE WHEN {c.sql_predicate} THEN 1 ELSE 0 END)"
-            f" AS BIGINT) AS __v{i}"
+            f"CAST(coalesce(sum(CASE WHEN {c.sql_predicate} THEN 1 ELSE 0"
+            f" END), 0) AS BIGINT) AS __v{i}"
         )
     for j, u in enumerate(unique):
         aggs.append(f"CAST(count(DISTINCT {u}) AS BIGINT) AS __d{j}")
@@ -277,7 +289,9 @@ def run_checks_sql(
       {body}
     )
     SELECT check_name, col_name, kind, violations, total,
-           CAST(total - violations AS DOUBLE) / total AS pass_rate,
+           CASE WHEN total > 0
+                THEN CAST(total - violations AS DOUBLE) / total END
+             AS pass_rate,
            violations = 0 AS passed
     FROM rows_
     """
@@ -307,7 +321,10 @@ def ref_integrity(
     )
     return joined.agg(
         F.count(F.lit(1)).cast("long").alias("total"),
-        F.sum(F.when(F.col("__pk").isNull(), F.lit(1)).otherwise(F.lit(0)))
+        F.coalesce(
+            F.sum(F.when(F.col("__pk").isNull(), F.lit(1)).otherwise(F.lit(0))),
+            F.lit(0),
+        )
         .cast("long")
         .alias("violations"),
     ).select(
@@ -316,7 +333,10 @@ def ref_integrity(
         F.lit("ref_integrity").alias("kind"),
         "violations",
         "total",
-        ((F.col("total") - F.col("violations")) / F.col("total")).alias("pass_rate"),
+        F.when(
+            F.col("total") > 0,
+            (F.col("total") - F.col("violations")) / F.col("total"),
+        ).alias("pass_rate"),
         (F.col("violations") == F.lit(0)).alias("passed"),
     )
 
@@ -334,12 +354,15 @@ def ref_integrity_sql(
     return f"""
     SELECT '{check_name}' AS check_name, '{child_col}' AS col_name,
            'ref_integrity' AS kind,
-           CAST(sum(CASE WHEN pk.__pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-             AS violations,
+           CAST(coalesce(sum(CASE WHEN pk.__pk IS NULL THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS violations,
            CAST(count(*) AS BIGINT) AS total,
-           CAST(count(*) - sum(CASE WHEN pk.__pk IS NULL THEN 1 ELSE 0 END)
-                AS DOUBLE) / count(*) AS pass_rate,
-           sum(CASE WHEN pk.__pk IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+           CASE WHEN count(*) > 0
+                THEN CAST(count(*) - coalesce(sum(CASE WHEN pk.__pk IS NULL
+                     THEN 1 ELSE 0 END), 0) AS DOUBLE) / count(*) END
+             AS pass_rate,
+           coalesce(sum(CASE WHEN pk.__pk IS NULL THEN 1 ELSE 0 END), 0) = 0
+             AS passed
     FROM {child_table} c
     LEFT JOIN (SELECT DISTINCT {parent_col} AS __pk FROM {parent_table}) pk
       ON c.{child_col} = pk.__pk

@@ -308,3 +308,46 @@ def test_train_quality_classifier_rejects_empty(spark):
     labeled = _empty(spark, DOC).withColumn("label", F.lit(1))
     with pytest.raises(Exception):  # SparkML: empty training set
         train_quality_classifier(labeled, "label")
+
+
+def test_round6c_operators_on_empty_inputs(spark):
+    """Every round-6c operator must return an empty (or vacuous)
+    result on empty input — never throw ANSI DIVIDE_BY_ZERO or crash
+    (run_checks's pass_rate did, before the guard)."""
+    from svoe_spark.operators import quality_checks as qc
+    from svoe_spark.operators.basket import association_rules
+    from svoe_spark.operators.changepoint import cusum_scores
+    from svoe_spark.operators.events_analytics import transition_matrix
+    from svoe_spark.operators.graph import knn_sparsify, triangle_counts
+    from svoe_spark.operators.profiling import distribution_drift
+    from svoe_spark.operators.quant import ols_fit
+
+    ev = spark.createDataFrame(
+        [], "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    assert transition_matrix(ev, tiebreak="event_id").count() == 0
+    s = spark.createDataFrame([], "key string, t long, v long")
+    assert cusum_scores(s, "v", on="t", by=["key"]).count() == 0
+    e = spark.createDataFrame([], "src long, dst long, w long")
+    assert knn_sparsify(e, k=3).count() == 0
+    assert triangle_counts(spark.createDataFrame([], "a long, b long")).count() == 0
+    assert association_rules(
+        spark.createDataFrame([], "b long, i string"), "b", "i"
+    ).count() == 0
+    assert ols_fit(spark.createDataFrame([], "x long, y long"), "x", "y").count() == 1
+    # DQ on an empty table: vacuous pass, NULL pass_rate, no throw
+    t = spark.createDataFrame([], "id long, v double")
+    rep = qc.run_checks(t, [qc.completeness("v")], unique=["id"]).collect()
+    assert len(rep) == 2
+    for r in rep:
+        assert (r["violations"], r["total"], r["passed"]) == (0, 0, True)
+        assert r["pass_rate"] is None
+    ri = qc.ref_integrity(t, "id", t, "id").collect()[0]
+    assert (ri["violations"], ri["total"], ri["passed"]) == (0, 0, True)
+    assert ri["pass_rate"] is None
+    # drift with an empty current side: ref buckets, NULL q/term
+    ref = spark.range(100).selectExpr("CAST(id % 10 AS LONG) AS v")
+    cur = spark.createDataFrame([], "v long")
+    rows = distribution_drift(ref, cur, "v", n_buckets=4).collect()
+    assert len(rows) > 0
+    assert all(r["n_cur"] == 0 and r["q"] is None for r in rows)

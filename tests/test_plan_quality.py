@@ -398,14 +398,30 @@ def test_refined_ann_is_broadcast_and_take_ordered(plans):
     assert "TakeOrderedAndProject" in p, p
 
 
-def test_priority_sample_is_partial_topk_not_global_sort(plans):
+def test_priority_sample_is_partial_topk_not_global_sort(spark, sf_mid):
     """The k+1 shortlist must come from TakeOrderedAndProject
     (per-partition heaps + one merge) — a global Sort or a
     single-partition Window here would serialize 100 TB through one
-    task. Formatted-plan node headings are '(n) NodeName'."""
+    task. The registered query localCheckpoints the shortlist (its
+    plan shows Scan ExistingRDD), so inspect the un-materialized
+    operator shape. Formatted-plan node headings are '(n) NodeName'."""
     import re
 
-    p = plans("priority_sample_orders")
+    from pyspark.sql import functions as F
+
+    from svoe_spark.operators.curation import priority_sample
+    from svoe_spark.sources.tables import load_table
+
+    o = load_table(spark, "orders", sf_mid).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("w_c"),
+    )
+    p = plan_of(
+        priority_sample(
+            o, "w_c", 100, "o_orderkey", salt="ps1",
+            materialize_shortlist=False,
+        )
+    )
     assert re.search(r"\(\d+\) TakeOrderedAndProject", p), p
     assert "CartesianProduct" not in p
     # the tau threshold joins in as a broadcast of a 1-row relation
