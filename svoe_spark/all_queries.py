@@ -87,6 +87,8 @@ _DRIVER_PRIORITY = [
     "doc_length_drift",
     "touch_attribution_72h",
     "trimmed_mean_value",
+    "benford_order_values",
+    "top_session_paths",
 ]
 
 # (c) refill: LLM-data layer in CORRECTNESS_r03 order (last green r3).

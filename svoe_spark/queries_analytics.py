@@ -1444,3 +1444,71 @@ def trimmed_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trimmed_mean_c"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Top session paths (state trigrams within the session gap)
+# ---------------------------------------------------------------------------
+
+_PATHS_SQL = """
+WITH seq AS (
+  SELECT event_type AS s1,
+         lead(event_type) OVER w AS s2,
+         lead(event_type, 2) OVER w AS s3,
+         epoch_us(ts) AS t1,
+         epoch_us(lead(ts) OVER w) AS t2,
+         epoch_us(lead(ts, 2) OVER w) AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tri AS (
+  SELECT s1, s2, s3 FROM seq
+  WHERE s3 IS NOT NULL
+    AND t2 - t1 <= 1800 * 1000000
+    AND t3 - t2 <= 1800 * 1000000
+)
+SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n
+FROM tri GROUP BY s1, s2, s3
+ORDER BY n DESC, s1 ASC, s2 ASC, s3 ASC
+LIMIT 20
+"""
+
+
+@query("top_session_paths", _PATHS_SQL)
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 most-walked 3-step user paths, where every hop stays
+    inside the 30-minute session gap — the sequence-mining view one
+    level above the transition matrix (which only sees pairs). One
+    keyed window computes both leads; the trigram groupBy output is
+    |states|^3 rows at most. Total order on (n DESC, path ASC)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = e.select(
+        F.col("event_type").alias("s1"),
+        F.lead("event_type").over(w).alias("s2"),
+        F.lead("event_type", 2).over(w).alias("s3"),
+        F.unix_micros(F.col("ts")).alias("t1"),
+        F.unix_micros(F.lead("ts").over(w)).alias("t2"),
+        F.unix_micros(F.lead("ts", 2).over(w)).alias("t3"),
+    )
+    gap = 1800 * 1_000_000
+    tri = seq.where(
+        F.col("s3").isNotNull()
+        & ((F.col("t2") - F.col("t1")) <= gap)
+        & ((F.col("t3") - F.col("t2")) <= gap)
+    )
+    return (
+        tri.groupBy("s1", "s2", "s3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(
+            F.col("n").desc(),
+            F.col("s1").asc(),
+            F.col("s2").asc(),
+            F.col("s3").asc(),
+        )
+        .limit(20)
+    )

@@ -775,3 +775,67 @@ def doc_length_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = docs.where(F.col("source") == "src0")
     cur = docs.where(F.col("source") != "src0")
     return distribution_drift(ref, cur, "n_chars", n_buckets=_DRIFT_BUCKETS)
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (fraud/data-entry anomaly classic)
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+# Benford expectations log10(1 + 1/d) are computed ONCE in Python and
+# embedded as identical double literals in BOTH plans — no runtime
+# transcendental, so the hash contract holds.
+_BENFORD_P = {d: _math.log10(1 + 1 / d) for d in range(1, 10)}
+
+
+def _benford_oracle() -> str:
+    arms = " ".join(
+        f"WHEN '{d}' THEN CAST({_BENFORD_P[d]!r} AS DOUBLE)" for d in range(1, 10)
+    )
+    return f"""
+    WITH w AS (
+      SELECT substr(CAST(CAST(round(o_totalprice*100,0) AS BIGINT) AS VARCHAR),
+                    1, 1) AS digit
+      FROM orders
+      WHERE o_totalprice > 0
+    ),
+    c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY digit),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+    SELECT digit, n,
+           n / total AS p,
+           CASE digit {arms} END AS benford_p,
+           n / total - CASE digit {arms} END AS excess
+    FROM c CROSS JOIN t
+    """
+
+
+@query("benford_order_values", _benford_oracle())
+def benford_order_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit (Benford) audit of order values — the classic
+    fabricated-data / unit-mixing detector: observed first-digit
+    shares of the integer-cents amount vs log10(1 + 1/d) expectations.
+    The digit comes from the BIGINT's string form (identical in any
+    engine — no per-row transcendental, no float formatting); the
+    expectations are Python-computed literals shared by both plans.
+    One narrow projection + a 9-row aggregate."""
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, "orders", sf_dir).where(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"), 1, 1
+    ).alias("digit")
+    c = o.select(digit).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    t = c.agg(F.sum("n").cast("long").alias("total"))
+    bp = F.lit(None).cast("double")
+    for d in range(1, 10):
+        bp = F.when(F.col("digit") == str(d), F.lit(_BENFORD_P[d])).otherwise(bp)
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        (F.col("n") / F.col("total")).alias("p"),
+        bp.alias("benford_p"),
+        (F.col("n") / F.col("total") - bp).alias("excess"),
+    )
