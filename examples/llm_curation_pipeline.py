@@ -169,6 +169,31 @@ def main() -> None:
     stages["collocations_min5"] = collocations(train, min_count=5, k=20).count()
     stages["contrastive_pairs"] = contrastive_crops(train).count()
 
+    # corpus monitoring: the data contract (one aggregate pass) and
+    # provenance drift (is the surviving mix length-shifted vs the
+    # reference source?) — the round-6c operational layer applied to
+    # the curated corpus
+    from svoe_spark.operators import quality_checks as qc
+    from svoe_spark.operators.profiling import distribution_drift
+
+    contract = qc.run_checks(
+        docs,
+        [
+            qc.completeness("text"),
+            qc.completeness("source"),
+            qc.bounds("n_chars", lo=1),
+        ],
+        unique=["doc_id"],
+    )
+    stages["contract_failures"] = contract.where(~F.col("passed")).count()
+    drift = distribution_drift(
+        docs.where(F.col("source") == "src0"),
+        docs.where(F.col("source") != "src0"),
+        "n_chars",
+        n_buckets=10,
+    )
+    stages["drift_buckets"] = drift.count()
+
     print(json.dumps(stages))
 
 
