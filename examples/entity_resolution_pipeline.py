@@ -51,7 +51,11 @@ def main() -> None:
 
     # candidate pairs within edit distance 2: q-gram count-filter
     # blocking + exact Levenshtein verify over DISTINCT names
-    pairs_v = fuzzy_join(parts, parts, "name", "name", max_distance=2)
+    # distance 1: the synthetic catalog's names are combinations of a
+    # tiny color vocabulary, so distance-2 closure chains nearly the
+    # whole catalog into one entity — real ER tunes the radius to the
+    # name entropy
+    pairs_v = fuzzy_join(parts, parts, "name", "name", max_distance=1)
     name_ids = parts.select(F.col("name"), F.col("p_partkey"))
     pairs = (
         pairs_v.where(F.col("left_val") < F.col("right_val"))
@@ -62,6 +66,18 @@ def main() -> None:
               F.col("right_val") == F.col("name"))
         .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     )
+    # fuzzy_join works on DISTINCT values, so records whose normalized
+    # names are EXACTLY equal produce no cross-id pair above — add the
+    # same-name id pairs (the most basic ER merge) explicitly
+    na, nb = name_ids.alias("na"), name_ids.alias("nb")
+    exact_pairs = na.join(
+        nb,
+        (F.col("na.name") == F.col("nb.name"))
+        & (F.col("na.p_partkey") < F.col("nb.p_partkey")),
+    ).select(
+        F.col("na.p_partkey").alias("a"), F.col("nb.p_partkey").alias("b")
+    )
+    pairs = pairs.unionByName(exact_pairs).distinct()
     out["candidate_pairs"] = pairs.count()
 
     # transitive closure -> entity ids + canonical survivor per entity

@@ -49,9 +49,11 @@ def association_rules(
         F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
     ).distinct()
     if cap_items is not None:
+        # broadcast the OVER-cap set (tiny by the skew-guard premise —
+        # a handful of mega-baskets), never the keep set (~all baskets)
         sizes = m.groupBy("__b").agg(F.count(F.lit(1)).alias("__sz"))
-        keep = sizes.where(F.col("__sz") <= cap_items).select("__b")
-        m = m.join(F.broadcast(keep), "__b", "left_semi")
+        drop = sizes.where(F.col("__sz") > cap_items).select("__b")
+        m = m.join(F.broadcast(drop), "__b", "left_anti")
     m = m.localCheckpoint(eager=False)
     n_total = m.select("__b").distinct().groupBy().count()
     marg = m.groupBy("__i").agg(F.count(F.lit(1)).cast("long").alias("__n"))
@@ -81,8 +83,12 @@ def association_rules(
             "n_a",
             "n_b",
             (F.col("n_ab") / F.col("n_a")).alias("confidence"),
+            # both products run in DOUBLE: int64 N*n_ab wraps (Spark)
+            # or throws (DuckDB) past 2^63 at corpus scale; the double
+            # products are exact below 2^53 and IDENTICAL cross-engine
             (
-                (F.col("__N") * F.col("n_ab")) / (F.col("n_a") * F.col("n_b"))
+                (F.col("__N").cast("double") * F.col("n_ab"))
+                / (F.col("n_a").cast("double") * F.col("n_b"))
             ).alias("lift"),
         )
     )
@@ -109,7 +115,8 @@ def association_rules_sql(
     rules AS (
       SELECT item_a, item_b, n_ab, ma.n AS n_a, mb.n AS n_b,
              n_ab / ma.n AS confidence,
-             (ntot.n * n_ab) / (ma.n * mb.n) AS lift
+             (CAST(ntot.n AS DOUBLE) * n_ab) / (CAST(ma.n AS DOUBLE) * mb.n)
+               AS lift
       FROM pairs
       JOIN marg ma ON pairs.item_a = ma.i
       JOIN marg mb ON pairs.item_b = mb.i

@@ -1396,8 +1396,10 @@ def _trimmed_oracle() -> str:
                    AS rk
           FROM ticks),
     b AS (SELECT event_type,
-                 CAST(floor((n - 1) * 0.1) AS BIGINT) + 1 AS k_lo,
-                 CAST(floor((n - 1) * 0.9) AS BIGINT) + 1 AS k_hi
+                 CAST(floor((n - 1) * CAST(0.1 AS DOUBLE)) AS BIGINT) + 1
+                   AS k_lo,
+                 CAST(floor((n - 1) * CAST(0.9 AS DOUBLE)) AS BIGINT) + 1
+                   AS k_hi
           FROM nn)
     SELECT r.event_type,
            CAST(count(*) AS BIGINT) AS n_kept,
