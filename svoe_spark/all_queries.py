@@ -89,6 +89,7 @@ _DRIVER_PRIORITY = [
     "trimmed_mean_value",
     "benford_order_values",
     "top_session_paths",
+    "spearman_value_qty",
 ]
 
 # (c) refill: LLM-data layer in CORRECTNESS_r03 order (last green r3).

@@ -677,3 +677,99 @@ def ols_sql(
       FROM {table} {g_grp}
     )
     """
+
+
+def spearman_corr(
+    df: DataFrame,
+    x: str,
+    y: str,
+    by: list[str] | None = None,
+    out: str = "spearman",
+) -> DataFrame:
+    """Exact Spearman rank correlation per group, with textbook
+    AVERAGE ranks for ties — computed without a single float until the
+    final Pearson combination. The trick: avg tie rank = min_rank +
+    (ties - 1)/2, so DOUBLED avg ranks 2*rank + cnt - 1 are exact
+    integers, and Pearson is invariant under the affine map r -> 2r —
+    so the correlation of the doubled integer ranks IS Spearman.
+    Everything up to the one fixed `_pearson` double tree is exact
+    int64 (the repo's determinism contract).
+
+    Rows where either coordinate is NULL are excluded (pairwise
+    completeness, matching `rolling_corr`'s guard). NULL result for
+    degenerate groups (constant x or y — every rank tied).
+
+    Scale shape: two keyed rank windows (one sort each) + one
+    partial-agg-friendly moment groupBy. Headroom: sum(dx*dy) <
+    (2n)^2 * n per group — int64-safe to ~1.3e6 rows per group; past
+    that widen the products to decimal(38,0).
+    """
+    groups = list(by or [])
+    df = df.where(F.col(x).isNotNull() & F.col(y).isNotNull())
+
+    def dbl_rank(col: str, alias: str) -> DataFrame:
+        w = Window.partitionBy(*(groups or [F.lit(1)])).orderBy(col)
+        wc = Window.partitionBy(*(groups or [F.lit(1)]), col)
+        return (
+            F.rank().over(w) * 2 + F.count(F.lit(1)).over(wc) - F.lit(2)
+        ).alias(alias)
+        # rank() is the MIN rank of the tie run; avg = rank+(cnt-1)/2;
+        # doubled: 2*rank + cnt - 1; the -2/-1 offset is absorbed by
+        # Pearson's affine invariance (kept at -2 so ranks start at 2)
+
+    ranked = df.select(
+        *groups, dbl_rank(x, "__dx"), dbl_rank(y, "__dy")
+    )
+    dx, dy = F.col("__dx"), F.col("__dy")
+    agg = ranked.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(dx).cast("long").alias("__sx"),
+        F.sum(dy).cast("long").alias("__sy"),
+        F.sum(dx * dy).cast("long").alias("__sxy"),
+        F.sum(dx * dx).cast("long").alias("__sxx"),
+        F.sum(dy * dy).cast("long").alias("__syy"),
+    )
+    return agg.select(
+        *groups,
+        F.col("__n").alias("n"),
+        _pearson(
+            F.col("__n"), F.col("__sx"), F.col("__sy"),
+            F.col("__sxy"), F.col("__sxx"), F.col("__syy"),
+        ).alias(out),
+    )
+
+
+def spearman_sql(
+    table: str,
+    x: str,
+    y: str,
+    group_cols: str | None = None,
+    out: str = "spearman",
+) -> str:
+    """SQL twin of :func:`spearman_corr` — same doubled-integer-rank
+    windows, same `pearson_sql` combination."""
+    g_sel = f"{group_cols}, " if group_cols else ""
+    g_grp = f"GROUP BY {group_cols}" if group_cols else ""
+    g_part = f"PARTITION BY {group_cols} " if group_cols else ""
+    g_part2 = f"{group_cols}, " if group_cols else ""
+    p = pearson_sql("__n", "__sx", "__sy", "__sxy", "__sxx", "__syy")
+    return f"""
+    SELECT {g_sel}__n AS n, {p} AS {out}
+    FROM (
+      SELECT {g_sel}CAST(count(*) AS BIGINT) AS __n,
+             CAST(sum(__dx) AS BIGINT) AS __sx,
+             CAST(sum(__dy) AS BIGINT) AS __sy,
+             CAST(sum(__dx * __dy) AS BIGINT) AS __sxy,
+             CAST(sum(__dx * __dx) AS BIGINT) AS __sxx,
+             CAST(sum(__dy * __dy) AS BIGINT) AS __syy
+      FROM (
+        SELECT {g_sel}
+               rank() OVER ({g_part}ORDER BY {x}) * 2
+                 + count(*) OVER (PARTITION BY {g_part2}{x}) - 2 AS __dx,
+               rank() OVER ({g_part}ORDER BY {y}) * 2
+                 + count(*) OVER (PARTITION BY {g_part2}{y}) - 2 AS __dy
+        FROM {table}
+        WHERE {x} IS NOT NULL AND {y} IS NOT NULL
+      ) {g_grp}
+    )
+    """

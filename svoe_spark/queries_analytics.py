@@ -1514,3 +1514,32 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (exact average-tie ranks, integer trick)
+# ---------------------------------------------------------------------------
+
+def _spearman_oracle() -> str:
+    from svoe_spark.operators.quant import spearman_sql
+    from svoe_spark.queries import _TICKS_SQL
+
+    return _TICKS_SQL + spearman_sql(
+        "ticks", "value_c", "qty", group_cols="event_type"
+    )
+
+
+@query("spearman_value_qty", _spearman_oracle())
+def spearman_value_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between price and traded size per
+    instrument — monotone association, robust to the price column's
+    heavy tail where Pearson is not. Exact textbook average-tie ranks
+    via the DOUBLED-rank trick (2*rank + ties - 1 stays integer;
+    Pearson is affine-invariant), so every moment is an exact int64
+    and the one final double tree is shared with the Pearson family
+    (`quant.spearman_corr` / `spearman_sql`)."""
+    from svoe_spark.operators.quant import spearman_corr
+    from svoe_spark.queries import ticks
+
+    t = ticks(spark, sf_dir)
+    return spearman_corr(t, "value_c", "qty", by=["event_type"])

@@ -334,3 +334,65 @@ def test_ols_matches_numpy_polyfit(spark):
     assert abs(r["intercept"] - intercept) < 1e-9
     corr = np.corrcoef(xs, ys)[0, 1]
     assert abs(r["r2"] - corr * corr) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# spearman_corr
+# ---------------------------------------------------------------------------
+
+
+def test_spearman_matches_scipy_semantics(spark):
+    """Exact average-tie-rank Spearman must equal the textbook value
+    (numpy-computed on average ranks), including a tie-heavy column."""
+    import numpy as np
+
+    xs = [1, 2, 2, 4, 5, 5, 5, 8]
+    ys = [3, 1, 4, 4, 6, 9, 8, 10]
+    from svoe_spark.operators.quant import spearman_corr
+
+    df = spark.createDataFrame(list(zip(xs, ys)), "x long, y long")
+    got = spearman_corr(df, "x", "y").collect()[0]["spearman"]
+
+    def avg_ranks(v):
+        v = np.asarray(v, dtype=float)
+        order = v.argsort(kind="stable")
+        ranks = np.empty(len(v))
+        i = 0
+        sv = v[order]
+        while i < len(v):
+            j = i
+            while j < len(v) and sv[j] == sv[i]:
+                j += 1
+            ranks[order[i:j]] = (i + j - 1) / 2 + 1
+            i = j
+        return ranks
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    want = np.corrcoef(rx, ry)[0, 1]
+    assert abs(got - want) < 1e-12
+
+
+def test_spearman_invariances_and_degenerates(spark):
+    from pyspark.sql import functions as F
+
+    from svoe_spark.operators.quant import spearman_corr
+
+    base = spark.range(50).select(
+        F.col("id").alias("x"), (F.col("id") * F.col("id")).alias("y")
+    )
+    # monotone transform: +/-1 up to the shared double tree's sqrt ulp
+    # (num/(sqrt(d)*sqrt(d)) is 1 ulp under 1 — same value both engines)
+    got = spearman_corr(base, "x", "y").collect()[0]["spearman"]
+    assert abs(got - 1.0) < 1e-12
+    rev = base.select("x", (-F.col("y")).alias("y"))
+    got = spearman_corr(rev, "x", "y").collect()[0]["spearman"]
+    assert abs(got + 1.0) < 1e-12
+    # constant column: undefined -> NULL
+    const = base.select("x", F.lit(7).alias("y"))
+    assert spearman_corr(const, "x", "y").collect()[0]["spearman"] is None
+    # NULL rows excluded pairwise
+    with_null = base.select(
+        "x", F.when(F.col("x") < 10, F.col("y")).alias("y")
+    )
+    r = spearman_corr(with_null, "x", "y").collect()[0]
+    assert r["n"] == 10 and abs(r["spearman"] - 1.0) < 1e-12
