@@ -90,6 +90,8 @@ _DRIVER_PRIORITY = [
     "benford_order_values",
     "top_session_paths",
     "spearman_value_qty",
+    "gini_spend_by_nation",
+    "supplier_hhi_by_nation",
 ]
 
 # (c) refill: LLM-data layer in CORRECTNESS_r03 order (last green r3).

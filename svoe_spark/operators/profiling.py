@@ -516,3 +516,141 @@ def distribution_drift(
             ((p - q) * (p - q) / (p + q)).alias("drift_term"),
         )
     )
+
+
+def gini(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    out: str = "gini",
+) -> DataFrame:
+    """Exact Gini coefficient per group over a NON-NEGATIVE INTEGER
+    value column — the standard inequality/skew summary (who owns the
+    spend / tokens / traffic), computed in the fully rational form
+
+        G = (2 * sum(i * x_(i)) - (n + 1) * sum(x)) / (n * sum(x))
+
+    with x_(i) the ascending sort: numerator and denominator are exact
+    int64 sums (a permutation within a tie run leaves sum(i*x)
+    unchanged, so ties need no ordering rule), and the result is ONE
+    division — bit-portable cross-engine. NULL for groups whose total
+    is 0 (all-zero values: inequality undefined).
+
+    Scale shape: one keyed ranked pass (the order-statistic sort) +
+    one moment groupBy. Headroom: sum(i * x) < n^2/2 * max(x) must fit
+    int64 — ~4e6 rows/group at cent-scale values; past that widen the
+    product to decimal(38,0).
+    """
+    groups = list(group_cols or [])
+    df = df.where(F.col(value_col).isNotNull())
+    w = Window.partitionBy(*(groups or [F.lit(1)])).orderBy(F.col(value_col))
+    ranked = df.select(
+        *groups,
+        F.col(value_col).alias("__x"),
+        F.row_number().over(w).cast("long").alias("__i"),
+    )
+    agg = ranked.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__x").cast("long").alias("__sx"),
+        F.sum(F.col("__i") * F.col("__x")).cast("long").alias("__six"),
+    )
+    num = F.lit(2) * F.col("__six") - (F.col("__n") + 1) * F.col("__sx")
+    den = F.col("__n") * F.col("__sx")
+    return agg.select(
+        *groups,
+        F.col("__n").alias("n"),
+        F.col("__sx").alias("total"),
+        F.when(den > 0, num / den).alias(out),
+    )
+
+
+def gini_sql(
+    table: str,
+    value_col: str,
+    group_cols: str | None = None,
+    out: str = "gini",
+) -> str:
+    """SQL twin of :func:`gini` (same ranked pass, same integer
+    moments, same single division)."""
+    g_sel = f"{group_cols}, " if group_cols else ""
+    g_grp = f"GROUP BY {group_cols}" if group_cols else ""
+    g_part = f"PARTITION BY {group_cols} " if group_cols else ""
+    return f"""
+    SELECT {g_sel}__n AS n, __sx AS total,
+           CASE WHEN __n * __sx > 0
+                THEN (2 * __six - (__n + 1) * __sx) / (__n * __sx) END
+             AS {out}
+    FROM (
+      SELECT {g_sel}CAST(count(*) AS BIGINT) AS __n,
+             CAST(sum(__x) AS BIGINT) AS __sx,
+             CAST(sum(__i * __x) AS BIGINT) AS __six
+      FROM (
+        SELECT {g_sel}{value_col} AS __x,
+               CAST(row_number() OVER ({g_part}ORDER BY {value_col})
+                    AS BIGINT) AS __i
+        FROM {table}
+        WHERE {value_col} IS NOT NULL
+      ) {g_grp}
+    )
+    """
+
+
+def hhi(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    out: str = "hhi",
+) -> DataFrame:
+    """Exact Herfindahl-Hirschman concentration index per group over a
+    NON-NEGATIVE INTEGER value column: HHI = sum(x_i^2) / (sum(x))^2 —
+    the share-squared sum without ever materializing float shares
+    (whose summation order would be engine-dependent). Both moments
+    are exact int64; the result is ONE division. 1.0 = monopoly,
+    1/n = perfectly even. NULL when the group total is 0.
+
+    Scale shape: one partial-agg-friendly groupBy — no sort at all.
+    Headroom: sum(x^2) and (sum x)^2 must fit int64 — keep values in
+    coarse units (the registered query uses whole dollars, not cents:
+    sum(x)^2 alone overflows past sum(x) ~ 3e9); past that widen both
+    moments to decimal(38,0).
+    """
+    groups = list(group_cols or [])
+    df = df.where(F.col(value_col).isNotNull())
+    x = F.col(value_col)
+    agg = df.groupBy(*groups).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(x).cast("long").alias("__sx"),
+        F.sum(x * x).cast("long").alias("__sxx"),
+    )
+    return agg.select(
+        *groups,
+        F.col("__n").alias("n"),
+        F.col("__sx").alias("total"),
+        F.when(
+            F.col("__sx") > 0,
+            F.col("__sxx") / (F.col("__sx") * F.col("__sx")),
+        ).alias(out),
+    )
+
+
+def hhi_sql(
+    table: str,
+    value_col: str,
+    group_cols: str | None = None,
+    out: str = "hhi",
+) -> str:
+    """SQL twin of :func:`hhi`."""
+    g_sel = f"{group_cols}, " if group_cols else ""
+    g_grp = f"GROUP BY {group_cols}" if group_cols else ""
+    return f"""
+    SELECT {g_sel}__n AS n, __sx AS total,
+           CASE WHEN __sx > 0 THEN __sxx / (__sx * __sx) END AS {out}
+    FROM (
+      SELECT {g_sel}CAST(count(*) AS BIGINT) AS __n,
+             CAST(sum({value_col}) AS BIGINT) AS __sx,
+             CAST(sum({value_col} * {value_col}) AS BIGINT) AS __sxx
+      FROM {table}
+      WHERE {value_col} IS NOT NULL
+      {g_grp}
+    )
+    """

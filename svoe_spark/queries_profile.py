@@ -839,3 +839,94 @@ def benford_order_values_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         bp.alias("benford_p"),
         (F.col("n") / F.col("total") - bp).alias("excess"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inequality / concentration: Gini of customer spend, supplier HHI
+# ---------------------------------------------------------------------------
+
+def _gini_oracle() -> str:
+    from svoe_spark.operators.profiling import gini_sql
+
+    inner = """(
+      SELECT c.c_nationkey AS nation, c.c_custkey,
+             CAST(sum(CAST(round(o.o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+               AS spend_c
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )"""
+    return gini_sql(inner, "spend_c", group_cols="nation")
+
+
+@query("gini_spend_by_nation", _gini_oracle())
+def gini_spend_by_nation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How unequal is customer spend within each nation: the exact
+    Gini coefficient in its rational form — integer rank-weighted
+    sums, ONE division (`profiling.gini` / code-generated twin). The
+    inequality summary behind mixture decisions ("is this market a
+    few whales or a broad base"), computed per group in one ranked
+    pass + one moment aggregate."""
+    from pyspark.sql import functions as F
+
+    from svoe_spark.operators.profiling import gini
+
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    spend = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nation"), "c_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("spend_c")
+        )
+    )
+    return gini(spend, "spend_c", ["nation"])
+
+
+def _hhi_oracle() -> str:
+    from svoe_spark.operators.profiling import hhi_sql
+
+    inner = """(
+      SELECT s.s_nationkey AS nation, l.l_suppkey,
+             CAST(sum(CAST(round(l.l_extendedprice*100,0) AS BIGINT)
+                      * (100 - CAST(round(l.l_discount*100,0) AS BIGINT)))
+                  AS BIGINT) // 10000 AS rev_d
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    )"""
+    return hhi_sql(inner, "rev_d", group_cols="nation")
+
+
+@query("supplier_hhi_by_nation", _hhi_oracle())
+def supplier_hhi_by_nation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market concentration of supplier revenue within each nation:
+    the exact Herfindahl index, share-squared WITHOUT float shares
+    (sum of squared integer revenues over the squared total — one
+    division; `profiling.hhi`). Revenue is discounted cents collapsed
+    to whole dollars by truncating division — the documented int64
+    headroom choice (sum(x)^2 must fit int64). One groupBy, no sort;
+    the supplier dim broadcasts."""
+    from pyspark.sql import functions as F
+
+    from svoe_spark.operators.profiling import hhi
+
+    li = load_table(spark, "lineitem", sf_dir)
+    sup = load_table(spark, "supplier", sf_dir)
+    rev = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy(F.col("s_nationkey").alias("nation"), "l_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                * (
+                    F.lit(100)
+                    - F.round(F.col("l_discount") * 100, 0).cast("long")
+                )
+            )
+            .cast("long")
+            .alias("rev_cc")
+        )
+        .select("nation", "l_suppkey", F.expr("rev_cc DIV 10000").alias("rev_d"))
+    )
+    return hhi(rev, "rev_d", ["nation"])

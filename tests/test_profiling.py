@@ -188,3 +188,49 @@ def test_drift_constant_reference_single_bucket(spark):
     assert out[9]["n_ref"] == 100
     with __import__("pytest").raises(ValueError):
         distribution_drift(ref, cur, "v", n_buckets=1)
+
+
+# ---------------------------------------------------------------------------
+# gini / hhi
+# ---------------------------------------------------------------------------
+
+
+def _vals(spark, rows):
+    return spark.createDataFrame(rows, "g string, v long")
+
+
+def test_gini_known_values(spark):
+    from svoe_spark.operators.profiling import gini
+
+    rows = [("eq", v) for v in [5, 5, 5, 5]]          # perfect equality: 0
+    rows += [("mono", 0), ("mono", 0), ("mono", 0), ("mono", 12)]
+    rows += [("zero", 0), ("zero", 0)]                # undefined: NULL
+    got = {r["g"]: r for r in gini(_vals(spark, rows), "v", ["g"]).collect()}
+    assert got["eq"]["gini"] == 0.0
+    # one owner of everything among n=4: G = (n-1)/n = 0.75
+    assert got["mono"]["gini"] == 0.75
+    assert got["zero"]["gini"] is None
+    # differential vs the textbook O(n^2) mean-absolute-difference form
+    import itertools
+
+    vs = [3, 1, 4, 1, 5, 9, 2, 6]
+    want = sum(abs(a - b) for a, b in itertools.product(vs, vs)) / (
+        2 * len(vs) ** 2 * (sum(vs) / len(vs))
+    )
+    got2 = gini(
+        _vals(spark, [("x", v) for v in vs]), "v", ["g"]
+    ).collect()[0]["gini"]
+    assert abs(got2 - want) < 1e-12
+
+
+def test_hhi_known_values(spark):
+    from svoe_spark.operators.profiling import hhi
+
+    rows = [("even", 10), ("even", 10), ("even", 10), ("even", 10)]
+    rows += [("mono", 0), ("mono", 20)]
+    rows += [("zero", 0)]
+    got = {r["g"]: r for r in hhi(_vals(spark, rows), "v", ["g"]).collect()}
+    assert got["even"]["hhi"] == 0.25  # 1/n for even shares
+    assert got["mono"]["hhi"] == 1.0
+    assert got["zero"]["hhi"] is None
+    assert got["even"]["total"] == 40
