@@ -644,11 +644,14 @@ def hhi_sql(
     g_grp = f"GROUP BY {group_cols}" if group_cols else ""
     return f"""
     SELECT {g_sel}__n AS n, __sx AS total,
-           CASE WHEN __sx > 0 THEN __sxx / (__sx * __sx) END AS {out}
+           CASE WHEN __sx > 0
+                THEN CAST(__sxx AS DOUBLE)
+                     / (CAST(__sx AS DOUBLE) * CAST(__sx AS DOUBLE)) END
+             AS {out}
     FROM (
       SELECT {g_sel}CAST(count(*) AS BIGINT) AS __n,
              CAST(sum({value_col}) AS BIGINT) AS __sx,
-             CAST(sum({value_col} * {value_col}) AS BIGINT) AS __sxx
+             sum(CAST({value_col} AS HUGEINT) * {value_col}) AS __sxx
       FROM {table}
       WHERE {value_col} IS NOT NULL
       {g_grp}

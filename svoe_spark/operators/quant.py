@@ -707,7 +707,7 @@ def spearman_corr(
     groups = list(by or [])
     df = df.where(F.col(x).isNotNull() & F.col(y).isNotNull())
 
-    def dbl_rank(col: str, alias: str) -> DataFrame:
+    def dbl_rank(col: str, alias: str) -> Column:
         w = Window.partitionBy(*(groups or [F.lit(1)])).orderBy(col)
         wc = Window.partitionBy(*(groups or [F.lit(1)]), col)
         return (

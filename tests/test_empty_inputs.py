@@ -345,6 +345,16 @@ def test_round6c_operators_on_empty_inputs(spark):
     ri = qc.ref_integrity(t, "id", t, "id").collect()[0]
     assert (ri["violations"], ri["total"], ri["passed"]) == (0, 0, True)
     assert ri["pass_rate"] is None
+    from svoe_spark.operators.profiling import gini, hhi
+    from svoe_spark.operators.quant import spearman_corr
+
+    gv = spark.createDataFrame([], "g string, v long")
+    assert gini(gv, "v", ["g"]).count() == 0
+    assert hhi(gv, "v", ["g"]).count() == 0
+    xy = spark.createDataFrame([], "x long, y long")
+    # global spearman over empty input: one degenerate NULL row
+    r = spearman_corr(xy, "x", "y").collect()
+    assert len(r) == 1 and r[0]["spearman"] is None
     # drift with an empty current side: ref buckets, NULL q/term
     ref = spark.range(100).selectExpr("CAST(id % 10 AS LONG) AS v")
     cur = spark.createDataFrame([], "v long")
