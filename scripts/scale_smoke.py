@@ -1165,6 +1165,46 @@ def round6c_smoke(spark, results, force, n_big=100_000_000):
 
     results["triangles_20m_edges_sec"] = timed(_tri, "triangles_20m_edges")
 
+    # statistics trio: gini / hhi / spearman at 100M rows
+    from svoe_spark.operators.profiling import gini, hhi
+    from svoe_spark.operators.quant import spearman_corr
+
+    vals = spark.range(n_big).select(
+        (F.col("id") % 1000).alias("g"),
+        (1 + F.abs(F.xxhash64("id")) % 10_000).alias("v"),
+        (1 + F.abs(F.xxhash64("id", F.lit(3))) % 10_000).alias("u"),
+    )
+
+    def _gini():
+        out = gini(vals, "v", ["g"]).collect()
+        assert len(out) == 1000
+        # uniform values: Gini ~ 1/3 (discrete uniform limit)
+        import statistics
+
+        med = statistics.median(r["gini"] for r in out)
+        assert 0.30 < med < 0.36, med
+        results["gini_groups"] = len(out)
+
+    results["gini_100m_sec"] = timed(_gini, "gini_100m")
+
+    def _hhi():
+        out = hhi(vals, "v", ["g"]).collect()
+        assert len(out) == 1000
+        # ~100k even-ish shares per group: HHI ~ 4/(3n) for uniform
+        assert all(r["hhi"] < 2e-5 for r in out)
+        results["hhi_groups"] = len(out)
+
+    results["hhi_100m_sec"] = timed(_hhi, "hhi_100m")
+
+    def _spear():
+        out = spearman_corr(vals, "v", "u", by=["g"]).collect()
+        assert len(out) == 1000
+        # independent hashes: correlation ~ 0
+        assert all(abs(r["spearman"]) < 0.05 for r in out)
+        results["spearman_groups"] = len(out)
+
+    results["spearman_100m_sec"] = timed(_spear, "spearman_100m")
+
 
 def main():
     spark = get_spark("scale_smoke")
