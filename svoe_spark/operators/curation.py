@@ -576,6 +576,7 @@ def priority_sample(
     id_col: str,
     salt: str = "",
     materialize_shortlist: bool = True,
+    validate: bool = True,
 ) -> DataFrame:
     """Priority sampling (Duffield, Lund & Thorup 2007): a k-row
     weight-sensitive sample supporting UNBIASED subset-sum estimation.
@@ -604,20 +605,24 @@ def priority_sample(
         (md5_hash(F.concat(F.lit(salt), F.col(id_col).cast("string"))) + 1)
         / F.lit(_PRI_DEN)
     )
-    staged = df.withColumn("__q", q)
-    # checks are cheap relative to a mis-sampled corpus: a zero,
-    # negative, or NULL weight (or a NULL id, whose md5 priority is
-    # NULL) would silently drop out of the sample and bias every
-    # subset-sum estimate — the exact failure this guard exists for
-    bad = staged.where(
-        (F.col(weight_col) <= 0)
-        | F.col(weight_col).isNull()
-        | F.col(id_col).isNull()
-    ).limit(1).count()
-    if bad:
-        raise ValueError(
-            "priority_sample: weights must be positive non-NULL and ids non-NULL"
+    if validate:
+        # checks are cheap relative to a mis-sampled corpus: a zero,
+        # negative, or NULL weight (or a NULL id, whose md5 priority is
+        # NULL) would silently drop out of the sample and bias every
+        # subset-sum estimate. Folded into the priority projection as a
+        # per-row assert_true — evaluated during the one TakeOrdered
+        # scan, never as a separate eager job (assert_true raises on a
+        # false OR NULL condition, so NULL weights/ids trip it too) —
+        # which keeps the operator usable on streaming DataFrames.
+        ok = F.assert_true(
+            (F.col(weight_col) > 0) & F.col(id_col).isNotNull(),
+            F.lit(
+                "priority_sample: weights must be positive non-NULL"
+                " and ids non-NULL"
+            ),
         )
+        q = F.when(ok.isNull(), q)
+    staged = df.withColumn("__q", q)
     # the k+1-row shortlist feeds BOTH the tau aggregate and the output
     # join; TakeOrdered is not an Exchange, so AQE cannot reuse the
     # subtree — truncate once (tiny relation) instead of re-running the

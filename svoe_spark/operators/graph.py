@@ -344,8 +344,14 @@ def pagerank(
     sum with map-side partial aggregation, and one scalar aggregate for
     the dangling mass (broadcast back as a 1-row cross join — never a
     driver collect of node data). Lineage is truncated per round with a
-    lazy localCheckpoint; the edge/out-degree/flag relations are
-    computed once and persisted across all rounds. Overflow headroom:
+    lazy localCheckpoint. The static relations are shuffled ONCE, not
+    per round: out-degrees are pre-joined into the persisted edge
+    relation (hash-partitioned by ``src``, so every round's join elides
+    the edge-side exchange — only the rank vector moves), the dangling
+    test is a precomputed node flag (no per-round anti-join), and the
+    rank vector re-enters each round already partitioned by ``node``
+    (localCheckpoint preserves output partitioning) — per round exactly
+    ONE shuffle: the contribution groupBy(dst). Overflow headroom:
     damping_pct * (in_sum + dangling) <= 100 * scale = 1e17 < int64.
 
     The reference has no graph operator; this serves the web-corpus
@@ -398,39 +404,59 @@ def pagerank(
         ).select("node", F.coalesce("__is_src", F.lit(False)).alias("__is_src"))
     else:
         nodes = nodes.withColumn("__is_src", F.col("node").isin(list(sources)))
-    nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
-    n = nodes.count()
-    if n == 0:
-        e.unpersist()
-        nodes.unpersist()
-        return nodes.select(F.col("node"), F.lit(0).cast("long").alias("rank_fp"))
-    ns = n if sources is None else nodes.where("__is_src").count()
-    if ns == 0:
-        e.unpersist()
-        nodes.unpersist()
-        raise ValueError("no source node appears in the graph")
     deg_agg = (
         F.count(F.lit(1)).alias("outdeg")
         if weight is None
         else F.sum("w").alias("outdeg")
     )
-    deg = e.groupBy("src").agg(deg_agg).persist(StorageLevel.MEMORY_AND_DISK)
+    deg = e.groupBy("src").agg(deg_agg)
+    # Pre-join out-degrees into the edge relation ONCE; the persisted
+    # copy is hash-partitioned by src (the join's output partitioning),
+    # so every round's (edges x ranks) join elides the edge-side
+    # exchange — only the small rank vector is (re)partitioned, and
+    # even that exchange is elided when the previous round's output
+    # partitioning (node) survives the localCheckpoint.
+    e_deg = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    # The dangling-node test (no out-edges) is static — precompute it
+    # as a node flag instead of an anti-join against deg every round.
+    nodes = nodes.join(
+        deg.select(F.col("src").alias("node"), F.lit(True).alias("__has_out")),
+        "node",
+        "left",
+    ).select(
+        "node", "__is_src", F.col("__has_out").isNull().alias("__dangling")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n = nodes.count()
+    if n == 0:
+        e.unpersist()
+        e_deg.unpersist()
+        nodes.unpersist()
+        return nodes.select(F.col("node"), F.lit(0).cast("long").alias("rank_fp"))
+    ns = n if sources is None else nodes.where("__is_src").count()
+    if ns == 0:
+        e.unpersist()
+        e_deg.unpersist()
+        nodes.unpersist()
+        raise ValueError("no source node appears in the graph")
     teleport = ((100 - damping_pct) * scale) // (100 * ns)
     init = F.when(F.col("__is_src"), F.lit(scale // ns)).otherwise(F.lit(0))
-    ranks = nodes.select("node", "__is_src", init.cast("long").alias("rank_fp"))
+    ranks = nodes.select(
+        "node", "__is_src", "__dangling", init.cast("long").alias("rank_fp")
+    )
 
     def _round(ranks: DataFrame) -> DataFrame:
-        dangling = ranks.join(
-            deg, ranks["node"] == deg["src"], "left_anti"
-        ).agg(F.expr(f"coalesce(sum(rank_fp), 0L) div {ns}").alias("d_each"))
+        dangling = ranks.where(F.col("__dangling")).agg(
+            F.expr(f"coalesce(sum(rank_fp), 0L) div {ns}").alias("d_each")
+        )
         share = (
             "rank_fp div outdeg"
             if weight is None
             else "CAST((CAST(rank_fp AS DECIMAL(38,0)) * w) div outdeg AS BIGINT)"
         )
         contrib = (
-            e.join(ranks, e["src"] == ranks["node"])
-            .join(deg, "src")
+            e_deg.join(
+                ranks.select("node", "rank_fp"), e_deg["src"] == F.col("node")
+            )
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.expr(share)).alias("in_sum"))
         )
@@ -440,6 +466,7 @@ def pagerank(
             .select(
                 "node",
                 "__is_src",
+                "__dangling",
                 F.expr(
                     f"(CASE WHEN __is_src THEN {teleport}L ELSE 0L END)"
                     f" + ({damping_pct}L * (coalesce(in_sum, 0L)"
@@ -472,11 +499,11 @@ def pagerank(
         # releasing the inputs its lineage still needs; localCheckpoint
         # both stores the result and truncates the N-round plan.
         ranks.count()
-    out = ranks.drop("__is_src")
+    out = ranks.drop("__is_src", "__dangling")
     out._svoe_pr_rounds = rounds
     e.unpersist()
+    e_deg.unpersist()
     nodes.unpersist()
-    deg.unpersist()
     return out
 
 
@@ -514,7 +541,11 @@ def hits(
 
     Scale shape: each iteration is two edge-relation equi-joins + two
     map-side-combined decimal sums + two broadcast scalar totals; the
-    edge relation is computed once and persisted; lineage truncated
+    edge relation is computed once and persisted TWICE — one copy
+    hash-partitioned by src, one by dst — so each half-step's join
+    elides the edge-side exchange and only the score vector moves
+    (which itself re-enters partitioned by node, so per half-step
+    exactly ONE shuffle: the contribution groupBy); lineage truncated
     per half-step with lazy localCheckpoints.
     """
     if iterations < 0:
@@ -524,6 +555,10 @@ def hits(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    e_by = {
+        "src": e.repartition("src").persist(StorageLevel.MEMORY_AND_DISK),
+        "dst": e.repartition("dst").persist(StorageLevel.MEMORY_AND_DISK),
+    }
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -533,6 +568,8 @@ def hits(
     n = nodes.count()
     if n == 0:
         e.unpersist()
+        e_by["src"].unpersist()
+        e_by["dst"].unpersist()
         nodes.unpersist()
         return nodes.select(
             "node",
@@ -543,8 +580,9 @@ def hits(
     auth = nodes.select("node", F.lit(0).cast("long").alias("auth_fp"))
 
     def _half(scores: DataFrame, score_col: str, join_on: str, group_as: str, out: str) -> DataFrame:
+        eb = e_by[join_on]
         raw = (
-            e.join(scores, e[join_on] == scores["node"])
+            eb.join(scores, eb[join_on] == scores["node"])
             .groupBy(F.col(group_as).alias("node"))
             .agg(
                 F.sum(F.col(score_col).cast("decimal(38,0)")).alias("__raw")
@@ -583,6 +621,8 @@ def hits(
     # does not outlive its references the way a leaked .persist() would
     out.count()
     e.unpersist()
+    e_by["src"].unpersist()
+    e_by["dst"].unpersist()
     nodes.unpersist()
     return out
 
@@ -608,12 +648,15 @@ def bfs_distances(
     localCheckpoint, early stop when a round's digest equals the
     previous (BFS monotonically converges; max_hops bounds the loop).
     ``directed=False`` walks both edge directions (the union is built
-    once, before the loop).
+    once, before the loop). The persisted edge relation is
+    hash-partitioned by ``src`` once, so every round's frontier join
+    elides the edge-side exchange — only the (node, dist) vector moves,
+    and it re-enters each round already partitioned by ``node``.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not directed:
         e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    e = e.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    e = e.distinct().repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
     if isinstance(sources, DataFrame):
         seeds = sources.select(F.col(sources.columns[0]).alias("node")).distinct()
     else:

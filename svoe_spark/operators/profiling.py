@@ -605,14 +605,15 @@ def hhi(
     NON-NEGATIVE INTEGER value column: HHI = sum(x_i^2) / (sum(x))^2 —
     the share-squared sum without ever materializing float shares
     (whose summation order would be engine-dependent). Both moments
-    are exact int64; the result is ONE division. 1.0 = monopoly,
+    are exact integers; the result is ONE division. 1.0 = monopoly,
     1/n = perfectly even. NULL when the group total is 0.
 
     Scale shape: one partial-agg-friendly groupBy — no sort at all.
-    Headroom: sum(x^2) and (sum x)^2 must fit int64 — keep values in
-    coarse units (the registered query uses whole dollars, not cents:
-    sum(x)^2 alone overflows past sum(x) ~ 3e9); past that widen both
-    moments to decimal(38,0).
+    Headroom matches the SQL twin exactly: sum(x^2) accumulates in
+    decimal(38,0) (the twin uses HUGEINT) and the denominator is the
+    DOUBLE product of two exactly-converted int64 totals (the twin
+    casts __sx to DOUBLE before multiplying) — no overflow in either
+    engine until sum(x) itself exceeds int64.
     """
     groups = list(group_cols or [])
     df = df.where(F.col(value_col).isNotNull())
@@ -620,7 +621,7 @@ def hhi(
     agg = df.groupBy(*groups).agg(
         F.count(F.lit(1)).cast("long").alias("__n"),
         F.sum(x).cast("long").alias("__sx"),
-        F.sum(x * x).cast("long").alias("__sxx"),
+        F.sum(x.cast("decimal(38,0)") * x).alias("__sxx"),
     )
     return agg.select(
         *groups,
@@ -628,7 +629,8 @@ def hhi(
         F.col("__sx").alias("total"),
         F.when(
             F.col("__sx") > 0,
-            F.col("__sxx") / (F.col("__sx") * F.col("__sx")),
+            F.col("__sxx").cast("double")
+            / (F.col("__sx").cast("double") * F.col("__sx").cast("double")),
         ).alias(out),
     )
 

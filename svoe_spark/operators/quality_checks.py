@@ -38,6 +38,8 @@ written identically on both sides.
 
 from __future__ import annotations
 
+import math
+import re
 from dataclasses import dataclass
 from typing import Callable
 
@@ -84,6 +86,12 @@ def _lit_sql(v) -> str:
         raise ValueError("boolean constraint literals are not supported")
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, float) and not math.isfinite(v):
+        # repr(inf/nan) is not a SQL literal — the Spark predicate
+        # would accept the bound while the oracle SQL fails to parse
+        raise ValueError(
+            "non-finite float constraint literals are not supported; use custom()"
+        )
     if isinstance(v, (int, float)):
         return repr(v)
     raise ValueError(
@@ -139,10 +147,28 @@ def bounds(
     )
 
 
+_RE2_UNSUPPORTED = re.compile(
+    # lookaround (?=, (?!, (?<=, (?<!  and numeric backreferences \1..\9
+    # — legal Java regex that RE2 (the DuckDB oracle's engine) rejects
+    # or treats differently; fail loudly at construction instead of
+    # silently diverging between the two engines
+    r"\(\?<?[=!]|\\[1-9]"
+)
+
+
 def matches(column: str, pattern: str, name: str | None = None) -> Constraint:
     """Violated when the value is NULL or does not match `pattern`
     (RE2-compatible subset: keep to character classes / anchors /
-    quantifiers so Spark's Java regex and DuckDB's RE2 agree)."""
+    quantifiers so Spark's Java regex and DuckDB's RE2 agree;
+    lookaround and backreferences are rejected at construction)."""
+    m = _RE2_UNSUPPORTED.search(pattern)
+    if m:
+        raise ValueError(
+            f"matches(): pattern contains {m.group(0)!r}, which RE2 "
+            "(the oracle dialect) does not support — Spark and the "
+            "oracle would count violations differently; use custom() "
+            "with an explicitly dialect-checked predicate"
+        )
     sql_pat = pattern.replace("'", "''")
     return Constraint(
         name or f"matches({column})",

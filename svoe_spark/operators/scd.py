@@ -18,6 +18,8 @@ any engine reproduces the exact same intervals.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -253,7 +255,7 @@ class SCD2Store:
                 )
             return self._with_bucket(redone)
 
-        return refresh_partitions(
+        touched = refresh_partitions(
             self.spark,
             self.path,
             self._with_bucket(updates),
@@ -261,6 +263,24 @@ class SCD2Store:
             merge,
             batch_id=batch_id,
         )
+        if len(touched) > self.n_buckets / 2:
+            # measured asymmetry at 30M rows / 64 buckets: a 10-key
+            # burst rewrites 10 buckets in 7.6 s; a 1k-RANDOM-key batch
+            # covers all 64 (coupon collector) and degrades to a ~24 s
+            # near-full copy-on-write rewrite. Mitigations: batch
+            # updates by key locality upstream (repartition/cluster the
+            # CDC feed by key so each refresh hits few buckets), or
+            # raise n_buckets so a batch's keys land in a smaller
+            # fraction of the store.
+            warnings.warn(
+                f"SCD2Store.refresh touched {len(touched)}/{self.n_buckets} "
+                "buckets (>50%): the bucket-pruned incremental path is "
+                "degrading to a near-full copy-on-write rewrite. Batch "
+                "updates by key locality or raise n_buckets.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        return touched
 
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path).drop("kb", "last_batch")

@@ -430,9 +430,14 @@ def test_priority_sample_degenerate_and_validation(spark):
     assert len(out) == 5 and all(r["est_w"] == r["w"] for r in out)
     with pytest.raises(ValueError):
         priority_sample(small, "w", 0, "id")
+    # the weight/id guard is folded into the sampling pass (no eager
+    # pre-scan job), so it fires at action time as a Spark runtime
+    # error rather than a construction-time ValueError
     bad = small.withColumn("w", F.col("w") - F.lit(100))
-    with pytest.raises(ValueError):
-        priority_sample(bad, "w", 2, "id")
+    with pytest.raises(Exception, match="positive non-NULL"):
+        priority_sample(bad, "w", 2, "id").collect()
+    # opt-out skips the per-row check entirely: bad rows just drop out
+    assert priority_sample(bad, "w", 2, "id", validate=False).count() <= 2
 
 
 def test_priority_sample_resalts(spark):
@@ -456,10 +461,10 @@ def test_priority_sample_rejects_null_weights_and_ids(spark):
     with_null_w = df.withColumn(
         "w", F.when(F.col("id") == 5, None).otherwise(F.col("w"))
     )
-    with pytest.raises(ValueError, match="positive non-NULL"):
-        priority_sample(with_null_w, "w", 3, "id")
+    with pytest.raises(Exception, match="positive non-NULL"):
+        priority_sample(with_null_w, "w", 3, "id").collect()
     with_null_id = df.withColumn(
         "id", F.when(F.col("id") == 5, None).otherwise(F.col("id"))
     )
-    with pytest.raises(ValueError, match="non-NULL"):
-        priority_sample(with_null_id, "w", 3, "id")
+    with pytest.raises(Exception, match="non-NULL"):
+        priority_sample(with_null_id, "w", 3, "id").collect()

@@ -68,6 +68,37 @@ def test_refresh_rewrites_only_touched_buckets(spark, sf_small, tmp_path):
     assert cur["event_type"] == "zzz"
 
 
+def test_refresh_warns_when_batch_scatters_across_buckets(
+    spark, sf_small, tmp_path
+):
+    """A batch whose keys cover >50% of buckets degrades the pruned
+    incremental path toward a full copy-on-write rewrite (measured
+    7.6 s key-local vs ~24 s scattered at 30M/64 buckets) — the store
+    says so instead of silently paying it."""
+    import warnings as _w
+
+    import pytest
+
+    ev = _ev(spark, sf_small)
+    store = _store(spark, str(tmp_path / "dim"))
+    # the initial full load scatters across every bucket by nature
+    with pytest.warns(RuntimeWarning, match="buckets"):
+        store.refresh(ev)
+    # a key-local burst stays quiet
+    one_user = ev.orderBy("user_id").limit(1)
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        touched = store.refresh(
+            one_user.select(
+                "user_id",
+                (F.col("ts") + F.expr("INTERVAL 200 DAYS")).alias("ts"),
+                (F.col("event_id") + 20_000_000).alias("event_id"),
+                F.lit("yyy").alias("event_type"),
+            )
+        )
+    assert len(touched) == 1
+
+
 def test_streaming_maintenance_equals_batch(spark, sf_small, tmp_path):
     import time
 
