@@ -58,6 +58,39 @@ def main() -> None:
     )
     stages["pii_redacted"] = docs.count()
 
+    # 0b. PageRank-ranked domain gate (the queries_llm
+    # `curation_pagerank_gate` stage, run here at pipeline head):
+    # personalized PageRank from a trusted seed allowlist over the
+    # document-source NEAR-DUP graph — sources random-walk-close to
+    # the allowlist stay, the rest are cut before any per-document
+    # work. The rank relation is domain-cardinality (tiny), so the
+    # gate itself is one broadcast semi-join.
+    from svoe_spark.operators.graph import pagerank
+    from svoe_spark.queries_llm import _CPG_ITERS, _CPG_SEEDS, _CPG_THRESH
+
+    prs = minhash_dedup_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    dsrc = docs.select("doc_id", "source")
+    ab = (
+        prs.join(dsrc.toDF("id_a", "sa"), "id_a")
+        .join(dsrc.toDF("id_b", "sb"), "id_b")
+        .where(F.col("sa") != F.col("sb"))
+    )
+    edges = (
+        ab.select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+        .unionByName(ab.select(F.col("sb").alias("src"), F.col("sa").alias("dst")))
+        .withColumn("w", F.lit(1).cast("long"))
+    )
+    pr = pagerank(edges, sources=list(_CPG_SEEDS), iterations=_CPG_ITERS, weight="w")
+    trusted = pr.where(F.col("rank_fp") >= _CPG_THRESH).select(
+        F.col("node").alias("source")
+    )
+    # checkpoint the gated snapshot: every downstream stage in this
+    # demo re-evaluates the cumulative lineage per .count(); cutting
+    # it here (a few hundred surviving rows) keeps the pipeline's
+    # wall-clock linear in its stage count instead of quadratic
+    docs = docs.join(F.broadcast(trusted), "source", "left_semi").localCheckpoint()
+    stages["domain_gated"] = docs.count()
+
     # 1. composed quality gate — heuristic signals (length + diversity
     # + repetition caps) AND the TRAINED model gate in ONE zero-shuffle
     # scan: corpus_filter folds the frozen trained logistic weights
@@ -124,7 +157,9 @@ def main() -> None:
         cd.select("doc_id", F.col("text_dedup").alias("text")), "doc_id", "left"
     ).withColumn("text", F.coalesce("text", F.lit("")))
     stages["chunk_deduped"] = docs.count()
-    docs = docs.filter(F.length("text") > 0)
+    # second lineage cut: the dedup/rewrite block above is the most
+    # expensive subtree to replay per downstream action
+    docs = docs.filter(F.length("text") > 0).localCheckpoint()
     stages["nonempty_after_chunk_dedup"] = docs.count()
 
     # 3b. benchmark decontamination: drop docs overlapping the held-out

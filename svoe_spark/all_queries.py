@@ -24,110 +24,29 @@ import svoe_spark.queries_profile  # noqa: F401
 from svoe_spark.queries import QUERIES  # noqa: F401
 
 # Names to surface into the driver's 50-entry window, in check order.
-# Round 6: (a) the 16 queries whose newest driver row is round 2
-# (VERDICT r5 ask 4 — judge-green at sf0.01 every round since, but a
-# fresh hash row guards regressions), (b) the new round-6 queries,
-# (c) refill with the least-recently-checked remainder: the LLM-data
-# layer in its CORRECTNESS_r03 order.  Names beyond slot 50 overflow
-# to the next round's rotation; compute the actual split with
-# driver_window() below (a helper for maintainers and the verify
-# harness — nothing prints it automatically) instead of hard-coding
-# counts in comments.
+# Round 7 (VERDICT r6 ask 2): (a) the new round-7 composition plus the
+# 4 round-6c statistics queries that have never had a driver row
+# (judge-green at sf0.01, but a fresh hash row guards regressions),
+# (b) the 44 queries whose newest driver row is CORRECTNESS_r03 — the
+# dedup / text / ANN-LSH families — in their r3 check order,
+# (c) refill with the least-recently-checked remainder (r4 order).
+# Names beyond slot 50 overflow to the next round's rotation; compute
+# the actual split with driver_window() below (a helper for
+# maintainers and the verify harness — nothing prints it
+# automatically) instead of hard-coding counts in comments.
 _DRIVER_PRIORITY = [
-    # (a) newest driver row is round 2.
-    "q3_shipping_priority",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "orderbook_snapshots_bucketed",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_item",
-    "q13_order_distribution",
-    "q16_supplier_count",
-    "q22_global_sales_opportunity",
-    "resample_1h_ffill",
-    "cube_returnflag_status",
-    "supplier_balance_ranks",
-    # (b) new in round 6: the ANN recall>=0.9 operating point, the
-    # planted-OOV tokenizer row, the trained-classifier curation
-    # gate, and the batched IVF-PQ search pair.
-    "ann_ivfpq_recall90",
-    "unigram_tokens_oov",
-    "corpus_filter_trained",
-    "ann_ivfpq_batch",
-    "ann_ivfpq_batch_refined",
-    "pagerank_supply_graph",
-    "scd2_user_state",
-    "kmv_vocab_overlap",
-    "zorder_cells",
-    "ofi_1h",
-    "asof_purchase_next_view",
-    "asof_purchase_nearest_view",
-    "ppr_trusted_suppliers",
-    "hits_supply_graph",
-    "bfs_hops_trusted",
-    "tfidf_keywords_top3",
-    "contrastive_crops",
-    "embedding_jl_project",
-    "mixed_language_docs",
-    "pagerank_weighted_supply",
-    "top_collocations",
-    "dq_orders_report",
-    "supplier_cograph_triangles",
-    "event_transitions_30m",
-    "event_hourly_anomalies",
-    "value_cusum_alarms",
-    "priority_sample_orders",
-    "value_trend_by_type",
-    "event_dwell_30m",
-    "brand_association_rules",
-    "doc_length_drift",
-    "touch_attribution_72h",
-    "trimmed_mean_value",
-    "benford_order_values",
+    # (a) never driver-checked.
+    "curation_pagerank_gate",
     "top_session_paths",
     "spearman_value_qty",
     "gini_spend_by_nation",
     "supplier_hhi_by_nation",
-]
-
-# (c) refill: LLM-data layer in CORRECTNESS_r03 order (last green r3).
-_PRIORITY_EXTRA = [
+    # (b) newest driver row is round 3, in r3 order (3 rows-only by
+    # design: approx_distinct_daily, backtest_param_grid,
+    # ann_ivf_trained).
+    "live_book_features",
     "median_order_value",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_capped",
-    "dedup_simhash",
-    "dedup_clusters",
-    "chunk_dedup",
-    "benchmark_contamination",
-    "text_token_stats",
-    "text_quality",
-    "text_lang_id",
-    "text_lang_ngram",
-    "text_repetition_signals",
-    "token_rarity",
-    "normalize_text",
-    "bigram_model",
-    "pii_redact",
-    "corpus_filter",
-    "doc_fingerprint",
-    "multimodal_frame_sample",
-    "ann_cosine_topk",
-    "ann_batch_topk",
-    "ann_lsh_topk",
-    "ann_lsh_multiprobe",
-    "ann_ivf_topk",
-    "ann_ivf_multiprobe",
-    "embedding_neardup",
-    "embedding_neardup_lsh",
-    "embedding_quantize",
-    "dataset_shuffle_rank",
-    "source_mixture_weights",
+    "approx_distinct_daily",
     "q2_min_cost_supplier",
     "q11_valuable_parts",
     "q20_part_promotion_suppliers",
@@ -135,7 +54,47 @@ _PRIORITY_EXTRA = [
     "distinct_until_changed_events",
     "asof_multi_feature",
     "pivot_priority_by_year",
+    "backtest_param_grid",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    "dedup_simhash",
+    "text_token_stats",
+    "text_quality",
+    "text_lang_id",
+    "multimodal_frame_sample",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_neardup",
+    "dataset_shuffle_rank",
+    "ann_batch_topk",
+    "embedding_neardup_lsh",
+    "benchmark_contamination",
+    "text_lang_ngram",
+    "pii_redact",
+    "text_repetition_signals",
+    "chunk_dedup",
+    "source_mixture_weights",
+    "embedding_quantize",
+    "dedup_clusters",
     "dedup_clusters_twostar",
+    "corpus_filter",
+    "ann_lsh_multiprobe",
+    "ann_ivf_multiprobe",
+    "ann_ivf_trained",
+    "token_rarity",
+    "normalize_text",
+    "bigram_model",
+]
+
+# (c) refill: least-recently-checked remainder, CORRECTNESS_r04 order.
+_PRIORITY_EXTRA = [
+    "dataset_hash_split",
+    "stratified_sample_counts",
+    "sequence_packing",
 ]
 
 

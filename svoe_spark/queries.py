@@ -3015,36 +3015,32 @@ def _supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges
 
 
-def _pagerank_sql(
-    iterations: int = _PR_ITERS,
-    sources_pred: str | None = None,
-    weighted: bool = False,
+def _pagerank_core_sql(
+    edges_cte: str,
+    pred: str,
+    iterations: int,
+    weighted: bool,
 ) -> str:
-    """Oracle: unroll the integer fixed-point PageRank iterations as
-    chained MATERIALIZED CTEs (DuckDB's inlining default would re-scan
-    the base join per reference and exhaust file handles) — every
+    """The engine-mirroring CTE chain of the integer PageRank oracle —
+    ``edges, nodes, deg, nn, r0 .. r{iterations}`` — WITHOUT the WITH
+    keyword or an output tail, so any query ranking a DIFFERENT edge
+    relation can splice it into its own WITH list (queries_llm's
+    curation gate personalizes over a document-source near-dup graph;
+    the supply-graph queries below wrap it with their tail). Every
     arithmetic step (truncating `//` division, exact integer sums)
-    mirrors operators/graph.py:pagerank token for token, so the hash
-    match proves the distributed iteration loop computes the textbook
-    recurrence exactly. ``sources_pred``: SQL boolean over ``node``
-    selecting the personalized restart set (None = uniform)."""
-    pred = sources_pred or "TRUE"
+    mirrors operators/graph.py:pagerank token for token. ``edges_cte``
+    must yield (src, dst) — plus BIGINT ``w`` when ``weighted`` — and
+    may reference CTEs defined earlier in the caller's WITH list;
+    ``pred`` is a SQL boolean over ``node`` selecting the personalized
+    restart set."""
     if weighted:
-        edges_cte = """
-      SELECT l.l_suppkey * 2 + 1 AS src, o.o_custkey * 2 AS dst,
-             CAST(COUNT(*) AS BIGINT) AS w
-      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-      GROUP BY src, dst"""
         deg_expr = "CAST(SUM(w) AS BIGINT)"
         share = "(CAST(p.rank_fp AS HUGEINT) * e.w) // d.outdeg"
     else:
-        edges_cte = """
-      SELECT DISTINCT l.l_suppkey * 2 + 1 AS src, o.o_custkey * 2 AS dst
-      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"""
         deg_expr = "CAST(COUNT(*) AS BIGINT)"
         share = "p.rank_fp // d.outdeg"
     head = f"""
-    WITH edges AS MATERIALIZED ({edges_cte}
+    edges AS MATERIALIZED ({edges_cte}
     ),
     nodes AS MATERIALIZED (
       SELECT node, ({pred}) AS is_src FROM (
@@ -3091,6 +3087,33 @@ def _pagerank_sql(
       ) c ON nodes.node = c.node
     )"""
         )
+    return head + "".join(its)
+
+
+def _pagerank_sql(
+    iterations: int = _PR_ITERS,
+    sources_pred: str | None = None,
+    weighted: bool = False,
+) -> str:
+    """Oracle for the supply-graph PageRank queries: the shared core
+    chain (unrolled MATERIALIZED CTEs — DuckDB's inlining default
+    would re-scan the base join per reference and exhaust file
+    handles) over the supplier->customer edge relation, plus the
+    supply-specific output tail. ``sources_pred``: SQL boolean over
+    ``node`` selecting the personalized restart set (None =
+    uniform)."""
+    pred = sources_pred or "TRUE"
+    if weighted:
+        edges_cte = """
+      SELECT l.l_suppkey * 2 + 1 AS src, o.o_custkey * 2 AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY src, dst"""
+    else:
+        edges_cte = """
+      SELECT DISTINCT l.l_suppkey * 2 + 1 AS src, o.o_custkey * 2 AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"""
+    core = _pagerank_core_sql(edges_cte, pred, iterations, weighted)
     tail = f"""
     SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS entity,
            CAST(node // 2 AS BIGINT) AS entity_key,
@@ -3100,7 +3123,7 @@ def _pagerank_sql(
     ORDER BY rank_fp DESC, entity, entity_key
     LIMIT 20
     """
-    return head + "".join(its) + tail
+    return "WITH " + core + tail
 
 
 @query("pagerank_supply_graph", _pagerank_sql())

@@ -1539,6 +1539,162 @@ def corpus_filter_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# curation_pagerank_gate: the end-to-end flagship curation composition
+# (VERDICT r6 ask 5) — graph + trained classifier + dedup + mixing in
+# ONE plan: sources are ranked by personalized PageRank over the
+# document-source NEAR-DUP graph (two sources linked when they carry
+# near-duplicate documents — random-walk proximity to a trusted
+# allowlist, the Common-Crawl domain-curation shape), and a document
+# survives iff its source ranks above the gate, the trained quality
+# classifier keeps it, and it is its content's exact-dedup canonical;
+# survivors get per-language temperature-mixture weights.
+# --------------------------------------------------------------------------
+
+_CPG_SEEDS = ("src1", "src3", "src5")  # the trusted allowlist
+_CPG_ITERS = 4
+_CPG_THRESH = 40 * 10**12  # rank_fp floor = 4% of the walk's mass
+
+
+def _cpg_sql() -> str:
+    """Oracle: each composed stage is a self-contained subquery CTE
+    (its own WITH runs inside parentheses, so CTE names never collide
+    across stages) — verified near-dup pairs, the shared PageRank core
+    chain (queries.py:_pagerank_core_sql) over the source graph, the
+    trained-logit corpus filter, exact-dedup canonicals, and the
+    per-language mixture tail."""
+    from svoe_spark.queries import _pagerank_core_sql
+
+    pairs_sql = f"""WITH {_minhash_sql()}
+      SELECT id_a, id_b FROM cands
+      JOIN sets a ON cands.id_a = a.doc_id
+      JOIN sets b ON cands.id_b = b.doc_id
+      WHERE len(list_intersect(a.sset, b.sset)) /
+            (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset))) >= 0.5"""
+    edges_cte = """
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM (
+        SELECT da.source AS src, db.source AS dst
+        FROM vpairs v JOIN documents da ON v.id_a = da.doc_id
+                      JOIN documents db ON v.id_b = db.doc_id
+        WHERE da.source != db.source
+        UNION ALL
+        SELECT db.source AS src, da.source AS dst
+        FROM vpairs v JOIN documents da ON v.id_a = da.doc_id
+                      JOIN documents db ON v.id_b = db.doc_id
+        WHERE da.source != db.source
+      ) GROUP BY src, dst"""
+    pred = "node IN ({})".format(", ".join(f"'{s}'" for s in _CPG_SEEDS))
+    core = _pagerank_core_sql(edges_cte, pred, _CPG_ITERS, weighted=True)
+    return f"""
+    WITH vpairs AS ({pairs_sql}),
+    {core},
+    cfx AS ({_corpus_filter_sql(with_trained_logit=True)}),
+    keepers AS (
+      SELECT min(doc_id) AS doc_id
+      FROM (SELECT doc_id, {sql_md5_hash('text')} AS fp, length(text) AS lk
+            FROM documents)
+      GROUP BY fp, lk
+    ),
+    gated AS (
+      SELECT d.lang, d.text
+      FROM documents d
+      JOIN r{_CPG_ITERS} p ON d.source = p.node
+                          AND p.rank_fp >= {_CPG_THRESH}
+      JOIN cfx ON cfx.doc_id = d.doc_id AND cfx.keep
+      JOIN keepers k ON d.doc_id = k.doc_id
+    ),
+    per AS (
+      SELECT lang, count(*) AS n_docs,
+             CAST(SUM(len(list_filter(string_split(text, ' '),
+                                      t -> length(t) > 0))) AS BIGINT)
+               AS n_tokens
+      FROM gated GROUP BY lang)
+    SELECT lang, n_docs, n_tokens,
+           n_tokens / SUM(n_tokens) OVER () AS token_share,
+           CASE WHEN n_tokens / SUM(n_tokens) OVER () > 0
+                THEN (1.0 / COUNT(*) OVER ()) / (n_tokens / SUM(n_tokens) OVER ())
+                ELSE 0.0e0 END AS mixture_weight
+    FROM per
+    """
+
+
+@query("curation_pagerank_gate", _cpg_sql())
+def curation_pagerank_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship curation composition in one plan: personalized
+    PageRank over the document-source near-dup graph (trusted seeds
+    {src1, src3, src5}; integer fixed-point, weight = cross-source
+    near-dup pair count) gates sources at >= 4% of the walk's mass;
+    surviving documents must ALSO pass the trained-classifier corpus
+    filter and be their content's exact-dedup canonical; the survivors
+    are weighted per language for uniform-target temperature mixing.
+    Every stage is the already-oracle-checked operator (pagerank,
+    corpus_filter, exact_duplicate_groups, source_mixture_weights) —
+    this row proves the COMPOSITION, end to end, against one spliced
+    oracle. Scale shape: band equi-join pairs (never all-pairs), a
+    20-node rank relation broadcast into the gate, one zero-shuffle
+    classifier scan, and a tiny per-language aggregate."""
+    from svoe_spark.operators.cleaning import (
+        corpus_filter,
+        source_mixture_weights,
+    )
+    from svoe_spark.operators.dedup import (
+        exact_duplicate_groups,
+        minhash_dedup_pairs,
+    )
+    from svoe_spark.operators.graph import pagerank
+
+    docs = load_table(spark, "documents", sf_dir)
+    p = minhash_dedup_pairs(docs, params=_MH)
+    ds = docs.select("doc_id", "source")
+    ab = (
+        p.select("id_a", "id_b")
+        .join(
+            ds.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+                "source", "sa"
+            ),
+            "id_a",
+        )
+        .join(
+            ds.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "source", "sb"
+            ),
+            "id_b",
+        )
+        .where(F.col("sa") != F.col("sb"))
+    )
+    edges = (
+        ab.select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+        .unionByName(ab.select(F.col("sb").alias("src"), F.col("sa").alias("dst")))
+        .withColumn("w", F.lit(1).cast("long"))
+    )
+    pr = pagerank(
+        edges,
+        sources=list(_CPG_SEEDS),
+        iterations=_CPG_ITERS,
+        weight="w",
+    )
+    trusted = pr.where(F.col("rank_fp") >= _CPG_THRESH).select(
+        F.col("node").alias("source")
+    )
+    cf = corpus_filter(
+        docs,
+        classifier_weights=QC_TRAINED_WEIGHTS,
+        classifier_bias=QC_TRAINED_BIAS,
+    )
+    canon = exact_duplicate_groups(docs).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    gated = (
+        docs.join(F.broadcast(trusted), "source")
+        .join(cf.where(F.col("keep")).select("doc_id"), "doc_id")
+        .join(canon, "doc_id")
+    )
+    out = source_mixture_weights(gated, group_col="lang")
+    if hasattr(p, "_svoe_persisted"):
+        out._svoe_persisted = p._svoe_persisted
+    return out
+
+
 IVF2_K1 = 8
 IVF2_K2 = 8
 
