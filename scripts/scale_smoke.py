@@ -1206,12 +1206,55 @@ def round6c_smoke(spark, results, force, n_big=100_000_000):
     results["spearman_100m_sec"] = timed(_spear, "spearman_100m")
 
 
+def round7_smoke(spark, results, force, n_edges=20_000_000):
+    """Round-7 graph restructure re-measure: the same 20M-edge graph
+    as round6b, but pagerank rounds now shuffle ONLY the rank vector
+    (degrees pre-joined into the src-partitioned persisted edges,
+    static dangling flag, checkpoint-preserved node partitioning) —
+    plus HITS (two partitioned edge copies) and fixed-budget BFS."""
+    from svoe_spark.operators.graph import bfs_distances, hits, pagerank
+
+    n_nodes = n_edges // 10
+    edges = spark.range(n_edges).select(
+        (F.xxhash64("id") % n_nodes).alias("src"),
+        F.when(F.col("id") % 100 == 0, F.lit(0)).otherwise(
+            (F.xxhash64("id", F.lit(1)) % (n_nodes // 100))
+        ).alias("dst"),
+    ).select(F.abs("src").alias("src"), F.abs("dst").alias("dst"))
+
+    def _pr():
+        pr = pagerank(edges, iterations=10)
+        n = pr.count()
+        top = pr.orderBy(F.desc("rank_fp")).limit(3).collect()
+        assert top[0]["node"] == 0, top  # the planted hub wins
+        results["pagerank_nodes"] = n
+
+    results["pagerank_20m_edges_10it_sec"] = timed(_pr, "pagerank_20m_edges_10it")
+
+    def _hits():
+        h = hits(edges, iterations=3)
+        results["hits_nodes"] = h.count()
+
+    results["hits_20m_edges_3it_sec"] = timed(_hits, "hits_20m_edges_3it")
+
+    def _bfs():
+        d = bfs_distances(edges, [0], max_hops=4, directed=False, early_stop=False)
+        results["bfs_reached"] = d.count()
+
+    results["bfs_20m_edges_4hops_sec"] = timed(_bfs, "bfs_20m_edges_4hops")
+
+
 def main():
     spark = get_spark("scale_smoke")
     spark.sparkContext.setLogLevel("ERROR")
     force = lambda df: df.write.format("noop").mode("overwrite").save()  # noqa: E731
 
     only = os.environ.get("SMOKE_ONLY")
+    if only == "round7":
+        results = {}
+        round7_smoke(spark, results, force)
+        print(json.dumps(results))
+        return
     if only == "round6c":
         results = {}
         round6c_smoke(spark, results, force)

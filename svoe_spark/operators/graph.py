@@ -634,6 +634,7 @@ def bfs_distances(
     dst: str = "dst",
     max_hops: int = 10,
     directed: bool = True,
+    early_stop: bool = True,
 ) -> DataFrame:
     """Multi-source BFS: the hop distance from the nearest seed to
     every reachable node (nodes beyond ``max_hops`` or unreachable are
@@ -647,11 +648,16 @@ def bfs_distances(
     and candidate+1 (exact integer min — order-free), per-round lazy
     localCheckpoint, early stop when a round's digest equals the
     previous (BFS monotonically converges; max_hops bounds the loop).
-    ``directed=False`` walks both edge directions (the union is built
-    once, before the loop). The persisted edge relation is
-    hash-partitioned by ``src`` once, so every round's frontier join
-    elides the edge-side exchange — only the (node, dist) vector moves,
-    and it re-enters each round already partitioned by ``node``.
+    ``early_stop=False`` skips the per-round digest jobs and runs
+    exactly ``max_hops`` rounds as ONE lazily-cascaded action — the
+    cheaper form when the hop budget is small and fixed (the min
+    recurrence is idempotent past convergence, so results are
+    identical). ``directed=False`` walks both edge directions (the
+    union is built once, before the loop). The persisted edge relation
+    is hash-partitioned by ``src`` once, so every round's frontier
+    join elides the edge-side exchange — only the (node, dist) vector
+    moves, and it re-enters each round already partitioned by
+    ``node``.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not directed:
@@ -676,7 +682,7 @@ def bfs_distances(
     )
     seeds = seeds.join(nodes.distinct(), "node", "left_semi")
     dist = seeds.select("node", F.lit(0).cast("int").alias("dist"))
-    prev_digest = _digest(dist, "node", "dist")
+    prev_digest = _digest(dist, "node", "dist") if early_stop else None
     if dist.limit(1).count() == 0:
         e.unpersist()
         raise ValueError("bfs_distances: no source node appears in the graph")
@@ -691,10 +697,15 @@ def bfs_distances(
             .agg(F.min("dist").cast("int").alias("dist"))
             .localCheckpoint(eager=False)
         )
-        d = _digest(dist, "node", "dist")  # materializes the round
-        if d == prev_digest:
-            break
-        prev_digest = d
+        if early_stop:
+            d = _digest(dist, "node", "dist")  # materializes the round
+            if d == prev_digest:
+                break
+            prev_digest = d
+    if not early_stop:
+        # one cascaded materialization before releasing the edges the
+        # lazy checkpoints' lineage still needs
+        dist.count()
     e.unpersist()
     return dist
 

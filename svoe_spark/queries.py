@@ -3608,7 +3608,9 @@ def bfs_hops_trusted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _supply_edges(spark, sf_dir)
     seeds = [2 * k + 1 for k in range(1, _PPR_SEEDS + 1)]
-    d = bfs_distances(edges, seeds, max_hops=_BFS_HOPS, directed=False)
+    d = bfs_distances(
+        edges, seeds, max_hops=_BFS_HOPS, directed=False, early_stop=False
+    )
     return d.groupBy("dist").agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
 
 

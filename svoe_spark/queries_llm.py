@@ -1661,6 +1661,12 @@ def curation_pagerank_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
         )
         .where(F.col("sa") != F.col("sb"))
+        # materialize the (tiny, pair-cardinality) cross-source pair
+        # relation ONCE: it feeds both union branches, and pagerank's
+        # setup references its input several more times (weight
+        # validation, node set, degree) — each reference would
+        # otherwise replay the minhash-pair lineage
+        .localCheckpoint()
     )
     edges = (
         ab.select(F.col("sa").alias("src"), F.col("sb").alias("dst"))

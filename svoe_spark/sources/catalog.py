@@ -38,7 +38,12 @@ def write_partitioned(
         .repartitionByRange(
             max(df.sparkSession.sparkContext.defaultParallelism, 1), ts_col
         )
-        .sortWithinPartitions(ts_col)
+        # day leads the sort (it's ts-monotone, so the order is the
+        # same) because the dynamic-partition writer re-sorts any task
+        # whose rows aren't ordered by the partition columns — a
+        # day-only, tie-unstable sort that would scramble the ts order
+        # inside files (see write_clustered)
+        .sortWithinPartitions("day", ts_col)
         .write.mode(mode)
         .option("compression", compression)
         .partitionBy("day")
@@ -145,7 +150,7 @@ def compact(
     staging = path.rstrip("/") + ".compacting"
     (
         df.repartitionByRange(n_files, ts_col)
-        .sortWithinPartitions(ts_col)
+        .sortWithinPartitions("day", ts_col)  # see write_partitioned
         .write.mode("overwrite")
         .partitionBy("day")
         .parquet(staging)
@@ -255,7 +260,14 @@ def write_clustered(
             max(df.sparkSession.sparkContext.defaultParallelism, 1),
             *[F.col(c) for c in cluster_cols],
         )
-        .sortWithinPartitions(*cluster_cols, ts_col)
+        # "day" must LEAD the sort: the dynamic-partition writer
+        # requires each task's rows ordered by the partition columns
+        # and inserts its own (day)-only sort when they aren't —
+        # silently scrambling the (key, ts) run order inside files
+        # (observed at low task counts, where multi-day tasks are
+        # common). With day first, the writer's required ordering is
+        # already satisfied and the clustered order survives verbatim.
+        .sortWithinPartitions("day", *cluster_cols, ts_col)
         .write.mode(mode)
         .partitionBy("day")
         .parquet(path)

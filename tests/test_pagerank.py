@@ -203,6 +203,17 @@ def test_bfs_distances_hand_graph(spark):
     }
     assert undirected == {3: 0, 2: 1, 4: 1, 1: 2}
 
+    # early_stop=False runs every budgeted round with no digest jobs;
+    # the min recurrence is idempotent past convergence, so results
+    # are identical to the early-stopping form
+    no_stop = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(
+            df, [3], max_hops=10, directed=False, early_stop=False
+        ).collect()
+    }
+    assert no_stop == undirected
+
 
 def test_bfs_multi_source_takes_nearest(spark):
     from svoe_spark.operators.graph import bfs_distances

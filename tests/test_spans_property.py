@@ -109,7 +109,13 @@ batching_strategy = st.lists(
 )
 
 
-@_slow
+@settings(
+    max_examples=4,  # each example runs 4 store refreshes + a full
+    # compare (~6s of parquet round-trips); 4 adversarial batchings
+    # exercise the associativity as well as 8 did at half the wall
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
 @given(batching_strategy)
 def test_rollup_refresh_batching_invariant(spark, tmp_path_factory, assignment):
     """Splitting a tick set into ANY sequence of refresh batches yields

@@ -203,12 +203,19 @@ def test_content_hash_deterministic_and_order_insensitive(spark):
 
 
 def test_write_clustered_row_group_stats(spark, sf_small, tmp_path):
-    """The clustered layout must produce parquet row groups whose
-    min/max key statistics are narrow (skippable): with a small
-    row-group size, most row groups cover a single key, so a per-key
-    filter can prune them — and the key filter reaches the scan
-    (PushedFilters)."""
+    """The clustered layout's two structural promises, asserted in a
+    session-parallelism-independent form (the old min==max single-key
+    row-group count measured how often distinct keys hash-collide into
+    one write task, so it flipped with the task count): (a) rows
+    inside every file are key-contiguous — one run per key, the
+    ordering the dynamic-partition writer silently destroyed before
+    `day` led the sort — so row-group stats tighten as files grow; and
+    (b) key -> task co-location: every key's rows land in at most ONE
+    file per day, so a per-key scan reads ~1/parallelism of the lake.
+    The key filter must also reach the scan (PushedFilters)."""
+    import collections
     import glob
+    import itertools
 
     import pyarrow.parquet as pq
 
@@ -223,22 +230,22 @@ def test_write_clustered_row_group_stats(spark, sf_small, tmp_path):
     finally:
         spark.conf.unset("spark.hadoop.parquet.block.size")
 
-    single_key = 0
-    total = 0
+    files_with_key = collections.Counter()
+    n_days = len(glob.glob(path + "/day=*"))
+    n_files = 0
     for f in glob.glob(path + "/day=*/*.parquet"):
-        md = pq.ParquetFile(f).metadata
-        for rg in range(md.num_row_groups):
-            col = next(
-                md.row_group(rg).column(i)
-                for i in range(md.row_group(rg).num_columns)
-                if md.row_group(rg).column(i).path_in_schema == "event_type"
-            )
-            total += 1
-            if col.statistics.min == col.statistics.max:
-                single_key += 1
-    assert total > 4, total
-    # most row groups are single-key => a per-key predicate skips them
-    assert single_key / total >= 0.6, (single_key, total)
+        n_files += 1
+        et = pq.ParquetFile(f).read(columns=["event_type"]).to_pandas()[
+            "event_type"
+        ]
+        # (a) key-contiguity: as many runs as distinct keys in the file
+        assert len([k for k, _ in itertools.groupby(et)]) == et.nunique(), f
+        for k in et.unique():
+            files_with_key[k] += 1
+    assert n_days > 4 and n_files >= n_days
+    # (b) co-location: each key touches at most one file per day
+    for k, n in files_with_key.items():
+        assert n <= n_days, (k, n, n_days)
 
     p_lines = (
         spark.read.parquet(path)
