@@ -169,6 +169,61 @@ def test_asof_nearest_stream_survives_tiny_arrow_chunks(
         spark.conf.set(key, old)
 
 
+def test_asof_nearest_stream_multi_value_whole_row(
+    spark, sf_small, asof_parquet, tmp_path
+):
+    """Several value columns ride the ONE matched right row (the batch
+    operators' whole-row semantics) — never a per-column mix of rows.
+    The second column is a recomputable function of the first, so any
+    row-mixing would break the invariant check."""
+    import glob
+    import os
+
+    lp, rp = asof_parquet
+    # rebuild the 3-slice replay order for the widened right side (one
+    # slice per source file, same mod-time ordering contract)
+    rp2 = str(tmp_path / "right2")
+    for f in sorted(
+        glob.glob(rp + "/part-*.parquet"), key=os.path.getmtime
+    ):
+        (
+            spark.read.parquet(f)
+            .withColumn("neg", -F.col("value") - 1.0)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(rp2)
+        )
+        time.sleep(1.1)
+    out = run_available_to_memory(
+        asof_nearest_stream(
+            _replay(spark, lp),
+            _replay(spark, rp2),
+            on="ts",
+            by="event_type",
+            value_col=["value", "neg"],
+        )
+    )
+    rows = out.collect()
+    assert len(rows) > 100
+    for r in rows:
+        assert (r["value"] is None) == (r["neg"] is None)
+        if r["value"] is not None:
+            assert r["neg"] == -r["value"] - 1.0
+    # and the first column still equals the single-column stream
+    got = sorted((r["event_type"], r["ts"], r["value"]) for r in rows)
+    left, right = _sides(spark, sf_small)
+    want = sorted(
+        (r["event_type"], r["ts"], r["value"])
+        for r in _closed(
+            asof_join_nearest(
+                left, right, on="ts", by=["event_type"], right_cols=["value"]
+            ),
+            right,
+        ).collect()
+    )
+    assert got == want
+
+
 def test_asof_nearest_hand_case_tiebreak_and_exact_match(spark, tmp_path):
     """Hand-pinned semantics: (a) equidistant left row -> backward wins
     (the pandas tie-break); (b) a left row at exactly a right instant
