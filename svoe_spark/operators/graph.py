@@ -291,6 +291,7 @@ def pagerank(
     until_converged: bool = False,
     max_iter: int = 100,
     weight: str | None = None,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Fixed-point integer PageRank over a directed edge list — uniform
     or personalized, fixed-iteration or run-to-fixpoint.
@@ -363,9 +364,12 @@ def pagerank(
     if not (0 <= damping_pct <= 100):
         raise ValueError("damping_pct must be in [0, 100]")
     if weight is None:
-        e = edges.select(
-            F.col(src).alias("src"), F.col(dst).alias("dst")
-        ).distinct()
+        # assume_distinct: skip the dedup shuffle when the caller
+        # guarantees distinct (src, dst) — e.g. a shared pre-distincted
+        # cached edge relation feeding several rankings
+        e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        if not assume_distinct:
+            e = e.distinct()
     else:
         e = (
             edges.select(
@@ -513,6 +517,7 @@ def hits(
     dst: str = "dst",
     iterations: int = 5,
     scale: int = 10**15,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Fixed-point integer HITS (Kleinberg 1999): mutually-recursive
     hub and authority scores over a directed edge list — the natural
@@ -550,11 +555,10 @@ def hits(
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:  # see pagerank's assume_distinct contract
+        e = e.distinct()
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
     e_by = {
         "src": e.repartition("src").persist(StorageLevel.MEMORY_AND_DISK),
         "dst": e.repartition("dst").persist(StorageLevel.MEMORY_AND_DISK),
@@ -635,6 +639,7 @@ def bfs_distances(
     max_hops: int = 10,
     directed: bool = True,
     early_stop: bool = True,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Multi-source BFS: the hop distance from the nearest seed to
     every reachable node (nodes beyond ``max_hops`` or unreachable are
@@ -662,7 +667,12 @@ def bfs_distances(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not directed:
         e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    e = e.distinct().repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+    # assume_distinct also vouches for the undirected union: the caller
+    # must guarantee no reciprocal pair appears on both sides (e.g.
+    # bipartite node id spaces)
+    if not assume_distinct:
+        e = e.distinct()
+    e = e.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
     if isinstance(sources, DataFrame):
         seeds = sources.select(F.col(sources.columns[0]).alias("node")).distinct()
     else:

@@ -3144,7 +3144,13 @@ def pagerank_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from svoe_spark.operators.graph import pagerank
 
     edges = _supply_edges(spark, sf_dir)
-    pr = pagerank(edges, iterations=_PR_ITERS, damping_pct=_PR_DAMP, scale=_PR_SCALE)
+    pr = pagerank(
+        edges,
+        iterations=_PR_ITERS,
+        damping_pct=_PR_DAMP,
+        scale=_PR_SCALE,
+        assume_distinct=True,  # _supply_edges is already distinct
+    )
     return (
         pr.select(
             F.when(F.col("node") % 2 == 0, F.lit("customer"))
@@ -3450,6 +3456,7 @@ def ppr_trusted_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         damping_pct=_PR_DAMP,
         scale=_PR_SCALE,
         sources=seeds,
+        assume_distinct=True,  # _supply_edges is already distinct
     )
     return (
         pr.select(
@@ -3542,7 +3549,11 @@ def hits_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from svoe_spark.operators.graph import hits
 
     edges = _supply_edges(spark, sf_dir)
-    hs = hits(edges, iterations=_HITS_ITERS, scale=_PR_SCALE)
+    hs = hits(
+        edges, iterations=_HITS_ITERS, scale=_PR_SCALE,
+        # _supply_edges is already distinct
+        assume_distinct=True,
+    )
     return (
         hs.select(
             F.when(F.col("node") % 2 == 0, F.lit("customer"))
@@ -3609,7 +3620,14 @@ def bfs_hops_trusted(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _supply_edges(spark, sf_dir)
     seeds = [2 * k + 1 for k in range(1, _PPR_SEEDS + 1)]
     d = bfs_distances(
-        edges, seeds, max_hops=_BFS_HOPS, directed=False, early_stop=False
+        edges,
+        seeds,
+        max_hops=_BFS_HOPS,
+        directed=False,
+        early_stop=False,
+        # _supply_edges is distinct AND bipartite (odd/even node ids),
+        # so the undirected union has no reciprocal duplicates either
+        assume_distinct=True,
     )
     return d.groupBy("dist").agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
 

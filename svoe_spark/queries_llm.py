@@ -141,10 +141,31 @@ def _minhash_sql() -> str:
           (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset))) >= 0.5
     """,
 )
+def _mh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-keyed verified MinHash pair relation (id_a, id_b,
+    jaccard), persisted and materialized once per (session, sf_dir) —
+    the _SUPPLY_EDGE_CACHE discipline applied to the pair generation
+    that dedup_minhash_lsh / dedup_clusters / curation_pagerank_gate
+    all rank or cluster (the signature cache is released once the tiny
+    pair relation is materialized)."""
+
+    def build():
+        p = minhash_dedup_pairs(
+            load_table(spark, "documents", sf_dir), params=_MH
+        )
+        out = p.persist()
+        out.count()
+        if hasattr(p, "_svoe_persisted"):
+            p._svoe_persisted.unpersist()
+        return out
+
+    return _cached_chain(spark, sf_dir, "mh_pairs", build)
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (16 hashes) + banded LSH (8x2) candidate generation,
     verified by true trigram-set Jaccard >= 0.5."""
-    return minhash_dedup_pairs(load_table(spark, "documents", sf_dir), params=_MH)
+    return _mh_pairs(spark, sf_dir)
 
 
 @query(
@@ -967,14 +988,8 @@ def _dedup_clusters_impl(
     from svoe_spark.operators.graph import dedup_clusters
 
     docs = load_table(spark, "documents", sf_dir)
-    p = minhash_dedup_pairs(docs, params=_MH)
-    pairs = p.select("id_a", "id_b")
-    out = dedup_clusters(docs, pairs, algorithm=algorithm)
-    # propagate the persisted-signature handle the select above would
-    # otherwise drop, so long-lived sessions can unpersist it
-    if hasattr(p, "_svoe_persisted"):
-        out._svoe_persisted = p._svoe_persisted
-    return out
+    pairs = _mh_pairs(spark, sf_dir).select("id_a", "id_b")
+    return dedup_clusters(docs, pairs, algorithm=algorithm)
 
 
 @query("dedup_clusters", _DEDUP_CLUSTERS_SQL)
@@ -1637,14 +1652,11 @@ def curation_pagerank_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_filter,
         source_mixture_weights,
     )
-    from svoe_spark.operators.dedup import (
-        exact_duplicate_groups,
-        minhash_dedup_pairs,
-    )
+    from svoe_spark.operators.dedup import exact_duplicate_groups
     from svoe_spark.operators.graph import pagerank
 
     docs = load_table(spark, "documents", sf_dir)
-    p = minhash_dedup_pairs(docs, params=_MH)
+    p = _mh_pairs(spark, sf_dir)
     ds = docs.select("doc_id", "source")
     ab = (
         p.select("id_a", "id_b")
@@ -1695,10 +1707,7 @@ def curation_pagerank_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cf.where(F.col("keep")).select("doc_id"), "doc_id")
         .join(canon, "doc_id")
     )
-    out = source_mixture_weights(gated, group_col="lang")
-    if hasattr(p, "_svoe_persisted"):
-        out._svoe_persisted = p._svoe_persisted
-    return out
+    return source_mixture_weights(gated, group_col="lang")
 
 
 IVF2_K1 = 8
