@@ -49,6 +49,27 @@ def main() -> None:
         .mapInPandas(_warm, "id long")
     )
 
+    # warm the JVM query machinery (whole-stage codegen, join/agg/
+    # window/HOF expression compilation) with one tiny composite query:
+    # otherwise whichever REAL query runs first is charged several
+    # seconds of one-time JIT/codegen setup that belongs to the session
+    from pyspark.sql import Window, functions as F
+
+    r = spark.range(10_000)
+    _force(
+        r.alias("a")
+        .join(r.alias("b"), "id")
+        .withColumn("k", (F.col("id") % 10).cast("long"))
+        .groupBy("k")
+        .agg(F.sum("id").alias("s"), F.collect_list(F.col("id") % 7).alias("l"))
+        .select(
+            "k",
+            F.row_number().over(Window.orderBy("s")).alias("rn"),
+            F.transform("l", lambda x: x * 2).alias("t"),
+            F.aggregate("l", F.lit(0).cast("long"), lambda a, x: a + x).alias("g"),
+        )
+    )
+
     timings: dict[str, float] = {}
     for name, q in QUERIES.items():
         if not q.bench:
