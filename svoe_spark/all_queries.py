@@ -37,6 +37,7 @@ from svoe_spark.queries import QUERIES  # noqa: F401
 _DRIVER_PRIORITY = [
     # (a) never driver-checked.
     "curation_pagerank_gate",
+    "cluster_split_leakproof",
     "top_session_paths",
     "spearman_value_qty",
     "gini_spend_by_nation",

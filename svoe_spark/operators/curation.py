@@ -183,6 +183,35 @@ def hash_split(
     return df.withColumn(out, expr)
 
 
+def cluster_aware_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    fractions: dict[str, float] | None = None,
+    out: str = "split",
+    salt: str = "",
+) -> DataFrame:
+    """Leakage-proof train/valid/test assignment: near-duplicate
+    documents (connected components of the verified pair graph) always
+    land in the SAME split, because the hash threshold keys on the
+    component's canonical id, not the document id. A doc-id hash split
+    scatters a duplicate cluster across splits — exactly the
+    train-test contamination dedup exists to prevent (Lee et al. 2022:
+    deduplication's eval-leakage motivation). Returns ``df``'s id
+    column with (cluster_id, cluster_size, is_canonical, split).
+
+    Scale shape: `dedup_clusters`' logarithmic label-propagation
+    rounds + ONE narrow hash expression on the resulting label — the
+    split itself adds no shuffle, and the assignment survives any
+    re-partitioning (the `hash_split` reproducibility contract)."""
+    from svoe_spark.operators.graph import dedup_clusters
+
+    lab = dedup_clusters(df, pairs, id_col=id_col)
+    return hash_split(
+        lab, id_col="cluster_id", fractions=fractions, out=out, salt=salt
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     stratum_col: str,

@@ -982,6 +982,42 @@ _DEDUP_CLUSTERS_SQL = f"""
     """
 
 
+@query(
+    "cluster_split_leakproof",
+    f"""
+    WITH cl AS ({_DEDUP_CLUSTERS_SQL}),
+    s AS (
+      SELECT doc_id, cluster_id,
+             CASE WHEN ({sql_md5_hash("CAST(cluster_id AS VARCHAR)")}) % 100 < 80
+                    THEN 'train'
+                  WHEN ({sql_md5_hash("CAST(cluster_id AS VARCHAR)")}) % 100 < 90
+                    THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM cl)
+    SELECT split, count(*) AS n_docs,
+           CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+    FROM s GROUP BY split
+    """,
+)
+def cluster_split_leakproof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-proof dataset split (curation.cluster_aware_split):
+    near-dup clusters assign whole to one split — the md5 threshold
+    keys on the component's canonical id, so no verified pair ever
+    spans train/test (the contamination a doc-id split reintroduces;
+    Lee et al. 2022). Aggregated per split for verification; the
+    zero-cross-split-pairs invariant is pinned in
+    tests/test_curation.py."""
+    from svoe_spark.operators.curation import cluster_aware_split
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = _mh_pairs(spark, sf_dir).select("id_a", "id_b")
+    assigned = cluster_aware_split(docs, pairs)
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+    )
+
+
 def _dedup_clusters_impl(
     spark: SparkSession, sf_dir: str, algorithm: str
 ) -> DataFrame:

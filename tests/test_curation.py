@@ -468,3 +468,51 @@ def test_priority_sample_rejects_null_weights_and_ids(spark):
     )
     with pytest.raises(Exception, match="non-NULL"):
         priority_sample(with_null_id, "w", 3, "id").collect()
+
+
+# ---------------------------------------------------------------------------
+# cluster_aware_split
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_aware_split_never_splits_a_near_dup_pair(spark, sf_small):
+    """The leakage invariant: every verified near-dup pair lands in ONE
+    split (the whole point of keying the hash on the cluster id) — and
+    the same data split by doc id DOES scatter at least one cluster,
+    proving the invariant is doing work on this corpus."""
+    from svoe_spark.operators.curation import cluster_aware_split, hash_split
+    from svoe_spark.operators.dedup import minhash_dedup_pairs
+    from svoe_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_small)
+    p = minhash_dedup_pairs(docs)
+    pairs = p.select("id_a", "id_b").persist()
+    assert pairs.count() > 0  # the corpus has planted near-dups
+
+    assigned = cluster_aware_split(docs, pairs)
+    sp = assigned.select("doc_id", "split", "cluster_id")
+    cross = (
+        pairs.join(sp.toDF("id_a", "sa", "ca"), "id_a")
+        .join(sp.toDF("id_b", "sb", "cb"), "id_b")
+        .where(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert cross == 0
+    # fractions roughly honored and all three splits present
+    counts = {r["split"]: r["n"] for r in
+              assigned.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "valid", "test"}
+    assert counts["train"] > counts["valid"] and counts["train"] > counts["test"]
+
+    # negative control: a doc-id hash split scatters some cluster
+    naive = hash_split(sp.select("doc_id", "cluster_id"))
+    leaks = (
+        naive.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    assert leaks > 0
+    if hasattr(p, "_svoe_persisted"):
+        p._svoe_persisted.unpersist()
+    pairs.unpersist()
