@@ -518,6 +518,8 @@ def hits(
     iterations: int = 5,
     scale: int = 10**15,
     assume_distinct: bool = False,
+    until_converged: bool = False,
+    max_iter: int = 100,
 ) -> DataFrame:
     """Fixed-point integer HITS (Kleinberg 1999): mutually-recursive
     hub and authority scores over a directed edge list — the natural
@@ -543,6 +545,12 @@ def hits(
     method is identical up to scaling (eigenvectors of E^T E don't
     care which norm rescales them), and every engine reproduces the
     same integer trajectory.
+
+    ``until_converged=True``: iterate until both integer score vectors
+    reach their EXACT fixpoint (content digests compared per full
+    iteration — the digest action doubles as the round's
+    materialization), bounded by ``max_iter``; ``iterations`` is then
+    ignored. The round count is exposed as ``_svoe_hits_rounds``.
 
     Scale shape: each iteration is two edge-relation equi-joins + two
     map-side-combined decimal sums + two broadcast scalar totals; the
@@ -607,9 +615,24 @@ def hits(
             .localCheckpoint(eager=False)
         )
 
-    for _ in range(iterations):
-        auth = _half(hub, "hub_fp", "src", "dst", "auth_fp")
-        hub = _half(auth, "auth_fp", "dst", "src", "hub_fp")
+    rounds = 0
+    if until_converged:
+        # the integer power method reaches an EXACT fixpoint (same
+        # argument as pagerank's until_converged: the digest action
+        # doubles as the per-round materialization; max_iter bounds the
+        # theoretical truncation-cycle pathology the digest can't see)
+        prev = _digest(hub, "node", "hub_fp") + _digest(auth, "node", "auth_fp")
+        for rounds in range(1, max_iter + 1):
+            auth = _half(hub, "hub_fp", "src", "dst", "auth_fp")
+            hub = _half(auth, "auth_fp", "dst", "src", "hub_fp")
+            d = _digest(hub, "node", "hub_fp") + _digest(auth, "node", "auth_fp")
+            if d == prev:
+                break
+            prev = d
+    else:
+        for _ in range(iterations):
+            auth = _half(hub, "hub_fp", "src", "dst", "auth_fp")
+            hub = _half(auth, "auth_fp", "dst", "src", "hub_fp")
     out = (
         nodes.join(hub, "node", "left")
         .join(auth, "node", "left")
@@ -624,6 +647,7 @@ def hits(
     # no extra persist — the localCheckpoint IS the cached copy, and it
     # does not outlive its references the way a leaked .persist() would
     out.count()
+    out._svoe_hits_rounds = rounds
     e.unpersist()
     e_by["src"].unpersist()
     e_by["dst"].unpersist()

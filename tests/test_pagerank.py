@@ -174,6 +174,24 @@ def test_hits_matches_python_mirror(spark, edges):
     assert got == {v: (hub[v], auth[v]) for v in hub}
 
 
+def test_hits_until_converged_reaches_fixpoint(spark, edges):
+    """Run-to-fixpoint HITS: converges in < max_iter rounds, and the
+    fixpoint equals a long fixed-iteration run (integer arithmetic
+    reaches an exact stationary vector, so 'long enough' is exact)."""
+    from svoe_spark.operators.graph import hits
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    conv = hits(df, until_converged=True, max_iter=60)
+    rounds = conv._svoe_hits_rounds
+    assert 0 < rounds < 60
+    got = {r["node"]: (r["hub_fp"], r["auth_fp"]) for r in conv.collect()}
+    fixed = {
+        r["node"]: (r["hub_fp"], r["auth_fp"])
+        for r in hits(df, iterations=rounds + 5).collect()
+    }
+    assert got == fixed
+
+
 def test_hits_bipartite_semantics(spark):
     from svoe_spark.operators.graph import hits
 
