@@ -24,78 +24,77 @@ import svoe_spark.queries_profile  # noqa: F401
 from svoe_spark.queries import QUERIES  # noqa: F401
 
 # Names to surface into the driver's 50-entry window, in check order.
-# Round 7 (VERDICT r6 ask 2): (a) the new round-7 composition plus the
-# 4 round-6c statistics queries that have never had a driver row
-# (judge-green at sf0.01, but a fresh hash row guards regressions),
-# (b) the 44 queries whose newest driver row is CORRECTNESS_r03 — the
-# dedup / text / ANN-LSH families — in their r3 check order,
-# (c) refill with the least-recently-checked remainder (r4 order).
-# Names beyond slot 50 overflow to the next round's rotation; compute
-# the actual split with driver_window() below (a helper for
-# maintainers and the verify harness — nothing prints it
-# automatically) instead of hard-coding counts in comments.
+# Round 8 (VERDICT r7 ask 3): the 50 queries whose newest driver row is
+# CORRECTNESS_r04 fill the window, in their r4 check order — after the
+# r7 rotation the staleness histogram was exactly 50/50/50/50 across
+# r4..r7, so this pushes the floor to r5 with zero never-checked
+# queries. The round-8-fixed rows-only trio (approx_distinct_daily,
+# backtest_param_grid, ann_ivf_trained — all three now carry full
+# DuckDB oracles) is queued at slots 51-53 so it LEADS the round-9
+# window: VERDICT r7 ask 1's "next driver window containing any of
+# them" lands green then. Names beyond slot 50 overflow to the next
+# round's rotation; compute the actual split with driver_window()
+# below (a helper for maintainers and the verify harness — nothing
+# prints it automatically) instead of hard-coding counts in comments.
 _DRIVER_PRIORITY = [
-    # (a) never driver-checked.
-    "curation_pagerank_gate",
-    "cluster_split_leakproof",
-    "top_session_paths",
-    "spearman_value_qty",
-    "gini_spend_by_nation",
-    "supplier_hhi_by_nation",
-    # (b) newest driver row is round 3, in r3 order (3 rows-only by
-    # design: approx_distinct_daily, backtest_param_grid,
-    # ann_ivf_trained).
-    "live_book_features",
-    "median_order_value",
-    "approx_distinct_daily",
-    "q2_min_cost_supplier",
-    "q11_valuable_parts",
-    "q20_part_promotion_suppliers",
-    "q21_waiting_supplier",
-    "distinct_until_changed_events",
-    "asof_multi_feature",
-    "pivot_priority_by_year",
-    "backtest_param_grid",
-    "doc_fingerprint",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_capped",
-    "dedup_simhash",
-    "text_token_stats",
-    "text_quality",
-    "text_lang_id",
-    "multimodal_frame_sample",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "embedding_neardup",
-    "dataset_shuffle_rank",
-    "ann_batch_topk",
-    "embedding_neardup_lsh",
-    "benchmark_contamination",
-    "text_lang_ngram",
-    "pii_redact",
-    "text_repetition_signals",
-    "chunk_dedup",
-    "source_mixture_weights",
-    "embedding_quantize",
-    "dedup_clusters",
-    "dedup_clusters_twostar",
-    "corpus_filter",
-    "ann_lsh_multiprobe",
-    "ann_ivf_multiprobe",
-    "ann_ivf_trained",
-    "token_rarity",
-    "normalize_text",
-    "bigram_model",
-]
-
-# (c) refill: least-recently-checked remainder, CORRECTNESS_r04 order.
-_PRIORITY_EXTRA = [
     "dataset_hash_split",
     "stratified_sample_counts",
     "sequence_packing",
+    "unpivot_lineitem_measures",
+    "multimodal_byte_features",
+    "repeated_ngram_spans",
+    "substring_dedup_clean",
+    "semantic_dedup",
+    "semantic_dedup_hier",
+    "quality_classifier_scores",
+    "per_source_topk",
+    "ohlcv_1h_rollup",
+    "bigram_surprise",
+    "cluster_balanced_sample",
+    "contamination_spans",
+    "bm25_search",
+    "dsir_importance",
+    "pq_codes",
+    "pq_adc_topk",
+    "dataset_profile",
+    "key_skew_events",
+    "value_histogram",
+    "ann_ivfpq_topk",
+    "dedup_index_probe",
+    "bpe_tokens",
+    "chunk_freq_dedup",
+    "hard_negatives_lsh",
+    "duplication_report",
+    "cms_user_counts",
+    "bloom_customer_orders",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "kmv_distinct_daily",
+    "hll_distinct_daily",
+    "sampled_quantiles_by_type",
+    "bottom_k_sample_docs",
+    "grouped_split_sources",
+    "snapshot_diff_daily",
+    "pps_token_sample",
+    "hybrid_search_rrf",
+    "adaptive_quality_filter",
+    "funnel_view_click_purchase",
+    "retention_day_cohorts",
+    "concurrent_open_orders",
+    "gapfill_linear_6h",
+    "rolling_corr_price_qty",
+    "pairwise_corr_types",
+    "temperature_mixture_langs",
+    "max_drawdown_by_type",
+    "purged_folds_counts",
+]
+
+# Slots 51+: the repaired trio first (leads the r9 window), then the
+# least-recently-checked remainder (r5 order).
+_PRIORITY_EXTRA = [
+    "approx_distinct_daily",
+    "backtest_param_grid",
+    "ann_ivf_trained",
 ]
 
 

@@ -2291,38 +2291,89 @@ def median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_daily", None)
+from svoe_spark.operators.sketches import (  # noqa: E402
+    HLLParams,
+    hll_build,
+    hll_estimate,
+    hll_sql,
+)
+
+_HLL_USERS = HLLParams(p=6)
+
+
+@query(
+    "approx_distinct_daily",
+    f"""
+    WITH {hll_sql('events', 'user_id', _HLL_USERS,
+                  group_expr="strftime(ts, '%Y-%m-%d')",
+                  out='est_users')},
+    days AS (SELECT DISTINCT g AS day FROM hll_reg),
+    cum_reg AS (
+      SELECT d.day, r.bucket, max(r.rho) AS rho
+      FROM days d JOIN hll_reg r ON r.g <= d.day
+      GROUP BY d.day, r.bucket
+    ),
+    cum_est AS (
+      SELECT day,
+             {_HLL_USERS.numerator!r} / CAST(
+               sum(CAST(1 AS BIGINT) << (62 - rho))
+               + ({_HLL_USERS.m} - count(*)) * CAST(1 AS HUGEINT)
+                 * (CAST(1 AS BIGINT) << 62)
+               AS DOUBLE) AS est_users_to_date
+      FROM cum_reg GROUP BY day
+    ),
+    tru AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+            FROM events GROUP BY 1)
+    SELECT t.day, h.est_users, h.zero_registers, t.exact_users,
+           c.est_users_to_date
+    FROM hll_est h JOIN tru t ON h.g = t.day JOIN cum_est c ON c.day = t.day
+    """,
+)
 def approx_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate distinct users per day via MERGEABLE HLL sketches —
-    the 100 TB cardinality pattern: each partition builds a constant-
-    size sketch, sketches merge associatively (here: re-aggregated into
-    a running all-days union with hll_union_agg), and nothing holistic
-    crosses the shuffle. exact_users is computed alongside so the
-    parity/error-bound test is self-contained; rows-only for the driver
-    (estimates are engine-specific by design)."""
+    """Approximate distinct users per day via MERGEABLE relational HLL
+    sketches (operators/sketches.py) — the 100 TB cardinality pattern:
+    each partition contributes partial register maxima (constant-size
+    state), registers merge associatively, and nothing holistic crosses
+    the shuffle. est_users_to_date demonstrates the merge property as a
+    RUNNING UNION: day D's registers are the register-wise max of every
+    day <= D, re-estimated — a days x m sketch-sized join, independent
+    of data volume (estimates are exactly monotone: the register mass
+    only grows). Deterministic end-to-end, so the DuckDB oracle
+    reproduces every estimate bit-for-bit — unlike engine-native HLLs
+    (Spark's hll_sketch_agg / approx_count_distinct), whose HLL++
+    internals are implementation-defined; the native forms live in
+    tests/test_window_ops.py::test_native_hll_matches_relational as the
+    documented example. exact_users is computed alongside so the
+    error-bound test is self-contained."""
     e = load_table(spark, "events", sf_dir).select(
-        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id", "value"
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
     )
-    daily = e.groupBy("day").agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
-        F.count_distinct("user_id").alias("exact_users"),
+    # persisted: the sketch relation (<= m rows/day whatever the data
+    # volume) feeds the per-day estimate, the day axis, AND the running
+    # union — one events scan builds all three subtrees
+    reg = hll_build(e, "user_id", _HLL_USERS, group_cols=["day"]).persist()
+    est = hll_estimate(reg, _HLL_USERS, group_cols=["day"], out="est_users")
+    days = reg.select("day").distinct()
+    cum_reg = (
+        days.withColumnRenamed("day", "__d")
+        .join(F.broadcast(reg), F.col("day") <= F.col("__d"))
+        .groupBy(F.col("__d").alias("day"), "bucket")
+        .agg(F.max("rho").cast("int").alias("rho"))
     )
-    # percentile_approx runs in its OWN aggregation: fused into the
-    # count_distinct agg it would ride the Expand (2x rows) and drop
-    # the whole aggregate out of the fast hash path (~4x slower
-    # measured); two narrow scans beat one pathological one
-    med = e.groupBy("day").agg(
-        F.percentile_approx("value", 0.5).alias("approx_median_value")
+    cum = hll_estimate(
+        cum_reg, _HLL_USERS, group_cols=["day"], out="est_users_to_date"
+    ).drop("zero_registers")
+    tru = e.groupBy("day").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_users")
     )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    return daily.join(F.broadcast(med), "day").select(
-        "day",
-        F.hll_sketch_estimate("sk").alias("est_users"),
-        "exact_users",
-        "approx_median_value",
-        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias(
-            "est_users_to_date"
-        ),
+    return (
+        est.join(tru, "day")
+        .join(F.broadcast(cum), "day")
+        .select(
+            "day", "est_users", "zero_registers", "exact_users",
+            "est_users_to_date",
+        )
     )
 
 
@@ -2822,29 +2873,127 @@ def pivot_priority_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("backtest_param_grid", None, bench=False)
+# (config_id, initial_balance_cents, commission*1024, position_size)
+# for the ORACLED buy_low_sell_high grid: dyadic commissions (k/1024),
+# integer-cent prices, and a wallet deep enough that the BALANCE gate
+# never binds (b0 = 10^12 cents vs a worst-case inventory drawdown of
+# n*px_max*q ~ 2e9*1029/1024 at sf0.1 — four orders of headroom; every
+# balance double stays an exact multiple of 2^-10 below 2^53/1024).
+# The POSITION gate (sell only when position >= size) DOES bind — that
+# is the sequential part the oracle reproduces in closed form.
+_GRID_BLSH = [(0, 10**12, 0, 1), (1, 10**12, 1, 1), (2, 10**12, 1, 2),
+              (3, 10**12, 5, 1)]
+
+
+@query(
+    "backtest_param_grid",
+    _TICKS_SQL
+    + f""",
+    cfg(config_id, b0, comm_k, q) AS (
+      VALUES {", ".join(f"({c}, {b}, {ck}, {q})" for c, b, ck, q in _GRID_BLSH)}
+    ),
+    r AS (
+      SELECT event_type AS symbol, CAST(value_c AS BIGINT) AS px,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM ticks
+    ),
+    s AS (
+      SELECT symbol, rn, px,
+             CASE WHEN px < lag(px) OVER w AND px < lead(px) OVER w THEN 1
+                  WHEN px > lag(px) OVER w AND px > lead(px) OVER w THEN -1
+                  ELSE 0 END AS sig
+      FROM r WINDOW w AS (PARTITION BY symbol ORDER BY rn)
+    ),
+    walk AS (
+      SELECT symbol, rn, px, sig,
+             SUM(sig) OVER (PARTITION BY symbol ORDER BY rn) AS ps
+      FROM s
+    ),
+    fills AS (
+      SELECT symbol, rn, px, sig, ps,
+             LEAST(0, MIN(ps) OVER (PARTITION BY symbol ORDER BY rn)) AS m,
+             LEAST(0, COALESCE(MIN(ps) OVER (
+               PARTITION BY symbol ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) AS mp
+      FROM walk
+    ),
+    lastrow AS (
+      SELECT symbol, px AS last_px, ps - m AS end_pos FROM fills
+      QUALIFY row_number() OVER (PARTITION BY symbol ORDER BY rn DESC) = 1
+    ),
+    agg AS (
+      SELECT f.symbol, cfg.config_id, cfg.b0, cfg.comm_k, cfg.q,
+             count(*) AS n,
+             SUM(CASE WHEN f.sig = 1 THEN 1
+                      WHEN f.sig = -1 AND f.m = f.mp THEN 1
+                      ELSE 0 END) AS n_fills,
+             SUM(CASE WHEN f.sig = 1
+                      THEN -(f.px*cfg.q*1024 + f.px*cfg.q*cfg.comm_k)
+                      WHEN f.sig = -1 AND f.m = f.mp
+                      THEN  (f.px*cfg.q*1024 - f.px*cfg.q*cfg.comm_k)
+                      ELSE 0 END) AS dbal_k,
+             SUM(CASE WHEN f.sig = 1 OR (f.sig = -1 AND f.m = f.mp)
+                      THEN f.px*cfg.q*cfg.comm_k ELSE 0 END) AS comm_k_sum
+      FROM fills f CROSS JOIN cfg
+      GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT a.config_id,
+           CAST(a.b0 AS DOUBLE) AS initial_balance,
+           CAST(a.comm_k AS DOUBLE) / 1024.0 AS commission,
+           CAST(a.q AS DOUBLE) AS position_size,
+           a.symbol,
+           CAST(a.n AS BIGINT) AS n_events,
+           CAST(a.n_fills AS BIGINT) AS n_trades,
+           CAST(a.b0 * 1024 + a.dbal_k AS DOUBLE) / 1024.0 AS final_balance,
+           CAST(l.end_pos * a.q AS DOUBLE) AS final_position,
+           CAST(a.b0 * 1024 + a.dbal_k
+                + l.end_pos * a.q * l.last_px * 1024 AS DOUBLE) / 1024.0
+             AS final_equity,
+           CAST(a.comm_k_sum AS DOUBLE) / 1024.0 AS total_commission
+    FROM agg a JOIN lastrow l ON l.symbol = a.symbol
+    """,
+    bench=False,
+)
 def backtest_param_grid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed strategy-parameter sweep (reference X4 fan-out,
     backtester/runner.py:132-180): 4 SimConfigs x every tick instrument
-    in one Spark job, one PnL row per (config, instrument). rows-only
-    BY DESIGN: the fill/wallet simulation is a per-event conditional
-    state machine with a balance-gated branch — not expressible as a
-    finite SQL query; correctness is pinned by the equivalence test
-    against N independent sequential runs (both physical modes,
-    tests/test_consumers.py::test_backtest_param_grid_equals_sequential_runs)
-    and the profits-on-sine semantics tests."""
+    in one Spark job, one PnL row per (config, instrument), running the
+    REAL reference strategy (buy at 3-point local minima, sell at local
+    maxima — backtester/strategy/buy_low_sell_high.py:28-48).
+
+    HASH-GREEN since round 8 (formerly rows-only): the sequential part
+    that survives a deep wallet is the POSITION gate — a sell fills
+    only when inventory covers it — and that state machine is a
+    Lindley-reflected random walk with the closed form
+    pos_i = S_i - min(0, min_{k<=i} S_k) over the signal prefix sums
+    S, so a sell at step i fills iff the running minimum does NOT drop
+    (m_i == m_{i-1}). The oracle reproduces fills, PnL, inventory and
+    commissions from that identity with pure window functions; prices
+    are integer cents and commissions dyadic (k/1024), so the Python
+    simulator's doubles equal the oracle's BIGINT 1024ths arithmetic
+    bit-for-bit (same discipline as backtest_grid_cents). The
+    balance-gated branch (wallet too shallow to buy) stays pinned by
+    the sequential-equivalence tests
+    (tests/test_consumers.py::test_backtest_param_grid_equals_sequential_runs
+    and the profits-on-sine semantics tests); not benched — the benched
+    family member is backtest_grid_cents."""
     from svoe_spark.consumers.backtest import SimConfig, run_backtest_grid
 
     t = ticks(spark, sf_dir).select(
-        F.col("event_type").alias("symbol"), "ts", F.col("value").alias("px")
+        F.col("event_type").alias("symbol"),
+        "ts",
+        "event_id",
+        F.col("value_c").cast("double").alias("px"),
     )
     grid = [
-        SimConfig(commission=0.001, position_size=1.0),
-        SimConfig(commission=0.005, position_size=1.0),
-        SimConfig(commission=0.001, position_size=2.0),
-        SimConfig(initial_balance=5000.0, commission=0.0, position_size=1.0),
+        SimConfig(initial_balance=float(b), commission=ck / 1024.0,
+                  position_size=float(q))
+        for _, b, ck, q in _GRID_BLSH
     ]
-    return run_backtest_grid(t, price_col="px", grid=grid)
+    return run_backtest_grid(
+        t, price_col="px", grid=grid, order_cols=("ts", "event_id")
+    )
 
 
 # (config_id, initial_balance_cents, commission*1024, position_size) —

@@ -35,9 +35,12 @@ def test_health_and_listings(server):
 
     qs = _get(f"{server}/queries")["result"]
     assert "q1_pricing_summary" in qs and qs["q1_pricing_summary"]["has_oracle"]
-    # the one deliberately rows-only query (HLL): oracle flag must be false
+    # round 8 closed the rows-only class: EVERY registered query now
+    # carries a DuckDB oracle (the former trio — approx_distinct_daily,
+    # backtest_param_grid, ann_ivf_trained — included)
     assert "approx_distinct_daily" in qs
-    assert not qs["approx_distinct_daily"]["has_oracle"]
+    missing = [n for n, q in qs.items() if not q["has_oracle"]]
+    assert missing == []
 
     fds = _get(f"{server}/feature_definitions")["result"]
     assert "mid_price" in fds and "volatility_stddev" in fds
