@@ -239,6 +239,189 @@ def ivf_train(
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
+IVF_Q_SCALE = 1 << 20  # quantization: round(x * 2^20) + 2^20 (all-positive)
+
+
+def _ivf_quant(vec_col: str) -> Column:
+    """Exact-integer embedding quantization for relational Lloyd's:
+    round(x * 2^20) + 2^20 per coordinate (the +2^20 shift keeps every
+    value positive so truncating integer division == floor division on
+    BOTH engines; squared-distance comparisons are translation-
+    invariant, so assignments are unchanged by the shift). round() ties
+    away from zero on both engines (the `_cents` precedent)."""
+    s = IVF_Q_SCALE
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(float(s)), 0).cast("long")
+        + F.lit(s),
+    )
+
+
+def _lit_long_nested(arr: list[list[int]]) -> Column:
+    """Nested bigint-array literal as ONE parsed expression (the
+    integer sibling of _lit_nested; same py4j-cost rationale)."""
+    body = ",".join(
+        "array(" + ",".join(f"{int(v)}L" for v in row) + ")" for row in arr
+    )
+    return F.expr(f"array({body})")
+
+
+def ivf_train_relational(
+    vectors: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """DETERMINISTIC Lloyd's k-means for the IVF coarse codebook — the
+    oracle-checkable replacement for the stock-MLlib `ivf_train` (whose
+    KMeans|| init + float centroid averaging no SQL engine can
+    reproduce). Same training discipline as the integer PageRank family
+    (operators/graph.py): hash-seeded init, exact integer arithmetic
+    every round, a FIXED iteration count — so an unrolled-CTE DuckDB
+    oracle re-derives the identical codebook bit-for-bit.
+
+    Semantics per round (squared-euclidean on 2^20-scaled integer
+    coordinates, ties to the lowest centroid id):
+      assign_i = argmin_j  sum_c (q_i[c] - cent_j[c])^2
+      cent_j'[c] = round_half_up(sum_i q_i[c] / n_j)   [integer form:
+                   (2*s + n) div (2*n), all-positive so div == floor]
+    Empty clusters keep their previous centroid. Init = the k vectors
+    with the smallest (md5(vec_id), vec_id) key.
+
+    Scale shape: each round is ONE corpus scan — a shuffle-free
+    K-literal argmin projection (the ivf_assign pattern) into a
+    partial-aggregated groupBy of k rows x dim sums — plus a k x dim
+    driver pull (the bounded codebook, never data). Returns float
+    centroids (exact dyadic (c - 2^20)/2^20 values) for `ivf_assign` /
+    `ann_ivf_topk`, whose constant-literal cosine plan the oracled IVF
+    siblings already share. Training metric is euclidean, routing is
+    the family's shared cosine argmax — measured near-tied on this
+    fixture (see ivf_train docstring)."""
+    from svoe_spark.functions.text import md5_hash
+
+    q = vectors.select(
+        F.col(id_col).alias("__id"),
+        _ivf_quant(vec_col).alias("qv"),
+        md5_hash(F.col(id_col).cast("string")).alias("__h"),
+    ).persist()
+    try:
+        dim = None
+        seed_rows = q.orderBy("__h", "__id").limit(k).collect()
+        cents = [list(r["qv"]) for r in seed_rows]
+        dim = len(cents[0])
+        for _ in range(iters):
+            cb = _lit_long_nested(cents)
+            scored = F.transform(
+                F.sequence(F.lit(1), F.lit(len(cents))),
+                lambda j: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("qv"),
+                            F.element_at(cb, j),
+                            lambda x, c: (x - c) * (x - c),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda a, v: a + v,
+                    ).alias("dist"),
+                    j.alias("cid"),
+                ),
+            )
+            sums = (
+                q.select((F.array_min(scored)["cid"] - 1).alias("cid"), "qv")
+                .groupBy("cid")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[
+                        F.sum(F.element_at("qv", i + 1)).alias(f"s{i}")
+                        for i in range(dim)
+                    ],
+                )
+            )
+            nxt = list(cents)
+            for r in sums.collect():  # bounded: k rows (the codebook)
+                n = int(r["n"])
+                nxt[int(r["cid"])] = [
+                    (2 * int(r[f"s{i}"]) + n) // (2 * n) for i in range(dim)
+                ]
+            cents = nxt
+    finally:
+        q.unpersist()
+    s = IVF_Q_SCALE
+    return [[(c - s) / s for c in cent] for cent in cents]
+
+
+def ivf_train_relational_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int,
+    dim: int,
+) -> str:
+    """DuckDB CTE chain re-deriving `ivf_train_relational`'s codebook —
+    unrolled fixed-iteration Lloyd's, ending in CTE ``cents``
+    (cid [0-based, matching the Spark centroid-list index], cvf
+    DOUBLE[] — the exact dyadic floats ivf_assign receives)."""
+    from svoe_spark.functions.text import sql_md5_hash
+
+    s = IVF_Q_SCALE
+    h = sql_md5_hash(f"CAST({id_col} AS VARCHAR)")
+    dist = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, {dim} + 1), "
+        "i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))), "
+        "(acc, v) -> acc + v)"
+    )
+    out = [
+        f"""
+    ivq AS (
+      SELECT {id_col} AS vid, {h} AS seed_h,
+             list_transform({vec_col},
+               x -> CAST(round(CAST(x AS DOUBLE) * {float(s)!r}, 0) AS BIGINT)
+                    + {s}) AS qv
+      FROM {table}
+    ),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY seed_h, vid) - 1 AS cid, qv AS cv
+      FROM ivq QUALIFY row_number() OVER (ORDER BY seed_h, vid) <= {k}
+    )"""
+    ]
+    for t in range(1, iters + 1):
+        out.append(
+            f"""
+    a{t} AS (
+      SELECT q.vid, q.qv, c.cid
+      FROM ivq q, c{t - 1} c
+      QUALIFY row_number() OVER (PARTITION BY q.vid
+                                 ORDER BY {dist}, c.cid) = 1
+    ),
+    u{t} AS (
+      SELECT cid, i,
+             (2 * SUM(qv[i]) + count(*)) // (2 * count(*)) AS cc
+      FROM (SELECT cid, qv, unnest(generate_series(1, {dim})) AS i
+            FROM a{t})
+      GROUP BY cid, i
+    ),
+    c{t} AS (
+      SELECT p.cid, coalesce(n.cv, p.cv) AS cv
+      FROM c{t - 1} p LEFT JOIN
+           (SELECT cid, list(CAST(cc AS BIGINT) ORDER BY i) AS cv
+            FROM u{t} GROUP BY cid) n USING (cid)
+    )"""
+        )
+    out.append(
+        f"""
+    cents AS (
+      SELECT cid,
+             list_transform(cv,
+               v -> (CAST(v AS DOUBLE) - {float(s)!r}) / {float(s)!r}) AS cvf
+      FROM c{iters}
+    )"""
+    )
+    return ",".join(out)
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: list[list[float]],

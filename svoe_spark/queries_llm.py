@@ -1190,22 +1190,55 @@ def ann_ivf_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_trained", None)
-def ann_ivf_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with the TRAINED coarse codebook: a stock MLlib KMeans
-    fit (fixed seed, distributed training, driver-sized codebook)
-    instead of the deterministic first-16 seed the oracled IVF queries
-    use. Assignment/probe is the identical constant-literal argmax plan
-    (`ivf_assign`), so this row exercises the production training half
-    end-to-end. rows-only BY DESIGN: KMeans centroids are not
-    SQL-derivable, so no DuckDB oracle can exist; correctness is pinned
-    instead by the recall assertions (trained recall >= seeded recall
-    at sf0.1, tests/test_similarity_train.py) and by every oracled IVF
-    sibling sharing the assignment plan."""
-    from svoe_spark.operators.similarity import ivf_train
+from svoe_spark.operators.similarity import (  # noqa: E402
+    ivf_train_relational,
+    ivf_train_relational_sql,
+)
 
+IVF_TRAIN_ITERS = 3
+
+
+@query(
+    "ann_ivf_trained",
+    f"""
+    WITH {ivf_train_relational_sql('embeddings', 'vec_id', 'embedding',
+                                   IVF_K, IVF_TRAIN_ITERS, EMB_DIM)},
+    a AS (
+      SELECT e.vec_id, e.embedding, c.cid AS cluster_id
+      FROM embeddings e, cents c
+      QUALIFY row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {sql_cosine('e.embedding', 'c.cvf')} DESC, c.cid
+      ) = 1
+    ),
+    qq AS (SELECT embedding AS qv2 FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT c.cid FROM cents c, qq
+      QUALIFY row_number() OVER (
+        ORDER BY {sql_cosine('qv2', 'c.cvf')} DESC, c.cid
+      ) <= 2
+    )
+    SELECT a.vec_id, {sql_cosine('a.embedding', 'qv2')} AS cosine
+    FROM a JOIN probe ON a.cluster_id = probe.cid, qq
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def ann_ivf_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a TRAINED coarse codebook, nprobe=2. HASH-GREEN
+    since round 8 (formerly rows-only): training is the deterministic
+    relational Lloyd's (`ivf_train_relational` — hash-seeded init,
+    exact-integer assignment/update rounds, fixed iterations), so the
+    oracle re-derives the codebook through unrolled CTEs exactly like
+    the PageRank family, then replays the shared constant-literal
+    cosine probe plan every oracled IVF sibling uses. The stock-MLlib
+    trainer (`ivf_train`, KMeans||) remains available and recall-tested
+    (tests/test_similarity_train.py) as the non-oracle-able production
+    alternative; the relational trainer's per-round cost is one
+    shuffle-free corpus scan + a k x dim partial agg — the same
+    distributed shape."""
     emb = load_table(spark, "embeddings", sf_dir)
-    cents = ivf_train(emb, k=IVF_K, seed=42, max_iter=5)
+    cents = ivf_train_relational(emb, k=IVF_K, iters=IVF_TRAIN_ITERS)
     return ann_ivf_topk(
         emb, emb.filter(F.col("vec_id") == 0), cents, k=10, nprobe=2
     )

@@ -158,3 +158,34 @@ def test_jl_projection_preserves_distances(spark, sf_small):
     # LCG pattern managed only 74% — see jl_signs)
     inside = sum(1 for r in ratios if 1 / 3 < r < 3.0) / len(ratios)
     assert inside >= 0.95, inside
+
+
+def test_ivf_train_relational_deterministic(spark, sf_small):
+    """The relational Lloyd's trainer (the oracle-checkable sibling of
+    the MLlib path, registered as ann_ivf_trained) is deterministic
+    across runs, returns exact dyadic float centroids, and its codebook
+    drives the shared probe plan."""
+    from svoe_spark.operators.similarity import (
+        IVF_Q_SCALE,
+        ivf_train_relational,
+    )
+
+    emb = load_table(spark, "embeddings", sf_small)
+    c1 = ivf_train_relational(emb, k=4, iters=2)
+    c2 = ivf_train_relational(emb, k=4, iters=2)
+    assert c1 == c2  # bit-identical: no RNG, no float accumulation
+    assert len(c1) == 4 and len(c1[0]) == 64
+    # every coordinate is an exact multiple of 2^-20
+    for cent in c1:
+        for v in cent:
+            assert v * IVF_Q_SCALE == round(v * IVF_Q_SCALE)
+    assigned = ivf_assign(emb, c1)
+    ids = {
+        r["cluster_id"]
+        for r in assigned.select("cluster_id").distinct().collect()
+    }
+    assert ids <= {0, 1, 2, 3} and len(ids) > 1
+    top = ann_ivf_topk(emb, emb.filter(F.col("vec_id") == 0), c1, k=5)
+    rows = top.collect()
+    assert len(rows) == 5
+    assert rows[0]["vec_id"] == 0 and abs(rows[0]["cosine"] - 1.0) < 1e-9
