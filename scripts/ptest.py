@@ -72,7 +72,12 @@ def main() -> int:
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
         procs.append(
             subprocess.Popen(
-                [sys.executable, "-m", "pytest", "-q", *args.rest, *shard_files],
+                # explicit -m overrides pytest.ini's default tier ("not
+                # slow and not heavy"): the sharded runner ALWAYS runs
+                # the heavy suites — only the plain-pytest quick tier
+                # skips them. A user -m in args.rest wins (last -m).
+                [sys.executable, "-m", "pytest", "-q", "-m", "not slow",
+                 *args.rest, *shard_files],
                 stdout=log, stderr=subprocess.STDOUT, env=env, cwd=root,
             )
         )

@@ -1244,12 +1244,104 @@ def round7_smoke(spark, results, force, n_edges=20_000_000):
     results["bfs_20m_edges_4hops_sec"] = timed(_bfs, "bfs_20m_edges_4hops")
 
 
+def round8_smoke(spark, results, force, n=100_000_000):
+    """Round-8: the streaming as-of twins at 100M union rows (VERDICT
+    r7 ask 4) — forward and nearest with a tolerance, so the
+    state-bounding finalization (data-driven + event-time timeout for
+    the un-closed tail) runs at scale; noop sink measures pure
+    throughput. 64 keys parallelize the per-key handlers across
+    cores; one availableNow batch per side (in-batch event-time sort
+    is the replay contract's degenerate case)."""
+    import shutil
+    import tempfile
+
+    from svoe_spark.streaming.asof_stream import (
+        asof_forward_stream,
+        asof_nearest_stream,
+    )
+
+    half = n // 2
+    keys = 64
+    span = 86_400.0
+    base = tempfile.mkdtemp(prefix="asof_stream_smoke_")
+    lp, rp = base + "/left", base + "/right"
+
+    def gen(m, phase):
+        return spark.range(m).select(
+            F.concat(F.lit("K"), (F.col("id") % keys).cast("string")).alias(
+                "symbol"
+            ),
+            (
+                F.lit(1_700_000_000.0)
+                + (F.col("id") / m) * span
+                + F.lit(phase)
+            ).cast("timestamp").alias("ts"),
+            (F.col("id") % 1000).cast("double").alias("value"),
+        )
+
+    # disjoint instants per side (left = right + third-of-a-step), so
+    # every match is a genuine forward/nearest decision
+    step = span / half
+    gen(half, 0.0).write.mode("overwrite").parquet(rp)
+    gen(half, step / 3).write.mode("overwrite").parquet(lp)
+
+    def replay(path):
+        return (
+            spark.readStream.schema(spark.read.parquet(path).schema)
+            .parquet(path)
+        )
+
+    def run_stream(df, cp):
+        q = (
+            df.writeStream.format("noop")
+            .option("checkpointLocation", base + cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    t0 = time.perf_counter()
+    run_stream(
+        asof_forward_stream(
+            replay(lp), replay(rp), on="ts", by="symbol",
+            value_col="value", tolerance="1m",
+        ),
+        "/cp_fwd",
+    )
+    results[f"asof_forward_stream_{n//1_000_000}M_sec"] = round(
+        time.perf_counter() - t0, 2
+    )
+    print(f"# asof_forward_stream {n//1_000_000}M: "
+          f"{results[f'asof_forward_stream_{n//1_000_000}M_sec']}s",
+          file=sys.stderr)
+    t0 = time.perf_counter()
+    run_stream(
+        asof_nearest_stream(
+            replay(lp), replay(rp), on="ts", by="symbol",
+            value_col="value", tolerance="1m",
+        ),
+        "/cp_near",
+    )
+    results[f"asof_nearest_stream_{n//1_000_000}M_sec"] = round(
+        time.perf_counter() - t0, 2
+    )
+    print(f"# asof_nearest_stream {n//1_000_000}M: "
+          f"{results[f'asof_nearest_stream_{n//1_000_000}M_sec']}s",
+          file=sys.stderr)
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def main():
     spark = get_spark("scale_smoke")
     spark.sparkContext.setLogLevel("ERROR")
     force = lambda df: df.write.format("noop").mode("overwrite").save()  # noqa: E731
 
     only = os.environ.get("SMOKE_ONLY")
+    if only == "round8":
+        results = {}
+        round8_smoke(spark, results, force)
+        print(json.dumps(results))
+        return
     if only == "round7":
         results = {}
         round7_smoke(spark, results, force)

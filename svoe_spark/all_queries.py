@@ -90,11 +90,13 @@ _DRIVER_PRIORITY = [
 ]
 
 # Slots 51+: the repaired trio first (leads the r9 window), then the
+# round-8-new streaming as-of row (never driver-checked), then the
 # least-recently-checked remainder (r5 order).
 _PRIORITY_EXTRA = [
     "approx_distinct_daily",
     "backtest_param_grid",
     "ann_ivf_trained",
+    "asof_nearest_stream_events",
 ]
 
 

@@ -638,19 +638,36 @@ def priority_sample(
         # checks are cheap relative to a mis-sampled corpus: a zero,
         # negative, or NULL weight (or a NULL id, whose md5 priority is
         # NULL) would silently drop out of the sample and bias every
-        # subset-sum estimate. Folded into the priority projection as a
-        # per-row assert_true — evaluated during the one TakeOrdered
-        # scan, never as a separate eager job (assert_true raises on a
-        # false OR NULL condition, so NULL weights/ids trip it too) —
-        # which keeps the operator usable on streaming DataFrames.
-        ok = F.assert_true(
-            (F.col(weight_col) > 0) & F.col(id_col).isNotNull(),
-            F.lit(
-                "priority_sample: weights must be positive non-NULL"
-                " and ids non-NULL"
-            ),
-        )
-        q = F.when(ok.isNull(), q)
+        # subset-sum estimate.
+        valid = (F.col(weight_col) > 0) & F.col(id_col).isNotNull()
+        if df.isStreaming:
+            # streams cannot pre-scan: fold a per-row assert_true into
+            # the priority projection (raises on false OR NULL). Known
+            # limit, pinned by test_priority_sample_validates_rows_
+            # outside_the_sample on the batch path: when a plan region
+            # makes the WHEN's output provably all-NULL (e.g. a union
+            # branch with a constant-NULL weight), SimplifyConditionals
+            # folds the CASE away and the assert with it — which is
+            # exactly why the batch path below pre-scans instead.
+            ok = F.assert_true(
+                valid,
+                F.lit(
+                    "priority_sample: weights must be positive non-NULL"
+                    " and ids non-NULL"
+                ),
+            )
+            q = F.when(ok.isNull(), q)
+        else:
+            # eager pre-scan (one narrow limit-1 probe): immune to
+            # constant folding — EVERY row is judged, including rows
+            # whose priority could never reach the sample. ~valid is
+            # NULL for NULL weights/ids, so test isNull explicitly.
+            bad = df.where(~valid | valid.isNull())
+            if bad.limit(1).count():
+                raise ValueError(
+                    "priority_sample: weights must be positive non-NULL"
+                    " and ids non-NULL"
+                )
     staged = df.withColumn("__q", q)
     # the k+1-row shortlist feeds BOTH the tau aggregate and the output
     # join; TakeOrdered is not an Exchange, so AQE cannot reuse the

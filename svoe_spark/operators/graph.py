@@ -292,6 +292,7 @@ def pagerank(
     max_iter: int = 100,
     weight: str | None = None,
     assume_distinct: bool = False,
+    broadcast_nodes: int = 500_000,
 ) -> DataFrame:
     """Fixed-point integer PageRank over a directed edge list — uniform
     or personalized, fixed-iteration or run-to-fixpoint.
@@ -355,6 +356,18 @@ def pagerank(
     ONE shuffle: the contribution groupBy(dst). Overflow headroom:
     damping_pct * (in_sum + dangling) <= 100 * scale = 1e17 < int64.
 
+    ``broadcast_nodes``: SMALL-GRAPH broadcast mode — when the node
+    count (already materialized for the teleport constants) is at or
+    under this threshold, per-round shuffles of the graph are pure
+    fixed latency, so rounds run as broadcast hash joins instead: the
+    rank vector (and each round's tiny contribution relation) is
+    broadcast, the degree pre-join is broadcast (no repartitioned edge
+    copy is materialized), and only the contribution groupBy shuffles.
+    Arithmetic is untouched — results (and oracle hashes) are identical
+    by construction; this is a physical-strategy switch only. At the
+    500k default the broadcast rank vector is ~10 MB — the standard
+    executor broadcast budget; pass 0 to force the partitioned path.
+
     The reference has no graph operator; this serves the web-corpus
     curation story (rank domains/hosts by link structure before
     sampling training data, as in Common-Crawl-derived pipelines).
@@ -414,13 +427,6 @@ def pagerank(
         else F.sum("w").alias("outdeg")
     )
     deg = e.groupBy("src").agg(deg_agg)
-    # Pre-join out-degrees into the edge relation ONCE; the persisted
-    # copy is hash-partitioned by src (the join's output partitioning),
-    # so every round's (edges x ranks) join elides the edge-side
-    # exchange — only the small rank vector is (re)partitioned, and
-    # even that exchange is elided when the previous round's output
-    # partitioning (node) survives the localCheckpoint.
-    e_deg = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     # The dangling-node test (no out-edges) is static — precompute it
     # as a node flag instead of an anti-join against deg every round.
     nodes = nodes.join(
@@ -433,9 +439,20 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         e.unpersist()
-        e_deg.unpersist()
         nodes.unpersist()
         return nodes.select(F.col("node"), F.lit(0).cast("long").alias("rank_fp"))
+    small = n <= broadcast_nodes
+    # Pre-join out-degrees into the edge relation ONCE; the persisted
+    # copy is hash-partitioned by src (the join's output partitioning),
+    # so every round's (edges x ranks) join elides the edge-side
+    # exchange — only the small rank vector is (re)partitioned, and
+    # even that exchange is elided when the previous round's output
+    # partitioning (node) survives the localCheckpoint. Small-graph
+    # mode broadcasts the degree side instead: no exchange at all, the
+    # cached copy keeps e's partitioning.
+    e_deg = e.join(F.broadcast(deg) if small else deg, "src").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     ns = n if sources is None else nodes.where("__is_src").count()
     if ns == 0:
         e.unpersist()
@@ -457,15 +474,18 @@ def pagerank(
             if weight is None
             else "CAST((CAST(rank_fp AS DECIMAL(38,0)) * w) div outdeg AS BIGINT)"
         )
+        rank_rel = ranks.select("node", "rank_fp")
         contrib = (
             e_deg.join(
-                ranks.select("node", "rank_fp"), e_deg["src"] == F.col("node")
+                F.broadcast(rank_rel) if small else rank_rel,
+                e_deg["src"] == F.col("node"),
             )
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.expr(share)).alias("in_sum"))
         )
         return (
-            nodes.join(contrib, "node", "left")
+            nodes.join(F.broadcast(contrib) if small else contrib,
+                       "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
@@ -497,6 +517,7 @@ def pagerank(
                 break
             prev_digest = d
     else:
+        rounds = iterations  # fixed mode runs exactly this many
         for _ in range(iterations):
             ranks = _round(ranks)
         # Materialize the final (lazily local-checkpointed) round before
@@ -520,6 +541,7 @@ def hits(
     assume_distinct: bool = False,
     until_converged: bool = False,
     max_iter: int = 100,
+    broadcast_nodes: int = 500_000,
 ) -> DataFrame:
     """Fixed-point integer HITS (Kleinberg 1999): mutually-recursive
     hub and authority scores over a directed edge list — the natural
@@ -553,13 +575,25 @@ def hits(
     ignored. The round count is exposed as ``_svoe_hits_rounds``.
 
     Scale shape: each iteration is two edge-relation equi-joins + two
-    map-side-combined decimal sums + two broadcast scalar totals; the
-    edge relation is computed once and persisted TWICE — one copy
+    map-side-combined decimal sums + two broadcast scalar totals.
+    Large graphs persist the edge relation TWICE — one copy
     hash-partitioned by src, one by dst — so each half-step's join
     elides the edge-side exchange and only the score vector moves
     (which itself re-enters partitioned by node, so per half-step
-    exactly ONE shuffle: the contribution groupBy); lineage truncated
-    per half-step with lazy localCheckpoints.
+    exactly ONE shuffle: the contribution groupBy); the undecorated
+    edge relation is released once the copies and the node set are
+    materialized (one cached copy per partitioning, not three).
+    ``broadcast_nodes``: at or below this node count (known before any
+    copy is built) the repartitioned copies are pure fixed latency —
+    rounds run as broadcast hash joins over the single cached edge
+    relation (score vector and per-round contribution relation
+    broadcast), identical arithmetic and hashes by construction; pass
+    0 to force the partitioned path. Lineage truncated per half-step
+    with lazy localCheckpoints. (A round-8 experiment folding the L1
+    total into the contribution agg via rollup + checkpoint looked
+    free but made run-to-fixpoint exponentially slower per round —
+    the checkpoint/rollup interaction defeats per-round lineage
+    truncation; the two-aggregate form is deliberate.)
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
@@ -567,10 +601,6 @@ def hits(
     if not assume_distinct:  # see pagerank's assume_distinct contract
         e = e.distinct()
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
-    e_by = {
-        "src": e.repartition("src").persist(StorageLevel.MEMORY_AND_DISK),
-        "dst": e.repartition("dst").persist(StorageLevel.MEMORY_AND_DISK),
-    }
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -580,21 +610,38 @@ def hits(
     n = nodes.count()
     if n == 0:
         e.unpersist()
-        e_by["src"].unpersist()
-        e_by["dst"].unpersist()
         nodes.unpersist()
         return nodes.select(
             "node",
             F.lit(0).cast("long").alias("hub_fp"),
             F.lit(0).cast("long").alias("auth_fp"),
         )
+    small = n <= broadcast_nodes
+    e_released = False
+    if small:
+        e_by = {"src": e, "dst": e}
+    else:
+        e_by = {
+            "src": e.repartition("src").persist(StorageLevel.MEMORY_AND_DISK),
+            "dst": e.repartition("dst").persist(StorageLevel.MEMORY_AND_DISK),
+        }
+        # materialize the partitioned copies, then release the
+        # undecorated relation (nodes is already materialized by the
+        # count above) — one cached copy per partitioning, not three
+        e_by["src"].count()
+        e_by["dst"].count()
+        e.unpersist()
+        e_released = True
     hub = nodes.select("node", F.lit(scale // n).cast("long").alias("hub_fp"))
     auth = nodes.select("node", F.lit(0).cast("long").alias("auth_fp"))
 
     def _half(scores: DataFrame, score_col: str, join_on: str, group_as: str, out: str) -> DataFrame:
         eb = e_by[join_on]
         raw = (
-            eb.join(scores, eb[join_on] == scores["node"])
+            eb.join(
+                F.broadcast(scores) if small else scores,
+                eb[join_on] == scores["node"],
+            )
             .groupBy(F.col(group_as).alias("node"))
             .agg(
                 F.sum(F.col(score_col).cast("decimal(38,0)")).alias("__raw")
@@ -602,7 +649,7 @@ def hits(
         )
         total = raw.agg(F.sum("__raw").alias("__t"))
         return (
-            nodes.join(raw, "node", "left")
+            nodes.join(F.broadcast(raw) if small else raw, "node", "left")
             .crossJoin(F.broadcast(total))
             .select(
                 "node",
@@ -630,6 +677,7 @@ def hits(
                 break
             prev = d
     else:
+        rounds = iterations  # fixed mode runs exactly this many
         for _ in range(iterations):
             auth = _half(hub, "hub_fp", "src", "dst", "auth_fp")
             hub = _half(auth, "auth_fp", "dst", "src", "hub_fp")
@@ -648,9 +696,11 @@ def hits(
     # does not outlive its references the way a leaked .persist() would
     out.count()
     out._svoe_hits_rounds = rounds
-    e.unpersist()
-    e_by["src"].unpersist()
-    e_by["dst"].unpersist()
+    if not e_released:
+        e.unpersist()
+    if not small:
+        e_by["src"].unpersist()
+        e_by["dst"].unpersist()
     nodes.unpersist()
     return out
 

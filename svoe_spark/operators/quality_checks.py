@@ -160,7 +160,14 @@ def matches(column: str, pattern: str, name: str | None = None) -> Constraint:
     """Violated when the value is NULL or does not match `pattern`
     (RE2-compatible subset: keep to character classes / anchors /
     quantifiers so Spark's Java regex and DuckDB's RE2 agree;
-    lookaround and backreferences are rejected at construction)."""
+    lookaround and backreferences are rejected at construction).
+
+    Known over-strictness: backslash-digit sequences are rejected
+    ANYWHERE in the pattern, including inside bracket expressions
+    (e.g. ``[\\1-\\7]``) where both engines actually agree (octal
+    escapes). Deliberate: the check fails LOUDLY at construction
+    rather than risking a silent cross-engine divergence; write octal
+    classes as explicit characters if you need them."""
     m = _RE2_UNSUPPORTED.search(pattern)
     if m:
         raise ValueError(

@@ -3903,3 +3903,134 @@ def supplier_cograph_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("node").alias("supplier"), "deg", "triangles", "clustering"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: the streaming as-of twin as a DRIVER-CHECKED query — the fn
+# runs a REAL Structured Streaming job (parquet replay -> availableNow
+# -> memory sink) and the oracle re-derives both the nearest-as-of
+# choice AND the stream's emission horizon relationally.
+# ---------------------------------------------------------------------------
+
+_ASOF_STREAM_SHIFT_US = 420_000_000  # left instants = right + 7 min
+_ASOF_STREAM_TOL_US = 300_000_000  # tolerance 5 min
+
+
+@query(
+    "asof_nearest_stream_events",
+    _TICKS_SQL
+    + f""",
+    r AS (
+      SELECT event_type, (epoch_us(ts) // 1000) * 1000 AS us,
+             max(value) AS value
+      FROM ticks GROUP BY 1, 2
+    ),
+    l AS (SELECT event_type, us + {_ASOF_STREAM_SHIFT_US} AS us FROM r),
+    u AS (
+      SELECT event_type, us, 0 AS side, value FROM r
+      UNION ALL
+      SELECT event_type, us, 1, CAST(NULL AS DOUBLE) FROM l
+    ),
+    w AS (
+      SELECT event_type, us, side,
+        LAST_VALUE(CASE WHEN side = 0 THEN value END IGNORE NULLS)
+          OVER wb AS bv,
+        LAST_VALUE(CASE WHEN side = 0 THEN us END IGNORE NULLS)
+          OVER wb AS bt,
+        FIRST_VALUE(CASE WHEN side = 0 THEN value END IGNORE NULLS)
+          OVER wf AS fv,
+        FIRST_VALUE(CASE WHEN side = 0 THEN us END IGNORE NULLS)
+          OVER wf AS ft
+      FROM u
+      WINDOW
+        wb AS (PARTITION BY event_type ORDER BY us, side
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wf AS (PARTITION BY event_type ORDER BY us, side
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    km AS (SELECT event_type, max(us) AS kmax FROM u GROUP BY 1),
+    gm AS (SELECT max(us) AS wmax FROM u)
+    SELECT w.event_type, make_timestamp(w.us) AS ts,
+           CASE WHEN bt IS NOT NULL AND (ft IS NULL OR w.us - bt <= ft - w.us)
+                THEN CASE WHEN w.us - bt <= {_ASOF_STREAM_TOL_US}
+                          THEN bv END
+                ELSE CASE WHEN ft - w.us <= {_ASOF_STREAM_TOL_US}
+                          THEN fv END
+           END AS v
+    FROM w JOIN km ON km.event_type = w.event_type, gm
+    WHERE side = 1
+      AND (bt = w.us OR ft IS NOT NULL
+           OR w.us + {_ASOF_STREAM_TOL_US} < greatest(km.kmax, gm.wmax))
+    """,
+    bench=False,
+)
+def asof_nearest_stream_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming nearest as-of twin (streaming/asof_stream.py),
+    DRIVER-CHECKED end-to-end: the fn writes the two fixture-derived
+    sides to a temp replay dir, runs the REAL applyInPandasWithState
+    stream (availableNow, memory sink) with tolerance=5m, and returns
+    the drained rows. Right = the unique-instant tick series truncated
+    to the MILLISECOND grid (Spark's event-time watermark is tracked in
+    ms, so ms-aligned instants make the emission horizon — and hence
+    the row SET — exactly reproducible); left = the same instants
+    shifted +7 min. The oracle replays the identical decision
+    relationally: nearest candidate with backward-wins tie-break and
+    tolerance-NULL fill, emitted iff the row is CLOSED by a right at or
+    after it OR its t + tolerance deadline expired against the stream's
+    final horizon (per-key last instant via the ordered-replay
+    data-driven pass, global watermark via the event-time timeout —
+    the round-8 state-bounding semantics). Not benched: throughput is
+    the 100M-row scale smoke's job (scripts/scale_smoke.py round8);
+    this row pins stream==oracle through the driver gate."""
+    import shutil
+    import tempfile
+
+    from svoe_spark.streaming.asof_stream import asof_nearest_stream
+    from svoe_spark.streaming.sinks import run_available_to_memory
+
+    right = (
+        ticks(spark, sf_dir)
+        .select(
+            "event_type",
+            F.timestamp_millis(
+                F.expr("unix_micros(ts) div 1000")
+            ).alias("ts"),
+            "value",
+        )
+        .groupBy("event_type", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    left = right.select(
+        "event_type",
+        F.timestamp_micros(
+            F.unix_micros("ts") + _ASOF_STREAM_SHIFT_US
+        ).alias("ts"),
+    )
+    base = tempfile.mkdtemp(prefix="asof_stream_q_")
+    try:
+        rp, lp = base + "/r", base + "/l"
+        right.coalesce(1).write.parquet(rp)
+        left.coalesce(1).write.parquet(lp)
+
+        def replay(p):
+            return (
+                spark.readStream.schema(spark.read.parquet(p).schema)
+                .parquet(p)
+            )
+
+        out = run_available_to_memory(
+            asof_nearest_stream(
+                replay(lp),
+                replay(rp),
+                on="ts",
+                by="event_type",
+                value_col="value",
+                out="v",
+                tolerance="5m",
+            )
+        )
+        # the memory sink holds the rows; detach from the temp files
+        # before they are removed
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

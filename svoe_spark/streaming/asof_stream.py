@@ -1,5 +1,6 @@
 """Kappa forms of the directional as-of joins (`operators/asof.py`):
-streaming forward and nearest matches (VERDICT r6 ask 4).
+streaming forward and nearest matches (VERDICT r6 ask 4; state bounding
+and native value types: VERDICT r7 asks 4-5).
 
 The backward as-of is purely causal (the flagship feature stream
 already computes it: `streaming/features.py`). Forward and nearest
@@ -27,15 +28,26 @@ before left rows at equal instants,
   evaluates identically. A left row whose backward distance is ZERO is
   emitted immediately: no future right can beat an exact match.
 
-Whole-row semantics match the batch operators: with several value
-columns, every emitted value comes from the ONE matched right row (the
-candidate is snapshotted as a unit), never a per-column mix of rows.
+Whole-row semantics match the batch operators: the matched right row's
+value columns are carried as parallel native-typed columns snapshotted
+and emitted AS A UNIT (never a per-column mix of rows), preserving each
+column's original Spark type — a string-valued or integer-valued as-of
+join streams exactly like the batch form, with no double coercion.
 
-The only batch rows a stream can never finalize are left rows after
-the last right observation of ALL TIME (no closing right exists) —
-the same un-emittable tail as the interpolation stream's trailing
-NULLs, which doesn't exist in an unbounded stream by definition. The
-equivalence tests compare exactly the closed set.
+State bounding under ``tolerance``: once event time passes t +
+tolerance, a pending left's outcome is already decided — forward can
+only match out-of-tolerance (NULL), and nearest's only live candidate
+is the snapshotted backward one (any future forward is farther than
+the tolerance). Expired pendings are therefore FINALIZED and evicted
+two ways: (a) data-driven — any same-key event at u finalizes pendings
+with t + tolerance < u (the ordered-replay contract makes u a lower
+bound on future instants); (b) watermark-driven — the union stream is
+watermarked and an EVENT-TIME TIMEOUT fires for keys whose right side
+goes quiet, finalizing pendings with t + tolerance < watermark. State
+per key is then O(tolerance window), not O(stream). Without a
+tolerance the un-closable tail must wait by definition (the same
+un-emittable tail as the interpolation stream's trailing NULLs), and
+the handler keeps the no-timeout contract.
 
 Contracts (shared with the other Kappa twins): cross-batch event-time
 ordered replay; unique (key, ts) per side (pre-aggregate duplicate
@@ -55,7 +67,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
-    DoubleType,
     LongType,
     StructField,
     StructType,
@@ -88,40 +99,89 @@ def _norm_cols(
 
 def _tagged_union(
     left: DataFrame, right: DataFrame, on: str, by: str, cols: list[str]
-) -> DataFrame:
+) -> tuple[DataFrame, list]:
     """One keyed stream: right rows side=0 (sorting BEFORE left rows at
     the same instant — a same-instant right is a backward match), left
     rows side=1, timestamps as exact unix micros, the right row's value
-    columns as one double array (the whole-row candidate unit)."""
+    columns carried as parallel NATIVE-TYPED columns __v0.. (the
+    whole-row candidate unit). __ts keeps the raw timestamp for the
+    tolerance path's watermark. Returns (union, value_types)."""
+    vts = [right.schema[c].dataType for c in cols]
     l_ = left.select(
         F.col(by),
+        F.col(on).alias("__ts"),
         F.unix_micros(F.col(on)).alias("__us"),
         F.lit(1).cast("int").alias("__side"),
-        F.lit(None).cast("array<double>").alias("__v"),
+        *[F.lit(None).cast(t).alias(f"__v{j}") for j, t in enumerate(vts)],
     )
     r_ = right.select(
         F.col(by),
+        F.col(on).alias("__ts"),
         F.unix_micros(F.col(on)).alias("__us"),
         F.lit(0).cast("int").alias("__side"),
-        F.array(*[F.col(c).cast("double") for c in cols]).alias("__v"),
+        *[F.col(c).alias(f"__v{j}") for j, c in enumerate(cols)],
     )
-    return l_.unionByName(r_)
+    return l_.unionByName(r_), vts
 
 
-def _out_schema(df: DataFrame, by: str, names: list[str]) -> StructType:
+def _out_schema(df: DataFrame, by: str, names: list[str], vts: list) -> StructType:
     return StructType(
         [StructField(by, df.schema[by].dataType), StructField("ts_us", LongType())]
-        + [StructField(n, DoubleType()) for n in names]
+        + [StructField(n, t) for n, t in zip(names, vts)]
     )
+
+
+def _py(v):
+    """One pandas/numpy cell -> plain Python (None for any NA)."""
+    if v is None:
+        return None
+    try:
+        if pd.isna(v):
+            return None
+    except (TypeError, ValueError):  # arrays/containers: not NA
+        pass
+    return v.item() if hasattr(v, "item") else v
 
 
 def _emit_frame(by, key_tuple, names, out_t, out_v):
     data = {by: [key_tuple[0]] * len(out_t), "ts_us": out_t}
     for j, n in enumerate(names):
-        data[n] = pd.array(
-            [None if v is None else v[j] for v in out_v], dtype="float64"
+        # object dtype: Arrow casts to the declared output type per
+        # column (float/int/string/timestamp alike), None -> null
+        data[n] = pd.Series(
+            [None if v is None else v[j] for v in out_v], dtype="object"
         )
     return pd.DataFrame(data)
+
+
+def _prep(u: DataFrame, tol_us: int | None):
+    """Watermark + timeout config for the tolerance path: expired
+    pendings are finalized by event-time timeout, so state stays
+    bounded even when a key's right side goes quiet. Zero-delay
+    watermark is exact under the ordered-replay contract (the watermark
+    advances AFTER each micro-batch, so finalization is never early)."""
+    if tol_us is None:
+        return u, GroupStateTimeout.NoTimeout
+    return (
+        u.withWatermark("__ts", "0 seconds"),
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _schedule_timeout(state: GroupState, pend_ts: list[int], tol_us: int) -> None:
+    """Arm the event-time timeout at the earliest pending deadline,
+    FLOORED to the watermark's millisecond grid (never rounded up: a
+    premature wake-up is a no-op — the handler re-checks t + tolerance
+    < watermark before emitting and re-arms — while a late wake-up
+    would under-emit vs the batch semantics). Must land strictly past
+    the current watermark or Spark rejects it; the max() also covers a
+    deadline the watermark already passed, which the next firing then
+    finalizes."""
+    if not pend_ts:
+        return
+    wm_ms = state.getCurrentWatermarkMs()
+    deadline_ms = (min(pend_ts) + tol_us) // 1000
+    state.setTimeoutTimestamp(max(deadline_ms, wm_ms + 1))
 
 
 def asof_forward_stream(
@@ -137,48 +197,57 @@ def asof_forward_stream(
     columns of the EARLIEST right row at r >= t, emitted FINAL when
     that right row arrives (immediately when a right at exactly t
     precedes it). Out-of-tolerance matches emit with NULL values, like
-    the batch fill. State per key: the last right (ts, values) + the
-    pending left instants. Output: (by, on, *out); ``out`` defaults to
-    'fwd_value' for a single column, the columns' own names for a
-    list."""
+    the batch fill — and with a tolerance set, a pending left whose
+    deadline t + tolerance passes event time is finalized as NULL and
+    EVICTED (data-driven within the replay, event-time timeout for
+    quiet keys), bounding state to the tolerance window. Value columns
+    keep their native types. State per key: the last right (ts,
+    values) + the pending left instants. Output: (by, on, *out);
+    ``out`` defaults to 'fwd_value' for a single column, the columns'
+    own names for a list."""
     cols, names = _norm_cols(value_col, out, "fwd_value")
     tol_us = (
         None
         if tolerance is None
         else int(round(duration_to_seconds(tolerance) * 1_000_000))
     )
-    out_schema = _out_schema(left, by, names)
+    u, vts = _tagged_union(left, right, on, by, cols)
+    out_schema = _out_schema(left, by, names, vts)
+    nv = len(cols)
+    vcols = [f"__v{j}" for j in range(nv)]
     state_schema = StructType(
-        [
-            StructField("pr_ts", LongType()),
-            StructField("pr_v", ArrayType(DoubleType(), containsNull=True)),
-            StructField("pend_ts", ArrayType(LongType())),
-        ]
+        [StructField("pr_ts", LongType())]
+        + [StructField(f"pr_v{j}", t) for j, t in enumerate(vts)]
+        + [StructField("pend_ts", ArrayType(LongType()))]
     )
 
     def fn(
         key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            pr_ts, pr_v, pend = state.get
-            pr_v = list(pr_v) if pr_v is not None else None
-            pend = list(pend) if pend is not None else []
+            got = state.get
+            pr_ts = got[0]
+            pr_v = tuple(got[1 : 1 + nv])
+            pend = list(got[1 + nv]) if got[1 + nv] is not None else []
         else:
-            pr_ts, pr_v, pend = None, None, []
+            pr_ts, pr_v, pend = None, (None,) * nv, []
         out_t: list[int] = []
-        out_v: list[list[float] | None] = []
+        out_v: list[tuple | None] = []
 
-        def emit(t: int, r: int, v: list) -> None:
+        def emit(t: int, r: int, v: tuple) -> None:
             out_t.append(t)
             out_v.append(v if tol_us is None or (r - t) <= tol_us else None)
 
         pdf = batch_frame(
-            pdfs, ["__us", "__side"], columns=["__us", "__side", "__v"]
+            pdfs, ["__us", "__side"], columns=["__us", "__side", *vcols]
         )
-        for us, side, v in zip(pdf["__us"], pdf["__side"], pdf["__v"]):
+        max_us = None
+        vs = [pdf[c] for c in vcols]
+        for i, (us, side) in enumerate(zip(pdf["__us"], pdf["__side"])):
             us = int(us)
+            max_us = us
             if side == 0:
-                v = [None if pd.isna(x) else float(x) for x in v]
+                v = tuple(_py(col.iloc[i]) for col in vs)
                 still = []
                 for t in pend:
                     if t <= us:
@@ -192,17 +261,35 @@ def asof_forward_stream(
                     emit(us, pr_ts, pr_v)
                 else:
                     pend.append(us)
-        state.update((pr_ts, pr_v, pend))
+        if tol_us is not None and pend:
+            # finalize expired pendings: by this batch's own horizon
+            # (ordered replay: future same-key instants are >= max_us),
+            # then by the global watermark (covers quiet keys; this is
+            # also the timeout-firing path, where the batch is empty)
+            horizon = max_us
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            horizon = wm_us if horizon is None else max(horizon, wm_us)
+            live = []
+            for t in pend:
+                if t + tol_us < horizon:
+                    out_t.append(t)
+                    out_v.append(None)  # no in-tolerance right can come
+                else:
+                    live.append(t)
+            pend = live
+        state.update((pr_ts, *pr_v, pend))
+        if tol_us is not None:
+            _schedule_timeout(state, pend, tol_us)
         if out_t:
             yield _emit_frame(by, key_tuple, names, out_t, out_v)
 
-    u = _tagged_union(left, right, on, by, cols)
+    u, timeout_conf = _prep(u, tol_us)
     res = u.groupBy(by).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout_conf,
     )
     return res.select(by, F.timestamp_micros("ts_us").alias(on), *names)
 
@@ -221,30 +308,33 @@ def asof_nearest_stream(
     emitted FINAL when the first right row with r > t closes the
     comparison — or immediately on an exact backward match (distance 0
     is unbeatable). Out-of-tolerance rows emit with NULL values, like
-    the batch fill. State per key: the last right (ts, values) +
-    pending left instants, each with its (final) backward-candidate
-    snapshot. Output: (by, on, *out); ``out`` defaults to
-    'nearest_value' for a single column, the columns' own names for a
-    list."""
+    the batch fill — and with a tolerance set, a pending left whose
+    deadline passes event time finalizes NOW (the snapshotted backward
+    candidate if it is within tolerance, else NULL: any future forward
+    is beyond the tolerance by construction) and is evicted, bounding
+    state to the tolerance window. Value columns keep their native
+    types. State per key: the last right (ts, values) + pending left
+    instants, each with its (final) backward-candidate snapshot.
+    Output: (by, on, *out); ``out`` defaults to 'nearest_value' for a
+    single column, the columns' own names for a list."""
     cols, names = _norm_cols(value_col, out, "nearest_value")
     tol_us = (
         None
         if tolerance is None
         else int(round(duration_to_seconds(tolerance) * 1_000_000))
     )
-    out_schema = _out_schema(left, by, names)
+    u, vts = _tagged_union(left, right, on, by, cols)
+    out_schema = _out_schema(left, by, names, vts)
+    nv = len(cols)
+    vcols = [f"__v{j}" for j in range(nv)]
     state_schema = StructType(
-        [
-            StructField("pr_ts", LongType()),
-            StructField("pr_v", ArrayType(DoubleType(), containsNull=True)),
-            StructField("pend_ts", ArrayType(LongType())),
-            StructField("pend_bts", ArrayType(LongType(), containsNull=True)),
-            StructField(
-                "pend_bv",
-                ArrayType(
-                    ArrayType(DoubleType(), containsNull=True), containsNull=True
-                ),
-            ),
+        [StructField("pr_ts", LongType())]
+        + [StructField(f"pr_v{j}", t) for j, t in enumerate(vts)]
+        + [StructField("pend_ts", ArrayType(LongType()))]
+        + [StructField("pend_bts", ArrayType(LongType(), containsNull=True))]
+        + [
+            StructField(f"pend_bv{j}", ArrayType(t, containsNull=True))
+            for j, t in enumerate(vts)
         ]
     )
 
@@ -252,19 +342,25 @@ def asof_nearest_stream(
         key_tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            pr_ts, pr_v, p_t, p_bt, p_bv = state.get
-            pr_v = list(pr_v) if pr_v is not None else None
-            p_t = list(p_t) if p_t is not None else []
-            p_bt = list(p_bt) if p_bt is not None else []
+            got = state.get
+            pr_ts = got[0]
+            pr_v = tuple(got[1 : 1 + nv])
+            p_t = list(got[1 + nv]) if got[1 + nv] is not None else []
+            p_bt = list(got[2 + nv]) if got[2 + nv] is not None else []
+            bcols = [
+                list(got[3 + nv + j]) if got[3 + nv + j] is not None else []
+                for j in range(nv)
+            ]
             p_bv = [
-                (list(x) if x is not None else None) for x in (p_bv or [])
+                None if bt is None else tuple(bcols[j][i] for j in range(nv))
+                for i, bt in enumerate(p_bt)
             ]
         else:
-            pr_ts, pr_v, p_t, p_bt, p_bv = None, None, [], [], []
+            pr_ts, pr_v, p_t, p_bt, p_bv = None, (None,) * nv, [], [], []
         out_t: list[int] = []
-        out_v: list[list[float] | None] = []
+        out_v: list[tuple | None] = []
 
-        def emit(t: int, bt, bv, ft: int, fv: list) -> None:
+        def emit(t: int, bt, bv, ft: int, fv: tuple) -> None:
             # mirror operators/asof.py:asof_join_nearest's choice: exact
             # int64 distances, backward wins ties, tolerance on the
             # CHOSEN distance, NULL values when out of tolerance
@@ -277,12 +373,15 @@ def asof_nearest_stream(
             out_v.append(val if tol_us is None or dist <= tol_us else None)
 
         pdf = batch_frame(
-            pdfs, ["__us", "__side"], columns=["__us", "__side", "__v"]
+            pdfs, ["__us", "__side"], columns=["__us", "__side", *vcols]
         )
-        for us, side, v in zip(pdf["__us"], pdf["__side"], pdf["__v"]):
+        max_us = None
+        vs = [pdf[c] for c in vcols]
+        for i, (us, side) in enumerate(zip(pdf["__us"], pdf["__side"])):
             us = int(us)
+            max_us = us
             if side == 0:
-                v = [None if pd.isna(x) else float(x) for x in v]
+                v = tuple(_py(col.iloc[i]) for col in vs)
                 keep_t, keep_bt, keep_bv = [], [], []
                 for t, bt, bv in zip(p_t, p_bt, p_bv):
                     if t <= us:
@@ -302,16 +401,41 @@ def asof_nearest_stream(
                     p_t.append(us)
                     p_bt.append(pr_ts)
                     p_bv.append(pr_v)
-        state.update((pr_ts, pr_v, p_t, p_bt, p_bv))
+        if tol_us is not None and p_t:
+            # finalize expired pendings (batch horizon, then watermark):
+            # a future forward candidate is > tolerance away by
+            # construction, so the snapshotted backward candidate wins
+            # iff it is within tolerance — else the row is NULL-final
+            horizon = max_us
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            horizon = wm_us if horizon is None else max(horizon, wm_us)
+            keep_t, keep_bt, keep_bv = [], [], []
+            for t, bt, bv in zip(p_t, p_bt, p_bv):
+                if t + tol_us < horizon:
+                    out_t.append(t)
+                    out_v.append(
+                        bv if bt is not None and (t - bt) <= tol_us else None
+                    )
+                else:
+                    keep_t.append(t)
+                    keep_bt.append(bt)
+                    keep_bv.append(bv)
+            p_t, p_bt, p_bv = keep_t, keep_bt, keep_bv
+        bcols_out = [
+            [None if bv is None else bv[j] for bv in p_bv] for j in range(nv)
+        ]
+        state.update((pr_ts, *pr_v, p_t, p_bt, *bcols_out))
+        if tol_us is not None:
+            _schedule_timeout(state, p_t, tol_us)
         if out_t:
             yield _emit_frame(by, key_tuple, names, out_t, out_v)
 
-    u = _tagged_union(left, right, on, by, cols)
+    u, timeout_conf = _prep(u, tol_us)
     res = u.groupBy(by).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout_conf,
     )
     return res.select(by, F.timestamp_micros("ts_us").alias(on), *names)

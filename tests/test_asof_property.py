@@ -13,6 +13,11 @@ from hypothesis import strategies as st
 
 from svoe_spark.operators.asof import asof_join, lookahead_shift
 
+pytestmark = pytest.mark.heavy  # multi-minute suite: deselected by the
+# default `pytest tests/ -q` tier (pytest.ini); scripts/ptest.py shards and
+# the round-close sweep run it
+
+
 BASE = dt.datetime(2024, 1, 1)
 
 

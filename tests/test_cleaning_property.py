@@ -3,12 +3,19 @@ random inputs against single-process Python oracles (union-find for
 components, direct recomputation for chunk dedup invariants) — the
 same differential pattern as the as-of property suite."""
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import Row
 
 from svoe_spark.operators.cleaning import chunk_dedup, repetition_signals
 from svoe_spark.operators.graph import connected_components
+
+pytestmark = pytest.mark.heavy  # multi-minute suite: deselected by the
+# default `pytest tests/ -q` tier (pytest.ini); scripts/ptest.py shards and
+# the round-close sweep run it
+
 
 _slow = settings(
     max_examples=10,

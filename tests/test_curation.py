@@ -430,9 +430,10 @@ def test_priority_sample_degenerate_and_validation(spark):
     assert len(out) == 5 and all(r["est_w"] == r["w"] for r in out)
     with pytest.raises(ValueError):
         priority_sample(small, "w", 0, "id")
-    # the weight/id guard is folded into the sampling pass (no eager
-    # pre-scan job), so it fires at action time as a Spark runtime
-    # error rather than a construction-time ValueError
+    # batch inputs are guarded by an eager limit-1 pre-scan (round 8:
+    # the folded assert_true proved foldable-away in constant-NULL
+    # union branches — see test_priority_sample_validates_rows_outside
+    # _the_sample), so the raise happens at operator-call time
     bad = small.withColumn("w", F.col("w") - F.lit(100))
     with pytest.raises(Exception, match="positive non-NULL"):
         priority_sample(bad, "w", 2, "id").collect()
@@ -516,3 +517,31 @@ def test_cluster_aware_split_never_splits_a_near_dup_pair(spark, sf_small):
     if hasattr(p, "_svoe_persisted"):
         p._svoe_persisted.unpersist()
     pairs.unpersist()
+
+
+def test_priority_sample_validates_rows_outside_the_sample(spark):
+    """Pins the folded-validation contract (operators/curation.py): the
+    per-row assert_true rides the __q projection, which the TakeOrdered
+    full scan evaluates for EVERY input row — so a bad row must raise
+    even when its priority could never reach the top-k sample. If a
+    plan change ever lets non-sampled rows skip the projection, this
+    fails. Round-8 postscript: the fold WAS foldable away — a union
+    branch with a constant-NULL weight made the WHEN all-NULL and
+    SimplifyConditionals discarded the assert — so the batch path now
+    uses the eager limit-1 pre-scan and this test pins THAT."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from svoe_spark.operators.curation import priority_sample
+
+    # 50 huge-weight rows dominate the k=3 sample; one planted NULL
+    # weight sits far outside any plausible top-k
+    good = spark.range(50).select(
+        F.col("id"), (F.lit(10**9) + F.col("id")).alias("w")
+    )
+    bad = spark.range(50, 51).select(
+        F.col("id"), F.lit(None).cast("long").alias("w")
+    )
+    df = good.unionByName(bad)
+    with pytest.raises(Exception, match="positive non-NULL"):
+        priority_sample(df, "w", 3, "id").collect()

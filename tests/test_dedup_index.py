@@ -21,6 +21,11 @@ from svoe_spark.operators.dedup_index import (
 )
 from svoe_spark.sources.tables import load_table
 
+pytestmark = pytest.mark.heavy  # multi-minute suite: deselected by the
+# default `pytest tests/ -q` tier (pytest.ini); scripts/ptest.py shards and
+# the round-close sweep run it
+
+
 _MH = MinHashParams()
 
 

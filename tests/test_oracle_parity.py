@@ -7,6 +7,11 @@ import pytest
 from svoe_spark.all_queries import QUERIES
 from svoe_spark.testing import run_parity
 
+pytestmark = pytest.mark.heavy  # multi-minute suite: deselected by the
+# default `pytest tests/ -q` tier (pytest.ini); scripts/ptest.py shards and
+# the round-close sweep run it
+
+
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_parity_sf0001(spark, sf_small, name):

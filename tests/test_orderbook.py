@@ -13,6 +13,11 @@ from svoe_spark.operators.orderbook import (
 )
 from svoe_spark.sources.tables import load_table
 
+pytestmark = pytest.mark.heavy  # multi-minute suite: deselected by the
+# default `pytest tests/ -q` tier (pytest.ini); scripts/ptest.py shards and
+# the round-close sweep run it
+
+
 FIXTURE = [
     # (ts_offset, update_type, [(side, price, size)])
     (0, "ADD", [("bid", 99.0, 1.0)]),          # pre-snapshot: skipped

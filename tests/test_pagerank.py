@@ -302,3 +302,43 @@ def test_weighted_shifts_mass_toward_heavy_edge(spark):
     assert got[2] > 1.5 * got[3]
     unw = {r["node"]: r["rank_fp"] for r in pagerank(df.select("src", "dst"), iterations=3).collect()}
     assert unw[2] == unw[3]
+
+
+@pytest.mark.heavy  # 12 multi-round graph ops (~2 min): sharded tier
+def test_broadcast_mode_equals_partitioned_mode(spark, edges):
+    """The round-8 small-graph broadcast path (rank/score vector
+    broadcast, no repartitioned edge copies) is a PHYSICAL-strategy
+    switch only: results must be bit-identical to the partitioned path
+    (broadcast_nodes=0 forces it) for pagerank (uniform, personalized,
+    weighted) and HITS. (BFS keeps its single partitioned path: the
+    broadcast variant measured slower AND unstable at sf0.1 —
+    44s outlier on a warm rerun — so it was dropped in round 8.)"""
+    from svoe_spark.operators.graph import hits
+
+    def rows(df, *cols):
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    br = pagerank(edf, iterations=4)
+    pt = pagerank(edf, iterations=4, broadcast_nodes=0)
+    assert rows(br, "node", "rank_fp") == rows(pt, "node", "rank_fp")
+
+    br = pagerank(edf, iterations=3, sources=[1], damping_pct=70)
+    pt = pagerank(
+        edf, iterations=3, sources=[1], damping_pct=70, broadcast_nodes=0
+    )
+    assert rows(br, "node", "rank_fp") == rows(pt, "node", "rank_fp")
+
+    w = spark.createDataFrame(
+        [(1, 2, 10), (1, 3, 1), (2, 3, 5), (3, 1, 2)],
+        "src long, dst long, w long",
+    )
+    br = pagerank(w, iterations=3, weight="w")
+    pt = pagerank(w, iterations=3, weight="w", broadcast_nodes=0)
+    assert rows(br, "node", "rank_fp") == rows(pt, "node", "rank_fp")
+
+    br = hits(edf, iterations=3)
+    pt = hits(edf, iterations=3, broadcast_nodes=0)
+    assert rows(br, "node", "hub_fp", "auth_fp") == rows(
+        pt, "node", "hub_fp", "auth_fp"
+    )

@@ -14,6 +14,11 @@ from svoe_spark.operators.similarity import (
 )
 from svoe_spark.sources.tables import load_table
 
+pytestmark = pytest.mark.heavy  # multi-minute suite: deselected by the
+# default `pytest tests/ -q` tier (pytest.ini); scripts/ptest.py shards and
+# the round-close sweep run it
+
+
 
 @pytest.fixture(scope="module")
 def emb(spark, sf_mid):

@@ -6,11 +6,18 @@ side identifies grams by the dual rolling hash; at property-test sizes
 a joint collision is ~impossible, so content-identity is the correct
 reference."""
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import Row
 
 from svoe_spark.operators.dedup import remove_repeated_spans, repeated_ngram_spans
+
+pytestmark = pytest.mark.heavy  # multi-minute suite: deselected by the
+# default `pytest tests/ -q` tier (pytest.ini); scripts/ptest.py shards and
+# the round-close sweep run it
+
 
 _slow = settings(
     max_examples=8,

@@ -74,15 +74,17 @@ def _replay(spark, path):
     )
 
 
-def _closed(df, right, on="ts", by="event_type"):
+def _closed(df, right, on="ts", by="event_type", tol_us=None, wm_us=None):
     """Restrict a batch result to the stream's closable rows: left
-    instants at or before the key's LAST right observation."""
+    instants at or before the key's LAST right observation — plus,
+    with a tolerance, instants whose deadline t + tolerance passed the
+    stream's final watermark (global max event time): those finalize
+    by state timeout even though no closing right ever arrives."""
     mx = right.groupBy(by).agg(F.max(on).alias("__mx"))
-    return (
-        df.join(F.broadcast(mx), by)
-        .where(F.col(on) <= F.col("__mx"))
-        .drop("__mx")
-    )
+    cond = F.col(on) <= F.col("__mx")
+    if tol_us is not None:
+        cond = cond | (F.unix_micros(F.col(on)) + tol_us < F.lit(wm_us))
+    return df.join(F.broadcast(mx), by).where(cond).drop("__mx")
 
 
 def _stream_vs_batch(spark, sf_small, asof_parquet, kind, tolerance=None):
@@ -111,9 +113,17 @@ def _stream_vs_batch(spark, sf_small, asof_parquet, kind, tolerance=None):
             left, right, on="ts", by=["event_type"], right_cols=["value"],
             tolerance=tolerance,
         )
+    tol_us = wm_us = None
+    if tolerance is not None:
+        from svoe_spark.functions.time import duration_to_seconds
+
+        tol_us = int(round(duration_to_seconds(tolerance) * 1_000_000))
+        # final watermark = global max event instant (0s delay); left
+        # instants are right + 7min, so the left side carries the max
+        wm_us = left.select(F.max(F.unix_micros("ts"))).first()[0]
     want = sorted(
         (r["event_type"], r["ts"], r["value"])
-        for r in _closed(batch, right).collect()
+        for r in _closed(batch, right, tol_us=tol_us, wm_us=wm_us).collect()
     )
     return got, want
 
@@ -262,3 +272,135 @@ def test_asof_nearest_hand_case_tiebreak_and_exact_match(spark, tmp_path):
         for r in out.collect()
     )
     assert got == [("k", 200, 1.0), ("k", 300, 2.0)]
+
+
+def test_asof_forward_stream_quiet_right_key_finalizes(spark, tmp_path):
+    """State bounding under tolerance (VERDICT r7 ask 4): a key whose
+    right stream goes QUIET must not hold its pending lefts forever —
+    once the watermark (advanced by the OTHER key's traffic) passes
+    t + tolerance, the event-time timeout finalizes them as NULL and
+    evicts the state. Without a tolerance the same rows legitimately
+    wait forever (and must NOT appear)."""
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    # key 'q' (quiet): one right at t=100, lefts at 200/250 — no right
+    # ever closes them; with tolerance=30s their deadlines (230/280)
+    # expire once 'a' traffic pushes the watermark past them.
+    # key 'a' (active): rights march to t=1000.
+    right_rows = [("q", 100, 1.0)] + [("a", s, float(s)) for s in (100, 500, 1000)]
+    left_rows = [("q", 200), ("q", 250), ("a", 400)]
+    spark.createDataFrame(
+        right_rows, "event_type string, sec long, value double"
+    ).select(
+        "event_type", F.timestamp_seconds("sec").alias("ts"), "value"
+    ).coalesce(1).write.parquet(rp)
+    spark.createDataFrame(
+        left_rows, "event_type string, sec long"
+    ).select(
+        "event_type", F.timestamp_seconds("sec").alias("ts")
+    ).coalesce(1).write.parquet(lp)
+
+    def run(tolerance):
+        out = run_available_to_memory(
+            asof_forward_stream(
+                _replay(spark, lp),
+                _replay(spark, rp),
+                on="ts",
+                by="event_type",
+                value_col="value",
+                out="v",
+                tolerance=tolerance,
+            )
+        )
+        return sorted(
+            (r["event_type"], int(r["ts"].timestamp()), r["v"])
+            for r in out.collect()
+        )
+
+    # tolerance set: the quiet key's expired pendings emit NULL-final
+    # (proving eviction — they can only appear via the timeout path);
+    # the active key's left matches its 500s right, out of tolerance.
+    assert run("30s") == [
+        ("a", 400, None),
+        ("q", 200, None),
+        ("q", 250, None),
+    ]
+    # no tolerance: the quiet lefts wait forever (only 'a' closes)
+    assert run(None) == [("a", 400, 500.0)]
+
+
+def test_asof_nearest_stream_quiet_key_backward_within_tolerance(
+    spark, tmp_path
+):
+    """Nearest + timeout finalization keeps the snapshotted BACKWARD
+    candidate when it is within tolerance (a future forward is farther
+    than the tolerance by construction), NULLs it otherwise."""
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    # quiet key: right at 100; lefts at 120 (bdist 20s <= 30s -> 1.0)
+    # and 300 (bdist 200s > 30s -> NULL). active key advances watermark.
+    right_rows = [("q", 100, 1.0)] + [("a", s, float(s)) for s in (100, 1000)]
+    left_rows = [("q", 120), ("q", 300)]
+    spark.createDataFrame(
+        right_rows, "event_type string, sec long, value double"
+    ).select(
+        "event_type", F.timestamp_seconds("sec").alias("ts"), "value"
+    ).coalesce(1).write.parquet(rp)
+    spark.createDataFrame(
+        left_rows, "event_type string, sec long"
+    ).select(
+        "event_type", F.timestamp_seconds("sec").alias("ts")
+    ).coalesce(1).write.parquet(lp)
+    out = run_available_to_memory(
+        asof_nearest_stream(
+            _replay(spark, lp),
+            _replay(spark, rp),
+            on="ts",
+            by="event_type",
+            value_col="value",
+            out="v",
+            tolerance="30s",
+        )
+    )
+    got = sorted(
+        (r["event_type"], int(r["ts"].timestamp()), r["v"])
+        for r in out.collect()
+    )
+    assert got == [("q", 120, 1.0), ("q", 300, None)]
+
+
+def test_asof_nearest_stream_string_value_column(spark, tmp_path):
+    """Native-typed value columns (VERDICT r7 ask 5): a STRING-valued
+    as-of join streams with the column's own type — the pre-round-8
+    array<double> carrier could not express this at all. Mixed with a
+    long column to pin the whole-row unit across types."""
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    right_rows = [
+        ("k", 100, "alpha", 10),
+        ("k", 300, "beta", 30),
+    ]
+    left_rows = [("k", 200), ("k", 300)]
+    spark.createDataFrame(
+        right_rows, "event_type string, sec long, tag string, n long"
+    ).select(
+        "event_type", F.timestamp_seconds("sec").alias("ts"), "tag", "n"
+    ).coalesce(1).write.parquet(rp)
+    spark.createDataFrame(
+        left_rows, "event_type string, sec long"
+    ).select(
+        "event_type", F.timestamp_seconds("sec").alias("ts")
+    ).coalesce(1).write.parquet(lp)
+    out = run_available_to_memory(
+        asof_nearest_stream(
+            _replay(spark, lp),
+            _replay(spark, rp),
+            on="ts",
+            by="event_type",
+            value_col=["tag", "n"],
+        )
+    )
+    assert dict(out.dtypes)["tag"] == "string" and dict(out.dtypes)["n"] == "bigint"
+    got = sorted(
+        (r["event_type"], int(r["ts"].timestamp()), r["tag"], r["n"])
+        for r in out.collect()
+    )
+    # 200s: equidistant -> backward ('alpha', 10); 300s: exact ('beta', 30)
+    assert got == [("k", 200, "alpha", 10), ("k", 300, "beta", 30)]

@@ -15,6 +15,11 @@ from svoe_spark.streaming.events_stream import (
 )
 from svoe_spark.streaming.sinks import run_available_to_memory
 
+pytestmark = pytest.mark.heavy  # multi-minute suite: deselected by the
+# default `pytest tests/ -q` tier (pytest.ini); scripts/ptest.py shards and
+# the round-close sweep run it
+
+
 STEPS = ["view", "click", "purchase"]
 
 
