@@ -1285,11 +1285,10 @@ def round8_smoke(spark, results, force, n=100_000_000):
     gen(half, 0.0).write.mode("overwrite").parquet(rp)
     gen(half, step / 3).write.mode("overwrite").parquet(lp)
 
+    from svoe_spark.streaming.sources import replay_parquet
+
     def replay(path):
-        return (
-            spark.readStream.schema(spark.read.parquet(path).schema)
-            .parquet(path)
-        )
+        return replay_parquet(spark, path)
 
     def run_stream(df, cp):
         q = (

@@ -306,8 +306,9 @@ def ivf_train_relational(
         md5_hash(F.col(id_col).cast("string")).alias("__h"),
     ).persist()
     try:
-        dim = None
         seed_rows = q.orderBy("__h", "__id").limit(k).collect()
+        if not seed_rows:
+            raise ValueError("ivf_train_relational: no input vectors")
         cents = [list(r["qv"]) for r in seed_rows]
         dim = len(cents[0])
         for _ in range(iters):

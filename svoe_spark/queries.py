@@ -3948,7 +3948,6 @@ _ASOF_STREAM_TOL_US = 300_000_000  # tolerance 5 min
         wf AS (PARTITION BY event_type ORDER BY us, side
                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     ),
-    km AS (SELECT event_type, max(us) AS kmax FROM u GROUP BY 1),
     gm AS (SELECT max(us) AS wmax FROM u)
     SELECT w.event_type, make_timestamp(w.us) AS ts,
            CASE WHEN bt IS NOT NULL AND (ft IS NULL OR w.us - bt <= ft - w.us)
@@ -3957,10 +3956,10 @@ _ASOF_STREAM_TOL_US = 300_000_000  # tolerance 5 min
                 ELSE CASE WHEN ft - w.us <= {_ASOF_STREAM_TOL_US}
                           THEN fv END
            END AS v
-    FROM w JOIN km ON km.event_type = w.event_type, gm
+    FROM w, gm
     WHERE side = 1
       AND (bt = w.us OR ft IS NOT NULL
-           OR w.us + {_ASOF_STREAM_TOL_US} < greatest(km.kmax, gm.wmax))
+           OR w.us + {_ASOF_STREAM_TOL_US} < gm.wmax)
     """,
     bench=False,
 )
@@ -3977,9 +3976,10 @@ def asof_nearest_stream_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     relationally: nearest candidate with backward-wins tie-break and
     tolerance-NULL fill, emitted iff the row is CLOSED by a right at or
     after it OR its t + tolerance deadline expired against the stream's
-    final horizon (per-key last instant via the ordered-replay
-    data-driven pass, global watermark via the event-time timeout —
-    the round-8 state-bounding semantics). Not benched: throughput is
+    final horizon — with ms-aligned instants the data-driven per-key
+    horizon is always <= the final global watermark, so the oracle's
+    horizon is simply the global max instant (the round-8
+    state-bounding semantics). Not benched: throughput is
     the 100M-row scale smoke's job (scripts/scale_smoke.py round8);
     this row pins stream==oracle through the driver gate."""
     import shutil
@@ -4006,6 +4006,8 @@ def asof_nearest_stream_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("ts") + _ASOF_STREAM_SHIFT_US
         ).alias("ts"),
     )
+    from svoe_spark.streaming.sources import replay_parquet
+
     base = tempfile.mkdtemp(prefix="asof_stream_q_")
     try:
         rp, lp = base + "/r", base + "/l"
@@ -4013,10 +4015,7 @@ def asof_nearest_stream_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         left.coalesce(1).write.parquet(lp)
 
         def replay(p):
-            return (
-                spark.readStream.schema(spark.read.parquet(p).schema)
-                .parquet(p)
-            )
+            return replay_parquet(spark, p)
 
         out = run_available_to_memory(
             asof_nearest_stream(

@@ -67,7 +67,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    ByteType,
+    IntegerType,
     LongType,
+    ShortType,
+    StringType,
     StructField,
     StructType,
 )
@@ -103,25 +107,45 @@ def _tagged_union(
     """One keyed stream: right rows side=0 (sorting BEFORE left rows at
     the same instant — a same-instant right is a backward match), left
     rows side=1, timestamps as exact unix micros, the right row's value
-    columns carried as parallel NATIVE-TYPED columns __v0.. (the
-    whole-row candidate unit). __ts keeps the raw timestamp for the
-    tolerance path's watermark. Returns (union, value_types)."""
+    columns carried as ONE STRUCT column __v (null struct for left
+    rows) — the whole-row candidate unit. INTEGRAL fields ride the
+    transport (and the state schema) as STRINGS, decoded back to
+    Python ints in the handler: pandas renders any nullable int64 —
+    flat OR struct field — as float64, silently rounding values past
+    2^53 (pinned by
+    test_asof_nearest_stream_long_values_exact_past_2_53); a decimal
+    string round-trips exactly at any magnitude. Other types keep
+    their native representation. __ts keeps the raw timestamp for the
+    tolerance path's watermark. Returns (union, value_types,
+    int_flags)."""
     vts = [right.schema[c].dataType for c in cols]
+    enc = [_is_integral(t) for t in vts]
+    vstruct = StructType(
+        [
+            StructField(f"_{j}", StringType() if e else t)
+            for j, (t, e) in enumerate(zip(vts, enc))
+        ]
+    )
     l_ = left.select(
         F.col(by),
         F.col(on).alias("__ts"),
         F.unix_micros(F.col(on)).alias("__us"),
         F.lit(1).cast("int").alias("__side"),
-        *[F.lit(None).cast(t).alias(f"__v{j}") for j, t in enumerate(vts)],
+        F.lit(None).cast(vstruct).alias("__v"),
     )
     r_ = right.select(
         F.col(by),
         F.col(on).alias("__ts"),
         F.unix_micros(F.col(on)).alias("__us"),
         F.lit(0).cast("int").alias("__side"),
-        *[F.col(c).alias(f"__v{j}") for j, c in enumerate(cols)],
+        F.struct(
+            *[
+                (F.col(c).cast("string") if e else F.col(c)).alias(f"_{j}")
+                for j, (c, e) in enumerate(zip(cols, enc))
+            ]
+        ).alias("__v"),
     )
-    return l_.unionByName(r_), vts
+    return l_.unionByName(r_), vts, enc
 
 
 def _out_schema(df: DataFrame, by: str, names: list[str], vts: list) -> StructType:
@@ -141,6 +165,31 @@ def _py(v):
     except (TypeError, ValueError):  # arrays/containers: not NA
         pass
     return v.item() if hasattr(v, "item") else v
+
+
+def _is_integral(t) -> bool:
+    return isinstance(t, (LongType, IntegerType, ShortType, ByteType))
+
+
+def _v_tuple(cell, enc: list[bool]) -> tuple:
+    """One __v struct cell (None or a field dict) -> the native-typed
+    candidate tuple (string-transported integrals decoded)."""
+    if cell is None or (isinstance(cell, float) and pd.isna(cell)):
+        return (None,) * len(enc)
+    out = []
+    for j, e in enumerate(enc):
+        v = _py(cell[f"_{j}"])
+        out.append(int(v) if e and v is not None else v)
+    return tuple(out)
+
+
+def _enc_val(v, e: bool):
+    """One candidate value -> its state-schema representation."""
+    return str(v) if e and v is not None else v
+
+
+def _dec_val(v, e: bool):
+    return int(v) if e and v is not None else v
 
 
 def _emit_frame(by, key_tuple, names, out_t, out_v):
@@ -211,13 +260,13 @@ def asof_forward_stream(
         if tolerance is None
         else int(round(duration_to_seconds(tolerance) * 1_000_000))
     )
-    u, vts = _tagged_union(left, right, on, by, cols)
+    u, vts, enc = _tagged_union(left, right, on, by, cols)
     out_schema = _out_schema(left, by, names, vts)
     nv = len(cols)
-    vcols = [f"__v{j}" for j in range(nv)]
+    sts = [StringType() if e else t for t, e in zip(vts, enc)]
     state_schema = StructType(
         [StructField("pr_ts", LongType())]
-        + [StructField(f"pr_v{j}", t) for j, t in enumerate(vts)]
+        + [StructField(f"pr_v{j}", t) for j, t in enumerate(sts)]
         + [StructField("pend_ts", ArrayType(LongType()))]
     )
 
@@ -227,7 +276,9 @@ def asof_forward_stream(
         if state.exists:
             got = state.get
             pr_ts = got[0]
-            pr_v = tuple(got[1 : 1 + nv])
+            pr_v = tuple(
+                _dec_val(v, e) for v, e in zip(got[1 : 1 + nv], enc)
+            )
             pend = list(got[1 + nv]) if got[1 + nv] is not None else []
         else:
             pr_ts, pr_v, pend = None, (None,) * nv, []
@@ -239,15 +290,15 @@ def asof_forward_stream(
             out_v.append(v if tol_us is None or (r - t) <= tol_us else None)
 
         pdf = batch_frame(
-            pdfs, ["__us", "__side"], columns=["__us", "__side", *vcols]
+            pdfs, ["__us", "__side"], columns=["__us", "__side", "__v"]
         )
         max_us = None
-        vs = [pdf[c] for c in vcols]
+        vcol = pdf["__v"]
         for i, (us, side) in enumerate(zip(pdf["__us"], pdf["__side"])):
             us = int(us)
             max_us = us
             if side == 0:
-                v = tuple(_py(col.iloc[i]) for col in vs)
+                v = _v_tuple(vcol.iloc[i], enc)
                 still = []
                 for t in pend:
                     if t <= us:
@@ -277,7 +328,9 @@ def asof_forward_stream(
                 else:
                     live.append(t)
             pend = live
-        state.update((pr_ts, *pr_v, pend))
+        state.update(
+            (pr_ts, *(_enc_val(v, e) for v, e in zip(pr_v, enc)), pend)
+        )
         if tol_us is not None:
             _schedule_timeout(state, pend, tol_us)
         if out_t:
@@ -323,18 +376,18 @@ def asof_nearest_stream(
         if tolerance is None
         else int(round(duration_to_seconds(tolerance) * 1_000_000))
     )
-    u, vts = _tagged_union(left, right, on, by, cols)
+    u, vts, enc = _tagged_union(left, right, on, by, cols)
     out_schema = _out_schema(left, by, names, vts)
     nv = len(cols)
-    vcols = [f"__v{j}" for j in range(nv)]
+    sts = [StringType() if e else t for t, e in zip(vts, enc)]
     state_schema = StructType(
         [StructField("pr_ts", LongType())]
-        + [StructField(f"pr_v{j}", t) for j, t in enumerate(vts)]
+        + [StructField(f"pr_v{j}", t) for j, t in enumerate(sts)]
         + [StructField("pend_ts", ArrayType(LongType()))]
         + [StructField("pend_bts", ArrayType(LongType(), containsNull=True))]
         + [
             StructField(f"pend_bv{j}", ArrayType(t, containsNull=True))
-            for j, t in enumerate(vts)
+            for j, t in enumerate(sts)
         ]
     )
 
@@ -344,7 +397,9 @@ def asof_nearest_stream(
         if state.exists:
             got = state.get
             pr_ts = got[0]
-            pr_v = tuple(got[1 : 1 + nv])
+            pr_v = tuple(
+                _dec_val(v, e) for v, e in zip(got[1 : 1 + nv], enc)
+            )
             p_t = list(got[1 + nv]) if got[1 + nv] is not None else []
             p_bt = list(got[2 + nv]) if got[2 + nv] is not None else []
             bcols = [
@@ -352,7 +407,11 @@ def asof_nearest_stream(
                 for j in range(nv)
             ]
             p_bv = [
-                None if bt is None else tuple(bcols[j][i] for j in range(nv))
+                None
+                if bt is None
+                else tuple(
+                    _dec_val(bcols[j][i], enc[j]) for j in range(nv)
+                )
                 for i, bt in enumerate(p_bt)
             ]
         else:
@@ -373,15 +432,15 @@ def asof_nearest_stream(
             out_v.append(val if tol_us is None or dist <= tol_us else None)
 
         pdf = batch_frame(
-            pdfs, ["__us", "__side"], columns=["__us", "__side", *vcols]
+            pdfs, ["__us", "__side"], columns=["__us", "__side", "__v"]
         )
         max_us = None
-        vs = [pdf[c] for c in vcols]
+        vcol = pdf["__v"]
         for i, (us, side) in enumerate(zip(pdf["__us"], pdf["__side"])):
             us = int(us)
             max_us = us
             if side == 0:
-                v = tuple(_py(col.iloc[i]) for col in vs)
+                v = _v_tuple(vcol.iloc[i], enc)
                 keep_t, keep_bt, keep_bv = [], [], []
                 for t, bt, bv in zip(p_t, p_bt, p_bv):
                     if t <= us:
@@ -422,9 +481,18 @@ def asof_nearest_stream(
                     keep_bv.append(bv)
             p_t, p_bt, p_bv = keep_t, keep_bt, keep_bv
         bcols_out = [
-            [None if bv is None else bv[j] for bv in p_bv] for j in range(nv)
+            [None if bv is None else _enc_val(bv[j], enc[j]) for bv in p_bv]
+            for j in range(nv)
         ]
-        state.update((pr_ts, *pr_v, p_t, p_bt, *bcols_out))
+        state.update(
+            (
+                pr_ts,
+                *(_enc_val(v, e) for v, e in zip(pr_v, enc)),
+                p_t,
+                p_bt,
+                *bcols_out,
+            )
+        )
         if tol_us is not None:
             _schedule_timeout(state, p_t, tol_us)
         if out_t:

@@ -127,6 +127,7 @@ def test_sources_dataframe_and_missing_source(spark, edges):
         pagerank(df, iterations=5, sources=[999]).collect()
 
 
+@pytest.mark.heavy  # ~80 materialized rounds (~1 min): sharded tier
 def test_until_converged_reaches_fixpoint(spark, edges):
     df = spark.createDataFrame(edges, "src long, dst long")
     pr = pagerank(df, until_converged=True, max_iter=200)
@@ -174,6 +175,7 @@ def test_hits_matches_python_mirror(spark, edges):
     assert got == {v: (hub[v], auth[v]) for v in hub}
 
 
+@pytest.mark.heavy  # 26 materialized rounds: sharded tier
 def test_hits_until_converged_reaches_fixpoint(spark, edges):
     """Run-to-fixpoint HITS: converges in < max_iter rounds, and the
     fixpoint equals a long fixed-iteration run (integer arithmetic

@@ -17,6 +17,11 @@ import pytest
 
 from svoe_spark.all_queries import QUERIES
 
+pytestmark = pytest.mark.heavy  # multi-minute suite: deselected by the
+# default `pytest tests/ -q` tier (pytest.ini); scripts/ptest.py shards and
+# the round-close sweep run it
+
+
 
 def plan_of(df) -> str:
     buf = io.StringIO()

@@ -11,6 +11,11 @@ from svoe_spark.streaming.combine_stream import combine_latest_stream
 from svoe_spark.streaming.sinks import run_available_to_memory
 from svoe_spark.streaming.sources import replay_parquet
 
+pytestmark = pytest.mark.heavy  # multi-minute suite: deselected by the
+# default `pytest tests/ -q` tier (pytest.ini); scripts/ptest.py shards and
+# the round-close sweep run it
+
+
 
 def test_salted_agg_equals_direct(spark, sf_small):
     e = load_table(spark, "events", sf_small)

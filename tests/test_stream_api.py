@@ -2,9 +2,16 @@
 (runtime/master/test/test_e2e.py:19-75 — map/keyBy/reduce and join)
 rebuilt on the fluent surface."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from svoe_spark.api import StreamingContext
+
+pytestmark = pytest.mark.heavy  # multi-minute suite: deselected by the
+# default `pytest tests/ -q` tier (pytest.ini); scripts/ptest.py shards and
+# the round-close sweep run it
+
 
 
 def test_map_keyby_reduce(spark):

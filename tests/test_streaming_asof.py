@@ -118,9 +118,13 @@ def _stream_vs_batch(spark, sf_small, asof_parquet, kind, tolerance=None):
         from svoe_spark.functions.time import duration_to_seconds
 
         tol_us = int(round(duration_to_seconds(tolerance) * 1_000_000))
-        # final watermark = global max event instant (0s delay); left
-        # instants are right + 7min, so the left side carries the max
+        # final watermark = global max event instant (0s delay; left
+        # instants are right + 7min, so the left side carries the max),
+        # FLOORED to the millisecond grid — Spark tracks event-time
+        # watermarks in ms, so a deadline in the sub-ms gap below the
+        # exact max is NOT finalized by the stream
         wm_us = left.select(F.max(F.unix_micros("ts"))).first()[0]
+        wm_us = (wm_us // 1000) * 1000
     want = sorted(
         (r["event_type"], r["ts"], r["value"])
         for r in _closed(batch, right, tol_us=tol_us, wm_us=wm_us).collect()
@@ -404,3 +408,41 @@ def test_asof_nearest_stream_string_value_column(spark, tmp_path):
     )
     # 200s: equidistant -> backward ('alpha', 10); 300s: exact ('beta', 30)
     assert got == [("k", 200, "alpha", 10), ("k", 300, "beta", 30)]
+
+
+def test_asof_nearest_stream_long_values_exact_past_2_53(spark, tmp_path):
+    """Native-typed exactness past float64's integer range (review
+    round 8): a bigint value column must survive the stream bit-exactly
+    even though left rows carry NULL candidates — the struct carrier in
+    _tagged_union exists precisely because a flat nullable int64 column
+    would render as float64 in pandas and silently round 2^53+1."""
+    big = (1 << 53) + 1
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(
+        [("k", 100, big), ("k", 300, big + 2)],
+        "event_type string, sec long, n long",
+    ).select(
+        "event_type", F.timestamp_seconds("sec").alias("ts"), "n"
+    ).coalesce(1).write.parquet(rp)
+    spark.createDataFrame(
+        [("k", 150), ("k", 300)], "event_type string, sec long"
+    ).select(
+        "event_type", F.timestamp_seconds("sec").alias("ts")
+    ).coalesce(1).write.parquet(lp)
+    out = run_available_to_memory(
+        asof_nearest_stream(
+            _replay(spark, lp),
+            _replay(spark, rp),
+            on="ts",
+            by="event_type",
+            value_col="n",
+            out="n",
+        )
+    )
+    got = sorted(
+        (int(r["ts"].timestamp()), r["n"]) for r in out.collect()
+    )
+    # 150s: backward (dist 50 < 150) -> big, STORED through pending
+    # state; 300s: exact match -> big + 2, emitted immediately
+    assert got == [(150, big), (300, big + 2)]
+    assert got[0][1] % 2 == 1 and got[1][1] % 2 == 1  # odd = not rounded
