@@ -189,3 +189,34 @@ def test_ivf_train_relational_deterministic(spark, sf_small):
     rows = top.collect()
     assert len(rows) == 5
     assert rows[0]["vec_id"] == 0 and abs(rows[0]["cosine"] - 1.0) < 1e-9
+
+
+@pytest.mark.slow
+def test_ivf_relational_recall_geq_seeded_sf01(spark):
+    """The deterministic relational Lloyd's codebook (the one the
+    registered ann_ivf_trained uses since round 8) must not lose recall
+    vs the first-16 seed — same criterion the MLlib trainer carries.
+    Measured on this fixture: seeded 0.33, relational 0.425, MLlib 0.44
+    at nprobe=2 (unbiased queries vec_id 100-119)."""
+    from svoe_spark.operators.similarity import (
+        brute_force_topk_batch,
+        ivf_train_relational,
+    )
+
+    sf_dir = "/root/testdata/sf0.1"
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 120)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact_sets: dict[int, set] = {}
+    for r in brute_force_topk_batch(emb, queries, k=10).collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    seeded = [
+        list(x["embedding"])
+        for x in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    rel = ivf_train_relational(emb, k=16, iters=3)
+    r_seed = _recall_at_10(spark, emb, seeded, exact_sets, nprobe=2)
+    r_rel = _recall_at_10(spark, emb, rel, exact_sets, nprobe=2)
+    assert r_rel >= r_seed
+    assert r_rel >= 0.3
