@@ -28,7 +28,17 @@ def _force(df) -> None:
 
 
 def main() -> None:
-    spark = get_spark("svoe_spark_bench")
+    # generic session tuning only (no query-specific precomputation):
+    # the UI's event bus adds per-job driver overhead across ~200
+    # cold-timed queries and serves nothing headless; console progress
+    # bars likewise. Same knob the test session uses (conftest.py).
+    spark = get_spark(
+        "svoe_spark_bench",
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM + parquet footers once so timings measure query
