@@ -24,24 +24,29 @@ import subprocess
 import sys
 import tempfile
 
-# measured per-file wall cost (round 7 full run, --durations + 1.2s/test
-# baseline); unknown/new files get a default weight — refresh occasionally
+# measured per-file wall cost (round-8 refresh: round-7 durations
+# adjusted for the round-8 additions — pagerank gained the fixpoint +
+# mode-equality stress tests, streaming_asof gained timeout/typed
+# tests, oracle_parity tracks the 201-query registry); unknown/new
+# files get a default weight — refresh occasionally
 WEIGHTS = {
-    "test_oracle_parity.py": 260, "test_streaming_events.py": 103,
+    "test_oracle_parity.py": 265, "test_pagerank.py": 190,
+    "test_streaming_asof.py": 170, "test_streaming_events.py": 103,
     "test_asof_property.py": 101, "test_orderbook.py": 86,
     "test_spans_property.py": 73, "test_pq.py": 69,
     "test_dedup_index.py": 67, "test_cleaning_property.py": 53,
-    "test_plan_quality.py": 46, "test_pagerank.py": 45,
+    "test_plan_quality.py": 46,
     "test_stream_api.py": 41, "test_cleaning.py": 35,
     "test_empty_inputs.py": 31, "test_curation.py": 30,
     "test_quant.py": 29, "test_graph.py": 27,
     "test_events_analytics.py": 26, "test_storage_ingest.py": 26,
     "test_skew_combine.py": 24, "test_streaming.py": 24,
     "test_tokenizer.py": 20, "test_quality_checks.py": 19,
-    "test_streaming_asof.py": 19, "test_orderbook_property.py": 18,
+    "test_orderbook_property.py": 18,
     "test_sketches.py": 17, "test_scd_store.py": 16,
     "test_profiling.py": 16, "test_vector_index.py": 15,
     "test_streaming_flagship.py": 15, "test_rollup.py": 14,
+    "test_similarity_train.py": 14,
 }
 DEFAULT_WEIGHT = 12
 
