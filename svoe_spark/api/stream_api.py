@@ -65,10 +65,35 @@ class DataStream:
         return DataStream(self.df.select(*exprs), self._key)
 
     def map_rows(self, fn: Callable[[Any], Any], schema) -> "DataStream":
-        """Python-lambda map — the SLOW path (row-at-a-time), kept for
-        reference-API parity; prefer .map with Column expressions."""
+        """Python-lambda map — the SLOW path (per-row Python), kept for
+        reference-API parity; prefer .map with Column expressions. The
+        transport is Arrow-batched mapInPandas (rows cross as pandas
+        batches, fn still sees one dict per row and returns a dict per
+        row) — no RDD round-trip, and it works on streaming DataFrames
+        too, which .rdd never did."""
+        import pandas as pd
+
+        out_df = self.df.sparkSession.createDataFrame([], schema=schema)
+        out_cols = out_df.columns
+
+        def run(batches):
+            for pdf in batches:
+                # NULLs arrive as NaN/NaT and numerics as numpy
+                # scalars; normalize to the None / Python scalars
+                # Row.asDict gave so fn sees the same dicts as before
+                pdf = pdf.astype(object).where(pdf.notna(), None)
+                rows = [
+                    fn({k: v.item() if hasattr(v, "item") else v
+                        for k, v in rec.items()})
+                    for rec in pdf.to_dict(orient="records")
+                ]
+                yield pd.DataFrame(
+                    {c: [r.get(c) for r in rows] for c in out_cols},
+                    dtype="object",
+                )
+
         return DataStream(
-            self.df.rdd.map(lambda r: fn(r.asDict())).toDF(schema), self._key
+            self.df.mapInPandas(run, out_df.schema), self._key
         )
 
     def flat_map(self, col: Column | str, alias: str = "value") -> "DataStream":

@@ -626,7 +626,11 @@ def priority_sample(
     distributed partial top-(k+1) (TakeOrdered — per-partition heaps,
     one merge; NEVER a global sort or single-task window); tau is an
     aggregate over k+1 rows. The q > tau cut keeps exactly k rows
-    (q ties across distinct ids have probability ~2^-60).
+    (q ties across distinct ids have probability ~2^-60). Validation
+    on the default path is an OBSERVED count-of-invalid riding the
+    shortlist scan (single pass; per-row assert expressions are
+    unsound under constant folding — see inline comments); only
+    materialize_shortlist=False pays a separate limit-1 pre-scan.
     """
     if k < 1:
         raise ValueError("priority_sample: k must be >= 1")
@@ -634,6 +638,7 @@ def priority_sample(
         (md5_hash(F.concat(F.lit(salt), F.col(id_col).cast("string"))) + 1)
         / F.lit(_PRI_DEN)
     )
+    observation = None
     if validate:
         # checks are cheap relative to a mis-sampled corpus: a zero,
         # negative, or NULL weight (or a NULL id, whose md5 priority is
@@ -648,7 +653,9 @@ def priority_sample(
             # makes the WHEN's output provably all-NULL (e.g. a union
             # branch with a constant-NULL weight), SimplifyConditionals
             # folds the CASE away and the assert with it — which is
-            # exactly why the batch path below pre-scans instead.
+            # exactly why the batch paths below count invalid rows as
+            # DATA (an observed aggregate / pre-scan), never as a
+            # per-row expression.
             ok = F.assert_true(
                 valid,
                 F.lit(
@@ -657,11 +664,27 @@ def priority_sample(
                 ),
             )
             q = F.when(ok.isNull(), q)
+        elif materialize_shortlist:
+            # SINGLE-PASS validation: an observed count-of-invalid rides
+            # the shortlist scan itself (TakeOrdered reads every row, so
+            # CollectMetrics judges every row — including rows whose
+            # priority could never reach the sample) and is read after
+            # the eager materialization below. No second scan.
+            from pyspark.sql import Observation
+
+            observation = Observation()
+            df = df.observe(
+                observation,
+                F.sum(
+                    F.when(valid, F.lit(0)).otherwise(F.lit(1))
+                ).alias("invalid"),
+            )
         else:
-            # eager pre-scan (one narrow limit-1 probe): immune to
-            # constant folding — EVERY row is judged, including rows
-            # whose priority could never reach the sample. ~valid is
-            # NULL for NULL weights/ids, so test isNull explicitly.
+            # no action happens inside this function on the lazy path,
+            # so validation cannot piggyback a scan: eager limit-1
+            # pre-scan (one extra full pass when all rows are valid —
+            # the documented cost of materialize_shortlist=False with
+            # validate=True).
             bad = df.where(~valid | valid.isNull())
             if bad.limit(1).count():
                 raise ValueError(
@@ -677,7 +700,14 @@ def priority_sample(
     # TakeOrderedAndProject shape through it).
     top = staged.orderBy(F.col("__q").desc(), F.col(id_col).asc()).limit(k + 1)
     if materialize_shortlist:
-        top = top.localCheckpoint(eager=False)
+        # eager only when validation must read the observed metric now;
+        # otherwise keep the historical lazy truncation.
+        top = top.localCheckpoint(eager=observation is not None)
+        if observation is not None and (observation.get["invalid"] or 0) > 0:
+            raise ValueError(
+                "priority_sample: weights must be positive non-NULL"
+                " and ids non-NULL"
+            )
     # tau = the (k+1)-th largest priority, or 0 when n <= k (every
     # priority survives and est_w = max(w, 0) = w)
     thr = top.agg(

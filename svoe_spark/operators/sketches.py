@@ -22,6 +22,7 @@ counters — which is what makes the sketch oracle-checkable.
 
 from __future__ import annotations
 
+import math
 import random
 from dataclasses import dataclass
 
@@ -539,6 +540,21 @@ class HLLParams:
         # contributes 2^(62-rho) <= 2^62, m buckets fit decimal(38,0))
         return self.alpha * self.m * self.m * float(1 << 62)
 
+    @property
+    def lc_threshold(self) -> float:
+        # Flajolet et al. 2007: below raw estimate 2.5m, switch to
+        # linear counting. m is a power of two, so the literal is exact.
+        return 2.5 * self.m
+
+    def lc_table(self) -> list[tuple[int, float]]:
+        """Linear-counting lookup: V (zero registers, 1..m) ->
+        m*ln(m/V), each value computed ONCE here in Python and embedded
+        as a literal on both engines. ln() is the one operation whose
+        last ulp differs across engines — a shared literal cannot. The
+        table is m rows (sketch-sized), broadcast/inlined, never
+        data-proportional."""
+        return [(v, self.m * math.log(self.m / v)) for v in range(1, self.m + 1)]
+
 
 def hll_build(
     df: DataFrame,
@@ -587,6 +603,7 @@ def hll_estimate(
     params: HLLParams = HLLParams(),
     group_cols: list[str] | None = None,
     out: str = "est_distinct",
+    correct_small: bool = False,
 ) -> DataFrame:
     """Raw HLL estimate per group: alpha*m^2 / sum_j 2^-M_j, with
     absent buckets counting as register 0. The register-mass sum S is
@@ -595,11 +612,16 @@ def hll_estimate(
     double division is IEEE-identical on every engine — which is what
     lets the ORACLE reproduce an approximate estimator bit-for-bit.
 
-    Raw estimate only: below n ~ 2.5m the classic linear-counting
-    correction (m*ln(m/V)) would apply, but ln() is the one operation
-    whose last ulp differs across engines; callers needing small-range
-    accuracy should size p so n >> m (or read zero_registers and apply
-    the correction driver-side). Relative error ~ 1.04/sqrt(m)."""
+    ``correct_small`` applies the classic small-range correction
+    (Flajolet et al. 2007): when zero registers remain and the raw
+    estimate is <= 2.5m, linear counting m*ln(m/V) replaces it. ln()
+    is the one operation whose last ulp differs across engines, so the
+    LC values come from ``params.lc_table()`` — m Python-computed
+    literals broadcast-joined on V, bit-identical to the same literals
+    inlined in the SQL oracle (``hll_sql(correct_small=True)``).
+    Default off: the raw form is what the long-standing raw-estimator
+    callers hash against. Relative error ~ 1.04/sqrt(m) large-range;
+    LC is tighter below the threshold."""
     groups = list(group_cols or [])
     m = params.m
     mass = F.expr("shiftleft(CAST(1 AS BIGINT), 62 - rho)").cast(
@@ -615,10 +637,26 @@ def hll_estimate(
         + (F.lit(m) - F.col("__nb")).cast("decimal(38,0)")
         * F.lit(1 << 62).cast("decimal(38,0)")
     )
-    return agg.select(
-        *groups,
-        (F.lit(params.numerator) / s.cast("double")).alias(out),
-        (F.lit(m) - F.col("__nb")).cast("int").alias("zero_registers"),
+    raw = F.lit(params.numerator) / s.cast("double")
+    zr = (F.lit(m) - F.col("__nb")).cast("int")
+    if not correct_small:
+        return agg.select(
+            *groups, raw.alias(out), zr.alias("zero_registers")
+        )
+    est0 = agg.select(
+        *groups, raw.alias("__raw"), zr.alias("zero_registers")
+    )
+    lut = registers.sparkSession.createDataFrame(
+        params.lc_table(), "zero_registers int, __lc double"
+    )
+    corrected = F.when(
+        (F.col("zero_registers") > 0)
+        & (F.col("__raw") <= F.lit(params.lc_threshold)),
+        F.col("__lc"),
+    ).otherwise(F.col("__raw"))
+    return (
+        est0.join(F.broadcast(lut), "zero_registers", "left")
+        .select(*groups, corrected.alias(out), "zero_registers")
     )
 
 
@@ -628,18 +666,27 @@ def hll_sql(
     params: HLLParams = HLLParams(),
     group_expr: str | None = None,
     out: str = "est_distinct",
+    correct_small: bool = False,
 ) -> str:
-    """DuckDB CTE chain re-deriving registers and the raw estimate —
+    """DuckDB CTE chain re-deriving registers and the estimate —
     emits CTEs ``hll_reg`` (g?, bucket, rho) and ``hll_est``
     (g?, est_distinct, zero_registers). bin() strips leading zeros in
     DuckDB exactly as Spark's conv(w, 10, 2) does, so the rho ranks
-    agree bit-for-bit."""
+    agree bit-for-bit. With ``correct_small`` it also emits ``hll_lc``
+    (v, lc) — the linear-counting lookup inlined as the SAME Python
+    repr literals ``hll_estimate(correct_small=True)`` ships to Spark —
+    and hll_est applies the corrected CASE; reuse hll_lc for any
+    further corrected estimate over merged registers."""
     m, wb = params.m, params.w_bits
     g_sel = f"{group_expr} AS g, " if group_expr else ""
     g_cols = "g, " if group_expr else ""
     g_grp_b = "GROUP BY g, bucket" if group_expr else "GROUP BY bucket"
     g_grp = "GROUP BY g" if group_expr else ""
-    return f"""
+    raw_expr = f"""{params.numerator!r} / CAST(
+               sum(CAST(1 AS BIGINT) << (62 - rho))
+               + ({m} - count(*)) * CAST(1 AS HUGEINT) * (CAST(1 AS BIGINT) << 62)
+               AS DOUBLE)"""
+    base = f"""
     hll_h AS (SELECT {g_sel}{_sql_key_hash(key)} AS h FROM {table}),
     hll_w AS (SELECT {g_cols}h % {m} AS bucket, h // {m} AS w FROM hll_h),
     hll_reg AS (
@@ -648,15 +695,39 @@ def hll_sql(
                            ELSE {wb} + 1 - length(bin(w)) END) AS INTEGER)
                AS rho
       FROM hll_w {g_grp_b}
+    )"""
+    if not correct_small:
+        return base + f""",
+    hll_est AS (
+      SELECT {g_cols}
+             {raw_expr} AS {out},
+             CAST({m} - count(*) AS INTEGER) AS zero_registers
+      FROM hll_reg {g_grp}
+    )
+    """
+    # CAST('<repr>' AS DOUBLE): a bare decimal literal would parse as
+    # DECIMAL, whose decimal->double conversion is not correctly
+    # rounded past 2^53 of scaled digits (observed 1-ulp drift);
+    # string->double is correctly rounded, and Python repr is shortest
+    # round-trip, so the parsed double is bit-identical to the Python
+    # float shipped to Spark.
+    lc_rows = ", ".join(
+        f"({v}, CAST('{lc!r}' AS DOUBLE))" for v, lc in params.lc_table()
+    )
+    return base + f""",
+    hll_lc(v, lc) AS (SELECT * FROM (VALUES {lc_rows}) t(v, lc)),
+    hll_raw AS (
+      SELECT {g_cols}
+             {raw_expr} AS raw,
+             CAST({m} - count(*) AS INTEGER) AS zero_registers
+      FROM hll_reg {g_grp}
     ),
     hll_est AS (
       SELECT {g_cols}
-             {params.numerator!r} / CAST(
-               sum(CAST(1 AS BIGINT) << (62 - rho))
-               + ({m} - count(*)) * CAST(1 AS HUGEINT) * (CAST(1 AS BIGINT) << 62)
-               AS DOUBLE) AS {out},
-             CAST({m} - count(*) AS INTEGER) AS zero_registers
-      FROM hll_reg {g_grp}
+             CASE WHEN zero_registers > 0 AND raw <= {params.lc_threshold!r}
+                  THEN lc ELSE raw END AS {out},
+             zero_registers
+      FROM hll_raw LEFT JOIN hll_lc ON hll_lc.v = hll_raw.zero_registers
     )
     """
 

@@ -2298,7 +2298,7 @@ from svoe_spark.operators.sketches import (  # noqa: E402
     hll_sql,
 )
 
-_HLL_USERS = HLLParams(p=6)
+_HLL_USERS = HLLParams(p=9)
 
 
 @query(
@@ -2306,21 +2306,28 @@ _HLL_USERS = HLLParams(p=6)
     f"""
     WITH {hll_sql('events', 'user_id', _HLL_USERS,
                   group_expr="strftime(ts, '%Y-%m-%d')",
-                  out='est_users')},
+                  out='est_users', correct_small=True)},
     days AS (SELECT DISTINCT g AS day FROM hll_reg),
     cum_reg AS (
       SELECT d.day, r.bucket, max(r.rho) AS rho
       FROM days d JOIN hll_reg r ON r.g <= d.day
       GROUP BY d.day, r.bucket
     ),
-    cum_est AS (
+    cum_raw AS (
       SELECT day,
              {_HLL_USERS.numerator!r} / CAST(
                sum(CAST(1 AS BIGINT) << (62 - rho))
                + ({_HLL_USERS.m} - count(*)) * CAST(1 AS HUGEINT)
                  * (CAST(1 AS BIGINT) << 62)
-               AS DOUBLE) AS est_users_to_date
+               AS DOUBLE) AS raw,
+             CAST({_HLL_USERS.m} - count(*) AS INTEGER) AS zr
       FROM cum_reg GROUP BY day
+    ),
+    cum_est AS (
+      SELECT day,
+             CASE WHEN zr > 0 AND raw <= {_HLL_USERS.lc_threshold!r}
+                  THEN lc ELSE raw END AS est_users_to_date
+      FROM cum_raw LEFT JOIN hll_lc ON hll_lc.v = cum_raw.zr
     ),
     tru AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
@@ -2338,8 +2345,15 @@ def approx_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle. est_users_to_date demonstrates the merge property as a
     RUNNING UNION: day D's registers are the register-wise max of every
     day <= D, re-estimated — a days x m sketch-sized join, independent
-    of data volume (estimates are exactly monotone: the register mass
-    only grows). Deterministic end-to-end, so the DuckDB oracle
+    of data volume (estimates are exactly monotone within a regime: the
+    register mass only grows and zero registers only fill; on these
+    fixtures the series never crosses the LC/raw switch). p=9 (m=512,
+    sigma ~4.6% large-range) with the SMALL-RANGE CORRECTION
+    (correct_small): when zero registers remain and the raw estimate is
+    <= 2.5m, linear counting m*ln(m/V) replaces it — the LC values are
+    m Python-computed literals (HLLParams.lc_table) shared verbatim by
+    both engines, because ln()'s last ulp is engine-specific while a
+    literal is not. Deterministic end-to-end, so the DuckDB oracle
     reproduces every estimate bit-for-bit — unlike engine-native HLLs
     (Spark's hll_sketch_agg / approx_count_distinct), whose HLL++
     internals are implementation-defined; the native forms live in
@@ -2353,7 +2367,10 @@ def approx_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     # volume) feeds the per-day estimate, the day axis, AND the running
     # union — one events scan builds all three subtrees
     reg = hll_build(e, "user_id", _HLL_USERS, group_cols=["day"]).persist()
-    est = hll_estimate(reg, _HLL_USERS, group_cols=["day"], out="est_users")
+    est = hll_estimate(
+        reg, _HLL_USERS, group_cols=["day"], out="est_users",
+        correct_small=True,
+    )
     days = reg.select("day").distinct()
     cum_reg = (
         days.withColumnRenamed("day", "__d")
@@ -2362,7 +2379,8 @@ def approx_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("rho").cast("int").alias("rho"))
     )
     cum = hll_estimate(
-        cum_reg, _HLL_USERS, group_cols=["day"], out="est_users_to_date"
+        cum_reg, _HLL_USERS, group_cols=["day"], out="est_users_to_date",
+        correct_small=True,
     ).drop("zero_registers")
     tru = e.groupBy("day").agg(
         F.count_distinct("user_id").cast("bigint").alias("exact_users")

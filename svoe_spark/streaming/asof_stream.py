@@ -103,7 +103,7 @@ def _norm_cols(
 
 def _tagged_union(
     left: DataFrame, right: DataFrame, on: str, by: str, cols: list[str]
-) -> tuple[DataFrame, list]:
+) -> tuple[DataFrame, list, list[bool]]:
     """One keyed stream: right rows side=0 (sorting BEFORE left rows at
     the same instant — a same-instant right is a backward match), left
     rows side=1, timestamps as exact unix micros, the right row's value
@@ -253,7 +253,16 @@ def asof_forward_stream(
     keep their native types. State per key: the last right (ts,
     values) + the pending left instants. Output: (by, on, *out);
     ``out`` defaults to 'fwd_value' for a single column, the columns'
-    own names for a list."""
+    own names for a list.
+
+    Ordering contract (tolerance mode): NULL-finalization uses the
+    GLOBAL event-time horizon (batch max + watermark), so it is exact
+    only under this module's globally event-time-ordered replay
+    contract (see module docstring). On a source that is merely
+    per-KEY ordered (e.g. multiple Kafka partitions), one key's
+    traffic would advance the horizon past another key's still-coming
+    rows and early-emit NULLs that batch semantics would match — run
+    tolerance mode only on globally ordered replays."""
     cols, names = _norm_cols(value_col, out, "fwd_value")
     tol_us = (
         None
@@ -369,7 +378,14 @@ def asof_nearest_stream(
     types. State per key: the last right (ts, values) + pending left
     instants, each with its (final) backward-candidate snapshot.
     Output: (by, on, *out); ``out`` defaults to 'nearest_value' for a
-    single column, the columns' own names for a list."""
+    single column, the columns' own names for a list.
+
+    Ordering contract (tolerance mode): deadline finalization uses the
+    GLOBAL event-time horizon (batch max + watermark), so it is exact
+    only under this module's globally event-time-ordered replay
+    contract (see module docstring); a merely per-key-ordered source
+    would finalize one key's pendings off another key's traffic — run
+    tolerance mode only on globally ordered replays."""
     cols, names = _norm_cols(value_col, out, "nearest_value")
     tol_us = (
         None

@@ -45,6 +45,37 @@ def test_flat_map_filter(spark):
     assert sorted(r["word"] for r in out) == ["a", "b", "c", "e"]
 
 
+def test_map_rows_mixed_schema(spark):
+    """map_rows — the Python-lambda compat verb — over a mixed
+    string+numeric schema with a NULL in play: rows cross as Arrow
+    batches (mapInPandas; zero .rdd in the package), but fn still
+    sees one plain-Python dict per row (None for NULL, int not
+    numpy.int64) and returns a dict per row."""
+    ctx = StreamingContext(spark)
+
+    def fn(rec):
+        assert rec["tag"] is None or isinstance(rec["tag"], str)
+        assert isinstance(rec["v"], int)
+        return {
+            "label": f"{rec['tag'] or 'none'}:{rec['v']}",
+            "doubled": 2 * rec["v"],
+            "ratio": rec["v"] / 4.0,
+        }
+
+    out = (
+        ctx.from_collection(
+            [("a", 1), (None, 2), ("b", 3)], schema="tag string, v long"
+        )
+        .map_rows(fn, "label string, doubled long, ratio double")
+        .sink_collect()
+    )
+    assert sorted(tuple(r) for r in out) == [
+        ("a:1", 2, 0.25),
+        ("b:3", 6, 0.75),
+        ("none:2", 4, 0.5),
+    ]
+
+
 def test_keyed_join(spark):
     ctx = StreamingContext(spark)
     left = ctx.from_collection(

@@ -57,17 +57,20 @@ def test_prefix_columns(trades):
 
 
 def test_approx_sketches_error_bound(spark, sf_mid):
-    """Relational-HLL estimates stay within the m=64 error envelope of
-    exact counts (sigma ~ 1.04/sqrt(64) = 13%; measured max 11.2% on
-    this fixture), and the running union is EXACTLY monotone — the
-    register-wise-max merge can only grow the register mass."""
+    """Relational-HLL estimates (p=9, small-range-corrected: linear
+    counting below raw 2.5m) stay within 10% of exact counts (measured
+    max 3.5% at sf0.01 — deep in the LC regime — and 7.3% at sf0.1,
+    the raw regime near the switch, vs the m=512 sigma of 4.6%), and
+    the running union is EXACTLY monotone — the register-wise-max
+    merge only grows the register mass and only fills zero registers,
+    and the fixture series never crosses the LC/raw switch."""
     from svoe_spark.all_queries import QUERIES
 
     rows = QUERIES["approx_distinct_daily"].fn(spark, sf_mid).collect()
     assert rows
     prev = 0.0
     for r in sorted(rows, key=lambda r: r["day"]):
-        assert abs(r["est_users"] - r["exact_users"]) <= 0.2 * r["exact_users"]
+        assert abs(r["est_users"] - r["exact_users"]) <= 0.1 * r["exact_users"]
         assert r["est_users_to_date"] >= prev  # exact monotonicity
         prev = r["est_users_to_date"]
 
