@@ -1330,12 +1330,48 @@ def round8_smoke(spark, results, force, n=100_000_000):
     shutil.rmtree(base, ignore_errors=True)
 
 
+def round9_smoke(spark, results, force, n_vec=2_000_000, dim=64, k=16, iters=3):
+    """Round-9 (VERDICT r8 ask 4): the deterministic relational Lloyd's
+    trainer at the family's standard ANN smoke scale — 2M x 64 synthetic
+    vectors, k=16 coarse centroids, 3 fixed rounds. Each round must be
+    ONE corpus scan (shuffle-free argmin projection + k x dim partial
+    agg; the plan gate lives in tests/test_plan_quality.py::
+    test_lloyd_assign_stage_is_shuffle_free) plus a k-row driver pull,
+    so s/round should track the scan cost, not k."""
+    from svoe_spark.operators.similarity import ivf_train_relational
+
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda j: F.sin(F.col("id") * 131 + j * 17),
+    )
+    emb = spark.range(n_vec).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    )
+    cents = None
+
+    def run():
+        nonlocal cents
+        cents = ivf_train_relational(emb, k=k, iters=iters)
+
+    total = timed(run, f"ivf_train_relational {n_vec//1_000_000}Mx{dim} k={k} x{iters}")
+    assert len(cents) == k and len(cents[0]) == dim
+    results[f"ivf_train_relational_{n_vec//1_000_000}M_total_sec"] = total
+    results[f"ivf_train_relational_{n_vec//1_000_000}M_sec_per_round"] = round(
+        total / iters, 2
+    )
+
+
 def main():
     spark = get_spark("scale_smoke")
     spark.sparkContext.setLogLevel("ERROR")
     force = lambda df: df.write.format("noop").mode("overwrite").save()  # noqa: E731
 
     only = os.environ.get("SMOKE_ONLY")
+    if only == "round9":
+        results = {}
+        round9_smoke(spark, results, force)
+        print(json.dumps(results))
+        return
     if only == "round8":
         results = {}
         round8_smoke(spark, results, force)

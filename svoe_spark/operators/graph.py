@@ -363,8 +363,13 @@ def pagerank(
     rank vector (and each round's tiny contribution relation) is
     broadcast, the degree pre-join is broadcast (no repartitioned edge
     copy is materialized), and only the contribution groupBy shuffles.
-    Arithmetic is untouched — results (and oracle hashes) are identical
-    by construction; this is a physical-strategy switch only. At the
+    The dangling total additionally FOLDS into the round's one action
+    as a global-window conditional sum over the (<= broadcast_nodes-
+    row) rank relation — no separate per-round scalar-total broadcast
+    job; the partitioned path keeps the two-aggregate form (a global
+    window would single-task a large rank vector). Arithmetic is
+    untouched — results (and oracle hashes) are identical by
+    construction; this is a physical-strategy switch only. At the
     500k default the broadcast rank vector is ~10 MB — the standard
     executor broadcast budget; pass 0 to force the partitioned path.
 
@@ -465,15 +470,19 @@ def pagerank(
         "node", "__is_src", "__dangling", init.cast("long").alias("rank_fp")
     )
 
+    new_rank = F.expr(
+        f"(CASE WHEN __is_src THEN {teleport}L ELSE 0L END)"
+        f" + ({damping_pct}L * (coalesce(in_sum, 0L)"
+        f" + (CASE WHEN __is_src THEN d_each ELSE 0L END)))"
+        f" div 100"
+    ).cast("long")
+    share = (
+        "rank_fp div outdeg"
+        if weight is None
+        else "CAST((CAST(rank_fp AS DECIMAL(38,0)) * w) div outdeg AS BIGINT)"
+    )
+
     def _round(ranks: DataFrame) -> DataFrame:
-        dangling = ranks.where(F.col("__dangling")).agg(
-            F.expr(f"coalesce(sum(rank_fp), 0L) div {ns}").alias("d_each")
-        )
-        share = (
-            "rank_fp div outdeg"
-            if weight is None
-            else "CAST((CAST(rank_fp AS DECIMAL(38,0)) * w) div outdeg AS BIGINT)"
-        )
         rank_rel = ranks.select("node", "rank_fp")
         contrib = (
             e_deg.join(
@@ -483,22 +492,41 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.expr(share)).alias("in_sum"))
         )
+        if small:
+            # fold the dangling total into the round's one action: a
+            # global window over the (cached, <= broadcast_nodes-row)
+            # rank relation computes d_each in the SAME pass that
+            # feeds the output join — no separate scalar-total
+            # broadcast job per round. ranks carries every node, so it
+            # replaces nodes as the join base; the single-partition
+            # window exchange is bounded by the small-mode gate. Same
+            # integer expression -> bit-identical ranks.
+            rk = ranks.withColumn(
+                "d_each",
+                F.expr(
+                    f"coalesce(sum(CASE WHEN __dangling THEN rank_fp END)"
+                    f" OVER (), 0L) div {ns}"
+                ),
+            )
+            return (
+                rk.join(F.broadcast(contrib), "node", "left")
+                .select(
+                    "node", "__is_src", "__dangling",
+                    new_rank.alias("rank_fp"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        dangling = ranks.where(F.col("__dangling")).agg(
+            F.expr(f"coalesce(sum(rank_fp), 0L) div {ns}").alias("d_each")
+        )
         return (
-            nodes.join(F.broadcast(contrib) if small else contrib,
-                       "node", "left")
+            nodes.join(contrib, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 "__is_src",
                 "__dangling",
-                F.expr(
-                    f"(CASE WHEN __is_src THEN {teleport}L ELSE 0L END)"
-                    f" + ({damping_pct}L * (coalesce(in_sum, 0L)"
-                    f" + (CASE WHEN __is_src THEN d_each ELSE 0L END)))"
-                    f" div 100"
-                )
-                .cast("long")
-                .alias("rank_fp"),
+                new_rank.alias("rank_fp"),
             )
             .localCheckpoint(eager=False)
         )
@@ -575,7 +603,9 @@ def hits(
     ignored. The round count is exposed as ``_svoe_hits_rounds``.
 
     Scale shape: each iteration is two edge-relation equi-joins + two
-    map-side-combined decimal sums + two broadcast scalar totals.
+    map-side-combined decimal sums + two scalar totals (folded into
+    the half-step's own relation in broadcast mode, separate broadcast
+    aggregates in partitioned mode — see below).
     Large graphs persist the edge relation TWICE — one copy
     hash-partitioned by src, one by dst — so each half-step's join
     elides the edge-side exchange and only the score vector moves
@@ -588,12 +618,18 @@ def hits(
     rounds run as broadcast hash joins over the single cached edge
     relation (score vector and per-round contribution relation
     broadcast), identical arithmetic and hashes by construction; pass
-    0 to force the partitioned path. Lineage truncated per half-step
-    with lazy localCheckpoints. (A round-8 experiment folding the L1
-    total into the contribution agg via rollup + checkpoint looked
-    free but made run-to-fixpoint exponentially slower per round —
-    the checkpoint/rollup interaction defeats per-round lineage
-    truncation; the two-aggregate form is deliberate.)
+    0 to force the partitioned path. In this mode the L1 total also
+    FOLDS into the contribution relation as a global-window sum (round
+    9): the separate scalar-total broadcast re-evaluated the whole
+    unpersisted edge-join subtree, so each half-step paid the join
+    twice; the partitioned path keeps the two-aggregate form (a global
+    window would single-task a large score vector). Lineage truncated
+    per half-step with lazy localCheckpoints. (A round-8 experiment
+    folding the L1 total into the contribution AGGREGATE via rollup +
+    checkpoint looked free but made run-to-fixpoint exponentially
+    slower per round — the checkpoint/rollup interaction defeats
+    per-round lineage truncation; the window fold rides a projection
+    instead and leaves the aggregate alone — fixpoint tests pin it.)
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
@@ -635,6 +671,12 @@ def hits(
     hub = nodes.select("node", F.lit(scale // n).cast("long").alias("hub_fp"))
     auth = nodes.select("node", F.lit(0).cast("long").alias("auth_fp"))
 
+    rescale = (
+        f"CAST(CASE WHEN __t > 0 THEN "
+        f"(coalesce(__raw, CAST(0 AS DECIMAL(38,0))) * {scale}) div __t "
+        f"ELSE 0 END AS BIGINT)"
+    )
+
     def _half(scores: DataFrame, score_col: str, join_on: str, group_as: str, out: str) -> DataFrame:
         eb = e_by[join_on]
         raw = (
@@ -647,18 +689,32 @@ def hits(
                 F.sum(F.col(score_col).cast("decimal(38,0)")).alias("__raw")
             )
         )
+        if small:
+            # fold the L1 total into the raw relation itself: a global
+            # window over the (<= broadcast_nodes-row) aggregate adds
+            # __t in the same pass, so the half-step broadcasts ONE
+            # relation and the edge-join subtree is evaluated once —
+            # the separate `total` broadcast re-evaluated the whole
+            # unpersisted edge join per half-step. A node absent from
+            # raw has NULL __t after the left join, but its __raw is
+            # NULL too, so the rescale is 0 either way (WHEN NULL > 0
+            # falls to ELSE 0; the fold is bit-identical). This is NOT
+            # the round-8 rollup pathology (that folded a total into
+            # the per-round AGGREGATE under run-to-fixpoint
+            # checkpoints); the window rides a single projection.
+            rawt = raw.withColumn(
+                "__t", F.expr("sum(__raw) OVER ()")
+            )
+            return (
+                nodes.join(F.broadcast(rawt), "node", "left")
+                .select("node", F.expr(rescale).alias(out))
+                .localCheckpoint(eager=False)
+            )
         total = raw.agg(F.sum("__raw").alias("__t"))
         return (
-            nodes.join(F.broadcast(raw) if small else raw, "node", "left")
+            nodes.join(raw, "node", "left")
             .crossJoin(F.broadcast(total))
-            .select(
-                "node",
-                F.expr(
-                    f"CAST(CASE WHEN __t > 0 THEN "
-                    f"(coalesce(__raw, CAST(0 AS DECIMAL(38,0))) * {scale}) div __t "
-                    f"ELSE 0 END AS BIGINT)"
-                ).alias(out),
-            )
+            .select("node", F.expr(rescale).alias(out))
             .localCheckpoint(eager=False)
         )
 

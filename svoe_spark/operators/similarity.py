@@ -266,6 +266,43 @@ def _lit_long_nested(arr: list[list[int]]) -> Column:
     return F.expr(f"array({body})")
 
 
+def _lloyd_round_sums(q: DataFrame, cents: list, dim: int) -> DataFrame:
+    """One Lloyd's round's pre-pull relation over the quantized corpus
+    ``q`` (__id, qv): assign each vector to its nearest centroid (the
+    K-literal squared-euclidean argmin, ties to the lowest id — a pure
+    projection, NO shuffle below it; plan-gated by
+    tests/test_plan_quality.py::test_lloyd_assign_stage_is_shuffle_free)
+    and partial-aggregate (count, per-dim coordinate sums) into k rows.
+    The single Exchange in the plan is the final k-row agg merge."""
+    cb = _lit_long_nested(cents)
+    scored = F.transform(
+        F.sequence(F.lit(1), F.lit(len(cents))),
+        lambda j: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"),
+                    F.element_at(cb, j),
+                    lambda x, c: (x - c) * (x - c),
+                ),
+                F.lit(0).cast("long"),
+                lambda a, v: a + v,
+            ).alias("dist"),
+            j.alias("cid"),
+        ),
+    )
+    return (
+        q.select((F.array_min(scored)["cid"] - 1).alias("cid"), "qv")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.element_at("qv", i + 1)).alias(f"s{i}")
+                for i in range(dim)
+            ],
+        )
+    )
+
+
 def ivf_train_relational(
     vectors: DataFrame,
     k: int = 16,
@@ -312,33 +349,7 @@ def ivf_train_relational(
         cents = [list(r["qv"]) for r in seed_rows]
         dim = len(cents[0])
         for _ in range(iters):
-            cb = _lit_long_nested(cents)
-            scored = F.transform(
-                F.sequence(F.lit(1), F.lit(len(cents))),
-                lambda j: F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("qv"),
-                            F.element_at(cb, j),
-                            lambda x, c: (x - c) * (x - c),
-                        ),
-                        F.lit(0).cast("long"),
-                        lambda a, v: a + v,
-                    ).alias("dist"),
-                    j.alias("cid"),
-                ),
-            )
-            sums = (
-                q.select((F.array_min(scored)["cid"] - 1).alias("cid"), "qv")
-                .groupBy("cid")
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    *[
-                        F.sum(F.element_at("qv", i + 1)).alias(f"s{i}")
-                        for i in range(dim)
-                    ],
-                )
-            )
+            sums = _lloyd_round_sums(q, cents, dim)
             nxt = list(cents)
             for r in sums.collect():  # bounded: k rows (the codebook)
                 n = int(r["n"])

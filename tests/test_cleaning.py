@@ -137,6 +137,7 @@ def test_token_rarity_hand_computed(spark):
     assert out[1].n_rare_tokens == 1
 
 
+@pytest.mark.heavy  # round-9 quick-tier trim: ptest.py/round-close still run it
 def test_text_ops_survive_unicode(spark):
     """The fixtures are ASCII, but operators must not crash (and must
     stay deterministic) on unicode input: multibyte tokens, emoji,

@@ -96,6 +96,7 @@ def test_backtest_param_grid_equals_sequential_runs(spark, sine_df):
         run_backtest_grid(two, "mid_price", grid=[])
 
 
+@pytest.mark.heavy  # round-9 quick-tier trim: ptest.py/round-close still run it
 def test_trainer_end_to_end(spark):
     cfg = {
         "data_source": {

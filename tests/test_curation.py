@@ -294,6 +294,7 @@ def test_pps_sample_heavy_row_certainty_zero_never(spark):
     assert len(got) <= 5
 
 
+@pytest.mark.heavy  # round-9 quick-tier trim: ptest.py/round-close still run it
 def test_pps_sample_inclusion_proportional_to_weight(spark):
     import collections
 

@@ -14,6 +14,12 @@ from pyspark.sql import Row
 from svoe_spark.functions.text import P_HASH
 from svoe_spark.operators.dedup import minhash_dedup_pairs
 
+import pytest
+
+pytestmark = pytest.mark.heavy  # round-9 quick-tier trim: the
+# hypothesis differential suites run via scripts/ptest.py and the
+# round-close sweep
+
 _slow = settings(
     max_examples=8,
     deadline=None,

@@ -195,6 +195,7 @@ def test_zero_norm_embeddings_do_not_poison_similarity(spark):
     assert (2, 3) not in ids  # zero-zero pair scores 0, below threshold
 
 
+@pytest.mark.heavy  # round-9 quick-tier trim: ptest.py/round-close still run it
 def test_round4_tail_ops_on_empty(spark):
     from svoe_spark.operators.cleaning import chunk_freq_dedup
     from svoe_spark.operators.dedup_index import index_tables, probe_index
@@ -310,6 +311,7 @@ def test_train_quality_classifier_rejects_empty(spark):
         train_quality_classifier(labeled, "label")
 
 
+@pytest.mark.heavy  # round-9 quick-tier trim: ptest.py/round-close still run it
 def test_round6c_operators_on_empty_inputs(spark):
     """Every round-6c operator must return an empty (or vacuous)
     result on empty input — never throw ANSI DIVIDE_BY_ZERO or crash

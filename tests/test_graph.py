@@ -1,6 +1,7 @@
 """connected_components / dedup_clusters semantics on crafted graphs
 (the parity suite covers the fixture-scale recursive-CTE oracle)."""
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -22,6 +23,7 @@ def test_cc_two_components_and_chain(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+@pytest.mark.heavy  # round-9 quick-tier trim: ptest.py/round-close still run it
 def test_cc_long_chain_converges(spark):
     n = 12
     comp = {
@@ -111,6 +113,7 @@ def test_twostar_string_ids(spark):
     assert comp == {"docA": "docA", "docB": "docA", "docC": "docA"}
 
 
+@pytest.mark.heavy  # round-9 quick-tier trim: ptest.py/round-close still run it
 def test_twostar_path_graph_10k_converges(spark):
     """Diameter 9999 — propagation alone would need ~10k rounds; the
     two-star algorithm must converge in O(log^2 n) large/small rounds
@@ -130,6 +133,7 @@ def test_twostar_path_graph_10k_converges(spark):
     assert agg["n"] == n and agg["ncomp"] == 1 and agg["mx"] == 0
 
 
+@pytest.mark.heavy  # round-9 quick-tier trim: ptest.py/round-close still run it
 def test_auto_switch_long_chain(spark):
     """A 60-node chain exceeds the default switch_after budget: the
     auto path must hand off to two-star and still return the full,

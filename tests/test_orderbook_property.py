@@ -9,10 +9,16 @@ import datetime as dt
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+import pytest
+
 from svoe_spark.operators.orderbook import (
     reconstruct_book,
     reconstruct_book_bucketed,
 )
+
+pytestmark = pytest.mark.heavy  # round-9 quick-tier trim: the
+# hypothesis differential suite runs via scripts/ptest.py and the
+# round-close sweep
 
 BASE = dt.datetime(2024, 1, 1)
 

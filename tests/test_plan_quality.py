@@ -478,3 +478,48 @@ def test_dq_report_single_aggregate_scan(plans):
     p = plans("dq_orders_report")
     locs = [l for l in p.splitlines() if "orders.parquet" in l]
     assert 1 <= len(locs) <= 3, (len(locs), locs)
+
+
+def test_lloyd_assign_stage_is_shuffle_free(spark, sf_mid):
+    """ivf_train_relational's per-round relation (_lloyd_round_sums):
+    the argmin assign stage must be a pure projection riding the scan
+    — the plan's ONLY Exchange is the k-row partial-agg merge ABOVE
+    the argmin projection, so each training round is one corpus scan
+    however large the corpus (VERDICT r8 ask 4's plan gate)."""
+    from pyspark.sql import functions as F
+
+    from svoe_spark.functions.text import md5_hash
+    from svoe_spark.operators.similarity import (
+        _ivf_quant,
+        _lloyd_round_sums,
+        ivf_train_relational,
+    )
+    from svoe_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_mid)
+    q = emb.select(
+        F.col("vec_id").alias("__id"),
+        _ivf_quant("embedding").alias("qv"),
+        md5_hash(F.col("vec_id").cast("string")).alias("__h"),
+    )
+    dim = len(emb.select("embedding").first()["embedding"])
+    cents = [[0] * dim for _ in range(4)]
+    import re
+
+    p = plan_of(_lloyd_round_sums(q, cents, dim))
+    # exactly one Exchange NODE (the formatted plan repeats each node
+    # heading in the detail section): the final merge of the k partial
+    # rows
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    # and it is the agg merge (hash on cid), not a scan-side shuffle
+    assert "hashpartitioning(cid" in p, p
+    # the argmin projection + partial aggregate sit BELOW it: the
+    # partial HashAggregate appears before the Exchange in execution
+    # order (formatted plans list operators leaves-first per subtree)
+    lines = p.splitlines()
+    first_exchange = next(i for i, l in enumerate(lines) if "Exchange" in l)
+    below = "\n".join(lines[first_exchange:])
+    assert "array_min" in below, p  # argmin rides the scan stage
+    # end-to-end: the trainer still converges on the real fixture
+    cents = ivf_train_relational(emb, k=4, iters=1)
+    assert len(cents) == 4 and len(cents[0]) == dim

@@ -172,6 +172,7 @@ def test_bounds_string_literals_are_sql_escaped(spark, tmp_path):
         qc.in_set("b", [True])
 
 
+@pytest.mark.heavy  # round-9 quick-tier trim: ptest.py/round-close still run it
 def test_run_checks_streaming_complete_equals_batch(spark, tmp_path):
     """The same constraint list compiled over a STREAM (cumulative,
     complete output) must converge to the batch report exactly — the

@@ -15,6 +15,7 @@ from svoe_spark.operators.rollup import (
     rollup_bars,
 )
 from svoe_spark.queries import ticks
+import pytest
 
 
 def _sorted_rows(df):
@@ -128,6 +129,7 @@ def test_crash_between_write_and_commit_log_not_double_counted(
     assert _sorted_rows(store.read()) == snap  # ...but nothing re-merged
 
 
+@pytest.mark.heavy  # round-9 quick-tier trim: ptest.py/round-close still run it
 def test_partial_crash_merges_only_unswapped_days(spark, sf_small, tmp_path):
     """A crash mid-write can leave SOME touched days swapped: replay
     must merge only the days the crashed attempt did not stamp."""

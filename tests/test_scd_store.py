@@ -3,6 +3,7 @@ scd.py). scd2_compress/merge semantics are pinned in test_scd.py; these
 tests pin the store path — incremental == full recompute, touched-
 bucket-only rewrites, streaming maintenance, replay idempotence."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from svoe_spark.operators.scd import (
@@ -99,6 +100,7 @@ def test_refresh_warns_when_batch_scatters_across_buckets(
     assert len(touched) == 1
 
 
+@pytest.mark.heavy  # round-9 quick-tier trim: ptest.py/round-close still run it
 def test_streaming_maintenance_equals_batch(spark, sf_small, tmp_path):
     import time
 

@@ -83,6 +83,7 @@ def test_trailing_stddev_stream_equals_batch(spark, sf_small, tick_parquet):
     assert mismatches == 0
 
 
+@pytest.mark.heavy  # round-9 quick-tier trim: ptest.py/round-close still run it
 def test_orderbook_stream_equals_batch(spark, sf_small, tmp_path):
     import time
 

@@ -132,18 +132,21 @@ def _stream_vs_batch(spark, sf_small, asof_parquet, kind, tolerance=None):
     return got, want
 
 
+@pytest.mark.heavy  # round-9 quick-tier trim: ptest.py/round-close still run it
 def test_asof_forward_stream_equals_batch(spark, sf_small, asof_parquet):
     got, want = _stream_vs_batch(spark, sf_small, asof_parquet, "forward")
     assert got == want and len(got) > 100
     assert any(v is not None for *_, v in got)
 
 
+@pytest.mark.heavy  # round-9 quick-tier trim: ptest.py/round-close still run it
 def test_asof_nearest_stream_equals_batch(spark, sf_small, asof_parquet):
     got, want = _stream_vs_batch(spark, sf_small, asof_parquet, "nearest")
     assert got == want and len(got) > 100
     assert any(v is not None for *_, v in got)
 
 
+@pytest.mark.heavy  # round-9 quick-tier trim: ptest.py/round-close still run it
 def test_asof_nearest_stream_tolerance_nulls_match_batch(
     spark, sf_small, asof_parquet
 ):
@@ -157,6 +160,7 @@ def test_asof_nearest_stream_tolerance_nulls_match_batch(
     assert any(v is not None for *_, v in got)
 
 
+@pytest.mark.heavy  # round-9 quick-tier trim: ptest.py/round-close still run it
 def test_asof_forward_stream_tolerance_nulls_match_batch(
     spark, sf_small, asof_parquet
 ):
@@ -183,6 +187,7 @@ def test_asof_nearest_stream_survives_tiny_arrow_chunks(
         spark.conf.set(key, old)
 
 
+@pytest.mark.heavy  # round-9 quick-tier trim: ptest.py/round-close still run it
 def test_asof_nearest_stream_multi_value_whole_row(
     spark, sf_small, asof_parquet, tmp_path
 ):
@@ -278,6 +283,7 @@ def test_asof_nearest_hand_case_tiebreak_and_exact_match(spark, tmp_path):
     assert got == [("k", 200, 1.0), ("k", 300, 2.0)]
 
 
+@pytest.mark.heavy  # round-9 quick-tier trim: ptest.py/round-close still run it
 def test_asof_forward_stream_quiet_right_key_finalizes(spark, tmp_path):
     """State bounding under tolerance (VERDICT r7 ask 4): a key whose
     right stream goes QUIET must not hold its pending lefts forever —
@@ -332,6 +338,7 @@ def test_asof_forward_stream_quiet_right_key_finalizes(spark, tmp_path):
     assert run(None) == [("a", 400, 500.0)]
 
 
+@pytest.mark.heavy  # round-9 quick-tier trim: ptest.py/round-close still run it
 def test_asof_nearest_stream_quiet_key_backward_within_tolerance(
     spark, tmp_path
 ):

@@ -29,6 +29,7 @@ CFG = {
 }
 
 
+@pytest.mark.heavy  # round-9 quick-tier trim: ptest.py/round-close still run it
 def test_streaming_flagship_equals_batch(spark, sf_small, tmp_path):
     cfg = {**CFG, "data_source": {**CFG["data_source"], "sf_dir": sf_small}}
     fls = Featurizer(spark).run(cfg)

@@ -162,6 +162,7 @@ def test_search_refine_default_shortlist_is_operating_point(
     assert got == want and len(got) == 5
 
 
+@pytest.mark.heavy  # round-9 quick-tier trim: ptest.py/round-close still run it
 def test_search_batch_matches_per_query_search(spark, emb, cents, cbs, tmp_path):
     """Batch search over the stored lake == per-query search_ivfpq_index,
     row for row, with and without the refine stage."""
