@@ -646,18 +646,16 @@ def hll_estimate(
     est0 = agg.select(
         *groups, raw.alias("__raw"), zr.alias("zero_registers")
     )
-    lut = registers.sparkSession.createDataFrame(
-        params.lc_table(), "zero_registers int, __lc double"
-    )
+    # LC lookup as a literal array + element_at (1-based, V in 1..m):
+    # one expression, no broadcast join / extra job — the join form
+    # measured ~1s of per-query cold latency per estimate call
+    lc_arr = F.array(*[F.lit(lc) for _, lc in params.lc_table()])
     corrected = F.when(
         (F.col("zero_registers") > 0)
         & (F.col("__raw") <= F.lit(params.lc_threshold)),
-        F.col("__lc"),
+        F.element_at(lc_arr, F.col("zero_registers")),
     ).otherwise(F.col("__raw"))
-    return (
-        est0.join(F.broadcast(lut), "zero_registers", "left")
-        .select(*groups, corrected.alias(out), "zero_registers")
-    )
+    return est0.select(*groups, corrected.alias(out), "zero_registers")
 
 
 def hll_sql(
@@ -710,12 +708,13 @@ def hll_sql(
     # rounded past 2^53 of scaled digits (observed 1-ulp drift);
     # string->double is correctly rounded, and Python repr is shortest
     # round-trip, so the parsed double is bit-identical to the Python
-    # float shipped to Spark.
-    lc_rows = ", ".join(
-        f"({v}, CAST('{lc!r}' AS DOUBLE))" for v, lc in params.lc_table()
+    # float shipped to Spark. One 1-row list CTE, indexed 1-based by
+    # zero_registers — mirrors Spark's literal-array element_at.
+    lc_list = ", ".join(
+        f"CAST('{lc!r}' AS DOUBLE)" for _, lc in params.lc_table()
     )
     return base + f""",
-    hll_lc(v, lc) AS (SELECT * FROM (VALUES {lc_rows}) t(v, lc)),
+    hll_lc AS (SELECT [{lc_list}] AS lcs),
     hll_raw AS (
       SELECT {g_cols}
              {raw_expr} AS raw,
@@ -725,9 +724,9 @@ def hll_sql(
     hll_est AS (
       SELECT {g_cols}
              CASE WHEN zero_registers > 0 AND raw <= {params.lc_threshold!r}
-                  THEN lc ELSE raw END AS {out},
+                  THEN list_extract(lcs, zero_registers) ELSE raw END AS {out},
              zero_registers
-      FROM hll_raw LEFT JOIN hll_lc ON hll_lc.v = hll_raw.zero_registers
+      FROM hll_raw CROSS JOIN hll_lc
     )
     """
 

@@ -2343,8 +2343,8 @@ _HLL_USERS = HLLParams(p=9)
     cum_est AS (
       SELECT day,
              CASE WHEN zr > 0 AND raw <= {_HLL_USERS.lc_threshold!r}
-                  THEN lc ELSE raw END AS est_users_to_date
-      FROM cum_raw LEFT JOIN hll_lc ON hll_lc.v = cum_raw.zr
+                  THEN list_extract(lcs, zr) ELSE raw END AS est_users_to_date
+      FROM cum_raw CROSS JOIN hll_lc
     ),
     tru AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
