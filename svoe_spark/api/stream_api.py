@@ -67,33 +67,32 @@ class DataStream:
     def map_rows(self, fn: Callable[[Any], Any], schema) -> "DataStream":
         """Python-lambda map — the SLOW path (per-row Python), kept for
         reference-API parity; prefer .map with Column expressions. The
-        transport is Arrow-batched mapInPandas (rows cross as pandas
-        batches, fn still sees one dict per row and returns a dict per
-        row) — no RDD round-trip, and it works on streaming DataFrames
-        too, which .rdd never did."""
-        import pandas as pd
+        transport is Arrow-batched mapInArrow (rows cross as Arrow
+        record batches, fn still sees one plain-Python dict per row and
+        returns a dict per row) — no RDD round-trip, and it works on
+        streaming DataFrames too, which .rdd never did. Arrow (not
+        pandas) on BOTH sides is load-bearing for Row.asDict fidelity:
+        a pandas float64 batch cannot distinguish NULL from a genuine
+        NaN, and an int64 batch containing a NULL degrades every value
+        in it to float (rounding past 2^53); Arrow's to_pylist gives
+        exact Python ints, None for NULL, and nan only for real NaNs."""
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
 
         out_df = self.df.sparkSession.createDataFrame([], schema=schema)
         out_cols = out_df.columns
+        pa_schema = to_arrow_schema(out_df.schema)
 
         def run(batches):
-            for pdf in batches:
-                # NULLs arrive as NaN/NaT and numerics as numpy
-                # scalars; normalize to the None / Python scalars
-                # Row.asDict gave so fn sees the same dicts as before
-                pdf = pdf.astype(object).where(pdf.notna(), None)
-                rows = [
-                    fn({k: v.item() if hasattr(v, "item") else v
-                        for k, v in rec.items()})
-                    for rec in pdf.to_dict(orient="records")
-                ]
-                yield pd.DataFrame(
-                    {c: [r.get(c) for r in rows] for c in out_cols},
-                    dtype="object",
+            for batch in batches:
+                rows = [fn(rec) for rec in batch.to_pylist()]
+                yield pa.RecordBatch.from_pylist(
+                    [{c: r.get(c) for c in out_cols} for r in rows],
+                    schema=pa_schema,
                 )
 
         return DataStream(
-            self.df.mapInPandas(run, out_df.schema), self._key
+            self.df.mapInArrow(run, out_df.schema), self._key
         )
 
     def flat_map(self, col: Column | str, alias: str = "value") -> "DataStream":

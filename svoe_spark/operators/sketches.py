@@ -546,14 +546,14 @@ class HLLParams:
         # linear counting. m is a power of two, so the literal is exact.
         return 2.5 * self.m
 
-    def lc_table(self) -> list[tuple[int, float]]:
-        """Linear-counting lookup: V (zero registers, 1..m) ->
-        m*ln(m/V), each value computed ONCE here in Python and embedded
-        as a literal on both engines. ln() is the one operation whose
-        last ulp differs across engines — a shared literal cannot. The
-        table is m rows (sketch-sized), broadcast/inlined, never
-        data-proportional."""
-        return [(v, self.m * math.log(self.m / v)) for v in range(1, self.m + 1)]
+    def lc_table(self) -> list[float]:
+        """Linear-counting lookup, 1-based by V (zero registers):
+        element i-1 holds m*ln(m/(i)), each value computed ONCE here in
+        Python and embedded as a literal on both engines. ln() is the
+        one operation whose last ulp differs across engines — a shared
+        literal cannot. m doubles (sketch-sized), inlined as a literal
+        array, never data-proportional."""
+        return [self.m * math.log(self.m / v) for v in range(1, self.m + 1)]
 
 
 def hll_build(
@@ -617,11 +617,13 @@ def hll_estimate(
     estimate is <= 2.5m, linear counting m*ln(m/V) replaces it. ln()
     is the one operation whose last ulp differs across engines, so the
     LC values come from ``params.lc_table()`` — m Python-computed
-    literals broadcast-joined on V, bit-identical to the same literals
-    inlined in the SQL oracle (``hll_sql(correct_small=True)``).
-    Default off: the raw form is what the long-standing raw-estimator
-    callers hash against. Relative error ~ 1.04/sqrt(m) large-range;
-    LC is tighter below the threshold."""
+    literals carried as ONE literal array indexed by element_at(V)
+    (no join, no broadcast job), bit-identical to the same literals
+    inlined as a list CTE in the SQL oracle
+    (``hll_sql(correct_small=True)``). Default off: the raw form is
+    what the long-standing raw-estimator callers hash against.
+    Relative error ~ 1.04/sqrt(m) large-range; LC is tighter below
+    the threshold."""
     groups = list(group_cols or [])
     m = params.m
     mass = F.expr("shiftleft(CAST(1 AS BIGINT), 62 - rho)").cast(
@@ -649,7 +651,7 @@ def hll_estimate(
     # LC lookup as a literal array + element_at (1-based, V in 1..m):
     # one expression, no broadcast join / extra job — the join form
     # measured ~1s of per-query cold latency per estimate call
-    lc_arr = F.array(*[F.lit(lc) for _, lc in params.lc_table()])
+    lc_arr = F.array(*[F.lit(lc) for lc in params.lc_table()])
     corrected = F.when(
         (F.col("zero_registers") > 0)
         & (F.col("__raw") <= F.lit(params.lc_threshold)),
@@ -671,10 +673,12 @@ def hll_sql(
     (g?, est_distinct, zero_registers). bin() strips leading zeros in
     DuckDB exactly as Spark's conv(w, 10, 2) does, so the rho ranks
     agree bit-for-bit. With ``correct_small`` it also emits ``hll_lc``
-    (v, lc) — the linear-counting lookup inlined as the SAME Python
-    repr literals ``hll_estimate(correct_small=True)`` ships to Spark —
-    and hll_est applies the corrected CASE; reuse hll_lc for any
-    further corrected estimate over merged registers."""
+    — a 1-row CTE holding the linear-counting lookup as one list
+    column ``lcs`` (1-based list_extract by zero_registers; the SAME
+    Python repr literals ``hll_estimate(correct_small=True)`` ships to
+    Spark as a literal array) — and hll_est applies the corrected
+    CASE; CROSS JOIN hll_lc for any further corrected estimate over
+    merged registers."""
     m, wb = params.m, params.w_bits
     g_sel = f"{group_expr} AS g, " if group_expr else ""
     g_cols = "g, " if group_expr else ""
@@ -711,7 +715,7 @@ def hll_sql(
     # float shipped to Spark. One 1-row list CTE, indexed 1-based by
     # zero_registers — mirrors Spark's literal-array element_at.
     lc_list = ", ".join(
-        f"CAST('{lc!r}' AS DOUBLE)" for _, lc in params.lc_table()
+        f"CAST('{lc!r}' AS DOUBLE)" for lc in params.lc_table()
     )
     return base + f""",
     hll_lc AS (SELECT [{lc_list}] AS lcs),

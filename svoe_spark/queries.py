@@ -1282,29 +1282,29 @@ _OB_OPS_CRYPTOFEED = """
 """
 
 
-_L2_UPDATES_CACHE: dict = {}
-
-
 def _l2_updates_cryptotick(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-keyed parsed cryptotick update stream — the _mh_pairs
     discipline applied to the order-book family: `orderbook_snapshots`
     and `orderbook_snapshots_bucketed` both start from the SAME events
     scan + JSON parse + order-struct build (synthetic_l2_updates with
     the event_id tie-break), so it is parsed and persisted once per
-    (session, sf_dir) and each engine replays from the cached relation
-    (the auto engine's key profile and the bucketed engine's
-    segment/fold passes all hit cache too). The cryptofeed dialect
-    builds different orders/flags and stays separate."""
-    got = _L2_UPDATES_CACHE.get(sf_dir)
-    if got is not None and got[0] is spark:
-        return got[1]
-    from svoe_spark.operators.orderbook import synthetic_l2_updates
+    (session, sf_dir) via the shared `_cached_chain` memo and each
+    engine replays from the cached relation (the auto engine's key
+    profile and the bucketed engine's segment/fold passes all hit
+    cache too). The cryptofeed dialect builds different orders/flags
+    and stays separate."""
+    # lazy import: queries_llm imports from this module at package
+    # init, so the reuse must dodge the cycle
+    from svoe_spark.queries_llm import _cached_chain
 
-    updates = synthetic_l2_updates(
-        load_table(spark, "events", sf_dir), passthrough=("event_id",)
-    ).persist()
-    _L2_UPDATES_CACHE[sf_dir] = (spark, updates)
-    return updates
+    def build():
+        from svoe_spark.operators.orderbook import synthetic_l2_updates
+
+        return synthetic_l2_updates(
+            load_table(spark, "events", sf_dir), passthrough=("event_id",)
+        ).persist()
+
+    return _cached_chain(spark, sf_dir, "l2-updates-cryptotick", build)
 
 
 @query("orderbook_snapshots", _orderbook_oracle(_OB_EV, _OB_OPS_CRYPTOTICK), bench=True)

@@ -48,7 +48,7 @@ def test_flat_map_filter(spark):
 def test_map_rows_mixed_schema(spark):
     """map_rows — the Python-lambda compat verb — over a mixed
     string+numeric schema with a NULL in play: rows cross as Arrow
-    batches (mapInPandas; zero .rdd in the package), but fn still
+    batches (mapInArrow; zero .rdd in the package), but fn still
     sees one plain-Python dict per row (None for NULL, int not
     numpy.int64) and returns a dict per row."""
     ctx = StreamingContext(spark)
@@ -74,6 +74,41 @@ def test_map_rows_mixed_schema(spark):
         ("b:3", 6, 0.75),
         ("none:2", 4, 0.5),
     ]
+
+
+def test_map_rows_row_asdict_fidelity(spark):
+    """The Row.asDict fidelity contract the .rdd path gave, pinned
+    against the two pandas-transport failure modes the round-9 review
+    caught: (1) a long column whose batch contains a NULL must still
+    deliver exact Python ints (pandas would degrade the batch to
+    float64, rounding past 2^53); (2) a genuine NaN double is NOT a
+    NULL — fn must see nan for the value and None only for SQL NULL."""
+    import math
+
+    ctx = StreamingContext(spark)
+    big = (1 << 53) + 1  # not representable in float64
+
+    def fn(rec):
+        assert rec["v"] is None or isinstance(rec["v"], int), rec
+        return {
+            "v_out": rec["v"],
+            "kind": (
+                "null" if rec["f"] is None
+                else "nan" if math.isnan(rec["f"])
+                else "num"
+            ),
+        }
+
+    out = (
+        ctx.from_collection(
+            [(big, 1.5), (None, None), (3, float("nan"))],
+            schema="v long, f double",
+        )
+        .map_rows(fn, "v_out long, kind string")
+        .sink_collect()
+    )
+    got = {r["kind"]: r["v_out"] for r in out}
+    assert got == {"num": big, "null": None, "nan": 3}
 
 
 def test_keyed_join(spark):
