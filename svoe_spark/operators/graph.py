@@ -280,6 +280,122 @@ def dedup_clusters(
     )
 
 
+class GraphAux:
+    """Prebuilt, persisted graph-side relations shared across rankings
+    over the SAME edge relation — the decoration every ranking repeats
+    (edge canonicalization/dedup, node set union-distinct + count,
+    out-degrees, static dangling flag, degree-pre-joined edges). A
+    family of queries ranking one graph (uniform + personalized
+    PageRank + HITS over a shared cached edge relation) pays this
+    setup once instead of per call: pass the SAME GraphAux as ``aux``
+    to `pagerank` / `hits`. Construction is token-for-token the
+    operators' own former inline setup, so results (and oracle
+    hashes) are identical by construction.
+
+    Lifecycle: the caller owns the persisted relations — call
+    ``unpersist()`` when the family is done (operators never release
+    a caller-supplied aux; a per-call internally-built one is released
+    as before). ``e_deg`` is built lazily on first access (HITS never
+    needs it)."""
+
+    def __init__(
+        self,
+        edges: DataFrame,
+        src: str = "src",
+        dst: str = "dst",
+        weight: str | None = None,
+        assume_distinct: bool = False,
+        broadcast_nodes: int = 500_000,
+    ):
+        self.weight = weight
+        self.broadcast_nodes = broadcast_nodes
+        if weight is None:
+            # assume_distinct: skip the dedup shuffle when the caller
+            # guarantees distinct (src, dst) — e.g. a shared
+            # pre-distincted cached edge relation feeding several
+            # rankings
+            e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            if not assume_distinct:
+                e = e.distinct()
+        else:
+            e = (
+                edges.select(
+                    F.col(src).alias("src"),
+                    F.col(dst).alias("dst"),
+                    F.col(weight).cast("long").alias("w"),
+                )
+                .groupBy("src", "dst")
+                .agg(F.sum("w").alias("w"))
+            )
+        self.e = e.persist(StorageLevel.MEMORY_AND_DISK)
+        if weight is not None:
+            # NULL/zero/negative summed weights would make
+            # '(rank*w) div W' silently drop mass in Spark and raise
+            # div-by-zero in the SQL twin; fractional inputs would
+            # truncate silently through the long cast — reject all of
+            # them up front (one pass over the persisted edges)
+            bad = (
+                self.e.where(F.col("w").isNull() | (F.col("w") <= 0))
+                .limit(1)
+                .count()
+            )
+            if bad:
+                self.e.unpersist()
+                raise ValueError(
+                    "pagerank weights must be positive integers; found a "
+                    "(src, dst) pair whose summed weight is NULL or <= 0"
+                )
+        deg_agg = (
+            F.count(F.lit(1)).alias("outdeg")
+            if weight is None
+            else F.sum("w").alias("outdeg")
+        )
+        self.deg = self.e.groupBy("src").agg(deg_agg)
+        # The dangling-node test (no out-edges) is static — precompute
+        # it as a node flag instead of an anti-join against deg every
+        # round.
+        self.nodes_base = (
+            self.e.select(F.col("src").alias("node"))
+            .union(self.e.select(F.col("dst").alias("node")))
+            .distinct()
+            .join(
+                self.deg.select(
+                    F.col("src").alias("node"), F.lit(True).alias("__has_out")
+                ),
+                "node",
+                "left",
+            )
+            .select("node", F.col("__has_out").isNull().alias("__dangling"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        self.n = self.nodes_base.count()
+        self.small = self.n <= broadcast_nodes
+        self._e_deg: DataFrame | None = None
+
+    @property
+    def e_deg(self) -> DataFrame:
+        """Out-degrees pre-joined into the edge relation ONCE; the
+        persisted copy is hash-partitioned by src (the join's output
+        partitioning), so every round's (edges x ranks) join elides
+        the edge-side exchange — only the small rank vector is
+        (re)partitioned, and even that exchange is elided when the
+        previous round's output partitioning (node) survives the
+        localCheckpoint. Small-graph mode broadcasts the degree side
+        instead: no exchange at all, the cached copy keeps e's
+        partitioning."""
+        if self._e_deg is None:
+            self._e_deg = self.e.join(
+                F.broadcast(self.deg) if self.small else self.deg, "src"
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        return self._e_deg
+
+    def unpersist(self) -> None:
+        self.e.unpersist()
+        self.nodes_base.unpersist()
+        if self._e_deg is not None:
+            self._e_deg.unpersist()
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -293,6 +409,7 @@ def pagerank(
     weight: str | None = None,
     assume_distinct: bool = False,
     broadcast_nodes: int = 500_000,
+    aux: "GraphAux | None" = None,
 ) -> DataFrame:
     """Fixed-point integer PageRank over a directed edge list — uniform
     or personalized, fixed-iteration or run-to-fixpoint.
@@ -381,88 +498,45 @@ def pagerank(
         raise ValueError("iterations must be >= 0")
     if not (0 <= damping_pct <= 100):
         raise ValueError("damping_pct must be in [0, 100]")
-    if weight is None:
-        # assume_distinct: skip the dedup shuffle when the caller
-        # guarantees distinct (src, dst) — e.g. a shared pre-distincted
-        # cached edge relation feeding several rankings
-        e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        if not assume_distinct:
-            e = e.distinct()
-    else:
-        e = (
-            edges.select(
-                F.col(src).alias("src"),
-                F.col(dst).alias("dst"),
-                F.col(weight).cast("long").alias("w"),
-            )
-            .groupBy("src", "dst")
-            .agg(F.sum("w").alias("w"))
+    owned = aux is None
+    if owned:
+        aux = GraphAux(
+            edges, src=src, dst=dst, weight=weight,
+            assume_distinct=assume_distinct,
+            broadcast_nodes=broadcast_nodes,
         )
-    e = e.persist(StorageLevel.MEMORY_AND_DISK)
-    if weight is not None:
-        # NULL/zero/negative summed weights would make '(rank*w) div W'
-        # silently drop mass in Spark and raise div-by-zero in the SQL
-        # twin; fractional inputs would truncate silently through the
-        # long cast — reject all of them up front (one pass over the
-        # already-persisted aggregated edges)
-        bad = e.where(F.col("w").isNull() | (F.col("w") <= 0)).limit(1).count()
-        if bad:
-            e.unpersist()
-            raise ValueError(
-                "pagerank weights must be positive integers; found a "
-                "(src, dst) pair whose summed weight is NULL or <= 0"
-            )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
+    elif aux.weight != weight or aux.broadcast_nodes != broadcast_nodes:
+        raise ValueError(
+            "pagerank: aux was built with a different weight column or "
+            "broadcast_nodes threshold than this call requests"
+        )
     if sources is None:
-        nodes = nodes.withColumn("__is_src", F.lit(True))
+        is_src = F.lit(True)
+        nodes = aux.nodes_base.withColumn("__is_src", is_src)
     elif isinstance(sources, DataFrame):
         s = sources.select(F.col(sources.columns[0]).alias("node")).distinct()
-        nodes = nodes.join(
+        nodes = aux.nodes_base.join(
             F.broadcast(s.withColumn("__is_src", F.lit(True))), "node", "left"
-        ).select("node", F.coalesce("__is_src", F.lit(False)).alias("__is_src"))
+        ).withColumn("__is_src", F.coalesce("__is_src", F.lit(False)))
     else:
-        nodes = nodes.withColumn("__is_src", F.col("node").isin(list(sources)))
-    deg_agg = (
-        F.count(F.lit(1)).alias("outdeg")
-        if weight is None
-        else F.sum("w").alias("outdeg")
-    )
-    deg = e.groupBy("src").agg(deg_agg)
-    # The dangling-node test (no out-edges) is static — precompute it
-    # as a node flag instead of an anti-join against deg every round.
-    nodes = nodes.join(
-        deg.select(F.col("src").alias("node"), F.lit(True).alias("__has_out")),
-        "node",
-        "left",
-    ).select(
-        "node", "__is_src", F.col("__has_out").isNull().alias("__dangling")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    n = nodes.count()
+        nodes = aux.nodes_base.withColumn(
+            "__is_src", F.col("node").isin(list(sources))
+        )
+    # canonical column order; nodes is a narrow projection over the
+    # PERSISTED nodes_base, so per-round reads still hit cache and
+    # keep its partitioning
+    nodes = nodes.select("node", "__is_src", "__dangling")
+    n = aux.n
     if n == 0:
-        e.unpersist()
-        nodes.unpersist()
+        if owned:
+            aux.unpersist()
         return nodes.select(F.col("node"), F.lit(0).cast("long").alias("rank_fp"))
-    small = n <= broadcast_nodes
-    # Pre-join out-degrees into the edge relation ONCE; the persisted
-    # copy is hash-partitioned by src (the join's output partitioning),
-    # so every round's (edges x ranks) join elides the edge-side
-    # exchange — only the small rank vector is (re)partitioned, and
-    # even that exchange is elided when the previous round's output
-    # partitioning (node) survives the localCheckpoint. Small-graph
-    # mode broadcasts the degree side instead: no exchange at all, the
-    # cached copy keeps e's partitioning.
-    e_deg = e.join(F.broadcast(deg) if small else deg, "src").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    small = aux.small
+    e_deg = aux.e_deg
     ns = n if sources is None else nodes.where("__is_src").count()
     if ns == 0:
-        e.unpersist()
-        e_deg.unpersist()
-        nodes.unpersist()
+        if owned:
+            aux.unpersist()
         raise ValueError("no source node appears in the graph")
     teleport = ((100 - damping_pct) * scale) // (100 * ns)
     init = F.when(F.col("__is_src"), F.lit(scale // ns)).otherwise(F.lit(0))
@@ -554,9 +628,8 @@ def pagerank(
         ranks.count()
     out = ranks.drop("__is_src", "__dangling")
     out._svoe_pr_rounds = rounds
-    e.unpersist()
-    e_deg.unpersist()
-    nodes.unpersist()
+    if owned:
+        aux.unpersist()
     return out
 
 
@@ -570,6 +643,7 @@ def hits(
     until_converged: bool = False,
     max_iter: int = 100,
     broadcast_nodes: int = 500_000,
+    aux: "GraphAux | None" = None,
 ) -> DataFrame:
     """Fixed-point integer HITS (Kleinberg 1999): mutually-recursive
     hub and authority scores over a directed edge list — the natural
@@ -633,26 +707,32 @@ def hits(
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    if not assume_distinct:  # see pagerank's assume_distinct contract
-        e = e.distinct()
-    e = e.persist(StorageLevel.MEMORY_AND_DISK)
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    n = nodes.count()
+    owned = aux is None
+    if owned:
+        aux = GraphAux(
+            edges, src=src, dst=dst,
+            assume_distinct=assume_distinct,
+            broadcast_nodes=broadcast_nodes,
+        )
+    elif aux.weight is not None or aux.broadcast_nodes != broadcast_nodes:
+        raise ValueError(
+            "hits: aux must be unweighted and built with the same "
+            "broadcast_nodes threshold as this call"
+        )
+    e = aux.e
+    # narrow projection over the PERSISTED node relation — per-round
+    # reads hit cache (__dangling is pagerank-only decoration)
+    nodes = aux.nodes_base.select("node")
+    n = aux.n
     if n == 0:
-        e.unpersist()
-        nodes.unpersist()
+        if owned:
+            aux.unpersist()
         return nodes.select(
             "node",
             F.lit(0).cast("long").alias("hub_fp"),
             F.lit(0).cast("long").alias("auth_fp"),
         )
-    small = n <= broadcast_nodes
+    small = aux.small
     e_released = False
     if small:
         e_by = {"src": e, "dst": e}
@@ -663,10 +743,12 @@ def hits(
         }
         # materialize the partitioned copies, then release the
         # undecorated relation (nodes is already materialized by the
-        # count above) — one cached copy per partitioning, not three
+        # aux count) — one cached copy per partitioning, not three; a
+        # caller-supplied aux keeps its own e alive for its other users
         e_by["src"].count()
         e_by["dst"].count()
-        e.unpersist()
+        if owned:
+            e.unpersist()
         e_released = True
     hub = nodes.select("node", F.lit(scale // n).cast("long").alias("hub_fp"))
     auth = nodes.select("node", F.lit(0).cast("long").alias("auth_fp"))
@@ -752,12 +834,11 @@ def hits(
     # does not outlive its references the way a leaked .persist() would
     out.count()
     out._svoe_hits_rounds = rounds
-    if not e_released:
-        e.unpersist()
     if not small:
         e_by["src"].unpersist()
         e_by["dst"].unpersist()
-    nodes.unpersist()
+    if owned:
+        aux.unpersist()  # no-op on the already-released e in large mode
     return out
 
 

@@ -1299,9 +1299,16 @@ def _l2_updates_cryptotick(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build():
         from svoe_spark.operators.orderbook import synthetic_l2_updates
+        from svoe_spark.operators.util import spread
 
+        # spread BEFORE the parse: the single-file events fixture
+        # arrives in a handful of partitions, serializing the per-row
+        # JSON extract + struct build onto a few cores (the
+        # kmv_vocab_overlap lesson); the replay engines shuffle by
+        # symbol afterwards regardless, so layout is result-neutral
         return synthetic_l2_updates(
-            load_table(spark, "events", sf_dir), passthrough=("event_id",)
+            spread(load_table(spark, "events", sf_dir)),
+            passthrough=("event_id",),
         ).persist()
 
     return _cached_chain(spark, sf_dir, "l2-updates-cryptotick", build)
@@ -1363,8 +1370,10 @@ def orderbook_snapshots_cryptofeed(spark: SparkSession, sf_dir: str) -> DataFram
         reconstruct_book_auto,
         synthetic_cryptofeed_updates,
     )
+    from svoe_spark.operators.util import spread
 
-    events = load_table(spark, "events", sf_dir)
+    # spread before the parse — see _l2_updates_cryptotick
+    events = spread(load_table(spark, "events", sf_dir))
     updates = cryptofeed_updates(
         synthetic_cryptofeed_updates(events, passthrough=("event_id",))
     )
@@ -3199,6 +3208,28 @@ def _supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges
 
 
+def _supply_graph_aux(spark: SparkSession, sf_dir: str):
+    """Session-keyed shared GraphAux over the cached supply edges: the
+    unweighted rankings (pagerank_supply_graph, ppr_trusted_suppliers,
+    hits_supply_graph) repeat the same node-set distinct + count,
+    degree aggregate, and degree-pre-joined edge build — decorate the
+    graph once per (session, sf_dir) and hand each operator the
+    prebuilt relations (operators/graph.py GraphAux; construction is
+    token-for-token the operators' own inline setup, so hashes are
+    unchanged). The weighted ranking and the undirected BFS decorate
+    differently and stay per-call."""
+    from svoe_spark.operators.graph import GraphAux
+    from svoe_spark.queries_llm import _cached_chain
+
+    def build():
+        return GraphAux(
+            _supply_edges(spark, sf_dir),
+            assume_distinct=True,  # _supply_edges is already distinct
+        )
+
+    return _cached_chain(spark, sf_dir, "supply-graph-aux", build)
+
+
 def _pagerank_core_sql(
     edges_cte: str,
     pred: str,
@@ -3334,6 +3365,7 @@ def pagerank_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         damping_pct=_PR_DAMP,
         scale=_PR_SCALE,
         assume_distinct=True,  # _supply_edges is already distinct
+        aux=_supply_graph_aux(spark, sf_dir),
     )
     return (
         pr.select(
@@ -3641,6 +3673,7 @@ def ppr_trusted_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         scale=_PR_SCALE,
         sources=seeds,
         assume_distinct=True,  # _supply_edges is already distinct
+        aux=_supply_graph_aux(spark, sf_dir),
     )
     return (
         pr.select(
@@ -3737,6 +3770,7 @@ def hits_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges, iterations=_HITS_ITERS, scale=_PR_SCALE,
         # _supply_edges is already distinct
         assume_distinct=True,
+        aux=_supply_graph_aux(spark, sf_dir),
     )
     return (
         hs.select(

@@ -344,3 +344,37 @@ def test_broadcast_mode_equals_partitioned_mode(spark, edges):
     assert rows(br, "node", "hub_fp", "auth_fp") == rows(
         pt, "node", "hub_fp", "auth_fp"
     )
+
+
+@pytest.mark.heavy  # multi-round graph ops: sharded tier
+def test_shared_aux_equals_per_call_setup(spark, edges):
+    """GraphAux (round 9): a family of rankings over one edge relation
+    can share the prebuilt node set / degrees / decorated edges. The
+    shared-aux results must be bit-identical to the per-call setup for
+    uniform AND personalized pagerank AND HITS, the aux must survive
+    reuse (the operator never releases a caller-supplied aux), and a
+    mismatched aux (weighted vs unweighted) must be rejected."""
+    from svoe_spark.operators.graph import GraphAux, hits
+
+    def rows(df, *cols):
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    aux = GraphAux(edf)
+    try:
+        a = pagerank(edf, iterations=4, aux=aux)
+        b = pagerank(edf, iterations=4)
+        assert rows(a, "node", "rank_fp") == rows(b, "node", "rank_fp")
+        # reuse after a prior call (aux not released by the operator)
+        a = pagerank(edf, iterations=3, sources=[1], damping_pct=70, aux=aux)
+        b = pagerank(edf, iterations=3, sources=[1], damping_pct=70)
+        assert rows(a, "node", "rank_fp") == rows(b, "node", "rank_fp")
+        a = hits(edf, iterations=3, aux=aux)
+        b = hits(edf, iterations=3)
+        assert rows(a, "node", "hub_fp", "auth_fp") == rows(
+            b, "node", "hub_fp", "auth_fp"
+        )
+        with pytest.raises(ValueError, match="aux"):
+            pagerank(edf, iterations=2, weight="missing", aux=aux)
+    finally:
+        aux.unpersist()
