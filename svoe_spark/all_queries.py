@@ -92,9 +92,11 @@ _DRIVER_PRIORITY = [
     "ewma_trend_by_type",
 ]
 
-# Queue for names that should lead the NEXT round's window (none
-# pending this round — new queries registered mid-round go here).
-_PRIORITY_EXTRA: list[str] = []
+# Queue for names that should lead the NEXT round's window: the
+# round-9 addition (mergeable log-bucket quantile sketch) has never
+# been driver-checked — it fronts the r10 window together with the
+# four r5-stale overflow names above it.
+_PRIORITY_EXTRA: list[str] = ["approx_quantiles_daily"]
 
 
 DRIVER_WINDOW_SLOTS = 50

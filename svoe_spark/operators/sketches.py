@@ -800,3 +800,147 @@ def frequent_items(
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .where(F.col("n") >= threshold)
     )
+
+
+# --------------------------------------------------------------------------
+# Mergeable log-bucket quantile sketch (HdrHistogram / DDSketch family,
+# integer-exact)
+# --------------------------------------------------------------------------
+
+
+def quantile_sketch(
+    df: DataFrame,
+    col: str,
+    sig_bits: int = 8,
+    scale: int = 100,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Single-pass, RANGE-OBLIVIOUS, mergeable quantile sketch — the
+    100 TB percentile primitive the exact order-statistics pass and the
+    min/max-parameterized equi-width histogram both are not: no
+    pre-scan, no data-dependent parameters, and two sketches merge by
+    adding counts (union == merge exactly, pinned by test).
+
+    Values are fixed-point-scaled to integers (the repo's "cents"
+    contract: `round(value*scale)` must be integer-exact), then
+    quantized to their top ``sig_bits`` binary digits: bit length via
+    the integer->binary-string trick the relational HLL already proved
+    portable (Spark `conv`, DuckDB `bin` — identical digits), low bits
+    cleared with exact integer shifts. The sketch relation is
+    (group..., qv, cnt): at most 2^sig_bits buckets per octave x ~40
+    octaves of int64 range — bounded and tiny whatever the data volume,
+    with one map-side-combined shuffle to build. Relative quantization
+    error < 2^(1-sig_bits) (cleared low bits < 2^(bl-sig_bits) against
+    a value >= 2^(bl-1)), plus the fixed-point grid; quantization moves
+    values toward zero and is sign-symmetric (negatives quantize on
+    |c| and re-negate; zero is its own bucket).
+    Every operation is exact integer arithmetic, so the DuckDB oracle
+    (`quantile_sketch_sql`) reproduces the sketch AND the estimates
+    bit-for-bit — unlike engine-native approx_percentile, whose
+    internals are implementation-defined."""
+    if sig_bits < 1:
+        raise ValueError("quantile_sketch: sig_bits must be >= 1")
+    groups = list(group_cols or [])
+    staged = (
+        df.where(F.col(col).isNotNull())
+        .select(
+            *groups,
+            F.round(F.col(col) * scale, 0).cast("long").alias("__c"),
+        )
+        .select(
+            *groups,
+            "__c",
+            F.greatest(
+                F.length(F.conv(F.abs(F.col("__c")), 10, 2)) - F.lit(sig_bits),
+                F.lit(0),
+            ).alias("__s"),
+        )
+    )
+    qv = F.signum(F.col("__c")).cast("long") * F.expr(
+        "shiftleft(shiftright(abs(__c), __s), __s)"
+    )
+    return (
+        staged.select(*groups, qv.alias("qv"))
+        .groupBy(*groups, "qv")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def quantile_sketch_merge(
+    sketches: list[DataFrame], group_cols: list[str] | None = None
+) -> DataFrame:
+    """Counts add — sketch(A) + sketch(B) == sketch(A union B)."""
+    from functools import reduce
+
+    groups = list(group_cols or [])
+    u = reduce(lambda x, y: x.unionByName(y), sketches)
+    return u.groupBy(*groups, "qv").agg(F.sum("cnt").alias("cnt"))
+
+
+def quantile_sketch_estimate(
+    sketch: DataFrame,
+    percentiles: list[int],
+    scale: int = 100,
+    group_cols: list[str] | None = None,
+    out: str = "est_value",
+) -> DataFrame:
+    """Percentile estimates from the sketch relation: for integer
+    percentile p, the estimate is the smallest quantized value whose
+    running count reaches rank ceil(N*p/100) — all-integer rank
+    arithmetic ((N*p + 99) div 100), a per-group cumulative window
+    over the (tiny) sketch, and one exact final division by the
+    fixed-point scale. Returns (group..., p, est)."""
+    if not percentiles or any(not (1 <= p <= 100) for p in percentiles):
+        raise ValueError("percentiles must be integers in [1, 100]")
+    groups = list(group_cols or [])
+    wcum = Window.partitionBy(*groups).orderBy("qv") if groups else (
+        Window.orderBy("qv")
+    )
+    wall = Window.partitionBy(*groups) if groups else Window.partitionBy()
+    sk = sketch.select(
+        *groups,
+        "qv",
+        F.sum("cnt").over(wcum).alias("__cum"),
+        F.sum("cnt").over(wall).alias("__n"),
+    )
+    spark = sketch.sparkSession
+    ps = spark.createDataFrame([(p,) for p in percentiles], "p int")
+    return (
+        sk.crossJoin(F.broadcast(ps))
+        .where(F.col("__cum") >= F.expr("(__n * p + 99) div 100"))
+        .groupBy(*groups, "p")
+        .agg((F.min("qv") / F.lit(float(scale))).alias(out))
+    )
+
+
+def quantile_sketch_sql(
+    table: str,
+    col: str,
+    sig_bits: int = 8,
+    scale: int = 100,
+    group_expr: str | None = None,
+) -> str:
+    """DuckDB CTE chain re-deriving the sketch — emits ``qs_sketch``
+    (g?, qv, cnt) with bit-identical quantization (bin() == conv(),
+    integer shifts). Estimation SQL composes on top with the same
+    rank formula (see the approx_quantiles_daily query)."""
+    g_sel = f"{group_expr} AS g, " if group_expr else ""
+    g_cols = "g, " if group_expr else ""
+    g_grp = "GROUP BY g, qv" if group_expr else "GROUP BY qv"
+    return f"""
+    qs_c AS (SELECT {g_sel}CAST(round({col} * {scale}, 0) AS BIGINT) AS c
+             FROM {table} WHERE {col} IS NOT NULL),
+    qs_q AS (
+      SELECT {g_cols}
+             CASE WHEN c = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(sign(c) AS BIGINT) * (
+                    (abs(c) >> greatest(length(bin(abs(c))) - {sig_bits}, 0))
+                    << greatest(length(bin(abs(c))) - {sig_bits}, 0)
+                  )
+             END AS qv
+      FROM qs_c
+    ),
+    qs_sketch AS (
+      SELECT {g_cols}qv, CAST(count(*) AS BIGINT) AS cnt FROM qs_q {g_grp}
+    )
+    """

@@ -930,3 +930,102 @@ def supplier_hhi_by_nation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("nation", "l_suppkey", F.expr("rev_cc DIV 10000").alias("rev_d"))
     )
     return hhi(rev, "rev_d", ["nation"])
+
+
+from svoe_spark.operators.sketches import quantile_sketch_sql  # noqa: E402
+
+_QSK_BITS = 8
+_QSK_PCTS = [10, 50, 90, 99]
+_QSK_PCT_ROWS = ", ".join(f"({p})" for p in _QSK_PCTS)
+
+
+@query(
+    "approx_quantiles_daily",
+    f"""
+    WITH {quantile_sketch_sql('events', 'value', sig_bits=_QSK_BITS,
+                              group_expr="strftime(ts, '%Y-%m-%d')")},
+    ps(p) AS (VALUES {_QSK_PCT_ROWS}),
+    cum AS (
+      SELECT g AS day, qv,
+             sum(cnt) OVER (PARTITION BY g ORDER BY qv
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER (PARTITION BY g) AS n
+      FROM qs_sketch
+    ),
+    est AS (
+      SELECT day, p, min(qv) / 100.0 AS est_value
+      FROM cum CROSS JOIN ps
+      WHERE cum >= (n * p + 99) // 100
+      GROUP BY day, p
+    ),
+    r AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             CAST(round(value * 100, 0) AS BIGINT) AS c,
+             ROW_NUMBER() OVER (PARTITION BY strftime(ts, '%Y-%m-%d')
+                                ORDER BY CAST(round(value * 100, 0) AS BIGINT))
+               AS rn,
+             COUNT(*) OVER (PARTITION BY strftime(ts, '%Y-%m-%d')) AS n
+      FROM events WHERE value IS NOT NULL
+    ),
+    exact AS (
+      SELECT day, p, min(c) / 100.0 AS exact_value
+      FROM r CROSS JOIN ps
+      WHERE rn >= (n * p + 99) // 100
+      GROUP BY day, p
+    )
+    SELECT est.day, est.p, est.est_value, exact.exact_value
+    FROM est JOIN exact ON est.day = exact.day AND est.p = exact.p
+    """,
+)
+def approx_quantiles_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p10/p50/p90/p99 of events.value from the MERGEABLE
+    log-bucket quantile sketch (operators/sketches.quantile_sketch —
+    the HdrHistogram/DDSketch family made integer-exact): one
+    range-oblivious pass builds a bounded (day, qv, cnt) relation
+    (<= 2^8 buckets per octave regardless of volume; counts add, so
+    per-partition/per-day sketches union into wider windows for free),
+    then each percentile is the smallest quantized value reaching rank
+    ceil(N*p/100) — all-integer rank arithmetic over the tiny sketch.
+    exact_value (same rank definition over raw cents) rides along so
+    the relative-error contract (<= 2^-8 + the cents grid) is
+    self-contained; at 100 TB the user runs only the sketch. Unlike
+    approx_percentile / percentile_approx, whose KLL-ish internals are
+    implementation-defined, every step is exact integer arithmetic the
+    DuckDB oracle reproduces bit-for-bit — the bit-length trick is the
+    relational HLL's proven-portable conv()/bin() pattern."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from svoe_spark.operators.sketches import (
+        quantile_sketch,
+        quantile_sketch_estimate,
+    )
+
+    e = load_table(spark, "events", sf_dir).select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "value"
+    )
+    sk = quantile_sketch(e, "value", sig_bits=_QSK_BITS, group_cols=["day"])
+    est = quantile_sketch_estimate(
+        sk, _QSK_PCTS, group_cols=["day"], out="est_value"
+    )
+    exact_src = e.where(F.col("value").isNotNull()).select(
+        "day", F.round(F.col("value") * 100, 0).cast("long").alias("__c")
+    )
+    wr = Window.partitionBy("day").orderBy("__c")
+    wn = Window.partitionBy("day")
+    r = exact_src.select(
+        "day",
+        "__c",
+        F.row_number().over(wr).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    ps = spark.createDataFrame([(p,) for p in _QSK_PCTS], "p int")
+    exact = (
+        r.crossJoin(F.broadcast(ps))
+        .where(F.col("__rn") >= F.expr("(__n * p + 99) div 100"))
+        .groupBy("day", "p")
+        .agg((F.min("__c") / 100.0).alias("exact_value"))
+    )
+    return est.join(exact, ["day", "p"]).select(
+        "day", "p", "est_value", "exact_value"
+    )

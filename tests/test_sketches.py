@@ -230,3 +230,81 @@ def test_kmv_plan_prunes_before_group_exchange(spark, events):
     # distinct and the group exchange — no third shuffle
     assert plan.count("WindowGroupLimit") == 2, plan
     assert plan.count("Exchange") == 2, plan
+
+
+def test_quantile_sketch_error_bound_and_zero(spark, events):
+    """Log-bucket sketch estimates are within the quantization bound of
+    exact percentiles (top-8-bits quantization: relative error < 2^-7,
+    plus the cents grid) and — on this non-negative fixture — never
+    ABOVE the exact value (quantization moves values toward zero and
+    the rank rule takes the smallest qualifying bucket). Zero values
+    land in their own exact bucket."""
+    from svoe_spark.operators.sketches import (
+        quantile_sketch,
+        quantile_sketch_estimate,
+    )
+
+    e = events.select("value")
+    sk = quantile_sketch(e, "value")
+    est = {
+        r["p"]: r["est_value"]
+        for r in quantile_sketch_estimate(sk, [10, 50, 90, 99]).collect()
+    }
+    vals = sorted(r["value"] for r in e.collect())
+    n = len(vals)
+    for p, got in est.items():
+        exact = round(vals[(n * p + 99) // 100 - 1] * 100) / 100
+        assert got <= exact + 1e-9, (p, got, exact)
+        assert abs(got - exact) <= max(abs(exact) * (2 ** -7), 0.02), (
+            p, got, exact,
+        )
+    zero = quantile_sketch(
+        spark.createDataFrame([(0.0,), (0.0,), (5.0,)], "value double"),
+        "value",
+    ).collect()
+    assert {r["qv"]: r["cnt"] for r in zero} == {0: 2, 500: 1}
+
+
+def test_quantile_sketch_merge_equals_whole(spark, events):
+    """sketch(A) + sketch(B) == sketch(A union B) EXACTLY — the
+    mergeability that makes per-day/per-partition maintenance free."""
+    from svoe_spark.operators.sketches import (
+        quantile_sketch,
+        quantile_sketch_merge,
+    )
+
+    a = events.where(F.col("user_id") % 2 == 0).select("value")
+    b = events.where(F.col("user_id") % 2 == 1).select("value")
+    whole = quantile_sketch(events.select("value"), "value")
+    merged = quantile_sketch_merge(
+        [quantile_sketch(a, "value"), quantile_sketch(b, "value")]
+    )
+    lhs = sorted((r["qv"], r["cnt"]) for r in whole.collect())
+    rhs = sorted((r["qv"], r["cnt"]) for r in merged.collect())
+    assert lhs == rhs
+
+
+def test_quantile_sketch_negative_values_sign_symmetric(spark):
+    """Negative values quantize on |c| and re-negate: the sketch of a
+    sign-flipped corpus is the sign-flipped sketch. Quantization moves
+    values TOWARD ZERO, so estimates are <= exact for positives and
+    >= exact for negatives — the relative bound is two-sided."""
+    from svoe_spark.operators.sketches import (
+        quantile_sketch,
+        quantile_sketch_estimate,
+    )
+
+    vals = [(-513.27,), (-10.0,), (-0.01,), (0.0,), (0.01,), (10.0,), (513.27,)]
+    df = spark.createDataFrame(vals, "value double")
+    sk = {r["qv"]: r["cnt"] for r in quantile_sketch(df, "value").collect()}
+    for qv in sk:
+        assert qv == 0 or -qv in sk  # symmetric corpus -> symmetric sketch
+    est = {
+        r["p"]: r["est_value"]
+        for r in quantile_sketch_estimate(
+            quantile_sketch(df, "value"), [1, 50, 100]
+        ).collect()
+    }
+    assert -513.27 - 1e-9 <= est[1] <= -513.27 * (1 - 2 ** -7)
+    assert est[50] == 0.0
+    assert 513.27 * (1 - 2 ** -7) <= est[100] <= 513.27 + 1e-9
