@@ -1360,6 +1360,41 @@ def round9_smoke(spark, results, force, n_vec=2_000_000, dim=64, k=16, iters=3):
         total / iters, 2
     )
 
+    # mergeable log-bucket quantile sketch at 100M rows / 100 keys:
+    # one scan + one bounded shuffle however large the input; the
+    # estimate stage reads only the tiny sketch. Asserts the p50
+    # estimate lands within the 2^(1-8) quantization bound of the
+    # known uniform-distribution median.
+    from svoe_spark.operators.sketches import (
+        quantile_sketch,
+        quantile_sketch_estimate,
+    )
+
+    n_q = 100_000_000
+    ticks = spark.range(n_q).select(
+        (F.col("id") % 100).cast("string").alias("k"),
+        ((F.col("id") % 1_000_000) / 100.0 + 1.0).alias("v"),
+    )
+    sk = None
+
+    def build_sketch():
+        nonlocal sk
+        sk = quantile_sketch(ticks, "v", group_cols=["k"]).persist()
+        sk.count()
+
+    results[f"quantile_sketch_{n_q//1_000_000}M_sec"] = timed(
+        build_sketch, f"quantile_sketch {n_q//1_000_000}M"
+    )
+    est = {
+        r["k"]: r["est_value"]
+        for r in quantile_sketch_estimate(sk, [50], group_cols=["k"]).collect()
+    }
+    true_med = 1_000_000 / 2 / 100.0 + 1.0
+    assert all(
+        abs(v - true_med) <= true_med * 2 ** -7 for v in est.values()
+    ), sorted(est.items())[:3]
+    sk.unpersist()
+
 
 def main():
     spark = get_spark("scale_smoke")
