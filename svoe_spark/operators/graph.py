@@ -307,6 +307,13 @@ class GraphAux:
         assume_distinct: bool = False,
         broadcast_nodes: int = 500_000,
     ):
+        # identity of the INPUT relation (and its column mapping): the
+        # operators verify a caller-supplied aux was built over the
+        # very edges object they were handed — an aux over a different
+        # relation would silently rank the wrong graph
+        self.edges_ref = edges
+        self.src = src
+        self.dst = dst
         self.weight = weight
         self.broadcast_nodes = broadcast_nodes
         if weight is None:
@@ -505,11 +512,18 @@ def pagerank(
             assume_distinct=assume_distinct,
             broadcast_nodes=broadcast_nodes,
         )
-    elif aux.weight != weight or aux.broadcast_nodes != broadcast_nodes:
+    elif (
+        aux.edges_ref is not edges
+        or (aux.src, aux.dst) != (src, dst)
+        or aux.weight != weight
+        or aux.broadcast_nodes != broadcast_nodes
+    ):
         raise ValueError(
-            "pagerank: aux was built with a different weight column or "
+            "pagerank: aux was built over a different edge relation "
+            "(object identity), column mapping, weight column, or "
             "broadcast_nodes threshold than this call requests"
         )
+    release_nodes = False
     if sources is None:
         is_src = F.lit(True)
         nodes = aux.nodes_base.withColumn("__is_src", is_src)
@@ -522,12 +536,21 @@ def pagerank(
         nodes = aux.nodes_base.withColumn(
             "__is_src", F.col("node").isin(list(sources))
         )
-    # canonical column order; nodes is a narrow projection over the
-    # PERSISTED nodes_base, so per-round reads still hit cache and
-    # keep its partitioning
+    # canonical column order; for literal/None sources, nodes is a
+    # narrow projection over the PERSISTED nodes_base, so per-round
+    # reads hit cache and keep its partitioning
     nodes = nodes.select("node", "__is_src", "__dangling")
+    if isinstance(sources, DataFrame):
+        # a DataFrame seed set adds a join whose seed subtree (distinct
+        # + broadcast build) would otherwise re-evaluate on EVERY
+        # round's read — persist the decorated node relation for this
+        # call (released below on every exit path)
+        nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
+        release_nodes = True
     n = aux.n
     if n == 0:
+        if release_nodes:
+            nodes.unpersist()
         if owned:
             aux.unpersist()
         return nodes.select(F.col("node"), F.lit(0).cast("long").alias("rank_fp"))
@@ -535,6 +558,8 @@ def pagerank(
     e_deg = aux.e_deg
     ns = n if sources is None else nodes.where("__is_src").count()
     if ns == 0:
+        if release_nodes:
+            nodes.unpersist()
         if owned:
             aux.unpersist()
         raise ValueError("no source node appears in the graph")
@@ -628,6 +653,8 @@ def pagerank(
         ranks.count()
     out = ranks.drop("__is_src", "__dangling")
     out._svoe_pr_rounds = rounds
+    if release_nodes:
+        nodes.unpersist()
     if owned:
         aux.unpersist()
     return out
@@ -714,10 +741,16 @@ def hits(
             assume_distinct=assume_distinct,
             broadcast_nodes=broadcast_nodes,
         )
-    elif aux.weight is not None or aux.broadcast_nodes != broadcast_nodes:
+    elif (
+        aux.edges_ref is not edges
+        or (aux.src, aux.dst) != (src, dst)
+        or aux.weight is not None
+        or aux.broadcast_nodes != broadcast_nodes
+    ):
         raise ValueError(
-            "hits: aux must be unweighted and built with the same "
-            "broadcast_nodes threshold as this call"
+            "hits: aux must be unweighted, built over this very edge "
+            "relation (object identity) and column mapping, with the "
+            "same broadcast_nodes threshold as this call"
         )
     e = aux.e
     # narrow projection over the PERSISTED node relation — per-round
@@ -733,7 +766,6 @@ def hits(
             F.lit(0).cast("long").alias("auth_fp"),
         )
     small = aux.small
-    e_released = False
     if small:
         e_by = {"src": e, "dst": e}
     else:
@@ -749,7 +781,6 @@ def hits(
         e_by["dst"].count()
         if owned:
             e.unpersist()
-        e_released = True
     hub = nodes.select("node", F.lit(scale // n).cast("long").alias("hub_fp"))
     auth = nodes.select("node", F.lit(0).cast("long").alias("auth_fp"))
 

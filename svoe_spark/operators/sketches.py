@@ -808,11 +808,23 @@ def frequent_items(
 # --------------------------------------------------------------------------
 
 
+@dataclass(frozen=True)
+class QSketchParams:
+    """Quantization parameters shared by build, merge, estimate, and
+    the SQL oracle — the CMSParams/HLLParams discipline: the sketch
+    relation does not carry its parameters, so passing DIFFERENT
+    params to any stage (a scale mismatch, merging sketches built at
+    different sig_bits) produces silently wrong quantiles. Thread ONE
+    QSketchParams through the whole pipeline."""
+
+    sig_bits: int = 8
+    scale: int = 100
+
+
 def quantile_sketch(
     df: DataFrame,
     col: str,
-    sig_bits: int = 8,
-    scale: int = 100,
+    params: QSketchParams = QSketchParams(),
     group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Single-pass, RANGE-OBLIVIOUS, mergeable quantile sketch — the
@@ -838,20 +850,21 @@ def quantile_sketch(
     (`quantile_sketch_sql`) reproduces the sketch AND the estimates
     bit-for-bit — unlike engine-native approx_percentile, whose
     internals are implementation-defined."""
-    if sig_bits < 1:
+    if params.sig_bits < 1:
         raise ValueError("quantile_sketch: sig_bits must be >= 1")
     groups = list(group_cols or [])
     staged = (
         df.where(F.col(col).isNotNull())
         .select(
             *groups,
-            F.round(F.col(col) * scale, 0).cast("long").alias("__c"),
+            F.round(F.col(col) * params.scale, 0).cast("long").alias("__c"),
         )
         .select(
             *groups,
             "__c",
             F.greatest(
-                F.length(F.conv(F.abs(F.col("__c")), 10, 2)) - F.lit(sig_bits),
+                F.length(F.conv(F.abs(F.col("__c")), 10, 2))
+                - F.lit(params.sig_bits),
                 F.lit(0),
             ).alias("__s"),
         )
@@ -869,7 +882,9 @@ def quantile_sketch(
 def quantile_sketch_merge(
     sketches: list[DataFrame], group_cols: list[str] | None = None
 ) -> DataFrame:
-    """Counts add — sketch(A) + sketch(B) == sketch(A union B)."""
+    """Counts add — sketch(A) + sketch(B) == sketch(A union B).
+    Valid ONLY for sketches built with the SAME QSketchParams (the
+    relation does not carry them; see QSketchParams)."""
     from functools import reduce
 
     groups = list(group_cols or [])
@@ -880,7 +895,7 @@ def quantile_sketch_merge(
 def quantile_sketch_estimate(
     sketch: DataFrame,
     percentiles: list[int],
-    scale: int = 100,
+    params: QSketchParams = QSketchParams(),
     group_cols: list[str] | None = None,
     out: str = "est_value",
 ) -> DataFrame:
@@ -909,21 +924,21 @@ def quantile_sketch_estimate(
         sk.crossJoin(F.broadcast(ps))
         .where(F.col("__cum") >= F.expr("(__n * p + 99) div 100"))
         .groupBy(*groups, "p")
-        .agg((F.min("qv") / F.lit(float(scale))).alias(out))
+        .agg((F.min("qv") / F.lit(float(params.scale))).alias(out))
     )
 
 
 def quantile_sketch_sql(
     table: str,
     col: str,
-    sig_bits: int = 8,
-    scale: int = 100,
+    params: QSketchParams = QSketchParams(),
     group_expr: str | None = None,
 ) -> str:
     """DuckDB CTE chain re-deriving the sketch — emits ``qs_sketch``
     (g?, qv, cnt) with bit-identical quantization (bin() == conv(),
     integer shifts). Estimation SQL composes on top with the same
     rank formula (see the approx_quantiles_daily query)."""
+    sig_bits, scale = params.sig_bits, params.scale
     g_sel = f"{group_expr} AS g, " if group_expr else ""
     g_cols = "g, " if group_expr else ""
     g_grp = "GROUP BY g, qv" if group_expr else "GROUP BY qv"

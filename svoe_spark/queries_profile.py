@@ -932,9 +932,12 @@ def supplier_hhi_by_nation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hhi(rev, "rev_d", ["nation"])
 
 
-from svoe_spark.operators.sketches import quantile_sketch_sql  # noqa: E402
+from svoe_spark.operators.sketches import (  # noqa: E402
+    QSketchParams,
+    quantile_sketch_sql,
+)
 
-_QSK_BITS = 8
+_QSK = QSketchParams(sig_bits=8, scale=100)
 _QSK_PCTS = [10, 50, 90, 99]
 _QSK_PCT_ROWS = ", ".join(f"({p})" for p in _QSK_PCTS)
 
@@ -942,7 +945,7 @@ _QSK_PCT_ROWS = ", ".join(f"({p})" for p in _QSK_PCTS)
 @query(
     "approx_quantiles_daily",
     f"""
-    WITH {quantile_sketch_sql('events', 'value', sig_bits=_QSK_BITS,
+    WITH {quantile_sketch_sql('events', 'value', _QSK,
                               group_expr="strftime(ts, '%Y-%m-%d')")},
     ps(p) AS (VALUES {_QSK_PCT_ROWS}),
     cum AS (
@@ -968,10 +971,9 @@ _QSK_PCT_ROWS = ", ".join(f"({p})" for p in _QSK_PCTS)
       FROM events WHERE value IS NOT NULL
     ),
     exact AS (
-      SELECT day, p, min(c) / 100.0 AS exact_value
+      SELECT day, p, c / 100.0 AS exact_value
       FROM r CROSS JOIN ps
-      WHERE rn >= (n * p + 99) // 100
-      GROUP BY day, p
+      WHERE rn = (n * p + 99) // 100
     )
     SELECT est.day, est.p, est.est_value, exact.exact_value
     FROM est JOIN exact ON est.day = exact.day AND est.p = exact.p
@@ -986,8 +988,10 @@ def approx_quantiles_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition/per-day sketches union into wider windows for free),
     then each percentile is the smallest quantized value reaching rank
     ceil(N*p/100) — all-integer rank arithmetic over the tiny sketch.
-    exact_value (same rank definition over raw cents) rides along so
-    the relative-error contract (<= 2^-8 + the cents grid) is
+    exact_value (the row_number == rank row over raw cents — dense
+    ranks make the equality filter pick exactly the rank-th value, no
+    aggregate needed) rides along so the relative-error contract
+    (< 2^(1-sig_bits) = 2^-7 here, plus the cents grid) is
     self-contained; at 100 TB the user runs only the sketch. Unlike
     approx_percentile / percentile_approx, whose KLL-ish internals are
     implementation-defined, every step is exact integer arithmetic the
@@ -1004,9 +1008,9 @@ def approx_quantiles_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "events", sf_dir).select(
         F.date_format("ts", "yyyy-MM-dd").alias("day"), "value"
     )
-    sk = quantile_sketch(e, "value", sig_bits=_QSK_BITS, group_cols=["day"])
+    sk = quantile_sketch(e, "value", _QSK, group_cols=["day"])
     est = quantile_sketch_estimate(
-        sk, _QSK_PCTS, group_cols=["day"], out="est_value"
+        sk, _QSK_PCTS, _QSK, group_cols=["day"], out="est_value"
     )
     exact_src = e.where(F.col("value").isNotNull()).select(
         "day", F.round(F.col("value") * 100, 0).cast("long").alias("__c")
@@ -1022,9 +1026,8 @@ def approx_quantiles_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = spark.createDataFrame([(p,) for p in _QSK_PCTS], "p int")
     exact = (
         r.crossJoin(F.broadcast(ps))
-        .where(F.col("__rn") >= F.expr("(__n * p + 99) div 100"))
-        .groupBy("day", "p")
-        .agg((F.min("__c") / 100.0).alias("exact_value"))
+        .where(F.col("__rn") == F.expr("(__n * p + 99) div 100"))
+        .select("day", "p", (F.col("__c") / 100.0).alias("exact_value"))
     )
     return est.join(exact, ["day", "p"]).select(
         "day", "p", "est_value", "exact_value"
