@@ -232,6 +232,7 @@ def test_kmv_plan_prunes_before_group_exchange(spark, events):
     assert plan.count("Exchange") == 2, plan
 
 
+@pytest.mark.heavy  # round-9 quick-tier margin: ptest.py/round-close run it
 def test_quantile_sketch_error_bound_and_zero(spark, events):
     """Log-bucket sketch estimates are within the quantization bound of
     exact percentiles (top-8-bits quantization: relative error < 2^-7,
@@ -265,6 +266,7 @@ def test_quantile_sketch_error_bound_and_zero(spark, events):
     assert {r["qv"]: r["cnt"] for r in zero} == {0: 2, 500: 1}
 
 
+@pytest.mark.heavy  # round-9 quick-tier margin: ptest.py/round-close run it
 def test_quantile_sketch_merge_equals_whole(spark, events):
     """sketch(A) + sketch(B) == sketch(A union B) EXACTLY — the
     mergeability that makes per-day/per-partition maintenance free."""
