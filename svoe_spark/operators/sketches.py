@@ -826,6 +826,7 @@ def quantile_sketch(
     col: str,
     params: QSketchParams = QSketchParams(),
     group_cols: list[str] | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Single-pass, RANGE-OBLIVIOUS, mergeable quantile sketch — the
     100 TB percentile primitive the exact order-statistics pass and the
@@ -849,19 +850,29 @@ def quantile_sketch(
     Every operation is exact integer arithmetic, so the DuckDB oracle
     (`quantile_sketch_sql`) reproduces the sketch AND the estimates
     bit-for-bit — unlike engine-native approx_percentile, whose
-    internals are implementation-defined."""
+    internals are implementation-defined.
+
+    ``weight_col`` (positive integers, e.g. token counts) switches the
+    bucket counts to WEIGHT SUMS: estimates become weighted
+    percentiles — "the document length below which X% of TOKENS lie",
+    the curation form — with identical mergeability and rank
+    arithmetic (N becomes total weight). NULL weights are the
+    caller's contract to pre-clean, as with the weighted PageRank."""
     if params.sig_bits < 1:
         raise ValueError("quantile_sketch: sig_bits must be >= 1")
     groups = list(group_cols or [])
+    wcol = [F.col(weight_col).cast("long").alias("__w")] if weight_col else []
     staged = (
         df.where(F.col(col).isNotNull())
         .select(
             *groups,
             F.round(F.col(col) * params.scale, 0).cast("long").alias("__c"),
+            *wcol,
         )
         .select(
             *groups,
             "__c",
+            *(["__w"] if weight_col else []),
             F.greatest(
                 F.length(F.conv(F.abs(F.col("__c")), 10, 2))
                 - F.lit(params.sig_bits),
@@ -872,10 +883,14 @@ def quantile_sketch(
     qv = F.signum(F.col("__c")).cast("long") * F.expr(
         "shiftleft(shiftright(abs(__c), __s), __s)"
     )
+    cnt = (
+        F.sum("__w") if weight_col else F.count(F.lit(1)).cast("long")
+    ).alias("cnt")
     return (
-        staged.select(*groups, qv.alias("qv"))
+        staged.select(*groups, qv.alias("qv"),
+                      *(["__w"] if weight_col else []))
         .groupBy(*groups, "qv")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .agg(cnt)
     )
 
 

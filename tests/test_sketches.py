@@ -310,3 +310,79 @@ def test_quantile_sketch_negative_values_sign_symmetric(spark):
     assert -513.27 - 1e-9 <= est[1] <= -513.27 * (1 - 2 ** -7)
     assert est[50] == 0.0
     assert 513.27 * (1 - 2 ** -7) <= est[100] <= 513.27 + 1e-9
+
+
+def test_quantile_sketch_weighted_equals_repeat_expansion(spark):
+    """weight_col semantics: a sketch over weighted rows equals the
+    sketch over the row-repeated expansion (weight w == w identical
+    rows), so weighted percentiles are 'the value below which X% of
+    WEIGHT lies' — the token-weighted curation form."""
+    from svoe_spark.operators.sketches import (
+        quantile_sketch,
+        quantile_sketch_estimate,
+    )
+
+    rows = [(1.0, 1), (10.0, 5), (100.0, 3), (1000.0, 1)]
+    wdf = spark.createDataFrame(rows, "value double, w long")
+    expanded = spark.createDataFrame(
+        [(v,) for v, w in rows for _ in range(w)], "value double"
+    )
+    ws = sorted(
+        (r["qv"], r["cnt"])
+        for r in quantile_sketch(wdf, "value", weight_col="w").collect()
+    )
+    es = sorted(
+        (r["qv"], r["cnt"])
+        for r in quantile_sketch(expanded, "value").collect()
+    )
+    assert ws == es
+    est = {
+        r["p"]: r["est_value"]
+        for r in quantile_sketch_estimate(
+            quantile_sketch(wdf, "value", weight_col="w"), [10, 60, 100]
+        ).collect()
+    }
+    # total weight 10: rank(10)=1 -> 1.0, rank(60)=6 -> 10.0 (cents
+    # 100 and 1000 fit 8 significant bits exactly); rank(100)=10 ->
+    # 1000.0, whose 100000 cents (17 bits) quantize to the top-8-bits
+    # bucket 99840 = 998.4 — the deterministic toward-zero estimate
+    assert est == {10: 1.0, 60: 10.0, 100: 998.4}
+
+
+@pytest.mark.heavy  # streaming round-trip: sharded tier
+def test_quantile_sketch_stream_equals_batch(spark, sf_small, tmp_path):
+    """Kappa property: the sketch is a plain keyed aggregation, so a
+    complete-mode streaming build over an availableNow replay equals
+    the batch sketch EXACTLY — the maintenance path for a continuously
+    ingested corpus (no custom state code; Spark's agg state IS the
+    sketch)."""
+    from pyspark.sql import functions as F
+
+    from svoe_spark.operators.sketches import quantile_sketch
+    from svoe_spark.sources.tables import load_table
+
+    e = load_table(spark, "events", sf_small).select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "value"
+    )
+    src = str(tmp_path / "qs_src")
+    e.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(e.schema).parquet(src)
+    q = (
+        quantile_sketch(stream, "value", group_cols=["day"])
+        .writeStream.format("memory")
+        .queryName("qs_stream_sketch")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "qs_cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["day"], r["qv"], r["cnt"])
+        for r in spark.sql("SELECT * FROM qs_stream_sketch").collect()
+    )
+    want = sorted(
+        (r["day"], r["qv"], r["cnt"])
+        for r in quantile_sketch(e, "value", group_cols=["day"]).collect()
+    )
+    assert got == want and len(want) > 0
