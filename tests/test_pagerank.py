@@ -376,5 +376,13 @@ def test_shared_aux_equals_per_call_setup(spark, edges):
         )
         with pytest.raises(ValueError, match="aux"):
             pagerank(edf, iterations=2, weight="missing", aux=aux)
+        # object-identity guard: an aux over a DIFFERENT edge relation
+        # (even a value-identical one) must be rejected, not silently
+        # rank the aux's graph
+        other = spark.createDataFrame(edges, "src long, dst long")
+        with pytest.raises(ValueError, match="identity"):
+            pagerank(other, iterations=2, aux=aux)
+        with pytest.raises(ValueError, match="identity"):
+            hits(other, iterations=2, aux=aux)
     finally:
         aux.unpersist()
