@@ -84,9 +84,13 @@ def main() -> None:
     for name, q in QUERIES.items():
         if not q.bench:
             continue
+        # label the query's jobs (guide §1.5) so a UI/event-log profile
+        # maps stages back to queries; costs nothing when the UI is off
+        spark.sparkContext.setJobDescription(name)
         t0 = time.perf_counter()
         _force(q.fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
+    spark.sparkContext.setJobDescription(None)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # Per-query detail goes to a sidecar file; stdout's FINAL line is a

@@ -24,79 +24,76 @@ import svoe_spark.queries_profile  # noqa: F401
 from svoe_spark.queries import QUERIES  # noqa: F401
 
 # Names to surface into the driver's 50-entry window, in check order.
-# Round 9 (VERDICT r8 ask 1): LEAD with the four round-8 repairs whose
-# driver witness is still outstanding (the formerly rows-only trio +
-# the never-driver-checked streaming as-of row — all judge-green
-# bit-exact in the r8 session), then refill with the 50 queries whose
-# newest driver row is CORRECTNESS_r05, in their r5 check order. After
-# the r8 rotation the staleness histogram was exactly 50/50/50/50
-# across r5..r8, so this pushes the floor to r6. 4 + 50 = 54 names;
-# the last four overflow to the round-10 rotation — compute the actual
-# split with driver_window() below (a helper for maintainers and the
-# verify harness — nothing prints it automatically) instead of
-# hard-coding counts in comments.
+# Round 10 (VERDICT r9 ask 1): LEAD with the never-driver-checked
+# round-9 quantile-sketch query plus the four r5-stale names that
+# overflowed the r9 window (`orderbook_snapshots_cryptofeed`,
+# `local_extrema`, `ewma_final_by_type`, `ewma_trend_by_type`), then
+# refill with the queries whose newest driver row is CORRECTNESS_r06,
+# in their r6 check order. 5 + 50 = 55 names; the overflow rotates to
+# round 11 — compute the actual split with driver_window() below (a
+# helper for maintainers and the verify harness — nothing prints it
+# automatically) instead of hard-coding counts in comments.
 _DRIVER_PRIORITY = [
-    "approx_distinct_daily",
-    "backtest_param_grid",
-    "ann_ivf_trained",
-    "asof_nearest_stream_events",
-    "mad_outlier_top20",
-    "candle_patterns_1h",
-    "asof_purchase_view_tolerant",
-    "rsi_14_hourly",
-    "bollinger_bands_1h",
-    "fuzzy_part_name_pairs",
-    "frequent_active_users",
-    "leadlag_corr_types",
-    "atr_14_1h",
-    "winsorize_doc_lengths",
-    "ann_ivfpq_refined",
-    "pq_adc_refined",
-    "unigram_tokens",
-    "unigram_scores",
-    "quality_classifier_trained",
-    "backtest_grid_cents",
-    "q1_pricing_summary",
-    "revenue_by_nation",
-    "order_priority_count",
-    "top_customers_per_nation",
-    "part_type_rollup",
-    "customer_order_stats",
-    "set_ops_order_keys",
-    "ohlcv_1m",
-    "volatility_1h",
-    "tvi_1h",
-    "pct_change_1h",
-    "asof_purchase_view",
-    "asof_purchase_view_bucketed",
-    "lookahead_label_1h",
-    "sample_last_1m",
-    "every_nth_10",
-    "token_frequencies",
-    "composite_events_by_minute",
-    "combine_latest_vector",
-    "running_reduce_user",
-    "orders_shipped_within_30d",
-    "events_content_dedup",
-    "sql_frontend_revenue",
-    "q6_forecast_revenue",
-    "q12_shipmode_priority",
-    "q14_promo_share",
-    "big_spenders_vs_nation",
-    "top_returned_customers",
-    "session_windows_30m",
-    "orderbook_snapshots",
+    "approx_quantiles_daily",
     "orderbook_snapshots_cryptofeed",
     "local_extrema",
     "ewma_final_by_type",
     "ewma_trend_by_type",
+    "q3_shipping_priority",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "orderbook_snapshots_bucketed",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_item",
+    "q13_order_distribution",
+    "q16_supplier_count",
+    "q22_global_sales_opportunity",
+    "resample_1h_ffill",
+    "cube_returnflag_status",
+    "supplier_balance_ranks",
+    "ann_ivfpq_recall90",
+    "unigram_tokens_oov",
+    "corpus_filter_trained",
+    "ann_ivfpq_batch",
+    "ann_ivfpq_batch_refined",
+    "pagerank_supply_graph",
+    "scd2_user_state",
+    "kmv_vocab_overlap",
+    "zorder_cells",
+    "ofi_1h",
+    "asof_purchase_next_view",
+    "asof_purchase_nearest_view",
+    "ppr_trusted_suppliers",
+    "hits_supply_graph",
+    "bfs_hops_trusted",
+    "tfidf_keywords_top3",
+    "contrastive_crops",
+    "embedding_jl_project",
+    "mixed_language_docs",
+    "pagerank_weighted_supply",
+    "top_collocations",
+    "dq_orders_report",
+    "supplier_cograph_triangles",
+    "event_transitions_30m",
+    "event_hourly_anomalies",
+    "value_cusum_alarms",
+    "priority_sample_orders",
+    "value_trend_by_type",
+    "event_dwell_30m",
+    "brand_association_rules",
+    "doc_length_drift",
+    "touch_attribution_72h",
+    "trimmed_mean_value",
+    "benford_order_values",
 ]
 
-# Queue for names that should lead the NEXT round's window: the
-# round-9 addition (mergeable log-bucket quantile sketch) has never
-# been driver-checked — it fronts the r10 window together with the
-# four r5-stale overflow names above it.
-_PRIORITY_EXTRA: list[str] = ["approx_quantiles_daily"]
+# Queue for names that should lead the NEXT round's window (none
+# pending after the r10 rotation).
+_PRIORITY_EXTRA: list[str] = []
 
 
 DRIVER_WINDOW_SLOTS = 50

@@ -86,10 +86,26 @@ class DataStream:
         def run(batches):
             for batch in batches:
                 rows = [fn(rec) for rec in batch.to_pylist()]
-                yield pa.RecordBatch.from_pylist(
-                    [{c: r.get(c) for c in out_cols} for r in rows],
-                    schema=pa_schema,
-                )
+                recs = []
+                for r in rows:
+                    if isinstance(r, dict):
+                        recs.append({c: r.get(c) for c in out_cols})
+                    elif isinstance(r, (tuple, list)):
+                        # legacy rdd.map contract: positional tuples/Rows
+                        # (a Row is a tuple subclass) zip with the output
+                        # schema
+                        if len(r) != len(out_cols):
+                            raise TypeError(
+                                f"map_rows: fn returned {len(r)} values for "
+                                f"{len(out_cols)} output columns {out_cols}"
+                            )
+                        recs.append(dict(zip(out_cols, r)))
+                    else:
+                        raise TypeError(
+                            "map_rows: fn must return a dict (column->value), "
+                            f"tuple, or Row per input row; got {type(r).__name__}"
+                        )
+                yield pa.RecordBatch.from_pylist(recs, schema=pa_schema)
 
         return DataStream(
             self.df.mapInArrow(run, out_df.schema), self._key

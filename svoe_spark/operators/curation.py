@@ -704,6 +704,12 @@ def priority_sample(
         # otherwise keep the historical lazy truncation.
         top = top.localCheckpoint(eager=observation is not None)
         if observation is not None and (observation.get["invalid"] or 0) > 0:
+            # drop our reference to the just-materialized checkpoint so
+            # the ContextCleaner reclaims its (k+1-row) blocks as soon
+            # as the exception is handled — DataFrame.unpersist() goes
+            # through the CacheManager and cannot release RDD-level
+            # localCheckpoint storage
+            del top
             raise ValueError(
                 "priority_sample: weights must be positive non-NULL"
                 " and ids non-NULL"

@@ -16,6 +16,20 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
+#: Micro-graph gate: at or below this node count the iterative
+#: operators keep the score/distance vector DRIVER-RESIDENT between
+#: rounds (it is exactly the relation broadcast-mode already collects
+#: to the driver every round to build each broadcast) — per round ONE
+#: Spark job instead of two broadcast builds + a checkpointed
+#: window/join chain. 64k nodes x 16 B ~ 1 MB per round-trip, an
+#: order of magnitude under the standard broadcast budget. Arithmetic
+#: is token-identical (exact integer ops are associative), so results
+#: and oracle hashes are unchanged by construction; the broadcast
+#: (<= broadcast_nodes) and partitioned (above) strategies are
+#: untouched. Pass driver_nodes=0 to force those paths.
+DRIVER_NODES_DEFAULT = 65_536
+
+
 def _digest(df: DataFrame, *cols: str):
     """Content digest of a relation: decimal(38,0) sum of per-row
     hashes. One cheap scalar aggregation; id-type-agnostic (string doc
@@ -306,6 +320,7 @@ class GraphAux:
         weight: str | None = None,
         assume_distinct: bool = False,
         broadcast_nodes: int = 500_000,
+        reuse_nodes: "GraphAux | None" = None,
     ):
         # identity of the INPUT relation (and its column mapping): the
         # operators verify a caller-supplied aux was built over the
@@ -315,6 +330,7 @@ class GraphAux:
         self.src = src
         self.dst = dst
         self.weight = weight
+        self.assume_distinct = assume_distinct
         self.broadcast_nodes = broadcast_nodes
         if weight is None:
             # assume_distinct: skip the dedup shuffle when the caller
@@ -358,24 +374,41 @@ class GraphAux:
             else F.sum("w").alias("outdeg")
         )
         self.deg = self.e.groupBy("src").agg(deg_agg)
-        # The dangling-node test (no out-edges) is static — precompute
-        # it as a node flag instead of an anti-join against deg every
-        # round.
-        self.nodes_base = (
-            self.e.select(F.col("src").alias("node"))
-            .union(self.e.select(F.col("dst").alias("node")))
-            .distinct()
-            .join(
-                self.deg.select(
-                    F.col("src").alias("node"), F.lit(True).alias("__has_out")
-                ),
-                "node",
-                "left",
+        if reuse_nodes is not None:
+            # Borrow another aux's persisted node relation — valid
+            # ONLY when the caller can PROVE both auxes decorate the
+            # same (src, dst) pair set (e.g. the weighted w-summed
+            # form vs the distinct form of one pair relation: weights
+            # change degrees, never the node set or the dangling
+            # flag). The borrower never unpersists what it borrowed.
+            if (reuse_nodes.src, reuse_nodes.dst) != (src, dst):
+                raise ValueError(
+                    "GraphAux(reuse_nodes=...): column mapping differs"
+                )
+            self.nodes_base = reuse_nodes.nodes_base
+            self.n = reuse_nodes.n
+            self._nodes_owned = False
+        else:
+            # The dangling-node test (no out-edges) is static —
+            # precompute it as a node flag instead of an anti-join
+            # against deg every round.
+            self.nodes_base = (
+                self.e.select(F.col("src").alias("node"))
+                .union(self.e.select(F.col("dst").alias("node")))
+                .distinct()
+                .join(
+                    self.deg.select(
+                        F.col("src").alias("node"),
+                        F.lit(True).alias("__has_out"),
+                    ),
+                    "node",
+                    "left",
+                )
+                .select("node", F.col("__has_out").isNull().alias("__dangling"))
+                .persist(StorageLevel.MEMORY_AND_DISK)
             )
-            .select("node", F.col("__has_out").isNull().alias("__dangling"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        self.n = self.nodes_base.count()
+            self.n = self.nodes_base.count()
+            self._nodes_owned = True
         self.small = self.n <= broadcast_nodes
         self._e_deg: DataFrame | None = None
 
@@ -398,7 +431,8 @@ class GraphAux:
 
     def unpersist(self) -> None:
         self.e.unpersist()
-        self.nodes_base.unpersist()
+        if self._nodes_owned:
+            self.nodes_base.unpersist()
         if self._e_deg is not None:
             self._e_deg.unpersist()
 
@@ -417,6 +451,7 @@ def pagerank(
     assume_distinct: bool = False,
     broadcast_nodes: int = 500_000,
     aux: "GraphAux | None" = None,
+    driver_nodes: int = DRIVER_NODES_DEFAULT,
 ) -> DataFrame:
     """Fixed-point integer PageRank over a directed edge list — uniform
     or personalized, fixed-iteration or run-to-fixpoint.
@@ -480,6 +515,24 @@ def pagerank(
     ONE shuffle: the contribution groupBy(dst). Overflow headroom:
     damping_pct * (in_sum + dangling) <= 100 * scale = 1e17 < int64.
 
+    ``driver_nodes``: MICRO-GRAPH driver-resident mode (round 10) —
+    at or under this node count (default 64k, see
+    DRIVER_NODES_DEFAULT) the rank vector additionally stays on the
+    driver between rounds: broadcast mode already collects it to the
+    driver every round to build the round's broadcast, so holding it
+    there removes the second driver round-trip (the contribution
+    broadcast), the per-round global window, and the per-round
+    localCheckpoint — each round is exactly ONE job: the (edges x
+    broadcast ranks) contribution aggregate, collected bounded by the
+    gate (<= driver_nodes rows). The per-node update (teleport +
+    damping + dangling redistribution) applies the IDENTICAL integer
+    expressions in int64 numpy (all values non-negative and <=
+    100*scale = 1e17, so `//` == truncating div, no overflow); edges
+    never leave the executors. Results and oracle hashes are
+    unchanged by construction — pinned by
+    test_broadcast_mode_equals_partitioned_mode. Pass 0 to force the
+    broadcast/partitioned strategies.
+
     ``broadcast_nodes``: SMALL-GRAPH broadcast mode — when the node
     count (already materialized for the teleport constants) is at or
     under this threshold, per-round shuffles of the graph are pure
@@ -517,11 +570,17 @@ def pagerank(
         or (aux.src, aux.dst) != (src, dst)
         or aux.weight != weight
         or aux.broadcast_nodes != broadcast_nodes
+        # an aux built with assume_distinct=True silently skips the
+        # dedup a per-call assume_distinct=False build would perform —
+        # the dedup decision must match (weighted auxes always
+        # pre-aggregate, so the flag is moot there)
+        or (weight is None and aux.assume_distinct != assume_distinct)
     ):
         raise ValueError(
             "pagerank: aux was built over a different edge relation "
-            "(object identity), column mapping, weight column, or "
-            "broadcast_nodes threshold than this call requests"
+            "(object identity), column mapping, weight column, "
+            "assume_distinct decision, or broadcast_nodes threshold "
+            "than this call requests"
         )
     release_nodes = False
     if sources is None:
@@ -580,6 +639,73 @@ def pagerank(
         if weight is None
         else "CAST((CAST(rank_fp AS DECIMAL(38,0)) * w) div outdeg AS BIGINT)"
     )
+
+    if small and n <= driver_nodes:
+        # micro-graph mode: driver-resident rank vector (see docstring)
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        spark_s = nodes.sparkSession
+        node_rows = nodes.collect()  # bounded: n <= driver_nodes
+        labels = [r["node"] for r in node_rows]
+        pos = {v: i for i, v in enumerate(labels)}
+        is_src_v = np.array([bool(r["__is_src"]) for r in node_rows])
+        dangling_v = np.array([bool(r["__dangling"]) for r in node_rows])
+        ranks_v = np.where(is_src_v, scale // ns, 0).astype("int64")
+        out_schema = T.StructType(
+            [nodes.schema["node"], T.StructField("rank_fp", T.LongType())]
+        )
+
+        def _rank_df(vec) -> DataFrame:
+            return spark_s.createDataFrame(
+                pd.DataFrame({"node": labels, "rank_fp": vec}),
+                schema=out_schema,
+            )
+
+        def _round_micro(vec):
+            rank_df = _rank_df(vec)
+            rows = (
+                e_deg.join(
+                    F.broadcast(rank_df), e_deg["src"] == rank_df["node"]
+                )
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum(F.expr(share)).alias("in_sum"))
+                .collect()  # bounded: one row per in-linked node <= n
+            )
+            in_sum = np.zeros(n, dtype="int64")
+            for r in rows:
+                in_sum[pos[r["node"]]] = r["in_sum"]
+            # same integer expressions as new_rank, element-wise: all
+            # terms non-negative, damping_pct*(in_sum+d_each) <=
+            # 100*scale = 1e17 < int64, numpy // == truncating div
+            d_each = int(vec[dangling_v].sum()) // ns
+            add = in_sum + np.where(is_src_v, d_each, 0)
+            return (
+                np.where(is_src_v, teleport, 0) + (damping_pct * add) // 100
+            ).astype("int64")
+
+        rounds = 0
+        if until_converged:
+            # exact integer fixpoint — direct vector comparison is the
+            # digest check without the digest job
+            for rounds in range(1, max_iter + 1):
+                new_v = _round_micro(ranks_v)
+                stop = bool(np.array_equal(new_v, ranks_v))
+                ranks_v = new_v
+                if stop:
+                    break
+        else:
+            rounds = iterations
+            for _ in range(iterations):
+                ranks_v = _round_micro(ranks_v)
+        out = _rank_df(ranks_v)
+        out._svoe_pr_rounds = rounds
+        if release_nodes:
+            nodes.unpersist()
+        if owned:
+            aux.unpersist()
+        return out
 
     def _round(ranks: DataFrame) -> DataFrame:
         rank_rel = ranks.select("node", "rank_fp")
@@ -671,6 +797,7 @@ def hits(
     max_iter: int = 100,
     broadcast_nodes: int = 500_000,
     aux: "GraphAux | None" = None,
+    driver_nodes: int = DRIVER_NODES_DEFAULT,
 ) -> DataFrame:
     """Fixed-point integer HITS (Kleinberg 1999): mutually-recursive
     hub and authority scores over a directed edge list — the natural
@@ -719,7 +846,11 @@ def hits(
     rounds run as broadcast hash joins over the single cached edge
     relation (score vector and per-round contribution relation
     broadcast), identical arithmetic and hashes by construction; pass
-    0 to force the partitioned path. In this mode the L1 total also
+    0 to force the partitioned path. ``driver_nodes`` (round 10): at
+    or below this count the score vectors additionally stay
+    driver-resident between half-steps — one job per half-step, exact
+    Python-int L1 rescale, identical trajectories (see
+    DRIVER_NODES_DEFAULT); pass 0 to force the DataFrame loop. In this mode the L1 total also
     FOLDS into the contribution relation as a global-window sum (round
     9): the separate scalar-total broadcast re-evaluated the whole
     unpersisted edge-join subtree, so each half-step paid the join
@@ -746,11 +877,14 @@ def hits(
         or (aux.src, aux.dst) != (src, dst)
         or aux.weight is not None
         or aux.broadcast_nodes != broadcast_nodes
+        # same dedup-decision guard as pagerank's (ADVICE r9)
+        or aux.assume_distinct != assume_distinct
     ):
         raise ValueError(
             "hits: aux must be unweighted, built over this very edge "
             "relation (object identity) and column mapping, with the "
-            "same broadcast_nodes threshold as this call"
+            "same assume_distinct decision and broadcast_nodes "
+            "threshold as this call"
         )
     e = aux.e
     # narrow projection over the PERSISTED node relation — per-round
@@ -766,6 +900,83 @@ def hits(
             F.lit(0).cast("long").alias("auth_fp"),
         )
     small = aux.small
+    if small and n <= driver_nodes:
+        # micro-graph mode: driver-resident hub/auth vectors — the
+        # pagerank discipline (see DRIVER_NODES_DEFAULT): per
+        # half-step ONE job (edges x broadcast scores -> decimal
+        # contribution aggregate, collected bounded by the gate); the
+        # L1 rescale runs in exact arbitrary-precision Python ints
+        # (raw * scale overflows int64 but the decimal(38,0) engine
+        # path never rounded either), token-identical to `rescale`.
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        spark_s = nodes.sparkSession
+        labels = [r["node"] for r in nodes.collect()]
+        pos = {v: i for i, v in enumerate(labels)}
+        node_field = nodes.schema["node"]
+
+        def _score_df(vec, col: str) -> DataFrame:
+            return spark_s.createDataFrame(
+                pd.DataFrame({"node": labels, col: vec}),
+                schema=T.StructType(
+                    [node_field, T.StructField(col, T.LongType())]
+                ),
+            )
+
+        def _half_micro(vec, score_col: str, join_on: str, group_as: str):
+            sdf = _score_df(vec, score_col)
+            rows = (
+                e.join(F.broadcast(sdf), e[join_on] == sdf["node"])
+                .groupBy(F.col(group_as).alias("node"))
+                .agg(
+                    F.sum(
+                        F.col(score_col).cast("decimal(38,0)")
+                    ).alias("__raw")
+                )
+                .collect()  # bounded: one row per contributed node <= n
+            )
+            raw = [0] * n
+            for r in rows:
+                raw[pos[r["node"]]] = int(r["__raw"])
+            t = sum(raw)
+            if t <= 0:
+                return [0] * n
+            # (raw * scale) div t on non-negative ints: // == div
+            return [(v * scale) // t for v in raw]
+
+        hub_v = [scale // n] * n
+        auth_v = [0] * n
+        rounds = 0
+        if until_converged:
+            for rounds in range(1, max_iter + 1):
+                auth_new = _half_micro(hub_v, "hub_fp", "src", "dst")
+                hub_new = _half_micro(auth_new, "auth_fp", "dst", "src")
+                stop = hub_new == hub_v and auth_new == auth_v
+                hub_v, auth_v = hub_new, auth_new
+                if stop:
+                    break
+        else:
+            rounds = iterations
+            for _ in range(iterations):
+                auth_v = _half_micro(hub_v, "hub_fp", "src", "dst")
+                hub_v = _half_micro(auth_v, "auth_fp", "dst", "src")
+        out = spark_s.createDataFrame(
+            pd.DataFrame(
+                {"node": labels, "hub_fp": hub_v, "auth_fp": auth_v}
+            ),
+            schema=T.StructType(
+                [
+                    node_field,
+                    T.StructField("hub_fp", T.LongType()),
+                    T.StructField("auth_fp", T.LongType()),
+                ]
+            ),
+        )
+        out._svoe_hits_rounds = rounds
+        if owned:
+            aux.unpersist()
+        return out
     if small:
         e_by = {"src": e, "dst": e}
     else:
@@ -882,6 +1093,7 @@ def bfs_distances(
     directed: bool = True,
     early_stop: bool = True,
     assume_distinct: bool = False,
+    driver_nodes: int = DRIVER_NODES_DEFAULT,
 ) -> DataFrame:
     """Multi-source BFS: the hop distance from the nearest seed to
     every reachable node (nodes beyond ``max_hops`` or unreachable are
@@ -905,6 +1117,15 @@ def bfs_distances(
     join elides the edge-side exchange — only the (node, dist) vector
     moves, and it re-enters each round already partitioned by
     ``node``.
+
+    ``driver_nodes`` (round 10): at or below this node count (probed
+    by the same job that pulls the node set, bounded by
+    limit(driver_nodes+1)) the distance map stays DRIVER-RESIDENT —
+    one job per hop (edges x broadcast distances -> per-target min),
+    no repartitioned edge copy, no checkpoint chain, and convergence
+    detection for free (see DRIVER_NODES_DEFAULT). Exact integer
+    min-relax, so distances are identical to the relational loop's;
+    pass 0 to force it.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not directed:
@@ -914,13 +1135,93 @@ def bfs_distances(
     # bipartite node id spaces)
     if not assume_distinct:
         e = e.distinct()
-    e = e.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+    # persist WITHOUT repartitioning yet: the micro-mode gate probe
+    # needs the node set first, and micro mode never needs the
+    # repartitioned copy (its per-round joins broadcast the distance
+    # vector; edges stay where they are)
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    if not isinstance(sources, DataFrame) and not sources:
+        e.unpersist()
+        raise ValueError("bfs_distances: sources is empty")
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    )
+    # ONE job doubles as the micro-mode gate AND the node-set pull:
+    # limit(driver_nodes+1) short-circuits on large graphs, so the
+    # collect is bounded either way
+    node_probe = nodes.distinct().limit(driver_nodes + 1).collect()
+    if len(node_probe) <= driver_nodes:
+        # micro-graph mode: driver-resident distance map — the
+        # pagerank discipline (see DRIVER_NODES_DEFAULT). Per hop ONE
+        # job: edges x broadcast(dist) -> per-target min, collected
+        # bounded by the node count; the min-relax merge is exact
+        # integer arithmetic, so the trajectory is identical to the
+        # relational loop. The relax is monotone and idempotent: once
+        # a round changes nothing, no later round can, so stopping
+        # there is result-identical even with early_stop=False (the
+        # per-round digest jobs the flag used to buy are free here).
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        spark_s = e.sparkSession
+        node_set = {r["node"] for r in node_probe}
+        node_field = T.StructField(
+            "node", e.schema["src"].dataType, nullable=True
+        )
+        if isinstance(sources, DataFrame):
+            seed_rows = (
+                sources.select(F.col(sources.columns[0]).alias("node"))
+                .distinct()
+                .join(nodes.distinct(), "node", "left_semi")
+                .limit(driver_nodes + 1)
+                .collect()  # bounded: semi-join against <= driver_nodes nodes
+            )
+            seed_vals = {r["node"] for r in seed_rows}
+        else:
+            seed_vals = {v for v in sources if v in node_set}
+        if not seed_vals:
+            e.unpersist()
+            raise ValueError(
+                "bfs_distances: no source node appears in the graph"
+            )
+        dist: dict = {v: 0 for v in sorted(seed_vals, key=repr)}
+
+        def _dist_df(d: dict) -> DataFrame:
+            items = list(d.items())
+            return spark_s.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "node": [k for k, _ in items],
+                        "dist": [v for _, v in items],
+                    }
+                ),
+                schema=T.StructType(
+                    [node_field, T.StructField("dist", T.IntegerType())]
+                ),
+            )
+
+        for _ in range(max_hops):
+            ddf = _dist_df(dist)
+            rows = (
+                e.join(F.broadcast(ddf), e["src"] == ddf["node"])
+                .groupBy(F.col("dst").alias("node"))
+                .agg((F.min("dist") + 1).cast("int").alias("dist"))
+                .collect()  # bounded: one row per reached node <= n
+            )
+            changed = False
+            for r in rows:
+                v, d = r["node"], r["dist"]
+                if v not in dist or d < dist[v]:
+                    dist[v] = d
+                    changed = True
+            if not changed:
+                break
+        e.unpersist()
+        return _dist_df(dist)
+    er = e.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
     if isinstance(sources, DataFrame):
         seeds = sources.select(F.col(sources.columns[0]).alias("node")).distinct()
     else:
-        if not sources:
-            e.unpersist()
-            raise ValueError("bfs_distances: sources is empty")
         seeds = (
             e.sparkSession.createDataFrame(
                 [(v,) for v in sources], ["node"]
@@ -929,18 +1230,16 @@ def bfs_distances(
     # a seed absent from the graph is not "reachable at distance 0" —
     # restrict to nodes that actually appear, and fail loudly when
     # nothing remains (matching pagerank's sources contract)
-    nodes = e.select(F.col("src").alias("node")).union(
-        e.select(F.col("dst").alias("node"))
-    )
     seeds = seeds.join(nodes.distinct(), "node", "left_semi")
     dist = seeds.select("node", F.lit(0).cast("int").alias("dist"))
     prev_digest = _digest(dist, "node", "dist") if early_stop else None
     if dist.limit(1).count() == 0:
+        er.unpersist()
         e.unpersist()
         raise ValueError("bfs_distances: no source node appears in the graph")
     for _ in range(max_hops):
         cand = (
-            e.join(dist, e["src"] == dist["node"])
+            er.join(dist, er["src"] == dist["node"])
             .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
         )
         dist = (
@@ -958,6 +1257,7 @@ def bfs_distances(
         # one cascaded materialization before releasing the edges the
         # lazy checkpoints' lineage still needs
         dist.count()
+    er.unpersist()
     e.unpersist()
     return dist
 

@@ -952,7 +952,13 @@ def quantile_sketch_sql(
     """DuckDB CTE chain re-deriving the sketch — emits ``qs_sketch``
     (g?, qv, cnt) with bit-identical quantization (bin() == conv(),
     integer shifts). Estimation SQL composes on top with the same
-    rank formula (see the approx_quantiles_daily query)."""
+    rank formula (see the approx_quantiles_daily query).
+
+    Covers only the UNWEIGHTED form: ``cnt`` is ``count(*)``. A query
+    wiring this oracle against an engine build that passes
+    ``weight_col`` would mismatch — weighted sketches need a
+    ``sum(w)``-based twin (add it here, next to the engine form, when
+    a weighted query first needs one)."""
     sig_bits, scale = params.sig_bits, params.scale
     g_sel = f"{group_expr} AS g, " if group_expr else ""
     g_cols = "g, " if group_expr else ""

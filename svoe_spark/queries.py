@@ -1314,6 +1314,31 @@ def _l2_updates_cryptotick(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached_chain(spark, sf_dir, "l2-updates-cryptotick", build)
 
 
+def _l2_updates_cryptofeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cryptofeed-dialect twin of `_l2_updates_cryptotick` (round
+    10): `reconstruct_book_auto` evaluates its input lineage TWICE —
+    once for the per-key dispatch profile, once for the replay — so
+    the JSON parse + normalization used to run twice per call. Parsed
+    and persisted once per (session, sf_dir); rows identical, so the
+    replay (and the oracle hash) is unchanged."""
+    from svoe_spark.queries_llm import _cached_chain
+
+    def build():
+        from svoe_spark.operators.orderbook import (
+            cryptofeed_updates,
+            synthetic_cryptofeed_updates,
+        )
+        from svoe_spark.operators.util import spread
+
+        # spread before the parse — see _l2_updates_cryptotick
+        events = spread(load_table(spark, "events", sf_dir))
+        return cryptofeed_updates(
+            synthetic_cryptofeed_updates(events, passthrough=("event_id",))
+        ).persist()
+
+    return _cached_chain(spark, sf_dir, "l2-updates-cryptofeed", build)
+
+
 @query("orderbook_snapshots", _orderbook_oracle(_OB_EV, _OB_OPS_CRYPTOTICK), bench=True)
 def orderbook_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 order-book reconstruction (reference T2, the flagship stateful
@@ -1365,19 +1390,11 @@ def orderbook_snapshots_cryptofeed(spark: SparkSession, sf_dir: str) -> DataFram
     additionally differential-tested against a single-process
     transcription of the reference state machine
     (tests/test_orderbook.py)."""
-    from svoe_spark.operators.orderbook import (
-        cryptofeed_updates,
-        reconstruct_book_auto,
-        synthetic_cryptofeed_updates,
-    )
-    from svoe_spark.operators.util import spread
+    from svoe_spark.operators.orderbook import reconstruct_book_auto
 
-    # spread before the parse — see _l2_updates_cryptotick
-    events = spread(load_table(spark, "events", sf_dir))
-    updates = cryptofeed_updates(
-        synthetic_cryptofeed_updates(events, passthrough=("event_id",))
+    snaps = reconstruct_book_auto(
+        _l2_updates_cryptofeed(spark, sf_dir), depth=10, seq_col="event_id"
     )
-    snaps = reconstruct_book_auto(updates, depth=10, seq_col="event_id")
     return snaps.select(
         "symbol",
         "ts",
@@ -3189,22 +3206,54 @@ _PR_DAMP = 85
 _SUPPLY_EDGE_CACHE: dict = {}
 
 
-def _supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    got = _SUPPLY_EDGE_CACHE.get(sf_dir)
+def _supply_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-keyed RAW (src, dst) pair stream — one row per
+    (lineitem x orders) match, persisted once. Both graph edge forms
+    derive from it: the DISTINCT pairs (`_supply_edges`, the
+    unweighted ranking family + BFS) and the w=1 rows whose per-pair
+    sum is the lineitem-multiplicity weight (`_supply_edges_weighted`)
+    — so the weighted query no longer re-runs the lineitem x orders
+    join the unweighted family already paid for (round 10, VERDICT r9
+    ask 3). The projection is token-identical to the former inline
+    one, so every derived relation is unchanged."""
+    got = _SUPPLY_EDGE_CACHE.get(("pairs", sf_dir))
     if got is not None and got[0] is spark:
         return got[1]
     li = load_table(spark, "lineitem", sf_dir)
     o = load_table(spark, "orders", sf_dir)
-    edges = (
+    pairs = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(
             (F.col("l_suppkey") * 2 + 1).alias("src"),
             (F.col("o_custkey") * 2).alias("dst"),
         )
-        .distinct()
         .persist()
     )
+    _SUPPLY_EDGE_CACHE[("pairs", sf_dir)] = (spark, pairs)
+    return pairs
+
+
+def _supply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    got = _SUPPLY_EDGE_CACHE.get(sf_dir)
+    if got is not None and got[0] is spark:
+        return got[1]
+    edges = _supply_pairs(spark, sf_dir).distinct().persist()
     _SUPPLY_EDGE_CACHE[sf_dir] = (spark, edges)
+    return edges
+
+
+def _supply_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The w=1-decorated raw pair relation (NOT pre-aggregated: the
+    pagerank operator's GraphAux sums duplicate (src, dst) weights
+    itself, token-for-token the former inline path, so the aggregated
+    weights — and the oracle hash — are identical by construction)."""
+    got = _SUPPLY_EDGE_CACHE.get(("weighted", sf_dir))
+    if got is not None and got[0] is spark:
+        return got[1]
+    edges = _supply_pairs(spark, sf_dir).withColumn(
+        "w", F.lit(1).cast("long")
+    )
+    _SUPPLY_EDGE_CACHE[("weighted", sf_dir)] = (spark, edges)
     return edges
 
 
@@ -3216,8 +3265,10 @@ def _supply_graph_aux(spark: SparkSession, sf_dir: str):
     graph once per (session, sf_dir) and hand each operator the
     prebuilt relations (operators/graph.py GraphAux; construction is
     token-for-token the operators' own inline setup, so hashes are
-    unchanged). The weighted ranking and the undirected BFS decorate
-    differently and stay per-call."""
+    unchanged). The weighted ranking borrows this aux's node relation
+    through `_supply_graph_aux_weighted`; the undirected BFS decorates
+    per-call, but from the cached distinct pairs and only a cheap
+    union deep in micro mode (operators/graph.py:bfs_distances)."""
     from svoe_spark.operators.graph import GraphAux
     from svoe_spark.queries_llm import _cached_chain
 
@@ -3228,6 +3279,29 @@ def _supply_graph_aux(spark: SparkSession, sf_dir: str):
         )
 
     return _cached_chain(spark, sf_dir, "supply-graph-aux", build)
+
+
+def _supply_graph_aux_weighted(spark: SparkSession, sf_dir: str):
+    """The weighted decoration (round 10, VERDICT r9 ask 3): w-summed
+    edges + weighted degrees over the SAME raw pair relation, built
+    once per (session, sf_dir). The node set (and the dangling flag)
+    of the w-summed pair relation provably equals the distinct pair
+    relation's — weights change degrees, never which (src, dst) pairs
+    exist — so the persisted node relation is BORROWED from the
+    unweighted aux instead of re-derived (GraphAux reuse_nodes;
+    bit-identity pinned by test_shared_aux_equals_per_call_setup's
+    weighted leg)."""
+    from svoe_spark.operators.graph import GraphAux
+    from svoe_spark.queries_llm import _cached_chain
+
+    def build():
+        return GraphAux(
+            _supply_edges_weighted(spark, sf_dir),
+            weight="w",
+            reuse_nodes=_supply_graph_aux(spark, sf_dir),
+        )
+
+    return _cached_chain(spark, sf_dir, "supply-graph-aux-weighted", build)
 
 
 def _pagerank_core_sql(
@@ -3860,16 +3934,11 @@ def pagerank_weighted_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncating integral division identical across engines."""
     from svoe_spark.operators.graph import pagerank
 
-    li = load_table(spark, "lineitem", sf_dir)
-    o = load_table(spark, "orders", sf_dir)
-    edges = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
-        (F.col("l_suppkey") * 2 + 1).alias("src"),
-        (F.col("o_custkey") * 2).alias("dst"),
-        F.lit(1).cast("long").alias("w"),
-    )
+    edges = _supply_edges_weighted(spark, sf_dir)
     pr = pagerank(
         edges, iterations=_PR_ITERS, damping_pct=_PR_DAMP, scale=_PR_SCALE,
         weight="w",
+        aux=_supply_graph_aux_weighted(spark, sf_dir),
     )
     return (
         pr.select(

@@ -2043,6 +2043,27 @@ def _bm25_oracle() -> str:
     """
 
 
+def _bm25_lex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-keyed shared BM25 top-10 relation (VERDICT r9 ask 2 /
+    the _mh_pairs discipline): `bm25_search` and `hybrid_search_rrf`
+    both run bm25_topk(docs, BM25_QUERIES, k=10) — the full inverted
+    index + postings scoring — so the (30-row) result is computed and
+    persisted once per (session, sf_dir) and both queries project from
+    it. The operator call is verbatim the former inline one, so the
+    lexical ranking (and both oracle hashes) are identical by
+    construction."""
+    from svoe_spark.operators.retrieval import bm25_topk
+
+    def build():
+        docs = load_table(spark, "documents", sf_dir)
+        queries = spark.createDataFrame(
+            BM25_QUERIES, "query_id long, query_text string"
+        )
+        return bm25_topk(docs, queries, k=10).persist()
+
+    return _cached_chain(spark, sf_dir, "bm25-lex", build)
+
+
 @query("bm25_search", _bm25_oracle())
 def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 over the documents corpus for a fixed 3-query
@@ -2050,13 +2071,7 @@ def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/retrieval.py module docstring). The query side is
     broadcast; the oracle rebuilds the identical inverted index and
     term-sorted fold in DuckDB."""
-    from svoe_spark.operators.retrieval import bm25_topk
-
-    docs = load_table(spark, "documents", sf_dir)
-    queries = spark.createDataFrame(
-        BM25_QUERIES, "query_id long, query_text string"
-    )
-    out = bm25_topk(docs, queries, k=10)
+    out = _bm25_lex(spark, sf_dir)
     return out.select(
         "query_id", "doc_id", "score", F.col("rank").cast("long").alias("rank")
     )
@@ -3077,15 +3092,11 @@ def hybrid_search_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines."""
     from pyspark.sql import Window
 
-    from svoe_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from svoe_spark.operators.retrieval import rrf_fuse
     from svoe_spark.operators.similarity import brute_force_topk_batch
 
-    docs = load_table(spark, "documents", sf_dir)
     emb = load_table(spark, "embeddings", sf_dir)
-    queries = spark.createDataFrame(
-        BM25_QUERIES, "query_id long, query_text string"
-    )
-    lex = bm25_topk(docs, queries, k=10).select("query_id", "doc_id", "rank")
+    lex = _bm25_lex(spark, sf_dir).select("query_id", "doc_id", "rank")
     qv = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

@@ -598,16 +598,22 @@ def kmv_vocab_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # HOF shingle fold would serialize on one core (measured 52 s ->
     # ~3 s at sf0.1)
     docs = spread(load_table(spark, "documents", sf_dir))
-    # persisted: the shingle relation feeds BOTH the per-source and the
-    # reference sketch subtrees (one action computes both)
     sh = docs.select(
         "source",
         F.explode(word_shingles_from_hashes(token_hashes(F.col("text")))).alias(
             "s"
         ),
-    ).persist()
-    sk_src = kmv_build(sh, "s", k=_KSO_K, group_cols=["source"])
-    ref_sk = kmv_build(sh.where(F.col("source") == _KSO_REF), "s", k=_KSO_K)
+    )
+    # ONE grouped build over the shingle stream, persisted at sketch
+    # size (<= sources x k bigints). The reference sketch is the src0
+    # GROUP of the same relation — a group's bottom-k over distinct
+    # hashes equals, row for row, the ungrouped bottom-k over the
+    # group-filtered input — so the former second full corpus pass
+    # (separate ref kmv_build) and the 260k-row shingle persist are
+    # gone: the explode is evaluated exactly once, and only sketches
+    # are retained (round 10; hash-identical by construction).
+    sk_src = kmv_build(sh, "s", k=_KSO_K, group_cols=["source"]).persist()
+    ref_sk = sk_src.where(F.col("source") == _KSO_REF).select("h")
     srcs = docs.select("source").distinct()
     sk_ref = srcs.crossJoin(F.broadcast(ref_sk))
     out = kmv_set_ops(sk_src, sk_ref, k=_KSO_K, group_cols=["source"])

@@ -306,44 +306,62 @@ def test_weighted_shifts_mass_toward_heavy_edge(spark):
     assert unw[2] == unw[3]
 
 
-@pytest.mark.heavy  # 12 multi-round graph ops (~2 min): sharded tier
+@pytest.mark.heavy  # multi-round graph ops (~3 min): sharded tier
 def test_broadcast_mode_equals_partitioned_mode(spark, edges):
-    """The round-8 small-graph broadcast path (rank/score vector
-    broadcast, no repartitioned edge copies) is a PHYSICAL-strategy
-    switch only: results must be bit-identical to the partitioned path
-    (broadcast_nodes=0 forces it) for pagerank (uniform, personalized,
-    weighted) and HITS. (BFS keeps its single partitioned path: the
-    broadcast variant measured slower AND unstable at sf0.1 —
-    44s outlier on a warm rerun — so it was dropped in round 8.)"""
-    from svoe_spark.operators.graph import hits
+    """The three physical strategies — driver-resident micro mode (the
+    round-10 default on tiny graphs), the round-8 small-graph
+    broadcast path (driver_nodes=0 forces it: rank/score vector
+    broadcast, no repartitioned edge copies), and the partitioned path
+    (broadcast_nodes=0) — are PHYSICAL switches only: results must be
+    bit-identical across all three for pagerank (uniform,
+    personalized, weighted) and HITS, and across micro vs partitioned
+    for BFS (whose broadcast variant was dropped in round 8; micro
+    mode replaces it from round 10)."""
+    from svoe_spark.operators.graph import bfs_distances, hits
 
     def rows(df, *cols):
         return sorted(tuple(r[c] for c in cols) for r in df.collect())
 
     edf = spark.createDataFrame(edges, "src long, dst long")
-    br = pagerank(edf, iterations=4)
+    mi = pagerank(edf, iterations=4)
+    br = pagerank(edf, iterations=4, driver_nodes=0)
     pt = pagerank(edf, iterations=4, broadcast_nodes=0)
+    assert rows(mi, "node", "rank_fp") == rows(pt, "node", "rank_fp")
     assert rows(br, "node", "rank_fp") == rows(pt, "node", "rank_fp")
 
-    br = pagerank(edf, iterations=3, sources=[1], damping_pct=70)
+    mi = pagerank(edf, iterations=3, sources=[1], damping_pct=70)
+    br = pagerank(
+        edf, iterations=3, sources=[1], damping_pct=70, driver_nodes=0
+    )
     pt = pagerank(
         edf, iterations=3, sources=[1], damping_pct=70, broadcast_nodes=0
     )
+    assert rows(mi, "node", "rank_fp") == rows(pt, "node", "rank_fp")
     assert rows(br, "node", "rank_fp") == rows(pt, "node", "rank_fp")
 
     w = spark.createDataFrame(
         [(1, 2, 10), (1, 3, 1), (2, 3, 5), (3, 1, 2)],
         "src long, dst long, w long",
     )
-    br = pagerank(w, iterations=3, weight="w")
+    mi = pagerank(w, iterations=3, weight="w")
+    br = pagerank(w, iterations=3, weight="w", driver_nodes=0)
     pt = pagerank(w, iterations=3, weight="w", broadcast_nodes=0)
+    assert rows(mi, "node", "rank_fp") == rows(pt, "node", "rank_fp")
     assert rows(br, "node", "rank_fp") == rows(pt, "node", "rank_fp")
 
-    br = hits(edf, iterations=3)
+    mi = hits(edf, iterations=3)
+    br = hits(edf, iterations=3, driver_nodes=0)
     pt = hits(edf, iterations=3, broadcast_nodes=0)
+    assert rows(mi, "node", "hub_fp", "auth_fp") == rows(
+        pt, "node", "hub_fp", "auth_fp"
+    )
     assert rows(br, "node", "hub_fp", "auth_fp") == rows(
         pt, "node", "hub_fp", "auth_fp"
     )
+
+    mi = bfs_distances(edf, [1], max_hops=4, directed=False)
+    pt = bfs_distances(edf, [1], max_hops=4, directed=False, driver_nodes=0)
+    assert rows(mi, "node", "dist") == rows(pt, "node", "dist")
 
 
 @pytest.mark.heavy  # multi-round graph ops: sharded tier
@@ -376,6 +394,23 @@ def test_shared_aux_equals_per_call_setup(spark, edges):
         )
         with pytest.raises(ValueError, match="aux"):
             pagerank(edf, iterations=2, weight="missing", aux=aux)
+        # weighted aux BORROWING the unweighted aux's node relation
+        # (round 10): same ranks as a fully per-call weighted setup
+        from pyspark.sql import functions as F
+
+        wdf = edf.withColumn("w", F.lit(1).cast("long"))
+        waux = GraphAux(wdf, weight="w", reuse_nodes=aux)
+        try:
+            a = pagerank(wdf, iterations=3, weight="w", aux=waux)
+            b = pagerank(wdf, iterations=3, weight="w")
+            assert rows(a, "node", "rank_fp") == rows(b, "node", "rank_fp")
+        finally:
+            waux.unpersist()
+        # the borrowed node relation must survive the borrower's
+        # release (the unweighted aux still owns it)
+        a = pagerank(edf, iterations=2, aux=aux)
+        b = pagerank(edf, iterations=2)
+        assert rows(a, "node", "rank_fp") == rows(b, "node", "rank_fp")
         # object-identity guard: an aux over a DIFFERENT edge relation
         # (even a value-identical one) must be rejected, not silently
         # rank the aux's graph
@@ -384,5 +419,13 @@ def test_shared_aux_equals_per_call_setup(spark, edges):
             pagerank(other, iterations=2, aux=aux)
         with pytest.raises(ValueError, match="identity"):
             hits(other, iterations=2, aux=aux)
+        # dedup-decision guard (ADVICE r9): an aux built with
+        # assume_distinct=False must be rejected by an
+        # assume_distinct=True call and vice versa — a silent mismatch
+        # would skip (or double) the dedup the call expects
+        with pytest.raises(ValueError, match="assume_distinct"):
+            pagerank(edf, iterations=2, assume_distinct=True, aux=aux)
+        with pytest.raises(ValueError, match="assume_distinct"):
+            hits(edf, iterations=2, assume_distinct=True, aux=aux)
     finally:
         aux.unpersist()

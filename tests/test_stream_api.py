@@ -76,6 +76,30 @@ def test_map_rows_mixed_schema(spark):
     ]
 
 
+def test_map_rows_tuple_and_bad_return(spark):
+    """ADVICE r9: the legacy rdd.map contract accepted positional
+    tuples/Rows — map_rows must zip those with the output schema, and
+    a return that is neither dict nor tuple/Row must raise a clear
+    TypeError naming the contract (not an opaque Arrow-worker
+    AttributeError)."""
+    import pytest
+
+    ctx = StreamingContext(spark)
+    out = (
+        ctx.from_collection([("a", 1), ("b", 2)], schema="tag string, v long")
+        .map_rows(lambda rec: (rec["tag"], rec["v"] * 10), "t string, w long")
+        .sink_collect()
+    )
+    assert sorted(tuple(r) for r in out) == [("a", 10), ("b", 20)]
+
+    with pytest.raises(Exception, match="map_rows"):
+        (
+            ctx.from_collection([("a", 1)], schema="tag string, v long")
+            .map_rows(lambda rec: 42, "t string")
+            .sink_collect()
+        )
+
+
 def test_map_rows_row_asdict_fidelity(spark):
     """The Row.asDict fidelity contract the .rdd path gave, pinned
     against the two pandas-transport failure modes the round-9 review

@@ -68,6 +68,16 @@ def test_approx_sketches_error_bound(spark, sf_mid):
 
     rows = QUERIES["approx_distinct_daily"].fn(spark, sf_mid).collect()
     assert rows
+    # Regime guard (ADVICE r9): the monotonicity assertion below is
+    # only sound while the running-union series stays on ONE side of
+    # the LC/raw switch (raw = 2.5m, i.e. ~2.5*512 = 1280 in estimate
+    # space, where the small-range correction is discontinuous). If a
+    # regenerated/rescaled fixture crosses it, fail HERE with the real
+    # cause instead of flaking on a legitimate dip.
+    assert all(r["est_users_to_date"] < 0.9 * 2.5 * 512 for r in rows), (
+        "fixture's running union approaches the LC/raw switch — the "
+        "monotonicity assertion below is no longer regime-safe"
+    )
     prev = 0.0
     for r in sorted(rows, key=lambda r: r["day"]):
         assert abs(r["est_users"] - r["exact_users"]) <= 0.1 * r["exact_users"]
