@@ -614,7 +614,11 @@ def pagerank(
             aux.unpersist()
         return nodes.select(F.col("node"), F.lit(0).cast("long").alias("rank_fp"))
     small = aux.small
-    e_deg = aux.e_deg
+    micro = small and n <= driver_nodes
+    # unweighted micro mode never touches the degree-pre-joined edge
+    # copy (the degree division folds driver-side per node), so the
+    # lazy e_deg build/persist is skipped entirely there
+    e_deg = aux.e_deg if not (micro and weight is None) else None
     ns = n if sources is None else nodes.where("__is_src").count()
     if ns == 0:
         if release_nodes:
@@ -640,7 +644,7 @@ def pagerank(
         else "CAST((CAST(rank_fp AS DECIMAL(38,0)) * w) div outdeg AS BIGINT)"
     )
 
-    if small and n <= driver_nodes:
+    if micro:
         # micro-graph mode: driver-resident rank vector (see docstring)
         import numpy as np
         import pandas as pd
@@ -653,8 +657,9 @@ def pagerank(
         is_src_v = np.array([bool(r["__is_src"]) for r in node_rows])
         dangling_v = np.array([bool(r["__dangling"]) for r in node_rows])
         ranks_v = np.where(is_src_v, scale // ns, 0).astype("int64")
+        node_field = nodes.schema["node"]
         out_schema = T.StructType(
-            [nodes.schema["node"], T.StructField("rank_fp", T.LongType())]
+            [node_field, T.StructField("rank_fp", T.LongType())]
         )
 
         def _rank_df(vec) -> DataFrame:
@@ -663,18 +668,60 @@ def pagerank(
                 schema=out_schema,
             )
 
-        def _round_micro(vec):
-            rank_df = _rank_df(vec)
-            rows = (
-                e_deg.join(
-                    F.broadcast(rank_df), e_deg["src"] == rank_df["node"]
-                )
-                .groupBy(F.col("dst").alias("node"))
-                .agg(F.sum(F.expr(share)).alias("in_sum"))
-                .collect()  # bounded: one row per in-linked node <= n
+        if weight is None:
+            # the unweighted per-edge share `rank_fp div outdeg` is a
+            # per-SOURCE-node constant c_u — compute it driver-side
+            # from the (bounded, <= n-row) degree relation and ship
+            # ONLY (node, c): the degree-pre-joined e_deg copy is
+            # never built, and each round joins the raw cached edge
+            # relation against a narrower broadcast. Per-edge values
+            # identical, so the executor-side integer sum is too.
+            outdeg = {
+                r["src"]: int(r["outdeg"]) for r in aux.deg.collect()
+            }
+            outdeg_v = np.array(
+                [outdeg.get(v, 0) for v in labels], dtype="int64"
             )
+            has_out = outdeg_v > 0
+            out_labels = [v for v, h in zip(labels, has_out) if h]
+            c_schema = T.StructType(
+                [node_field, T.StructField("c", T.LongType())]
+            )
+
+            def _contrib_rows(vec):
+                c_df = spark_s.createDataFrame(
+                    pd.DataFrame(
+                        {
+                            "node": out_labels,
+                            "c": vec[has_out] // outdeg_v[has_out],
+                        }
+                    ),
+                    schema=c_schema,
+                )
+                return (
+                    aux.e.join(
+                        F.broadcast(c_df), aux.e["src"] == c_df["node"]
+                    )
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg(F.sum("c").alias("in_sum"))
+                    .collect()  # bounded: one row per in-linked node <= n
+                )
+        else:
+
+            def _contrib_rows(vec):
+                rank_df = _rank_df(vec)
+                return (
+                    e_deg.join(
+                        F.broadcast(rank_df), e_deg["src"] == rank_df["node"]
+                    )
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg(F.sum(F.expr(share)).alias("in_sum"))
+                    .collect()  # bounded: one row per in-linked node <= n
+                )
+
+        def _round_micro(vec):
             in_sum = np.zeros(n, dtype="int64")
-            for r in rows:
+            for r in _contrib_rows(vec):
                 in_sum[pos[r["node"]]] = r["in_sum"]
             # same integer expressions as new_rank, element-wise: all
             # terms non-negative, damping_pct*(in_sum+d_each) <=
@@ -1200,21 +1247,27 @@ def bfs_distances(
                 ),
             )
 
+        # classic frontier relaxation: only nodes whose distance CHANGED
+        # last round can produce a smaller candidate this round (an
+        # unchanged node's candidates were already min-merged when it
+        # last changed), so each round ships only the frontier — the
+        # distance map is identical to relaxing the full map every hop.
+        frontier = dict(dist)
         for _ in range(max_hops):
-            ddf = _dist_df(dist)
+            ddf = _dist_df(frontier)
             rows = (
                 e.join(F.broadcast(ddf), e["src"] == ddf["node"])
                 .groupBy(F.col("dst").alias("node"))
                 .agg((F.min("dist") + 1).cast("int").alias("dist"))
                 .collect()  # bounded: one row per reached node <= n
             )
-            changed = False
+            frontier = {}
             for r in rows:
                 v, d = r["node"], r["dist"]
                 if v not in dist or d < dist[v]:
                     dist[v] = d
-                    changed = True
-            if not changed:
+                    frontier[v] = d
+            if not frontier:
                 break
         e.unpersist()
         return _dist_df(dist)

@@ -240,6 +240,7 @@ def test_adaptive_threshold_filter_per_group(spark):
     assert min(r["score"] for r in by_src["b"]) == 1049.0
 
 
+@pytest.mark.heavy  # round-10 quick-tier trim (slowest cases -> sharded tier)
 def test_adaptive_threshold_filter_deterministic_sample(spark):
     from svoe_spark.operators.cleaning import adaptive_threshold_filter
 
@@ -258,6 +259,7 @@ def test_adaptive_threshold_filter_deterministic_sample(spark):
     assert a == b and len(a) > 0
 
 
+@pytest.mark.heavy  # round-10 quick-tier trim (slowest cases -> sharded tier)
 def test_winsorize_clips_to_order_statistics(spark):
     from svoe_spark.operators.cleaning import winsorize
 

@@ -132,6 +132,7 @@ def test_trainer_end_to_end(spark):
     assert r2(scored, label) > 0.9
 
 
+@pytest.mark.heavy  # round-10 quick-tier trim (slowest cases -> sharded tier)
 def test_in_stream_inference(spark, tmp_path):
     """The reference's online inference loop polls an HTTP-served model
     (inference_loop.py:16-71); here the fitted model scores INSIDE the

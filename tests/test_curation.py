@@ -477,6 +477,7 @@ def test_priority_sample_rejects_null_weights_and_ids(spark):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.heavy  # round-10 quick-tier trim (slowest cases -> sharded tier)
 def test_cluster_aware_split_never_splits_a_near_dup_pair(spark, sf_small):
     """The leakage invariant: every verified near-dup pair lands in ONE
     split (the whole point of keying the hash on the cluster id) — and

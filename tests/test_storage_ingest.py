@@ -51,6 +51,7 @@ def test_feature_store_short_circuit(spark, sf_small, tmp_path):
     assert store.meta("mid-abc123")["rows"] == 1000
 
 
+@pytest.mark.heavy  # round-10 quick-tier trim (slowest cases -> sharded tier)
 def test_compact_and_sortedness(spark, sf_small, tmp_path):
     from svoe_spark.sources.catalog import assert_ts_sorted, compact
 

@@ -126,6 +126,7 @@ def test_orderbook_stream_equals_batch(spark, sf_small, tmp_path):
     assert diffs == []
 
 
+@pytest.mark.heavy  # round-10 quick-tier trim (slowest cases -> sharded tier)
 def test_stream_equi_join_equals_batch(spark, sf_small, tick_parquet):
     """Streaming watermarked equi-join == the same join in batch
     (reference J3 with bounded state instead of buffer-forever)."""
@@ -320,6 +321,7 @@ def test_keyed_reduce_dispatch(spark):
         keyed_reduce_stream(df, value="value", ops=["sum"], impl="nope")
 
 
+@pytest.mark.heavy  # round-10 quick-tier trim (slowest cases -> sharded tier)
 def test_stream_curation_chain_equals_batch(spark, sf_small, tmp_path):
     """Kappa for the curation layer: the SAME operator code — linear
     quality classifier (stateless projection) -> keep-filter ->

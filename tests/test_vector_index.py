@@ -36,6 +36,7 @@ def cbs(emb, cents):
     return ivfpq_train(emb, cents, method="seed")
 
 
+@pytest.mark.heavy  # round-10 quick-tier trim (slowest cases -> sharded tier)
 def test_append_then_read_matches_oneshot_encode(spark, emb, cents, cbs, tmp_path):
     path = str(tmp_path / "vidx")
     b0 = emb.where(F.col("vec_id") % 2 == 0)
