@@ -598,11 +598,17 @@ def kmv_vocab_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # HOF shingle fold would serialize on one core (measured 52 s ->
     # ~3 s at sf0.1)
     docs = spread(load_table(spark, "documents", sf_dir))
+    # explode(array(...)) is the materialization barrier from
+    # dedup._shingle_arrays: composed inline, projection collapse
+    # inlines the md5 token-hash transform into EVERY element_at of the
+    # shingle lambda — one full md5 pass over the document PER SHINGLE
+    # (quadratic; measured 4-7 s for this stage at sf0.1, 0.6-1.5 s
+    # with the barrier, identical shingle multiset)
     sh = docs.select(
+        "source", F.explode(F.array(token_hashes(F.col("text")))).alias("__th")
+    ).select(
         "source",
-        F.explode(word_shingles_from_hashes(token_hashes(F.col("text")))).alias(
-            "s"
-        ),
+        F.explode(word_shingles_from_hashes(F.col("__th"))).alias("s"),
     )
     # ONE grouped build over the shingle stream, persisted at sketch
     # size (<= sources x k bigints). The reference sketch is the src0
