@@ -28,6 +28,42 @@ from pyspark.storagelevel import StorageLevel
 #: (<= broadcast_nodes) and partitioned (above) strategies are
 #: untouched. Pass driver_nodes=0 to force those paths.
 DRIVER_NODES_DEFAULT = 65_536
+# Edge-resident micro-graph gate (round 10, second pass): at or below
+# this many canonical edges the edge list ITSELF is pulled to the
+# driver (Arrow transfer, gated by a fully-parallel count probe) and
+# the whole iteration loop runs in-process — zero jobs per round
+# instead of one. 4M (src, dst[, w]) int64 rows is ~64-96 MB of numpy
+# on the driver — the same order as a standard broadcast budget; the
+# arithmetic is the same exact-integer recurrence, so results are
+# bit-identical (pinned by the tier-equality tests).
+DRIVER_EDGES_DEFAULT = 4_000_000
+
+
+def _label_codes(labels):
+    """Vectorized label -> position mapper for the micro-mode node
+    list: numeric labels ride a sorted searchsorted (587k-edge
+    endpoint arrays map in ~ms vs seconds for a per-value dict walk);
+    non-numeric labels fall back to the dict. Labels are the distinct
+    node set, so every queried endpoint is present by construction."""
+    import numpy as np
+
+    lab_arr = np.asarray(labels)
+    if np.issubdtype(lab_arr.dtype, np.number):
+        order = np.argsort(lab_arr, kind="stable")
+        srt = lab_arr[order]
+
+        def code(vals):
+            return order[np.searchsorted(srt, np.asarray(vals))]
+
+    else:
+        pos = {v: i for i, v in enumerate(labels)}
+
+        def code(vals):
+            return np.fromiter(
+                (pos[v] for v in vals), dtype="int64", count=len(vals)
+            )
+
+    return code
 
 
 def _digest(df: DataFrame, *cols: str):
@@ -357,11 +393,13 @@ class GraphAux:
             # div-by-zero in the SQL twin; fractional inputs would
             # truncate silently through the long cast — reject all of
             # them up front (one pass over the persisted edges)
-            bad = (
-                self.e.where(F.col("w").isNull() | (F.col("w") <= 0))
-                .limit(1)
-                .count()
-            )
+            # plain count, not limit(1).count(): in the happy path the
+            # limit is never satisfied, so it degrades into the
+            # sequential scale-up ramp — one fully-parallel filtered
+            # count over the persisted edges is cheaper
+            bad = self.e.where(
+                F.col("w").isNull() | (F.col("w") <= 0)
+            ).count()
             if bad:
                 self.e.unpersist()
                 raise ValueError(
@@ -411,6 +449,43 @@ class GraphAux:
             self._nodes_owned = True
         self.small = self.n <= broadcast_nodes
         self._e_deg: DataFrame | None = None
+        self._m: int | None = None
+        self._edge_pull: dict[int, tuple | None] = {}
+
+    def edge_pull(self, max_edges: int):
+        """Bounded driver pull of the canonical edge relation for the
+        edge-resident micro tier: numpy arrays (src, dst, w|None) when
+        the edge count is <= ``max_edges``, else None. The probe is
+        one fully-parallel count over the persisted edges (memoized),
+        and the result is memoized per threshold so a shared aux pays
+        the pull once for its whole query family."""
+        if max_edges in self._edge_pull:
+            return self._edge_pull[max_edges]
+        # count-then-collect, NOT limit(max+1).collect(): an unreached
+        # CollectLimit runs the scale-up ramp (1, 4, 16, ... partitions
+        # as sequential jobs) over the whole relation — the count is
+        # one fully-parallel job over the persisted edges and the
+        # collect only happens once the bound is proven
+        if self._m is None:
+            self._m = self.e.count()
+        if self._m > max_edges:
+            out = None
+            self._edge_pull[max_edges] = out
+            return out
+        # Arrow transfer, not collect(): a Row-object collect of ~1M
+        # edges costs seconds in deserialization alone; toPandas rides
+        # the session's Arrow path and lands directly in numpy arrays
+        pdf = self.e.toPandas()
+        if self.weight is None:
+            out = (pdf["src"].to_numpy(), pdf["dst"].to_numpy(), None)
+        else:
+            out = (
+                pdf["src"].to_numpy(),
+                pdf["dst"].to_numpy(),
+                pdf["w"].to_numpy().astype("int64", copy=False),
+            )
+        self._edge_pull[max_edges] = out
+        return out
 
     @property
     def e_deg(self) -> DataFrame:
@@ -452,6 +527,7 @@ def pagerank(
     broadcast_nodes: int = 500_000,
     aux: "GraphAux | None" = None,
     driver_nodes: int = DRIVER_NODES_DEFAULT,
+    driver_edges: int = DRIVER_EDGES_DEFAULT,
 ) -> DataFrame:
     """Fixed-point integer PageRank over a directed edge list — uniform
     or personalized, fixed-iteration or run-to-fixpoint.
@@ -532,6 +608,18 @@ def pagerank(
     unchanged by construction — pinned by
     test_broadcast_mode_equals_partitioned_mode. Pass 0 to force the
     broadcast/partitioned strategies.
+
+    ``driver_edges``: EDGE-RESIDENT micro tier (round 10, second
+    pass) — inside micro mode, when the canonical edge count is also
+    at or under this bound (default 1M, probed boundedly and memoized
+    on the aux), the edge list is pulled to the driver once and every
+    round runs fully in-process: ZERO jobs per round. Unweighted
+    rounds use int64 numpy (`np.add.at` is exact integer addition;
+    per-node in-sums are bounded by the total mass ~ scale, far under
+    int64); weighted rounds compute each `(rank * w) div W` share in
+    arbitrary-precision Python ints — exactly the decimal(38,0)
+    engine arithmetic. Pass 0 to keep the one-job-per-round micro
+    loop.
 
     ``broadcast_nodes``: SMALL-GRAPH broadcast mode — when the node
     count (already materialized for the teleport constants) is at or
@@ -615,10 +703,13 @@ def pagerank(
         return nodes.select(F.col("node"), F.lit(0).cast("long").alias("rank_fp"))
     small = aux.small
     micro = small and n <= driver_nodes
-    # unweighted micro mode never touches the degree-pre-joined edge
-    # copy (the degree division folds driver-side per node), so the
-    # lazy e_deg build/persist is skipped entirely there
-    e_deg = aux.e_deg if not (micro and weight is None) else None
+    # micro mode defers the degree-pre-joined edge copy: unweighted
+    # micro never needs it (the degree division folds driver-side per
+    # node) and weighted micro only needs it on the spark fallback
+    # path (edge-resident rounds never touch it) — it is accessed
+    # lazily via aux.e_deg there, so the build/persist is skipped
+    # whenever no round actually joins it
+    e_deg = aux.e_deg if not micro else None
     ns = n if sources is None else nodes.where("__is_src").count()
     if ns == 0:
         if release_nodes:
@@ -668,6 +759,7 @@ def pagerank(
                 schema=out_schema,
             )
 
+        pull = aux.edge_pull(driver_edges) if driver_edges > 0 else None
         if weight is None:
             # the unweighted per-edge share `rank_fp div outdeg` is a
             # per-SOURCE-node constant c_u — compute it driver-side
@@ -683,34 +775,93 @@ def pagerank(
                 [outdeg.get(v, 0) for v in labels], dtype="int64"
             )
             has_out = outdeg_v > 0
-            out_labels = [v for v, h in zip(labels, has_out) if h]
-            c_schema = T.StructType(
-                [node_field, T.StructField("c", T.LongType())]
-            )
+            if pull is not None:
+                # edge-resident tier: the per-dst integer sum of the
+                # identical per-edge shares, in-process — np.add.at is
+                # exact int64 addition and each in-sum is bounded by
+                # the total mass (~ scale), so no overflow is possible
+                code = _label_codes(labels)
+                src_i = code(pull[0])
+                dst_i = code(pull[1])
 
-            def _contrib_rows(vec):
-                c_df = spark_s.createDataFrame(
-                    pd.DataFrame(
-                        {
-                            "node": out_labels,
-                            "c": vec[has_out] // outdeg_v[has_out],
-                        }
-                    ),
-                    schema=c_schema,
+                def _in_sum(vec):
+                    c = np.zeros(n, dtype="int64")
+                    np.floor_divide(vec, outdeg_v, out=c, where=has_out)
+                    s = np.zeros(n, dtype="int64")
+                    np.add.at(s, dst_i, c[src_i])
+                    return s
+            else:
+                out_labels = [v for v, h in zip(labels, has_out) if h]
+                c_schema = T.StructType(
+                    [node_field, T.StructField("c", T.LongType())]
                 )
-                return (
-                    aux.e.join(
-                        F.broadcast(c_df), aux.e["src"] == c_df["node"]
+
+                def _in_sum(vec):
+                    c_df = spark_s.createDataFrame(
+                        pd.DataFrame(
+                            {
+                                "node": out_labels,
+                                "c": vec[has_out] // outdeg_v[has_out],
+                            }
+                        ),
+                        schema=c_schema,
                     )
-                    .groupBy(F.col("dst").alias("node"))
-                    .agg(F.sum("c").alias("in_sum"))
-                    .collect()  # bounded: one row per in-linked node <= n
-                )
+                    rows = (
+                        aux.e.join(
+                            F.broadcast(c_df), aux.e["src"] == c_df["node"]
+                        )
+                        .groupBy(F.col("dst").alias("node"))
+                        .agg(F.sum("c").alias("in_sum"))
+                        .collect()  # bounded: one row per in-linked node <= n
+                    )
+                    s = np.zeros(n, dtype="int64")
+                    for r in rows:
+                        s[pos[r["node"]]] = r["in_sum"]
+                    return s
+        elif pull is not None:
+            # edge-resident weighted tier: each share (rank * w) div W.
+            # Every rank is bounded by the total mass, which the
+            # truncating integer recurrence keeps <= scale by induction
+            # (teleport total <= (100-d)%*scale, distributed shares sum
+            # to <= the distributing rank) — so when scale * max(w)
+            # provably fits int64, the whole round is vectorized int64
+            # numpy (floor-div on non-negatives == SQL truncating div);
+            # otherwise exact Python ints reproduce the decimal(38,0)
+            # engine arithmetic.
+            code = _label_codes(labels)
+            src_i = code(pull[0])
+            dst_i = code(pull[1])
+            w_arr = pull[2]
+            W_by_node = np.zeros(n, dtype="int64")
+            for r in aux.deg.collect():  # bounded: <= n rows
+                W_by_node[pos[r["src"]]] = int(r["outdeg"])
+            W_e = W_by_node[src_i]
+            w_max = int(w_arr.max()) if len(w_arr) else 0
+            if scale * w_max <= 2**63 - 1:
+
+                def _in_sum(vec):
+                    c = (vec[src_i] * w_arr) // W_e
+                    s = np.zeros(n, dtype="int64")
+                    np.add.at(s, dst_i, c)
+                    return s
+
+            else:
+                ew = [
+                    (int(si), int(di), int(w_), int(W_))
+                    for si, di, w_, W_ in zip(src_i, dst_i, w_arr, W_e)
+                ]
+
+                def _in_sum(vec):
+                    s = [0] * n
+                    for si, di, w_, W_u in ew:
+                        s[di] += (int(vec[si]) * w_) // W_u
+                    return np.array(s, dtype="int64")
         else:
 
-            def _contrib_rows(vec):
+            def _in_sum(vec):
+                e_deg = aux.e_deg  # lazy: built on first fallback round
                 rank_df = _rank_df(vec)
-                return (
+                rows = (
                     e_deg.join(
                         F.broadcast(rank_df), e_deg["src"] == rank_df["node"]
                     )
@@ -718,11 +869,13 @@ def pagerank(
                     .agg(F.sum(F.expr(share)).alias("in_sum"))
                     .collect()  # bounded: one row per in-linked node <= n
                 )
+                s = np.zeros(n, dtype="int64")
+                for r in rows:
+                    s[pos[r["node"]]] = r["in_sum"]
+                return s
 
         def _round_micro(vec):
-            in_sum = np.zeros(n, dtype="int64")
-            for r in _contrib_rows(vec):
-                in_sum[pos[r["node"]]] = r["in_sum"]
+            in_sum = _in_sum(vec)
             # same integer expressions as new_rank, element-wise: all
             # terms non-negative, damping_pct*(in_sum+d_each) <=
             # 100*scale = 1e17 < int64, numpy // == truncating div
@@ -845,6 +998,7 @@ def hits(
     broadcast_nodes: int = 500_000,
     aux: "GraphAux | None" = None,
     driver_nodes: int = DRIVER_NODES_DEFAULT,
+    driver_edges: int = DRIVER_EDGES_DEFAULT,
 ) -> DataFrame:
     """Fixed-point integer HITS (Kleinberg 1999): mutually-recursive
     hub and authority scores over a directed edge list — the natural
@@ -909,6 +1063,13 @@ def hits(
     slower per round — the checkpoint/rollup interaction defeats
     per-round lineage truncation; the window fold rides a projection
     instead and leaves the aggregate alone — fixpoint tests pin it.)
+    ``driver_edges`` (round 10, second pass): inside micro mode, when
+    the edge count is also at or under this bound (bounded probe,
+    memoized on the aux), the edge list is pulled once and every
+    half-step runs in-process — zero jobs per round, exact integer
+    sums (int64 numpy when scale * max_degree provably fits, exact
+    Python ints otherwise), identical trajectories; pass 0 to keep
+    the one-job-per-half-step loop.
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
@@ -971,26 +1132,71 @@ def hits(
                 ),
             )
 
-        def _half_micro(vec, score_col: str, join_on: str, group_as: str):
-            sdf = _score_df(vec, score_col)
-            rows = (
-                e.join(F.broadcast(sdf), e[join_on] == sdf["node"])
-                .groupBy(F.col(group_as).alias("node"))
-                .agg(
-                    F.sum(
-                        F.col(score_col).cast("decimal(38,0)")
-                    ).alias("__raw")
+        pull = aux.edge_pull(driver_edges) if driver_edges > 0 else None
+        if pull is not None:
+            # edge-resident tier: the raw decimal sums are plain sums
+            # of non-negative scores (each <= scale after rescale), so
+            # a per-node raw is bounded by scale * degree — when that
+            # provably fits int64, np.add.at (exact integer addition)
+            # runs the half-step; otherwise exact Python ints do. The
+            # L1 total and the rescale always run in Python ints
+            # (raw * scale overflows int64, exactly as the
+            # decimal(38,0) engine path anticipated).
+            import numpy as np
+
+            code = _label_codes(labels)
+            src_i = code(pull[0])
+            dst_i = code(pull[1])
+            max_deg = 0
+            if len(src_i):
+                max_deg = int(
+                    max(
+                        np.bincount(src_i, minlength=n).max(),
+                        np.bincount(dst_i, minlength=n).max(),
+                    )
                 )
-                .collect()  # bounded: one row per contributed node <= n
-            )
-            raw = [0] * n
-            for r in rows:
-                raw[pos[r["node"]]] = int(r["__raw"])
-            t = sum(raw)
-            if t <= 0:
-                return [0] * n
-            # (raw * scale) div t on non-negative ints: // == div
-            return [(v * scale) // t for v in raw]
+            int64_safe = max_deg * scale <= 2**63 - 1
+            idx = {"src": src_i, "dst": dst_i}
+
+            def _half_micro(vec, score_col: str, join_on: str, group_as: str):
+                frm, to = idx[join_on], idx[group_as]
+                if int64_safe:
+                    v_np = np.asarray(vec, dtype="int64")
+                    raw_np = np.zeros(n, dtype="int64")
+                    np.add.at(raw_np, to, v_np[frm])
+                    raw = [int(x) for x in raw_np]
+                else:
+                    raw = [0] * n
+                    for a, b in zip(frm, to):
+                        raw[b] += vec[a]
+                t = sum(raw)
+                if t <= 0:
+                    return [0] * n
+                # (raw * scale) div t on non-negative ints: // == div
+                return [(v * scale) // t for v in raw]
+
+        else:
+
+            def _half_micro(vec, score_col: str, join_on: str, group_as: str):
+                sdf = _score_df(vec, score_col)
+                rows = (
+                    e.join(F.broadcast(sdf), e[join_on] == sdf["node"])
+                    .groupBy(F.col(group_as).alias("node"))
+                    .agg(
+                        F.sum(
+                            F.col(score_col).cast("decimal(38,0)")
+                        ).alias("__raw")
+                    )
+                    .collect()  # bounded: one row per contributed node <= n
+                )
+                raw = [0] * n
+                for r in rows:
+                    raw[pos[r["node"]]] = int(r["__raw"])
+                t = sum(raw)
+                if t <= 0:
+                    return [0] * n
+                # (raw * scale) div t on non-negative ints: // == div
+                return [(v * scale) // t for v in raw]
 
         hub_v = [scale // n] * n
         auth_v = [0] * n
@@ -1141,6 +1347,7 @@ def bfs_distances(
     early_stop: bool = True,
     assume_distinct: bool = False,
     driver_nodes: int = DRIVER_NODES_DEFAULT,
+    driver_edges: int = DRIVER_EDGES_DEFAULT,
 ) -> DataFrame:
     """Multi-source BFS: the hop distance from the nearest seed to
     every reachable node (nodes beyond ``max_hops`` or unreachable are
@@ -1172,9 +1379,118 @@ def bfs_distances(
     no repartitioned edge copy, no checkpoint chain, and convergence
     detection for free (see DRIVER_NODES_DEFAULT). Exact integer
     min-relax, so distances are identical to the relational loop's;
-    pass 0 to force it.
+    pass 0 to force it. ``driver_edges``: when the (directed) edge
+    count, doubled for undirected walks, is at or under this bound
+    (one fully-parallel count probe) AND the resulting node set fits
+    ``driver_nodes``, the edge list is pulled once via Arrow and the
+    whole BFS — node set, seeds, CSR relaxation — runs in-process:
+    zero Spark jobs per hop, identical distance map; pass 0 to keep
+    the per-hop Spark loops.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not isinstance(sources, DataFrame) and not sources:
+        raise ValueError("bfs_distances: sources is empty")
+    e0 = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+
+    # Edge-resident tier (round 10): when the DIRECTED edge count is
+    # bounded (one fully-parallel count — typically over the caller's
+    # already-persisted relation), the edge list is pulled once via
+    # Arrow and EVERYTHING — undirected mirror, node set, seed
+    # filtering, the whole relaxation — runs driver-side in numpy:
+    # zero Spark-side union/distinct/persist, zero jobs per hop.
+    # Duplicate edges cannot change a min-relax (BFS visits are
+    # idempotent), so assume_distinct is irrelevant here. Unweighted
+    # frontier BFS reaches each node first at its minimum hop count,
+    # the same exact integer recurrence as the relational min-relax,
+    # so the distance map is identical.
+    if driver_edges > 0 and driver_nodes > 0:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        m0 = e0.count()
+        if m0 * (1 if directed else 2) <= driver_edges:
+            pdf = e0.toPandas()
+            s_a = pdf["src"].to_numpy()
+            d_a = pdf["dst"].to_numpy()
+            uniq, inv = np.unique(
+                np.concatenate([s_a, d_a]), return_inverse=True
+            )
+            n_nodes = len(uniq)
+            if n_nodes == 0:
+                raise ValueError(
+                    "bfs_distances: no source node appears in the graph"
+                )
+            if n_nodes <= driver_nodes:
+                sc, dc = inv[:m0], inv[m0:]
+                if not directed:
+                    sc, dc = (
+                        np.concatenate([sc, dc]),
+                        np.concatenate([dc, sc]),
+                    )
+                if isinstance(sources, DataFrame):
+                    seed_vals = (
+                        sources.select(
+                            F.col(sources.columns[0]).alias("node")
+                        )
+                        .distinct()
+                        .toPandas()["node"]
+                        .to_numpy()
+                    )
+                else:
+                    seed_vals = np.asarray(list(sources))
+                ins = np.searchsorted(uniq, seed_vals)
+                ins_c = np.minimum(ins, n_nodes - 1)
+                seed_codes = np.unique(ins_c[uniq[ins_c] == seed_vals])
+                if seed_codes.size == 0:
+                    raise ValueError(
+                        "bfs_distances: no source node appears in the graph"
+                    )
+                # CSR adjacency: edges sorted by source code
+                order = np.argsort(sc, kind="stable")
+                dc_s = dc[order]
+                indptr = np.searchsorted(
+                    sc[order], np.arange(n_nodes + 1)
+                )
+                dist = np.full(n_nodes, -1, dtype="int64")
+                dist[seed_codes] = 0
+                frontier = seed_codes
+                for hop in range(1, max_hops + 1):
+                    if frontier.size == 0:
+                        break
+                    starts = indptr[frontier]
+                    counts = indptr[frontier + 1] - starts
+                    nz = counts > 0
+                    st, ct = starts[nz], counts[nz]
+                    total = int(ct.sum())
+                    if total == 0:
+                        break
+                    offs = np.repeat(st, ct) + (
+                        np.arange(total)
+                        - np.repeat(np.cumsum(ct) - ct, ct)
+                    )
+                    nbr = dc_s[offs]
+                    new = np.unique(nbr[dist[nbr] < 0])
+                    dist[new] = hop
+                    frontier = new
+                reached = dist >= 0
+                return e0.sparkSession.createDataFrame(
+                    pd.DataFrame(
+                        {
+                            "node": uniq[reached],
+                            "dist": dist[reached].astype("int32"),
+                        }
+                    ),
+                    schema=T.StructType(
+                        [
+                            T.StructField(
+                                "node", e0.schema["src"].dataType, True
+                            ),
+                            T.StructField("dist", T.IntegerType()),
+                        ]
+                    ),
+                )
+
+    e = e0
     if not directed:
         e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     # assume_distinct also vouches for the undirected union: the caller
@@ -1187,17 +1503,18 @@ def bfs_distances(
     # repartitioned copy (its per-round joins broadcast the distance
     # vector; edges stay where they are)
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
-    if not isinstance(sources, DataFrame) and not sources:
-        e.unpersist()
-        raise ValueError("bfs_distances: sources is empty")
     nodes = e.select(F.col("src").alias("node")).union(
         e.select(F.col("dst").alias("node"))
     )
-    # ONE job doubles as the micro-mode gate AND the node-set pull:
-    # limit(driver_nodes+1) short-circuits on large graphs, so the
-    # collect is bounded either way
-    node_probe = nodes.distinct().limit(driver_nodes + 1).collect()
-    if len(node_probe) <= driver_nodes:
+    # count-then-collect, NOT limit(driver_nodes+1).collect(): an
+    # unreached CollectLimit runs the scale-up ramp (1, 4, 16, ...
+    # partitions as sequential jobs) over the whole distinct — the
+    # count is one fully-parallel job and the bounded collect only
+    # happens once the gate is proven
+    nd = nodes.distinct()
+    n_nodes = nd.count()
+    node_probe = nd.collect() if n_nodes <= driver_nodes else []
+    if n_nodes <= driver_nodes:
         # micro-graph mode: driver-resident distance map — the
         # pagerank discipline (see DRIVER_NODES_DEFAULT). Per hop ONE
         # job: edges x broadcast(dist) -> per-target min, collected
@@ -1220,7 +1537,6 @@ def bfs_distances(
                 sources.select(F.col(sources.columns[0]).alias("node"))
                 .distinct()
                 .join(nodes.distinct(), "node", "left_semi")
-                .limit(driver_nodes + 1)
                 .collect()  # bounded: semi-join against <= driver_nodes nodes
             )
             seed_vals = {r["node"] for r in seed_rows}
@@ -1252,6 +1568,9 @@ def bfs_distances(
         # unchanged node's candidates were already min-merged when it
         # last changed), so each round ships only the frontier — the
         # distance map is identical to relaxing the full map every hop.
+        # (The edge-resident tier is hoisted above the Spark-side
+        # union/persist entirely; this loop runs only when the edge
+        # count exceeds driver_edges or the tier is disabled.)
         frontier = dict(dist)
         for _ in range(max_hops):
             ddf = _dist_df(frontier)

@@ -323,13 +323,18 @@ def test_broadcast_mode_equals_partitioned_mode(spark, edges):
         return sorted(tuple(r[c] for c in cols) for r in df.collect())
 
     edf = spark.createDataFrame(edges, "src long, dst long")
-    mi = pagerank(edf, iterations=4)
+    mi = pagerank(edf, iterations=4)  # edge-resident (round-10 default)
+    mj = pagerank(edf, iterations=4, driver_edges=0)  # micro spark loop
     br = pagerank(edf, iterations=4, driver_nodes=0)
     pt = pagerank(edf, iterations=4, broadcast_nodes=0)
     assert rows(mi, "node", "rank_fp") == rows(pt, "node", "rank_fp")
+    assert rows(mj, "node", "rank_fp") == rows(pt, "node", "rank_fp")
     assert rows(br, "node", "rank_fp") == rows(pt, "node", "rank_fp")
 
     mi = pagerank(edf, iterations=3, sources=[1], damping_pct=70)
+    mj = pagerank(
+        edf, iterations=3, sources=[1], damping_pct=70, driver_edges=0
+    )
     br = pagerank(
         edf, iterations=3, sources=[1], damping_pct=70, driver_nodes=0
     )
@@ -337,6 +342,7 @@ def test_broadcast_mode_equals_partitioned_mode(spark, edges):
         edf, iterations=3, sources=[1], damping_pct=70, broadcast_nodes=0
     )
     assert rows(mi, "node", "rank_fp") == rows(pt, "node", "rank_fp")
+    assert rows(mj, "node", "rank_fp") == rows(pt, "node", "rank_fp")
     assert rows(br, "node", "rank_fp") == rows(pt, "node", "rank_fp")
 
     w = spark.createDataFrame(
@@ -344,15 +350,21 @@ def test_broadcast_mode_equals_partitioned_mode(spark, edges):
         "src long, dst long, w long",
     )
     mi = pagerank(w, iterations=3, weight="w")
+    mj = pagerank(w, iterations=3, weight="w", driver_edges=0)
     br = pagerank(w, iterations=3, weight="w", driver_nodes=0)
     pt = pagerank(w, iterations=3, weight="w", broadcast_nodes=0)
     assert rows(mi, "node", "rank_fp") == rows(pt, "node", "rank_fp")
+    assert rows(mj, "node", "rank_fp") == rows(pt, "node", "rank_fp")
     assert rows(br, "node", "rank_fp") == rows(pt, "node", "rank_fp")
 
     mi = hits(edf, iterations=3)
+    mj = hits(edf, iterations=3, driver_edges=0)
     br = hits(edf, iterations=3, driver_nodes=0)
     pt = hits(edf, iterations=3, broadcast_nodes=0)
     assert rows(mi, "node", "hub_fp", "auth_fp") == rows(
+        pt, "node", "hub_fp", "auth_fp"
+    )
+    assert rows(mj, "node", "hub_fp", "auth_fp") == rows(
         pt, "node", "hub_fp", "auth_fp"
     )
     assert rows(br, "node", "hub_fp", "auth_fp") == rows(
@@ -360,8 +372,10 @@ def test_broadcast_mode_equals_partitioned_mode(spark, edges):
     )
 
     mi = bfs_distances(edf, [1], max_hops=4, directed=False)
+    mj = bfs_distances(edf, [1], max_hops=4, directed=False, driver_edges=0)
     pt = bfs_distances(edf, [1], max_hops=4, directed=False, driver_nodes=0)
     assert rows(mi, "node", "dist") == rows(pt, "node", "dist")
+    assert rows(mj, "node", "dist") == rows(pt, "node", "dist")
 
 
 @pytest.mark.heavy  # multi-round graph ops: sharded tier
