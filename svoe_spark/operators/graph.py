@@ -357,6 +357,7 @@ class GraphAux:
         assume_distinct: bool = False,
         broadcast_nodes: int = 500_000,
         reuse_nodes: "GraphAux | None" = None,
+        driver_edges: int = None,  # None -> DRIVER_EDGES_DEFAULT
     ):
         # identity of the INPUT relation (and its column mapping): the
         # operators verify a caller-supplied aux was built over the
@@ -387,16 +388,60 @@ class GraphAux:
                 .agg(F.sum("w").alias("w"))
             )
         self.e = e.persist(StorageLevel.MEMORY_AND_DISK)
-        if weight is not None:
+        self._e_deg: DataFrame | None = None
+        self._m: int | None = None
+        self._edge_pull: dict[int, tuple | None] = {}
+        self._drv = None  # (labels, outdeg_v, dangling_v) when pulled
+        self._nodes_base: DataFrame | None = None
+        self._nodes_owned = False
+        if reuse_nodes is not None and (reuse_nodes.src, reuse_nodes.dst) != (
+            src,
+            dst,
+        ):
+            raise ValueError(
+                "GraphAux(reuse_nodes=...): column mapping differs"
+            )
+
+        # Edge-resident decoration (round 10): when the canonical edge
+        # count fits the driver gate, ONE count + ONE Arrow pull replace
+        # the whole Spark-side decoration — node set, out-degrees,
+        # dangling flags, n, and the weighted-input validation all
+        # derive from the pulled arrays (exact int64 sums, identical
+        # values by construction). The DataFrame forms (nodes_base,
+        # deg) stay available lazily for the broadcast/partitioned
+        # tiers; above the gate the original build runs unchanged.
+        if driver_edges is None:
+            driver_edges = DRIVER_EDGES_DEFAULT
+        pulled = None
+        if driver_edges > 0:
+            self._m = self.e.count()
+            if self._m <= driver_edges:
+                pdf = self.e.toPandas()
+                if weight is not None:
+                    w_raw = pdf["w"]
+                    if bool(w_raw.isna().any()) or bool((w_raw <= 0).any()):
+                        self.e.unpersist()
+                        raise ValueError(
+                            "pagerank weights must be positive integers; "
+                            "found a (src, dst) pair whose summed weight "
+                            "is NULL or <= 0"
+                        )
+                    pulled = (
+                        pdf["src"].to_numpy(),
+                        pdf["dst"].to_numpy(),
+                        w_raw.to_numpy().astype("int64", copy=False),
+                    )
+                else:
+                    pulled = (pdf["src"].to_numpy(), pdf["dst"].to_numpy(), None)
+                self._edge_pull[driver_edges] = pulled
+        if weight is not None and pulled is None:
             # NULL/zero/negative summed weights would make
             # '(rank*w) div W' silently drop mass in Spark and raise
             # div-by-zero in the SQL twin; fractional inputs would
             # truncate silently through the long cast — reject all of
-            # them up front (one pass over the persisted edges)
-            # plain count, not limit(1).count(): in the happy path the
-            # limit is never satisfied, so it degrades into the
-            # sequential scale-up ramp — one fully-parallel filtered
-            # count over the persisted edges is cheaper
+            # them up front (one fully-parallel filtered count over the
+            # persisted edges; limit(1).count() would degrade into the
+            # CollectLimit sequential scale-up ramp in the happy path)
             bad = self.e.where(
                 F.col("w").isNull() | (F.col("w") <= 0)
             ).count()
@@ -412,25 +457,32 @@ class GraphAux:
             else F.sum("w").alias("outdeg")
         )
         self.deg = self.e.groupBy("src").agg(deg_agg)
-        if reuse_nodes is not None:
+        if pulled is not None:
+            import numpy as np
+
+            labels = np.unique(np.concatenate([pulled[0], pulled[1]]))
+            outdeg_v = np.zeros(len(labels), dtype="int64")
+            if len(labels):
+                si = _label_codes(labels)(pulled[0])
+                np.add.at(
+                    outdeg_v, si, 1 if weight is None else pulled[2]
+                )
+            self._drv = (labels, outdeg_v, outdeg_v == 0)
+            self.n = int(len(labels))
+        elif reuse_nodes is not None:
             # Borrow another aux's persisted node relation — valid
             # ONLY when the caller can PROVE both auxes decorate the
             # same (src, dst) pair set (e.g. the weighted w-summed
             # form vs the distinct form of one pair relation: weights
             # change degrees, never the node set or the dangling
             # flag). The borrower never unpersists what it borrowed.
-            if (reuse_nodes.src, reuse_nodes.dst) != (src, dst):
-                raise ValueError(
-                    "GraphAux(reuse_nodes=...): column mapping differs"
-                )
-            self.nodes_base = reuse_nodes.nodes_base
+            self._nodes_base = reuse_nodes.nodes_base
             self.n = reuse_nodes.n
-            self._nodes_owned = False
         else:
             # The dangling-node test (no out-edges) is static —
             # precompute it as a node flag instead of an anti-join
             # against deg every round.
-            self.nodes_base = (
+            self._nodes_base = (
                 self.e.select(F.col("src").alias("node"))
                 .union(self.e.select(F.col("dst").alias("node")))
                 .distinct()
@@ -445,12 +497,33 @@ class GraphAux:
                 .select("node", F.col("__has_out").isNull().alias("__dangling"))
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
-            self.n = self.nodes_base.count()
+            self.n = self._nodes_base.count()
             self._nodes_owned = True
         self.small = self.n <= broadcast_nodes
-        self._e_deg: DataFrame | None = None
-        self._m: int | None = None
-        self._edge_pull: dict[int, tuple | None] = {}
+
+    @property
+    def nodes_base(self) -> DataFrame:
+        """(node, __dangling) relation. Under the edge-resident
+        decoration it is built lazily as a LOCAL relation from the
+        driver arrays (no shuffle) — only the broadcast/partitioned
+        tiers ever evaluate it."""
+        if self._nodes_base is None:
+            import pandas as pd
+            from pyspark.sql import types as T
+
+            labels, _, dangling = self._drv
+            self._nodes_base = self.e.sparkSession.createDataFrame(
+                pd.DataFrame({"node": labels, "__dangling": dangling}),
+                schema=T.StructType(
+                    [
+                        T.StructField(
+                            "node", self.e.schema["src"].dataType, True
+                        ),
+                        T.StructField("__dangling", T.BooleanType()),
+                    ]
+                ),
+            )
+        return self._nodes_base
 
     def edge_pull(self, max_edges: int):
         """Bounded driver pull of the canonical edge relation for the
@@ -461,6 +534,13 @@ class GraphAux:
         the pull once for its whole query family."""
         if max_edges in self._edge_pull:
             return self._edge_pull[max_edges]
+        # an already-pulled edge list satisfies any threshold the count
+        # also fits — never pull twice for different gates
+        if self._m is not None and self._m <= max_edges:
+            for v in self._edge_pull.values():
+                if v is not None:
+                    self._edge_pull[max_edges] = v
+                    return v
         # count-then-collect, NOT limit(max+1).collect(): an unreached
         # CollectLimit runs the scale-up ramp (1, 4, 16, ... partitions
         # as sequential jobs) over the whole relation — the count is
@@ -507,7 +587,7 @@ class GraphAux:
     def unpersist(self) -> None:
         self.e.unpersist()
         if self._nodes_owned:
-            self.nodes_base.unpersist()
+            self._nodes_base.unpersist()
         if self._e_deg is not None:
             self._e_deg.unpersist()
 
@@ -652,6 +732,7 @@ def pagerank(
             edges, src=src, dst=dst, weight=weight,
             assume_distinct=assume_distinct,
             broadcast_nodes=broadcast_nodes,
+            driver_edges=driver_edges,
         )
     elif (
         aux.edges_ref is not edges
@@ -670,39 +751,69 @@ def pagerank(
             "assume_distinct decision, or broadcast_nodes threshold "
             "than this call requests"
         )
-    release_nodes = False
-    if sources is None:
-        is_src = F.lit(True)
-        nodes = aux.nodes_base.withColumn("__is_src", is_src)
-    elif isinstance(sources, DataFrame):
-        s = sources.select(F.col(sources.columns[0]).alias("node")).distinct()
-        nodes = aux.nodes_base.join(
-            F.broadcast(s.withColumn("__is_src", F.lit(True))), "node", "left"
-        ).withColumn("__is_src", F.coalesce("__is_src", F.lit(False)))
-    else:
-        nodes = aux.nodes_base.withColumn(
-            "__is_src", F.col("node").isin(list(sources))
-        )
-    # canonical column order; for literal/None sources, nodes is a
-    # narrow projection over the PERSISTED nodes_base, so per-round
-    # reads hit cache and keep its partitioning
-    nodes = nodes.select("node", "__is_src", "__dangling")
-    if isinstance(sources, DataFrame):
-        # a DataFrame seed set adds a join whose seed subtree (distinct
-        # + broadcast build) would otherwise re-evaluate on EVERY
-        # round's read — persist the decorated node relation for this
-        # call (released below on every exit path)
-        nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
-        release_nodes = True
     n = aux.n
     if n == 0:
-        if release_nodes:
-            nodes.unpersist()
         if owned:
             aux.unpersist()
-        return nodes.select(F.col("node"), F.lit(0).cast("long").alias("rank_fp"))
+        return aux.nodes_base.select(
+            F.col("node"), F.lit(0).cast("long").alias("rank_fp")
+        )
     small = aux.small
     micro = small and n <= driver_nodes
+    # Fully driver-resident decoration (round 10): in micro mode, when
+    # the aux pulled its edges, the seed flags too derive driver-side —
+    # no nodes DataFrame, no __is_src count job, no per-call persist.
+    pull = (
+        aux.edge_pull(driver_edges) if (micro and driver_edges > 0) else None
+    )
+    drv = aux._drv if pull is not None else None
+    release_nodes = False
+    nodes = None
+    if drv is not None:
+        import numpy as np
+
+        if sources is None:
+            is_src_v = np.ones(n, dtype=bool)
+        elif isinstance(sources, DataFrame):
+            svals = (
+                sources.select(F.col(sources.columns[0]).alias("node"))
+                .distinct()
+                .toPandas()["node"]
+                .to_numpy()
+            )
+            is_src_v = np.isin(drv[0], svals)
+        else:
+            is_src_v = np.isin(drv[0], np.asarray(list(sources)))
+        ns = int(is_src_v.sum())
+    else:
+        if sources is None:
+            is_src = F.lit(True)
+            nodes = aux.nodes_base.withColumn("__is_src", is_src)
+        elif isinstance(sources, DataFrame):
+            s = sources.select(
+                F.col(sources.columns[0]).alias("node")
+            ).distinct()
+            nodes = aux.nodes_base.join(
+                F.broadcast(s.withColumn("__is_src", F.lit(True))),
+                "node",
+                "left",
+            ).withColumn("__is_src", F.coalesce("__is_src", F.lit(False)))
+        else:
+            nodes = aux.nodes_base.withColumn(
+                "__is_src", F.col("node").isin(list(sources))
+            )
+        # canonical column order; for literal/None sources, nodes is a
+        # narrow projection over the PERSISTED nodes_base, so per-round
+        # reads hit cache and keep its partitioning
+        nodes = nodes.select("node", "__is_src", "__dangling")
+        if isinstance(sources, DataFrame):
+            # a DataFrame seed set adds a join whose seed subtree
+            # (distinct + broadcast build) would otherwise re-evaluate
+            # on EVERY round's read — persist the decorated node
+            # relation for this call (released below on every exit
+            # path)
+            nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
+            release_nodes = True
     # micro mode defers the degree-pre-joined edge copy: unweighted
     # micro never needs it (the degree division folds driver-side per
     # node) and weighted micro only needs it on the spark fallback
@@ -710,7 +821,8 @@ def pagerank(
     # lazily via aux.e_deg there, so the build/persist is skipped
     # whenever no round actually joins it
     e_deg = aux.e_deg if not micro else None
-    ns = n if sources is None else nodes.where("__is_src").count()
+    if drv is None:
+        ns = n if sources is None else nodes.where("__is_src").count()
     if ns == 0:
         if release_nodes:
             nodes.unpersist()
@@ -718,10 +830,13 @@ def pagerank(
             aux.unpersist()
         raise ValueError("no source node appears in the graph")
     teleport = ((100 - damping_pct) * scale) // (100 * ns)
-    init = F.when(F.col("__is_src"), F.lit(scale // ns)).otherwise(F.lit(0))
-    ranks = nodes.select(
-        "node", "__is_src", "__dangling", init.cast("long").alias("rank_fp")
-    )
+    if nodes is not None:
+        init = F.when(F.col("__is_src"), F.lit(scale // ns)).otherwise(
+            F.lit(0)
+        )
+        ranks = nodes.select(
+            "node", "__is_src", "__dangling", init.cast("long").alias("rank_fp")
+        )
 
     new_rank = F.expr(
         f"(CASE WHEN __is_src THEN {teleport}L ELSE 0L END)"
@@ -741,14 +856,22 @@ def pagerank(
         import pandas as pd
         from pyspark.sql import types as T
 
-        spark_s = nodes.sparkSession
-        node_rows = nodes.collect()  # bounded: n <= driver_nodes
-        labels = [r["node"] for r in node_rows]
-        pos = {v: i for i, v in enumerate(labels)}
-        is_src_v = np.array([bool(r["__is_src"]) for r in node_rows])
-        dangling_v = np.array([bool(r["__dangling"]) for r in node_rows])
+        spark_s = aux.e.sparkSession
+        if drv is not None:
+            # decoration already driver-resident: no collect at all
+            labels, dangling_v = drv[0], drv[2]
+            pos = None  # spark fallbacks never run when drv is set
+            node_field = T.StructField(
+                "node", aux.e.schema["src"].dataType, True
+            )
+        else:
+            node_rows = nodes.collect()  # bounded: n <= driver_nodes
+            labels = [r["node"] for r in node_rows]
+            pos = {v: i for i, v in enumerate(labels)}
+            is_src_v = np.array([bool(r["__is_src"]) for r in node_rows])
+            dangling_v = np.array([bool(r["__dangling"]) for r in node_rows])
+            node_field = nodes.schema["node"]
         ranks_v = np.where(is_src_v, scale // ns, 0).astype("int64")
-        node_field = nodes.schema["node"]
         out_schema = T.StructType(
             [node_field, T.StructField("rank_fp", T.LongType())]
         )
@@ -759,7 +882,6 @@ def pagerank(
                 schema=out_schema,
             )
 
-        pull = aux.edge_pull(driver_edges) if driver_edges > 0 else None
         if weight is None:
             # the unweighted per-edge share `rank_fp div outdeg` is a
             # per-SOURCE-node constant c_u — compute it driver-side
@@ -768,12 +890,15 @@ def pagerank(
             # never built, and each round joins the raw cached edge
             # relation against a narrower broadcast. Per-edge values
             # identical, so the executor-side integer sum is too.
-            outdeg = {
-                r["src"]: int(r["outdeg"]) for r in aux.deg.collect()
-            }
-            outdeg_v = np.array(
-                [outdeg.get(v, 0) for v in labels], dtype="int64"
-            )
+            if drv is not None:
+                outdeg_v = drv[1]
+            else:
+                outdeg = {
+                    r["src"]: int(r["outdeg"]) for r in aux.deg.collect()
+                }
+                outdeg_v = np.array(
+                    [outdeg.get(v, 0) for v in labels], dtype="int64"
+                )
             has_out = outdeg_v > 0
             if pull is not None:
                 # edge-resident tier: the per-dst integer sum of the
@@ -832,9 +957,12 @@ def pagerank(
             src_i = code(pull[0])
             dst_i = code(pull[1])
             w_arr = pull[2]
-            W_by_node = np.zeros(n, dtype="int64")
-            for r in aux.deg.collect():  # bounded: <= n rows
-                W_by_node[pos[r["src"]]] = int(r["outdeg"])
+            if drv is not None:
+                W_by_node = drv[1]
+            else:
+                W_by_node = np.zeros(n, dtype="int64")
+                for r in aux.deg.collect():  # bounded: <= n rows
+                    W_by_node[pos[r["src"]]] = int(r["outdeg"])
             W_e = W_by_node[src_i]
             w_max = int(w_arr.max()) if len(w_arr) else 0
             if scale * w_max <= 2**63 - 1:
@@ -1079,6 +1207,7 @@ def hits(
             edges, src=src, dst=dst,
             assume_distinct=assume_distinct,
             broadcast_nodes=broadcast_nodes,
+            driver_edges=driver_edges,
         )
     elif (
         aux.edges_ref is not edges
@@ -1095,14 +1224,11 @@ def hits(
             "threshold as this call"
         )
     e = aux.e
-    # narrow projection over the PERSISTED node relation — per-round
-    # reads hit cache (__dangling is pagerank-only decoration)
-    nodes = aux.nodes_base.select("node")
     n = aux.n
     if n == 0:
         if owned:
             aux.unpersist()
-        return nodes.select(
+        return aux.nodes_base.select(
             "node",
             F.lit(0).cast("long").alias("hub_fp"),
             F.lit(0).cast("long").alias("auth_fp"),
@@ -1119,10 +1245,22 @@ def hits(
         import pandas as pd
         from pyspark.sql import types as T
 
-        spark_s = nodes.sparkSession
-        labels = [r["node"] for r in nodes.collect()]
-        pos = {v: i for i, v in enumerate(labels)}
-        node_field = nodes.schema["node"]
+        spark_s = e.sparkSession
+        pull = aux.edge_pull(driver_edges) if driver_edges > 0 else None
+        if pull is not None and aux._drv is not None:
+            # decoration already driver-resident: no collect at all
+            labels = aux._drv[0]
+            pos = None  # spark fallback never runs when pull is set
+        else:
+            # narrow projection over the PERSISTED node relation —
+            # (__dangling is pagerank-only decoration)
+            labels = [
+                r["node"] for r in aux.nodes_base.select("node").collect()
+            ]
+            pos = {v: i for i, v in enumerate(labels)}
+        node_field = T.StructField(
+            "node", e.schema["src"].dataType, True
+        )
 
         def _score_df(vec, col: str) -> DataFrame:
             return spark_s.createDataFrame(
@@ -1132,7 +1270,6 @@ def hits(
                 ),
             )
 
-        pull = aux.edge_pull(driver_edges) if driver_edges > 0 else None
         if pull is not None:
             # edge-resident tier: the raw decimal sums are plain sums
             # of non-negative scores (each <= scale after rescale), so
@@ -1230,6 +1367,9 @@ def hits(
         if owned:
             aux.unpersist()
         return out
+    # narrow projection over the node relation — per-round reads hit
+    # cache (__dangling is pagerank-only decoration)
+    nodes = aux.nodes_base.select("node")
     if small:
         e_by = {"src": e, "dst": e}
     else:
