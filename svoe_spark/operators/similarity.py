@@ -241,6 +241,14 @@ def ivf_train(
 
 IVF_Q_SCALE = 1 << 20  # quantization: round(x * 2^20) + 2^20 (all-positive)
 
+#: Driver-resident Lloyd's gate (round 10): at or under this many
+#: vectors the whole training loop runs in-process from one Arrow pull
+#: (65536 x 64 int64 cells ~ 32 MB) — zero jobs per round instead of a
+#: full interpreted-HOF corpus scan each; the distributed shuffle-free
+#: scan path is untouched above the gate. Arithmetic is the identical
+#: exact-integer recurrence, so the codebook is bit-for-bit the same.
+DRIVER_TRAIN_VECTORS = 65_536
+
 
 def _ivf_quant(vec_col: str) -> Column:
     """Exact-integer embedding quantization for relational Lloyd's:
@@ -341,7 +349,42 @@ def ivf_train_relational(
         F.col(id_col).alias("__id"),
         _ivf_quant(vec_col).alias("qv"),
         md5_hash(F.col(id_col).cast("string")).alias("__h"),
-    ).persist()
+    )
+
+    # Driver-resident tier (round 10, the micro-graph discipline): at
+    # or under DRIVER_TRAIN_VECTORS the quantized corpus is pulled
+    # ONCE via Arrow (the md5 seed keys still computed by Spark in
+    # that same scan) and every Lloyd's round runs in-process — exact
+    # int64 numpy: (x-c)^2 <= (2^21)^2, a dim-sum <= 2^48, and the
+    # per-cluster coordinate sums are bounded by m * 2^21 — no
+    # overflow at any gated size. Seed order (md5-hex, id) and the
+    # (2s+n) div (2n) update are token-identical, so the returned
+    # codebook is bit-for-bit the distributed path's (pinned by
+    # test_ivf_train_relational_driver_tier_matches).
+    if 0 < vectors.count() <= DRIVER_TRAIN_VECTORS:
+        import numpy as np
+
+        pdf = q.toPandas()
+        X = np.array(pdf["qv"].tolist(), dtype="int64")
+        ids = pdf["__id"].to_numpy()
+        order = np.lexsort((ids, pdf["__h"].to_numpy()))
+        cents = [list(int(v) for v in X[i]) for i in order[:k]]
+        C = np.array(cents, dtype="int64")
+        for _ in range(iters):
+            # same argmin, ties to the lowest cid (np.argmin returns
+            # the first minimum; rows are scored in cid order)
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            cid = np.argmin(d2, axis=1)
+            for j in range(len(C)):
+                mask = cid == j
+                n = int(mask.sum())
+                if n:
+                    s_sum = X[mask].sum(axis=0)
+                    C[j] = (2 * s_sum + n) // (2 * n)
+        s = IVF_Q_SCALE
+        return [[(int(c) - s) / s for c in cent] for cent in C]
+
+    q = q.persist()
     try:
         seed_rows = q.orderBy("__h", "__id").limit(k).collect()
         if not seed_rows:

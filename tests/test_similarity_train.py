@@ -191,6 +191,20 @@ def test_ivf_train_relational_deterministic(spark, sf_small):
     assert rows[0]["vec_id"] == 0 and abs(rows[0]["cosine"] - 1.0) < 1e-9
 
 
+def test_ivf_train_relational_driver_tier_matches(spark, sf_small, monkeypatch):
+    """The round-10 driver-resident Lloyd's tier (one Arrow pull +
+    in-process int64 rounds) must return the codebook bit-for-bit
+    identical to the distributed scan loop — same seeds (md5-hex, id)
+    order, same argmin tie rule, same (2s+n) div (2n) update."""
+    from svoe_spark.operators import similarity as S
+
+    emb = load_table(spark, "embeddings", sf_small)
+    drv = S.ivf_train_relational(emb, k=4, iters=2)
+    monkeypatch.setattr(S, "DRIVER_TRAIN_VECTORS", 0)
+    dist = S.ivf_train_relational(emb, k=4, iters=2)
+    assert drv == dist
+
+
 @pytest.mark.slow
 def test_ivf_relational_recall_geq_seeded_sf01(spark):
     """The deterministic relational Lloyd's codebook (the one the
