@@ -58,20 +58,39 @@ def ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The `events` table viewed as a trade-tick stream: `event_type` is
     the instrument key, `value` the price, props.k the traded amount,
     and a BUY/SELL side derived from the event type. Mirrors the
-    reference's trades schema (cryptotick_trades.py:8-18)."""
-    e = load_table(spark, "events", sf_dir)
-    return e.select(
-        "event_id",
-        "ts",
-        "user_id",
-        "event_type",
-        "value",
-        _cents(F.col("value")).alias("value_c"),
-        F.get_json_object("props", "$.k").cast("long").alias("qty"),
-        F.when(F.col("event_type").isin("click", "purchase"), F.lit("BUY"))
-        .otherwise(F.lit("SELL"))
-        .alias("side"),
-    )
+    reference's trades schema (cryptotick_trades.py:8-18).
+
+    Round 10: parsed and persisted once per (session, sf_dir) — the
+    `_l2_updates_*`/`_mh_pairs` discipline. ~50 query call sites start
+    from this same events scan + JSON qty parse; each used to pay it
+    cold. spread() before the parse so the single-file fixture doesn't
+    serialize the per-row JSON extract onto a few cores; every
+    downstream op shuffles or aggregates by its own keys, so layout is
+    result-neutral (the determinism contract already requires
+    partition-independent windows)."""
+    # lazy import: queries_llm imports from this module at package init
+    from svoe_spark.queries_llm import _cached_chain
+
+    def build():
+        from svoe_spark.operators.util import spread
+
+        e = spread(load_table(spark, "events", sf_dir))
+        return e.select(
+            "event_id",
+            "ts",
+            "user_id",
+            "event_type",
+            "value",
+            _cents(F.col("value")).alias("value_c"),
+            F.get_json_object("props", "$.k").cast("long").alias("qty"),
+            F.when(
+                F.col("event_type").isin("click", "purchase"), F.lit("BUY")
+            )
+            .otherwise(F.lit("SELL"))
+            .alias("side"),
+        ).persist()
+
+    return _cached_chain(spark, sf_dir, "ticks", build)
 
 
 _TICKS_SQL = """
@@ -4019,17 +4038,28 @@ def supplier_cograph_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from svoe_spark.operators.graph import knn_sparsify, triangle_counts
 
     li = load_table(spark, "lineitem", sf_dir)
-    os_ = li.select("l_orderkey", "l_suppkey").distinct()
-    a, b = os_.alias("a"), os_.alias("b")
+    # one grouped pass instead of distinct + self-join + groupBy (4
+    # exchanges -> 2): collect_set per order IS the distinct, and the
+    # sorted-array pair expansion IS the a.suppkey < b.suppkey
+    # self-join — per-order supplier sets are tiny (<= 7), so the
+    # interpreted HOF touches <= 21 pairs per row. Pair multiset, and
+    # therefore every downstream count, is identical by construction.
+    oss = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_suppkey")).alias("ss"))
+        .select("ss")
+    )
     cop = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        oss.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (x, i) -> "
+                    "transform(slice(ss, i + 2, size(ss)), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
-        )
+        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
     )
     edges = knn_sparsify(cop, k=_TRI_K, src="u", dst="v", w="w")
