@@ -45,28 +45,40 @@ def association_rules(
     counts exact; confidence and lift are single IEEE operations over
     exactly-converted integers.
     """
-    m = df.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()
+    # ONE grouped pass instead of distinct + self-join (round 10, the
+    # supplier_cograph_triangles rewrite): collect_set per basket IS
+    # the distinct-membership relation, the size() filter IS the
+    # cap-items skew guard, and the sorted-array HOF pair expansion IS
+    # the a.__i < b.__i self-join — baskets are small by the cap
+    # premise, so the interpreted lambda touches |items|^2/2 elements
+    # per row. Counts (marginals, totals, co-occurrence) are identical
+    # by construction.
+    bs = (
+        df.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
+        .groupBy("__b")
+        .agg(F.array_sort(F.collect_set("__i")).alias("__ss"))
+        .select("__ss")
+    )
     if cap_items is not None:
-        # broadcast the OVER-cap set (tiny by the skew-guard premise —
-        # a handful of mega-baskets), never the keep set (~all baskets)
-        sizes = m.groupBy("__b").agg(F.count(F.lit(1)).alias("__sz"))
-        drop = sizes.where(F.col("__sz") > cap_items).select("__b")
-        m = m.join(F.broadcast(drop), "__b", "left_anti")
-    m = m.localCheckpoint(eager=False)
-    n_total = m.select("__b").distinct().groupBy().count()
-    marg = m.groupBy("__i").agg(F.count(F.lit(1)).cast("long").alias("__n"))
-    a, b = m.alias("a"), m.alias("b")
+        bs = bs.where(F.size("__ss") <= cap_items)
+    bs = bs.localCheckpoint(eager=False)
+    n_total = bs.groupBy().count()
+    marg = (
+        bs.select(F.explode("__ss").alias("__i"))
+        .groupBy("__i")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.__b") == F.col("b.__b"))
-            & (F.col("a.__i") < F.col("b.__i")),
+        bs.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__ss, (x, i) -> "
+                    "transform(slice(__ss, i + 2, size(__ss)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.__i").alias("item_a"), F.col("b.__i").alias("item_b")
-        )
+        .groupBy(F.col("p.a").alias("item_a"), F.col("p.b").alias("item_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
         .where(F.col("n_ab") >= min_support)
     )
