@@ -3,6 +3,7 @@ identity must reproduce Page's recursion exactly (differential vs a
 pure-Python mirror), detect a planted level shift, and respect the
 slack allowance."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from svoe_spark.operators.changepoint import cusum_scores
@@ -23,6 +24,7 @@ def _series(spark, values, key="k"):
     return spark.createDataFrame(rows, "key string, t long, v long")
 
 
+@pytest.mark.heavy  # r10 trim: slowest quick-tier case (17 s call)
 def test_cusum_matches_python_recursion(spark):
     values = [5, 5, 6, 4, 5, 9, 11, 10, 12, 5, 5, 1, 0, 2, 5, 5]
     df5 = _series(spark, values).withColumn("base", F.lit(5))

@@ -97,6 +97,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 
+@pytest.mark.heavy  # r10 trim: 11 s property case; round-close sweep runs it
 @settings(
     max_examples=12,
     deadline=None,

@@ -61,6 +61,7 @@ def test_streaming_flagship_equals_batch(spark, sf_small, tmp_path):
     assert compared > 500
 
 
+@pytest.mark.heavy  # r10 trim: 9.6 s streaming e2e; round-close sweep runs it
 def test_streaming_flagship_scores_all_events(spark, sf_small, tmp_path):
     cfg = {**CFG, "data_source": {**CFG["data_source"], "sf_dir": sf_small}}
     fls = Featurizer(spark).run(cfg)
