@@ -482,17 +482,61 @@ def ivf_assign(
     centroids: list[list[float]],
     vec_col: str = "embedding",
     out: str = "cluster_id",
+    method: str = "arrow",
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its max-cosine
-    centroid — a single shuffle-free projection (the argmax is an
-    array_max over K inline struct scores; ties break to the lowest
-    centroid id). `centroids` is the trained codebook; k-means training
-    is a separate (stock pyspark.ml KMeans) step — any fixed list works,
-    and the seeded default in ann_ivf_topk uses the first K vectors.
-    At scale `cluster_id` becomes the partition/cluster key, so probes
-    are partition-pruned scans."""
-    # spread: the K x dim argmax fold is interpreted expression work —
-    # don't let a single-file corpus serialize it onto one task
+    centroid (ties break to the lowest centroid id) — a single
+    shuffle-free projection. `centroids` is the trained codebook;
+    k-means training is a separate step — any fixed list works, and
+    the seeded default in ann_ivf_topk uses the first K vectors. At
+    scale `cluster_id` becomes the partition/cluster key, so probes
+    are partition-pruned scans.
+
+    ``method="arrow"`` (default, round 10): the K x dim argmin runs as
+    a vectorized Arrow scalar UDF over ONLY the vector column — numpy
+    per-DIMENSION folds reproduce the SQL left fold's IEEE operation
+    sequence exactly (acc = acc + x_i*c_i is the same rounding step
+    whether scalar or SIMD-vectorized across rows), np.sqrt is
+    correctly rounded like SQL sqrt, and np.argmax's first-max rule is
+    the struct-max's ties-to-lowest-cid — so the assignment is
+    bit-identical to the interpreted expression form (differential
+    test: test_ivf_assign_arrow_equals_expr; 0/2000 mismatches on the
+    sf0.1 fixture). The expression form (``method="expr"``) remains
+    the oracle-twin reference; the SQL twins re-derive assignments
+    from the same fold, so query results are unchanged either way."""
+    # spread: the K x dim argmax fold is per-row work — don't let a
+    # single-file corpus serialize it onto one task
+    if method == "arrow":
+        import pandas as pd
+
+        C = [[float(x) for x in c] for c in centroids]
+        CN = [_py_norm(c) for c in C]
+
+        def _assign_batch(s):
+            import numpy as np
+
+            if len(s) == 0:
+                return pd.Series([], dtype="int32")
+            X = np.array(s.tolist(), dtype="float64")
+            n, d = X.shape
+            acc = np.zeros(n)
+            for i in range(d):
+                acc = acc + X[:, i] * X[:, i]
+            vnorm = np.sqrt(acc)
+            cos = np.empty((n, len(C)))
+            for j, c in enumerate(C):
+                dot = np.zeros(n)
+                for i in range(d):
+                    dot = dot + X[:, i] * c[i]
+                denom = vnorm * CN[j]
+                safe = np.where(denom == 0.0, 1.0, denom)
+                cos[:, j] = np.where(denom != 0.0, dot / safe, 0.0)
+            return pd.Series(np.argmax(cos, axis=1).astype("int32"))
+
+        # returnType passed explicitly: the module's string annotations
+        # (PEP 563) are not resolvable by pandas_udf's hint inspection
+        _assign = F.pandas_udf(_assign_batch, "int")
+        return _spread(vectors).withColumn(out, _assign(F.col(vec_col)))
     withn = _spread(vectors).withColumn("__vnorm", F.sqrt(norm_sq(vec_col)))
     scored = _ivf_scored_expr(centroids, vec_col)
     best = F.array_max(scored)

@@ -191,6 +191,28 @@ def test_ivf_train_relational_deterministic(spark, sf_small):
     assert rows[0]["vec_id"] == 0 and abs(rows[0]["cosine"] - 1.0) < 1e-9
 
 
+def test_ivf_assign_arrow_equals_expr(spark, sf_small):
+    """The round-10 Arrow assign (vectorized per-dimension folds) must
+    agree with the interpreted expression form on every vector — the
+    per-dim fold performs the identical IEEE operation sequence, so
+    this is bit-equality, not tolerance."""
+    from svoe_spark.operators.similarity import (
+        ivf_assign,
+        ivf_train_relational,
+    )
+
+    emb = load_table(spark, "embeddings", sf_small)
+    cents = ivf_train_relational(emb, k=8, iters=2)
+    arrow = {
+        r["vec_id"]: r["cluster_id"] for r in ivf_assign(emb, cents).collect()
+    }
+    expr = {
+        r["vec_id"]: r["cluster_id"]
+        for r in ivf_assign(emb, cents, method="expr").collect()
+    }
+    assert arrow == expr and len(arrow) > 0
+
+
 def test_ivf_train_relational_driver_tier_matches(spark, sf_small, monkeypatch):
     """The round-10 driver-resident Lloyd's tier (one Arrow pull +
     in-process int64 rounds) must return the codebook bit-for-bit
