@@ -855,6 +855,7 @@ def ivf_assign_2level(
     sub: list[list[list[float]]],
     vec_col: str = "embedding",
     out: str = "cluster_id",
+    method: str = "arrow",
 ) -> DataFrame:
     """Two-level (hierarchical) IVF assignment: argmax-cosine over k1
     coarse centroids, then argmax over that cell's k2 sub-centroids;
@@ -874,11 +875,72 @@ def ivf_assign_2level(
     deterministic seeded layout used by the registered query takes
     coarse = vectors[0..k1), sub[c] = vectors[k1 + c*k2 .. k1 + (c+1)*k2)
     — trained codebooks from `ivf_train` (applied per coarse cell) drop
-    in identically."""
+    in identically.
+
+    Round 10: like `ivf_assign`, the default engine is a vectorized
+    Arrow scalar UDF whose per-dimension folds reproduce the SQL left
+    fold's IEEE operation sequence exactly (see ivf_assign) — both
+    levels' assignments are bit-identical to the expression form
+    (differential test: test_ivf_assign_2level_arrow_equals_expr).
+    ``method="expr"`` keeps the interpreted reference."""
     k1 = len(coarse)
     assert k1 > 0 and len(sub) == k1, (k1, len(sub))
     k2 = len(sub[0])
     assert all(len(s) == k2 for s in sub)
+
+    if method == "arrow":
+        import pandas as pd
+
+        CO = [[float(x) for x in c] for c in coarse]
+        CON = [_py_norm(c) for c in CO]
+        SU = [[[float(x) for x in c] for c in cell] for cell in sub]
+        SUN = [[_py_norm(c) for c in cell] for cell in SU]
+
+        def _assign2_batch(s):
+            import numpy as np
+
+            if len(s) == 0:
+                return pd.Series([], dtype="int32")
+            X = np.array(s.tolist(), dtype="float64")
+            n, d = X.shape
+            acc = np.zeros(n)
+            for i in range(d):
+                acc = acc + X[:, i] * X[:, i]
+            vnorm = np.sqrt(acc)
+
+            def scores(cents, norms):
+                cos = np.empty((n, len(cents)))
+                for j, c in enumerate(cents):
+                    dot = np.zeros(n)
+                    for i in range(d):
+                        dot = dot + X[:, i] * c[i]
+                    denom = vnorm * norms[j]
+                    safe = np.where(denom == 0.0, 1.0, denom)
+                    cos[:, j] = np.where(denom != 0.0, dot / safe, 0.0)
+                return cos
+
+            cid = np.argmax(scores(CO, CON), axis=1)
+            sid = np.empty(n, dtype="int64")
+            for c in range(k1):
+                mask = cid == c
+                if not mask.any():
+                    continue
+                Xm = X[mask]
+                nm = Xm.shape[0]
+                vn = vnorm[mask]
+                cos = np.empty((nm, k2))
+                for j, cc in enumerate(SU[c]):
+                    dot = np.zeros(nm)
+                    for i in range(d):
+                        dot = dot + Xm[:, i] * cc[i]
+                    denom = vn * SUN[c][j]
+                    safe = np.where(denom == 0.0, 1.0, denom)
+                    cos[:, j] = np.where(denom != 0.0, dot / safe, 0.0)
+                sid[mask] = np.argmax(cos, axis=1)
+            return pd.Series((cid * k2 + sid).astype("int32"))
+
+        _assign2 = F.pandas_udf(_assign2_batch, "int")
+        return _spread(vectors).withColumn(out, _assign2(F.col(vec_col)))
 
     withn = _spread(vectors).withColumn("__vnorm", F.sqrt(norm_sq(vec_col)))
     coarse_best = F.array_max(_ivf_scored_expr(coarse, vec_col))

@@ -213,6 +213,34 @@ def test_ivf_assign_arrow_equals_expr(spark, sf_small):
     assert arrow == expr and len(arrow) > 0
 
 
+def test_ivf_assign_2level_arrow_equals_expr(spark, sf_small):
+    """Two-level Arrow assignment bit-equals the expression form on
+    every vector (same per-dimension fold discipline as ivf_assign)."""
+    from svoe_spark.operators.similarity import ivf_assign_2level
+
+    emb = load_table(spark, "embeddings", sf_small)
+    k1, k2 = 4, 4
+    rows = (
+        emb.where(F.col("vec_id") < k1 + k1 * k2)
+        .orderBy("vec_id")
+        .collect()
+    )
+    coarse = [list(r["embedding"]) for r in rows[:k1]]
+    sub = [
+        [list(r["embedding"]) for r in rows[k1 + c * k2 : k1 + (c + 1) * k2]]
+        for c in range(k1)
+    ]
+    arrow = {
+        r["vec_id"]: r["cluster_id"]
+        for r in ivf_assign_2level(emb, coarse, sub).collect()
+    }
+    expr = {
+        r["vec_id"]: r["cluster_id"]
+        for r in ivf_assign_2level(emb, coarse, sub, method="expr").collect()
+    }
+    assert arrow == expr and len(arrow) > 0
+
+
 def test_ivf_train_relational_driver_tier_matches(spark, sf_small, monkeypatch):
     """The round-10 driver-resident Lloyd's tier (one Arrow pull +
     in-process int64 rounds) must return the codebook bit-for-bit
