@@ -53,15 +53,24 @@ def association_rules(
     # premise, so the interpreted lambda touches |items|^2/2 elements
     # per row. Counts (marginals, totals, co-occurrence) are identical
     # by construction.
+    from svoe_spark.operators.util import sorted_pair_expand
+
     bs = (
         df.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
         .groupBy("__b")
-        .agg(F.array_sort(F.collect_set("__i")).alias("__ss"))
-        .select("__ss")
+        .agg(
+            F.array_sort(F.collect_set("__i")).alias("__ss"),
+            # a NULL item still occupied one distinct (basket, item)
+            # row in the pre-rewrite sizing — collect_set drops NULLs,
+            # so the cap must add it back to stay behavior-identical
+            F.max(F.col("__i").isNull()).alias("__has_null"),
+        )
     )
     if cap_items is not None:
-        bs = bs.where(F.size("__ss") <= cap_items)
-    bs = bs.localCheckpoint(eager=False)
+        bs = bs.where(
+            F.size("__ss") + F.col("__has_null").cast("int") <= cap_items
+        )
+    bs = bs.select("__ss").localCheckpoint(eager=False)
     n_total = bs.groupBy().count()
     marg = (
         bs.select(F.explode("__ss").alias("__i"))
@@ -69,15 +78,7 @@ def association_rules(
         .agg(F.count(F.lit(1)).cast("long").alias("__n"))
     )
     pairs = (
-        bs.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(__ss, (x, i) -> "
-                    "transform(slice(__ss, i + 2, size(__ss)), "
-                    "y -> struct(x AS a, y AS b))))"
-                )
-            ).alias("p")
-        )
+        bs.select(F.explode(F.expr(sorted_pair_expand("__ss"))).alias("p"))
         .groupBy(F.col("p.a").alias("item_a"), F.col("p.b").alias("item_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
         .where(F.col("n_ab") >= min_support)

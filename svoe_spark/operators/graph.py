@@ -39,6 +39,20 @@ DRIVER_NODES_DEFAULT = 65_536
 DRIVER_EDGES_DEFAULT = 4_000_000
 
 
+def _node_type(e: DataFrame, src: str = "src", dst: str = "dst"):
+    """The UNION-WIDENED node type of an edge relation — e.g. int src
+    + long dst widens to long. Pure schema analysis, no job; the
+    driver-resident tiers must declare this type (not the src
+    column's) or a mixed-width graph fails Arrow conversion on
+    output."""
+    return (
+        e.select(F.col(src).alias("node"))
+        .union(e.select(F.col(dst).alias("node")))
+        .schema[0]
+        .dataType
+    )
+
+
 def _label_codes(labels):
     """Vectorized label -> position mapper for the micro-mode node
     list: numeric labels ride a sorted searchsorted (587k-edge
@@ -414,26 +428,11 @@ class GraphAux:
             driver_edges = DRIVER_EDGES_DEFAULT
         pulled = None
         if driver_edges > 0:
-            self._m = self.e.count()
-            if self._m <= driver_edges:
-                pdf = self.e.toPandas()
-                if weight is not None:
-                    w_raw = pdf["w"]
-                    if bool(w_raw.isna().any()) or bool((w_raw <= 0).any()):
-                        self.e.unpersist()
-                        raise ValueError(
-                            "pagerank weights must be positive integers; "
-                            "found a (src, dst) pair whose summed weight "
-                            "is NULL or <= 0"
-                        )
-                    pulled = (
-                        pdf["src"].to_numpy(),
-                        pdf["dst"].to_numpy(),
-                        w_raw.to_numpy().astype("int64", copy=False),
-                    )
-                else:
-                    pulled = (pdf["src"].to_numpy(), pdf["dst"].to_numpy(), None)
-                self._edge_pull[driver_edges] = pulled
+            try:
+                pulled = self.edge_pull(driver_edges)
+            except ValueError:
+                self.e.unpersist()
+                raise
         if weight is not None and pulled is None:
             # NULL/zero/negative summed weights would make
             # '(rank*w) div W' silently drop mass in Spark and raise
@@ -517,7 +516,7 @@ class GraphAux:
                 schema=T.StructType(
                     [
                         T.StructField(
-                            "node", self.e.schema["src"].dataType, True
+                            "node", _node_type(self.e), True
                         ),
                         T.StructField("__dangling", T.BooleanType()),
                     ]
@@ -556,13 +555,28 @@ class GraphAux:
         # edges costs seconds in deserialization alone; toPandas rides
         # the session's Arrow path and lands directly in numpy arrays
         pdf = self.e.toPandas()
-        if self.weight is None:
+        if bool(pdf["src"].isna().any()) or bool(pdf["dst"].isna().any()):
+            # NULL endpoints: Arrow converts a null-bearing integral
+            # column to float64 (NaN labels, silent > 2^53 precision
+            # loss) — only the Spark tiers handle NULL as a node value,
+            # so the pull declines and every caller falls through
+            out = None
+        elif self.weight is None:
             out = (pdf["src"].to_numpy(), pdf["dst"].to_numpy(), None)
         else:
+            w_raw = pdf["w"]
+            if bool(w_raw.isna().any()) or bool((w_raw <= 0).any()):
+                # same contract as the Spark-side validation in
+                # __init__ — the pull is the validation pass here
+                raise ValueError(
+                    "pagerank weights must be positive integers; found "
+                    "a (src, dst) pair whose summed weight is NULL or "
+                    "<= 0"
+                )
             out = (
                 pdf["src"].to_numpy(),
                 pdf["dst"].to_numpy(),
-                pdf["w"].to_numpy().astype("int64", copy=False),
+                w_raw.to_numpy().astype("int64", copy=False),
             )
         self._edge_pull[max_edges] = out
         return out
@@ -691,15 +705,16 @@ def pagerank(
 
     ``driver_edges``: EDGE-RESIDENT micro tier (round 10, second
     pass) — inside micro mode, when the canonical edge count is also
-    at or under this bound (default 1M, probed boundedly and memoized
-    on the aux), the edge list is pulled to the driver once and every
-    round runs fully in-process: ZERO jobs per round. Unweighted
-    rounds use int64 numpy (`np.add.at` is exact integer addition;
-    per-node in-sums are bounded by the total mass ~ scale, far under
-    int64); weighted rounds compute each `(rank * w) div W` share in
-    arbitrary-precision Python ints — exactly the decimal(38,0)
-    engine arithmetic. Pass 0 to keep the one-job-per-round micro
-    loop.
+    at or under this bound (default DRIVER_EDGES_DEFAULT = 4M, probed
+    boundedly and memoized on the aux), the edge list is pulled to the
+    driver once and every round runs fully in-process: ZERO jobs per
+    round. Unweighted rounds use int64 numpy (`np.add.at` is exact
+    integer addition; per-node in-sums are bounded by the total mass
+    ~ scale, far under int64); weighted rounds vectorize to int64 when
+    scale * max(w) provably fits, exact Python ints otherwise — the
+    decimal(38,0) engine arithmetic either way. Edges with NULL
+    endpoints decline the pull (the Spark tiers treat NULL as a node
+    value). Pass 0 to keep the one-job-per-round micro loop.
 
     ``broadcast_nodes``: SMALL-GRAPH broadcast mode — when the node
     count (already materialized for the teleport constants) is at or
@@ -862,7 +877,7 @@ def pagerank(
             labels, dangling_v = drv[0], drv[2]
             pos = None  # spark fallbacks never run when drv is set
             node_field = T.StructField(
-                "node", aux.e.schema["src"].dataType, True
+                "node", _node_type(aux.e), True
             )
         else:
             node_rows = nodes.collect()  # bounded: n <= driver_nodes
@@ -941,7 +956,11 @@ def pagerank(
                     )
                     s = np.zeros(n, dtype="int64")
                     for r in rows:
-                        s[pos[r["node"]]] = r["in_sum"]
+                        # a NULL node never receives its in-sum in the
+                        # Spark tiers (the output join on "node" misses
+                        # NULL keys) — mirror that here for tier parity
+                        if r["node"] is not None:
+                            s[pos[r["node"]]] = r["in_sum"]
                     return s
         elif pull is not None:
             # edge-resident weighted tier: each share (rank * w) div W.
@@ -999,7 +1018,9 @@ def pagerank(
                 )
                 s = np.zeros(n, dtype="int64")
                 for r in rows:
-                    s[pos[r["node"]]] = r["in_sum"]
+                    # NULL node: see the unweighted fallback above
+                    if r["node"] is not None:
+                        s[pos[r["node"]]] = r["in_sum"]
                 return s
 
         def _round_micro(vec):
@@ -1259,7 +1280,7 @@ def hits(
             ]
             pos = {v: i for i, v in enumerate(labels)}
         node_field = T.StructField(
-            "node", e.schema["src"].dataType, True
+            "node", _node_type(e), True
         )
 
         def _score_df(vec, col: str) -> DataFrame:
@@ -1328,6 +1349,10 @@ def hits(
                 )
                 raw = [0] * n
                 for r in rows:
+                    # NULL node: the Spark tiers' join on "node" misses
+                    # NULL keys — mirror that for tier parity
+                    if r["node"] is None:
+                        continue
                     raw[pos[r["node"]]] = int(r["__raw"])
                 t = sum(raw)
                 if t <= 0:
@@ -1550,6 +1575,14 @@ def bfs_distances(
         m0 = e0.count()
         if m0 * (1 if directed else 2) <= driver_edges:
             pdf = e0.toPandas()
+            if bool(pdf["src"].isna().any()) or bool(pdf["dst"].isna().any()):
+                # NULL endpoints: Arrow float64-converts a null-bearing
+                # integral column (NaN labels); decline the tier — the
+                # Spark paths treat NULL as a node value (see edge_pull)
+                pdf = None
+        else:
+            pdf = None
+        if pdf is not None:
             s_a = pdf["src"].to_numpy()
             d_a = pdf["dst"].to_numpy()
             uniq, inv = np.unique(
@@ -1561,7 +1594,11 @@ def bfs_distances(
                     "bfs_distances: no source node appears in the graph"
                 )
             if n_nodes <= driver_nodes:
-                sc, dc = inv[:m0], inv[m0:]
+                # split at len(s_a), NOT the earlier count: e0 is
+                # unpersisted, so the count and the pull are separate
+                # evaluations — a nondeterministic upstream could make
+                # them disagree and silently mix src/dst codes
+                sc, dc = inv[: len(s_a)], inv[len(s_a):]
                 if not directed:
                     sc, dc = (
                         np.concatenate([sc, dc]),
@@ -1623,7 +1660,7 @@ def bfs_distances(
                     schema=T.StructType(
                         [
                             T.StructField(
-                                "node", e0.schema["src"].dataType, True
+                                "node", _node_type(e0), True
                             ),
                             T.StructField("dist", T.IntegerType()),
                         ]
@@ -1670,7 +1707,7 @@ def bfs_distances(
         spark_s = e.sparkSession
         node_set = {r["node"] for r in node_probe}
         node_field = T.StructField(
-            "node", e.schema["src"].dataType, nullable=True
+            "node", _node_type(e), nullable=True
         )
         if isinstance(sources, DataFrame):
             seed_rows = (

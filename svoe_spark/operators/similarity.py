@@ -372,8 +372,15 @@ def ivf_train_relational(
         C = np.array(cents, dtype="int64")
         for _ in range(iters):
             # same argmin, ties to the lowest cid (np.argmin returns
-            # the first minimum; rows are scored in cid order)
-            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # the first minimum; columns are scored in cid order).
+            # Per-centroid distance columns, NOT a broadcast
+            # (m, k, dim) cube — the cube's int64 temporaries would
+            # peak at ~2k x the pulled corpus itself (0.5-4 GiB at the
+            # gate maximum); this form keeps peak memory O(m*(d+k)).
+            d2 = np.empty((X.shape[0], len(C)), dtype="int64")
+            for j in range(len(C)):
+                diff = X - C[j]
+                d2[:, j] = (diff * diff).sum(axis=1)
             cid = np.argmin(d2, axis=1)
             for j in range(len(C)):
                 mask = cid == j
@@ -518,19 +525,7 @@ def ivf_assign(
             if len(s) == 0:
                 return pd.Series([], dtype="int32")
             X = np.array(s.tolist(), dtype="float64")
-            n, d = X.shape
-            acc = np.zeros(n)
-            for i in range(d):
-                acc = acc + X[:, i] * X[:, i]
-            vnorm = np.sqrt(acc)
-            cos = np.empty((n, len(C)))
-            for j, c in enumerate(C):
-                dot = np.zeros(n)
-                for i in range(d):
-                    dot = dot + X[:, i] * c[i]
-                denom = vnorm * CN[j]
-                safe = np.where(denom == 0.0, 1.0, denom)
-                cos[:, j] = np.where(denom != 0.0, dot / safe, 0.0)
+            cos = _np_cosine_scores(X, _np_vnorm(X), C, CN)
             return pd.Series(np.argmax(cos, axis=1).astype("int32"))
 
         # returnType passed explicitly: the module's string annotations
@@ -541,6 +536,40 @@ def ivf_assign(
     scored = _ivf_scored_expr(centroids, vec_col)
     best = F.array_max(scored)
     return withn.withColumn(out, -best["nid"]).drop("__vnorm")
+
+
+def _np_vnorm(X):
+    """Vector norms via the exact per-dimension fold: acc = acc +
+    x_i*x_i is the same IEEE operation sequence as the SQL left fold
+    (norm_sq), vectorized across rows; np.sqrt is correctly rounded
+    like SQL sqrt. THE fold order here is the bit-identity contract
+    with the expression form — do not reassociate."""
+    import numpy as np
+
+    acc = np.zeros(X.shape[0])
+    for i in range(X.shape[1]):
+        acc = acc + X[:, i] * X[:, i]
+    return np.sqrt(acc)
+
+
+def _np_cosine_scores(X, vnorm, cents, norms):
+    """(n x k) cosine score matrix against constant centroids with the
+    exact per-dimension dot fold and the expression form's zero-norm
+    guard — shared by every Arrow assign path so a rounding-order
+    tweak can never desynchronize them (the fold order IS the
+    bit-identity contract; see _np_vnorm)."""
+    import numpy as np
+
+    n, d = X.shape
+    cos = np.empty((n, len(cents)))
+    for j, c in enumerate(cents):
+        dot = np.zeros(n)
+        for i in range(d):
+            dot = dot + X[:, i] * c[i]
+        denom = vnorm * norms[j]
+        safe = np.where(denom == 0.0, 1.0, denom)
+        cos[:, j] = np.where(denom != 0.0, dot / safe, 0.0)
+    return cos
 
 
 def _ivf_scored_expr(centroids: list[list[float]], vec_col: str):
@@ -902,40 +931,15 @@ def ivf_assign_2level(
             if len(s) == 0:
                 return pd.Series([], dtype="int32")
             X = np.array(s.tolist(), dtype="float64")
-            n, d = X.shape
-            acc = np.zeros(n)
-            for i in range(d):
-                acc = acc + X[:, i] * X[:, i]
-            vnorm = np.sqrt(acc)
-
-            def scores(cents, norms):
-                cos = np.empty((n, len(cents)))
-                for j, c in enumerate(cents):
-                    dot = np.zeros(n)
-                    for i in range(d):
-                        dot = dot + X[:, i] * c[i]
-                    denom = vnorm * norms[j]
-                    safe = np.where(denom == 0.0, 1.0, denom)
-                    cos[:, j] = np.where(denom != 0.0, dot / safe, 0.0)
-                return cos
-
-            cid = np.argmax(scores(CO, CON), axis=1)
+            n = X.shape[0]
+            vnorm = _np_vnorm(X)
+            cid = np.argmax(_np_cosine_scores(X, vnorm, CO, CON), axis=1)
             sid = np.empty(n, dtype="int64")
             for c in range(k1):
                 mask = cid == c
                 if not mask.any():
                     continue
-                Xm = X[mask]
-                nm = Xm.shape[0]
-                vn = vnorm[mask]
-                cos = np.empty((nm, k2))
-                for j, cc in enumerate(SU[c]):
-                    dot = np.zeros(nm)
-                    for i in range(d):
-                        dot = dot + Xm[:, i] * cc[i]
-                    denom = vn * SUN[c][j]
-                    safe = np.where(denom == 0.0, 1.0, denom)
-                    cos[:, j] = np.where(denom != 0.0, dot / safe, 0.0)
+                cos = _np_cosine_scores(X[mask], vnorm[mask], SU[c], SUN[c])
                 sid[mask] = np.argmax(cos, axis=1)
             return pd.Series((cid * k2 + sid).astype("int32"))
 

@@ -28,6 +28,22 @@ def spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def sorted_pair_expand(arr_col: str, a: str = "a", b: str = "b") -> str:
+    """SQL snippet expanding a SORTED array column into its unordered
+    element pairs as struct<{a}, {b}> with {a} < {b} — the HOF
+    replacement for a DISTINCT + self-join + groupBy pair projection
+    (supplier co-occurrence, association rules). transform's index is
+    0-based and slice is 1-based, so `slice(arr, i + 2, ...)` takes
+    exactly the elements AFTER position i. Feed it to
+    F.explode(F.expr(...)); the array must be pre-sorted
+    (array_sort) so element order encodes the a < b pairing."""
+    return (
+        f"flatten(transform({arr_col}, (x, i) -> "
+        f"transform(slice({arr_col}, i + 2, size({arr_col})), "
+        f"y -> struct(x AS {a}, y AS {b}))))"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Store-path filesystem helpers (commit logs for the exactly-once stores)
 # ---------------------------------------------------------------------------

@@ -4044,6 +4044,8 @@ def supplier_cograph_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join — per-order supplier sets are tiny (<= 7), so the
     # interpreted HOF touches <= 21 pairs per row. Pair multiset, and
     # therefore every downstream count, is identical by construction.
+    from svoe_spark.operators.util import sorted_pair_expand
+
     oss = (
         li.groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_suppkey")).alias("ss"))
@@ -4051,13 +4053,7 @@ def supplier_cograph_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cop = (
         oss.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ss, (x, i) -> "
-                    "transform(slice(ss, i + 2, size(ss)), "
-                    "y -> struct(x AS u, y AS v))))"
-                )
-            ).alias("p")
+            F.explode(F.expr(sorted_pair_expand("ss", "u", "v"))).alias("p")
         )
         .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .agg(F.count(F.lit(1)).cast("long").alias("w"))

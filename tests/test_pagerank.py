@@ -443,3 +443,60 @@ def test_shared_aux_equals_per_call_setup(spark, edges):
             hits(edf, iterations=2, assume_distinct=True, aux=aux)
     finally:
         aux.unpersist()
+
+
+def test_null_endpoints_decline_driver_pull(spark):
+    """Edges with NULL endpoints must produce the same result through
+    every tier: the edge-resident pull declines (Arrow would float64-
+    convert the column into NaN labels) and the Spark tiers treat NULL
+    as a node value — the pre-round-10 behavior."""
+    from svoe_spark.operators.graph import bfs_distances, pagerank
+
+    edf = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, None), (3, 1)], "src long, dst long"
+    )
+
+    def rows(df, *cols):
+        return sorted(
+            (tuple(r[c] for c in cols) for r in df.collect()),
+            key=repr,
+        )
+
+    drv = pagerank(edf, iterations=3)  # pull declines, micro spark loop
+    pt = pagerank(edf, iterations=3, broadcast_nodes=0)
+    assert rows(drv, "node", "rank_fp") == rows(pt, "node", "rank_fp")
+
+    d1 = bfs_distances(edf, [1], max_hops=3)
+    d2 = bfs_distances(edf, [1], max_hops=3, driver_nodes=0)
+    assert rows(d1, "node", "dist") == rows(d2, "node", "dist")
+
+
+def test_mixed_width_endpoints_widened_node_type(spark):
+    """int src + long dst (values past 2^31) must widen the output
+    node type through the driver-resident tiers — the union-widened
+    type, not the src column's."""
+    from svoe_spark.operators.graph import bfs_distances, hits, pagerank
+
+    big = 3_000_000_000
+    edf = spark.createDataFrame(
+        [(1, big), (2, big), (1, 2)],
+        "src int, dst long",
+    )
+
+    def rows(df, *cols):
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    pr = pagerank(edf, iterations=2)
+    pt = pagerank(edf, iterations=2, broadcast_nodes=0)
+    assert rows(pr, "node", "rank_fp") == rows(pt, "node", "rank_fp")
+
+    h = hits(edf, iterations=2)
+    hp = hits(edf, iterations=2, broadcast_nodes=0)
+    assert rows(h, "node", "hub_fp", "auth_fp") == rows(
+        hp, "node", "hub_fp", "auth_fp"
+    )
+
+    d = bfs_distances(edf, [1], max_hops=3)
+    dp = bfs_distances(edf, [1], max_hops=3, driver_nodes=0)
+    assert rows(d, "node", "dist") == rows(dp, "node", "dist")
+    assert {r["node"] for r in d.collect()} == {1, 2, big}
