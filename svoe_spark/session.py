@@ -41,6 +41,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow transfer for every pandas UDF / applyInPandas operator.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Error call-site capture wraps EVERY DataFrame API call in 3
+        # extra py4j round trips (conf.get + origin set + clear) plus a
+        # Python stack walk. Measured: 2.4-4.8x of all plan-construction
+        # round trips (zorder_cells 1550 -> 587 calls, gini_spend 973 ->
+        # 204) at ~0.6 ms each — pure driver-side latency that delays
+        # every job submission at any scale. It only decorates error
+        # messages with user call sites; keep it for interactive
+        # debugging sessions, not for engine/bench/production runs.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # Timestamps are event-time; keep them timezone-stable.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
