@@ -189,15 +189,19 @@ def minhash_signature(
     _shingle_arrays; ``with_sets=True`` adds a '__set' column (distinct
     shingles) in the same narrow pass for verification reuse."""
     rows = shingled if shingled is not None else _shingle_arrays(df, text, id_col)
-    # long cast: a*x exceeds int32 (ANSI mode makes that a hard error)
+    # long cast: a*x exceeds int32 (ANSI mode makes that a hard error).
+    # One selectExpr call: building K array_min/transform Column trees
+    # through py4j cost ~10 round trips per hash (~0.4 s per call at
+    # K=64); the SQL strings parse to the identical integer expressions
+    # (INT literals, BIGINT cast, same promotion), so values match the
+    # Column form bit-for-bit.
     mins = [
-        F.array_min(
-            F.transform("__sh", lambda s: (F.lit(a).cast("long") * s + b) % P_HASH)
-        ).alias(f"m{i}")
+        f"array_min(transform(__sh, s -> (CAST({a} AS BIGINT) * s + {b})"
+        f" % {P_HASH})) AS m{i}"
         for i, (a, b) in enumerate(params.coefficients())
     ]
-    extra = [F.array_distinct("__sh").alias("__set")] if with_sets else []
-    return rows.select(F.col(id_col), *mins, *extra)
+    extra = ["array_distinct(__sh) AS __set"] if with_sets else []
+    return rows.selectExpr(f"`{id_col}`", *mins, *extra)
 
 
 def lsh_candidate_pairs(
@@ -229,17 +233,16 @@ def band_postings(
     union, so the signature is scanned once. THE banding expression:
     shared by the in-corpus pair join below and the persistent index
     (operators/dedup_index.py), which must agree bit-for-bit."""
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "_",
-                    *[F.col(f"m{b * params.rows + r}") for r in range(params.rows)],
-                ).alias("bkey"),
-            )
+    # one parsed expr instead of bands x (struct + lit + concat_ws)
+    # Column builds (~6 py4j round trips per band); named_struct with an
+    # INT literal and the same concat_ws is value- and type-identical
+    band_structs = F.expr(
+        "array(" + ",".join(
+            f"named_struct('band', {b}, 'bkey', concat_ws('_', "
+            + ",".join(f"m{b * params.rows + r}" for r in range(params.rows))
+            + "))"
             for b in range(params.bands)
-        ]
+        ) + ")"
     )
     return sig.select(F.col(id_col), F.explode(band_structs).alias("__b")).select(
         F.col("__b.band").alias("band"), F.col("__b.bkey").alias("bkey"), F.col(id_col)
@@ -417,13 +420,16 @@ def simhash(
             F.array(F.transform(tokens(text), lambda tk: md5_hash(tk) % (1 << SIMHASH_BITS)))
         ).alias("__h"),
     ).filter(F.size("__h") > 0)
-    n = F.size("__h")
-    fp: Column = F.lit(0).cast("long")
-    for j in range(SIMHASH_BITS):
-        k = F.size(
-            F.filter("__h", lambda h: F.shiftright(h, j).bitwiseAND(1) == 1)
-        )
-        fp = fp + F.when(k * 2 > n, F.lit(1 << j)).otherwise(F.lit(0))
+    # one parsed expr: the Column-per-bit loop cost ~10 py4j round
+    # trips per bit (lambda construction included). Same integer ops
+    # (INT shiftright/AND/size, CASE WHEN INT literals summed onto a
+    # BIGINT accumulator), so the fingerprint is bit-identical.
+    votes = " + ".join(
+        f"(CASE WHEN size(filter(__h, h -> (shiftright(h, {j}) & 1) = 1))"
+        f" * 2 > size(__h) THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    fp = F.expr(f"CAST(0 AS BIGINT) + {votes}")
     return t.select(id_col, fp.alias("simhash"))
 
 

@@ -650,8 +650,12 @@ def hll_estimate(
     )
     # LC lookup as a literal array + element_at (1-based, V in 1..m):
     # one expression, no broadcast join / extra job — the join form
-    # measured ~1s of per-query cold latency per estimate call
-    lc_arr = F.array(*[F.lit(lc) for lc in params.lc_table()])
+    # measured ~1s of per-query cold latency per estimate call. Built
+    # as ONE parsed expr: the per-element F.lit loop was m py4j round
+    # trips (~0.3 s at m=512) of plan-construction latency per call.
+    from svoe_spark.operators.util import lit_double_array
+
+    lc_arr = lit_double_array(params.lc_table())
     corrected = F.when(
         (F.col("zero_registers") > 0)
         & (F.col("__raw") <= F.lit(params.lc_threshold)),

@@ -28,6 +28,30 @@ def spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def lit_double_array(values) -> "Column":
+    """array<double> literal parsed as ONE SQL expression.
+
+    ``F.array(*[F.lit(v) for v in values])`` costs one py4j round trip
+    PER ELEMENT (~0.6 ms each; a 512-entry table is ~0.3 s of pure
+    plan-construction latency), while one expr string is a single JVM
+    call. repr() round-trips doubles exactly and Java's double literal
+    parse is correctly rounded, so values are bit-identical to the
+    F.lit form (the similarity._lit_nested precedent)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    def fmt(x) -> str:
+        v = float(x)
+        if math.isnan(v):
+            return "CAST('NaN' AS DOUBLE)"
+        if math.isinf(v):
+            return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+        return repr(v) + "D"
+
+    return F.expr("array(" + ",".join(fmt(v) for v in values) + ")")
+
+
 def sorted_pair_expand(arr_col: str, a: str = "a", b: str = "b") -> str:
     """SQL snippet expanding a SORTED array column into its unordered
     element pairs as struct<{a}, {b}> with {a} < {b} — the HOF

@@ -104,8 +104,27 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return normalize_ntz(df)
 
 
+#: (table, sf_dir) -> (session, DataFrame): the UNEVALUATED scan plan,
+#: memoized per session. Building it costs ~0.1 s per call (a pyarrow
+#: footer read for ns-column detection + JVM schema inference), and the
+#: bench's ~200 queries each rebuild the identical plan for immutable
+#: input tables. The cache holds a logical plan only — every action
+#: still scans the parquet files; no data or results are cached. Keyed
+#: on session identity like queries_llm._cached_chain, so tests with
+#: fresh sessions rebuild. Scoped to load_table (the fixed input
+#: tables), NOT generic read_parquet, whose paths can be rewritten
+#: between reads (e.g. SCD2Store refresh cycles).
+_TABLE_PLAN_CACHE: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+    key = (name, sf_dir)
+    got = _TABLE_PLAN_CACHE.get(key)
+    if got is not None and got[0] is spark:
+        return got[1]
+    df = read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+    _TABLE_PLAN_CACHE[key] = (spark, df)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
