@@ -23,9 +23,25 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+# When the input is a plain column reference (str), every helper below
+# returns ONE parsed SQL expression instead of composing Column objects:
+# each Column operation is a py4j round trip (~0.6 ms), and these
+# helpers sit under most text queries' plan construction (profiled at
+# ~10-40 round trips per call). The SQL strings spell out the identical
+# functions, literals and casts, so the parsed expression tree — and
+# every value — matches the Column form bit-for-bit. Column inputs keep
+# the original composition.
+
+
+def _tokens_sql(text: str) -> str:
+    return f"filter(split({text}, ' ', -1), t -> length(t) > 0)"
+
+
 def tokens(text: Column | str) -> Column:
     """Whitespace tokens, empties dropped (split on single space — the
     fixtures are single-space separated; no regex-engine variance)."""
+    if isinstance(text, str):
+        return F.expr(_tokens_sql(text))
     return F.filter(F.split(_col(text), " ", -1), lambda t: F.length(t) > 0)
 
 
@@ -48,11 +64,20 @@ def poly_hash(text: Column | str) -> Column:
     )
 
 
+def _md5_hash_sql(text: str) -> str:
+    return (
+        f"CAST(conv(substring(md5(encode({text}, 'UTF-8')), 1, 15), 16, 10)"
+        " AS BIGINT)"
+    )
+
+
 def md5_hash(text: Column | str) -> Column:
     """Portable fast string hash: integer value of the first 15 hex
     digits of md5 -> bigint in [0, 2^60). One JVM-native call per value
     (~100x cheaper than the per-char polynomial fold) and bit-identical
     in any engine with md5 (value = the hex prefix read base-16)."""
+    if isinstance(text, str):
+        return F.expr(_md5_hash_sql(text))
     h = F.md5(F.encode(_col(text), "UTF-8"))
     return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
 
@@ -82,6 +107,15 @@ def token_hashes(text: Column | str, fast: bool = False) -> Column:
     mod P_HASH so downstream shingle combining stays in int64.
     ``fast=True`` uses JVM xxhash64 (pmod to stay non-negative) —
     cheaper, not cross-engine-reproducible."""
+    if isinstance(text, str):
+        t = _tokens_sql(text)
+        if fast:
+            return F.expr(
+                f"transform({t}, t -> pmod(xxhash64(t), {P_HASH}))"
+            )
+        return F.expr(
+            f"transform({t}, t -> {_md5_hash_sql('t')} % {P_HASH})"
+        )
     if fast:
         return F.transform(
             tokens(text), lambda t: F.pmod(F.xxhash64(t), F.lit(P_HASH))
@@ -102,6 +136,14 @@ def word_shingles_from_hashes(th: Column | str) -> Column:
     the shingle space is effectively unbounded, so unrelated documents
     share almost none (char trigrams over a small alphabet saturate and
     turn LSH into an all-pairs join)."""
+    if isinstance(th, str):
+        return F.expr(
+            f"CASE WHEN size({th}) >= 3 THEN "
+            f"transform(sequence(1, size({th}) - 2), i -> "
+            f"((element_at({th}, i) * 31 + element_at({th}, i + 1))"
+            f" % {P_HASH} * 31 + element_at({th}, i + 2)) % {P_HASH}) "
+            f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+        )
     c = _col(th)
     return F.when(
         F.size(c) >= 3,
@@ -134,6 +176,15 @@ def kgram_hashes(th: Column | str, k: int, mult: int = 31) -> Column:
     bases over the SAME token hashes are NOT enough (single-token-diff
     grams collide in both folds at ~2^-30) — see
     `operators.dedup.repeated_ngram_spans`."""
+    if isinstance(th, str):
+        e = f"element_at({th}, i)"
+        for j in range(1, k):
+            e = f"({e} * {mult} + element_at({th}, i + {j})) % {P_HASH}"
+        return F.expr(
+            f"CASE WHEN size({th}) >= {k} THEN "
+            f"transform(sequence(1, size({th}) - {k - 1}), i -> {e}) "
+            f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+        )
     c = _col(th)
 
     def fold(i: Column) -> Column:
@@ -205,6 +256,10 @@ def md5_tokens(text: Column | str) -> Column:
     shared base both independent token-hash families read from.
     Materialize this ONCE (explode barrier) when deriving more than one
     hash family, so md5 runs once per token, not once per family."""
+    if isinstance(text, str):
+        return F.expr(
+            f"transform({_tokens_sql(text)}, t -> md5(encode(t, 'UTF-8')))"
+        )
     return F.transform(tokens(text), lambda t: F.md5(F.encode(t, "UTF-8")))
 
 
@@ -216,6 +271,11 @@ def token_hashes_from_digests(d: Column | str, start: int = 1) -> Column:
     1e8+ scale: two folds over the SAME token hashes collide together
     whenever a single token-hash pair collides (~2^-30), while
     independent families push the joint collision to ~2^-60."""
+    if isinstance(d, str):
+        return F.expr(
+            f"transform({d}, h -> CAST(conv(substring(h, {start}, 15),"
+            f" 16, 10) AS BIGINT) % {P_HASH})"
+        )
     c = _col(d)
     return F.transform(
         c,

@@ -17,8 +17,24 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+# str inputs take a single-parse expr fast path (one py4j round trip
+# instead of ~15 Column-building ones; these helpers sit under every
+# ANN/embedding query's plan construction). The SQL strings spell the
+# identical functions/casts/literals, so the parsed trees — and every
+# IEEE operation — match the Column form bit-for-bit.
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE)"
+        f" * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
     """Fold-left dot product in double precision."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(a, b))
     prods = F.zip_with(
         _col(a), _col(b), lambda x, y: x.cast("double") * y.cast("double")
     )
@@ -34,6 +50,12 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     dividing by zero (ANSI mode aborts the job on 0/0, and non-ANSI
     NaN sorts ABOVE every number, so an unguarded zero vector would
     top every top-k and pass every threshold)."""
+    if isinstance(a, str) and isinstance(b, str):
+        den = f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+        return F.expr(
+            f"CASE WHEN {den} != 0.0D THEN {_dot_sql(a, b)} / {den}"
+            f" ELSE 0.0D END"
+        )
     den = F.sqrt(norm_sq(a)) * F.sqrt(norm_sq(b))
     return F.when(den != 0.0, dot(a, b) / den).otherwise(F.lit(0.0))
 
@@ -50,10 +72,15 @@ def hyperplane_signs(plane: int, dim: int) -> list[int]:
 
 def signed_projection(v: Column | str, signs: list[int]) -> Column:
     """Fold-left dot of an embedding with a ±1 hyperplane pattern."""
-    # one parsed INT-array literal: the per-element F.lit loop was
-    # dim py4j round trips per plane (~0.04 s each at dim=64)
-    pat = F.expr("array(" + ",".join(str(int(s)) for s in signs) + ")")
-    prods = F.zip_with(_col(v), pat, lambda x, s: x.cast("double") * s)
+    # one parsed expr: the per-element F.lit loop plus the two HOF
+    # lambdas were ~dim+10 py4j round trips per plane
+    pat = "array(" + ",".join(str(int(s)) for s in signs) + ")"
+    if isinstance(v, str):
+        return F.expr(
+            f"aggregate(zip_with({v}, {pat}, (x, s) -> CAST(x AS DOUBLE)"
+            f" * s), 0.0D, (acc, p) -> acc + p)"
+        )
+    prods = F.zip_with(_col(v), F.expr(pat), lambda x, s: x.cast("double") * s)
     return F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
 
 

@@ -49,6 +49,18 @@ def _bucket(key: Column, kmin: int, kmax: int, n: int) -> Column:
     return F.least(F.lit(n - 1), F.greatest(F.lit(0), raw)).cast("int")
 
 
+def _lit_prefix_array(prefix: list, sum_t: str):
+    """Bucket-prefix table as ONE parsed literal expr, then the same
+    array<sum_t> cast the F.lit form applied — element-wise F.lit cost
+    a py4j round trip per bucket. Integers render exactly; doubles via
+    repr (round-trips bit-for-bit)."""
+    body = ",".join(
+        repr(float(x)) + "D" if sum_t == "double" else str(int(x))
+        for x in prefix
+    )
+    return F.expr(f"array({body})").cast(f"array<{sum_t}>")
+
+
 def global_cumsum(
     df: DataFrame,
     order_col: str,
@@ -100,7 +112,11 @@ def global_cumsum(
         .withColumn(
             out,
             F.sum(F.col(value_col).cast(sum_t)).over(w)
-            + F.element_at(F.lit(prefix).cast(f"array<{sum_t}>"), F.col("__bkt") + 1),
+            # one parsed literal (F.lit on a list is a py4j call per
+            # element); same values, same final cast/type
+            + F.element_at(
+                _lit_prefix_array(prefix, sum_t), F.col("__bkt") + 1
+            ),
         )
         .drop("__bkt")
     )
@@ -132,7 +148,7 @@ def global_rank(
         .withColumn(
             out,
             F.row_number().over(w).cast("long")
-            + F.element_at(F.lit(prefix).cast("array<long>"), F.col("__bkt") + 1)
+            + F.element_at(_lit_prefix_array(prefix, "long"), F.col("__bkt") + 1)
             - 1,
         )
         .drop("__bkt")
@@ -570,7 +586,7 @@ def contrastive_crops(
     from svoe_spark.functions.text import tokens
     from svoe_spark.operators.util import spread
 
-    toks = tokens(F.col(text))
+    toks = tokens(text)
     base = (
         spread(docs)
         .select(F.col(id_col), toks.alias("__toks"))

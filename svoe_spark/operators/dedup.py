@@ -70,7 +70,7 @@ def _shingle_arrays(
     return t.select(
         *extra_cols,
         F.col(id_col),
-        word_shingles_from_hashes(F.col("__th")).alias("__sh"),
+        word_shingles_from_hashes("__th").alias("__sh"),
     ).filter(F.size("__sh") > 0)
 
 
@@ -720,8 +720,8 @@ def _doc_grams(docs, k: int, text: str, id_col: str, fast: bool = False):
         F.col(id_col),
         F.posexplode(
             F.arrays_zip(
-                kgram_hashes(F.col("__h1"), k, mult=31).alias("g1"),
-                kgram_hashes(F.col("__h2"), k, mult=37).alias("g2"),
+                kgram_hashes("__h1", k, mult=31).alias("g1"),
+                kgram_hashes("__h2", k, mult=37).alias("g2"),
             )
         ).alias("pos", "gram"),
     ).select(

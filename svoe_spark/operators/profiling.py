@@ -274,22 +274,21 @@ def order_statistics(
     # DuckDB NULLS LAST, so the k-th "value" would differ
     df = df.where(F.col(value_col).isNotNull())
     counts = df.groupBy(*groups).agg(F.count(F.lit(1)).alias("__n"))
+    # one parsed expr for the per-q target structs (the Column loop was
+    # ~8 py4j round trips per quantile); named_struct with the same
+    # DOUBLE literals (repr round-trips exactly) and the same
+    # floor/cast/+1 integer chain is value- and type-identical
     targets = counts.select(
         *groups,
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(float(q)).alias("q"),
-                        (
-                            F.floor(
-                                (F.col("__n") - 1) * F.lit(float(q))
-                            ).cast("long")
-                            + 1
-                        ).alias("__rk"),
-                    )
+            F.expr(
+                "array("
+                + ",".join(
+                    f"named_struct('q', {float(q)!r}D, '__rk', "
+                    f"CAST(floor((__n - 1) * {float(q)!r}D) AS BIGINT) + 1)"
                     for q in qs
-                ]
+                )
+                + ")"
             )
         ).alias("__t"),
     ).select(*groups, F.col("__t.q").alias("q"), F.col("__t.__rk").alias("__rk"))

@@ -78,7 +78,7 @@ def brute_force_topk(
     q = query.select(F.col(qv).alias("__qv"))
     scored = vectors.crossJoin(F.broadcast(q)).select(
         F.col(id_col),
-        cosine(F.col(vec_col), F.col("__qv")).alias("cosine"),
+        cosine(vec_col, "__qv").alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
@@ -106,7 +106,7 @@ def brute_force_topk_batch(
     scored = vectors.crossJoin(F.broadcast(q)).select(
         F.col("__qid").alias(query_id_col),
         F.col(id_col),
-        cosine(F.col(vec_col), F.col("__qv")).alias("cosine"),
+        cosine(vec_col, "__qv").alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col)
@@ -135,7 +135,9 @@ def lsh_bucket(
     # as doubles and the projection fold already multiplies doubles, so
     # bucket ids are bit-identical (oracle-gated)
     pats = _lit_nested([hyperplane_signs(p, dim) for p in range(planes)])
-    powers = F.lit([1 << p for p in range(planes)])
+    powers = F.expr(
+        "array(" + ",".join(str(1 << p) for p in range(planes)) + ")"
+    )
     bits = F.transform(
         F.sequence(F.lit(1), F.lit(planes)),
         lambda p: F.when(
@@ -191,7 +193,7 @@ def ann_lsh_topk(
     )
     return (
         cands.select(
-            F.col(id_col), cosine(F.col(vec_col), F.col("__qv")).alias("cosine")
+            F.col(id_col), cosine(vec_col, "__qv").alias("cosine")
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
@@ -648,7 +650,7 @@ def ann_ivf_topk(
     cands = assigned.join(F.broadcast(q), F.col("cluster_id") == F.col("__qc"))
     return (
         cands.select(
-            F.col(id_col), cosine(F.col(vec_col), F.col("__qv")).alias("cosine")
+            F.col(id_col), cosine(vec_col, "__qv").alias("cosine")
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
@@ -715,7 +717,7 @@ def embedding_neardup_pairs(
     den = F.col("a.__norm") * F.col("b.__norm")
     cos = F.when(
         den != 0.0,
-        dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / den,
+        dot(f"a.{vec_col}", f"b.{vec_col}") / den,
     ).otherwise(F.lit(0.0))
     out = (
         a.join(b, cond)
@@ -1613,7 +1615,7 @@ def refine_topk_batch(
         score = _sub_dist2(F.col(vec_col), F.col("__qv"))
         order = [F.col(out).asc(), F.col(id_col).asc()]
     elif metric == "cosine":
-        score = cosine(F.col(vec_col), F.col("__qv"))
+        score = cosine(vec_col, "__qv")
         order = [F.col(out).desc(), F.col(id_col).asc()]
     else:
         raise ValueError("refine_topk_batch: metric must be 'l2' or 'cosine'")
@@ -1696,7 +1698,9 @@ def refine_topk(
         )
     if qrows[0]["__qv"] is None:
         raise ValueError("refine_topk: query row's vector column is NULL")
-    qlit = F.array(*[F.lit(float(x)) for x in qrows[0]["__qv"]])
+    # one parsed literal array (the per-element F.lit loop was dim py4j
+    # round trips); _lit_nested formats doubles with exact round-trip
+    qlit = _lit_nested([float(x) for x in qrows[0]["__qv"]])
     ids = candidates.select(id_col)
     fetched = vectors.join(F.broadcast(ids), id_col)
     if metric == "l2":
@@ -1868,7 +1872,7 @@ def hard_negatives(
     v = vectors.withColumn("__n", F.sqrt(norm_sq(vec_col)))
     den = F.col("__n") * F.col("__qnorm")
     cos = F.when(
-        den != 0.0, dot(F.col(vec_col), F.col("__qv")) / den
+        den != 0.0, dot(vec_col, "__qv") / den
     ).otherwise(F.lit(0.0))
     scored = (
         v.crossJoin(F.broadcast(q))
@@ -1925,7 +1929,7 @@ def hard_negatives_lsh(
     den = F.col("a.__norm") * F.col("n.__norm")
     cos = F.when(
         den != 0.0,
-        dot(F.col(f"a.{vec_col}"), F.col(f"n.{vec_col}")) / den,
+        dot(f"a.{vec_col}", f"n.{vec_col}") / den,
     ).otherwise(F.lit(0.0))
     pairs = left.join(
         right,

@@ -278,7 +278,11 @@ def hashed_bow_logit(th, n, weights: list[float], bias: float):
     the gate, and the DuckDB oracles that replay them."""
     if not weights:
         raise ValueError("hashed_bow_logit: empty weight vector")
-    warr = F.lit([float(x) for x in weights])
+    # one parsed literal: F.lit on a Python list recurses element-wise
+    # through py4j (~B round trips for the weight table)
+    from svoe_spark.operators.util import lit_double_array
+
+    warr = lit_double_array(float(x) for x in weights)
     b = len(weights)
     dot = F.aggregate(
         th,
