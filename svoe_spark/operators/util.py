@@ -5,6 +5,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+#: id(input df) -> (input df, spread output). The .rdd partition probe
+#: forces a full physical planning of the input (~60 ms) that the real
+#: action then redoes; with load_table memoizing table plans, the SAME
+#: DataFrame object is spread from many queries — cache the decision
+#: per input object. Holding the input df in the value keeps its id
+#: stable (ids are only unique among live objects).
+_SPREAD_CACHE: dict[int, tuple[DataFrame, DataFrame]] = {}
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition when the input has fewer partitions than
     cores. CPU-bound expression work (hashing, shingling) over a corpus
@@ -16,6 +25,9 @@ def spread(df: DataFrame) -> DataFrame:
     source (maxFilesPerTrigger / topic partitions) anyway."""
     if df.isStreaming:
         return df
+    got = _SPREAD_CACHE.get(id(df))
+    if got is not None and got[0] is df:
+        return got[1]
     try:
         # no sparkContext/rdd under Spark Connect — same guard as
         # orderbook._default_bundles; pass through rather than probe
@@ -23,9 +35,9 @@ def spread(df: DataFrame) -> DataFrame:
         n = df.rdd.getNumPartitions()
     except Exception:  # noqa: BLE001
         return df
-    if n < target:
-        return df.repartition(target)
-    return df
+    out = df.repartition(target) if n < target else df
+    _SPREAD_CACHE[id(df)] = (df, out)
+    return out
 
 
 def lit_double_array(values) -> "Column":

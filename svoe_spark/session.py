@@ -16,6 +16,63 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _install_py4j_resolution_cache() -> None:
+    """Cache py4j JVM class/member resolution python-side.
+
+    py4j resolves ``jvm.<fqn>`` (JVMView.__getattr__) and static-member
+    access on a JavaClass with one synchronous REFLECTION round trip
+    EVERY time — and PySpark's ``F.xxx`` helpers re-resolve
+    ``org.apache.spark.sql.functions`` plus the member on every call
+    (2 of the ~3 round trips per expression). A command-type histogram
+    over this engine's 196 query builds measured 19,491 reflection
+    round trips (~12 s at 0.6 ms each). The resolved objects are pure
+    (fqn, gateway_client) bindings — JavaMember for a static method,
+    JavaClass for a class — so they are stable for the lifetime of the
+    JVM and safe to memoize. Field reads and failures are NOT cached
+    (a static field's value can change; a missing class can appear
+    after --jars). The cache holds strong references, so a key's
+    id(gateway_client) can never be reused while its entry is alive.
+    Results are unchanged: this short-circuits name resolution only.
+    """
+    import py4j.java_gateway as jg
+
+    if getattr(jg, "_svoe_resolution_cache", None) is not None:
+        return
+    cache: dict = {}
+    jg._svoe_resolution_cache = cache
+
+    orig_view = jg.JVMView.__getattr__
+
+    def view_getattr(self, name):
+        key = (id(self._gateway_client), self._id, name)
+        got = cache.get(key)
+        if got is None:
+            got = orig_view(self, name)
+            if not isinstance(got, (jg.JavaClass, jg.JavaPackage)):
+                return got
+            cache[key] = got
+        return got
+
+    jg.JVMView.__getattr__ = view_getattr
+
+    orig_cls = jg.JavaClass.__getattr__
+
+    def cls_getattr(self, name):
+        key = (id(self._gateway_client), self._fqn, name)
+        got = cache.get(key)
+        if got is None:
+            got = orig_cls(self, name)
+            if not isinstance(got, (jg.JavaMember, jg.JavaClass)):
+                return got
+            cache[key] = got
+        return got
+
+    jg.JavaClass.__getattr__ = cls_getattr
+
+
+_install_py4j_resolution_cache()
+
+
 def get_spark(
     app_name: str = "svoe_spark",
     master: str | None = None,
