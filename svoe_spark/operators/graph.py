@@ -372,6 +372,8 @@ class GraphAux:
         broadcast_nodes: int = 500_000,
         reuse_nodes: "GraphAux | None" = None,
         driver_edges: int = None,  # None -> DRIVER_EDGES_DEFAULT
+        seed_pull: tuple | None = None,
+        seed_edge_count: int | None = None,
     ):
         # identity of the INPUT relation (and its column mapping): the
         # operators verify a caller-supplied aux was built over the
@@ -428,11 +430,41 @@ class GraphAux:
             driver_edges = DRIVER_EDGES_DEFAULT
         pulled = None
         if driver_edges > 0:
-            try:
-                pulled = self.edge_pull(driver_edges)
-            except ValueError:
-                self.e.unpersist()
-                raise
+            if (
+                seed_pull is not None
+                and seed_edge_count is not None
+                and seed_edge_count <= driver_edges
+            ):
+                # Caller-provided canonical edge arrays (src, dst,
+                # w|None) — e.g. ONE raw pair pull serving the distinct
+                # AND the w-summed decorations driver-side (np.unique
+                # rows + counts reproduce the Spark distinct / groupBy
+                # sums exactly: integer, order-free). The caller
+                # guarantees the arrays ARE the canonical form of
+                # ``edges`` (the assume_distinct-style contract); the
+                # weighted validation below still runs on the arrays.
+                if weight is not None:
+                    import numpy as np
+
+                    w_arr = seed_pull[2]
+                    if w_arr is None or bool(
+                        (np.asarray(w_arr) <= 0).any()
+                    ):
+                        self.e.unpersist()
+                        raise ValueError(
+                            "pagerank weights must be positive integers;"
+                            " found a (src, dst) pair whose summed"
+                            " weight is NULL or <= 0"
+                        )
+                self._m = int(seed_edge_count)
+                self._edge_pull[driver_edges] = seed_pull
+                pulled = seed_pull
+            else:
+                try:
+                    pulled = self.edge_pull(driver_edges)
+                except ValueError:
+                    self.e.unpersist()
+                    raise
         if weight is not None and pulled is None:
             # NULL/zero/negative summed weights would make
             # '(rank*w) div W' silently drop mass in Spark and raise
@@ -1513,6 +1545,8 @@ def bfs_distances(
     assume_distinct: bool = False,
     driver_nodes: int = DRIVER_NODES_DEFAULT,
     driver_edges: int = DRIVER_EDGES_DEFAULT,
+    seed_pull: tuple | None = None,
+    seed_edge_count: int | None = None,
 ) -> DataFrame:
     """Multi-source BFS: the hop distance from the nearest seed to
     every reachable node (nodes beyond ``max_hops`` or unreachable are
@@ -1572,19 +1606,32 @@ def bfs_distances(
         import pandas as pd
         from pyspark.sql import types as T
 
-        m0 = e0.count()
-        if m0 * (1 if directed else 2) <= driver_edges:
-            pdf = e0.toPandas()
-            if bool(pdf["src"].isna().any()) or bool(pdf["dst"].isna().any()):
-                # NULL endpoints: Arrow float64-converts a null-bearing
-                # integral column (NaN labels); decline the tier — the
-                # Spark paths treat NULL as a node value (see edge_pull)
-                pdf = None
+        s_a = d_a = None
+        if seed_pull is not None and seed_edge_count is not None:
+            # caller-provided canonical DIRECTED edge arrays (e.g. the
+            # shared GraphAux's one Arrow pull) — same contract as
+            # assume_distinct: the arrays must be the canonical
+            # distinct form of ``edges``. Skips the count probe and
+            # the second pull of an already-pulled relation.
+            if int(seed_edge_count) * (1 if directed else 2) <= driver_edges:
+                s_a = np.asarray(seed_pull[0])
+                d_a = np.asarray(seed_pull[1])
         else:
-            pdf = None
-        if pdf is not None:
-            s_a = pdf["src"].to_numpy()
-            d_a = pdf["dst"].to_numpy()
+            m0 = e0.count()
+            if m0 * (1 if directed else 2) <= driver_edges:
+                pdf = e0.toPandas()
+                if bool(pdf["src"].isna().any()) or bool(
+                    pdf["dst"].isna().any()
+                ):
+                    # NULL endpoints: Arrow float64-converts a
+                    # null-bearing integral column (NaN labels);
+                    # decline the tier — the Spark paths treat NULL as
+                    # a node value (see edge_pull)
+                    pass
+                else:
+                    s_a = pdf["src"].to_numpy()
+                    d_a = pdf["dst"].to_numpy()
+        if s_a is not None:
             uniq, inv = np.unique(
                 np.concatenate([s_a, d_a]), return_inverse=True
             )

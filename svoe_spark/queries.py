@@ -3276,6 +3276,45 @@ def _supply_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges
 
 
+def _supply_seed_pulls(spark: SparkSession, sf_dir: str):
+    """ONE Arrow pull of the RAW (src, dst) pair stream serving every
+    micro-tier graph decoration driver-side (round 10 day 3): distinct
+    pairs = np.unique rows, multiplicity weights = the unique counts —
+    exactly the values the Spark-side distinct / groupBy-sum produce
+    (integer, order-free), so the seeded GraphAux decorations are
+    bit-identical to the unseeded ones (pinned by
+    test_seeded_aux_matches_unseeded). Before this, the session paid
+    three separate evaluate+count+pull chains over the same pair
+    relation: the unweighted aux (distinct), the weighted aux
+    (groupBy-sum), and the BFS tier (distinct again). Returns None
+    when the raw count exceeds the micro gate or a NULL endpoint
+    appears — every consumer then builds through its normal Spark
+    path unchanged."""
+    from svoe_spark.operators.graph import DRIVER_EDGES_DEFAULT
+    from svoe_spark.queries_llm import _cached_chain
+
+    def build():
+        import numpy as np
+
+        pairs = _supply_pairs(spark, sf_dir)
+        if pairs.count() > DRIVER_EDGES_DEFAULT:
+            return None
+        pdf = pairs.toPandas()
+        if bool(pdf["src"].isna().any()) or bool(pdf["dst"].isna().any()):
+            return None
+        arr = np.stack(
+            [pdf["src"].to_numpy(), pdf["dst"].to_numpy()], axis=1
+        )
+        uniq, counts = np.unique(arr, axis=0, return_counts=True)
+        return (
+            np.ascontiguousarray(uniq[:, 0]),
+            np.ascontiguousarray(uniq[:, 1]),
+            counts.astype("int64", copy=False),
+        )
+
+    return _cached_chain(spark, sf_dir, "supply-seed-pulls", build)
+
+
 def _supply_graph_aux(spark: SparkSession, sf_dir: str):
     """Session-keyed shared GraphAux over the cached supply edges: the
     unweighted rankings (pagerank_supply_graph, ppr_trusted_suppliers,
@@ -3292,9 +3331,18 @@ def _supply_graph_aux(spark: SparkSession, sf_dir: str):
     from svoe_spark.queries_llm import _cached_chain
 
     def build():
+        seeds = _supply_seed_pulls(spark, sf_dir)
+        if seeds is None:
+            return GraphAux(
+                _supply_edges(spark, sf_dir),
+                assume_distinct=True,  # _supply_edges is already distinct
+            )
+        s, d, _w = seeds
         return GraphAux(
             _supply_edges(spark, sf_dir),
-            assume_distinct=True,  # _supply_edges is already distinct
+            assume_distinct=True,
+            seed_pull=(s, d, None),
+            seed_edge_count=len(s),
         )
 
     return _cached_chain(spark, sf_dir, "supply-graph-aux", build)
@@ -3314,10 +3362,20 @@ def _supply_graph_aux_weighted(spark: SparkSession, sf_dir: str):
     from svoe_spark.queries_llm import _cached_chain
 
     def build():
+        seeds = _supply_seed_pulls(spark, sf_dir)
+        if seeds is None:
+            return GraphAux(
+                _supply_edges_weighted(spark, sf_dir),
+                weight="w",
+                reuse_nodes=_supply_graph_aux(spark, sf_dir),
+            )
+        s, d, w = seeds
         return GraphAux(
             _supply_edges_weighted(spark, sf_dir),
             weight="w",
             reuse_nodes=_supply_graph_aux(spark, sf_dir),
+            seed_pull=(s, d, w),
+            seed_edge_count=len(s),
         )
 
     return _cached_chain(spark, sf_dir, "supply-graph-aux-weighted", build)
@@ -3930,6 +3988,12 @@ def bfs_hops_trusted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _supply_edges(spark, sf_dir)
     seeds = [2 * k + 1 for k in range(1, _PPR_SEEDS + 1)]
+    pulls = _supply_seed_pulls(spark, sf_dir)
+    kwargs = (
+        {"seed_pull": (pulls[0], pulls[1]), "seed_edge_count": len(pulls[0])}
+        if pulls is not None
+        else {}
+    )
     d = bfs_distances(
         edges,
         seeds,
@@ -3939,6 +4003,7 @@ def bfs_hops_trusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         # _supply_edges is distinct AND bipartite (odd/even node ids),
         # so the undirected union has no reciprocal duplicates either
         assume_distinct=True,
+        **kwargs,
     )
     return d.groupBy("dist").agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
 

@@ -500,3 +500,96 @@ def test_mixed_width_endpoints_widened_node_type(spark):
     dp = bfs_distances(edf, [1], max_hops=3, driver_nodes=0)
     assert rows(d, "node", "dist") == rows(dp, "node", "dist")
     assert {r["node"] for r in d.collect()} == {1, 2, big}
+
+
+def test_seeded_aux_matches_unseeded(spark, edges):
+    """GraphAux/bfs seed_pull (round 10 day 3): decorations derived
+    from ONE raw pair pull (np.unique rows = distinct edges, counts =
+    multiplicity weights) must be bit-identical to the unseeded
+    Spark-side distinct / groupBy-sum paths — for uniform pagerank,
+    weighted pagerank, HITS, and the BFS edge tier. Raw pairs carry
+    duplicates so the weight derivation is actually exercised."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from svoe_spark.operators.graph import (
+        GraphAux,
+        bfs_distances,
+        hits,
+        pagerank,
+    )
+
+    def rows(df, *cols):
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    raw = edges + [(1, 2), (2, 3), (1, 2)]  # duplicates -> weights 2-3
+    arr = np.unique(np.asarray(raw, dtype="int64"), axis=0)
+    counts = np.unique(
+        np.asarray(raw, dtype="int64"), axis=0, return_counts=True
+    )[1].astype("int64")
+    s, d = (
+        np.ascontiguousarray(arr[:, 0]),
+        np.ascontiguousarray(arr[:, 1]),
+    )
+
+    dedf = spark.createDataFrame(sorted(set(raw)), "src long, dst long")
+    aux_seeded = GraphAux(
+        dedf, assume_distinct=True, seed_pull=(s, d, None),
+        seed_edge_count=len(s),
+    )
+    aux_plain = GraphAux(dedf, assume_distinct=True)
+    try:
+        a = pagerank(dedf, iterations=4, assume_distinct=True, aux=aux_seeded)
+        b = pagerank(dedf, iterations=4, assume_distinct=True, aux=aux_plain)
+        assert rows(a, "node", "rank_fp") == rows(b, "node", "rank_fp")
+        a = hits(dedf, iterations=3, assume_distinct=True, aux=aux_seeded)
+        b = hits(dedf, iterations=3, assume_distinct=True, aux=aux_plain)
+        assert rows(a, "node", "hub_fp", "auth_fp") == rows(
+            b, "node", "hub_fp", "auth_fp"
+        )
+    finally:
+        aux_seeded.unpersist()
+        aux_plain.unpersist()
+
+    wdf = spark.createDataFrame(raw, "src long, dst long").withColumn(
+        "w", F.lit(1).cast("long")
+    )
+    waux_seeded = GraphAux(
+        wdf, weight="w", seed_pull=(s, d, counts), seed_edge_count=len(s)
+    )
+    waux_plain = GraphAux(wdf, weight="w")
+    try:
+        a = pagerank(wdf, iterations=3, weight="w", aux=waux_seeded)
+        b = pagerank(wdf, iterations=3, weight="w", aux=waux_plain)
+        assert rows(a, "node", "rank_fp") == rows(b, "node", "rank_fp")
+    finally:
+        waux_seeded.unpersist()
+        waux_plain.unpersist()
+
+    # a seeded weighted aux must still reject non-positive weights
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        GraphAux(
+            wdf,
+            weight="w",
+            seed_pull=(s, d, counts - counts),  # all-zero weights
+            seed_edge_count=len(s),
+        )
+
+    # BFS edge tier: seeded arrays == its own pull, undirected walk
+    a = bfs_distances(
+        dedf, [1], max_hops=4, directed=False, assume_distinct=True,
+        seed_pull=(s, d), seed_edge_count=len(s),
+    )
+    b = bfs_distances(
+        dedf, [1], max_hops=4, directed=False, assume_distinct=True
+    )
+    assert rows(a, "node", "dist") == rows(b, "node", "dist")
+    # and identical to the pure-Spark tier
+    c = bfs_distances(
+        dedf, [1], max_hops=4, directed=False, assume_distinct=True,
+        driver_nodes=0,
+    )
+    assert rows(a, "node", "dist") == rows(c, "node", "dist")
