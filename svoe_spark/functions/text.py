@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from svoe_spark.functions import is_ident_path
+
 P_HASH = 1_000_000_007  # fits every intermediate in int64 (acc*31+c < 3.2e10)
 SHINGLE_BASE = 256  # text is ASCII; a char trigram packs into < 2^24
 
@@ -40,7 +42,7 @@ def _tokens_sql(text: str) -> str:
 def tokens(text: Column | str) -> Column:
     """Whitespace tokens, empties dropped (split on single space — the
     fixtures are single-space separated; no regex-engine variance)."""
-    if isinstance(text, str):
+    if is_ident_path(text):
         return F.expr(_tokens_sql(text))
     return F.filter(F.split(_col(text), " ", -1), lambda t: F.length(t) > 0)
 
@@ -76,7 +78,7 @@ def md5_hash(text: Column | str) -> Column:
     digits of md5 -> bigint in [0, 2^60). One JVM-native call per value
     (~100x cheaper than the per-char polynomial fold) and bit-identical
     in any engine with md5 (value = the hex prefix read base-16)."""
-    if isinstance(text, str):
+    if is_ident_path(text):
         return F.expr(_md5_hash_sql(text))
     h = F.md5(F.encode(_col(text), "UTF-8"))
     return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
@@ -107,7 +109,7 @@ def token_hashes(text: Column | str, fast: bool = False) -> Column:
     mod P_HASH so downstream shingle combining stays in int64.
     ``fast=True`` uses JVM xxhash64 (pmod to stay non-negative) —
     cheaper, not cross-engine-reproducible."""
-    if isinstance(text, str):
+    if is_ident_path(text):
         t = _tokens_sql(text)
         if fast:
             return F.expr(
@@ -136,7 +138,7 @@ def word_shingles_from_hashes(th: Column | str) -> Column:
     the shingle space is effectively unbounded, so unrelated documents
     share almost none (char trigrams over a small alphabet saturate and
     turn LSH into an all-pairs join)."""
-    if isinstance(th, str):
+    if is_ident_path(th):
         return F.expr(
             f"CASE WHEN size({th}) >= 3 THEN "
             f"transform(sequence(1, size({th}) - 2), i -> "
@@ -176,7 +178,7 @@ def kgram_hashes(th: Column | str, k: int, mult: int = 31) -> Column:
     bases over the SAME token hashes are NOT enough (single-token-diff
     grams collide in both folds at ~2^-30) — see
     `operators.dedup.repeated_ngram_spans`."""
-    if isinstance(th, str):
+    if is_ident_path(th):
         e = f"element_at({th}, i)"
         for j in range(1, k):
             e = f"({e} * {mult} + element_at({th}, i + {j})) % {P_HASH}"
@@ -256,7 +258,7 @@ def md5_tokens(text: Column | str) -> Column:
     shared base both independent token-hash families read from.
     Materialize this ONCE (explode barrier) when deriving more than one
     hash family, so md5 runs once per token, not once per family."""
-    if isinstance(text, str):
+    if is_ident_path(text):
         return F.expr(
             f"transform({_tokens_sql(text)}, t -> md5(encode(t, 'UTF-8')))"
         )
@@ -271,7 +273,7 @@ def token_hashes_from_digests(d: Column | str, start: int = 1) -> Column:
     1e8+ scale: two folds over the SAME token hashes collide together
     whenever a single token-hash pair collides (~2^-30), while
     independent families push the joint collision to ~2^-60."""
-    if isinstance(d, str):
+    if is_ident_path(d):
         return F.expr(
             f"transform({d}, h -> CAST(conv(substring(h, {start}, 15),"
             f" 16, 10) AS BIGINT) % {P_HASH})"

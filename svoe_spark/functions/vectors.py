@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from svoe_spark.functions import is_ident_path
+
 
 def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
@@ -33,7 +35,7 @@ def _dot_sql(a: str, b: str) -> str:
 
 def dot(a: Column | str, b: Column | str) -> Column:
     """Fold-left dot product in double precision."""
-    if isinstance(a, str) and isinstance(b, str):
+    if is_ident_path(a) and is_ident_path(b):
         return F.expr(_dot_sql(a, b))
     prods = F.zip_with(
         _col(a), _col(b), lambda x, y: x.cast("double") * y.cast("double")
@@ -50,7 +52,7 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     dividing by zero (ANSI mode aborts the job on 0/0, and non-ANSI
     NaN sorts ABOVE every number, so an unguarded zero vector would
     top every top-k and pass every threshold)."""
-    if isinstance(a, str) and isinstance(b, str):
+    if is_ident_path(a) and is_ident_path(b):
         den = f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
         return F.expr(
             f"CASE WHEN {den} != 0.0D THEN {_dot_sql(a, b)} / {den}"
@@ -75,7 +77,7 @@ def signed_projection(v: Column | str, signs: list[int]) -> Column:
     # one parsed expr: the per-element F.lit loop plus the two HOF
     # lambdas were ~dim+10 py4j round trips per plane
     pat = "array(" + ",".join(str(int(s)) for s in signs) + ")"
-    if isinstance(v, str):
+    if is_ident_path(v):
         return F.expr(
             f"aggregate(zip_with({v}, {pat}, (x, s) -> CAST(x AS DOUBLE)"
             f" * s), 0.0D, (acc, p) -> acc + p)"

@@ -53,12 +53,16 @@ def _lit_prefix_array(prefix: list, sum_t: str):
     """Bucket-prefix table as ONE parsed literal expr, then the same
     array<sum_t> cast the F.lit form applied — element-wise F.lit cost
     a py4j round trip per bucket. Integers render exactly; doubles via
-    repr (round-trips bit-for-bit)."""
-    body = ",".join(
-        repr(float(x)) + "D" if sum_t == "double" else str(int(x))
-        for x in prefix
-    )
-    return F.expr(f"array({body})").cast(f"array<{sum_t}>")
+    lit_double_array (repr round-trips, NaN/Infinity sums — possible
+    with pathological double inputs — render as explicit CASTs like
+    the F.lit form, not as unparseable bare literals)."""
+    from svoe_spark.operators.util import lit_double_array
+
+    if sum_t == "double":
+        return lit_double_array(prefix).cast("array<double>")
+    return F.expr(
+        "array(" + ",".join(str(int(x)) for x in prefix) + ")"
+    ).cast(f"array<{sum_t}>")
 
 
 def global_cumsum(

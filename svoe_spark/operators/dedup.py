@@ -201,7 +201,14 @@ def minhash_signature(
         for i, (a, b) in enumerate(params.coefficients())
     ]
     extra = ["array_distinct(__sh) AS __set"] if with_sets else []
-    return rows.selectExpr(f"`{id_col}`", *mins, *extra)
+    from svoe_spark.functions import is_ident_path
+
+    if is_ident_path(id_col) and "." not in id_col:
+        return rows.selectExpr(f"`{id_col}`", *mins, *extra)
+    # exotic/dotted id columns keep F.col's resolution semantics
+    return rows.select(
+        F.col(id_col), *(F.expr(m) for m in mins), *(F.expr(x) for x in extra)
+    )
 
 
 def lsh_candidate_pairs(

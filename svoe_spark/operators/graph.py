@@ -447,8 +447,12 @@ class GraphAux:
                     import numpy as np
 
                     w_arr = seed_pull[2]
-                    if w_arr is None or bool(
-                        (np.asarray(w_arr) <= 0).any()
+                    # (w != w) catches NaN — how a NULL summed weight
+                    # arrives through a pandas/Arrow pull as float64 —
+                    # mirroring edge_pull's isna() check exactly
+                    wv = None if w_arr is None else np.asarray(w_arr)
+                    if wv is None or bool(
+                        ((wv != wv) | (wv <= 0)).any()
                     ):
                         self.e.unpersist()
                         raise ValueError(
@@ -1616,6 +1620,15 @@ def bfs_distances(
             if int(seed_edge_count) * (1 if directed else 2) <= driver_edges:
                 s_a = np.asarray(seed_pull[0])
                 d_a = np.asarray(seed_pull[1])
+                if (
+                    s_a.dtype.kind == "f" or d_a.dtype.kind == "f"
+                ) and (
+                    bool(np.isnan(s_a).any()) or bool(np.isnan(d_a).any())
+                ):
+                    # NaN labels = NULL endpoints through an Arrow
+                    # pull — decline the tier exactly like the
+                    # unseeded branch's isna() check below
+                    s_a = d_a = None
         else:
             m0 = e0.count()
             if m0 * (1 if directed else 2) <= driver_edges:

@@ -33,18 +33,12 @@ def _lit_nested(arr) -> Column:
     parse is correctly rounded, so the values are bit-identical to the
     F.lit form."""
 
-    import math
+    from svoe_spark.operators.util import fmt_double_literal
 
     def fmt(x) -> str:
         if isinstance(x, (list, tuple)):
             return "array(" + ",".join(fmt(y) for y in x) + ")"
-        v = float(x)
-        if math.isnan(v):
-            return "CAST('NaN' AS DOUBLE)"
-        if math.isinf(v):
-            sign = "-" if v < 0 else ""
-            return f"CAST('{sign}Infinity' AS DOUBLE)"
-        return repr(v) + "D"
+        return fmt_double_literal(x)
 
     return F.expr(fmt(arr))
 

@@ -28,6 +28,12 @@ def spread(df: DataFrame) -> DataFrame:
     got = _SPREAD_CACHE.get(id(df))
     if got is not None and got[0] is df:
         return got[1]
+    if len(_SPREAD_CACHE) >= 256:
+        # bound the memo: it holds strong refs (that is what keeps the
+        # id() keys stable), so a long-lived service spreading fresh
+        # DataFrames forever must not pin them all — dropping the memo
+        # merely re-probes, it cannot change any result
+        _SPREAD_CACHE.clear()
     try:
         # no sparkContext/rdd under Spark Connect — same guard as
         # orderbook._default_bundles; pass through rather than probe
@@ -40,28 +46,38 @@ def spread(df: DataFrame) -> DataFrame:
     return out
 
 
+def fmt_double_literal(x) -> str:
+    """THE SQL rendering of one double literal for single-parse
+    expression strings: repr() round-trips the value exactly and Java's
+    double literal parse is correctly rounded, so the parsed value is
+    bit-identical to F.lit(x); NaN/Infinity render as explicit CASTs
+    (bare literals do not parse). Shared by lit_double_array and
+    similarity._lit_nested so the rendering can never drift."""
+    import math
+
+    v = float(x)
+    if math.isnan(v):
+        return "CAST('NaN' AS DOUBLE)"
+    if math.isinf(v):
+        return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+    return repr(v) + "D"
+
+
 def lit_double_array(values) -> "Column":
     """array<double> literal parsed as ONE SQL expression.
 
     ``F.array(*[F.lit(v) for v in values])`` costs one py4j round trip
     PER ELEMENT (~0.6 ms each; a 512-entry table is ~0.3 s of pure
     plan-construction latency), while one expr string is a single JVM
-    call. repr() round-trips doubles exactly and Java's double literal
-    parse is correctly rounded, so values are bit-identical to the
-    F.lit form (the similarity._lit_nested precedent)."""
-    import math
-
+    call."""
     from pyspark.sql import functions as F
 
-    def fmt(x) -> str:
-        v = float(x)
-        if math.isnan(v):
-            return "CAST('NaN' AS DOUBLE)"
-        if math.isinf(v):
-            return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
-        return repr(v) + "D"
-
-    return F.expr("array(" + ",".join(fmt(v) for v in values) + ")")
+    body = ",".join(fmt_double_literal(v) for v in values)
+    if not body:
+        # a bare array() literal is ARRAY<NULL>, not ARRAY<DOUBLE> —
+        # fail loudly instead of silently changing the column type
+        raise ValueError("lit_double_array: empty value sequence")
+    return F.expr(f"array({body})")
 
 
 def sorted_pair_expand(arr_col: str, a: str = "a", b: str = "b") -> str:

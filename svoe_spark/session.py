@@ -48,7 +48,11 @@ def _install_py4j_resolution_cache() -> None:
         got = cache.get(key)
         if got is None:
             got = orig_view(self, name)
-            if not isinstance(got, (jg.JavaClass, jg.JavaPackage)):
+            # JavaPackage results are NOT cached: py4j answers
+            # SUCCESS_PACKAGE for ANY unknown top-level name, and a
+            # class that becomes resolvable later (java_import, ADD
+            # JAR) must not stay shadowed by a stale package object.
+            if not isinstance(got, jg.JavaClass):
                 return got
             cache[key] = got
         return got
