@@ -11,13 +11,22 @@ _IDENT_PATH = _re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*$"
 #: ANSI-reserved (and commonly reserved) SQL words: a column literally
 #: named one of these parses differently (or not at all) inside an expr
 #: string, while F.col resolves it fine — such names use the Column path.
+#: Includes the niladic functions (current_date, current_timestamp,
+#: current_user, session_user, localtimestamp, ...): F.expr('current_date')
+#: evaluates today's date, NOT a column of that name — silently wrong,
+#: not merely unparseable — plus Spark's full ANSI-mode reserved list
+#: (offset, position, fetch, primary, references, trailing, ...) which
+#: raises ParseException under spark.sql.ansi.enabled where F.col works.
 _SQL_RESERVED = frozenset(
-    """all and any as at between by case cast create cross current
-    distinct else end escape except exists false filter for from full
-    grant group having in inner intersect into is join lateral left
-    like natural not null on only or order outer overlaps right select
-    semi set some table then time to true union unique unknown user
-    using when where with""".split()
+    """all and any as at authorization between both by case cast check
+    collate column constraint create cross current current_date
+    current_time current_timestamp current_user distinct else end
+    escape except exists false fetch filter for foreign from full
+    grant group having in inner intersect into is join lateral leading
+    left like localtime localtimestamp natural not null offset on only
+    or order outer overlaps overlay percent position primary references
+    right select semi session_user set some table then time to trailing
+    true union unique unknown user using when where window with""".split()
 )
 
 

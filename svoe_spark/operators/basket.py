@@ -70,7 +70,13 @@ def association_rules(
         bs = bs.where(
             F.size("__ss") + F.col("__has_null").cast("int") <= cap_items
         )
-    bs = bs.select("__ss").localCheckpoint(eager=False)
+    # NO checkpoint: bs feeds three subtrees of ONE returned plan
+    # (n_total, marginals, pairs) that all share the identical grouped
+    # Exchange — AQE's ReusedExchange evaluates it once, while a
+    # localCheckpoint would execute every upstream stage eagerly at
+    # build time (AQE toRdd) and block that reuse (round-11 measurement
+    # on triangle_counts: checkpoint was ~1.5x slower end-to-end).
+    bs = bs.select("__ss")
     n_total = bs.groupBy().count()
     marg = (
         bs.select(F.explode("__ss").alias("__i"))

@@ -5,13 +5,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-#: id(input df) -> (input df, spread output). The .rdd partition probe
-#: forces a full physical planning of the input (~60 ms) that the real
-#: action then redoes; with load_table memoizing table plans, the SAME
-#: DataFrame object is spread from many queries — cache the decision
-#: per input object. Holding the input df in the value keeps its id
-#: stable (ids are only unique among live objects).
-_SPREAD_CACHE: dict[int, tuple[DataFrame, DataFrame]] = {}
+#: (id(input df), defaultParallelism) -> (input df, spread output). The
+#: .rdd partition probe forces a full physical planning of the input
+#: (~60 ms) that the real action then redoes; with load_table memoizing
+#: table plans, the SAME DataFrame object is spread from many queries —
+#: cache the decision per input object. Holding the input df in the
+#: value keeps its id stable (ids are only unique among live objects).
+#: defaultParallelism is part of the key so a dynamically-allocated
+#: cluster that grows after an early probe re-decides instead of
+#: pinning an under-parallel plan (fixed-core runs never re-probe).
+_SPREAD_CACHE: dict[tuple[int, int], tuple[DataFrame, DataFrame]] = {}
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -25,7 +28,14 @@ def spread(df: DataFrame) -> DataFrame:
     source (maxFilesPerTrigger / topic partitions) anyway."""
     if df.isStreaming:
         return df
-    got = _SPREAD_CACHE.get(id(df))
+    try:
+        # no sparkContext/rdd under Spark Connect — same guard as
+        # orderbook._default_bundles; pass through rather than probe
+        target = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # noqa: BLE001
+        return df
+    key = (id(df), target)
+    got = _SPREAD_CACHE.get(key)
     if got is not None and got[0] is df:
         return got[1]
     if len(_SPREAD_CACHE) >= 256:
@@ -35,14 +45,11 @@ def spread(df: DataFrame) -> DataFrame:
         # merely re-probes, it cannot change any result
         _SPREAD_CACHE.clear()
     try:
-        # no sparkContext/rdd under Spark Connect — same guard as
-        # orderbook._default_bundles; pass through rather than probe
-        target = df.sparkSession.sparkContext.defaultParallelism
         n = df.rdd.getNumPartitions()
     except Exception:  # noqa: BLE001
         return df
     out = df.repartition(target) if n < target else df
-    _SPREAD_CACHE[id(df)] = (df, out)
+    _SPREAD_CACHE[key] = (df, out)
     return out
 
 
