@@ -101,6 +101,7 @@ def connected_components(
     max_iter: int = 25,
     strict: bool = True,
     switch_after: int = 5,
+    driver_edges: int | None = None,  # None -> DRIVER_EDGES_DEFAULT
 ) -> DataFrame:
     """Connected components with automatic algorithm selection:
     min-label propagation for the common low-diameter case, switching
@@ -126,8 +127,72 @@ def connected_components(
 
     Lineage is truncated per round with a lazy localCheckpoint whose
     materializing action IS the convergence digest — one job per round
-    (the eager-checkpoint + separate digest form ran two)."""
+    (the eager-checkpoint + separate digest form ran two).
+
+    ``driver_edges`` (round 11, the bfs_distances edge-resident
+    precedent): when the pair count is at or under this bound (one
+    fully-parallel count probe) and the ids are integral and non-NULL,
+    the edge list is pulled once via Arrow and the whole labeling runs
+    in-process — vectorized min-label propagation with pointer jumping
+    (O(log n) numpy passes, exact integer mins), ZERO Spark jobs per
+    round. The fixpoint of min-propagation labels every node with its
+    component's smallest member — the identical contract of both Spark
+    paths — so the labeling is equal row for row. Pass 0 to force the
+    relational loops."""
+    if driver_edges is None:
+        driver_edges = DRIVER_EDGES_DEFAULT
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    if driver_edges > 0 and e.count() <= driver_edges:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        f = e.schema.fields
+        pdf = e.toPandas()
+        s_a = pdf["src"].to_numpy()
+        d_a = pdf["dst"].to_numpy()
+        # integral dtypes only: a float dtype means NULL endpoints
+        # (Arrow NaN-converts null-bearing integral columns) or float
+        # ids; strings arrive as object. Both fall back to the Spark
+        # paths, whose NULL/collation semantics stay authoritative.
+        if (
+            s_a.dtype.kind in "iu"
+            and d_a.dtype.kind in "iu"
+            and f[0].dataType == f[1].dataType
+        ):
+            uniq, inv = np.unique(
+                np.concatenate([s_a, d_a]), return_inverse=True
+            )
+            n_nodes = len(uniq)
+            sc, dc = inv[: len(s_a)], inv[len(s_a):]
+            lab = np.arange(n_nodes, dtype="int64")
+            rounds_run = 0
+            while True:
+                rounds_run += 1
+                l2 = lab.copy()
+                # one propagation round (both edge directions), then a
+                # pointer-jump (label of my label): the jump is what
+                # makes long chains converge in O(log n) passes. Labels
+                # are node CODES; np.unique sorts ascending, so the
+                # min over codes IS the min over ids.
+                np.minimum.at(l2, sc, lab[dc])
+                np.minimum.at(l2, dc, lab[sc])
+                l2 = np.minimum(l2, l2[l2])
+                if np.array_equal(l2, lab):
+                    break
+                lab = l2
+            out = pairs.sparkSession.createDataFrame(
+                pd.DataFrame({"id": uniq, "comp": uniq[lab]}),
+                schema=T.StructType(
+                    [
+                        T.StructField("id", f[0].dataType),
+                        T.StructField("comp", f[0].dataType),
+                    ]
+                ),
+            )
+            out._svoe_cc_rounds = rounds_run
+            out._svoe_cc_algorithm = "driver"
+            return out
     edges = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()

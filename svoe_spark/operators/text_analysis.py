@@ -537,7 +537,17 @@ def collocations(
             )
         ).alias("__ab")
     ).select(F.col("__ab.a").alias("a"), F.col("__ab.b").alias("b"))
-    bg = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    # materialize the pair counts ONCE: bg feeds FOUR subtrees (the
+    # main branch + three broadcast marginals), and each broadcast side
+    # is its own job — unpersisted, the tokenize+explode+count pipeline
+    # re-ran per side (measured: four sequential full-corpus stages at
+    # sf0.1). The relation is distinct-pair-sized (already aggregated),
+    # far smaller than the token stream it summarizes.
+    bg = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .localCheckpoint(eager=True)
+    )
     na = bg.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
     nb = bg.groupBy("b").agg(F.sum("n_ab").alias("n_b"))
     n = bg.agg(F.sum("n_ab").alias("n_pairs"))

@@ -41,6 +41,20 @@ def _install_py4j_resolution_cache() -> None:
     cache: dict = {}
     jg._svoe_resolution_cache = cache
 
+    # Per-gateway eviction (ADVICE r10): a long-lived process that
+    # restarts Spark sessions must not accumulate entries pinning dead
+    # gateway clients. shutdown_gateway is the common teardown hook for
+    # both GatewayClient and clientserver.JavaClient.
+    orig_shutdown = jg.GatewayClient.shutdown_gateway
+
+    def shutdown_evict(self, *a, **kw):
+        cid = id(self)
+        for k in [k for k in cache if k[0] == cid]:
+            cache.pop(k, None)
+        return orig_shutdown(self, *a, **kw)
+
+    jg.GatewayClient.shutdown_gateway = shutdown_evict
+
     orig_view = jg.JVMView.__getattr__
 
     def view_getattr(self, name):
@@ -87,6 +101,11 @@ def get_spark(
 
     On a real cluster, pass ``master=None`` and let spark-submit decide;
     locally defaults to ``local[N]`` with N from $SPARK_GRAFT_CPUS.
+
+    Note: importing this module installs a process-global py4j
+    name-resolution cache (see _install_py4j_resolution_cache) — it
+    memoizes JVM class/member lookups for every py4j user in the
+    process and evicts per gateway on shutdown.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (

@@ -122,6 +122,14 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     got = _TABLE_PLAN_CACHE.get(key)
     if got is not None and got[0] is spark:
         return got[1]
+    if got is not None:
+        # another session owns this key: purge EVERY entry of that
+        # session (ADVICE r10 — a stopped session's plans must not
+        # linger and delay its GC; an alternating live session merely
+        # rebuilds, which is the documented churn trade-off)
+        stale = got[0]
+        for k in [k for k, v in _TABLE_PLAN_CACHE.items() if v[0] is stale]:
+            _TABLE_PLAN_CACHE.pop(k, None)
     df = read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
     _TABLE_PLAN_CACHE[key] = (spark, df)
     return df

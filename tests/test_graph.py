@@ -60,18 +60,49 @@ def test_cc_nonconvergence_raises_in_strict_mode(spark):
     import pytest as _pytest
 
     # a chain of diameter 6 cannot converge in 2 rounds of min-label
-    # propagation: strict mode must refuse a partial labeling
+    # propagation: strict mode must refuse a partial labeling.
+    # driver_edges=0 pins the RELATIONAL loop — the max_iter guard is
+    # its contract; the driver tier always reaches the exact fixpoint.
     edges = _pairs(spark, [(i, i + 1) for i in range(6)])
     with _pytest.raises(RuntimeError, match="fixpoint"):
-        connected_components(edges, max_iter=2)
+        connected_components(edges, max_iter=2, driver_edges=0)
     # non-strict mode returns the partial labels with a warning
     import warnings
 
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        out = connected_components(edges, max_iter=2, strict=False).collect()
+        out = connected_components(
+            edges, max_iter=2, strict=False, driver_edges=0
+        ).collect()
     assert len(out) == 7
     assert any("fixpoint" in str(x.message) for x in w)
+
+
+def test_cc_driver_tier_matches_relational(spark):
+    # the round-11 edge-resident tier must label bit-identically to
+    # both Spark paths, including long chains (pointer jumping) and
+    # multi-component graphs
+    edges = (
+        [(i, i + 1) for i in range(40)]          # long chain
+        + [(100, 101), (101, 102), (100, 102)]   # triangle
+        + [(200, 201)]
+    )
+    p = _pairs(spark, edges)
+    drv = connected_components(p)
+    assert drv._svoe_cc_algorithm == "driver"
+    rel = connected_components(p, driver_edges=0, max_iter=50)
+    got_d = sorted((r.id, r.comp) for r in drv.collect())
+    got_r = sorted((r.id, r.comp) for r in rel.collect())
+    assert got_d == got_r
+    # string ids must DECLINE the tier (collation stays Spark's)
+    sp = spark.createDataFrame(
+        [Row(id_a="b", id_b="a"), Row(id_a="b", id_b="c")]
+    )
+    out = connected_components(sp)
+    assert out._svoe_cc_algorithm != "driver"
+    assert {r.id: r.comp for r in out.collect()} == {
+        "a": "a", "b": "a", "c": "a"
+    }
 
 
 def test_cc_string_ids(spark):
