@@ -146,6 +146,7 @@ def corpus_filter(
     classifier_weights: list[float] | None = None,
     classifier_bias: float = 0.0,
     min_logit: float = 0.0,
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """C4/Gopher-style composed keep/drop decision: length bounds,
     vocabulary diversity, and repetition caps evaluated in ONE
@@ -163,7 +164,13 @@ def corpus_filter(
     the stand-in defaults — folds inline (same document-order fold, so
     scores stay bit-portable), an extra ``logit`` audit column is
     emitted, and ``logit >= min_logit`` ANDs into ``keep``. Still one
-    zero-shuffle map-only pass; the weight table is a plan literal."""
+    zero-shuffle map-only pass; the weight table is a plan literal.
+
+    ``passthrough`` carries extra input columns (e.g. source/lang/
+    text) through the scan so a downstream consumer can
+    ``filter(keep)`` directly instead of joining the verdicts back to
+    the corpus on ``id_col`` — the pass is row-local, so the join and
+    the filter are the same relation, minus one exchange per side."""
     toks = tokens(text)
     n = F.size(toks)
     n1 = F.greatest(n - 1, F.lit(0))
@@ -199,6 +206,7 @@ def corpus_filter(
         keep = keep & (logit >= F.lit(float(min_logit)))
     return _spread(df).select(
         F.col(id_col),
+        *[F.col(c) for c in (passthrough or [])],
         n.alias("n_tokens"),
         distinct_ratio.alias("distinct_ratio"),
         top_ratio.alias("top_word_ratio"),

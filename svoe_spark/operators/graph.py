@@ -142,13 +142,21 @@ def connected_components(
     if driver_edges is None:
         driver_edges = DRIVER_EDGES_DEFAULT
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    if driver_edges > 0 and e.count() <= driver_edges:
+    probed = None
+    if driver_edges > 0:
+        # persist across the probe + pull: without it the count and
+        # the Arrow pull each evaluate the (possibly expensive) pair
+        # lineage in full. Freed before any return.
+        probed = e.persist(StorageLevel.MEMORY_AND_DISK)
+    if probed is not None and probed.count() <= driver_edges:
         import numpy as np
         import pandas as pd
         from pyspark.sql import types as T
 
         f = e.schema.fields
-        pdf = e.toPandas()
+        pdf = probed.toPandas()
+        probed.unpersist()
+        probed = None
         s_a = pdf["src"].to_numpy()
         d_a = pdf["dst"].to_numpy()
         # integral dtypes only: a float dtype means NULL endpoints
@@ -193,6 +201,10 @@ def connected_components(
             out._svoe_cc_rounds = rounds_run
             out._svoe_cc_algorithm = "driver"
             return out
+    if probed is not None:
+        # over the gate, or non-integral ids: free the probe cache —
+        # the relational loops build their own persisted edge relation
+        probed.unpersist()
     edges = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
@@ -1943,6 +1955,7 @@ def knn_sparsify(
     dst: str = "dst",
     w: str = "w",
     mutual: bool = True,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Sparsify a weighted graph to each node's top-k strongest
     neighbors — the standard pre-step that makes triangle / community
@@ -1963,17 +1976,30 @@ def knn_sparsify(
     per-node top-k window (shuffle on node — bounded output k rows per
     node), one self-join on the reversed pair for mutuality. No step
     is quadratic in degree.
+
+    ``assume_canonical``: the caller asserts the input is ALREADY one
+    row per undirected pair with ``src < dst`` (e.g. the output of a
+    sorted-pair co-occurrence aggregation). Skips the canonicalize +
+    re-aggregate exchange — Catalyst cannot prove least/greatest are
+    identities on ordered pairs, so without the flag the input pays a
+    second full shuffle on the same key. Caller's contract, like
+    GraphAux.assume_distinct.
     """
     if k < 1:
         raise ValueError("knn_sparsify: k must be >= 1")
-    lo = F.least(F.col(src), F.col(dst))
-    hi = F.greatest(F.col(src), F.col(dst))
-    pairs = (
-        edges.where(F.col(src) != F.col(dst))
-        .select(lo.alias("a"), hi.alias("b"), F.col(w).alias("w"))
-        .groupBy("a", "b")
-        .agg(F.sum("w").alias("w"))
-    )
+    if assume_canonical:
+        pairs = edges.select(
+            F.col(src).alias("a"), F.col(dst).alias("b"), F.col(w).alias("w")
+        )
+    else:
+        lo = F.least(F.col(src), F.col(dst))
+        hi = F.greatest(F.col(src), F.col(dst))
+        pairs = (
+            edges.where(F.col(src) != F.col(dst))
+            .select(lo.alias("a"), hi.alias("b"), F.col(w).alias("w"))
+            .groupBy("a", "b")
+            .agg(F.sum("w").alias("w"))
+        )
     directed = pairs.select(
         F.col("a").alias("u"), F.col("b").alias("v"), "w"
     ).union(pairs.select(F.col("b").alias("u"), F.col("a").alias("v"), "w"))
@@ -1996,7 +2022,15 @@ def knn_sparsify(
     return fwd.distinct()
 
 
-def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+DRIVER_TRI_EDGES_DEFAULT = 65_536
+
+
+def triangle_counts(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    driver_edges: int | None = None,  # None -> DRIVER_TRI_EDGES_DEFAULT
+) -> DataFrame:
     """Per-node triangle counts and local clustering coefficient over
     an undirected simple graph given as canonical edges (a < b, one
     row per pair).
@@ -2025,7 +2059,81 @@ def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     # and the checkpointed RDD blocks exchange reuse for the final
     # stage re-optimization. Measured round 11: 8.2 s -> 5.5 s cold for
     # the supplier co-graph query, bit-identical rows.
+    #
+    # Edge-resident tier (round 11, the connected_components/BFS
+    # precedent): at or under ``driver_edges`` distinct canonical
+    # edges with integral non-NULL ids, one fully-parallel count probe
+    # + one Arrow pull replace the whole relational cascade (distinct,
+    # degree agg, two wedge joins, triangle agg, final join — each a
+    # fixed-latency AQE stage job even when the sparsified graph is a
+    # few thousand rows). Per-edge neighbor-set intersection in C
+    # (set &) enumerates each x<y<z triangle once; counts are exact
+    # ints and the clustering division is the same long/long -> double
+    # IEEE op the SQL form performs. The default gate is deliberately
+    # LOWER than DRIVER_EDGES_DEFAULT: intersection work is
+    # sum(min(deg)) per edge, so a dense 65k-edge worst case stays
+    # well under a second while knn-sparsified inputs (deg <= k) are
+    # microseconds. Pass 0 to force the relational plan.
+    if driver_edges is None:
+        driver_edges = DRIVER_TRI_EDGES_DEFAULT
     e = edges.select(F.col(a).alias("a"), F.col(b).alias("b")).distinct()
+    probed = None
+    if driver_edges > 0:
+        # persist across the probe + pull: without it the count and
+        # the Arrow pull each evaluate the (possibly expensive, e.g.
+        # knn_sparsify) edge lineage in full. Freed before any return.
+        probed = e.persist(StorageLevel.MEMORY_AND_DISK)
+    if probed is not None and probed.count() <= driver_edges:
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        f = e.schema.fields
+        pdf = probed.toPandas()
+        probed.unpersist()
+        probed = None
+        aa, bb = pdf["a"].to_numpy(), pdf["b"].to_numpy()
+        # integral dtypes only (a float dtype means NULL endpoints or
+        # float ids — fall back; see connected_components)
+        if (
+            aa.dtype.kind in "iu"
+            and bb.dtype.kind in "iu"
+            and f[0].dataType == f[1].dataType
+        ):
+            nbrs: dict[int, set[int]] = {}
+            for y, z in zip(aa.tolist(), bb.tolist()):
+                nbrs.setdefault(y, set()).add(z)
+                nbrs.setdefault(z, set()).add(y)
+            tri = {n: 0 for n in nbrs}
+            for y, z in zip(aa.tolist(), bb.tolist()):
+                lo, hi = (y, z) if y < z else (z, y)
+                for x in nbrs[lo] & nbrs[hi]:
+                    if x < lo:
+                        tri[x] += 1
+                        tri[lo] += 1
+                        tri[hi] += 1
+            rows = []
+            for n in nbrs:
+                d, t = len(nbrs[n]), tri[n]
+                rows.append(
+                    (n, d, t, (t * 2) / (d * (d - 1)) if d >= 2 else None)
+                )
+            out_schema = T.StructType(
+                [
+                    T.StructField("node", f[0].dataType),
+                    T.StructField("deg", T.LongType()),
+                    T.StructField("triangles", T.LongType()),
+                    T.StructField("clustering", T.DoubleType()),
+                ]
+            )
+            return edges.sparkSession.createDataFrame(
+                pd.DataFrame(
+                    rows, columns=["node", "deg", "triangles", "clustering"]
+                ),
+                schema=out_schema,
+            )
+    if probed is not None:
+        # over the gate, or non-integral ids: free the probe cache
+        probed.unpersist()
     deg = (
         e.select(F.col("a").alias("node"))
         .union(e.select(F.col("b").alias("node")))

@@ -930,7 +930,14 @@ def quantile_sketch_estimate(
     running count reaches rank ceil(N*p/100) — all-integer rank
     arithmetic ((N*p + 99) div 100), a per-group cumulative window
     over the (tiny) sketch, and one exact final division by the
-    fixed-point scale. Returns (group..., p, est)."""
+    fixed-point scale. Returns (group..., p, est).
+
+    Physical shape (round 11): the smallest qualifying bucket is
+    selected by the SPANNING-RANK filter ``cum - cnt < rank <= cum``
+    instead of a groupBy(group, p).min aggregate — cum is strictly
+    increasing over qv (every bucket count is positive), so exactly
+    one bucket spans each rank and that bucket IS the former min.
+    Same values, one less Exchange per estimate call."""
     if not percentiles or any(not (1 <= p <= 100) for p in percentiles):
         raise ValueError("percentiles must be integers in [1, 100]")
     groups = list(group_cols or [])
@@ -941,16 +948,23 @@ def quantile_sketch_estimate(
     sk = sketch.select(
         *groups,
         "qv",
+        F.col("cnt").alias("__k"),
         F.sum("cnt").over(wcum).alias("__cum"),
         F.sum("cnt").over(wall).alias("__n"),
     )
     spark = sketch.sparkSession
     ps = spark.createDataFrame([(p,) for p in percentiles], "p int")
+    rank = F.expr("(__n * p + 99) div 100")
     return (
         sk.crossJoin(F.broadcast(ps))
-        .where(F.col("__cum") >= F.expr("(__n * p + 99) div 100"))
-        .groupBy(*groups, "p")
-        .agg((F.min("qv") / F.lit(float(params.scale))).alias(out))
+        .where(
+            (F.col("__cum") >= rank) & (F.col("__cum") - F.col("__k") < rank)
+        )
+        .select(
+            *groups,
+            "p",
+            (F.col("qv") / F.lit(float(params.scale))).alias(out),
+        )
     )
 
 

@@ -4123,7 +4123,11 @@ def supplier_cograph_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
     )
-    edges = knn_sparsify(cop, k=_TRI_K, src="u", dst="v", w="w")
+    # cop is grouped on (u, v) with u < v by the sorted-pair expansion
+    # — already canonical, so the sparsifier skips its re-aggregation
+    edges = knn_sparsify(
+        cop, k=_TRI_K, src="u", dst="v", w="w", assume_canonical=True
+    )
     rep = triangle_counts(edges)
     return (
         rep.orderBy(F.col("triangles").desc(), F.col("node").asc())

@@ -1763,18 +1763,36 @@ def curation_pagerank_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     trusted = pr.where(F.col("rank_fp") >= _CPG_THRESH).select(
         F.col("node").alias("source")
     )
+    # Round 11 — same gated set, one documents pass instead of three
+    # (the former shape joined docs ⋈ corpus_filter verdicts ⋈
+    # exact_duplicate_groups keep_ids on doc_id: four exchanges and
+    # two extra full scans of documents):
+    #  - corpus_filter is a row-local scan, so carrying source/lang/
+    #    text through it and filtering `keep` IS the doc_id join;
+    #  - `keep` depends only on text, so a content group (the
+    #    exact-dedup key (md5(text), length(text)) — the
+    #    exact_duplicate_groups key, token for token) is kept or
+    #    dropped WHOLE, which makes min(doc_id) over the kept group
+    #    equal exact_duplicate_groups' keep_id over all documents;
+    #  - the trusted-source gate commutes with both (it never touches
+    #    the content window: canon was computed over ALL sources
+    #    before, so it must stay after the window here).
     cf = corpus_filter(
         docs,
         classifier_weights=QC_TRAINED_WEIGHTS,
         classifier_bias=QC_TRAINED_BIAS,
+        passthrough=["source", "lang", "text"],
     )
-    canon = exact_duplicate_groups(docs).select(
-        F.col("keep_id").alias("doc_id")
-    )
+    from pyspark.sql import Window
+
+    from svoe_spark.functions.text import md5_hash
+
+    wfp = Window.partitionBy(md5_hash("text"), F.length("text"))
     gated = (
-        docs.join(F.broadcast(trusted), "source")
-        .join(cf.where(F.col("keep")).select("doc_id"), "doc_id")
-        .join(canon, "doc_id")
+        cf.where(F.col("keep"))
+        .withColumn("__keep_id", F.min("doc_id").over(wfp))
+        .where(F.col("doc_id") == F.col("__keep_id"))
+        .join(F.broadcast(trusted), "source")
     )
     return source_mixture_weights(gated, group_col="lang")
 

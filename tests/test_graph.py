@@ -276,3 +276,51 @@ def test_triangle_counts_matches_bruteforce(spark):
             assert got[n]["clustering"] == 2 * want[n] / (deg[n] * (deg[n] - 1))
         else:
             assert got[n]["clustering"] is None
+
+
+def test_triangle_counts_driver_tier_matches_relational(spark):
+    """The round-11 edge-resident tier (default at this size) must
+    equal the relational cascade bit for bit — counts AND the
+    clustering double — and string ids must decline the tier."""
+    from svoe_spark.operators.graph import triangle_counts
+
+    pairs = sorted(
+        {(min(a, b), max(a, b)) for a, b in [
+            (1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 3), (6, 7),
+            (7, 8), (8, 6), (1, 4), (2, 4), (9, 10), (5, 1), (11, 12),
+        ]}
+    )
+    df = spark.createDataFrame(pairs, "a long, b long")
+    drv = sorted(tuple(r) for r in triangle_counts(df).collect())
+    rel = sorted(
+        tuple(r) for r in triangle_counts(df, driver_edges=0).collect()
+    )
+    assert drv == rel
+    sp = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "a string, b string"
+    )
+    got = {r["node"]: r["triangles"] for r in triangle_counts(sp).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_knn_sparsify_assume_canonical_matches_default(spark):
+    """assume_canonical over an already-canonical grouped pair relation
+    must equal the canonicalizing path row for row."""
+    from pyspark.sql import functions as F
+
+    from svoe_spark.operators.graph import knn_sparsify
+
+    raw = _wedges(
+        spark,
+        [(1, 2, 3), (1, 3, 5), (2, 3, 1), (1, 4, 5), (2, 4, 2), (3, 4, 9)],
+    )
+    canon = (
+        raw.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    )
+    for k in (1, 2, 3):
+        lhs = sorted(tuple(r) for r in knn_sparsify(canon, k=k).collect())
+        rhs = sorted(
+            tuple(r)
+            for r in knn_sparsify(canon, k=k, assume_canonical=True).collect()
+        )
+        assert lhs == rhs, k
