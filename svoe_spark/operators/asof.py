@@ -92,6 +92,30 @@ def _has_python_stage(df: DataFrame) -> bool:
     return any(s in plan for s in _PY_STAGES)
 
 
+#: Below this optimizer size estimate for the unioned input, the auto
+#: dispatch takes the single-window plan WITHOUT running the per-key
+#: profile job: even if every row sat on one key, the window task
+#: stays small (64 MB of narrow asof rows is well under
+#: AUTO_TARGET_ROWS_PER_TASK at any sane row width). The profile is an
+#: EAGER aggregation at plan-build time — ~1-1.5 s of fixed latency
+#: per asof call at bench scale — while the dispatch it feeds is
+#: perf-only (both plans are exact), so a size-gated skip is always
+#: safe; at production scale the estimate exceeds the gate and the
+#: profile runs unchanged.
+AUTO_PROFILE_MIN_BYTES = 64 << 20
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Optimizer cardinality estimate (bytes) — driver-side only, no
+    job. None when unavailable (e.g. Spark Connect)."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 — estimate is advisory
+        return None
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -260,7 +284,14 @@ def asof_join_multi(
         if _has_python_stage(unioned):
             time_bucket = None
         else:
-            time_bucket = _auto_bucket(unioned, by, AUTO_TARGET_ROWS_PER_TASK)
+            sz = _plan_size_bytes(unioned)
+            if sz is not None and sz <= AUTO_PROFILE_MIN_BYTES:
+                # provably-small input: skip the eager profile job
+                time_bucket = None
+            else:
+                time_bucket = _auto_bucket(
+                    unioned, by, AUTO_TARGET_ROWS_PER_TASK
+                )
 
     fill_cols = list(val_cols) + list(mts.values())
     if time_bucket is None:

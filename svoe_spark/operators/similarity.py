@@ -1251,7 +1251,53 @@ def ivfpq_train(
     vectors (every code 0, ADC constant within a cell). Residuals are
     computed through the same Spark expressions as encoding, so seed
     entries and encoded rows can never diverge. method='kmeans' fits
-    per-subspace MLlib KMeans on the distributed residuals."""
+    per-subspace MLlib KMeans on the distributed residuals.
+
+    Round 11, method='seed': the ksub seed rows are pulled ONCE via
+    Arrow and the assign + residual run driver-side through the SAME
+    shared numpy folds every Arrow assign path uses (_np_vnorm /
+    _np_cosine_scores — the bit-identity contract with the expression
+    form, pinned by test against the former ivf_residuals + collect
+    composition). The former path paid an orderBy sample/sort plus an
+    ArrowEvalPython stage spin-up to fetch ksub rows (measured 3.9 s
+    per geometry at sf0.1)."""
+    if method == "seed":
+        import numpy as np
+
+        seed_start = len(centroids)
+        pdf = (
+            vectors.where(
+                (F.col(id_col) >= seed_start)
+                & (F.col(id_col) < seed_start + ksub)
+            )
+            .select(id_col, vec_col)
+            .toPandas()
+        )
+        if len(pdf) != ksub:
+            raise ValueError(
+                f"seed codebook needs exactly {ksub} rows with "
+                f"{seed_start} <= {id_col} < {seed_start + ksub}; "
+                f"found {len(pdf)} (sparse or short id range — pass a "
+                f"different seed_start or use method='kmeans')"
+            )
+        pdf = pdf.sort_values(id_col)
+        E = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+        C = np.asarray(
+            [[float(x) for x in c] for c in centroids], dtype=np.float64
+        )
+        cn = np.asarray([_py_norm(c) for c in centroids], dtype=np.float64)
+        cos = _np_cosine_scores(E, _np_vnorm(E), C, cn)
+        cells = np.argmax(cos, axis=1)
+        R = E - C[cells]
+        dim = E.shape[1]
+        d = dim // m
+        return [
+            [
+                [float(x) for x in R[c, s * d : (s + 1) * d]]
+                for c in range(ksub)
+            ]
+            for s in range(m)
+        ]
     res = ivf_residuals(vectors, centroids, vec_col)
     return pq_train(
         res, m=m, ksub=ksub, vec_col="residual", id_col=id_col,

@@ -379,11 +379,75 @@ def kmv_sql(
     """
 
 
+KMV_DRIVER_ROWS_DEFAULT = 1 << 20
+
+
+def _kmv_set_ops_driver(src_df, pda, pdb, k, groups):
+    """In-process twin of the relational kmv_set_ops tail. Exact
+    integer merge + membership; the three float ops are written as the
+    identical IEEE double operations the SQL form performs (longs
+    convert round-to-nearest on both sides, k-1 and HASH_SPACE fold to
+    the same literal)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def keyed(pdf):
+        out = {}
+        if groups:
+            for row in pdf.itertuples(index=False):
+                g = tuple(row[:-1])
+                out.setdefault(g, set()).add(int(row[-1]))
+        else:
+            hs = set(int(h) for h in pdf["h"])
+            if len(pdf):
+                out[()] = hs
+        return out
+
+    a_by, b_by = keyed(pda), keyed(pdb)
+    num = float((k - 1) * HASH_SPACE)
+    rows = []
+    for g in sorted(set(a_by) | set(b_by), key=repr):
+        sa = a_by.get(g, set())
+        sb = b_by.get(g, set())
+        merged = sorted(sa | sb)[:k]
+        n = len(merged)
+        if n == 0:
+            continue
+        hk = merged[-1]
+        nboth = sum(1 for h in merged if h in sa and h in sb)
+        est_u = float(n) if n < k else num / float(hk)
+        jacc = float(nboth) / float(n)
+        rows.append((*g, est_u, jacc, jacc * est_u))
+    gfields = [
+        T.StructField(f.name, f.dataType)
+        for f in src_df.schema.fields
+        if f.name in groups
+    ]
+    # preserve the caller's group order
+    gfields.sort(key=lambda f: groups.index(f.name))
+    schema = T.StructType(
+        gfields
+        + [
+            T.StructField("est_union", T.DoubleType()),
+            T.StructField("jaccard", T.DoubleType()),
+            T.StructField("est_intersection", T.DoubleType()),
+        ]
+    )
+    return src_df.sparkSession.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=groups + ["est_union", "jaccard", "est_intersection"],
+        ),
+        schema=schema,
+    )
+
+
 def kmv_set_ops(
     sk_a: DataFrame,
     sk_b: DataFrame,
     k: int,
     group_cols: list[str] | None = None,
+    driver_rows: int | None = None,  # None -> KMV_DRIVER_ROWS_DEFAULT
 ) -> DataFrame:
     """Set-operation estimates from two KMV sketches (theta-sketch
     style, Beyer et al. 2007): per group, the bottom-k of the UNION of
@@ -404,8 +468,52 @@ def kmv_set_ops(
     size, so every join here is sketch-sized — the expensive scans
     happened once at kmv_build time, and corpus-vs-corpus overlap
     matrices cost O(pairs * k), not O(pairs * data).
+
+    Sketch-resident tier (round 11, the graph-tier precedent): the
+    inputs are bounded at k rows per group by construction, so at or
+    under ``driver_rows`` total rows (two fully-parallel counts over
+    persisted probes) with non-NULL group values, both sketches are
+    pulled once via Arrow and the merge/flag/estimate runs in-process
+    — exact integer bottom-k and set membership, and the THREE double
+    ops (union division, jaccard division, intersection multiply)
+    performed as the identical IEEE operations, so results equal the
+    relational cascade bit for bit (pinned by test). The relational
+    path (forced with ``driver_rows=0``) remains the shape for
+    sketch matrices too wide for one pull.
     """
     groups = list(group_cols or [])
+    if driver_rows is None:
+        driver_rows = KMV_DRIVER_ROWS_DEFAULT
+    if driver_rows > 0:
+        # fresh projections get their own cache entries: unpersisting
+        # them cannot clobber a caller-persisted input
+        pa = sk_a.select(*groups, "h").persist()
+        pb = sk_b.select(*groups, "h").persist()
+        # 0 < : the relational global-aggregate semantics of two EMPTY
+        # ungrouped sketches (one zero row) stay authoritative
+        if 0 < pa.count() + pb.count() <= driver_rows:
+            pda = pa.toPandas()
+            pdb = pb.toPandas()
+            pa.unpersist()
+            pb.unpersist()
+            ok = (
+                not pda["h"].isna().any()
+                and not pdb["h"].isna().any()
+                and (
+                    not groups
+                    or (
+                        not pda[groups].isna().any().any()
+                        and not pdb[groups].isna().any().any()
+                    )
+                )
+            )
+            if ok:
+                return _kmv_set_ops_driver(
+                    sk_a, pda, pdb, k, groups
+                )
+        else:
+            pa.unpersist()
+            pb.unpersist()
     merged = kmv_merge([sk_a, sk_b], k, group_cols=groups)
     a = sk_a.withColumn("__in_a", F.lit(1))
     b = sk_b.withColumn("__in_b", F.lit(1))

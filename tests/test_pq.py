@@ -128,6 +128,25 @@ def test_ivfpq_seed_residuals_encode_to_themselves(ivfpq):
         assert list(r["codes"]) == [r["vec_id"] - 16] * 8, r["vec_id"]
 
 
+def test_ivfpq_train_driver_path_matches_spark_composition(emb, cents):
+    """The round-11 Arrow-pull seed train must equal the former
+    ivf_residuals + pq_train(collect) composition bit for bit —
+    the shared _np_cosine_scores/_np_vnorm folds ARE the expression
+    path, so every codebook double must match exactly."""
+    from svoe_spark.operators.similarity import (
+        ivf_residuals,
+        ivfpq_train,
+        pq_train,
+    )
+
+    fast = ivfpq_train(emb, cents, method="seed")
+    res = ivf_residuals(emb, cents)
+    slow = pq_train(
+        res, vec_col="residual", method="seed", seed_start=len(cents)
+    )
+    assert fast == slow
+
+
 def test_ivfpq_self_retrieval_is_exact_for_seed_points(emb, cents, ivfpq):
     # vec 20 is a residual-codebook seed (entry 4): querying with it,
     # nprobe=1 lands in its own cell, the query residual equals the

@@ -183,6 +183,43 @@ def test_kmv_global_accuracy(spark, events):
     assert abs(est - true) / true < 3.0 / (k - 2) ** 0.5  # ~19% at k=256
 
 
+def test_kmv_set_ops_driver_tier_matches_relational(spark, events):
+    """The round-11 sketch-resident tier must equal the relational
+    merge/flag/estimate cascade bit for bit — grouped and ungrouped,
+    including the n < k exact branch and a group present on one side
+    only."""
+    from svoe_spark.operators.sketches import kmv_build, kmv_set_ops
+
+    k = 64
+    a = kmv_build(
+        events.where(F.col("event_id") % 3 != 0), "event_id", k=k,
+        group_cols=["event_type"],
+    )
+    b = kmv_build(
+        events.where(F.col("event_id") % 2 == 0), "event_id", k=k,
+        group_cols=["event_type"],
+    )
+    drv = sorted(
+        tuple(r) for r in kmv_set_ops(a, b, k=k, group_cols=["event_type"]).collect()
+    )
+    rel = sorted(
+        tuple(r)
+        for r in kmv_set_ops(
+            a, b, k=k, group_cols=["event_type"], driver_rows=0
+        ).collect()
+    )
+    assert drv == rel and drv
+    # ungrouped + n < k exact branch
+    small_a = kmv_build(events.limit(20), "event_id", k=k)
+    small_b = kmv_build(events.limit(10), "event_id", k=k)
+    d2 = [tuple(r) for r in kmv_set_ops(small_a, small_b, k=k).collect()]
+    r2 = [
+        tuple(r)
+        for r in kmv_set_ops(small_a, small_b, k=k, driver_rows=0).collect()
+    ]
+    assert d2 == r2 and len(d2) == 1
+
+
 def test_hll_merge_is_registerwise_max(spark, events):
     from svoe_spark.operators.sketches import HLLParams, hll_build, hll_merge
 
