@@ -317,6 +317,26 @@ def reconstruct_book_auto(
     ``reconstruct_book`` as the fallback if violated."""
     import math
 
+    from svoe_spark.operators.asof import (
+        AUTO_PROFILE_MIN_BYTES,
+        _plan_size_bytes,
+    )
+
+    # round 11, the asof-gate precedent: the profile is an EAGER
+    # aggregation at plan-build time feeding a perf-only dispatch
+    # (both plans are exact). When the optimizer's size estimate for
+    # the update stream is provably small — for the persisted parse
+    # relations this is the MEASURED in-memory size — skip the profile
+    # job and take the sequential plan; at production volumes the
+    # estimate exceeds the gate and the profile runs unchanged.
+    # only when the caller kept the default-or-larger per-task target:
+    # an explicitly SMALL max_rows_per_task is a deliberate request to
+    # bucket small data (tests, pathological feeds) — honor it.
+    if max_rows_per_task >= AUTO_MAX_ROWS_PER_TASK:
+        sz = _plan_size_bytes(df)
+        if sz is not None and sz <= AUTO_PROFILE_MIN_BYTES:
+            return reconstruct_book(df, key, depth, emit_every, seq_col)
+
     per_key = df.groupBy(key).agg(
         F.count(F.lit(1)).alias("__n"),
         (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(

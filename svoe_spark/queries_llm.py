@@ -469,10 +469,7 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax expression; the oracle derives the same assignment
     relationally (arg_max over a centroid cross join)."""
     emb = load_table(spark, "embeddings", sf_dir)
-    cents = [
-        list(r["embedding"])
-        for r in emb.filter(F.col("vec_id") < IVF_K).orderBy("vec_id").collect()
-    ]
+    cents = _ivf_cents(spark, sf_dir)
     return ann_ivf_topk(emb, emb.filter(F.col("vec_id") == 0), cents, k=10)
 
 
@@ -1181,10 +1178,7 @@ def ann_ivf_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     are scanned instead of one. Same deterministic first-16 codebook as
     `ann_ivf_topk`; only the broadcast query side pays the top-P sort."""
     emb = load_table(spark, "embeddings", sf_dir)
-    cents = [
-        list(r["embedding"])
-        for r in emb.filter(F.col("vec_id") < IVF_K).orderBy("vec_id").collect()
-    ]
+    cents = _ivf_cents(spark, sf_dir)
     return ann_ivf_topk(
         emb, emb.filter(F.col("vec_id") == 0), cents, k=10, nprobe=IVF_NPROBE
     )
@@ -1405,10 +1399,7 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from svoe_spark.operators.similarity import semantic_dedup
 
     emb = load_table(spark, "embeddings", sf_dir)
-    cents = [
-        list(r["embedding"])
-        for r in emb.filter(F.col("vec_id") < IVF_K).orderBy("vec_id").collect()
-    ]
+    cents = _ivf_cents(spark, sf_dir)
     return semantic_dedup(emb, cents, threshold=SEMDEDUP_THRESHOLD)
 
 
@@ -1946,10 +1937,7 @@ def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from svoe_spark.operators.similarity import ivf_assign
 
     emb = load_table(spark, "embeddings", sf_dir)
-    cents = [
-        list(r["embedding"])
-        for r in emb.filter(F.col("vec_id") < IVF_K).orderBy("vec_id").collect()
-    ]
+    cents = _ivf_cents(spark, sf_dir)
     assigned = ivf_assign(emb, cents).select(
         F.col("cluster_id").cast("long").alias("cluster_id"), "vec_id"
     )
@@ -2276,6 +2264,29 @@ def _cached_chain(spark: SparkSession, sf_dir: str, kind: str, build):
     return val
 
 
+def _ivf_cents(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """The deterministic first-IVF_K coarse codebook, pulled ONCE per
+    (session, sf_dir) via Arrow and shared by every IVF consumer
+    (round 11): five queries each ran their own
+    `filter(vec_id < IVF_K).orderBy(vec_id).collect()` — an eager
+    sample+sort job chain plus row-pickled transfer (~0.5-0.9 s per
+    call) for the same 16 rows. The pandas sort over exact integer ids
+    reproduces the orderBy, and float() of the Arrow float64 values
+    yields the identical doubles Row.collect() produced."""
+
+    def build():
+        pdf = (
+            load_table(spark, "embeddings", sf_dir)
+            .where(F.col("vec_id") < IVF_K)
+            .select("vec_id", "embedding")
+            .toPandas()
+            .sort_values("vec_id")
+        )
+        return [[float(x) for x in v] for v in pdf["embedding"]]
+
+    return _cached_chain(spark, sf_dir, "ivf-cents", build)
+
+
 def _pq_seed_chain(spark: SparkSession, sf_dir: str):
     """(emb, cbs, persisted flat-PQ codes) at the demo geometry."""
     from svoe_spark.operators.similarity import pq_encode, pq_train
@@ -2308,12 +2319,7 @@ def _ivfpq_seed_chain(
 
     def build():
         emb = load_table(spark, "embeddings", sf_dir)
-        cents = [
-            list(r["embedding"])
-            for r in emb.filter(F.col("vec_id") < IVF_K)
-            .orderBy("vec_id")
-            .collect()
-        ]
+        cents = _ivf_cents(spark, sf_dir)
         cbs = ivfpq_train(emb, cents, m=m, ksub=ksub, method="seed")
         enc = ivfpq_encode_numpy if numpy_encode else ivfpq_encode
         coded = enc(emb, cents, cbs).persist()
