@@ -482,21 +482,59 @@ def mad_outlier_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/MAD robust outlier scoring per instrument (exact type-1
     medians -> exact integer deviations -> one portable division),
     keeping the 20 most deviant ticks per type (dev is the integer
-    sort key, so the top-k is deterministic)."""
+    sort key, so the top-k is deterministic).
+
+    Round 11 — ONE ranked pass over the deviations instead of three
+    (robust_outliers' MAD rank sort + the top-k window each paid a
+    separate event_type exchange+sort over the full tick stream):
+    ranked ASCENDING with the MIRRORED tie-break (dev ASC, event_id
+    DESC), rank rn maps to the former (dev DESC, event_id ASC) rank as
+    n - rn + 1, so `rn >= n - 19` selects the identical 20 rows; the
+    MAD is the dev at rank (n-1) div 2 + 1 — rank ties share the
+    value, so the tie-break change cannot move it — read back as a
+    windowed single-value max over the SAME partitioning (no second
+    exchange, no join). Median pass and score division are token-
+    identical to robust_outliers."""
     from pyspark.sql import Window
 
-    from svoe_spark.operators.profiling import robust_outliers
+    from svoe_spark.operators.profiling import attach_broadcast, order_statistics
     from svoe_spark.queries import ticks
 
     t = ticks(spark, sf_dir)
-    scored = robust_outliers(t, "value_c", ["event_type"])
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("dev").desc(), F.col("event_id")
+    med = order_statistics(
+        t, "value_c", [0.5], ["event_type"], out="__med"
+    ).select("event_type", "__med")
+    d = attach_broadcast(t, med, ["event_type"]).withColumn(
+        "dev", F.abs(F.col("value_c") - F.col("__med"))
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("dev").asc(), F.col("event_id").desc()
+    )
+    wn = Window.partitionBy("event_type")
+    r = d.where(F.col("dev").isNotNull()).select(
+        "event_type",
+        "event_id",
+        "dev",
+        F.row_number().over(wr).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    r = r.withColumn(
+        "__mad",
+        F.max(
+            F.when(F.col("__rn") == F.expr("(__n - 1) div 2 + 1"), F.col("dev"))
+        ).over(wn),
     )
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= 20)
-        .select("event_type", "event_id", "dev", "score")
+        r.where(F.col("__rn") >= F.col("__n") - 19)
+        .select(
+            "event_type",
+            "event_id",
+            "dev",
+            F.when(
+                F.col("__mad") > 0,
+                F.col("dev").cast("double") / F.col("__mad").cast("double"),
+            ).alias("score"),
+        )
     )
 
 
