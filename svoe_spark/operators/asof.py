@@ -94,15 +94,17 @@ def _has_python_stage(df: DataFrame) -> bool:
 
 #: Below this optimizer size estimate for the unioned input, the auto
 #: dispatch takes the single-window plan WITHOUT running the per-key
-#: profile job: even if every row sat on one key, the window task
-#: stays small (64 MB of narrow asof rows is well under
-#: AUTO_TARGET_ROWS_PER_TASK at any sane row width). The profile is an
-#: EAGER aggregation at plan-build time — ~1-1.5 s of fixed latency
-#: per asof call at bench scale — while the dispatch it feeds is
-#: perf-only (both plans are exact), so a size-gated skip is always
-#: safe; at production scale the estimate exceeds the gate and the
-#: profile runs unchanged.
-AUTO_PROFILE_MIN_BYTES = 64 << 20
+#: profile job: sized as AUTO_TARGET_ROWS_PER_TASK x 20 B — the
+#: conservative FLOOR of Catalyst's per-row width estimate for these
+#: schemas (measured ~26 B/row; arrays/strings are under- not
+#: over-estimated) — so even a floor-width input admitted by the gate
+#: cannot put more rows on one key than the per-task budget. The
+#: profile is an EAGER aggregation at plan-build time — ~1-1.5 s of
+#: fixed latency per asof call at bench scale — while the dispatch it
+#: feeds is perf-only (both plans are exact), so a size-gated skip is
+#: always safe for correctness; at production scale the estimate
+#: exceeds the gate and the profile runs unchanged.
+AUTO_PROFILE_MIN_BYTES = AUTO_TARGET_ROWS_PER_TASK * 20
 
 
 def _plan_size_bytes(df: DataFrame) -> int | None:
@@ -112,6 +114,21 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
         return int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
+    except Exception:  # noqa: BLE001 — estimate is advisory
+        return None
+
+
+def _plan_row_count(df: DataFrame) -> int | None:
+    """Optimizer ROW-COUNT estimate — known exactly for materialized
+    cached relations and CBO-analyzed tables, None otherwise. The
+    right gate quantity for row-budget dispatches (the hottest key
+    holds at most all rows): unlike sizeInBytes it cannot be skewed by
+    wide rows or compression factors."""
+    try:
+        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        if rc.isDefined():
+            return int(rc.get().longValue())
+        return None
     except Exception:  # noqa: BLE001 — estimate is advisory
         return None
 
@@ -284,8 +301,13 @@ def asof_join_multi(
         if _has_python_stage(unioned):
             time_bucket = None
         else:
+            rc = _plan_row_count(unioned)
             sz = _plan_size_bytes(unioned)
-            if sz is not None and sz <= AUTO_PROFILE_MIN_BYTES:
+            if rc is not None and rc <= AUTO_TARGET_ROWS_PER_TASK:
+                # exact row count (cached/CBO input) under the budget:
+                # the hottest key cannot exceed it — skip the profile
+                time_bucket = None
+            elif sz is not None and sz <= AUTO_PROFILE_MIN_BYTES:
                 # provably-small input: skip the eager profile job
                 time_bucket = None
             else:

@@ -39,6 +39,27 @@ DRIVER_NODES_DEFAULT = 65_536
 DRIVER_EDGES_DEFAULT = 4_000_000
 
 
+def _probe_pull(df: DataFrame, max_rows: int):
+    """THE probe-and-pull step shared by the driver-resident tiers
+    (review r11: three hand-rolled copies had subtly different
+    unpersist wiring): persist the relation so the count probe and the
+    Arrow pull evaluate the (possibly expensive) lineage once, pull
+    when the count fits, and on the over-gate path LEAVE the cache in
+    place — the relational fallback reads the same relation (often
+    more than once: both union directions, four wedge subtrees), so
+    the probe pass is its first evaluation, not a wasted one (the
+    module's persisted-edges pattern; MEMORY_AND_DISK spills rather
+    than evicting compute). Returns (pdf, persisted_df); pdf is None
+    over the gate. The caller owns unpersisting `persisted_df` —
+    immediately after a successful pull, or never on the fallback
+    path (the cache dies with the plan references / session)."""
+    probed = df.persist(StorageLevel.MEMORY_AND_DISK)
+    if probed.count() <= max_rows:
+        pdf = probed.toPandas()
+        return pdf, probed
+    return None, probed
+
+
 def _node_type(e: DataFrame, src: str = "src", dst: str = "dst"):
     """The UNION-WIDENED node type of an edge relation — e.g. int src
     + long dst widens to long. Pure schema analysis, no job; the
@@ -142,21 +163,15 @@ def connected_components(
     if driver_edges is None:
         driver_edges = DRIVER_EDGES_DEFAULT
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    probed = None
+    pdf = None
     if driver_edges > 0:
-        # persist across the probe + pull: without it the count and
-        # the Arrow pull each evaluate the (possibly expensive) pair
-        # lineage in full. Freed before any return.
-        probed = e.persist(StorageLevel.MEMORY_AND_DISK)
-    if probed is not None and probed.count() <= driver_edges:
+        pdf, e = _probe_pull(e, driver_edges)
+    if pdf is not None:
         import numpy as np
         import pandas as pd
         from pyspark.sql import types as T
 
         f = e.schema.fields
-        pdf = probed.toPandas()
-        probed.unpersist()
-        probed = None
         s_a = pdf["src"].to_numpy()
         d_a = pdf["dst"].to_numpy()
         # integral dtypes only: a float dtype means NULL endpoints
@@ -200,11 +215,11 @@ def connected_components(
             )
             out._svoe_cc_rounds = rounds_run
             out._svoe_cc_algorithm = "driver"
+            e.unpersist()  # labels live in numpy now
             return out
-    if probed is not None:
-        # over the gate, or non-integral ids: free the probe cache —
-        # the relational loops build their own persisted edge relation
-        probed.unpersist()
+    # over the gate or non-integral ids: e stays persisted — the
+    # relational union below reads it TWICE (both directions), so the
+    # probe pass was its first evaluation, not a wasted one
     edges = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
@@ -2077,20 +2092,14 @@ def triangle_counts(
     if driver_edges is None:
         driver_edges = DRIVER_TRI_EDGES_DEFAULT
     e = edges.select(F.col(a).alias("a"), F.col(b).alias("b")).distinct()
-    probed = None
+    pdf = None
     if driver_edges > 0:
-        # persist across the probe + pull: without it the count and
-        # the Arrow pull each evaluate the (possibly expensive, e.g.
-        # knn_sparsify) edge lineage in full. Freed before any return.
-        probed = e.persist(StorageLevel.MEMORY_AND_DISK)
-    if probed is not None and probed.count() <= driver_edges:
+        pdf, e = _probe_pull(e, driver_edges)
+    if pdf is not None:
         import pandas as pd
         from pyspark.sql import types as T
 
         f = e.schema.fields
-        pdf = probed.toPandas()
-        probed.unpersist()
-        probed = None
         aa, bb = pdf["a"].to_numpy(), pdf["b"].to_numpy()
         # integral dtypes only (a float dtype means NULL endpoints or
         # float ids — fall back; see connected_components)
@@ -2125,15 +2134,33 @@ def triangle_counts(
                     T.StructField("clustering", T.DoubleType()),
                 ]
             )
-            return edges.sparkSession.createDataFrame(
+            out = edges.sparkSession.createDataFrame(
                 pd.DataFrame(
-                    rows, columns=["node", "deg", "triangles", "clustering"]
+                    {
+                        "node": pd.Series([r[0] for r in rows]),
+                        "deg": pd.Series(
+                            [r[1] for r in rows], dtype="int64"
+                        ),
+                        "triangles": pd.Series(
+                            [r[2] for r in rows], dtype="int64"
+                        ),
+                        # object dtype so deg<2 rows stay None -> SQL
+                        # NULL on BOTH the Arrow and the row-based
+                        # createDataFrame paths (a float64 column turns
+                        # None into NaN, which only Arrow maps to null)
+                        "clustering": pd.Series(
+                            [r[3] for r in rows], dtype="object"
+                        ),
+                    }
                 ),
                 schema=out_schema,
             )
-    if probed is not None:
-        # over the gate, or non-integral ids: free the probe cache
-        probed.unpersist()
+            e.unpersist()  # counts live in python now
+            return out
+    # over the gate or non-integral ids: e stays persisted — the
+    # relational cascade reads it FOUR times (degrees, both wedge
+    # sides, the closing join), so the probe pass was its first
+    # evaluation, not a wasted one
     deg = (
         e.select(F.col("a").alias("node"))
         .union(e.select(F.col("b").alias("node")))

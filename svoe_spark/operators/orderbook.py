@@ -317,24 +317,28 @@ def reconstruct_book_auto(
     ``reconstruct_book`` as the fallback if violated."""
     import math
 
-    from svoe_spark.operators.asof import (
-        AUTO_PROFILE_MIN_BYTES,
-        _plan_size_bytes,
-    )
+    from svoe_spark.operators.asof import _plan_row_count, _plan_size_bytes
 
     # round 11, the asof-gate precedent: the profile is an EAGER
     # aggregation at plan-build time feeding a perf-only dispatch
-    # (both plans are exact). When the optimizer's size estimate for
-    # the update stream is provably small — for the persisted parse
-    # relations this is the MEASURED in-memory size — skip the profile
-    # job and take the sequential plan; at production volumes the
-    # estimate exceeds the gate and the profile runs unchanged.
-    # only when the caller kept the default-or-larger per-task target:
-    # an explicitly SMALL max_rows_per_task is a deliberate request to
+    # (both plans are exact). Prefer the optimizer's ROW-COUNT
+    # estimate when defined (CBO) — the exact budget quantity; else a
+    # byte gate sized to THIS op's row budget: max_rows_per_task x
+    # 20 B, the conservative floor of Catalyst's per-row width for
+    # this schema (the measured estimate for the parse relations is
+    # ~26 B/row — arrays are heavily under-estimated), so even a
+    # floor-width input admitted by the gate cannot exceed the
+    # per-task budget (asof's 64 MB gate, sized for a 2M-row window
+    # budget, would admit ~10x too many rows — review r11). Only when
+    # the caller kept the default-or-larger per-task target: an
+    # explicitly SMALL max_rows_per_task is a deliberate request to
     # bucket small data (tests, pathological feeds) — honor it.
     if max_rows_per_task >= AUTO_MAX_ROWS_PER_TASK:
+        rc = _plan_row_count(df)
         sz = _plan_size_bytes(df)
-        if sz is not None and sz <= AUTO_PROFILE_MIN_BYTES:
+        if (rc is not None and rc <= max_rows_per_task) or (
+            rc is None and sz is not None and sz <= max_rows_per_task * 20
+        ):
             return reconstruct_book(df, key, depth, emit_every, seq_col)
 
     per_key = df.groupBy(key).agg(

@@ -16,6 +16,15 @@ from pyspark.sql import DataFrame
 #: pinning an under-parallel plan (fixed-core runs never re-probe).
 _SPREAD_CACHE: dict[tuple[int, int], tuple[DataFrame, DataFrame]] = {}
 
+#: id(SparkContext) -> (SparkContext, defaultParallelism). The
+#: defaultParallelism read is 2 py4j round trips; paying it on every
+#: spread() call re-adds driver latency to hundreds of hot call sites
+#: (review r11). The memoized value forms the FIRST cache-key attempt;
+#: any spread-cache miss re-reads it fresh, so a dynamically-allocated
+#: cluster that grows still re-decides on new inputs (the ADVICE r10
+#: contract) while the hit path stays JVM-free.
+_PARALLELISM_CACHE: dict[int, tuple[object, int]] = {}
+
 
 def spread(df: DataFrame) -> DataFrame:
     """Round-robin repartition when the input has fewer partitions than
@@ -31,9 +40,19 @@ def spread(df: DataFrame) -> DataFrame:
     try:
         # no sparkContext/rdd under Spark Connect — same guard as
         # orderbook._default_bundles; pass through rather than probe
-        target = df.sparkSession.sparkContext.defaultParallelism
+        sc = df.sparkSession.sparkContext
     except Exception:  # noqa: BLE001
         return df
+    memo = _PARALLELISM_CACHE.get(id(sc))
+    if memo is not None and memo[0] is sc:
+        got = _SPREAD_CACHE.get((id(df), memo[1]))
+        if got is not None and got[0] is df:
+            return got[1]
+    try:
+        target = sc.defaultParallelism
+    except Exception:  # noqa: BLE001
+        return df
+    _PARALLELISM_CACHE[id(sc)] = (sc, target)
     key = (id(df), target)
     got = _SPREAD_CACHE.get(key)
     if got is not None and got[0] is df:

@@ -507,21 +507,34 @@ def mad_outlier_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = attach_broadcast(t, med, ["event_type"]).withColumn(
         "dev", F.abs(F.col("value_c") - F.col("__med"))
     )
+    # asc NULLS FIRST (Spark's asc default) is the exact reverse of
+    # the former desc NULLS LAST order, so the n-rn+1 rank mapping —
+    # and therefore the selected top-20 rows — holds even for NULL
+    # deviations (possible only for NULL value_c; none exist in the
+    # fixtures, but the mirror must not silently drop them — review
+    # r11). The MAD rank offsets by the per-group NULL count so it
+    # stays the median of the NON-NULL deviations, exactly
+    # order_statistics' domain.
     wr = Window.partitionBy("event_type").orderBy(
         F.col("dev").asc(), F.col("event_id").desc()
     )
     wn = Window.partitionBy("event_type")
-    r = d.where(F.col("dev").isNotNull()).select(
+    r = d.select(
         "event_type",
         "event_id",
         "dev",
         F.row_number().over(wr).alias("__rn"),
         F.count(F.lit(1)).over(wn).alias("__n"),
+        F.count("dev").over(wn).alias("__nn"),
     )
     r = r.withColumn(
         "__mad",
         F.max(
-            F.when(F.col("__rn") == F.expr("(__n - 1) div 2 + 1"), F.col("dev"))
+            F.when(
+                F.col("__rn")
+                == F.expr("(__n - __nn) + ((__nn - 1) div 2 + 1)"),
+                F.col("dev"),
+            )
         ).over(wn),
     )
     return (

@@ -209,9 +209,15 @@ def test_kmv_set_ops_driver_tier_matches_relational(spark, events):
         ).collect()
     )
     assert drv == rel and drv
-    # ungrouped + n < k exact branch
-    small_a = kmv_build(events.limit(20), "event_id", k=k)
-    small_b = kmv_build(events.limit(10), "event_id", k=k)
+    # ungrouped + n < k exact branch; ORDERED limit — a bare limit over
+    # an unordered relation may pick different rows per evaluation, and
+    # the two tiers evaluate the sketch lineage independently
+    small_a = kmv_build(
+        events.orderBy("event_id").limit(20), "event_id", k=k
+    )
+    small_b = kmv_build(
+        events.orderBy("event_id").limit(10), "event_id", k=k
+    )
     d2 = [tuple(r) for r in kmv_set_ops(small_a, small_b, k=k).collect()]
     r2 = [
         tuple(r)
