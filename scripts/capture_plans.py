@@ -38,7 +38,10 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     out_dir = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "..", "plans", "r10"
+        os.path.dirname(os.path.abspath(__file__)),
+        "..",
+        "plans",
+        os.environ.get("PLANS_ROUND", "r11"),
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:

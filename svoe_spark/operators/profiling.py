@@ -440,6 +440,87 @@ def robust_outliers(
     ).drop("__med", "__mad")
 
 
+def robust_outliers_windowed(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    out_dev: str = "dev",
+    out_score: str = "score",
+    out_med: str | None = None,
+    out_mad: str | None = None,
+) -> DataFrame:
+    """`robust_outliers` computed as WINDOWED order statistics over one
+    partitioning (guide §2.4 "windows on the same key save a full
+    pass"): instead of two count-aggregate + ranked-pass + broadcast-
+    join chains (four extra eager jobs and exchanges on a relation the
+    caller is about to window by the same keys anyway), rank the rows
+    ascending once per statistic and read the median back as a windowed
+    single-value max over the SAME partitioning — the mad_outlier_top20
+    round-11 rewrite, generalized.
+
+    Exact-mirror contract with `robust_outliers` (pinned by
+    tests/test_profiling_ops.py::test_robust_outliers_windowed_matches_joined):
+
+    - ranks ascend with Spark's default NULLS FIRST, so the rank of the
+      k-th smallest NON-NULL value is (n - nn) + k; the median rank
+      offsets by the per-group NULL count exactly as order_statistics'
+      NULL-excluding filter does (k = (nn - 1) div 2 + 1);
+    - rank ties among equal values are arbitrary but the k-th smallest
+      VALUE is unique — order_statistics' own tie argument;
+    - groups with ZERO non-null values are dropped whole — the rows
+      robust_outliers loses in its inner med-join;
+    - dev is non-null exactly where the value is, so the MAD rank
+      reuses the same null offset; the score division is token-
+      identical (NULL when MAD = 0).
+
+    ``out_med``/``out_mad`` optionally retain the per-group median/MAD
+    as columns (cusum callers feed them as baseline/slack); by default
+    they are dropped like robust_outliers' internals.
+
+    Scale shape: one exchange on the group keys, three in-partition
+    sorts (value rank, dev rank, none for the stats reads). Use it when
+    the input is a per-group aggregate (bounded groups); for raw-volume
+    inputs the aggregate+broadcast form spills more gracefully.
+    """
+    groups = list(group_cols or [])
+    part = [F.col(g) for g in groups] if groups else [F.lit(1)]
+    wn = Window.partitionBy(*part)
+    wv = Window.partitionBy(*part).orderBy(F.col(value_col).asc())
+    med_name = out_med or "__med"
+    mad_name = out_mad or "__mad"
+    d = (
+        df.withColumn("__n", F.count(F.lit(1)).over(wn))
+        .withColumn("__nn", F.count(value_col).over(wn))
+        .withColumn("__rn", F.row_number().over(wv))
+    )
+    rk = F.expr("(__n - __nn) + ((__nn - 1) div 2 + 1)")
+    d = (
+        d.withColumn(
+            med_name,
+            F.max(F.when(F.col("__rn") == rk, F.col(value_col))).over(wn),
+        )
+        .where(F.col("__nn") > 0)
+        .withColumn(out_dev, F.abs(F.col(value_col) - F.col(med_name)))
+    )
+    wd = Window.partitionBy(*part).orderBy(F.col(out_dev).asc())
+    d = d.withColumn("__rnd", F.row_number().over(wd)).withColumn(
+        mad_name,
+        F.max(F.when(F.col("__rnd") == rk, F.col(out_dev))).over(wn),
+    )
+    d = d.withColumn(
+        out_score,
+        F.when(
+            F.col(mad_name) > 0,
+            F.col(out_dev).cast("double") / F.col(mad_name).cast("double"),
+        ),
+    ).drop("__n", "__nn", "__rn", "__rnd")
+    if out_med is None:
+        d = d.drop("__med")
+    if out_mad is None:
+        d = d.drop("__mad")
+    return d
+
+
 def distribution_drift(
     ref: DataFrame,
     cur: DataFrame,

@@ -1069,8 +1069,12 @@ def event_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     All intermediates are exact integers; the score is one portable
     division. Scale: the scored relation is |types * hours| rows —
     already aggregated — so the two ranked passes run over a tiny
-    fraction of the event volume."""
-    from svoe_spark.operators.profiling import robust_outliers
+    fraction of the event volume. Round 11: the ranked passes are the
+    WINDOWED order statistics (`robust_outliers_windowed`, the
+    mad_outlier_top20 mirror) — same values, but the two count-
+    aggregate + broadcast-join chains collapse into windows over the
+    one (event_type, hod) partitioning the scoring already needs."""
+    from svoe_spark.operators.profiling import robust_outliers_windowed
 
     e = load_table(spark, "events", sf_dir)
     hourly = (
@@ -1080,7 +1084,7 @@ def event_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .withColumn("hod", F.hour("hour_ts").cast("long"))
     )
-    scored = robust_outliers(hourly, "n", ["event_type", "hod"])
+    scored = robust_outliers_windowed(hourly, "n", ["event_type", "hod"])
     return scored.where(
         (F.col("score") > 3.0) | (F.col("score").isNull() & (F.col("dev") > 0))
     ).select("event_type", "hour_ts", "n", "dev", "score")
@@ -1146,9 +1150,13 @@ def value_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     C_t = P_t - min(0, running_min(P)) — one per-key ordered window,
     no iteration (operators/changepoint.py). Integer arithmetic end
     to end; the hourly level uses truncating integer division (values
-    are positive, so Spark DIV == DuckDB //)."""
+    are positive, so Spark DIV == DuckDB //). Round 11: median and MAD
+    come from `robust_outliers_windowed` — exact same order statistics
+    read back as windows over the event_type partitioning the CUSUM
+    window needs anyway, replacing two count-aggregate + broadcast-join
+    chains (see profiling.py)."""
     from svoe_spark.operators.changepoint import cusum_scores
-    from svoe_spark.operators.profiling import attach_broadcast, order_statistics
+    from svoe_spark.operators.profiling import robust_outliers_windowed
 
     e = load_table(spark, "events", sf_dir)
     hourly = (
@@ -1165,18 +1173,9 @@ def value_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("avg_c", F.expr("sv DIV n"))
         .drop("n", "sv")
     )
-    med = (
-        order_statistics(hourly, "avg_c", [0.5], ["event_type"], out="med")
-        .select("event_type", "med")
+    y = robust_outliers_windowed(
+        hourly, "avg_c", ["event_type"], out_med="med", out_mad="mad"
     )
-    d = attach_broadcast(hourly, med, ["event_type"]).withColumn(
-        "dev", F.abs(F.col("avg_c") - F.col("med"))
-    )
-    mad = (
-        order_statistics(d, "dev", [0.5], ["event_type"], out="mad")
-        .select("event_type", "mad")
-    )
-    y = attach_broadcast(d, mad, ["event_type"])
     scored = cusum_scores(
         y, "avg_c", on="hour_ts", by=["event_type"],
         baseline_col="med", slack="mad",

@@ -234,3 +234,54 @@ def test_hhi_known_values(spark):
     assert got["mono"]["hhi"] == 1.0
     assert got["zero"]["hhi"] is None
     assert got["even"]["total"] == 40
+
+
+def test_robust_outliers_windowed_matches_joined(spark):
+    """Bit-identity pin for the round-11 windowed rewrite: the windowed
+    order-statistic form must reproduce robust_outliers exactly —
+    including NULL values inside a group (rank offset), an all-NULL
+    group (dropped whole, like the inner med-join), a MAD=0 group
+    (NULL score), a NULL group key, and even-count medians (type-1
+    lower statistic)."""
+    from svoe_spark.operators.profiling import (
+        robust_outliers,
+        robust_outliers_windowed,
+    )
+
+    rows = [
+        # group a: odd count with one NULL value
+        ("a", 1, 10), ("a", 2, 12), ("a", 3, 40), ("a", 4, None), ("a", 5, 11),
+        # group b: MAD = 0 (constant values)
+        ("b", 6, 7), ("b", 7, 7), ("b", 8, 7),
+        # group c: all NULL -> dropped by both forms
+        ("c", 9, None), ("c", 10, None),
+        # NULL group key is a real group
+        (None, 11, 5), (None, 12, 9),
+        # group d: even count (type-1 lower median)
+        ("d", 13, 1), ("d", 14, 2), ("d", 15, 3), ("d", 16, 100),
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+
+    def canon(out):
+        return sorted(
+            ((r["g"], r["id"], r["v"], r["dev"], r["score"]) for r in out.collect()),
+            key=lambda t: (t[0] is not None, t[0] or "", t[1]),
+        )
+
+    joined = canon(robust_outliers(df, "v", ["g"]))
+    windowed = canon(robust_outliers_windowed(df, "v", ["g"]))
+    assert windowed == joined
+    # ungrouped form agrees too (NULLs included)
+    j2 = canon(robust_outliers(df, "v", []))
+    w2 = canon(robust_outliers_windowed(df, "v", []))
+    assert w2 == j2
+    # retained med/mad columns are the order-statistic values
+    kept = robust_outliers_windowed(
+        df, "v", ["g"], out_med="med", out_mad="mad"
+    )
+    got = {
+        (r["g"], r["id"]): (r["med"], r["mad"]) for r in kept.collect()
+    }
+    assert got[("a", 1)] == (11, 1)   # median of {10,11,12,40}=11 (type-1), MAD med{0,1,1,29}=1
+    assert got[("b", 6)] == (7, 0)
+    assert got[("d", 13)] == (2, 1)   # even count: lower median
