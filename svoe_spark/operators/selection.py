@@ -67,7 +67,7 @@ def _ratio_table(
 
 def dsir_importance(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | Column,
     buckets: int = DSIR_BUCKETS,
     text: str = "text",
     id_col: str = "doc_id",
@@ -77,13 +77,41 @@ def dsir_importance(
     (> 1 = looks more like the target corpus). Documents with no
     tokens score 0.0.
 
-    Two buckets-sized collect jobs estimate the distributions (the
-    IVF-centroid pattern — driver-held model state, deliberate and
-    bounded), then one shuffle-free scan folds each document's
-    token-hash array left-to-right against the ratio literal.
+    ``target`` is either a separate corpus DataFrame (two bounded
+    stats jobs), or — the common curation shape, where the target IS a
+    predicate over the raw corpus (a language, a source allowlist) — a
+    boolean Column over ``raw``'s rows: then BOTH distributions come
+    from ONE tokenize pass (round 11; the per-bucket raw count and the
+    conditional target count are exact integers either way, so the
+    ratio table — and every score — is bit-identical to the two-pass
+    form, pinned by test_dsir_predicate_equals_filtered_target).
+
+    The stats are buckets-sized collect jobs (the IVF-centroid pattern
+    — driver-held model state, deliberate and bounded), then one
+    shuffle-free scan folds each document's token-hash array
+    left-to-right against the ratio literal.
     """
-    tc = {r["bucket"]: r["cnt"] for r in hashed_bucket_counts(target, buckets, text).collect()}
-    rc = {r["bucket"]: r["cnt"] for r in hashed_bucket_counts(raw, buckets, text).collect()}
+    if isinstance(target, Column):
+        rows = (
+            spread(raw)
+            .select(
+                F.explode(token_hashes(text)).alias("__h"),
+                target.cast("long").alias("__t"),
+            )
+            .groupBy((F.col("__h") % buckets).alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("__t").alias("cnt_t"),
+            )
+            .collect()
+        )
+        rc = {r["bucket"]: r["cnt"] for r in rows}
+        tc = {
+            r["bucket"]: int(r["cnt_t"]) for r in rows if r["cnt_t"]
+        }
+    else:
+        tc = {r["bucket"]: r["cnt"] for r in hashed_bucket_counts(target, buckets, text).collect()}
+        rc = {r["bucket"]: r["cnt"] for r in hashed_bucket_counts(raw, buckets, text).collect()}
     ratios = _lit_nested(_ratio_table(tc, rc, buckets))
 
     th = token_hashes(text)

@@ -490,8 +490,11 @@ def kmv_set_ops(
         pa = sk_a.select(*groups, "h").persist()
         pb = sk_b.select(*groups, "h").persist()
         # 0 < : the relational global-aggregate semantics of two EMPTY
-        # ungrouped sketches (one zero row) stay authoritative
-        if 0 < pa.count() + pb.count() <= driver_rows:
+        # ungrouped sketches (one zero row) stay authoritative. ONE
+        # union count materializes both caches in a single job (round
+        # 11 — the two separate counts were two scheduler round trips
+        # for the same work).
+        if 0 < pa.unionByName(pb).count() <= driver_rows:
             pda = pa.toPandas()
             pdb = pb.toPandas()
             pa.unpersist()

@@ -2361,6 +2361,64 @@ from svoe_spark.operators.sketches import (  # noqa: E402
 )
 
 _HLL_USERS = HLLParams(p=9)
+# gate for the sketch-resident estimate tail of approx_distinct_daily:
+# the register relation is <= days x m rows whatever the event volume;
+# 0 forces the relational cascade (tests pin bit-identity across both)
+_HLL_DRIVER_ROWS = 1 << 20
+
+
+def _hll_daily_driver_rel(spark, pdf, params):
+    """In-process twin of approx_distinct_daily's estimate tail over
+    the pulled register relation (day, bucket, rho): per-day estimate
+    + zero_registers and the running-union re-estimate, as the
+    IDENTICAL IEEE operations the relational form performs. Returns a
+    tiny (days)-row DataFrame."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    m = params.m
+    lc = params.lc_table()
+
+    def est(rhos: dict) -> tuple[float, int]:
+        # rhos: bucket -> register (max rho); absent buckets are zero
+        # registers contributing 2^62 each to the mass. Exact int sum;
+        # float(S) rounds to nearest like Decimal(38,0) -> double.
+        s = sum(1 << (62 - r) for r in rhos.values())
+        s += (m - len(rhos)) * (1 << 62)
+        raw = params.numerator / float(s)
+        zr = m - len(rhos)
+        if zr > 0 and raw <= params.lc_threshold:
+            return lc[zr - 1], zr
+        return raw, zr
+
+    by_day: dict = {}
+    for day, bucket, rho in pdf.itertuples(index=False):
+        by_day.setdefault(day, {})[int(bucket)] = int(rho)
+    rows = []
+    running: dict = {}
+    for day in sorted(by_day):
+        e_d, zr = est(by_day[day])
+        for b, r in by_day[day].items():
+            if r > running.get(b, -1):
+                running[b] = r
+        e_c, _ = est(running)
+        rows.append((day, e_d, zr, e_c))
+    schema = T.StructType(
+        [
+            T.StructField("day", T.StringType()),
+            T.StructField("est_users", T.DoubleType()),
+            T.StructField("zero_registers", T.IntegerType()),
+            T.StructField("est_users_to_date", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=["day", "est_users", "zero_registers",
+                     "est_users_to_date"],
+        ),
+        schema=schema,
+    )
 
 
 @query(
@@ -2429,6 +2487,30 @@ def approx_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     # volume) feeds the per-day estimate, the day axis, AND the running
     # union — one events scan builds all three subtrees
     reg = hll_build(e, "user_id", _HLL_USERS, group_cols=["day"]).persist()
+    tru = e.groupBy("day").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_users")
+    )
+    # Sketch-resident estimate tail (round 11, the kmv_set_ops tier
+    # precedent): the persisted register relation is bounded at
+    # days x m rows by construction, so at or under _HLL_DRIVER_ROWS
+    # (count probe doubles as the materialization the first consumer
+    # paid anyway) with non-NULL keys, one Arrow pull computes every
+    # per-day AND running-union estimate in-process — the register
+    # mass is an exact Python int, float(S) and Decimal(38,0)->double
+    # both round to nearest, the numerator/LC literals are the very
+    # Python floats the relational literals are built from, and the
+    # one division is the identical IEEE op, so results equal the
+    # relational cascade bit for bit (pinned by
+    # test_hll_driver_tail_matches_relational). The exact-count leg —
+    # the query's error-bound contract — stays relational either way.
+    if 0 < reg.count() <= _HLL_DRIVER_ROWS:
+        pdf = reg.toPandas()
+        if not pdf.isna().any().any():
+            out = _hll_daily_driver_rel(spark, pdf, _HLL_USERS)
+            return tru.join(F.broadcast(out), "day").select(
+                "day", "est_users", "zero_registers", "exact_users",
+                "est_users_to_date",
+            )
     est = hll_estimate(
         reg, _HLL_USERS, group_cols=["day"], out="est_users",
         correct_small=True,
@@ -2444,9 +2526,6 @@ def approx_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum_reg, _HLL_USERS, group_cols=["day"], out="est_users_to_date",
         correct_small=True,
     ).drop("zero_registers")
-    tru = e.groupBy("day").agg(
-        F.count_distinct("user_id").cast("bigint").alias("exact_users")
-    )
     return (
         est.join(tru, "day")
         .join(F.broadcast(cum), "day")

@@ -2132,7 +2132,11 @@ def dsir_importance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from svoe_spark.operators.selection import dsir_importance
 
     docs = load_table(spark, "documents", sf_dir)
-    return dsir_importance(docs, docs.filter(F.col("lang") == "en"), buckets=DSIR_B)
+    # target as a PREDICATE over the raw corpus: both distribution
+    # estimates ride one tokenize pass (round 11, selection.py) — the
+    # counts, ratio table and every score are bit-identical to the
+    # filtered-DataFrame form
+    return dsir_importance(docs, F.col("lang") == "en", buckets=DSIR_B)
 
 
 PQ_M_Q = 8

@@ -83,3 +83,31 @@ def test_dsir_scoring_pass_is_shuffle_free(spark, sf_mid):
     # only the optional round-robin spread may appear
     assert "hashpartitioning" not in p, p
     assert "Join" not in p, p
+
+
+def test_dsir_predicate_equals_filtered_target(spark):
+    """Round-11 one-pass form: target given as a boolean Column over
+    the raw corpus must reproduce the two-pass filtered-DataFrame form
+    bit for bit — including NULL predicate rows (excluded from the
+    target counts, exactly like filter())."""
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma", "en"),
+            (1, "alpha beta noise", "en"),
+            (2, "noise junk filler", "fr"),
+            (3, "alpha junk", None),
+            (4, "", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    two_pass = sorted(
+        tuple(r)
+        for r in dsir_importance(
+            docs, docs.filter(F.col("lang") == "en"), buckets=32
+        ).collect()
+    )
+    one_pass = sorted(
+        tuple(r)
+        for r in dsir_importance(docs, F.col("lang") == "en", buckets=32).collect()
+    )
+    assert one_pass == two_pass

@@ -429,3 +429,21 @@ def test_quantile_sketch_stream_equals_batch(spark, sf_small, tmp_path):
         for r in quantile_sketch(e, "value", group_cols=["day"]).collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_hll_driver_tail_matches_relational(spark, sf_small, monkeypatch):
+    """Round-11 sketch-resident estimate tail of approx_distinct_daily:
+    the Arrow-pulled in-process per-day + running-union estimates must
+    equal the relational cascade bit for bit (same exact integer mass,
+    same float(S) rounding, same numerator/LC literals, same IEEE
+    division)."""
+    import svoe_spark.queries as q
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    driver = rows(q.QUERIES["approx_distinct_daily"].fn(spark, sf_small))
+    monkeypatch.setattr(q, "_HLL_DRIVER_ROWS", 0)
+    relational = rows(q.QUERIES["approx_distinct_daily"].fn(spark, sf_small))
+    assert driver == relational
+    assert len(driver) > 0
