@@ -237,6 +237,18 @@ def numeric_histogram(df: DataFrame, col: str, bins: int = 16) -> DataFrame:
     )
 
 
+def type1_rank_sql(n_expr: str, q: float) -> str:
+    """THE type-1 (lower empirical quantile) target-rank expression
+    (Spark SQL dialect): floor((n-1)*q)+1 over a BIGINT count, with
+    the DOUBLE literal embedded via repr() so it round-trips exactly.
+    Every Spark form (order_statistics' targets, distribution_drift's
+    windowed cut read) renders through this helper; the DuckDB twin
+    (order_statistics_sql) mirrors the same floor/cast/+1 chain with
+    its own CAST(.. AS DOUBLE) literal syntax — change one, change
+    both."""
+    return f"CAST(floor(({n_expr} - 1) * {float(q)!r}D) AS BIGINT) + 1"
+
+
 def order_statistics(
     df: DataFrame,
     value_col: str,
@@ -285,7 +297,7 @@ def order_statistics(
                 "array("
                 + ",".join(
                     f"named_struct('q', {float(q)!r}D, '__rk', "
-                    f"CAST(floor((__n - 1) * {float(q)!r}D) AS BIGINT) + 1)"
+                    f"{type1_rank_sql('__n', q)})"
                     for q in qs
                 )
                 + ")"
@@ -459,7 +471,7 @@ def robust_outliers_windowed(
     round-11 rewrite, generalized.
 
     Exact-mirror contract with `robust_outliers` (pinned by
-    tests/test_profiling_ops.py::test_robust_outliers_windowed_matches_joined):
+    tests/test_profiling.py::test_robust_outliers_windowed_matches_joined):
 
     - ranks ascend with Spark's default NULLS FIRST, so the rank of the
       k-th smallest NON-NULL value is (n - nn) + k; the median rank
@@ -553,12 +565,34 @@ def distribution_drift(
     qs = [i / n_buckets for i in range(1, n_buckets)]
     ref_nn = ref.where(F.col(value_col).isNotNull())
     cur_nn = cur.where(F.col(value_col).isNotNull())
-    cuts = sorted(
-        r[0]
-        for r in order_statistics(ref_nn, value_col, qs, out="__cut")
-        .select("__cut")
-        .collect()
+    # cut points as ONE ranked pass + ONE aggregate row (round 11, the
+    # windowed-order-statistic pattern): rank ascending, count the
+    # non-null domain as a window, read each q's type-1 value back as
+    # max(case when rn == floor((n-1)*q)+1). The rank expression is
+    # token-identical to order_statistics' target (same DOUBLE literal,
+    # same floor/cast/+1 chain), values dedup/duplicate exactly as the
+    # per-q rows did — the former count-aggregate + broadcast-join +
+    # ranked-join chain was ~3 extra jobs per drift call for the same
+    # n_buckets-1 doubles.
+    wv = Window.partitionBy(F.lit(1)).orderBy(F.col(value_col))
+    wn = Window.partitionBy(F.lit(1))
+    ranked = ref_nn.select(
+        F.col(value_col).alias("__v"),
+        F.row_number().over(wv).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
     )
+    cut_row = ranked.agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("__rn") == F.expr(type1_rank_sql("__n", q)),
+                    F.col("__v"),
+                )
+            ).alias(f"__c{i}")
+            for i, q in enumerate(qs)
+        ]
+    ).first()
+    cuts = sorted(v for v in cut_row if v is not None)
     bucket = F.lit(0)
     for c in cuts:
         bucket = bucket + F.when(F.col(value_col) >= F.lit(c), 1).otherwise(0)

@@ -471,7 +471,7 @@ def kmv_set_ops(
 
     Sketch-resident tier (round 11, the graph-tier precedent): the
     inputs are bounded at k rows per group by construction, so at or
-    under ``driver_rows`` total rows (two fully-parallel counts over
+    under ``driver_rows`` total rows (ONE union count over the two
     persisted probes) with non-NULL group values, both sketches are
     pulled once via Arrow and the merge/flag/estimate runs in-process
     — exact integer bottom-k and set membership, and the THREE double

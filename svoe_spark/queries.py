@@ -2506,6 +2506,9 @@ def approx_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     if 0 < reg.count() <= _HLL_DRIVER_ROWS:
         pdf = reg.toPandas()
         if not pdf.isna().any().any():
+            # the register cache served its two reads (count probe +
+            # Arrow pull); the returned plan no longer references it
+            reg.unpersist()
             out = _hll_daily_driver_rel(spark, pdf, _HLL_USERS)
             return tru.join(F.broadcast(out), "day").select(
                 "day", "est_users", "zero_registers", "exact_users",
