@@ -2309,12 +2309,16 @@ def _ivfpq_seed_chain(
     sf_dir: str,
     m: int = PQ_M_Q,
     ksub: int = PQ_KSUB_Q,
-    numpy_encode: bool = False,
+    numpy_encode: bool = True,
 ):
     """(emb, cents, cbs, persisted IVF-PQ codes) at the given PQ
     geometry. ``numpy_encode`` selects the bit-identical numpy encoder
     (required at production geometry, where the m*ksub-leaf expression
-    tree bloats task serialization)."""
+    tree bloats task serialization; round 11 — now the default at the
+    query geometry too: measured 1.56/0.61 -> 0.46/0.44 s cold/warm at
+    m=8 ksub=16 over sf0.1, all 2000 coded rows verified identical to
+    the expression form in-session, on top of the standing
+    bit-identity contract in ivfpq_encode_numpy's docstring/tests)."""
     from svoe_spark.operators.similarity import (
         ivfpq_encode,
         ivfpq_encode_numpy,
